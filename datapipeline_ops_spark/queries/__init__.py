@@ -1,0 +1,8 @@
+"""Query inventory. Importing this package registers every query in
+``datapipeline_ops_spark.core.registry.QUERIES``."""
+
+from datapipeline_ops_spark.queries import (  # noqa: F401
+    relational,
+)
+
+from datapipeline_ops_spark.core.registry import QUERIES  # noqa: F401

@@ -1,0 +1,126 @@
+"""Local mimic of the driver's DuckDB-oracle correctness gate.
+
+Runs every ``__spark_entry__.queries()`` entry at sf0.01 via Spark AND the
+matching ``oracle_sql()`` string via DuckDB, then compares:
+- row count
+- column-name set
+- order-insensitive value hash (columns sorted by name, rows sorted,
+  floats rounded to 6 significant-ish decimals before hashing)
+
+Usage:  python tools/check_correctness.py [query_name ...]
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+import os
+import sys
+import time
+
+import duckdb
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF_DIR = "/root/testdata/sf0.01"
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+
+def norm_cell(v):
+    if v is None:
+        return "\0NULL"
+    if isinstance(v, bool):
+        return f"b:{int(v)}"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "f:nan"
+        return f"f:{v:.6g}"
+    if isinstance(v, int):
+        return f"i:{v}"
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(norm_cell(x) for x in v) + "]"
+    if isinstance(v, dict):
+        return "{" + ",".join(f"{k}={norm_cell(v[k])}" for k in sorted(v)) + "}"
+    return f"s:{v}"
+
+
+def value_hash(cols: list[str], rows: list[tuple]) -> str:
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    lines = sorted("|".join(norm_cell(r[i]) for i in order) for r in rows)
+    h = hashlib.sha256()
+    for line in lines:
+        h.update(line.encode())
+        h.update(b"\n")
+    return h.hexdigest()[:16]
+
+
+def main() -> int:
+    import __spark_entry__ as entry_mod
+    from datapipeline_ops_spark.session import get_spark
+
+    spark = get_spark("check-correctness", cpus=8, shuffle_partitions=8)
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')")
+
+    qs = entry_mod.queries()
+    oracles = entry_mod.oracle_sql()
+    only = set(sys.argv[1:])
+    n_pass = n_fail = n_weak = 0
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, SF_DIR)
+            scols = sdf.columns
+            srows = [tuple(r) for r in sdf.collect()]
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL {name}: spark error: {e}")
+            n_fail += 1
+            continue
+        sql = oracles.get(name)
+        if sql is None:
+            print(f"WEAK {name}: rows-only check, {len(srows)} rows ({time.time()-t0:.1f}s)")
+            n_weak += 1
+            continue
+        try:
+            cur = con.execute(sql)
+            dcols = [d[0] for d in cur.description]
+            drows = cur.fetchall()
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL {name}: duckdb error: {e}")
+            n_fail += 1
+            continue
+        problems = []
+        if len(srows) != len(drows):
+            problems.append(f"rowcount spark={len(srows)} duck={len(drows)}")
+        if sorted(scols) != sorted(dcols):
+            problems.append(f"cols spark={sorted(scols)} duck={sorted(dcols)}")
+        if not problems:
+            hs, hd = value_hash(scols, srows), value_hash(dcols, drows)
+            if hs != hd:
+                problems.append(f"value-hash spark={hs} duck={hd}")
+                # show a few differing rows for debugging
+                order_s = sorted(range(len(scols)), key=lambda i: scols[i])
+                order_d = sorted(range(len(dcols)), key=lambda i: dcols[i])
+                ls = sorted("|".join(norm_cell(r[i]) for i in order_s) for r in srows)
+                ld = sorted("|".join(norm_cell(r[i]) for i in order_d) for r in drows)
+                diff_s = [x for x in ls if x not in set(ld)][:3]
+                diff_d = [x for x in ld if x not in set(ls)][:3]
+                for x in diff_s:
+                    print(f"   spark-only: {x[:200]}")
+                for x in diff_d:
+                    print(f"   duck-only : {x[:200]}")
+        if problems:
+            print(f"FAIL {name}: {'; '.join(problems)} ({time.time()-t0:.1f}s)")
+            n_fail += 1
+        else:
+            print(f"PASS {name}: {len(srows)} rows ({time.time()-t0:.1f}s)")
+            n_pass += 1
+    print(f"\n{n_pass} pass, {n_weak} weak (rows-only), {n_fail} fail")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
