@@ -27,8 +27,12 @@ TABLES = "region nation customer supplier part orders lineitem events documents 
 
 
 def norm_cell(v):
+    import decimal
+
     if v is None:
         return "\0NULL"
+    if isinstance(v, decimal.Decimal):
+        v = float(v)
     if isinstance(v, bool):
         return f"b:{int(v)}"
     if isinstance(v, float):
@@ -106,8 +110,9 @@ def main() -> int:
                 order_d = sorted(range(len(dcols)), key=lambda i: dcols[i])
                 ls = sorted("|".join(norm_cell(r[i]) for i in order_s) for r in srows)
                 ld = sorted("|".join(norm_cell(r[i]) for i in order_d) for r in drows)
-                diff_s = [x for x in ls if x not in set(ld)][:3]
-                diff_d = [x for x in ld if x not in set(ls)][:3]
+                set_ld, set_ls = set(ld), set(ls)
+                diff_s = [x for x in ls if x not in set_ld][:3]
+                diff_d = [x for x in ld if x not in set_ls][:3]
                 for x in diff_s:
                     print(f"   spark-only: {x[:200]}")
                 for x in diff_d:
