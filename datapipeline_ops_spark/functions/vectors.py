@@ -1,0 +1,56 @@
+"""Vector primitives over ``array<float>`` embedding columns.
+
+Spark-first: dot products and norms are `zip_with` + `aggregate` over JVM
+arrays — no Python, no UDF, whole-stage codegen. All arithmetic is done in
+DOUBLE with left-to-right accumulation in *element order*, which makes the
+values bit-identical to the DuckDB mirrors (same IEEE ops in the same order),
+so similarity thresholds and rankings agree exactly across engines.
+
+At 100 TB scale the same expressions vectorize fine, but the win is
+structural: brute-force scoring is a broadcast nested-loop join (small query
+side), and the LSH variant (see queries/similarity.py) turns the quadratic
+pair space into an equi-join on bucket signatures — the shuffle is on
+single-int keys, never on the vectors themselves.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column
+
+
+def as_double(vec: Column) -> Column:
+    return vec.cast("array<double>")
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+# --- DuckDB mirrors (expr strings name list columns of DOUBLE) --------------
+
+def sql_as_double(expr: str) -> str:
+    return f"list_transform({expr}, x -> CAST(x AS DOUBLE))"
+
+
+def sql_dot(a: str, b: str) -> str:
+    # same element order, same double accumulation as F.aggregate
+    return f"list_sum(list_transform(generate_series(1, len({a})), i -> {a}[i] * {b}[i]))"
+
+
+def sql_norm(a: str) -> str:
+    return f"sqrt({sql_dot(a, a)})"
+
+
+def sql_cosine(a: str, b: str) -> str:
+    return f"({sql_dot(a, b)} / ({sql_norm(a)} * {sql_norm(b)}))"

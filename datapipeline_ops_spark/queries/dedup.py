@@ -1,0 +1,287 @@
+"""Dedup queries over the ``documents`` corpus (exact, MinHash+LSH, SimHash,
+n-gram Jaccard). All signatures/buckets use the cross-engine md5-derived
+hash, so the DuckDB oracle reproduces every value exactly — the correctness
+gate checks the *full pipeline* (shingle → sign → band → pair → verify), not
+just row counts.
+
+Scale shape (100 TB corpus):
+- signatures are per-row array expressions — narrow, no shuffle;
+- the only shuffles are the equi-join on (band, bucket) for candidates and
+  the final pair dedup — both on compact integer keys;
+- exact verification touches only candidate pairs, never the full cross
+  product.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from datapipeline_ops_spark.core.registry import query
+from datapipeline_ops_spark.functions.hashing import sql_hash64
+from datapipeline_ops_spark.operators.dedup import (
+    LSH_BANDS,
+    MINHASH_K,
+    SIMHASH_BITS,
+    jaccard,
+    lsh_band_buckets,
+    minhash_signature,
+    simhash,
+    with_shingles,
+)
+from datapipeline_ops_spark.functions.text import tokens
+from datapipeline_ops_spark.tables import load_table
+
+# ---------------------------------------------------------------------------
+# Shared oracle CTEs
+# ---------------------------------------------------------------------------
+
+_SH_CTE = """
+    sh AS (
+        SELECT doc_id, list_distinct(
+            CASE WHEN len(t) >= 3
+                 THEN list_transform(generate_series(1, len(t) - 2),
+                                     i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+                 ELSE [text] END) AS sh
+        FROM (SELECT doc_id, text, regexp_split_to_array(text, '\\s+') AS t FROM documents)
+    )
+"""
+
+_SIG_ELEMS = ", ".join(
+    f"list_min(list_transform(sh, s -> {sql_hash64('s', seed=j)}))" for j in range(MINHASH_K)
+)
+_SIG_CTE = _SH_CTE + f", sig AS (SELECT doc_id, [{_SIG_ELEMS}] AS sig FROM sh)"
+
+_ROWS_PER_BAND = MINHASH_K // LSH_BANDS
+_BUCKET_EXPR = sql_hash64(
+    "CAST(b.band AS VARCHAR) || ':' || "
+    + " || ':' || ".join(f"CAST(sig[{_ROWS_PER_BAND} * b.band + {r + 1}] AS VARCHAR)" for r in range(_ROWS_PER_BAND))
+)
+_BANDS_CTE = (
+    _SIG_CTE
+    + f""",
+    bands AS (
+        SELECT doc_id, b.band AS band, {_BUCKET_EXPR} AS bucket
+        FROM sig, LATERAL (SELECT unnest(generate_series(0, {LSH_BANDS - 1})) AS band) AS b
+    )
+"""
+)
+
+
+@query(
+    "dedup_exact",
+    oracle="""
+    SELECT md5(text) AS text_hash, min(doc_id) AS keeper_id, count(*) AS group_size
+    FROM documents GROUP BY md5(text)
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by content hash: one shuffle on a 16-byte key, keeper =
+    min doc_id per group (deterministic under any partitioning)."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.groupBy(F.md5(F.col("text").cast("binary")).alias("text_hash"))
+        .agg(F.min("doc_id").alias("keeper_id"), F.count(F.lit(1)).alias("group_size"))
+    )
+
+
+@query(
+    "dedup_exact_keepers",
+    oracle="""
+    SELECT doc_id, lang, source FROM (
+        SELECT doc_id, lang, source,
+               row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+        FROM documents
+    ) WHERE rn = 1
+    """,
+)
+def dedup_exact_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`dropDuplicates`-with-deterministic-keeper: the row kept is the min
+    doc_id per content hash, not whichever partition wins the race."""
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy(F.md5(F.col("text").cast("binary"))).orderBy("doc_id")
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "lang", "source")
+    )
+
+
+@query(
+    "minhash_signatures",
+    oracle="WITH "
+    + _SIG_CTE
+    + """
+    SELECT doc_id, CAST(u.j AS INT) AS seed, sig[u.j + 1] AS minhash
+    FROM sig, LATERAL (SELECT unnest(generate_series(0, 7)) AS j) AS u
+    """,
+)
+def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k=8 seeded MinHash signatures over distinct word 3-shingles — computed
+    entirely as array expressions (no explode, no shuffle)."""
+    d = with_shingles(load_table(spark, sf_dir, "documents"), "text")
+    return (
+        d.withColumn("sig", minhash_signature(F.col("shingles")))
+        .select("doc_id", F.posexplode("sig").alias("seed", "minhash"))
+    )
+
+
+@query(
+    "minhash_lsh_pairs",
+    oracle="WITH "
+    + _BANDS_CTE
+    + """,
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
+                                  AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b, round(jac, 6) AS jaccard FROM (
+        SELECT doc_a, doc_b,
+               len(list_intersect(sa.sh, sb.sh)) * 1.0 /
+               (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) AS jac
+        FROM cand JOIN sh sa ON cand.doc_a = sa.doc_id
+                  JOIN sh sb ON cand.doc_b = sb.doc_id
+    ) WHERE jac >= 0.5
+    """,
+)
+def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full MinHash→LSH→verify near-dup pipeline: band buckets give candidate
+    pairs via equi-join (the quadratic pair space never materializes);
+    candidates are verified with exact Jaccard on shingle arrays, τ=0.5.
+    """
+    d = with_shingles(load_table(spark, sf_dir, "documents"), "text")
+    sigs = d.withColumn("sig", minhash_signature(F.col("shingles")))
+    bands = sigs.select(
+        "doc_id", F.explode(lsh_band_buckets(F.col("sig"))).alias("bb")
+    ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    cand = (
+        bands.alias("a")
+        .join(
+            bands.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sh = d.select(F.col("doc_id"), F.col("shingles"))
+    verified = (
+        cand.join(sh.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("shingles", "sh_a"), "doc_a")
+        .join(sh.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("shingles", "sh_b"), "doc_b")
+        .withColumn("jac", jaccard(F.col("sh_a"), F.col("sh_b")))
+        .filter(F.col("jac") >= 0.5)
+    )
+    return verified.select("doc_a", "doc_b", F.round("jac", 6).alias("jaccard"))
+
+
+@query(
+    "ngram_jaccard_pairs",
+    oracle="WITH "
+    + _SH_CTE
+    + """,
+    ex AS (SELECT doc_id, unnest(sh) AS s FROM sh),
+    inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+        FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    sizes AS (SELECT doc_id, len(sh) AS n FROM sh)
+    SELECT doc_a, doc_b, round(n_inter * 1.0 / (sa.n + sb.n - n_inter), 6) AS jaccard
+    FROM inter JOIN sizes sa ON doc_a = sa.doc_id JOIN sizes sb ON doc_b = sb.doc_id
+    WHERE n_inter * 1.0 / (sa.n + sb.n - n_inter) >= 0.5
+    """,
+)
+def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact all-pairs n-gram Jaccard via the inverted-index join (explode
+    shingles, equi-join on shingle, count intersections) — the scalable exact
+    algorithm: work is proportional to shared-shingle pairs, not |docs|².
+    """
+    d = with_shingles(load_table(spark, sf_dir, "documents"), "text")
+    ex = d.select("doc_id", F.explode("shingles").alias("s"))
+    inter = (
+        ex.alias("a")
+        .join(ex.alias("b"), (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sizes = d.select("doc_id", F.size("shingles").alias("n"))
+    return (
+        inter.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "n_a"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "n_b"), "doc_b")
+        .withColumn("jaccard", F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")))
+        .filter(F.col("jaccard") >= 0.5)
+        .select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+@query(
+    "simhash_fingerprints",
+    oracle=f"""
+    WITH th AS (
+        SELECT doc_id,
+               list_transform(regexp_split_to_array(text, '\\s+'),
+                              x -> {sql_hash64('x')}) AS hs
+        FROM documents
+    ),
+    votes AS (
+        SELECT doc_id, u.bit AS bit,
+               list_sum(list_transform(hs, h -> CASE WHEN (h >> u.bit) & 1 = 1
+                                                     THEN 1 ELSE -1 END)) AS v
+        FROM th, LATERAL (SELECT unnest(generate_series(0, {SIMHASH_BITS - 1})) AS bit) AS u
+    )
+    SELECT doc_id,
+           CAST(sum(CASE WHEN v > 0 THEN 1 << bit ELSE 0 END) AS BIGINT) AS simhash
+    FROM votes GROUP BY doc_id
+    """,
+)
+def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash fingerprint (bitwise token-hash majority) as a single
+    narrow projection — token multiplicity weights votes, as in the original
+    Charikar construction."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", simhash(tokens(F.col("text"))).alias("simhash"))
+
+
+@query(
+    "simhash_near_pairs",
+    oracle=f"""
+    WITH th AS (
+        SELECT doc_id,
+               list_transform(regexp_split_to_array(text, '\\s+'),
+                              x -> {sql_hash64('x')}) AS hs
+        FROM documents
+    ),
+    votes AS (
+        SELECT doc_id, u.bit AS bit,
+               list_sum(list_transform(hs, h -> CASE WHEN (h >> u.bit) & 1 = 1
+                                                     THEN 1 ELSE -1 END)) AS v
+        FROM th, LATERAL (SELECT unnest(generate_series(0, {SIMHASH_BITS - 1})) AS bit) AS u
+    ),
+    fp AS (
+        SELECT doc_id,
+               CAST(sum(CASE WHEN v > 0 THEN 1 << bit ELSE 0 END) AS BIGINT) AS f
+        FROM votes GROUP BY doc_id
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.f, b.f)) AS INT) AS hamming
+    FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.f, b.f)) <= 2
+    """,
+)
+def simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs within Hamming radius 2 — xor + bit_count on a
+    single BIGINT per pair. At scale this runs after LSH/bucket blocking; the
+    fingerprint comparison itself is a handful of ALU ops."""
+    d = load_table(spark, sf_dir, "documents")
+    fp = d.select("doc_id", simhash(tokens(F.col("text"))).alias("f"))
+    pairs = (
+        fp.alias("a")
+        .join(F.broadcast(fp.alias("b")), F.col("a.doc_id") < F.col("b.doc_id"))
+        .withColumn("hamming", F.bit_count(F.col("a.f").bitwiseXOR(F.col("b.f"))).cast("int"))
+        .filter(F.col("hamming") <= 2)
+    )
+    return pairs.select(
+        F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"), "hamming"
+    )
