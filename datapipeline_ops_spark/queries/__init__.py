@@ -5,6 +5,7 @@ from datapipeline_ops_spark.queries import (  # noqa: F401
     dedup,
     pipeline_analogs,
     relational,
+    similarity,
 )
 
 from datapipeline_ops_spark.core.registry import QUERIES  # noqa: F401

@@ -1,0 +1,229 @@
+"""Similarity search over the ``embeddings`` table (``array<float>`` column).
+
+Beyond-reference surface (the reference's only similarity op is a pairwise
+face-embedding scorer behind an injected model — ``common/transform/
+similarity_op.py:7-24``; dataset-level search doesn't exist there). Four
+queries give the full ANN story a training-data pipeline needs:
+
+- **brute-force cosine top-k** — the exactness baseline. The query side is
+  tiny and broadcast; the corpus side streams. One pass over the corpus per
+  batch of queries, no shuffle of the vectors themselves (only the top-k
+  window on ``query_id`` shuffles, and rows are pre-pruned to k per
+  partition by the rank filter).
+- **near-dup pairs** (cosine >= tau) — brute-force O(n^2) kept as the
+  correctness oracle for the bucketed variants.
+- **sign-LSH buckets** — 8 deterministic hyperplanes (components derived
+  from the cross-engine hash, so DuckDB reproduces the exact bucket ids);
+  near-dup candidates become an equi-join on an 8-bit bucket key.
+- **IVF two-stage search** — assign corpus vectors to their nearest
+  centroid (coarse quantizer), then search only the query's cell. At 100 TB
+  the corpus is written partitioned/bucketed BY cell id, so a probe reads
+  one partition — partition pruning does the pruning, not a filter.
+
+All dot products / norms are `zip_with` + `aggregate` array expressions —
+JVM-side, whole-stage codegen, no Python. Left-to-right double accumulation
+makes values bit-identical to the DuckDB mirrors (see functions/vectors.py).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from datapipeline_ops_spark.core.registry import query
+from datapipeline_ops_spark.functions.hashing import hash_unit, sql_hash_unit
+from datapipeline_ops_spark.functions.vectors import as_double, cosine, sql_cosine
+from datapipeline_ops_spark.tables import load_table
+
+N_QUERIES = 10  # vec_id < 10 are the query vectors
+TOP_K = 5
+NEAR_DUP_TAU = 0.35
+LSH_PLANES = 8
+IVF_CENTROIDS = (10, 20)  # vec_id in [10, 20) are the coarse centroids
+EMB_DIM = 64
+
+# DuckDB mirror of a vectors view with DOUBLE elements
+_V_CTE = """
+    v AS (SELECT vec_id, label,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+          FROM embeddings)
+"""
+_COS_AB = sql_cosine("a.vec", "b.vec")
+
+
+def _vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    return e.select("vec_id", "label", as_double(F.col("embedding")).alias("vec"))
+
+
+@query(
+    "cosine_topk_bruteforce",
+    oracle=f"""
+    WITH {_V_CTE},
+    scored AS (
+        SELECT a.vec_id AS query_id, b.vec_id AS vec_id,
+               {_COS_AB} AS cos,
+               row_number() OVER (PARTITION BY a.vec_id
+                                  ORDER BY {_COS_AB} DESC, b.vec_id) AS rn
+        FROM v a JOIN v b ON b.vec_id <> a.vec_id
+        WHERE a.vec_id < {N_QUERIES}
+    )
+    SELECT query_id, vec_id, round(cos, 6) AS cos, CAST(rn AS INT) AS rank
+    FROM scored WHERE rn <= {TOP_K}
+    """,
+)
+def cosine_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-k: broadcast the (tiny) query batch against the
+    corpus scan — a broadcast nested-loop join, one corpus pass for the
+    whole query batch — then rank within each query. Deterministic
+    tie-break on vec_id so ranking is stable across engines and runs."""
+    v = _vectors(spark, sf_dir)
+    q = v.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("vec").alias("qvec")
+    )
+    scored = (
+        v.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+        .withColumn("cos", cosine(F.col("qvec"), F.col("vec")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "vec_id", F.round("cos", 6).alias("cos"), "rank")
+    )
+
+
+@query(
+    "embedding_near_dup",
+    oracle=f"""
+    WITH {_V_CTE}
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, round({_COS_AB}, 6) AS cos
+    FROM v a JOIN v b ON a.vec_id < b.vec_id
+    WHERE {_COS_AB} >= {NEAR_DUP_TAU}
+    """,
+)
+def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs, brute force. This is the exactness
+    oracle; the scale path blocks by LSH bucket first (ann_lsh_buckets) so
+    the quadratic pair space never materializes."""
+    v = _vectors(spark, sf_dir)
+    a = v.select(F.col("vec_id").alias("vec_a"), F.col("vec").alias("va"))
+    b = v.select(F.col("vec_id").alias("vec_b"), F.col("vec").alias("vb"))
+    return (
+        a.join(F.broadcast(b), F.col("vec_a") < F.col("vec_b"))
+        .withColumn("cos", cosine(F.col("va"), F.col("vb")))
+        .filter(F.col("cos") >= NEAR_DUP_TAU)
+        .select("vec_a", "vec_b", F.round("cos", 6).alias("cos"))
+    )
+
+
+@query(
+    "ann_lsh_buckets",
+    oracle=f"""
+    WITH {_V_CTE},
+    proj AS (
+        SELECT vec_id, p.j AS j,
+               list_sum(list_transform(generate_series(1, {EMB_DIM}),
+                   i -> vec[i] * ({sql_hash_unit("CAST(p.j AS VARCHAR) || ':' || CAST(i - 1 AS VARCHAR)")} - 0.5))) AS d
+        FROM v, LATERAL (SELECT unnest(generate_series(0, {LSH_PLANES - 1})) AS j) AS p
+    )
+    SELECT vec_id,
+           CAST(sum(CASE WHEN d > 0 THEN 1 << j ELSE 0 END) AS INT) AS bucket
+    FROM proj GROUP BY vec_id
+    """,
+)
+def ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane (sign) LSH: 8 deterministic hyperplanes whose
+    components are hash_unit(j:i)-0.5, so both engines build bit-identical
+    planes. Bucket = 8-bit sign pattern; near-dup candidate generation then
+    becomes an equi-join on this int key (shuffle on a 1-byte key, never on
+    the vectors)."""
+    v = _vectors(spark, sf_dir)
+
+    def plane(j: int):
+        # plane_j[i] = hash_unit("j:i") - 0.5. NB: 1-param lambda only —
+        # PySpark passes (element, index) to 2-param lambdas, which would
+        # silently clobber a `j=j` default arg (see operators/dedup.py).
+        return lambda i: hash_unit(F.concat_ws(":", F.lit(str(j)), i.cast("string"))) - 0.5
+
+    bucket = F.lit(0)
+    for j in range(LSH_PLANES):
+        proj = F.aggregate(
+            F.zip_with(
+                F.col("vec"),
+                F.transform(F.sequence(F.lit(0), F.lit(EMB_DIM - 1)), plane(j)),
+                lambda x, h: x * h,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bucket = bucket + F.when(proj > 0, F.lit(1 << j)).otherwise(F.lit(0))
+    return v.select("vec_id", bucket.cast("int").alias("bucket"))
+
+
+@query(
+    "ann_ivf_topk",
+    oracle=f"""
+    WITH {_V_CTE},
+    cent AS (SELECT vec_id AS cid, vec FROM v
+             WHERE vec_id >= {IVF_CENTROIDS[0]} AND vec_id < {IVF_CENTROIDS[1]}),
+    assign AS (
+        SELECT vec_id, cid, vec FROM (
+            SELECT a.vec_id, b.cid, a.vec AS vec,
+                   row_number() OVER (PARTITION BY a.vec_id
+                                      ORDER BY {sql_cosine("a.vec", "b.vec")} DESC, b.cid) AS rn
+            FROM v a JOIN cent b ON true
+        ) WHERE rn = 1
+    ),
+    q AS (SELECT vec_id AS query_id, cid AS qcid, vec AS qvec FROM assign
+          WHERE query_id < {N_QUERIES}),
+    scored AS (
+        SELECT q.query_id, c.vec_id,
+               {sql_cosine("q.qvec", "c.vec")} AS cos,
+               row_number() OVER (PARTITION BY q.query_id
+                                  ORDER BY {sql_cosine("q.qvec", "c.vec")} DESC, c.vec_id) AS rn
+        FROM q JOIN assign c ON c.cid = q.qcid AND c.vec_id <> q.query_id
+    )
+    SELECT query_id, vec_id, round(cos, 6) AS cos, CAST(rn AS INT) AS rank
+    FROM scored WHERE rn <= {TOP_K}
+    """,
+)
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (inverted-file) two-stage ANN: (1) coarse-quantize every vector to
+    its nearest of 10 centroids (broadcast centroid table + argmax window);
+    (2) each query searches only its own cell. At scale the corpus is
+    written ``partitionBy(cid)`` so stage 2 is partition-pruned I/O — the
+    scan reads 1/C of the data per probe instead of filtering post-hoc."""
+    v = _vectors(spark, sf_dir)
+    cent = v.filter(
+        (F.col("vec_id") >= IVF_CENTROIDS[0]) & (F.col("vec_id") < IVF_CENTROIDS[1])
+    ).select(F.col("vec_id").alias("cid"), F.col("vec").alias("cvec"))
+
+    w_assign = Window.partitionBy("vec_id").orderBy(
+        F.desc("ccos"), F.asc("cid")
+    )
+    assign = (
+        v.join(F.broadcast(cent))
+        .withColumn("ccos", cosine(F.col("vec"), F.col("cvec")))
+        .withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "cid", "vec")
+    )
+    q = assign.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("cid").alias("qcid"),
+        F.col("vec").alias("qvec"),
+    )
+    scored = (
+        assign.join(
+            F.broadcast(q),
+            (F.col("cid") == F.col("qcid")) & (F.col("vec_id") != F.col("query_id")),
+        )
+        .withColumn("cos", cosine(F.col("qvec"), F.col("vec")))
+    )
+    w_rank = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w_rank))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "vec_id", F.round("cos", 6).alias("cos"), "rank")
+    )
