@@ -6,6 +6,7 @@ from datapipeline_ops_spark.queries import (  # noqa: F401
     pipeline_analogs,
     relational,
     similarity,
+    textstats,
 )
 
 from datapipeline_ops_spark.core.registry import QUERIES  # noqa: F401

@@ -1,0 +1,249 @@
+"""Text-analysis queries over the ``documents`` corpus: language ID, quality
+scoring, token counting, and rolling-hash fingerprinting.
+
+Beyond-reference surface — the reference's ``common/text/`` is an empty stub
+(``Text_README.md:1-3``); these are the operators a 100 TB training-data
+pipeline runs over every document. All are narrow per-row projections (no
+shuffle except the final group-bys), built from JVM-side expressions —
+regexes, array ops and the cross-engine hash — so whole-stage codegen keeps
+them in one scan pass and the DuckDB oracle reproduces every value.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from datapipeline_ops_spark.core.registry import query
+from datapipeline_ops_spark.functions.text import sql_tokens, tokens
+from datapipeline_ops_spark.tables import load_table
+
+# tiny deterministic stopword list for the quality heuristics
+STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "for", "on", "with")
+
+# n-gram "language profiles": a doc is scored per language by how many of its
+# tokens appear in the profile; argmax wins (deterministic tie-break on name).
+# Profiles are over the synthetic corpus vocabulary — the *mechanism* (profile
+# overlap scoring) is the real language-ID algorithm shape.
+LANG_PROFILES = {
+    "query": ("select", "from", "where", "group", "order", "join", "table", "index"),
+    "exec": ("scan", "hash", "sort", "merge", "spill", "batch", "row", "column"),
+    "infra": ("node", "shard", "cluster", "disk", "network", "cpu", "memory", "cache"),
+}
+
+
+@query(
+    "token_stats",
+    oracle=f"""
+    SELECT doc_id,
+           len({sql_tokens("text")}) AS n_tokens,
+           len(list_distinct({sql_tokens("text")})) AS n_distinct,
+           round(len(list_distinct({sql_tokens("text")})) * 1.0
+                 / len({sql_tokens("text")}), 6) AS ttr,
+           CAST(round(list_avg(list_transform({sql_tokens("text")},
+                t -> CAST(len(t) AS DOUBLE))), 6) AS DOUBLE) AS avg_token_len
+    FROM documents
+    """,
+)
+def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace token counting + type/token ratio + mean token length —
+    one narrow projection per document, no shuffle."""
+    d = load_table(spark, sf_dir, "documents")
+    t = tokens(F.col("text"))
+    n = F.size(t)
+    nd = F.size(F.array_distinct(t))
+    avg_len = F.aggregate(
+        t, F.lit(0.0), lambda acc, x: acc + F.length(x), lambda acc: acc / n
+    )
+    return d.select(
+        "doc_id",
+        n.alias("n_tokens"),
+        nd.alias("n_distinct"),
+        F.round(nd.cast("double") / n, 6).alias("ttr"),
+        F.round(avg_len, 6).alias("avg_token_len"),
+    )
+
+
+@query(
+    "bpe_ish_token_count",
+    oracle="""
+    SELECT doc_id,
+           len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_bpe_tokens,
+           CAST(ceil(len(text) / 4.0) AS BIGINT) AS n_char_est
+    FROM documents
+    """,
+)
+def bpe_ish_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish token estimate: regex pre-tokenizer (letter runs / digit runs
+    / single punctuation — the GPT-2 pre-tokenizer shape) plus the chars/4
+    heuristic. Both JVM regex, no Python."""
+    d = load_table(spark, sf_dir, "documents")
+    pieces = F.regexp_extract_all(F.col("text"), F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"), 0)
+    return d.select(
+        "doc_id",
+        F.size(pieces).cast("long").alias("n_bpe_tokens"),
+        F.ceil(F.length("text") / 4.0).cast("long").alias("n_char_est"),
+    )
+
+
+_SW_LIST = "[" + ", ".join(f"'{w}'" for w in STOPWORDS) + "]"
+
+
+@query(
+    "quality_score",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, text, {sql_tokens("text")} AS toks,
+               len(regexp_extract_all(text, '[[:punct:]]')) AS n_punct
+        FROM documents
+    ),
+    m AS (
+        SELECT doc_id,
+               len(toks) AS n_tokens,
+               round(len(list_filter(toks, x -> list_contains({_SW_LIST}, x))) * 1.0
+                     / len(toks), 6) AS stopword_ratio,
+               round(n_punct * 1.0 / len(text), 6) AS punct_ratio,
+               round(list_avg(list_transform(toks, x -> CAST(len(x) AS DOUBLE))), 6)
+                   AS avg_word_len
+        FROM t
+    )
+    SELECT doc_id, n_tokens, stopword_ratio, punct_ratio, avg_word_len,
+           (n_tokens >= 10 AND stopword_ratio >= 0.05 AND punct_ratio <= 0.2
+            AND avg_word_len BETWEEN 2 AND 12) AS passes
+    FROM m
+    """,
+)
+def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style document quality gates: length, stopword ratio,
+    punctuation density, mean word length — each a cheap columnar metric,
+    combined into a boolean keep/drop verdict."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    n = F.size(toks)
+    sw = F.array(*[F.lit(w) for w in STOPWORDS])
+    n_sw = F.size(F.filter(toks, lambda x: F.array_contains(sw, x)))
+    n_punct = F.size(F.regexp_extract_all(F.col("text"), F.lit(r"[\p{Punct}]"), 0))
+    avg_wl = F.aggregate(
+        toks, F.lit(0.0), lambda acc, x: acc + F.length(x), lambda acc: acc / n
+    )
+    m = d.select(
+        "doc_id",
+        n.alias("n_tokens"),
+        F.round(n_sw.cast("double") / n, 6).alias("stopword_ratio"),
+        F.round(n_punct.cast("double") / F.length("text"), 6).alias("punct_ratio"),
+        F.round(avg_wl, 6).alias("avg_word_len"),
+    )
+    return m.withColumn(
+        "passes",
+        (F.col("n_tokens") >= 10)
+        & (F.col("stopword_ratio") >= 0.05)
+        & (F.col("punct_ratio") <= 0.2)
+        & F.col("avg_word_len").between(2, 12),
+    )
+
+
+_PROFILE_SQL = {
+    lang: "[" + ", ".join(f"'{w}'" for w in words) + "]"
+    for lang, words in LANG_PROFILES.items()
+}
+_SCORE_SQL = {
+    lang: f"len(list_filter(toks, x -> list_contains({arr}, x)))"
+    for lang, arr in _PROFILE_SQL.items()
+}
+_BEST_SQL = " ".join(
+    f"WHEN {_SCORE_SQL[lang]} >= GREATEST({', '.join(_SCORE_SQL[o] for o in sorted(LANG_PROFILES))}) THEN '{lang}'"
+    for lang in sorted(LANG_PROFILES)
+)
+
+
+@query(
+    "language_id",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {sql_tokens("text")} AS toks FROM documents)
+    SELECT doc_id,
+           CASE {_BEST_SQL} ELSE 'unknown' END AS pred_lang,
+           CAST({" + ".join(_SCORE_SQL[lang] for lang in sorted(LANG_PROFILES))} AS BIGINT)
+               AS profile_hits
+    FROM t
+    """,
+)
+def language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Profile-overlap language ID: score each document against per-language
+    token profiles, pick the argmax (first-in-alphabetical-order wins ties —
+    identical CASE ladder in both engines). The real-world version swaps the
+    profiles for char-n-gram frequency tables; the dataflow is identical."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    def profile_hits(words: tuple[str, ...]):
+        arr = F.array(*[F.lit(w) for w in words])
+        return F.size(F.filter(toks, lambda x: F.array_contains(arr, x)))
+
+    scores = {lang: profile_hits(tuple(words)) for lang, words in LANG_PROFILES.items()}
+    best = F.greatest(*[scores[lang] for lang in sorted(LANG_PROFILES)])
+    pred = F.lit("unknown")
+    for lang in sorted(LANG_PROFILES, reverse=True):
+        pred = F.when(scores[lang] >= best, F.lit(lang)).otherwise(pred)
+    total = None
+    for lang in sorted(LANG_PROFILES):
+        total = scores[lang] if total is None else total + scores[lang]
+    return d.select(
+        "doc_id", pred.alias("pred_lang"), total.cast("long").alias("profile_hits")
+    )
+
+
+@query(
+    "lang_distribution",
+    oracle="""
+    SELECT lang, source, count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM documents GROUP BY lang, source
+    """,
+)
+def lang_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus composition rollup — the report every curation run ends with.
+    Partial aggregation makes this one cheap shuffle of (lang, source)
+    pre-aggregated counts regardless of corpus size."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+    )
+
+
+# polynomial rolling hash over tokens: h = sum token_hash(t_i) * B^(n-1-i) mod P
+# B and P small enough that every intermediate fits BIGINT exactly in both
+# engines: P < 2^30, B < P, token_hash < P, so acc*B + h < 2^60.
+_FP_B = 131
+_FP_P = (1 << 30) - 35  # prime 1073741789
+
+
+@query(
+    "doc_fingerprint",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {sql_tokens("text")} AS toks FROM documents)
+    SELECT doc_id,
+           list_reduce(
+               list_prepend(CAST(0 AS BIGINT),
+                   list_transform(toks,
+                       x -> ('0x' || substr(md5(x), 1, 15))::BIGINT % {_FP_P})),
+               (acc, h) -> (acc * {_FP_B} + h) % {_FP_P}) AS fingerprint
+    FROM t
+    """,
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Polynomial rolling-hash document fingerprint (Rabin-Karp shape):
+    fold token hashes through acc*B+h mod P. Order-sensitive — permuted
+    documents get different prints, unlike bag-of-words hashes. Exact
+    BIGINT arithmetic reproduces in any engine."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    th = F.transform(
+        toks,
+        lambda x: F.conv(F.substring(F.md5(x), 1, 15), 16, 10).cast("long") % _FP_P,
+    )
+    fp = F.aggregate(
+        th,
+        F.lit(0).cast("long"),
+        lambda acc, h: (acc * _FP_B + h) % _FP_P,
+    )
+    return d.select("doc_id", fp.alias("fingerprint"))
