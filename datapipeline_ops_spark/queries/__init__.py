@@ -6,6 +6,7 @@ from datapipeline_ops_spark.queries import (  # noqa: F401
     pipeline_analogs,
     relational,
     similarity,
+    stateful,
     textstats,
 )
 

@@ -1,0 +1,70 @@
+"""Order-dependent (stateful) operators, oracle-checked via recursive SQL.
+
+The greedy dedup scan is the reference's one op whose result depends on row
+*order* within a group (``video_extract_frame.py:202-230``). Most engines
+would settle for a rows-only check here; instead the DuckDB oracle replays
+the exact sequential scan as a recursive CTE — the kept-set is the CTE
+state, one recursion step per row — so even this op is value-verified.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from datapipeline_ops_spark.core.registry import query
+from datapipeline_ops_spark.functions.hashing import sql_hash_unit
+from datapipeline_ops_spark.operators.greedy import OV_T, SIM_T, greedy_keep
+from datapipeline_ops_spark.tables import load_table
+
+_POS = sql_hash_unit("x.event_id", seed=11)
+_Q = sql_hash_unit("x.event_id", seed=12)
+_OV = sql_hash_unit("x.event_id", seed=13)
+
+_GREEDY_ORACLE = f"""
+WITH RECURSIVE
+r AS (SELECT user_id, event_id,
+        {sql_hash_unit("event_id", seed=11)} AS pos,
+        {sql_hash_unit("event_id", seed=12)} AS q,
+        {sql_hash_unit("event_id", seed=13)} AS ov,
+        row_number() OVER (PARTITION BY user_id ORDER BY event_id) AS rn
+      FROM events),
+n AS (SELECT user_id, max(rn) AS maxrn FROM r GROUP BY user_id),
+st AS (
+  SELECT user_id, 0 AS rn,
+         CAST([] AS STRUCT(event_id BIGINT, pos DOUBLE, q DOUBLE, ov DOUBLE)[]) AS kept
+  FROM n
+  UNION ALL
+  SELECT s.user_id, x.rn,
+    CASE
+      WHEN len(s.kept) = 0
+        THEN [{{'event_id': x.event_id, 'pos': x.pos, 'q': x.q, 'ov': x.ov}}]
+      WHEN list_max(list_transform(s.kept, k -> 1 - abs(k.pos - x.pos))) >= {SIM_T} THEN
+        CASE WHEN x.q > list_filter(s.kept, k -> 1 - abs(k.pos - x.pos) =
+                  list_max(list_transform(s.kept, k2 -> 1 - abs(k2.pos - x.pos))))[1].q
+             THEN list_transform(s.kept, k -> CASE WHEN k.event_id =
+                    list_filter(s.kept, k3 -> 1 - abs(k3.pos - x.pos) =
+                      list_max(list_transform(s.kept, k2 -> 1 - abs(k2.pos - x.pos))))[1].event_id
+                  THEN {{'event_id': x.event_id, 'pos': x.pos, 'q': x.q, 'ov': x.ov}}
+                  ELSE k END)
+             ELSE s.kept END
+      WHEN list_max(list_transform(s.kept, k -> 1 - abs(k.ov - x.ov))) >= {OV_T}
+        THEN s.kept
+      ELSE list_append(s.kept, {{'event_id': x.event_id, 'pos': x.pos, 'q': x.q, 'ov': x.ov}})
+    END
+  FROM st s JOIN r x ON x.user_id = s.user_id AND x.rn = s.rn + 1
+)
+SELECT st.user_id AS user_id, u.event_id AS event_id
+FROM st JOIN n ON st.user_id = n.user_id AND st.rn = n.maxrn,
+     LATERAL (SELECT unnest(kept, recursive:=true)) AS u
+"""
+
+
+@query("greedy_dedup_keep", oracle=_GREEDY_ORACLE)
+def greedy_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy keep/replace/drop dedup scan per user over events, in
+    event_id order — `applyInPandas`: sequential within a group (the
+    reference's exact semantics), parallel across the millions of groups a
+    real corpus has. Stub md5 scores stand in for the GPU models at the
+    same injection seam the reference uses."""
+    events = load_table(spark, sf_dir, "events")
+    return greedy_keep(events, group_col="user_id", order_col="event_id")
