@@ -3,6 +3,7 @@
 
 from datapipeline_ops_spark.queries import (  # noqa: F401
     dedup,
+    multimodal,
     pipeline_analogs,
     relational,
     similarity,

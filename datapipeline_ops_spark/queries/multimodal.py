@@ -1,0 +1,101 @@
+"""Multimodal-column queries: binary payload manifest, Arrow-batched stub
+decode, resize plumbing, and frame-sample planning.
+
+The payloads are utf-8 bytes of ``documents.text`` — a deterministic test
+stand-in for image/video bytes (the container has no media libs; the real
+decoder is a drop-in at the operator's decoder seam). What IS real here:
+BinaryType columns, typed metadata structs, ``mapInPandas`` batch iteration,
+and the metadata-driven frame-sample explode. All derived values reproduce
+in DuckDB via md5 arithmetic, so even the UDF path is value-checked.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from datapipeline_ops_spark.core.registry import query
+from datapipeline_ops_spark.operators.multimodal import (
+    attach_payload,
+    decode_media,
+    frame_sample_indices,
+    resize_stub,
+)
+from datapipeline_ops_spark.tables import load_table
+
+FRAME_STEP = 7
+
+# DuckDB mirror of stub_decode (same md5-derived arithmetic)
+_H = "('0x' || substr(md5(text), 1, 15))::BIGINT"
+_DECODE_CTE = f"""
+    dec AS (
+        SELECT doc_id,
+               CAST(320 + ({_H} % 1600) AS INT) AS width,
+               CAST(240 + (({_H} // 1600) % 840) AS INT) AS height,
+               CAST(1 + (({_H} // (1600 * 840)) % 300) AS INT) AS n_frames
+        FROM documents
+    )
+"""
+
+
+@query(
+    "media_manifest",
+    oracle="""
+    SELECT doc_id, 'image' AS media_type,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           md5(text) AS checksum
+    FROM documents
+    """,
+)
+def media_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed media manifest: payload + STRUCT<media_type, n_bytes, checksum>.
+    Checksum and size are JVM expressions over the binary column; a scan
+    that only needs metadata never reads payload bytes (column pruning)."""
+    d = attach_payload(load_table(spark, sf_dir, "documents"))
+    return d.select(
+        "doc_id",
+        F.col("media_meta.media_type").alias("media_type"),
+        F.col("media_meta.n_bytes").alias("n_bytes"),
+        F.col("media_meta.checksum").alias("checksum"),
+    )
+
+
+@query("media_decode_stub", oracle=f"WITH {_DECODE_CTE} SELECT * FROM dec")
+def media_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched decode via ``mapInPandas``: binary payloads stream
+    through the pluggable decoder in columnar batches; the md5-derived stub
+    yields (width, height, n_frames) the oracle recomputes exactly."""
+    d = attach_payload(load_table(spark, sf_dir, "documents"))
+    return decode_media(d)
+
+
+@query(
+    "media_resize_stub",
+    oracle="SELECT doc_id, md5(text || ':128x128') AS resize_checksum FROM documents",
+)
+def media_resize_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-in/binary-out resize plumbing (128x128 target): pandas batches
+    transform payloads; checksum of the fake resized bytes is oracle-checked
+    (the payload column itself is bytes of that checksum)."""
+    d = attach_payload(load_table(spark, sf_dir, "documents"))
+    return resize_stub(d, 128, 128).select("doc_id", "resize_checksum")
+
+
+@query(
+    "media_frame_sample",
+    oracle=f"""
+    WITH {_DECODE_CTE}
+    SELECT doc_id, CAST(u.f AS INT) AS frame_idx
+    FROM dec, LATERAL (SELECT unnest(generate_series(0, n_frames - 1, {FRAME_STEP})) AS f) AS u
+    """,
+)
+def media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-driven frame-sample plan (``decord_reader_op.py:43-48``
+    shape): decode yields n_frames, a sequence/explode yields the stride-7
+    index plan. At scale the plan is pure expression work; only the
+    batch-fetch of chosen frames touches media bytes."""
+    dec = media_decode_stub(spark, sf_dir)
+    return dec.select(
+        "doc_id",
+        F.explode(frame_sample_indices(F.col("n_frames"), FRAME_STEP)).alias("frame_idx"),
+    ).select("doc_id", F.col("frame_idx").cast("int").alias("frame_idx"))
