@@ -8,6 +8,7 @@ from datapipeline_ops_spark.queries import (  # noqa: F401
     relational,
     similarity,
     stateful,
+    streaming_queries,
     textstats,
 )
 

@@ -1,0 +1,146 @@
+"""Event-time streaming queries, drained to completion and value-checked
+against DuckDB batch oracles.
+
+Each query runs the REAL streaming machinery — file-manifest source,
+watermark tracking, streaming state store, window operators — with
+``trigger(availableNow=True)`` so the run is finite. With all data drained,
+event-time results are by construction equal to the batch computation, which
+is exactly what the oracle expresses (windows on epoch-microsecond
+arithmetic, so no timezone dependence anywhere).
+
+At 100 TB: the grouping keys (window, event_type / user_id) partition the
+state store; watermarks bound state size by evicting closed windows —
+without one, per-key state grows forever. Every query below declares its
+watermark for that reason even though a finite drain never drops rows.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from datapipeline_ops_spark.core.registry import query
+from datapipeline_ops_spark.streaming.ops import events_stream, run_stream_to_table
+
+_US_H = 3_600_000_000  # one hour in microseconds
+
+
+@query(
+    "stream_tumbling_counts",
+    oracle=f"""
+    SELECT CAST((epoch_us(ts) // {_US_H}) * 3600 AS BIGINT) AS window_start,
+           event_type,
+           count(*) AS n_events,
+           round(sum(value), 4) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour event-time windows per event_type with a 1-hour
+    watermark; complete-mode drain emits every window. Window bounds are
+    returned as epoch seconds (timezone-proof across engines)."""
+    s = events_stream(spark, sf_dir)
+    agg = (
+        s.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 4).alias("total_value"))
+    )
+    out = run_stream_to_table(agg, output_mode="complete")
+    return out.select(
+        F.unix_timestamp(F.col("w.start")).alias("window_start"),
+        "event_type",
+        "n_events",
+        "total_value",
+    )
+
+
+@query(
+    "stream_sliding_counts",
+    oracle=f"""
+    SELECT window_start, count(*) AS n_events FROM (
+        SELECT CAST(u.s * 3600 AS BIGINT) AS window_start, event_id
+        FROM events,
+             LATERAL (SELECT unnest([epoch_us(ts) // {_US_H} - 1,
+                                     epoch_us(ts) // {_US_H}]) AS s) AS u
+        WHERE epoch_us(ts) >= u.s * {_US_H}
+          AND epoch_us(ts) < (u.s + 2) * {_US_H}
+    ) GROUP BY 1
+    """,
+)
+def stream_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows (2-hour length, 1-hour hop): every event lands in two
+    overlapping windows; the engine assigns both, state is per (window) key.
+    Oracle replays the hop arithmetic on epoch microseconds."""
+    s = events_stream(spark, sf_dir)
+    agg = (
+        s.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "2 hours", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    out = run_stream_to_table(agg, output_mode="complete")
+    return out.select(
+        F.unix_timestamp(F.col("w.start")).alias("window_start"), "n_events"
+    )
+
+
+@query(
+    "stream_session_windows",
+    oracle="""
+    WITH x AS (
+        SELECT user_id, epoch_us(ts) AS t, value,
+               CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+                        OVER (PARTITION BY user_id ORDER BY epoch_us(ts)) > 1800000000
+                    OR lag(epoch_us(ts))
+                        OVER (PARTITION BY user_id ORDER BY epoch_us(ts)) IS NULL
+                    THEN 1 ELSE 0 END AS new_sess
+        FROM events
+    ),
+    y AS (SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY t
+                                        ROWS UNBOUNDED PRECEDING) AS sess
+          FROM x)
+    SELECT user_id,
+           CAST(min(t) // 1000000 AS BIGINT) AS session_start,
+           CAST(max(t) // 1000000 + 1800 AS BIGINT) AS session_end,
+           count(*) AS n_events,
+           round(sum(value), 4) AS total_value
+    FROM y GROUP BY user_id, sess
+    """,
+)
+def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows with a 30-minute inactivity gap per user — the
+    streaming-native op the batch world needs gaps-and-islands SQL for
+    (which is exactly what the oracle does: lag + cumulative sum). Session
+    end = last event + gap, matching Spark's definition."""
+    s = events_stream(spark, sf_dir)
+    agg = (
+        s.withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 4).alias("total_value"))
+    )
+    out = run_stream_to_table(agg, output_mode="complete")
+    return out.select(
+        "user_id",
+        F.unix_timestamp(F.col("w.start")).alias("session_start"),
+        F.unix_timestamp(F.col("w.end")).alias("session_end"),
+        "n_events",
+        "total_value",
+    )
+
+
+@query(
+    "stream_dedup_count",
+    oracle="""
+    SELECT event_type, count(DISTINCT user_id) AS n_users
+    FROM events GROUP BY event_type
+    """,
+)
+def stream_dedup_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dropDuplicates on (event_type, user_id) with a watermark
+    bounding dedup state, then a complete-mode rollup — the streaming
+    equivalent of count(DISTINCT)."""
+    s = events_stream(spark, sf_dir)
+    deduped = s.withWatermark("ts", "1 hour").dropDuplicates(["event_type", "user_id"])
+    agg = deduped.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_users"))
+    out = run_stream_to_table(agg, output_mode="complete")
+    return out.select("event_type", "n_users")
