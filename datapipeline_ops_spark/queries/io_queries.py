@@ -1,0 +1,109 @@
+"""Source/sink round-trip queries: the correctness gate drives the CSV and
+JSONL readers/writers end-to-end (write a table out through the sink, read
+it back through the source, aggregate), and the JSONL record builder
+reproduces the reference's output-record shape byte-for-byte.
+
+Round-trips write under the repo-local ``.tmp/`` scratch dir with
+``mode=overwrite`` — reruns are idempotent, and the oracle (which queries
+the original parquet) proves the sink+source pair is lossless including
+nulls, quotes and floats.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from datapipeline_ops_spark.core.registry import query
+from datapipeline_ops_spark.sources.io import read_csv, read_jsonl, write_csv, write_jsonl
+from datapipeline_ops_spark.tables import load_table
+
+_SCRATCH = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))), ".tmp", "io"
+)
+
+
+def _scratch(sf_dir: str, name: str) -> str:
+    tag = sf_dir.strip("/").replace("/", "_")
+    return os.path.join(_SCRATCH, tag, name)
+
+
+@query(
+    "csv_roundtrip",
+    oracle="""
+    SELECT n_regionkey, count(*) AS n_nations,
+           min(n_name) AS first_name
+    FROM nation GROUP BY n_regionkey
+    """,
+)
+def csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nation → header-CSV sink → explicit-schema CSV source → aggregate.
+    Proves the sink/source pair is lossless; the oracle reads the original
+    parquet, so any quoting/encoding drift would hash-mismatch."""
+    nation = load_table(spark, sf_dir, "nation")
+    path = _scratch(sf_dir, "nation_csv")
+    write_csv(nation, path)
+    back = read_csv(spark, path, nation.schema)
+    return back.groupBy("n_regionkey").agg(
+        F.count(F.lit(1)).alias("n_nations"), F.min("n_name").alias("first_name")
+    )
+
+
+@query(
+    "jsonl_roundtrip",
+    oracle="""
+    SELECT p_brand, count(*) AS n_parts,
+           CAST(sum(p_size) AS BIGINT) AS total_size,
+           round(sum(p_retailprice), 4) AS total_price
+    FROM part GROUP BY p_brand
+    """,
+)
+def jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """part → JSONL sink (directory of parts — the race-free replacement for
+    the reference's concurrent single-file appends) → schema'd JSONL source
+    → aggregate, checked against the original parquet."""
+    part = load_table(spark, sf_dir, "part")
+    path = _scratch(sf_dir, "part_jsonl")
+    write_jsonl(part, path)
+    back = read_jsonl(spark, path, part.schema)
+    return back.groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        F.sum("p_size").cast("long").alias("total_size"),
+        F.round(F.sum("p_retailprice"), 4).alias("total_price"),
+    )
+
+
+@query(
+    "jsonl_records",
+    oracle="""
+    SELECT doc_id,
+           to_json(struct_pack(
+               task_type := 'subject_driven',
+               instruction := substr(text, 1, 40),
+               input_images := [source || '/' || CAST(doc_id AS VARCHAR) || '_ref.jpg'],
+               output_image := source || '/' || CAST(doc_id AS VARCHAR) || '_gt.jpg'
+           )) AS record
+    FROM documents
+    """,
+)
+def jsonl_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's output-record shape (``save_output_op.py:18-26``:
+    {"task_type","instruction","input_images",[...],"output_image"}) built
+    as ``to_json(struct(...))`` — byte-identical JSON across engines (same
+    field order, compact separators, same string escaping)."""
+    d = load_table(spark, sf_dir, "documents")
+    rec = F.to_json(
+        F.struct(
+            F.lit("subject_driven").alias("task_type"),
+            F.substring("text", 1, 40).alias("instruction"),
+            F.array(
+                F.concat_ws("", F.col("source"), F.lit("/"), F.col("doc_id"), F.lit("_ref.jpg"))
+            ).alias("input_images"),
+            F.concat_ws("", F.col("source"), F.lit("/"), F.col("doc_id"), F.lit("_gt.jpg")).alias(
+                "output_image"
+            ),
+        )
+    )
+    return d.select("doc_id", rec.alias("record"))
