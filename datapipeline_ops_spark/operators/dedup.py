@@ -34,21 +34,73 @@ MINHASH_K = 8
 LSH_BANDS = 4  # k/bands rows per band
 SIMHASH_BITS = 16
 
+# Affine MinHash re-hash: sig_j = min over shingles of (A_j*h + B_j) mod P,
+# where h = hash64(shingle) is computed ONCE (md5 is the expensive part —
+# 8 seeded md5s per shingle would cost 8x). Exact-integer safety in both
+# engines: h < 2^60, A <= MINHASH_K <= 7+1, B < 2^50, so A*h+B < 2^63.
+MINHASH_P = (1 << 61) - 1
+_B_SALT = "minhash-b"
+
+
+def _affine_b(j: int) -> int:
+    import hashlib
+
+    return int(hashlib.md5(f"{_B_SALT}:{j}".encode()).hexdigest()[:12], 16)  # < 2^48
+
+
+MINHASH_AB = [((j % 7) + 1, _affine_b(j)) for j in range(MINHASH_K)]
+
 
 def with_shingles(df: DataFrame, text_col: str, out: str = "shingles") -> DataFrame:
     return df.withColumn(out, F.array_distinct(shingles(F.col(text_col))))
 
 
+def with_shingle_hashes(df: DataFrame, key_col: str, text_col: str = "text") -> DataFrame:
+    """(key, shingles, hs) with ONE md5-derived hash per shingle, computed in
+    a parallel stage and materialized through a shuffle barrier.
+
+    Why the two exchanges matter (measured 3x on the LSH pipeline):
+    - Catalyst's CollapseProject inlines a projected expression into every
+      downstream use — 8 seeds x 4 band-buckets would re-evaluate the md5
+      transform 30+ times per row. An exchange is a wall projections can't
+      collapse across, so consumers read the *materialized* ``hs`` column.
+    - A single small parquet file scans as ONE partition; the first
+      repartition spreads the md5 work across all cores. On a real cluster
+      the scan is already parallel and the first exchange is a no-op cost;
+      the barrier one shuffles (key, shingles, hs) — cheaper than
+      recomputing md5 per seed at any scale.
+    """
+    # Explicit partition count: a numberless repartition is an AQE
+    # coalescing target, and tiny-but-compute-heavy partitions get merged
+    # back to one task — serializing all the md5 work.
+    n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+    spread = df.repartition(n, F.col(key_col))
+    hashed = with_shingles(spread, text_col).withColumn(
+        "hs", F.transform("shingles", lambda s: hash64(s))
+    )
+    return hashed.select(key_col, "shingles", "hs").repartition(n, F.col(key_col))
+
+
+def _affine(j: int):
+    a, b = MINHASH_AB[j]
+    # 1-param lambda only: PySpark passes (element, index) to 2-param
+    # lambdas, silently clobbering default-arg captures.
+    return lambda h: (h * a + b) % MINHASH_P
+
+
 def minhash_signature(shingle_col: Column, k: int = MINHASH_K) -> Column:
-    """Array of k min-hashes: sig[j] = min over shingles of hash64(s, seed=j)."""
+    """Array of k min-hashes over one shared base hash per shingle:
+    sig[j] = min_s ((A_j * hash64(s) + B_j) mod P). Prefer
+    :func:`minhash_signature_from_hashes` over a barriered ``hs`` column —
+    inlined into several consumers, this form re-evaluates the md5s."""
+    base = F.transform(shingle_col, lambda s: hash64(s))
+    return F.array(*[F.array_min(F.transform(base, _affine(j))) for j in range(k)])
 
-    def seeded(j: int):
-        # NB: the transform lambda must take exactly 1 param — PySpark
-        # introspects arity and a 2-param lambda receives (element, index),
-        # which would silently clobber a `j=j` default-arg seed.
-        return lambda s: hash64(s, seed=j)
 
-    return F.array(*[F.array_min(F.transform(shingle_col, seeded(j))) for j in range(k)])
+def minhash_signature_from_hashes(hs_col: Column, k: int = MINHASH_K) -> Column:
+    """Signature from pre-materialized shingle hashes (with_shingle_hashes):
+    per seed only the affine re-hash runs — pure integer ops, no md5."""
+    return F.array(*[F.array_min(F.transform(hs_col, _affine(j))) for j in range(k)])
 
 
 def lsh_band_buckets(sig_col: Column, bands: int = LSH_BANDS, k: int = MINHASH_K) -> Column:
@@ -80,20 +132,49 @@ def jaccard(a: Column, b: Column) -> Column:
 
 def simhash(token_col: Column, bits: int = SIMHASH_BITS) -> Column:
     """Bitwise-majority fingerprint: bit b set iff sum over tokens of
-    (+1 if bit b of hash64(token) else -1) > 0."""
+    (+1 if bit b of hash64(token) else -1) > 0.
+
+    Single pass: one md5 per token, and ONE aggregate whose accumulator is
+    the whole vote vector (array<long>), updated with a nested zip_with —
+    instead of `bits` separate aggregates re-walking the token array."""
     th = F.transform(token_col, lambda t: hash64(t))
+    zero = F.array_repeat(F.lit(0).cast("long"), bits)
+    # bit b of h == (h % 2^(b+1)) >= 2^b — shift functions need literal
+    # shift amounts, so zip against an array of 2^b constants instead.
+    pows = F.array(*[F.lit(1 << b).cast("long") for b in range(bits)])
+    votes = F.aggregate(
+        th,
+        zero,
+        lambda acc, h: F.zip_with(
+            acc,
+            pows,
+            lambda a, p: a + F.when((h % (p * 2)) >= p, 1).otherwise(-1),
+        ),
+    )
+    weighted = F.zip_with(
+        votes,
+        pows,
+        lambda v, p: F.when(v > 0, p).otherwise(F.lit(0).cast("long")),
+    )
+    return F.aggregate(weighted, F.lit(0).cast("long"), lambda acc, x: acc + x)
 
-    def vote(bit: int) -> Column:
-        # NB: merge lambda must take exactly 2 params — PySpark introspects
-        # arity, so capture `bit` via this factory, not a default arg.
-        return F.aggregate(
-            th,
-            F.lit(0).cast("long"),
-            lambda acc, h: acc
-            + F.when(F.shiftright(h, bit).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
-        )
 
-    fp = F.lit(0).cast("long")
-    for b in range(bits):
-        fp = fp + F.when(vote(b) > 0, F.lit(1 << b).cast("long")).otherwise(F.lit(0).cast("long"))
-    return fp
+# SimHash pigeonhole blocking: split the `bits`-bit fingerprint into
+# (radius + 1) segments; two prints within Hamming distance `radius` must
+# agree on at least one whole segment, so candidate generation is an
+# equi-join on (segment_idx, segment_value) — never an all-pairs product.
+SIMHASH_RADIUS = 2
+SIMHASH_SEGMENTS = [(0, 6), (6, 5), (11, 5)]  # (offset, width), covers 16 bits
+
+
+def simhash_segments(fp: Column) -> Column:
+    """Array of (seg, val) structs for the pigeonhole equi-join key."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("seg"),
+                F.shiftright(fp, off).bitwiseAND(F.lit((1 << width) - 1)).alias("val"),
+            )
+            for i, (off, width) in enumerate(SIMHASH_SEGMENTS)
+        ]
+    )
