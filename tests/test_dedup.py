@@ -1,0 +1,112 @@
+"""Unit tests for the dedup operator family on tiny inline data: hash
+determinism, MinHash containment behavior, SimHash pigeonhole completeness,
+and the greedy sequential scan's keep/replace/drop branches."""
+
+import hashlib
+
+import pyspark.sql.functions as F
+
+from datapipeline_ops_spark.operators.dedup import (
+    MINHASH_AB,
+    MINHASH_P,
+    SIMHASH_SEGMENTS,
+    jaccard,
+    minhash_signature,
+    simhash_segments,
+    with_shingles,
+)
+from datapipeline_ops_spark.operators.greedy import OV_T, SIM_T, _hash_unit, greedy_keep
+
+
+def test_minhash_identical_docs_share_signature(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c d e f"), (2, "a b c d e f"), (3, "x y z w v u")], ["id", "text"]
+    )
+    out = (
+        with_shingles(df, "text")
+        .withColumn("sig", minhash_signature(F.col("shingles")))
+        .select("id", "sig")
+        .collect()
+    )
+    sigs = {r.id: tuple(r.sig) for r in out}
+    assert sigs[1] == sigs[2]
+    assert sigs[1] != sigs[3]
+
+
+def test_minhash_matches_python_model(spark):
+    text = "one two three four five"
+    df = spark.createDataFrame([(1, text)], ["id", "text"])
+    row = (
+        with_shingles(df, "text")
+        .withColumn("sig", minhash_signature(F.col("shingles")))
+        .first()
+    )
+    sh = set(row.shingles)
+    for j, (a, b) in enumerate(MINHASH_AB):
+        expected = min(
+            (a * int(hashlib.md5(s.encode()).hexdigest()[:15], 16) + b) % MINHASH_P
+            for s in sh
+        )
+        assert row.sig[j] == expected
+
+
+def test_short_doc_falls_back_to_whole_text(spark):
+    df = spark.createDataFrame([(1, "ab cd")], ["id", "text"])  # < 3 tokens
+    row = with_shingles(df, "text").first()
+    assert row.shingles == ["ab cd"]
+
+
+def test_jaccard_exact_values(spark):
+    df = spark.createDataFrame([(["a", "b", "c"], ["b", "c", "d"])], ["x", "y"])
+    assert df.select(jaccard(F.col("x"), F.col("y")).alias("j")).first().j == 0.5
+
+
+def test_simhash_segments_cover_all_bits(spark):
+    covered = set()
+    for off, width in SIMHASH_SEGMENTS:
+        covered |= set(range(off, off + width))
+    assert covered == set(range(16))
+    # pigeonhole: any fingerprint pair with hamming <= 2 shares >= 1 segment
+    df = spark.createDataFrame([(0b1010101010101010,)], ["f"])
+    segs = df.select(simhash_segments(F.col("f")).alias("s")).first().s
+    assert len(segs) == 3 and [s.seg for s in segs] == [0, 1, 2]
+
+
+def _greedy_python(keys):
+    kept = []
+    for k in keys:
+        pos, q, ov = _hash_unit(k, 11), _hash_unit(k, 12), _hash_unit(k, 13)
+        if not kept:
+            kept.append((k, pos, q, ov))
+            continue
+        sims = [1 - abs(e[1] - pos) for e in kept]
+        best = max(sims)
+        bi = sims.index(best)
+        if best >= SIM_T:
+            if q > kept[bi][2]:
+                kept[bi] = (k, pos, q, ov)
+        elif max(1 - abs(e[3] - ov) for e in kept) >= OV_T:
+            pass
+        else:
+            kept.append((k, pos, q, ov))
+    return [e[0] for e in kept]
+
+
+def test_greedy_matches_python_reference(spark):
+    rows = [(g, i) for g in range(3) for i in range(40)]
+    df = spark.createDataFrame(rows, ["grp", "key"])
+    got = {
+        (r.grp, r.key) for r in greedy_keep(df, group_col="grp", order_col="key").collect()
+    }
+    expected = {(g, k) for g in range(3) for k in _greedy_python(list(range(40)))}
+    assert got == expected
+
+
+def test_greedy_is_order_dependent_not_orderfree(spark):
+    # sanity: the scan result depends on scan order for at least one of the
+    # shuffled prefixes — guards against someone "simplifying" it to an
+    # order-free group-by (documented divergence risk, SURVEY.md §2.2)
+    keys = list(range(60))
+    fwd = _greedy_python(keys)
+    rev = _greedy_python(list(reversed(keys)))
+    assert sorted(fwd) != sorted(rev)

@@ -1,0 +1,77 @@
+"""Streaming semantics tests that the finite-drain oracle queries can't
+cover: genuinely incremental micro-batches (maxFilesPerTrigger=1) and
+watermark-driven late-data dropping in append mode."""
+
+import os
+import shutil
+
+import pyspark.sql.functions as F
+import pytest
+
+from datapipeline_ops_spark.streaming.ops import run_stream_to_table
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+@pytest.fixture()
+def two_batch_dir(spark, tmp_path):
+    """Two parquet files that arrive as two micro-batches: batch 1 carries
+    on-time data up to 12:00; batch 2 carries one row at 12:30 (advances the
+    watermark past 11:00 windows) and one LATE row at 09:30."""
+    d = str(tmp_path / "src")
+    os.makedirs(d, exist_ok=True)
+    b1 = spark.createDataFrame(
+        [("2024-01-01 10:10:00",), ("2024-01-01 10:40:00",), ("2024-01-01 11:50:00",)],
+        ["ts_str"],
+    ).select(F.to_timestamp("ts_str").alias("ts"))
+    b2 = spark.createDataFrame(
+        [("2024-01-01 12:30:00",), ("2024-01-01 09:30:00",)], ["ts_str"]
+    ).select(F.to_timestamp("ts_str").alias("ts"))
+    b1.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "b1"))
+    b2.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "b2"))
+    # file source lists in path order; name files so b1 sorts first
+    for i, src in enumerate(["b1", "b2"]):
+        part = [f for f in os.listdir(tmp_path / src) if f.endswith(".parquet")][0]
+        shutil.copyfile(tmp_path / src / part, os.path.join(d, f"{i:03d}.parquet"))
+    return d
+
+
+def test_append_mode_emits_only_watermark_sealed_windows(spark, two_batch_dir):
+    schema = spark.read.parquet(two_batch_dir).schema
+    s = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(two_batch_dir)
+    )
+    agg = (
+        s.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    out = run_stream_to_table(agg, output_mode="append")
+    got = {r["w"]["start"].strftime("%H:%M"): r["n"] for r in out.collect()}
+    # Guaranteed semantics only (the late-data guarantee is one-directional:
+    # rows within the watermark are never dropped; rows beyond it MAY still
+    # be aggregated — observed Spark 4 behavior aggregates the 09:30 row):
+    # - on-time windows sealed by the final watermark (12:20) are emitted;
+    # - the 12:00 window is NOT sealed and must not be emitted in append mode.
+    assert got["10:00"] == 2 and got["11:00"] == 1
+    assert "12:00" not in got
+
+
+def test_incremental_batches_accumulate_state(spark, two_batch_dir):
+    schema = spark.read.parquet(two_batch_dir).schema
+    s = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(two_batch_dir)
+    )
+    agg = (
+        s.withWatermark("ts", "10 hours")  # generous: nothing dropped
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    out = run_stream_to_table(agg, output_mode="complete")
+    got = {r["w"]["start"].strftime("%H:%M"): r["n"] for r in out.collect()}
+    # complete mode with a lax watermark keeps every window incl. the late row
+    assert got == {"09:00": 1, "10:00": 2, "11:00": 1, "12:00": 1}
