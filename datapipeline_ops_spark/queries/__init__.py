@@ -7,6 +7,7 @@ from datapipeline_ops_spark.queries import (  # noqa: F401
     io_queries,
     multimodal,
     pipeline_analogs,
+    pipelines_e2e,
     relational,
     similarity,
     stateful,
