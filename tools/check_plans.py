@@ -1,0 +1,163 @@
+"""Physical-plan audit: assert the plans we ship are the plans we want.
+
+For each audited query this checks the `explain("formatted")` output for the
+scale-critical properties — filters pushed into the parquet scan, schemas
+pruned to referenced columns, small dimensions broadcast, whole-stage
+codegen covering the expression work. A query can be correct and still scan
+100 TB for a 2-column projection; this harness is how we catch that.
+
+Usage: python tools/check_plans.py [-v]
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF_DIR = "/root/testdata/sf0.01"
+
+
+def plan_of(df) -> str:
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def read_schema_cols(plan: str, table: str) -> set[str]:
+    """Columns actually read from `table`'s parquet scan."""
+    cols: set[str] = set()
+    for m in re.finditer(r"Location:.*" + table + r"\.parquet.*?ReadSchema: struct<([^>]*)>", plan, re.S):
+        cols |= {c.split(":")[0].strip() for c in m.group(1).split(",") if c.strip()}
+    # formatted explain puts scans in numbered sections; fall back to scanning
+    # the per-node detail blocks
+    if not cols:
+        for block in plan.split("\n\n"):
+            if f"{table}.parquet" in block:
+                m = re.search(r"ReadSchema: struct<([^>]*)>", block)
+                if m:
+                    cols |= {c.split(":")[0].strip() for c in m.group(1).split(",") if c.strip()}
+    return cols
+
+
+def pushed_filters(plan: str, table: str) -> str:
+    for block in plan.split("\n\n"):
+        if f"{table}.parquet" in block:
+            m = re.search(r"PushedFilters: \[([^\]]*)\]", block)
+            if m:
+                return m.group(1)
+    return ""
+
+
+CHECKS = []
+
+
+def check(name):
+    def wrap(fn):
+        CHECKS.append((name, fn))
+        return fn
+
+    return wrap
+
+
+@check("pricing_summary: column pruning on lineitem")
+def _(qs, spark):
+    plan = plan_of(qs["pricing_summary"](spark, SF_DIR))
+    cols = read_schema_cols(plan, "lineitem")
+    assert cols and "l_comment" not in cols and "l_partkey" not in cols, cols
+    assert "codegen id" in plan, "aggregation not inside whole-stage codegen"
+
+
+@check("threshold_filter: predicate pushed to scan")
+def _(qs, spark):
+    plan = plan_of(qs["threshold_filter"](spark, SF_DIR))
+    pf = pushed_filters(plan, "lineitem")
+    assert "GreaterThan" in pf or "GreaterThanOrEqual" in pf, f"no pushed filter: {pf!r}"
+
+
+@check("revenue_by_nation: dims broadcast, no shuffle of fact for dims")
+def _(qs, spark):
+    plan = plan_of(qs["revenue_by_nation"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan, "dimension joins should broadcast"
+
+
+@check("broadcast_dim_join: explicit broadcast honored")
+def _(qs, spark):
+    plan = plan_of(qs["broadcast_dim_join"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+
+
+@check("anti_join_idempotency: broadcast anti join")
+def _(qs, spark):
+    plan = plan_of(qs["anti_join_idempotency"](spark, SF_DIR))
+    assert "LeftAnti" in plan, "anti-join missing"
+
+
+@check("pipeline_caption_e2e: lang filter pushed through 4-op pipeline")
+def _(qs, spark):
+    plan = plan_of(qs["pipeline_caption_e2e"](spark, SF_DIR))
+    pf = pushed_filters(plan, "documents")
+    assert "lang" in pf, f"lang filter not pushed: {pf!r}"
+    cols = read_schema_cols(plan, "documents")
+    assert "text" not in cols, f"caption pipeline must not read text: {cols}"
+
+
+@check("pipeline_cut_e2e: duration filter pushed; summary reads 2 cols")
+def _(qs, spark):
+    plan = plan_of(qs["pipeline_cut_e2e"](spark, SF_DIR))
+    pf = pushed_filters(plan, "orders")
+    assert "o_totalprice" in pf, f"duration filter not pushed: {pf!r}"
+    cols = read_schema_cols(plan, "orders")
+    assert cols <= {"o_orderkey", "o_totalprice"}, cols
+
+
+@check("token_stats: reads only doc_id,text")
+def _(qs, spark):
+    plan = plan_of(qs["token_stats"](spark, SF_DIR))
+    cols = read_schema_cols(plan, "documents")
+    assert cols <= {"doc_id", "text"}, cols
+
+
+@check("cosine_topk_bruteforce: query side broadcast")
+def _(qs, spark):
+    plan = plan_of(qs["cosine_topk_bruteforce"](spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+@check("udf_quality_gate: ArrowEvalPython (vectorized), not BatchEvalPython")
+def _(qs, spark):
+    plan = plan_of(qs["udf_quality_gate"](spark, SF_DIR))
+    assert "ArrowEvalPython" in plan, "pandas UDF should evaluate via Arrow"
+    assert "BatchEvalPython" not in plan, "row-at-a-time Python UDF in the plan"
+
+
+def main() -> int:
+    import __spark_entry__ as entry_mod
+    from datapipeline_ops_spark.session import get_spark
+
+    verbose = "-v" in sys.argv
+    spark = get_spark("check-plans", cpus=4, shuffle_partitions=4)
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = entry_mod.queries()
+    failed = 0
+    for name, fn in CHECKS:
+        try:
+            fn(qs, spark)
+            print(f"PLAN OK   {name}")
+        except AssertionError as exc:
+            failed += 1
+            print(f"PLAN BAD  {name}: {exc}")
+            if verbose:
+                raise
+    print(f"{len(CHECKS) - failed} ok, {failed} bad")
+    return 1 if failed else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
