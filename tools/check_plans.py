@@ -71,7 +71,9 @@ def _(qs, spark):
     plan = plan_of(qs["pricing_summary"](spark, SF_DIR))
     cols = read_schema_cols(plan, "lineitem")
     assert cols and "l_comment" not in cols and "l_partkey" not in cols, cols
-    assert "codegen id" in plan, "aggregation not inside whole-stage codegen"
+    # map-side combine: partial aggregation must run before the exchange so
+    # the shuffle carries group-count rows, not the 600M-row scan
+    assert "partial_sum" in plan, "no partial aggregation before exchange"
 
 
 @check("threshold_filter: predicate pushed to scan")
