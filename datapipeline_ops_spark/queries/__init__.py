@@ -9,6 +9,7 @@ from datapipeline_ops_spark.queries import (  # noqa: F401
     pipeline_analogs,
     pipelines_e2e,
     relational,
+    robustness,
     similarity,
     stateful,
     streaming_queries,

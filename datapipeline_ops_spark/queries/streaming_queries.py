@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from datapipeline_ops_spark.core.registry import query
 from datapipeline_ops_spark.streaming.ops import events_stream, run_stream_to_table
+from datapipeline_ops_spark.streaming.stateful import running_totals_per_user
 
 _US_H = 3_600_000_000  # one hour in microseconds
 
@@ -144,3 +145,27 @@ def stream_dedup_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = deduped.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_users"))
     out = run_stream_to_table(agg, output_mode="complete")
     return out.select("event_type", "n_users")
+
+
+@query(
+    "stream_running_totals",
+    oracle="""
+    SELECT user_id, count(*) AS n_events, round(sum(value), 4) AS total_value
+    FROM events GROUP BY user_id
+    """,
+)
+def stream_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming via ``applyInPandasWithState``: per-user
+    (count, sum) state folded batch-by-batch in the state store, emitted in
+    update mode. The drain's final emission per user (the one with the
+    largest n_events) equals the batch aggregate — which is the oracle."""
+    from pyspark.sql import Window as W
+
+    s = events_stream(spark, sf_dir)
+    updates = run_stream_to_table(running_totals_per_user(s), output_mode="update")
+    w = W.partitionBy("user_id").orderBy(F.desc("n_events"))
+    return (
+        updates.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "n_events", F.round("total_value", 4).alias("total_value"))
+    )
