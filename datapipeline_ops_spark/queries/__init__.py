@@ -14,6 +14,7 @@ from datapipeline_ops_spark.queries import (  # noqa: F401
     stateful,
     streaming_queries,
     textstats,
+    windows_extra,
 )
 
 from datapipeline_ops_spark.core.registry import QUERIES  # noqa: F401

@@ -61,7 +61,8 @@ def events_stream(
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     df = reader.parquet(src_dir)
     if isinstance(df.schema["ts"].dataType, LongType):
-        df = df.withColumn("ts", F.timestamp_micros(F.floor(F.col("ts") / 1000).cast("long")))
+        # integer DIV: see tables.load_table — double division drifts ±1 µs
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
     return df
 
 

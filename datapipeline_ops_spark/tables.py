@@ -48,7 +48,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
         df = spark.read.parquet(table_path(sf_dir, name))
         if isinstance(df.schema["ts"].dataType, LongType):
-            df = df.withColumn("ts", F.timestamp_micros(F.floor(F.col("ts") / 1000).cast("long")))
+            # integer division, NOT floor(ts/1000): double division of an
+            # ~1.7e18 nanos value rounds in the 53-bit mantissa and lands
+            # ±1 µs off the exact truncation DuckDB does.
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
         return df
     return spark.read.parquet(table_path(sf_dir, name))
 
