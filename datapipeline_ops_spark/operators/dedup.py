@@ -123,6 +123,53 @@ def lsh_band_buckets(sig_col: Column, bands: int = LSH_BANDS, k: int = MINHASH_K
     )
 
 
+def connected_components(
+    pairs: DataFrame, a_col: str = "doc_a", b_col: str = "doc_b", max_iters: int = 20
+) -> DataFrame:
+    """Connected components over an undirected pair list via iterative
+    min-label propagation: every node starts labeled with itself; each round
+    takes the min of its own and its neighbors' labels; fixpoint = cluster
+    id = smallest doc id in the component.
+
+    This is the cluster step of near-dup dedup (pairs → clusters → one
+    keeper per cluster). Each round is one shuffle on compact (node, label)
+    ints; rounds needed = graph diameter in label-distance (near-dup
+    clusters are small and dense, so a handful). Early-stops on a converged
+    round; ``max_iters`` bounds the worst case.
+    """
+    edges = (
+        pairs.select(F.col(a_col).alias("s"), F.col(b_col).alias("d"))
+        .union(pairs.select(F.col(b_col).alias("s"), F.col(a_col).alias("d")))
+        .distinct()
+    )
+    labels = edges.select(F.col("s").alias("node")).distinct().withColumn(
+        "label", F.col("node")
+    )
+    for _ in range(max_iters):
+        neighbor_min = (
+            edges.join(labels, edges["s"] == labels["node"])
+            .groupBy(F.col("d").alias("node"))
+            .agg(F.min("label").alias("nlabel"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "node", "left")
+            .select(
+                "node",
+                F.least(F.col("label"), F.coalesce("nlabel", "label")).alias("label"),
+                (F.col("nlabel") < F.col("label")).alias("changed"),
+            )
+        )
+        # localCheckpoint: truncate lineage (iterative plans grow per round
+        # and re-execute from the scan otherwise) and materialize once for
+        # both the fixpoint test and the next round.
+        new_labels = new_labels.localCheckpoint(eager=True)
+        changed = new_labels.filter(F.col("changed")).limit(1).count()
+        labels = new_labels.select("node", "label")
+        if changed == 0:
+            break
+    return labels
+
+
 def jaccard(a: Column, b: Column) -> Column:
     """Exact Jaccard over distinct-element arrays."""
     inter = F.size(F.array_intersect(a, b))

@@ -320,3 +320,54 @@ def simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("hamming") <= SIMHASH_RADIUS)
     )
     return pairs.select("doc_a", "doc_b", "hamming")
+
+
+_VERIFIED_PAIRS_CTE = (
+    _BANDS_CTE
+    + """,
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
+                                  AND a.doc_id < b.doc_id
+    ),
+    pairs AS (
+        SELECT doc_a, doc_b FROM (
+            SELECT doc_a, doc_b,
+                   len(list_intersect(sa.sh, sb.sh)) * 1.0 /
+                   (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) AS jac
+            FROM cand JOIN sh sa ON cand.doc_a = sa.doc_id
+                      JOIN sh sb ON cand.doc_b = sb.doc_id
+        ) WHERE jac >= 0.5
+    ),
+    edges AS (SELECT doc_a AS s, doc_b AS d FROM pairs
+              UNION SELECT doc_b, doc_a FROM pairs),
+    nodes AS (SELECT DISTINCT s AS doc_id FROM edges),
+    reach AS (
+        SELECT doc_id, doc_id AS label FROM nodes
+        UNION
+        SELECT e.d AS doc_id, r.label FROM reach r JOIN edges e ON e.s = r.doc_id
+    )
+"""
+)
+
+
+@query(
+    "neardup_clusters",
+    oracle="WITH RECURSIVE "
+    + _VERIFIED_PAIRS_CTE
+    + """
+    SELECT doc_id, min(label) AS cluster_id FROM reach GROUP BY doc_id
+    """,
+)
+def neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS: verified MinHash pairs → connected components via
+    iterative min-label propagation (cluster id = smallest member id). The
+    oracle replays the transitive closure as a recursive CTE, so the
+    iterative distributed algorithm is value-checked against exact graph
+    reachability. This is the `pairs → keeper-per-cluster` step every
+    corpus dedup ends with."""
+    from datapipeline_ops_spark.operators.dedup import connected_components
+
+    pairs = minhash_lsh_pairs(spark, sf_dir)
+    cc = connected_components(pairs, "doc_a", "doc_b")
+    return cc.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
