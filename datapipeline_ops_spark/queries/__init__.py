@@ -13,6 +13,7 @@ from datapipeline_ops_spark.queries import (  # noqa: F401
     similarity,
     stateful,
     streaming_queries,
+    temporal_queries,
     textstats,
     windows_extra,
 )

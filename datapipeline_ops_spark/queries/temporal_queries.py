@@ -1,0 +1,91 @@
+"""As-of and range join queries over the events stream table.
+
+The reference has no temporal joins (SURVEY.md §2.2: no as-of/interval
+joins anywhere); these are the custom operators the brief calls out, built
+as pure DataFrame compositions (operators/temporal.py) and value-checked
+against DuckDB's correlated-subquery formulations.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from datapipeline_ops_spark.core.registry import query
+from datapipeline_ops_spark.operators.temporal import asof_join, range_join_buckets
+from datapipeline_ops_spark.tables import load_table
+
+# non-uniform value bands for the range join (widths 10..150)
+BANDS = [
+    (0.0, 10.0, "micro"),
+    (10.0, 25.0, "small"),
+    (25.0, 50.0, "medium"),
+    (50.0, 100.0, "large"),
+    (100.0, 250.0, "xlarge"),
+    (250.0, 500.0, "huge"),
+]
+_BANDS_SQL = ", ".join(f"({lo}, {hi}, '{name}')" for lo, hi, name in BANDS)
+
+
+@query(
+    "asof_click_to_purchase",
+    oracle="""
+    SELECT l.event_id, l.user_id,
+           r.event_id AS purchase_event, round(r.value, 4) AS purchase_value
+    FROM (SELECT * FROM events WHERE event_type = 'click') l
+    LEFT JOIN LATERAL (
+        SELECT event_id, value FROM events r
+        WHERE r.event_type = 'purchase' AND r.user_id = l.user_id
+          AND epoch_us(r.ts) <= epoch_us(l.ts)
+        ORDER BY epoch_us(r.ts) DESC, event_id DESC LIMIT 1
+    ) r ON true
+    """,
+)
+def asof_click_to_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: every click matched to the user's most recent prior (or
+    same-instant) purchase. Union+window construction — one shuffle on
+    user_id; the oracle is DuckDB's correlated LATERAL formulation with the
+    identical (ts, event_id) tiebreak."""
+    e = load_table(spark, sf_dir, "events").withColumn("_t", F.unix_micros("ts"))
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id", "_t", "event_id"
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", "_t", "event_id", "value"
+    )
+    out = asof_join(
+        clicks,
+        purchases,
+        on="user_id",
+        time_col="_t",
+        tiebreak_col="event_id",
+        right_payload=["event_id", "value"],
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.col("_match.event_id").alias("purchase_event"),
+        F.round(F.col("_match.value"), 4).alias("purchase_value"),
+    )
+
+
+@query(
+    "range_join_value_bands",
+    oracle=f"""
+    WITH bands(lo, hi, band) AS (VALUES {_BANDS_SQL})
+    SELECT band, count(*) AS n_events, round(sum(value), 4) AS total_value
+    FROM events e JOIN bands b ON e.value >= b.lo AND e.value < b.hi
+    GROUP BY band
+    """,
+)
+def range_join_value_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-uniform range join (value ∈ [lo, hi) bands) via bucket expansion
+    + equi-join + residual filter — work scales with rows + total band
+    width, never rows × bands. Oracle is the plain theta join."""
+    e = load_table(spark, sf_dir, "events")
+    bands = e.sparkSession.createDataFrame(BANDS, ["lo", "hi", "band"])
+    joined = range_join_buckets(e, "value", bands, "lo", "hi", bucket_width=25.0)
+    return joined.groupBy("band").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 4).alias("total_value"),
+    )
