@@ -169,3 +169,31 @@ def stream_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("user_id", "n_events", F.round("total_value", 4).alias("total_value"))
     )
+
+
+@query(
+    "stream_static_enrich",
+    oracle="""
+    SELECT e.event_type, c.c_mktsegment AS segment,
+           count(*) AS n, round(sum(e.value), 4) AS total
+    FROM events e JOIN customer c ON c.c_custkey = e.user_id
+    GROUP BY 1, 2
+    """,
+)
+def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join: the event stream enriched against the static
+    customer dimension (broadcast per micro-batch — the standard streaming
+    enrichment shape; the dim re-resolves each batch so slowly-changing
+    dims stay fresh), then a windowless rollup."""
+    from datapipeline_ops_spark.tables import load_table
+
+    s = events_stream(spark, sf_dir)
+    dim = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), F.col("c_mktsegment").alias("segment")
+    )
+    joined = s.join(F.broadcast(dim), "user_id")
+    agg = joined.groupBy("event_type", "segment").agg(
+        F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("total")
+    )
+    out = run_stream_to_table(agg, output_mode="complete")
+    return out.select("event_type", "segment", "n", "total")
