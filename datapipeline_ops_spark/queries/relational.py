@@ -423,3 +423,72 @@ def broadcast_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .select("c_custkey", "c_name", "n_name", "r_name")
     )
+
+
+@query(
+    "distinct_agg_suppliers",
+    oracle="""
+    SELECT l_returnflag,
+           count(DISTINCT l_suppkey) AS n_suppliers,
+           count(DISTINCT l_partkey) AS n_parts,
+           count(*) AS n_rows
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def distinct_agg_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-column distinct aggregation (absent from the reference;
+    built-in here). Spark expands multiple DISTINCTs with a single `expand`
+    + two-phase aggregate — still one scan."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_suppkey").alias("n_suppliers"),
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+@query(
+    "having_big_customers",
+    oracle="""
+    SELECT o_custkey, count(*) AS n_orders, round(sum(o_totalprice), 2) AS total_spend
+    FROM orders GROUP BY o_custkey
+    HAVING count(*) >= 15 AND sum(o_totalprice) > 1000000
+    """,
+)
+def having_big_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Post-aggregation HAVING predicate: the filter runs on aggregated
+    rows (can't push below the agg), everything else pushes/prunes as
+    usual."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("o_totalprice").alias("_spend"),
+        )
+        .filter((F.col("n_orders") >= 15) & (F.col("_spend") > 1000000))
+        .select("o_custkey", "n_orders", F.round("_spend", 2).alias("total_spend"))
+    )
+
+
+@query(
+    "above_avg_parts",
+    oracle="""
+    SELECT p_partkey, p_retailprice
+    FROM part
+    WHERE p_retailprice > (SELECT avg(p_retailprice) FROM part) * 1.04
+    """,
+)
+def above_avg_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-subquery predicate (price > 1.04x corpus average): Spark plans
+    the subquery as an independent stage whose single-row result feeds the
+    main scan's filter — two passes, no self-join."""
+    register = load_table(spark, sf_dir, "part")
+    register.createOrReplaceTempView("part_v")
+    return register.sparkSession.sql(
+        """
+        SELECT p_partkey, p_retailprice
+        FROM part_v
+        WHERE p_retailprice > (SELECT avg(p_retailprice) FROM part_v) * 1.04
+        """
+    )

@@ -139,6 +139,29 @@ def _(qs, spark):
     assert "BatchEvalPython" not in plan, "row-at-a-time Python UDF in the plan"
 
 
+@check("asof_click_to_purchase: one window, no nested-loop join")
+def _(qs, spark):
+    plan = plan_of(qs["asof_click_to_purchase"](spark, SF_DIR))
+    assert "Window" in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan, (
+        "as-of join must not plan a cross product"
+    )
+
+
+@check("range_join_value_bands: equi-join on buckets, not cross product")
+def _(qs, spark):
+    plan = plan_of(qs["range_join_value_bands"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan, "range join degenerated to cross product"
+    assert "_bucket" in plan, "bucket key missing from join"
+
+
+@check("minhash_lsh_pairs: shingle hashes behind exchange, equi-join on band/bucket")
+def _(qs, spark):
+    plan = plan_of(qs["minhash_lsh_pairs"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("Exchange") >= 2  # spread + barrier exchanges present
+
+
 def main() -> int:
     import __spark_entry__ as entry_mod
     from datapipeline_ops_spark.session import get_spark
