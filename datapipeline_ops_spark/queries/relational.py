@@ -492,3 +492,46 @@ def above_avg_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE p_retailprice > (SELECT avg(p_retailprice) FROM part_v) * 1.04
         """
     )
+
+
+@query(
+    "revenue_by_region_year",
+    oracle="""
+    SELECT r.r_name AS region, CAST(year(o.o_orderdate) AS INT) AS order_year,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           count(DISTINCT o.o_orderkey) AS n_orders
+    FROM region r
+    JOIN nation n ON n.n_regionkey = r.r_regionkey
+    JOIN customer c ON c.c_nationkey = n.n_nationkey
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    GROUP BY 1, 2
+    """,
+)
+def revenue_by_region_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Five-table star join (region→nation→customer→orders→lineitem) with a
+    time rollup — the deepest join tree in the suite. Catalyst reorders the
+    dims first and broadcasts every one of them (region/nation/customer are
+    tiny fractions of lineitem), so the fact table is scanned once and
+    never shuffled for the joins; the only exchange is the final group-by."""
+    region = load_table(spark, sf_dir, "region")
+    nation = load_table(spark, sf_dir, "nation")
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    joined = (
+        lineitem.join(orders, lineitem["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(customer), orders["o_custkey"] == customer["c_custkey"])
+        .join(F.broadcast(nation), customer["c_nationkey"] == nation["n_nationkey"])
+        .join(F.broadcast(region), nation["n_regionkey"] == region["r_regionkey"])
+    )
+    return (
+        joined.groupBy(
+            F.col("r_name").alias("region"),
+            F.year("o_orderdate").cast("int").alias("order_year"),
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            F.countDistinct("o_orderkey").alias("n_orders"),
+        )
+    )
