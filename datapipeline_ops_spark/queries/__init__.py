@@ -3,6 +3,7 @@
 
 from datapipeline_ops_spark.queries import (  # noqa: F401
     dedup,
+    evaluation,
     inference_queries,
     io_queries,
     multimodal,

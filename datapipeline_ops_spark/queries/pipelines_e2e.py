@@ -331,3 +331,103 @@ def pipeline_frame_mining_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     # where Spark (half-up) and DuckDB (half-even) disagree.
     mined = MINING_PIPELINE.run(manifest)
     return mined.select("o_orderkey", "frame_idx", F.round("combined_score", 7).alias("combined_score"))
+
+
+# ---------------------------------------------------------------------------
+# for_high_bg_all_morelittler analog: resolution filter -> person count ->
+# max-box-area ratio -> idempotency anti-join -> save path.
+# Reference: for_high_bg_all_morelittler.py:144-194.
+# ---------------------------------------------------------------------------
+
+_D_SEED = 22  # StubDetector.SEED (models/stubs.py)
+
+
+def _sql_boxes_cte(key_expr: str) -> str:
+    """DuckDB mirror of StubDetector.predict: n = floor(unit(k)*4) boxes,
+    box i = [x1, y1, x1+w, y1+h] from seeded unit hashes."""
+    u = lambda suffix: (  # noqa: E731
+        f"((('0x' || substr(md5('{_D_SEED}:' || {key_expr} || {suffix}), 1, 15))::BIGINT"
+        f" % 1000000) / 1000000.0)"
+    )
+    n = f"CAST(floor((('0x' || substr(md5('{_D_SEED}:' || {key_expr}), 1, 15))::BIGINT % 1000000) / 1000000.0 * 4) AS INT)"
+    return f"""
+    boxes AS (
+        SELECT p_partkey, {n} AS n_boxes,
+               CASE WHEN {n} = 0 THEN [] ELSE
+                 list_transform(generate_series(0, {n} - 1), i -> struct_pack(
+                     x1 := CAST(floor({u("':' || CAST(i AS VARCHAR) || ':x'")} * 800) AS BIGINT),
+                     y1 := CAST(floor({u("':' || CAST(i AS VARCHAR) || ':y'")} * 600) AS BIGINT),
+                     w  := 1 + CAST(floor({u("':' || CAST(i AS VARCHAR) || ':w'")} * 200) AS BIGINT),
+                     h  := 1 + CAST(floor({u("':' || CAST(i AS VARCHAR) || ':h'")} * 200) AS BIGINT)))
+               END AS bxs
+        FROM part
+    )
+"""
+
+
+@query(
+    "pipeline_bg_filter_e2e",
+    oracle=f"""
+    WITH {_sql_boxes_cte("CAST(p_partkey AS VARCHAR)")},
+    dims AS (
+        SELECT p.p_partkey, p_size * 25.0 AS w, p_size * 30.0 AS h, b.n_boxes, b.bxs
+        FROM part p JOIN boxes b ON p.p_partkey = b.p_partkey
+        WHERE p_size * 25.0 >= 1000 AND p_size * 30.0 >= 1000
+          AND b.n_boxes BETWEEN 1 AND 3
+    ),
+    ratio AS (
+        SELECT p_partkey, w, h,
+               list_max(list_transform(bxs, bx ->
+                   greatest(0.0, least(CAST(bx.x1 + bx.w AS DOUBLE), w) - greatest(CAST(bx.x1 AS DOUBLE), 0.0)) *
+                   greatest(0.0, least(CAST(bx.y1 + bx.h AS DOUBLE), h) - greatest(CAST(bx.y1 AS DOUBLE), 0.0))
+               )) / (w * h) AS max_ratio
+        FROM dims
+    )
+    SELECT p_partkey, round(max_ratio, 6) AS max_ratio,
+           printf('/bg_out/part_%d.png', p_partkey) AS out_path
+    FROM ratio
+    WHERE max_ratio <= 0.4 AND p_partkey % 7 <> 0
+    """,
+)
+def pipeline_bg_filter_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """for_high_bg_all_morelittler end-to-end: resolution gate (h,w >= 1000,
+    ``:149-151``) → detector UDF person count 1..3 (``:157-158``) → max
+    clipped-box-area / image-area <= 0.4 (``:160-169``) → idempotency
+    anti-join against already-done outputs (``:176-179``; here: every 7th
+    part is 'done') → output path. Cheap relational gates run BEFORE the
+    UDF; the detector only scores rows that survive the resolution filter
+    — the reference's manual cheap-first ordering, kept explicit."""
+    from datapipeline_ops_spark.operators.inference import detect_boxes_udf
+
+    p = load_table(spark, sf_dir, "part").select(
+        "p_partkey",
+        (F.col("p_size") * 25.0).alias("w"),
+        (F.col("p_size") * 30.0).alias("h"),
+    )
+    sized = p.filter((F.col("w") >= 1000) & (F.col("h") >= 1000))
+    boxed = sized.withColumn(
+        "bxs", detect_boxes_udf()(F.col("p_partkey").cast("string"))
+    ).filter(F.size("bxs").between(1, 3))
+    area = F.array_max(
+        F.transform(
+            F.col("bxs"),
+            lambda bx: F.greatest(
+                F.lit(0.0),
+                F.least(bx[2].cast("double"), F.col("w")) - F.greatest(bx[0].cast("double"), F.lit(0.0)),
+            )
+            * F.greatest(
+                F.lit(0.0),
+                F.least(bx[3].cast("double"), F.col("h")) - F.greatest(bx[1].cast("double"), F.lit(0.0)),
+            ),
+        )
+    )
+    rated = boxed.withColumn("max_ratio", area / (F.col("w") * F.col("h"))).filter(
+        F.col("max_ratio") <= 0.4
+    )
+    done = load_table(spark, sf_dir, "part").filter(F.col("p_partkey") % 7 == 0).select("p_partkey")
+    fresh = rated.join(done, "p_partkey", "left_anti")
+    return fresh.select(
+        "p_partkey",
+        F.round("max_ratio", 6).alias("max_ratio"),
+        F.format_string("/bg_out/part_%d.png", F.col("p_partkey")).alias("out_path"),
+    )
