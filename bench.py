@@ -36,6 +36,10 @@ HEADLINE = [
     "simhash_near_pairs",   # fingerprint + broadcast pair filter
     "anti_join_idempotency",  # anti-join vs output manifest
     "group_avg",            # partial-agg group-by
+    "revenue_by_region_year",  # 5-table star join + rollup
+    "asof_click_to_purchase",  # as-of join (union+window)
+    "token_stats",          # text analysis scan
+    "pipeline_frame_mining_e2e",  # composed pipeline, explode+window
 ]
 
 
