@@ -239,9 +239,17 @@ Q_THRESH, SIM_LO, SIM_HI = 0.3, 0.2, 0.95
 @op("frame_scan", requires=("o_orderkey", "total_frame"), produces=("frame_idx",))
 def frame_scan_op(df: DataFrame) -> DataFrame:
     """Candidate scan over the last 90% of frames, reference stride 50
-    (``video_extract_frame.py:247-250``)."""
+    (``video_extract_frame.py:247-250``).
+
+    The manifest is spread across cores FIRST (explicit count — AQE would
+    coalesce a numberless repartition): the explode amplifies each manifest
+    row ~20x and the downstream gauntlet hashes every frame row, so
+    whatever parallelism the scan lacks (one small parquet file = one
+    partition) must be created before the amplification, not after."""
+    n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+    spread = df.repartition(n, F.col("o_orderkey"))
     first = F.ceil(F.col("total_frame") * 0.1).cast("long")
-    return df.withColumn(
+    return spread.withColumn(
         "frame_idx",
         F.explode(F.sequence(first, F.col("total_frame") - 1, F.lit(SCAN_STEP))),
     )
