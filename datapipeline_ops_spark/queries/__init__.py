@@ -10,6 +10,7 @@ from datapipeline_ops_spark.queries import (  # noqa: F401
     pipeline_analogs,
     pipelines_e2e,
     relational,
+    relational_extra,
     robustness,
     similarity,
     stateful,

@@ -1,0 +1,234 @@
+"""Second wave of relational coverage: outer-join histograms, correlated
+EXISTS, conditional aggregation, batch sessionization, deterministic hash
+sampling, and exact percentiles.
+
+These have no direct analog in the reference (it has no relational joins at
+all, SURVEY.md §2.2) but complete the surface a user of a curation pipeline
+needs at 100 TB: restart bookkeeping (who has zero outputs?), conditional
+quality tallies, event sessionization for engagement stats, reproducible
+sampling for eval sets, and distribution summaries.
+
+All queries are pure `pyspark.sql.functions` — JVM-side, codegen-friendly,
+no Python UDFs.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from datapipeline_ops_spark.core.registry import query
+from datapipeline_ops_spark.tables import load_table
+
+
+@query(
+    "customer_order_histogram",
+    oracle="""
+    SELECT n_orders, count(*) AS n_customers
+    FROM (
+        SELECT c.c_custkey, count(o.o_orderkey) AS n_orders
+        FROM customer c
+        LEFT JOIN orders o
+          ON o.o_custkey = c.c_custkey AND o.o_orderstatus <> 'F'
+        GROUP BY c.c_custkey
+    )
+    GROUP BY n_orders
+    """,
+)
+def customer_order_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q13-shaped distribution: LEFT OUTER join (customers with ZERO
+    matching orders must survive) + double aggregation.
+
+    The filter on the probe side lives in the join condition, not a WHERE —
+    a WHERE would silently turn the outer join inner. At scale: one shuffle
+    for the outer join (customer is the smaller side but correctness of
+    count(o_orderkey)=0 rows forbids dropping it), then the second agg runs
+    on a few hundred distinct counts — essentially free after AQE coalesces.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    per_cust = (
+        c.join(
+            o.filter(F.col("o_orderstatus") != "F"),
+            on=c.c_custkey == o.o_custkey,
+            how="left",
+        )
+        .groupBy(c.c_custkey)
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+    return per_cust.groupBy("n_orders").agg(F.count(F.lit(1)).alias("n_customers"))
+
+
+@query(
+    "priority_with_big_lineitem",
+    oracle="""
+    SELECT o_orderpriority, count(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+      AND o_orderdate < TIMESTAMP '1996-01-01'
+      AND EXISTS (
+          SELECT 1 FROM lineitem
+          WHERE l_orderkey = o_orderkey AND l_quantity > 40
+      )
+    GROUP BY o_orderpriority
+    """,
+)
+def priority_with_big_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q4-shaped correlated EXISTS: orders in a date window that have
+    at least one qualifying lineitem, tallied by priority.
+
+    Spark plans the EXISTS as a left-semi hash join; the date predicate
+    pushes to the orders parquet scan, the quantity predicate to lineitem's,
+    so both sides shrink before the shuffle.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    qualifying = li.filter(F.col("l_quantity") > 40).select(
+        F.col("l_orderkey").alias("o_orderkey")
+    )
+    return (
+        o.filter(
+            (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1996-01-01").cast("timestamp"))
+        )
+        .join(qualifying, on="o_orderkey", how="left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+@query(
+    "returnflag_share",
+    oracle="""
+    SELECT l_linestatus,
+           round(100.0 * sum(CASE WHEN l_returnflag = 'R'
+                                  THEN l_extendedprice * (1 - l_discount)
+                                  ELSE 0 END)
+                 / sum(l_extendedprice * (1 - l_discount)), 4) AS return_share_pct,
+           count(*) AS n_rows
+    FROM lineitem
+    GROUP BY l_linestatus
+    """,
+)
+def returnflag_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q14-shaped conditional aggregation: CASE-WHEN inside SUM to
+    compute the returned-revenue share per line status in ONE scan — the
+    relational form of 'tally pass/fail quality gates without two passes'
+    (the reference tallies gauntlet outcomes imperatively,
+    ``video_extract_frame.py:262-305``).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    net = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    returned = F.when(F.col("l_returnflag") == "R", net).otherwise(F.lit(0.0))
+    return li.groupBy("l_linestatus").agg(
+        F.round(100.0 * F.sum(returned) / F.sum(net), 4).alias("return_share_pct"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+@query(
+    "sessionize_events",
+    oracle="""
+    WITH marked AS (
+        SELECT user_id, ts,
+               CASE WHEN ts - lag(ts) OVER w <= INTERVAL 30 MINUTE
+                    THEN 0 ELSE 1 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), numbered AS (
+        SELECT user_id, ts,
+               sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                      ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM marked
+    )
+    SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+           count(*) AS n_events,
+           CAST(date_diff('second', min(ts), max(ts)) AS BIGINT) AS duration_s
+    FROM numbered
+    GROUP BY user_id, session_id
+    """,
+)
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization (gaps-and-islands): a new session starts when
+    the gap since the user's previous event exceeds 30 minutes; sessions are
+    numbered by a running sum of the start markers.
+
+    This is the batch twin of the streaming session window
+    (``stream_session_windows``). One shuffle on user_id serves both window
+    passes and the final group-by — the partitioning is reused across all
+    three stages, so 100 TB of events exchanges exactly once.
+    """
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    run = Window.partitionBy("user_id").orderBy("ts").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    gap_s = F.col("ts").cast("long") - F.lag(F.col("ts")).over(w).cast("long")
+    marked = e.withColumn(
+        "new_session", F.when(gap_s <= 30 * 60, F.lit(0)).otherwise(F.lit(1))
+    )
+    numbered = marked.withColumn("session_id", F.sum("new_session").over(run))
+    return numbered.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (F.max(F.col("ts").cast("long")) - F.min(F.col("ts").cast("long"))).alias(
+            "duration_s"
+        ),
+    )
+
+
+@query(
+    "deterministic_sample",
+    oracle="""
+    SELECT doc_id, lang, n_chars
+    FROM documents
+    WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0', '1')
+    """,
+)
+def deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible ~1/8 sample by hashing the primary key (first md5 nibble
+    in {0,1}) — the curation-pipeline way to carve a stable eval holdout:
+    unlike `df.sample`, membership is a pure function of the key, so the
+    same docs are selected on every run, every engine, and every scale,
+    and the predicate is embarrassingly parallel (no shuffle, no state).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    nib = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+    return d.filter(nib.isin("0", "1")).select("doc_id", "lang", "n_chars")
+
+
+@query(
+    "value_percentiles_by_type",
+    oracle="""
+    SELECT event_type,
+           round(quantile_cont(value, 0.5), 4)  AS p50,
+           round(quantile_cont(value, 0.95), 4) AS p95,
+           round(quantile_cont(value, 0.99), 4) AS p99,
+           count(*) AS n
+    FROM events
+    WHERE value IS NOT NULL
+    GROUP BY event_type
+    """,
+)
+def value_percentiles_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (p50/p95/p99) per event type —
+    distribution summaries for threshold tuning (the reference hard-codes
+    thresholds like quality>t, sim in [lo,hi]; this is how you'd derive
+    them from data). Spark's `percentile` matches DuckDB's `quantile_cont`
+    (linear interpolation). Exact percentiles buffer each group's values —
+    fine for bounded group counts; switch to `percentile_approx` when the
+    per-group cardinality itself is unbounded at 100 TB.
+    """
+    e = load_table(spark, sf_dir, "events")
+    pct = F.expr("percentile(value, array(0.5, 0.95, 0.99))")
+    return (
+        e.filter(F.col("value").isNotNull())
+        .groupBy("event_type")
+        .agg(pct.alias("_p"), F.count(F.lit(1)).alias("n"))
+        .select(
+            "event_type",
+            F.round(F.col("_p")[0], 4).alias("p50"),
+            F.round(F.col("_p")[1], 4).alias("p95"),
+            F.round(F.col("_p")[2], 4).alias("p99"),
+            "n",
+        )
+    )
