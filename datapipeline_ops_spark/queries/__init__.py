@@ -12,6 +12,7 @@ from datapipeline_ops_spark.queries import (  # noqa: F401
     relational,
     relational_extra,
     robustness,
+    sampling_sketch,
     similarity,
     stateful,
     streaming_queries,

@@ -1,0 +1,116 @@
+"""Sampling and sketch surface: stratified deterministic sampling, pivot
+reports, and approximate (HLL) distinct sketches.
+
+Curation-pipeline motivation: eval holdouts must be reproducible per
+stratum (source/lang), dashboards want wide per-type pivots, and at 100 TB
+exact distinct counts of high-cardinality keys (users, urls) are a shuffle
+of every distinct value — the HLL sketch answers in one pass with bounded
+memory per group.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from datapipeline_ops_spark.core.registry import query
+from datapipeline_ops_spark.tables import load_table
+
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+@query(
+    "stratified_sample_per_source",
+    oracle="""
+    SELECT source, doc_id, lang FROM (
+        SELECT source, doc_id, lang,
+               row_number() OVER (PARTITION BY source
+                                  ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        FROM documents
+    ) WHERE rn <= 3
+    """,
+)
+def stratified_sample_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sample: 3 docs per source, chosen by ranking
+    on the md5 of the key — an unbiased-but-reproducible per-stratum pick
+    (same members every run/engine/scale, unlike `sampleBy`). One shuffle on
+    source; the window sort runs per stratum. For heavy strata at 100 TB,
+    swap row_number for a per-partition top-K (`F.min_by` over k slots) to
+    avoid sorting whole strata.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("source", "doc_id", "lang")
+    )
+
+
+@query(
+    "events_type_pivot",
+    oracle="""
+    SELECT user_id,
+           count(*) FILTER (event_type = 'click')    AS click,
+           count(*) FILTER (event_type = 'error')    AS error,
+           count(*) FILTER (event_type = 'purchase') AS purchase,
+           count(*) FILTER (event_type = 'signup')   AS signup,
+           count(*) FILTER (event_type = 'view')     AS view,
+           round(sum(value) FILTER (event_type = 'purchase'), 2) AS purchase_value
+    FROM events GROUP BY user_id
+    """,
+)
+def events_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide per-user activity pivot: event_type rows → columns in one scan.
+
+    Uses `groupBy().pivot(values=...)` with the value list declared up
+    front — omitting it makes Spark run an extra distinct pass AND makes
+    the output schema data-dependent, both wrong at scale. Compiles to a
+    single partial-aggregatable hash aggregate, same as hand-written
+    conditional aggregation.
+    """
+    e = load_table(spark, sf_dir, "events")
+    counts = (
+        e.groupBy("user_id")
+        .pivot("event_type", _EVENT_TYPES)
+        .agg(F.count(F.lit(1)))
+    )
+    # pivot leaves NULL for absent (user, type) combos; the oracle's FILTER
+    # counts yield 0 — coalesce to match, and add the purchase-value rollup
+    # via a conditional agg in the same scan.
+    purchase_val = (
+        e.groupBy("user_id")
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("event_type") == "purchase", F.col("value"))), 2
+            ).alias("purchase_value")
+        )
+    )
+    wide = counts.select(
+        "user_id", *[F.coalesce(F.col(t), F.lit(0)).alias(t) for t in _EVENT_TYPES]
+    )
+    return wide.join(purchase_val, "user_id")
+
+
+@query("approx_distinct_users", oracle=None)
+def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ distinct-user sketch per event type (rsd=1%).
+
+    No DuckDB oracle on purpose: the estimate is engine-specific (the
+    driver records the rows-only check). At 100 TB this is THE way to count
+    distincts: one pass, fixed ~1.5 KB sketch per group, map-side
+    mergeable — versus count(DISTINCT) shuffling every distinct (type,
+    user) pair. tests/test_relational.py bounds the estimate against the
+    exact count at 1%-rsd tolerance.
+    """
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy("event_type")
+    )

@@ -13,7 +13,7 @@ def q(name, spark, sf_dir):
 
 
 # query names allowed to ship without a DuckDB oracle (non-SQL-expressible)
-ORACLE_EXEMPT_MARKERS = ("stream", "greedy", "multimodal")
+ORACLE_EXEMPT_MARKERS = ("stream", "greedy", "multimodal", "approx")
 
 
 def test_registry_has_oracles():
@@ -86,6 +86,21 @@ def test_broadcast_join_is_broadcast(spark, sf_dir):
     df = q("broadcast_dim_join", spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_approx_distinct_within_tolerance(spark, sf_dir):
+    from datapipeline_ops_spark.tables import load_table
+
+    approx = {r["event_type"]: r["approx_users"] for r in q("approx_distinct_users", spark, sf_dir).collect()}
+    e = load_table(spark, sf_dir, "events")
+    exact = {
+        r["event_type"]: r["n"]
+        for r in e.groupBy("event_type").agg(F.countDistinct("user_id").alias("n")).collect()
+    }
+    assert set(approx) == set(exact)
+    for t, n in exact.items():
+        # rsd=1%; allow 5 sigma
+        assert abs(approx[t] - n) <= max(2, 0.05 * n), (t, approx[t], n)
 
 
 def test_entry_smoke(spark):

@@ -162,6 +162,32 @@ def _(qs, spark):
     assert plan.count("Exchange") >= 2  # spread + barrier exchanges present
 
 
+@check("sessionize_events: one exchange reused by both windows and the agg")
+def _(qs, spark):
+    plan = plan_of(qs["sessionize_events"](spark, SF_DIR))
+    assert plan.count("Exchange hashpartitioning") <= 1 or plan.count("(3) Exchange"), plan
+    # both window passes and the group-by share the user_id partitioning:
+    # exactly one exchange node in the whole plan
+    n_exchange = len(re.findall(r"^\(\d+\) Exchange", plan, re.M))
+    assert n_exchange == 1, f"{n_exchange} exchanges (partitioning not reused)"
+
+
+@check("customer_order_histogram: outer join preserved, orders pruned to 3 cols")
+def _(qs, spark):
+    plan = plan_of(qs["customer_order_histogram"](spark, SF_DIR))
+    cols = read_schema_cols(plan, "orders")
+    assert cols <= {"o_orderkey", "o_custkey", "o_orderstatus"}, cols
+    assert "LeftOuter" in plan or "left_outer" in plan.lower(), "outer join lost"
+
+
+@check("events_type_pivot: single-scan pivot, partial aggregation")
+def _(qs, spark):
+    plan = plan_of(qs["events_type_pivot"](spark, SF_DIR))
+    assert "partial_" in plan, "no map-side partial aggregation"
+    cols = read_schema_cols(plan, "events")
+    assert "props" not in cols and "ts" not in cols, cols
+
+
 def main() -> int:
     import __spark_entry__ as entry_mod
     from datapipeline_ops_spark.session import get_spark
