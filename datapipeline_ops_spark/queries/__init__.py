@@ -2,6 +2,7 @@
 ``datapipeline_ops_spark.core.registry.QUERIES``."""
 
 from datapipeline_ops_spark.queries import (  # noqa: F401
+    analytics_extra,
     dedup,
     evaluation,
     inference_queries,

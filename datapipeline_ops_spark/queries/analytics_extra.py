@@ -1,0 +1,138 @@
+"""Third coverage wave: vector centroids, time-series trends, fuzzy string
+matching.
+
+- ``label_centroids``: per-class embedding centroid — the reduce step of
+  k-means / IVF coarse quantizer training (the IVF ANN query seeds its cells
+  from hashes; real training averages vectors exactly like this).
+- ``monthly_revenue_trend``: date_trunc bucketing + cumulative window — the
+  canonical OLAP time series.
+- ``fuzzy_name_pairs``: edit-distance near-match under a blocking key —
+  entity-resolution shape (dedup of near-identical titles/names), the
+  string twin of the embedding near-dup ops.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from datapipeline_ops_spark.core.registry import query
+from datapipeline_ops_spark.tables import load_table
+
+_DIM = 64
+
+
+@query(
+    "label_centroids",
+    oracle=f"""
+    WITH e AS (SELECT label, embedding FROM embeddings)
+    SELECT label, i.dim AS dim, round(avg(embedding[i.dim + 1]), 4) AS centroid,
+           count(*) AS n_vectors
+    FROM e, LATERAL (SELECT unnest(generate_series(0, {_DIM - 1})) AS dim) AS i
+    GROUP BY 1, 2
+    """,
+)
+def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroid, one row per (label, dimension).
+
+    posexplode flattens vectors to (label, dim, value) and one hash
+    aggregate averages per cell. The explode multiplies rows by the
+    dimension (64×) but each row is 20 bytes and partial aggregation
+    collapses them map-side to |labels|×|dims| rows before the shuffle — at
+    100 TB the exchange carries only the tiny centroid matrix. The
+    no-explode alternative (aggregate over an array accumulator, as in
+    simhash) saves the row blowup but gives up map-side combine; explode +
+    partial agg wins when |groups| is small.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    return (
+        e.select("label", F.posexplode("embedding").alias("dim", "v"))
+        .groupBy("label", "dim")
+        .agg(
+            F.round(F.avg("v"), 4).alias("centroid"),
+            F.count(F.lit(1)).alias("n_vectors"),
+        )
+    )
+
+
+@query(
+    "monthly_revenue_trend",
+    oracle="""
+    WITH m AS (
+        SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+               round(sum(o_totalprice), 2) AS revenue,
+               count(*) AS n_orders
+        FROM orders GROUP BY 1
+    )
+    SELECT month, revenue, n_orders,
+           round(sum(revenue) OVER (ORDER BY month
+                                    ROWS UNBOUNDED PRECEDING), 2) AS cumulative_revenue
+    FROM m
+    """,
+)
+def monthly_revenue_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-bucketed revenue with a cumulative running total.
+
+    The monthly aggregate shrinks the fact table to ~100 rows before the
+    window runs, so the unpartitioned (single-task) cumulative window is
+    safe — the rule at scale: never run a global window on raw rows, always
+    on a pre-aggregated frame.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    monthly = (
+        o.groupBy(F.date_trunc("month", "o_orderdate").cast("date").alias("month"))
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+    w = Window.orderBy("month").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return monthly.withColumn(
+        "cumulative_revenue", F.round(F.sum("revenue").over(w), 2)
+    )
+
+
+@query(
+    "fuzzy_name_pairs",
+    oracle="""
+    WITH p AS (
+        SELECT p_partkey, p_name,
+               split_part(p_name, ' ', 2) AS noun
+        FROM part
+    )
+    SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
+           a.p_name AS name_a, b.p_name AS name_b,
+           levenshtein(a.p_name, b.p_name) AS dist
+    FROM p a JOIN p b ON a.noun = b.noun AND a.p_partkey < b.p_partkey
+    WHERE levenshtein(a.p_name, b.p_name) <= 2 AND a.p_name <> b.p_name
+    """,
+)
+def fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-resolution near-match: part-name pairs within edit distance 2,
+    blocked on the name's noun token so the join is an equi-join per block,
+    never |parts|² — the same block-then-verify shape as the LSH and
+    SimHash pipelines, with Levenshtein as the verifier. Both engines
+    implement plain (unweighted) Levenshtein, so values agree exactly.
+    """
+    p = load_table(spark, sf_dir, "part").select(
+        "p_partkey",
+        "p_name",
+        F.split(F.col("p_name"), " ").getItem(1).alias("noun"),
+    )
+    a, b = p.alias("a"), p.alias("b")
+    dist = F.levenshtein(F.col("a.p_name"), F.col("b.p_name"))
+    return (
+        a.join(
+            b,
+            (F.col("a.noun") == F.col("b.noun"))
+            & (F.col("a.p_partkey") < F.col("b.p_partkey")),
+        )
+        .filter((dist <= 2) & (F.col("a.p_name") != F.col("b.p_name")))
+        .select(
+            F.col("a.p_partkey").alias("key_a"),
+            F.col("b.p_partkey").alias("key_b"),
+            F.col("a.p_name").alias("name_a"),
+            F.col("b.p_name").alias("name_b"),
+            dist.alias("dist"),
+        )
+    )
