@@ -40,6 +40,9 @@ HEADLINE = [
     "asof_click_to_purchase",  # as-of join (union+window)
     "token_stats",          # text analysis scan
     "pipeline_frame_mining_e2e",  # composed pipeline, explode+window
+    "sessionize_events",    # gaps-and-islands: 2 windows + agg on 1 exchange
+    "customer_order_histogram",   # outer join + double aggregation
+    "label_centroids",      # vector explode + partial-agg centroid matrix
 ]
 
 

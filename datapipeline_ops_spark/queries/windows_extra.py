@@ -102,3 +102,27 @@ def cube_events_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.cube("event_type", "user_bucket").agg(
         F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("total")
     )
+
+
+@query(
+    "grouping_sets_report",
+    oracle="""
+    SELECT lang, source, count(*) AS n
+    FROM documents
+    GROUP BY GROUPING SETS ((lang), (source), (lang, source))
+    """,
+)
+def grouping_sets_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary GROUPING SETS (not the rollup/cube lattice): per-lang,
+    per-source, and per-(lang, source) tallies in one scan — the general
+    form when a dashboard wants specific breakdowns, not every combination.
+    Spark compiles this to the same Expand + partial-agg plan as
+    rollup/cube."""
+    d = load_table(spark, sf_dir, "documents")
+    d.createOrReplaceTempView("docs_gs")
+    return d.sparkSession.sql(
+        """
+        SELECT lang, source, count(*) AS n FROM docs_gs
+        GROUP BY GROUPING SETS ((lang), (source), (lang, source))
+        """
+    )

@@ -82,3 +82,23 @@ def run_stream_to_table(sdf: DataFrame, output_mode: str) -> DataFrame:
     spark = sdf.sparkSession
     # snapshot: memory-sink table contents as of stream completion
     return spark.table(name)
+
+
+def run_stream_foreach_batch(sdf: DataFrame, write_batch, output_mode: str = "update") -> None:
+    """Drain the stream through a ``foreachBatch`` sink.
+
+    ``write_batch(batch_df, batch_id)`` receives each micro-batch as a BATCH
+    DataFrame, so arbitrary batch sinks (jdbc, merge-into, multi-table
+    fan-out) work unchanged. Exactly-once discipline is the callback's job:
+    Spark re-runs a batch with the SAME batch_id after failure, so the write
+    must be idempotent per (checkpoint, batch_id) — overwrite-by-batch-id
+    partitions, or a transactional merge keyed on batch_id. This is the
+    scale path for sinks Structured Streaming lacks natively.
+    """
+    q = (
+        sdf.writeStream.foreachBatch(write_batch)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

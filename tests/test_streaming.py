@@ -75,3 +75,30 @@ def test_incremental_batches_accumulate_state(spark, two_batch_dir):
     got = {r["w"]["start"].strftime("%H:%M"): r["n"] for r in out.collect()}
     # complete mode with a lax watermark keeps every window incl. the late row
     assert got == {"09:00": 1, "10:00": 2, "11:00": 1, "12:00": 1}
+
+
+def test_foreach_batch_idempotent_sink(spark, two_batch_dir):
+    """foreachBatch drains micro-batches into an arbitrary batch sink; the
+    idempotency contract is keyed on batch_id (a redelivered id must not
+    double-write)."""
+    from datapipeline_ops_spark.streaming.ops import run_stream_foreach_batch
+
+    schema = spark.read.parquet(two_batch_dir).schema
+    sdf = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(two_batch_dir)
+    )
+    written: dict[int, int] = {}
+
+    def write_batch(batch_df, batch_id):
+        if batch_id in written:  # redelivery: skip (idempotent per batch_id)
+            return
+        written[batch_id] = batch_df.count()
+        # simulate a redelivery of the same id — must be a no-op
+        if batch_id in written:
+            write_batch(batch_df, batch_id)
+
+    run_stream_foreach_batch(sdf, write_batch, output_mode="append")
+    assert len(written) == 2, written  # maxFilesPerTrigger=1 → one batch per file
+    assert sum(written.values()) == spark.read.parquet(two_batch_dir).count()
