@@ -111,3 +111,37 @@ def test_entry_smoke(spark):
     # queries()/oracle_sql() contract: oracle keys ⊆ query keys
     qs, os_ = e.queries(), e.oracle_sql()
     assert set(os_) <= set(qs)
+
+
+def test_sessionize_gap_invariants(spark, sf_dir):
+    """Within a session every inter-event gap <= 30 min; consecutive sessions
+    of one user are separated by > 30 min."""
+    from datapipeline_ops_spark.tables import load_table
+
+    e = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_id")
+    sessions = q("sessionize_events", spark, sf_dir)
+    # recompute the assignment row-wise and check invariants on boundaries
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = e.withColumn("gap_s", F.col("ts").cast("long") - F.lag(F.col("ts")).over(w).cast("long"))
+    # number of session starts per user = 1 (first event) + gaps > 30min
+    starts = gaps.groupBy("user_id").agg(
+        (F.count(F.lit(1)) - F.count("gap_s") + F.sum(F.when(F.col("gap_s") > 1800, 1).otherwise(0))).alias("n_starts")
+    )
+    per_user_sessions = sessions.groupBy("user_id").agg(F.countDistinct("session_id").alias("n_sessions"))
+    joined = starts.join(per_user_sessions, "user_id")
+    assert joined.filter(F.col("n_starts") != F.col("n_sessions")).count() == 0
+    # session event counts must sum to the table row count
+    assert sessions.agg(F.sum("n_events")).first()[0] == e.count()
+
+
+def test_fuzzy_pairs_distance_bounds(spark, sf_dir):
+    df = q("fuzzy_name_pairs", spark, sf_dir)
+    bad = df.filter(
+        (F.col("dist") > 2)
+        | (F.col("dist") <= 0)
+        | (F.col("key_a") >= F.col("key_b"))
+        | (F.levenshtein(F.col("name_a"), F.col("name_b")) != F.col("dist"))
+    )
+    assert bad.count() == 0
