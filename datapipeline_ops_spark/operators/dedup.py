@@ -56,8 +56,18 @@ def with_shingles(df: DataFrame, text_col: str, out: str = "shingles") -> DataFr
 
 
 def with_shingle_hashes(df: DataFrame, key_col: str, text_col: str = "text") -> DataFrame:
-    """(key, shingles, hs) with ONE md5-derived hash per shingle, computed in
-    a parallel stage and materialized through a shuffle barrier.
+    """(key, hs) with ONE md5-derived 60-bit hash per distinct shingle,
+    computed in a parallel stage and materialized through a shuffle barrier.
+
+    The shingle STRINGS deliberately do not survive this stage: signatures,
+    band buckets, AND exact-Jaccard verification all run on the hash arrays
+    (Jaccard over distinct shingles == Jaccard over their distinct hashes,
+    modulo 60-bit collisions; the DuckDB oracle hashes identically, so
+    parity is by construction). Downstream the pipeline shuffles compact
+    long arrays, never text — and because every consumer reads the same
+    (key, hs) projection, the barrier exchange is REUSED across the
+    signature path and both verify-join sides (ReusedExchange in the plan)
+    instead of re-executing per branch.
 
     Why the two exchanges matter (measured 3x on the LSH pipeline):
     - Catalyst's CollapseProject inlines a projected expression into every
@@ -67,8 +77,8 @@ def with_shingle_hashes(df: DataFrame, key_col: str, text_col: str = "text") -> 
     - A single small parquet file scans as ONE partition; the first
       repartition spreads the md5 work across all cores. On a real cluster
       the scan is already parallel and the first exchange is a no-op cost;
-      the barrier one shuffles (key, shingles, hs) — cheaper than
-      recomputing md5 per seed at any scale.
+      the barrier one shuffles (key, hs) — cheaper than recomputing md5 per
+      seed at any scale.
     """
     # Explicit partition count: a numberless repartition is an AQE
     # coalescing target, and tiny-but-compute-heavy partitions get merged
@@ -76,9 +86,9 @@ def with_shingle_hashes(df: DataFrame, key_col: str, text_col: str = "text") -> 
     n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
     spread = df.repartition(n, F.col(key_col))
     hashed = with_shingles(spread, text_col).withColumn(
-        "hs", F.transform("shingles", lambda s: hash64(s))
+        "hs", F.array_distinct(F.transform("shingles", lambda s: hash64(s)))
     )
-    return hashed.select(key_col, "shingles", "hs").repartition(n, F.col(key_col))
+    return hashed.select(key_col, "hs").repartition(n, F.col(key_col))
 
 
 def _affine(j: int):

@@ -32,7 +32,6 @@ from datapipeline_ops_spark.operators.dedup import (
     simhash,
     simhash_segments,
     with_shingle_hashes,
-    with_shingles,
 )
 from datapipeline_ops_spark.functions.text import tokens
 from datapipeline_ops_spark.tables import load_table
@@ -52,11 +51,24 @@ _SH_CTE = """
     )
 """
 
-_SIG_ELEMS = ", ".join(
-    f"list_min(list_transform(sh, s -> ({a} * {sql_hash64('s')} + {b}) % {MINHASH_P}))"
-    for a, b in MINHASH_AB
+# Hash arrays mirror with_shingle_hashes: shingle strings end here; every
+# downstream stage (signatures, bands, verification) works on the 60-bit
+# hashes in BOTH engines, so parity holds by construction.
+_HS_CTE = (
+    _SH_CTE
+    + f""",
+    hsv AS (
+        SELECT doc_id,
+               list_distinct(list_transform(sh, s -> {sql_hash64('s')})) AS hs
+        FROM sh
+    )
+"""
 )
-_SIG_CTE = _SH_CTE + f", sig AS (SELECT doc_id, [{_SIG_ELEMS}] AS sig FROM sh)"
+
+_SIG_ELEMS = ", ".join(
+    f"list_min(list_transform(hs, h -> ({a} * h + {b}) % {MINHASH_P}))" for a, b in MINHASH_AB
+)
+_SIG_CTE = _HS_CTE + f", sig AS (SELECT doc_id, [{_SIG_ELEMS}] AS sig FROM hsv)"
 
 _ROWS_PER_BAND = MINHASH_K // LSH_BANDS
 _BUCKET_EXPR = sql_hash64(
@@ -144,21 +156,26 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT doc_a, doc_b, round(jac, 6) AS jaccard FROM (
         SELECT doc_a, doc_b,
-               len(list_intersect(sa.sh, sb.sh)) * 1.0 /
-               (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) AS jac
-        FROM cand JOIN sh sa ON cand.doc_a = sa.doc_id
-                  JOIN sh sb ON cand.doc_b = sb.doc_id
+               len(list_intersect(sa.hs, sb.hs)) * 1.0 /
+               (len(sa.hs) + len(sb.hs) - len(list_intersect(sa.hs, sb.hs))) AS jac
+        FROM cand JOIN hsv sa ON cand.doc_a = sa.doc_id
+                  JOIN hsv sb ON cand.doc_b = sb.doc_id
     ) WHERE jac >= 0.5
     """,
 )
 def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full MinHash→LSH→verify near-dup pipeline: band buckets give candidate
     pairs via equi-join (the quadratic pair space never materializes);
-    candidates are verified with exact Jaccard on shingle arrays, τ=0.5.
+    candidates are verified with exact Jaccard on shingle-HASH arrays, τ=0.5
+    (equal to string Jaccard modulo 60-bit collisions; the oracle hashes
+    identically, so the comparison is still value-exact).
 
     Plan shape (measured 3× over the naive form): md5 shingle hashes are
     materialized once behind a shuffle barrier (with_shingle_hashes), so
-    the 8 seeds and 4 band buckets cost integer ops, not repeated md5.
+    the 8 seeds and 4 band buckets cost integer ops, not repeated md5 —
+    and because signatures AND verification read the same (doc_id, hs)
+    projection, the barrier exchange is reused across all three consumers
+    instead of recomputing the scan+md5 per branch.
     """
     d = with_shingle_hashes(load_table(spark, sf_dir, "documents"), "doc_id")
     sigs = d.withColumn("sig", minhash_signature_from_hashes(F.col("hs")))
@@ -176,11 +193,10 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    sh = d.select(F.col("doc_id"), F.col("shingles"))
     verified = (
-        cand.join(sh.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("shingles", "sh_a"), "doc_a")
-        .join(sh.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("shingles", "sh_b"), "doc_b")
-        .withColumn("jac", jaccard(F.col("sh_a"), F.col("sh_b")))
+        cand.join(d.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("hs", "hs_a"), "doc_a")
+        .join(d.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("hs", "hs_b"), "doc_b")
+        .withColumn("jac", jaccard(F.col("hs_a"), F.col("hs_b")))
         .filter(F.col("jac") >= 0.5)
     )
     return verified.select("doc_a", "doc_b", F.round("jac", 6).alias("jaccard"))
@@ -189,15 +205,15 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "ngram_jaccard_pairs",
     oracle="WITH "
-    + _SH_CTE
+    + _HS_CTE
     + """,
-    ex AS (SELECT doc_id, unnest(sh) AS s FROM sh),
+    ex AS (SELECT doc_id, unnest(hs) AS s FROM hsv),
     inter AS (
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
         FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
         GROUP BY 1, 2
     ),
-    sizes AS (SELECT doc_id, len(sh) AS n FROM sh)
+    sizes AS (SELECT doc_id, len(hs) AS n FROM hsv)
     SELECT doc_a, doc_b, round(n_inter * 1.0 / (sa.n + sb.n - n_inter), 6) AS jaccard
     FROM inter JOIN sizes sa ON doc_a = sa.doc_id JOIN sizes sb ON doc_b = sb.doc_id
     WHERE n_inter * 1.0 / (sa.n + sb.n - n_inter) >= 0.5
@@ -205,18 +221,19 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact all-pairs n-gram Jaccard via the inverted-index join (explode
-    shingles, equi-join on shingle, count intersections) — the scalable exact
-    algorithm: work is proportional to shared-shingle pairs, not |docs|².
+    shingle hashes, equi-join on the 8-byte hash — cheaper shuffle keys than
+    strings — count intersections) — the scalable exact algorithm: work is
+    proportional to shared-shingle pairs, not |docs|².
     """
     d = with_shingle_hashes(load_table(spark, sf_dir, "documents"), "doc_id")
-    ex = d.select("doc_id", F.explode("shingles").alias("s"))
+    ex = d.select("doc_id", F.explode("hs").alias("s"))
     inter = (
         ex.alias("a")
         .join(ex.alias("b"), (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
         .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .agg(F.count(F.lit(1)).alias("n_inter"))
     )
-    sizes = d.select("doc_id", F.size("shingles").alias("n"))
+    sizes = d.select("doc_id", F.size("hs").alias("n"))
     return (
         inter.join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "n_a"), "doc_a")
         .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "n_b"), "doc_b")
@@ -333,10 +350,10 @@ _VERIFIED_PAIRS_CTE = (
     pairs AS (
         SELECT doc_a, doc_b FROM (
             SELECT doc_a, doc_b,
-                   len(list_intersect(sa.sh, sb.sh)) * 1.0 /
-                   (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) AS jac
-            FROM cand JOIN sh sa ON cand.doc_a = sa.doc_id
-                      JOIN sh sb ON cand.doc_b = sb.doc_id
+                   len(list_intersect(sa.hs, sb.hs)) * 1.0 /
+                   (len(sa.hs) + len(sb.hs) - len(list_intersect(sa.hs, sb.hs))) AS jac
+            FROM cand JOIN hsv sa ON cand.doc_a = sa.doc_id
+                      JOIN hsv sb ON cand.doc_b = sb.doc_id
         ) WHERE jac >= 0.5
     ),
     edges AS (SELECT doc_a AS s, doc_b AS d FROM pairs
