@@ -232,3 +232,89 @@ def value_percentiles_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n",
         )
     )
+
+
+@query(
+    "ntile_price_quartiles",
+    oracle="""
+    SELECT quartile, count(*) AS n, round(min(o_totalprice), 2) AS lo,
+           round(max(o_totalprice), 2) AS hi
+    FROM (
+        SELECT o_totalprice,
+               ntile(4) OVER (ORDER BY o_totalprice, o_orderkey) AS quartile
+        FROM orders
+    )
+    GROUP BY quartile
+    """,
+)
+def ntile_price_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quartile bucketing via ntile with a deterministic total order
+    (price, then key — unordered ties would make bucket membership
+    partition-dependent). The global window sorts everything through one
+    task; at 100 TB use value_percentiles_by_type's percentile cutpoints +
+    a width_bucket-style join instead — this form is for bounded frames.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    return (
+        o.withColumn("quartile", F.ntile(4).over(w))
+        .groupBy("quartile")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("o_totalprice"), 2).alias("lo"),
+            F.round(F.max("o_totalprice"), 2).alias("hi"),
+        )
+    )
+
+
+@query(
+    "price_stats_by_flag",
+    oracle="""
+    SELECT l_returnflag,
+           round(avg(l_extendedprice), 4)         AS mean_price,
+           round(stddev_samp(l_extendedprice), 4) AS sd_price,
+           round(corr(l_quantity, l_extendedprice), 6) AS qty_price_corr,
+           count(*) AS n
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def price_stats_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates (sample stddev, Pearson correlation) per
+    group — distribution diagnostics for threshold tuning. All are
+    single-pass partial-aggregatable moments (sum, sum², sum-of-products),
+    so the shuffle carries a handful of accumulators per group regardless
+    of input size.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.avg("l_extendedprice"), 4).alias("mean_price"),
+        F.round(F.stddev_samp("l_extendedprice"), 4).alias("sd_price"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("qty_price_corr"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@query(
+    "orders_by_weekday",
+    oracle="""
+    SELECT CAST(isodow(o_orderdate) - 1 AS INT) AS weekday,
+           count(*) AS n_orders,
+           round(avg(o_totalprice), 4) AS avg_price
+    FROM orders
+    GROUP BY 1
+    """,
+)
+def orders_by_weekday(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order volume by day-of-week (0=Monday — Spark's `weekday`; the
+    oracle uses isodow-1, since the engines' default day numbering
+    differs). Calendar-function parity is exactly the kind of cross-engine
+    trap the oracle gate exists to catch."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy(F.weekday("o_orderdate").alias("weekday"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.avg("o_totalprice"), 4).alias("avg_price"),
+        )
+    )
