@@ -136,3 +136,66 @@ def fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             dist.alias("dist"),
         )
     )
+
+
+@query(
+    "monthly_spine_gap_fill",
+    oracle="""
+    WITH bounds AS (
+        SELECT CAST(date_trunc('month', min(o_orderdate)) AS DATE) AS lo,
+               CAST(date_trunc('month', max(o_orderdate)) AS DATE) AS hi
+        FROM orders
+    ),
+    spine AS (
+        SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 MONTH)) AS DATE) AS month
+        FROM bounds
+    ),
+    actual AS (
+        SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+               count(*) AS n_orders, round(sum(o_totalprice), 2) AS revenue
+        FROM orders
+        WHERE o_orderpriority = '1-URGENT' AND o_totalprice > 450000
+        GROUP BY 1
+    )
+    SELECT s.month AS month,
+           COALESCE(a.n_orders, 0) AS n_orders,
+           COALESCE(a.revenue, 0.0) AS revenue
+    FROM spine s LEFT JOIN actual a ON s.month = a.month
+    """,
+)
+def monthly_spine_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filled monthly series: months with NO qualifying orders appear as
+    explicit zero rows (dashboards and trend models need the holes). The
+    spine is `sequence(min_month, max_month, interval 1 month)` exploded
+    from a single-row bounds aggregate, then left-joined to the sparse
+    actuals — both sides of that join are at most a few hundred rows at any
+    data scale, so the broadcast is free; the only real work is the
+    pre-aggregation, which partial-aggregates before its shuffle.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    month = F.date_trunc("month", "o_orderdate").cast("date")
+    bounds = o.agg(
+        F.min(month).alias("lo"), F.max(month).alias("hi")
+    )
+    spine = bounds.select(
+        F.explode(
+            F.sequence(
+                F.col("lo").cast("timestamp"),
+                F.col("hi").cast("timestamp"),
+                F.expr("INTERVAL 1 MONTH"),
+            )
+        ).alias("month_ts")
+    ).select(F.col("month_ts").cast("date").alias("month"))
+    actual = (
+        o.filter((F.col("o_orderpriority") == "1-URGENT") & (F.col("o_totalprice") > 450000))
+        .groupBy(month.alias("month"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+    )
+    return spine.join(actual, "month", "left").select(
+        "month",
+        F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+        F.coalesce("revenue", F.lit(0.0)).alias("revenue"),
+    )

@@ -197,3 +197,60 @@ def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = run_stream_to_table(agg, output_mode="complete")
     return out.select("event_type", "segment", "n", "total")
+
+
+@query(
+    "stream_stream_click_purchase",
+    oracle="""
+    SELECT c.event_id AS click_id, p.event_id AS purchase_id, c.user_id,
+           CAST(date_diff('second', c.ts, p.ts) AS BIGINT) AS gap_s
+    FROM events c JOIN events p
+      ON c.user_id = p.user_id
+     AND c.event_type = 'click' AND p.event_type = 'purchase'
+     AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+    """,
+)
+def stream_stream_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join: each click joins the same user's purchases
+    within the following 30 minutes. BOTH sides declare watermarks and the
+    join carries an explicit time-bound — that pair is what lets the state
+    store evict: a buffered click can be dropped once the purchase-side
+    watermark passes click.ts + 30min. Without the bound, both sides buffer
+    forever (Spark rejects append-mode stream-stream joins lacking it).
+    State partitions by user_id (the equi-key); the finite drain emits the
+    exact batch join, which the oracle replays as a self-join.
+    """
+    clicks = (
+        events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "1 hour")
+    )
+    purchases = (
+        events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "1 hour")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 30 MINUTES")),
+        "inner",
+    )
+    out = run_stream_to_table(joined, output_mode="append")
+    return out.select(
+        "click_id",
+        "purchase_id",
+        "user_id",
+        (F.col("purchase_ts").cast("long") - F.col("click_ts").cast("long")).alias("gap_s"),
+    )
