@@ -188,6 +188,22 @@ def _(qs, spark):
     assert "props" not in cols and "ts" not in cols, cols
 
 
+@check("monthly_spine_gap_fill: spine join broadcasts, orders pruned")
+def _(qs, spark):
+    plan = plan_of(qs["monthly_spine_gap_fill"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan, "tiny spine/actuals join not broadcast"
+    cols = read_schema_cols(plan, "orders")
+    assert cols <= {"o_orderdate", "o_orderpriority", "o_totalprice"}, cols
+
+
+@check("price_stats_by_flag: single-pass moments with partial agg")
+def _(qs, spark):
+    plan = plan_of(qs["price_stats_by_flag"](spark, SF_DIR))
+    assert "partial_" in plan, "no map-side partial aggregation"
+    cols = read_schema_cols(plan, "lineitem")
+    assert cols <= {"l_returnflag", "l_extendedprice", "l_quantity"}, cols
+
+
 def main() -> int:
     import __spark_entry__ as entry_mod
     from datapipeline_ops_spark.session import get_spark
