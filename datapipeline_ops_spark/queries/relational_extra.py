@@ -318,3 +318,91 @@ def orders_by_weekday(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("o_totalprice"), 4).alias("avg_price"),
         )
     )
+
+
+@query(
+    "overlapping_order_windows",
+    oracle="""
+    WITH w AS (
+        SELECT o_orderkey, o_custkey, o_orderdate AS s,
+               o_orderdate + INTERVAL 7 DAY AS e
+        FROM orders
+    )
+    SELECT a.o_custkey AS custkey, a.o_orderkey AS key_a, b.o_orderkey AS key_b,
+           CAST(date_diff('second',
+                          CASE WHEN a.s > b.s THEN a.s ELSE b.s END,
+                          CASE WHEN a.e < b.e THEN a.e ELSE b.e END) AS BIGINT)
+               AS overlap_s
+    FROM w a JOIN w b
+      ON a.o_custkey = b.o_custkey AND a.o_orderkey < b.o_orderkey
+     AND a.s <= b.e AND b.s <= a.e
+    """,
+)
+def overlapping_order_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-OVERLAP self-join: pairs of the same customer's orders whose
+    7-day windows intersect, with the overlap length. The equi-key
+    (customer) partitions the join; the overlap predicate is a residual
+    theta condition evaluated inside each key group — the scalable form of
+    interval joins when a natural partition key exists (without one, use
+    the bucket-expansion pattern of range_join_value_bands).
+    """
+    o = load_table(spark, sf_dir, "orders")
+    w = o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.col("o_orderdate").alias("s"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 7 DAYS")).alias("e"),
+    )
+    a, b = w.alias("a"), w.alias("b")
+    # o_orderdate reads as TIMESTAMP_NTZ; NTZ won't cast straight to long —
+    # hop through TIMESTAMP (identity under the UTC session timezone).
+    overlap_s = (
+        F.least(F.col("a.e"), F.col("b.e")).cast("timestamp").cast("long")
+        - F.greatest(F.col("a.s"), F.col("b.s")).cast("timestamp").cast("long")
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.o_custkey") == F.col("b.o_custkey"))
+            & (F.col("a.o_orderkey") < F.col("b.o_orderkey"))
+            & (F.col("a.s") <= F.col("b.e"))
+            & (F.col("b.s") <= F.col("a.e")),
+        )
+        .select(
+            F.col("a.o_custkey").alias("custkey"),
+            F.col("a.o_orderkey").alias("key_a"),
+            F.col("b.o_orderkey").alias("key_b"),
+            overlap_s.alias("overlap_s"),
+        )
+    )
+
+
+@query(
+    "brand_size_rank",
+    oracle="""
+    WITH g AS (
+        SELECT p_brand, p_size, count(*) AS n_parts FROM part GROUP BY 1, 2
+    )
+    SELECT p_brand, p_size,
+           CAST(rank() OVER w AS INT) AS rnk,
+           CAST(dense_rank() OVER w AS INT) AS drnk,
+           n_parts
+    FROM g
+    WINDOW w AS (PARTITION BY p_brand ORDER BY p_size DESC)
+    """,
+)
+def brand_size_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank vs dense_rank with REAL ties (many parts share a size within a
+    brand): tied rows get equal rank, and both rank flavors are functions of
+    the VALUE alone, so the result is deterministic under any partitioning —
+    unlike row_number, which would need a tiebreak column."""
+    p = load_table(spark, sf_dir, "part")
+    grouped = p.groupBy("p_brand", "p_size").agg(F.count(F.lit(1)).alias("n_parts"))
+    w = Window.partitionBy("p_brand").orderBy(F.desc("p_size"))
+    return grouped.select(
+        "p_brand",
+        "p_size",
+        F.rank().over(w).cast("int").alias("rnk"),
+        F.dense_rank().over(w).cast("int").alias("drnk"),
+        "n_parts",
+    )
