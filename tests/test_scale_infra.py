@@ -136,3 +136,28 @@ def test_output_file_count_is_controlled(spark, tmp_path):
     files = [f for f in os.listdir(out) if f.endswith(".parquet")]
     assert len(files) == 2, files
     assert spark.read.parquet(out).count() == li.count()
+
+
+def test_observe_metrics_without_second_scan(spark):
+    """`df.observe` collects pipeline health metrics (row counts, null
+    tallies, sums) as a side product of the ONE action that runs the
+    query — at 100 TB you cannot afford a second scan just to know how many
+    rows a filter dropped."""
+    from pyspark.sql import Observation
+
+    li = load_table(spark, SF, "lineitem")
+    obs = Observation("pipeline_metrics")
+    out = (
+        li.observe(
+            obs,
+            F.count(F.lit(1)).alias("rows_in"),
+            F.sum(F.col("l_quantity")).alias("qty_in"),
+            F.count(F.when(F.col("l_shipdate").isNull(), 1)).alias("null_shipdates"),
+        )
+        .filter(F.col("l_quantity") >= 45.0)
+        .count()
+    )
+    m = obs.get
+    assert m["rows_in"] == li.count()
+    assert m["null_shipdates"] == 0
+    assert out < m["rows_in"]

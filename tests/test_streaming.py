@@ -102,3 +102,46 @@ def test_foreach_batch_idempotent_sink(spark, two_batch_dir):
     run_stream_foreach_batch(sdf, write_batch, output_mode="append")
     assert len(written) == 2, written  # maxFilesPerTrigger=1 → one batch per file
     assert sum(written.values()) == spark.read.parquet(two_batch_dir).count()
+
+
+def test_checkpoint_resume_processes_only_new_files(spark, tmp_path, two_batch_dir):
+    """Restart with the same checkpointLocation resumes from the recorded
+    offset: after draining both files, re-running with ONE new file appended
+    processes only that file (the incremental-restart contract a 100 TB
+    continuous-ingest pipeline relies on)."""
+    import pyspark.sql.functions as F
+    from datapipeline_ops_spark.streaming.ops import run_stream_foreach_batch
+
+    ckpt = str(tmp_path / "ckpt")
+    schema = spark.read.parquet(two_batch_dir).schema
+    seen: list[int] = []
+
+    def drain():
+        sdf = spark.readStream.schema(schema).parquet(two_batch_dir)
+        q = (
+            sdf.writeStream.foreachBatch(lambda b, bid: seen.append(b.count()))
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    drain()
+    first_total = sum(seen)
+    assert first_total == spark.read.parquet(two_batch_dir).count()
+
+    # one NEW file lands; resume must process exactly its rows, nothing else
+    extra = spark.createDataFrame([("2024-01-01 13:00:00",)], ["ts_str"]).select(
+        F.to_timestamp("ts_str").alias("ts")
+    )
+    tmp_out = tmp_path / "extra"
+    extra.coalesce(1).write.mode("overwrite").parquet(str(tmp_out))
+    import os, shutil
+
+    part = [f for f in os.listdir(tmp_out) if f.endswith(".parquet")][0]
+    shutil.copyfile(tmp_out / part, os.path.join(two_batch_dir, "zzz_new.parquet"))
+
+    seen.clear()
+    drain()
+    assert sum(seen) == 1, seen
