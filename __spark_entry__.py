@@ -16,8 +16,13 @@ from datapipeline_ops_spark.queries import QUERIES
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    return QUERIES["pricing_summary"].fn(spark, "/root/testdata/sf0.001")
+    """Flagship query on /root/testdata/sf0.001; driver checks rows>0.
+
+    The flagship is the full corpus-curation funnel (quality gate -> exact
+    dedup -> MinHash/LSH near-dup clusters -> keeper per cluster) — the
+    engine's core 100 TB use case composed end-to-end.
+    """
+    return QUERIES["corpus_curation_e2e"].fn(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -43,6 +43,8 @@ HEADLINE = [
     "sessionize_events",    # gaps-and-islands: 2 windows + agg on 1 exchange
     "customer_order_histogram",   # outer join + double aggregation
     "label_centroids",      # vector explode + partial-agg centroid matrix
+    "promo_revenue_share",  # fact-dim broadcast join + conditional agg
+    "corpus_curation_e2e",  # quality gate -> exact dedup -> near-dup clusters
 ]
 
 

@@ -40,50 +40,68 @@ from datapipeline_ops_spark.tables import load_table
 # Shared oracle CTEs
 # ---------------------------------------------------------------------------
 
-_SH_CTE = """
+def _sh_cte(rel: str = "documents") -> str:
+    """Shingle CTE over any relation exposing (doc_id, text)."""
+    return f"""
     sh AS (
         SELECT doc_id, list_distinct(
             CASE WHEN len(t) >= 3
                  THEN list_transform(generate_series(1, len(t) - 2),
                                      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
                  ELSE [text] END) AS sh
-        FROM (SELECT doc_id, text, regexp_split_to_array(text, '\\s+') AS t FROM documents)
+        FROM (SELECT doc_id, text, regexp_split_to_array(text, '\\s+') AS t FROM {rel})
     )
 """
+
+
+_SH_CTE = _sh_cte()
+
 
 # Hash arrays mirror with_shingle_hashes: shingle strings end here; every
 # downstream stage (signatures, bands, verification) works on the 60-bit
 # hashes in BOTH engines, so parity holds by construction.
-_HS_CTE = (
-    _SH_CTE
-    + f""",
+def _hs_cte(rel: str = "documents") -> str:
+    return (
+        _sh_cte(rel)
+        + f""",
     hsv AS (
         SELECT doc_id,
                list_distinct(list_transform(sh, s -> {sql_hash64('s')})) AS hs
         FROM sh
     )
 """
-)
+    )
+
+
+_HS_CTE = _hs_cte()
 
 _SIG_ELEMS = ", ".join(
     f"list_min(list_transform(hs, h -> ({a} * h + {b}) % {MINHASH_P}))" for a, b in MINHASH_AB
 )
-_SIG_CTE = _HS_CTE + f", sig AS (SELECT doc_id, [{_SIG_ELEMS}] AS sig FROM hsv)"
+def _sig_cte(rel: str = "documents") -> str:
+    return _hs_cte(rel) + f", sig AS (SELECT doc_id, [{_SIG_ELEMS}] AS sig FROM hsv)"
+
+
+_SIG_CTE = _sig_cte()
 
 _ROWS_PER_BAND = MINHASH_K // LSH_BANDS
 _BUCKET_EXPR = sql_hash64(
     "CAST(b.band AS VARCHAR) || ':' || "
     + " || ':' || ".join(f"CAST(sig[{_ROWS_PER_BAND} * b.band + {r + 1}] AS VARCHAR)" for r in range(_ROWS_PER_BAND))
 )
-_BANDS_CTE = (
-    _SIG_CTE
-    + f""",
+def _bands_cte(rel: str = "documents") -> str:
+    return (
+        _sig_cte(rel)
+        + f""",
     bands AS (
         SELECT doc_id, b.band AS band, {_BUCKET_EXPR} AS bucket
         FROM sig, LATERAL (SELECT unnest(generate_series(0, {LSH_BANDS - 1})) AS band) AS b
     )
 """
-)
+    )
+
+
+_BANDS_CTE = _bands_cte()
 
 
 @query(
@@ -178,6 +196,12 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     the scan+md5 per branch.
     """
     d = with_shingle_hashes(load_table(spark, sf_dir, "documents"), "doc_id")
+    return _lsh_verified_pairs(d)
+
+
+def _lsh_verified_pairs(d: DataFrame, tau: float = 0.5) -> DataFrame:
+    """sign → band → candidate equi-join → exact-Jaccard verify, over a
+    barriered (doc_id, hs) frame from :func:`with_shingle_hashes`."""
     sigs = d.withColumn("sig", minhash_signature_from_hashes(F.col("hs")))
     bands = sigs.select(
         "doc_id", F.explode(lsh_band_buckets(F.col("sig"))).alias("bb")
@@ -197,7 +221,7 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         cand.join(d.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("hs", "hs_a"), "doc_a")
         .join(d.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("hs", "hs_b"), "doc_b")
         .withColumn("jac", jaccard(F.col("hs_a"), F.col("hs_b")))
-        .filter(F.col("jac") >= 0.5)
+        .filter(F.col("jac") >= tau)
     )
     return verified.select("doc_a", "doc_b", F.round("jac", 6).alias("jaccard"))
 
@@ -342,6 +366,36 @@ def simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select("doc_a", "doc_b", "hamming")
 
 
+def _verified_pairs_cte(rel: str = "documents") -> str:
+    return (
+        _bands_cte(rel)
+        + """,
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
+                                  AND a.doc_id < b.doc_id
+    ),
+    pairs AS (
+        SELECT doc_a, doc_b FROM (
+            SELECT doc_a, doc_b,
+                   len(list_intersect(sa.hs, sb.hs)) * 1.0 /
+                   (len(sa.hs) + len(sb.hs) - len(list_intersect(sa.hs, sb.hs))) AS jac
+            FROM cand JOIN hsv sa ON cand.doc_a = sa.doc_id
+                      JOIN hsv sb ON cand.doc_b = sb.doc_id
+        ) WHERE jac >= 0.5
+    ),
+    edges AS (SELECT doc_a AS s, doc_b AS d FROM pairs
+              UNION SELECT doc_b, doc_a FROM pairs),
+    nodes AS (SELECT DISTINCT s AS doc_id FROM edges),
+    reach AS (
+        SELECT doc_id, doc_id AS label FROM nodes
+        UNION
+        SELECT e.d AS doc_id, r.label FROM reach r JOIN edges e ON e.s = r.doc_id
+    )
+"""
+    )
+
+
 _VERIFIED_PAIRS_CTE = (
     _BANDS_CTE
     + """,
@@ -391,3 +445,69 @@ def neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = minhash_lsh_pairs(spark, sf_dir)
     cc = connected_components(pairs, "doc_a", "doc_b")
     return cc.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
+
+
+@query(
+    "corpus_curation_e2e",
+    oracle="WITH RECURSIVE q AS ("
+    "    SELECT doc_id, text, lang, source FROM documents"
+    "    WHERE len(regexp_split_to_array(text, '\\s+')) >= 10"
+    "), e AS ("
+    "    SELECT doc_id, text, lang, source FROM ("
+    "        SELECT *, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn FROM q"
+    "    ) WHERE rn = 1"
+    "), "
+    + _verified_pairs_cte("e")
+    + """,
+    clusters AS (SELECT doc_id, min(label) AS cluster_id FROM reach GROUP BY doc_id)
+    SELECT e.doc_id, e.lang, e.source
+    FROM e LEFT JOIN clusters c ON e.doc_id = c.doc_id
+    WHERE c.doc_id IS NULL OR c.cluster_id = e.doc_id
+    """,
+)
+def corpus_curation_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full training-corpus curation funnel as ONE composed pipeline —
+    the operation a 100 TB pretraining-data build runs end-to-end:
+
+    1. **quality gate** (n_tokens >= 10): a pushable scan predicate; junk
+       never reaches the expensive stages;
+    2. **exact dedup** with deterministic keeper (min doc_id per md5(text)):
+       one shuffle on a 16-byte key;
+    3. **near-dup dedup**: MinHash → LSH bands → verified Jaccard >= 0.5 →
+       connected components → keep only each cluster's min-id member
+       (singletons keep themselves via the left anti pattern).
+
+    Funnel ordering is the optimization: every stage strictly shrinks the
+    input of the costlier next stage (the reference pipelines use the same
+    cheap-first discipline, `pipeline/video_extract_frame.py:332-346`).
+    The oracle replays all three stages in DuckDB, with the component step
+    as a recursive CTE — so the iterative distributed clustering is
+    value-checked against exact reachability on the same funnel.
+    """
+    from datapipeline_ops_spark.functions.text import tokens
+    from datapipeline_ops_spark.operators.dedup import connected_components
+
+    docs = load_table(spark, sf_dir, "documents")
+    q = docs.filter(F.size(tokens(F.col("text"))) >= 10)
+    w = Window.partitionBy(F.md5(F.col("text").cast("binary"))).orderBy("doc_id")
+    from pyspark import StorageLevel
+
+    # e feeds two consumers (shingle hashing AND the final keeper join);
+    # persist so the scan + md5-window shuffle run once, same rationale as
+    # the with_shingle_hashes barrier.
+    e = (
+        q.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "text", "lang", "source")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    d = with_shingle_hashes(e, "doc_id")
+    pairs = _lsh_verified_pairs(d)
+    clusters = connected_components(pairs, "doc_a", "doc_b").select(
+        F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
+    )
+    kept = (
+        e.join(clusters, "doc_id", "left")
+        .filter(F.col("cluster_id").isNull() | (F.col("cluster_id") == F.col("doc_id")))
+    )
+    return kept.select("doc_id", "lang", "source")

@@ -406,3 +406,75 @@ def brand_size_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.dense_rank().over(w).cast("int").alias("drnk"),
         "n_parts",
     )
+
+
+@query(
+    "promo_revenue_share",
+    oracle="""
+    SELECT CAST(date_trunc('month', l_shipdate) AS DATE) AS month,
+           round(100.0 * sum(CASE WHEN p_type = 'PROMO'
+                                  THEN l_extendedprice * (1 - l_discount)
+                                  ELSE 0 END)
+                 / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_share,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    GROUP BY 1
+    """,
+)
+def promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q14-shaped promo-revenue ratio per ship month: fact-dim join +
+    conditional aggregation over the joined row.
+
+    Scale shape: `part` is the small side and broadcasts (pruned to two
+    columns before the exchange), so lineitem is scanned once and never
+    shuffled for the join; the month group-by partial-aggregates map-side
+    to ~|months| rows. The CASE lives inside the sum — one pass, no second
+    join or self-union for the promo subset.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .groupBy(F.date_trunc("month", "l_shipdate").cast("date").alias("month"))
+        .agg(
+            F.round(
+                100.0
+                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0))
+                / F.sum(rev),
+                4,
+            ).alias("promo_share"),
+            F.round(F.sum(rev), 2).alias("total_revenue"),
+        )
+    )
+
+
+@query(
+    "idle_big_balance_customers",
+    oracle="""
+    SELECT c_custkey, c_name, round(c_acctbal, 2) AS acctbal
+    FROM customer
+    WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
+      AND NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey AND o_orderstatus = 'O')
+    """,
+)
+def idle_big_balance_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q22-shaped audit: above-average-balance customers with no OPEN
+    orders (dormant high-value accounts).
+
+    The scalar subquery (global avg over positive balances) is a one-row
+    aggregate broadcast into the filter; the NOT EXISTS is a LEFT ANTI join
+    on the customer key — Spark's anti-join never materializes the matched
+    payload, so the orders side is reduced to its join column at the scan.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "O")
+        .select("o_custkey")
+    )
+    avg_bal = c.filter(F.col("c_acctbal") > 0).agg(F.avg("c_acctbal").alias("avg_bal"))
+    rich = c.join(F.broadcast(avg_bal)).filter(F.col("c_acctbal") > F.col("avg_bal"))
+    idle = rich.join(o, rich["c_custkey"] == o["o_custkey"], "left_anti")
+    return idle.select("c_custkey", "c_name", F.round("c_acctbal", 2).alias("acctbal"))

@@ -110,3 +110,39 @@ def test_greedy_is_order_dependent_not_orderfree(spark):
     fwd = _greedy_python(keys)
     rev = _greedy_python(list(reversed(keys)))
     assert sorted(fwd) != sorted(rev)
+
+
+def test_corpus_curation_funnel_invariants(spark):
+    """The curation output must be (a) a subset of the exact-dedup keepers,
+    (b) contain at most one member per near-dup cluster, and (c) drop every
+    below-threshold-quality doc."""
+    import pyspark.sql.functions as F
+
+    from datapipeline_ops_spark.queries.dedup import (
+        corpus_curation_e2e,
+        dedup_exact_keepers,
+    )
+    from datapipeline_ops_spark.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    kept = {r.doc_id for r in corpus_curation_e2e(spark, sf).collect()}
+    keepers = {r.doc_id for r in dedup_exact_keepers(spark, sf).collect()}
+    assert kept <= keepers
+
+    docs = load_table(spark, sf, "documents")
+    short = {
+        r.doc_id
+        for r in docs.filter(F.size(F.split("text", r"\s+")) < 10).collect()
+    }
+    assert not (kept & short)
+
+    # band buckets depend only on a doc's own shingles, so any VERIFIED
+    # near-dup pair whose two endpoints both pass the quality gate is also
+    # found by the post-filter funnel — both endpoints surviving means the
+    # keeper step failed. (Cluster-level comparison would be unsound: a
+    # full-corpus cluster can bridge two funnel clusters through a
+    # quality-dropped doc.)
+    from datapipeline_ops_spark.queries.dedup import minhash_lsh_pairs
+
+    for r in minhash_lsh_pairs(spark, sf).collect():
+        assert not (r.doc_a in kept and r.doc_b in kept), (r.doc_a, r.doc_b)
