@@ -204,6 +204,30 @@ def _(qs, spark):
     assert cols <= {"l_returnflag", "l_extendedprice", "l_quantity"}, cols
 
 
+@check("promo_revenue_share: part broadcasts pruned to 2 cols, partial agg")
+def _(qs, spark):
+    plan = plan_of(qs["promo_revenue_share"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan, "part dim not broadcast"
+    assert "partial_" in plan, "no map-side partial aggregation"
+    cols = read_schema_cols(plan, "part")
+    assert cols <= {"p_partkey", "p_type"}, cols
+
+
+@check("idle_big_balance_customers: anti join, orders pruned to key+status")
+def _(qs, spark):
+    plan = plan_of(qs["idle_big_balance_customers"](spark, SF_DIR))
+    assert "LeftAnti" in plan, "NOT EXISTS did not plan as anti join"
+    cols = read_schema_cols(plan, "orders")
+    assert cols <= {"o_custkey", "o_orderstatus"}, cols
+
+
+@check("corpus_curation_e2e: no cross product anywhere in the funnel")
+def _(qs, spark):
+    plan = plan_of(qs["corpus_curation_e2e"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert "InMemoryTableScan" in plan, "persist barriers missing from plan"
+
+
 def main() -> int:
     import __spark_entry__ as entry_mod
     from datapipeline_ops_spark.session import get_spark
