@@ -33,6 +33,14 @@ from datapipeline_ops_spark.functions.text import shingles
 MINHASH_K = 8
 LSH_BANDS = 4  # k/bands rows per band
 SIMHASH_BITS = 16
+# Bucket-size cap for LSH candidate generation: a degenerate bucket (all
+# boilerplate docs hashing identically) of size m contributes m^2/2 pairs —
+# the first thing that breaks at 100 TB. Docs in a bucket larger than the
+# cap are skipped FOR THAT BUCKET only (they still pair through their other
+# bands, and true near-dups of boilerplate also collide in non-degenerate
+# buckets). The oracle applies the identical cap, so the gate stays
+# value-exact.
+LSH_MAX_BUCKET = 64
 
 # Affine MinHash re-hash: sig_j = min over shingles of (A_j*h + B_j) mod P,
 # where h = hash64(shingle) is computed ONCE (md5 is the expensive part —

@@ -21,6 +21,7 @@ from datapipeline_ops_spark.core.registry import query
 from datapipeline_ops_spark.functions.hashing import sql_hash64
 from datapipeline_ops_spark.operators.dedup import (
     LSH_BANDS,
+    LSH_MAX_BUCKET,
     MINHASH_AB,
     MINHASH_K,
     MINHASH_P,
@@ -90,12 +91,19 @@ _BUCKET_EXPR = sql_hash64(
     + " || ':' || ".join(f"CAST(sig[{_ROWS_PER_BAND} * b.band + {r + 1}] AS VARCHAR)" for r in range(_ROWS_PER_BAND))
 )
 def _bands_cte(rel: str = "documents") -> str:
+    # bands applies the same bucket-size cap as _lsh_verified_pairs, so the
+    # oracle and the engine skip identical degenerate buckets.
     return (
         _sig_cte(rel)
         + f""",
-    bands AS (
+    bands_raw AS (
         SELECT doc_id, b.band AS band, {_BUCKET_EXPR} AS bucket
         FROM sig, LATERAL (SELECT unnest(generate_series(0, {LSH_BANDS - 1})) AS band) AS b
+    ),
+    bands AS (
+        SELECT doc_id, band, bucket FROM (
+            SELECT *, count(*) OVER (PARTITION BY band, bucket) AS bsz FROM bands_raw
+        ) WHERE bsz <= {LSH_MAX_BUCKET}
     )
 """
     )
@@ -200,21 +208,49 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _lsh_verified_pairs(d: DataFrame, tau: float = 0.5) -> DataFrame:
-    """sign → band → candidate equi-join → exact-Jaccard verify, over a
-    barriered (doc_id, hs) frame from :func:`with_shingle_hashes`."""
+    """sign → band → bucket-group pair generation (with size cap) →
+    exact-Jaccard verify, over a barriered (doc_id, hs) frame from
+    :func:`with_shingle_hashes`.
+
+    Candidates come from ONE aggregation on (band, bucket) — collect the
+    bucket's members and emit in-array ordered pairs — instead of a
+    self-join: a self-join reads the band frame twice, and AQE's broadcast
+    conversion recomputes the branch per side (with_shingle_hashes failure
+    mode), while the groupBy shuffles it once.
+
+    The size filter is the quadratic-blowup guard (SCALE.md failure mode
+    #1): a boilerplate bucket of size m would emit m²/2 candidates; buckets
+    above ``LSH_MAX_BUCKET`` are dropped (their docs still pair through
+    their other bands). Degenerate buckets do materialize their member
+    array before the filter — collect_list aggregation spills under the
+    sort-based fallback, so a pathological bucket costs disk, not an OOM,
+    and is discarded immediately."""
     sigs = d.withColumn("sig", minhash_signature_from_hashes(F.col("hs")))
     bands = sigs.select(
         "doc_id", F.explode(lsh_band_buckets(F.col("sig"))).alias("bb")
     ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    buckets = (
+        bands.groupBy("band", "bucket")
+        .agg(F.collect_list("doc_id").alias("ids"))
+        .filter(F.size("ids").between(2, LSH_MAX_BUCKET))
+    )
     cand = (
-        bands.alias("a")
-        .join(
-            bands.alias("b"),
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        buckets.select(
+            F.explode(
+                F.filter(
+                    F.flatten(
+                        F.transform(
+                            "ids",
+                            lambda a: F.transform(
+                                "ids", lambda b: F.struct(a.alias("doc_a"), b.alias("doc_b"))
+                            ),
+                        )
+                    ),
+                    lambda s: s.doc_a < s.doc_b,
+                )
+            ).alias("p")
         )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .select("p.doc_a", "p.doc_b")
         .distinct()
     )
     verified = (

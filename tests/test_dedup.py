@@ -146,3 +146,24 @@ def test_corpus_curation_funnel_invariants(spark):
 
     for r in minhash_lsh_pairs(spark, sf).collect():
         assert not (r.doc_a in kept and r.doc_b in kept), (r.doc_a, r.doc_b)
+
+
+def test_lsh_bucket_cap_skips_degenerate_buckets(spark):
+    """70 identical boilerplate docs put every one of their band buckets over
+    LSH_MAX_BUCKET — the quadratic 70*69/2 candidate set must NOT be emitted.
+    A genuine near-dup pair in healthy buckets still comes through. (In the
+    curation funnel exact dedup runs first, so degenerate exact-dup buckets
+    never even reach LSH; the cap guards against shared boilerplate.)"""
+    from datapipeline_ops_spark.operators.dedup import LSH_MAX_BUCKET, with_shingle_hashes
+    from datapipeline_ops_spark.queries.dedup import _lsh_verified_pairs
+
+    boiler = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [(i, boiler) for i in range(LSH_MAX_BUCKET + 6)]
+    rows += [
+        (1000, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+        (1001, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    pairs = {(r.doc_a, r.doc_b) for r in _lsh_verified_pairs(with_shingle_hashes(df, "doc_id")).collect()}
+    assert (1000, 1001) in pairs, "healthy near-dup pair lost"
+    assert all(a >= 1000 for a, _ in pairs), f"degenerate bucket emitted pairs: {sorted(pairs)[:5]}"
