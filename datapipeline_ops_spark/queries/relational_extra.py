@@ -478,3 +478,53 @@ def idle_big_balance_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     rich = c.join(F.broadcast(avg_bal)).filter(F.col("c_acctbal") > F.col("avg_bal"))
     idle = rich.join(o, rich["c_custkey"] == o["o_custkey"], "left_anti")
     return idle.select("c_custkey", "c_name", F.round("c_acctbal", 2).alias("acctbal"))
+
+
+@query(
+    "returned_revenue_by_nation",
+    oracle="""
+    SELECT n.n_name AS nation,
+           round(sum(CASE WHEN l.l_returnflag = 'R'
+                          THEN l.l_extendedprice * (1 - l.l_discount)
+                          ELSE 0 END), 2) AS returned_revenue,
+           round(100.0 * sum(CASE WHEN l.l_returnflag = 'R'
+                                  THEN l.l_extendedprice * (1 - l.l_discount)
+                                  ELSE 0 END)
+                 / sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS returned_share,
+           count(DISTINCT c.c_custkey) AS n_customers
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+)
+def returned_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q10-flavored returns analysis rolled up to nation (no top-k
+    cutoff, so the result is deterministic across engines): which markets
+    return the most revenue, as an absolute and a share of their spend.
+
+    Scale shape: the two fact tables join on the order key (both shuffle on
+    a bigint); customer and nation broadcast. The conditional sums ride the
+    single group-by; count(DISTINCT custkey) is Spark's built-in two-phase
+    distinct aggregate — no second join over the facts.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_returnflag", "l_extendedprice", "l_discount"
+    )
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    ret = F.when(F.col("l_returnflag") == "R", rev).otherwise(0.0)
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.round(F.sum(ret), 2).alias("returned_revenue"),
+            F.round(100.0 * F.sum(ret) / F.sum(rev), 4).alias("returned_share"),
+            F.count_distinct(F.col("c_custkey")).alias("n_customers"),
+        )
+    )
