@@ -41,6 +41,12 @@ NEAR_DUP_TAU = 0.35
 LSH_PLANES = 8
 IVF_CENTROIDS = (10, 20)  # vec_id in [10, 20) are the coarse centroids
 EMB_DIM = 64
+# Block count for the exact all-pairs self-join: the corpus self-joins
+# through NB(NB+1)/2 block pairs instead of one driver-bound broadcast.
+# Parallelism of the pair stage == NB (equi-join key cardinality), so at
+# cluster scale set NB ≈ 2·sqrt(desired tasks); 16 gives 136 block pairs —
+# plenty for local[32] at test SFs.
+NEAR_DUP_BLOCKS = 16
 
 # DuckDB mirror of a vectors view with DOUBLE elements
 _V_CTE = """
@@ -103,17 +109,47 @@ def cosine_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs, brute force. This is the exactness
-    oracle; the scale path blocks by LSH bucket first (ann_lsh_buckets) so
-    the quadratic pair space never materializes."""
-    v = _vectors(spark, sf_dir)
-    a = v.select(F.col("vec_id").alias("vec_a"), F.col("vec").alias("va"))
-    b = v.select(F.col("vec_id").alias("vec_b"), F.col("vec").alias("vb"))
+    """Exact embedding-cosine threshold self-join, executed as a BLOCKED
+    distributed pair join — not a broadcast of the whole corpus.
+
+    Why not candidate blocking: at τ=0.35 (θ_max≈69.5°) no angular blocking
+    is both selective and lossless — measured on this corpus, qualifying
+    pairs span the FULL sign-LSH Hamming range 0–8 (sf0.01: {0:8, 1:32,
+    2:63, 3:78, 4:47, 5:30, 6:12, 7:1}) and pivot ball-cover cell radii sit
+    at ~85°, so triangle-inequality pruning removes nothing. An exact
+    cosine join at a "not quite orthogonal" threshold is inherently
+    all-pairs; the scale question is only HOW the n² pair-FLOPs distribute.
+    For the selective near-dup regime (high τ) see
+    :func:`embedding_near_dup_lsh`.
+
+    Plan shape: vectors get ``block = vec_id % NB``; a tiny (ba ≤ bb)
+    block-pair frame broadcasts onto side A (row amplification ≈ NB/2, of
+    compact (id, block, vec) rows), then side B attaches via a SHUFFLE
+    equi-join on its block id. No corpus-wide broadcast build side (the
+    previous form died at the 8 GB driver broadcast limit long before
+    100 TB), even work per block pair (dense ids → uniform blocks), and
+    pair FLOPs stay in whole-stage codegen via the zip_with cosine."""
+    v = _vectors(spark, sf_dir).withColumn(
+        "block", (F.col("vec_id") % NEAR_DUP_BLOCKS).cast("int")
+    )
+    # constant block-pair metadata (NB(NB+1)/2 rows), not a data-dependent join
+    bp = spark.createDataFrame(
+        [(ba, bb) for ba in range(NEAR_DUP_BLOCKS) for bb in range(ba, NEAR_DUP_BLOCKS)],
+        "ba int, bb int",
+    )
+    a = v.select(F.col("vec_id").alias("id_a"), F.col("vec").alias("va"), F.col("block").alias("ba"))
+    b = v.select(F.col("vec_id").alias("id_b"), F.col("vec").alias("vb"), F.col("block").alias("bb"))
     return (
-        a.join(F.broadcast(b), F.col("vec_a") < F.col("vec_b"))
+        a.join(F.broadcast(bp), "ba")
+        .join(b, "bb")
+        .filter((F.col("ba") < F.col("bb")) | (F.col("id_a") < F.col("id_b")))
         .withColumn("cos", cosine(F.col("va"), F.col("vb")))
         .filter(F.col("cos") >= NEAR_DUP_TAU)
-        .select("vec_a", "vec_b", F.round("cos", 6).alias("cos"))
+        .select(
+            F.least("id_a", "id_b").alias("vec_a"),
+            F.greatest("id_a", "id_b").alias("vec_b"),
+            F.round("cos", 6).alias("cos"),
+        )
     )
 
 
@@ -139,6 +175,13 @@ def ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     becomes an equi-join on this int key (shuffle on a 1-byte key, never on
     the vectors)."""
     v = _vectors(spark, sf_dir)
+    return v.select("vec_id", _lsh_bucket(F.col("vec")).alias("bucket"))
+
+
+def _lsh_bucket(vec) -> F.Column:
+    """8-bit sign-LSH bucket of a double-array column (shared by
+    ann_lsh_buckets and embedding_near_dup_lsh; mirrored by the proj/bucket
+    oracle CTEs)."""
 
     def plane(j: int):
         # plane_j[i] = hash_unit("j:i") - 0.5. NB: 1-param lambda only —
@@ -150,7 +193,7 @@ def ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     for j in range(LSH_PLANES):
         proj = F.aggregate(
             F.zip_with(
-                F.col("vec"),
+                vec,
                 F.transform(F.sequence(F.lit(0), F.lit(EMB_DIM - 1)), plane(j)),
                 lambda x, h: x * h,
             ),
@@ -158,7 +201,76 @@ def ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda acc, x: acc + x,
         )
         bucket = bucket + F.when(proj > 0, F.lit(1 << j)).otherwise(F.lit(0))
-    return v.select("vec_id", bucket.cast("int").alias("bucket"))
+    return bucket.cast("int")
+
+
+_BUCKET_CTE = f"""
+    proj AS (
+        SELECT vec_id, p.j AS j,
+               list_sum(list_transform(generate_series(1, {EMB_DIM}),
+                   i -> vec[i] * ({sql_hash_unit("CAST(p.j AS VARCHAR) || ':' || CAST(i - 1 AS VARCHAR)")} - 0.5))) AS d
+        FROM v, LATERAL (SELECT unnest(generate_series(0, {LSH_PLANES - 1})) AS j) AS p
+    ),
+    bkt AS (
+        SELECT vec_id,
+               CAST(sum(CASE WHEN d > 0 THEN 1 << j ELSE 0 END) AS INT) AS bucket
+        FROM proj GROUP BY vec_id
+    )
+"""
+
+
+@query(
+    "embedding_near_dup_lsh",
+    oracle=f"""
+    WITH {_V_CTE},
+    {_BUCKET_CTE}
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, round({_COS_AB}, 6) AS cos
+    FROM v a JOIN v b ON a.vec_id < b.vec_id
+    JOIN bkt ka ON ka.vec_id = a.vec_id
+    JOIN bkt kb ON kb.vec_id = b.vec_id
+    WHERE bit_count(xor(CAST(ka.bucket AS BIGINT), CAST(kb.bucket AS BIGINT))) <= 1
+      AND {_COS_AB} >= {NEAR_DUP_TAU}
+    """,
+)
+def embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-LSH-blocked near-dup pairs: bucket equi-join with Hamming-1
+    multiprobe → exact cosine verify. The quadratic pair space never
+    materializes — side A explodes into its 9 probe buckets (home ∪ one-bit
+    flips), side B keeps only its home bucket, and candidates come from ONE
+    equi-join on the 8-bit bucket key; each Hamming≤1 pair matches exactly
+    one probe, so no distinct is needed.
+
+    The oracle applies the *same* Hamming≤1 spec brute-force in SQL, so the
+    gate proves the probe join loses nothing against the operator's
+    definition (the simhash_near_pairs precedent). Versus the exact join
+    (:func:`embedding_near_dup`) the bucket filter is lossy by design —
+    sign-LSH recall at angle θ is Σ_{{k≤1}} C(8,k)(θ/π)^k(1-θ/π)^(8-k),
+    →1 as cos→1 (true near-dups) but only ~15% at the τ=0.35 tail
+    (measured sf0.01: qualifying pairs span Hamming 0–8). That tradeoff —
+    not a selective-AND-exact blocking, which does not exist at θ_max≈70° —
+    is what makes this the 100 TB path: shuffle is 9 compact (id, bucket)
+    rows per vector plus verified candidates only."""
+    v = _vectors(spark, sf_dir).withColumn("bucket", _lsh_bucket(F.col("vec")))
+    probes = F.array(
+        F.col("bucket"), *[F.col("bucket").bitwiseXOR(F.lit(1 << j)) for j in range(LSH_PLANES)]
+    )
+    a = v.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("vec").alias("va"),
+        F.explode(probes).alias("bucket"),
+    )
+    b = v.select(F.col("vec_id").alias("id_b"), F.col("vec").alias("vb"), "bucket")
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cos", cosine(F.col("va"), F.col("vb")))
+        .filter(F.col("cos") >= NEAR_DUP_TAU)
+        .select(
+            F.col("id_a").alias("vec_a"),
+            F.col("id_b").alias("vec_b"),
+            F.round("cos", 6).alias("cos"),
+        )
+    )
 
 
 @query(

@@ -167,3 +167,52 @@ def test_lsh_bucket_cap_skips_degenerate_buckets(spark):
     pairs = {(r.doc_a, r.doc_b) for r in _lsh_verified_pairs(with_shingle_hashes(df, "doc_id")).collect()}
     assert (1000, 1001) in pairs, "healthy near-dup pair lost"
     assert all(a >= 1000 for a, _ in pairs), f"degenerate bucket emitted pairs: {sorted(pairs)[:5]}"
+
+
+def test_embedding_near_dup_blocked_equals_bruteforce(spark, sf_dir):
+    """The blocked self-join must emit exactly the brute-force pair set —
+    blocking changes the plan, never the result."""
+    import pyspark.sql.functions as F
+
+    from datapipeline_ops_spark.functions.vectors import as_double, cosine
+    from datapipeline_ops_spark.queries.similarity import (
+        NEAR_DUP_TAU,
+        embedding_near_dup,
+    )
+    from datapipeline_ops_spark.tables import load_table
+
+    v = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double(F.col("embedding")).alias("vec")
+    )
+    a = v.select(F.col("vec_id").alias("vec_a"), F.col("vec").alias("va"))
+    b = v.select(F.col("vec_id").alias("vec_b"), F.col("vec").alias("vb"))
+    brute = {
+        (r.vec_a, r.vec_b)
+        for r in a.join(F.broadcast(b), F.col("vec_a") < F.col("vec_b"))
+        .withColumn("cos", cosine(F.col("va"), F.col("vb")))
+        .filter(F.col("cos") >= NEAR_DUP_TAU)
+        .collect()
+    }
+    blocked = {(r.vec_a, r.vec_b) for r in embedding_near_dup(spark, sf_dir).collect()}
+    assert blocked == brute and len(brute) > 0
+
+
+def test_embedding_near_dup_lsh_subset_and_hamming_spec(spark, sf_dir):
+    """LSH pairs ⊆ exact pairs (verify step guarantees no false positives),
+    and the probe join finds EVERY Hamming≤1 pair (its own spec exactly)."""
+    from datapipeline_ops_spark.queries.similarity import (
+        embedding_near_dup,
+        embedding_near_dup_lsh,
+        ann_lsh_buckets,
+    )
+
+    exact = {(r.vec_a, r.vec_b) for r in embedding_near_dup(spark, sf_dir).collect()}
+    lsh = {(r.vec_a, r.vec_b) for r in embedding_near_dup_lsh(spark, sf_dir).collect()}
+    assert lsh <= exact
+    buckets = {r.vec_id: r.bucket for r in ann_lsh_buckets(spark, sf_dir).collect()}
+    spec = {
+        (a, b)
+        for (a, b) in exact
+        if bin(buckets[a] ^ buckets[b]).count("1") <= 1
+    }
+    assert lsh == spec

@@ -228,6 +228,28 @@ def _(qs, spark):
     assert "InMemoryTableScan" in plan, "persist barriers missing from plan"
 
 
+@check("embedding_near_dup: blocked self-join, no corpus-wide broadcast build")
+def _(qs, spark):
+    # At toy SFs Catalyst rightly auto-broadcasts the corpus side; the scale
+    # property under test is that nothing FORCES a broadcast — with
+    # auto-broadcast off (i.e. "corpus exceeds the threshold"), the pair
+    # stage must become a shuffle equi-join on the block id.
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = plan_of(qs["embedding_near_dup"](spark, SF_DIR))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan, "no shuffle equi-join on block id"
+
+
+@check("embedding_near_dup_lsh: probe equi-join on bucket key only")
+def _(qs, spark):
+    plan = plan_of(qs["embedding_near_dup_lsh"](spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+
+
 def main() -> int:
     import __spark_entry__ as entry_mod
     from datapipeline_ops_spark.session import get_spark
