@@ -32,7 +32,10 @@ from datapipeline_ops_spark.functions.text import shingles
 
 MINHASH_K = 8
 LSH_BANDS = 4  # k/bands rows per band
-SIMHASH_BITS = 16
+# 60 bits (the full hash64 width): a 16-bit space saturates at corpus scale
+# — every fingerprint value is occupied and Hamming filters stop selecting.
+# 60 bits keeps the Hamming<=radius test on ONE BIGINT xor/bit_count.
+SIMHASH_BITS = 60
 # Bucket-size cap for LSH candidate generation: a degenerate bucket (all
 # boilerplate docs hashing identically) of size m contributes m^2/2 pairs —
 # the first thing that breaks at 100 TB. Docs in a bucket larger than the
@@ -233,8 +236,10 @@ def simhash(token_col: Column, bits: int = SIMHASH_BITS) -> Column:
 # (radius + 1) segments; two prints within Hamming distance `radius` must
 # agree on at least one whole segment, so candidate generation is an
 # equi-join on (segment_idx, segment_value) — never an all-pairs product.
-SIMHASH_RADIUS = 2
-SIMHASH_SEGMENTS = [(0, 6), (6, 5), (11, 5)]  # (offset, width), covers 16 bits
+# 15-bit segments mean ~n/2^15 expected docs per segment value: selective
+# at corpus scale where the old 5-6-bit segments degenerated.
+SIMHASH_RADIUS = 3
+SIMHASH_SEGMENTS = [(0, 15), (15, 15), (30, 15), (45, 15)]  # covers 60 bits
 
 
 def simhash_segments(fp: Column) -> Column:

@@ -333,14 +333,16 @@ def _fingerprints(spark: SparkSession, sf_dir: str, out: str = "f") -> DataFrame
         FROM th, LATERAL (SELECT unnest(generate_series(0, {SIMHASH_BITS - 1})) AS bit) AS u
     )
     SELECT doc_id,
-           CAST(sum(CASE WHEN v > 0 THEN 1 << bit ELSE 0 END) AS BIGINT) AS simhash
+           CAST(sum(CASE WHEN v > 0 THEN (1::BIGINT << bit) ELSE 0 END) AS BIGINT) AS simhash
     FROM votes GROUP BY doc_id
     """,
 )
 def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """16-bit SimHash fingerprint (bitwise token-hash majority) — token
+    """60-bit SimHash fingerprint (bitwise token-hash majority) — token
     multiplicity weights votes, as in the original Charikar construction.
-    One md5 per token, one array-accumulator aggregate per doc."""
+    One md5 per token, one array-accumulator aggregate per doc. 60 bits =
+    the full hash64 width; the fingerprint space no longer saturates at
+    corpus scale the way the old 16-bit prints did."""
     return _fingerprints(spark, sf_dir, out="simhash")
 
 
@@ -361,22 +363,24 @@ def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     fp AS (
         SELECT doc_id,
-               CAST(sum(CASE WHEN v > 0 THEN 1 << bit ELSE 0 END) AS BIGINT) AS f
+               CAST(sum(CASE WHEN v > 0 THEN (1::BIGINT << bit) ELSE 0 END) AS BIGINT) AS f
         FROM votes GROUP BY doc_id
     )
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
            CAST(bit_count(xor(a.f, b.f)) AS INT) AS hamming
     FROM fp a JOIN fp b ON a.doc_id < b.doc_id
-    WHERE bit_count(xor(a.f, b.f)) <= 2
+    WHERE bit_count(xor(a.f, b.f)) <= {SIMHASH_RADIUS}
     """,
 )
 def simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs within Hamming radius 2 via pigeonhole
-    blocking: the 16-bit print splits into radius+1 segments, and any pair
-    within the radius must agree on a whole segment — so candidates come
-    from an equi-join on (segment, value), never an all-pairs product. The
-    oracle is the brute-force quadratic SQL: identical result set proves
-    the blocking loses nothing."""
+    """SimHash near-dup pairs within Hamming radius 3 via pigeonhole
+    blocking: the 60-bit print splits into radius+1 = 4 segments of 15
+    bits, and any pair within the radius must agree on a whole segment —
+    so candidates come from an equi-join on (segment, value), never an
+    all-pairs product. At corpus scale a segment value holds ~n/2^15 docs,
+    so the equi-join stays selective (the old 5-6-bit segments held n/32
+    and degenerated toward a cross product). The oracle is the brute-force
+    quadratic SQL: identical result set proves the blocking loses nothing."""
     fp = _fingerprints(spark, sf_dir, out="f")
     segs = fp.select("doc_id", "f", F.explode(simhash_segments(F.col("f"))).alias("s")).select(
         "doc_id", "f", F.col("s.seg").alias("seg"), F.col("s.val").alias("val")

@@ -62,14 +62,21 @@ def test_jaccard_exact_values(spark):
 
 
 def test_simhash_segments_cover_all_bits(spark):
+    from datapipeline_ops_spark.operators.dedup import SIMHASH_BITS, SIMHASH_RADIUS
+
     covered = set()
     for off, width in SIMHASH_SEGMENTS:
         covered |= set(range(off, off + width))
-    assert covered == set(range(16))
-    # pigeonhole: any fingerprint pair with hamming <= 2 shares >= 1 segment
+    # disjoint cover of all bits with radius+1 segments = the pigeonhole
+    # guarantee that any pair within the radius shares a whole segment
+    assert covered == set(range(SIMHASH_BITS))
+    assert sum(w for _, w in SIMHASH_SEGMENTS) == SIMHASH_BITS
+    assert len(SIMHASH_SEGMENTS) == SIMHASH_RADIUS + 1
     df = spark.createDataFrame([(0b1010101010101010,)], ["f"])
     segs = df.select(simhash_segments(F.col("f")).alias("s")).first().s
-    assert len(segs) == 3 and [s.seg for s in segs] == [0, 1, 2]
+    assert [s.seg for s in segs] == list(range(len(SIMHASH_SEGMENTS)))
+    # segment values reassemble the fingerprint exactly
+    assert sum(s.val << SIMHASH_SEGMENTS[s.seg][0] for s in segs) == 0b1010101010101010
 
 
 def _greedy_python(keys):
