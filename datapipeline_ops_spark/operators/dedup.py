@@ -45,21 +45,32 @@ SIMHASH_BITS = 60
 # value-exact.
 LSH_MAX_BUCKET = 64
 
-# Affine MinHash re-hash: sig_j = min over shingles of (A_j*h + B_j) mod P,
-# where h = hash64(shingle) is computed ONCE (md5 is the expensive part —
-# 8 seeded md5s per shingle would cost 8x). Exact-integer safety in both
-# engines: h < 2^60, A <= MINHASH_K <= 7+1, B < 2^50, so A*h+B < 2^63.
+# Affine MinHash re-hash over TWO independent 30-bit sub-hashes:
+#   sig_j = min over shingles of (A_j*h_lo + B_j*h_hi + C_j) mod P,
+# with h = hash64(shingle) computed ONCE (md5 is the expensive part — 8
+# seeded md5s per shingle would cost 8x), h_lo = h & (2^30-1),
+# h_hi = h >> 30. Splitting h widens the usable coefficient space to
+# md5-derived odd 31-bit A/B (a single multiplier bigger than ~8 would
+# overflow 63 bits against the full 60-bit h; small multipliers made seeds
+# j and j+7 share A and collapse the signature to ~7 independent rows).
+# Exact-integer safety in both engines: A*h_lo, B*h_hi < 2^31 * 2^30 =
+# 2^61 each, so A*h_lo + B*h_hi + C < 2^62 + 2^48 < 2^63 — exact in
+# signed 64-bit everywhere, no wraparound in Spark or DuckDB.
 MINHASH_P = (1 << 61) - 1
-_B_SALT = "minhash-b"
+_LO_MASK = (1 << 30) - 1
 
 
-def _affine_b(j: int) -> int:
+def _mh_const(salt: str, j: int, bits: int, odd: bool = False) -> int:
     import hashlib
 
-    return int(hashlib.md5(f"{_B_SALT}:{j}".encode()).hexdigest()[:12], 16)  # < 2^48
+    v = int(hashlib.md5(f"minhash-{salt}:{j}".encode()).hexdigest(), 16) & ((1 << bits) - 1)
+    return v | 1 if odd else v
 
 
-MINHASH_AB = [((j % 7) + 1, _affine_b(j)) for j in range(MINHASH_K)]
+MINHASH_ABC = [
+    (_mh_const("a", j, 31, odd=True), _mh_const("b", j, 31, odd=True), _mh_const("c", j, 48))
+    for j in range(MINHASH_K)
+]
 
 
 def with_shingles(df: DataFrame, text_col: str, out: str = "shingles") -> DataFrame:
@@ -108,15 +119,17 @@ def with_shingle_hashes(df: DataFrame, key_col: str, text_col: str = "text") -> 
 
 
 def _affine(j: int):
-    a, b = MINHASH_AB[j]
+    a, b, c = MINHASH_ABC[j]
     # 1-param lambda only: PySpark passes (element, index) to 2-param
     # lambdas, silently clobbering default-arg captures.
-    return lambda h: (h * a + b) % MINHASH_P
+    return lambda h: (
+        h.bitwiseAND(F.lit(_LO_MASK)) * a + F.shiftright(h, 30) * b + c
+    ) % MINHASH_P
 
 
 def minhash_signature(shingle_col: Column, k: int = MINHASH_K) -> Column:
     """Array of k min-hashes over one shared base hash per shingle:
-    sig[j] = min_s ((A_j * hash64(s) + B_j) mod P). Prefer
+    sig[j] = min_s ((A_j*h_lo + B_j*h_hi + C_j) mod P). Prefer
     :func:`minhash_signature_from_hashes` over a barriered ``hs`` column —
     inlined into several consumers, this form re-evaluates the md5s."""
     base = F.transform(shingle_col, lambda s: hash64(s))
@@ -158,10 +171,20 @@ def connected_components(
     id = smallest doc id in the component.
 
     This is the cluster step of near-dup dedup (pairs → clusters → one
-    keeper per cluster). Each round is one shuffle on compact (node, label)
-    ints; rounds needed = graph diameter in label-distance (near-dup
-    clusters are small and dense, so a handful). Early-stops on a converged
-    round; ``max_iters`` bounds the worst case.
+    keeper per cluster). Each round is (a) a neighbor-min shuffle on
+    compact (node, label) ints and (b) a POINTER-JUMPING step
+    (label ← label[label]) that doubles propagation distance per round, so
+    convergence needs O(log diameter) rounds, not O(diameter) — a chain of
+    2^20 near-dup docs converges inside the default budget instead of
+    silently stopping 2^20-20 hops short.
+
+    Invariants making this safe: labels only decrease, a node's label is
+    always the id of some node in its own component, and label[n] <= n —
+    so at the fixpoint every edge joins equal labels and the shared label
+    is the component minimum. If ``max_iters`` is exhausted before the
+    fixpoint the function RAISES instead of returning partially propagated
+    labels (at 100 TB there is no oracle to catch silently split clusters;
+    downstream keeper selection would silently keep duplicates).
     """
     edges = (
         pairs.select(F.col(a_col).alias("s"), F.col(b_col).alias("d"))
@@ -185,6 +208,20 @@ def connected_components(
                 (F.col("nlabel") < F.col("label")).alias("changed"),
             )
         )
+        # pointer jumping: label <- label[label]. Every label value is
+        # itself a node, so the self-join always resolves; jlabel <= label
+        # by the label[n] <= n invariant.
+        jump = new_labels.select(
+            F.col("node").alias("jnode"), F.col("label").alias("jlabel")
+        )
+        new_labels = (
+            new_labels.join(jump, new_labels["label"] == jump["jnode"], "left")
+            .select(
+                "node",
+                F.coalesce("jlabel", "label").alias("label"),
+                (F.col("changed") | (F.col("jlabel") < F.col("label"))).alias("changed"),
+            )
+        )
         # localCheckpoint: truncate lineage (iterative plans grow per round
         # and re-execute from the scan otherwise) and materialize once for
         # both the fixpoint test and the next round.
@@ -192,8 +229,13 @@ def connected_components(
         changed = new_labels.filter(F.col("changed")).limit(1).count()
         labels = new_labels.select("node", "label")
         if changed == 0:
-            break
-    return labels
+            return labels
+    raise RuntimeError(
+        f"connected_components did not converge within max_iters={max_iters}; "
+        "labels would be partially propagated (silently split clusters). "
+        "Re-run with a larger max_iters — rounds needed ~ log2(component "
+        "diameter) under pointer jumping."
+    )
 
 
 def jaccard(a: Column, b: Column) -> Column:

@@ -22,7 +22,7 @@ from datapipeline_ops_spark.functions.hashing import sql_hash64
 from datapipeline_ops_spark.operators.dedup import (
     LSH_BANDS,
     LSH_MAX_BUCKET,
-    MINHASH_AB,
+    MINHASH_ABC,
     MINHASH_K,
     MINHASH_P,
     SIMHASH_BITS,
@@ -77,7 +77,9 @@ def _hs_cte(rel: str = "documents") -> str:
 _HS_CTE = _hs_cte()
 
 _SIG_ELEMS = ", ".join(
-    f"list_min(list_transform(hs, h -> ({a} * h + {b}) % {MINHASH_P}))" for a, b in MINHASH_AB
+    f"list_min(list_transform(hs, h -> "
+    f"(({a} * (h & 1073741823)) + ({b} * (h >> 30)) + {c}) % {MINHASH_P}))"
+    for a, b, c in MINHASH_ABC
 )
 def _sig_cte(rel: str = "documents") -> str:
     return _hs_cte(rel) + f", sig AS (SELECT doc_id, [{_SIG_ELEMS}] AS sig FROM hsv)"

@@ -7,7 +7,7 @@ import hashlib
 import pyspark.sql.functions as F
 
 from datapipeline_ops_spark.operators.dedup import (
-    MINHASH_AB,
+    MINHASH_ABC,
     MINHASH_P,
     SIMHASH_SEGMENTS,
     jaccard,
@@ -42,12 +42,15 @@ def test_minhash_matches_python_model(spark):
         .first()
     )
     sh = set(row.shingles)
-    for j, (a, b) in enumerate(MINHASH_AB):
+    for j, (a, b, c) in enumerate(MINHASH_ABC):
         expected = min(
-            (a * int(hashlib.md5(s.encode()).hexdigest()[:15], 16) + b) % MINHASH_P
-            for s in sh
+            (a * (h & ((1 << 30) - 1)) + b * (h >> 30) + c) % MINHASH_P
+            for h in (int(hashlib.md5(s.encode()).hexdigest()[:15], 16) for s in sh)
         )
         assert row.sig[j] == expected
+    # decorrelation: all multiplier pairs distinct (the old (j % 7) + 1
+    # scheme gave seeds 0 and 7 identical multipliers)
+    assert len({(a, b) for a, b, _ in MINHASH_ABC}) == len(MINHASH_ABC)
 
 
 def test_short_doc_falls_back_to_whole_text(spark):
@@ -223,3 +226,56 @@ def test_embedding_near_dup_lsh_subset_and_hamming_spec(spark, sf_dir):
         if bin(buckets[a] ^ buckets[b]).count("1") <= 1
     }
     assert lsh == spec
+
+
+def test_connected_components_long_chain(spark):
+    """A 60-node chain (diameter 59 > max_iters=20) must fully converge —
+    pointer jumping makes rounds O(log diameter), and non-convergence now
+    raises instead of silently splitting clusters."""
+    from datapipeline_ops_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame([(i, i + 1) for i in range(59)], ["doc_a", "doc_b"])
+    labels = {r.node: r.label for r in connected_components(pairs).collect()}
+    assert set(labels.values()) == {0} and len(labels) == 60
+
+
+def test_connected_components_matches_union_find(spark):
+    """Random-ish deterministic graph vs a python union-find ground truth."""
+    import hashlib
+
+    from datapipeline_ops_spark.operators.dedup import connected_components
+
+    n = 200
+    edges = []
+    for i in range(n):
+        h = int(hashlib.md5(f"cc:{i}".encode()).hexdigest()[:8], 16)
+        edges.append((h % n, (h >> 8) % n))
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    truth = {}
+    for a, b in edges:
+        for x in (a, b):
+            truth[x] = find(x)
+    pairs = spark.createDataFrame(edges, ["doc_a", "doc_b"])
+    got = {r.node: r.label for r in connected_components(pairs).collect()}
+    assert got == truth
+
+
+def test_connected_components_raises_on_budget_exhaustion(spark):
+    import pytest
+
+    from datapipeline_ops_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame([(i, i + 1) for i in range(30)], ["doc_a", "doc_b"])
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(pairs, max_iters=2)
