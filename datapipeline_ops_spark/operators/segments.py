@@ -95,3 +95,71 @@ def sample_indices(
         df.filter(hi > lo)
         .withColumn(index_name, F.explode(F.sequence(lo, hi - 1, F.lit(step))))
     )
+
+
+def split_scenes_recursive(
+    df: DataFrame,
+    start_col: str,
+    end_col: str,
+    max_duration: int,
+    min_duration: int,
+    max_depth: int = 12,
+) -> DataFrame:
+    """Recursive halving segment planner (``scene_segmenter_op.py:22-41``,
+    ``split_scene_recursively``): a scene longer than ``max_duration``
+    splits at ``mid = (s + e) // 2`` into ``(s, mid)`` and ``(mid + 1, e)``,
+    recursively; a scene with duration in ``[min_duration, max_duration]``
+    is kept; shorter leaves are dropped (the reference returns ``[]``).
+
+    The recursion is data-independent in depth bound: durations halve per
+    level, so ``max_depth`` levels cover scenes up to
+    ``max_duration * 2**max_depth``. It unrolls as ``max_depth`` per-row
+    array-rewrite rounds (transform + flatten — executor-local, zero
+    shuffles, whole-stage codegen) followed by ONE posexplode. Leaf order
+    is the reference's left-to-right recursion order == ascending start,
+    so ``seg_idx`` is the posexplode position.
+
+    Output: input columns + ``seg_idx, start_frame, end_frame, duration``.
+    """
+    seg0 = F.array(
+        F.struct(
+            F.col(start_col).cast("long").alias("s"), F.col(end_col).cast("long").alias("e")
+        )
+    )
+    out = df.withColumn("_segs", seg0)
+    for _ in range(max_depth):
+        out = out.withColumn(
+            "_segs",
+            F.flatten(
+                F.transform(
+                    "_segs",
+                    lambda g: F.when(
+                        (g["e"] - g["s"]) > max_duration,
+                        F.array(
+                            F.struct(
+                                g["s"].alias("s"),
+                                F.floor((g["s"] + g["e"]) / 2).cast("long").alias("e"),
+                            ),
+                            F.struct(
+                                (F.floor((g["s"] + g["e"]) / 2) + 1).cast("long").alias("s"),
+                                g["e"].alias("e"),
+                            ),
+                        ),
+                    ).otherwise(F.array(g)),
+                )
+            ),
+        )
+    kept = F.filter(
+        F.col("_segs"),
+        lambda g: ((g["e"] - g["s"]) >= min_duration) & ((g["e"] - g["s"]) <= max_duration),
+    )
+    return (
+        out.withColumn("_kept", kept)
+        .drop("_segs")
+        .select("*", F.posexplode("_kept").alias("seg_idx", "_g"))
+        .drop("_kept")
+        .withColumn("start_frame", F.col("_g.s"))
+        .withColumn("end_frame", F.col("_g.e"))
+        .withColumn("duration", F.col("end_frame") - F.col("start_frame"))
+        .drop("_g")
+    )

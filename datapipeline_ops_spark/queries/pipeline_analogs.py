@@ -452,3 +452,51 @@ def gauntlet_exactly_one(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.size("kept") == 1)
         .select("o_orderkey", F.round(F.element_at("kept", 1), 2).alias("face_score"))
     )
+
+
+SCENE_MAX = 90000  # frames; o_totalprice plays frame_count (same scale as SEG_LEN)
+SCENE_MIN = 10000
+
+
+@query(
+    "scene_split_recursive",
+    oracle=f"""
+    WITH RECURSIVE base AS (
+        SELECT o_orderkey, CAST(0 AS BIGINT) AS s,
+               CAST(floor(o_totalprice) AS BIGINT) AS e
+        FROM orders
+    ),
+    split AS (
+        SELECT o_orderkey, s, e FROM base
+        UNION ALL
+        SELECT o_orderkey,
+               CASE WHEN c.side = 0 THEN s ELSE (s + e) // 2 + 1 END AS s,
+               CASE WHEN c.side = 0 THEN (s + e) // 2 ELSE e END AS e
+        FROM split, (SELECT unnest([0, 1]) AS side) AS c
+        WHERE e - s > {SCENE_MAX}
+    )
+    SELECT o_orderkey,
+           CAST(row_number() OVER (PARTITION BY o_orderkey ORDER BY s) - 1 AS INT) AS seg_idx,
+           s AS start_frame, e AS end_frame, e - s AS duration
+    FROM split
+    WHERE e - s BETWEEN {SCENE_MIN} AND {SCENE_MAX}
+    """,
+)
+def scene_split_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive halving segment planner over whole-video scenes
+    (``scene_segmenter_op.py:22-41`` ``split_scene_recursively``: split at
+    the integer midpoint until within [min, max]; drop under-min leaves).
+    The engine unrolls the recursion as bounded array rewrites (zero
+    shuffles); the oracle replays it as a recursive CTE, so the gate
+    value-checks the full segment tree including the off-by-one
+    ``mid + 1`` right-child starts and drop-short-leaf semantics."""
+    from datapipeline_ops_spark.operators.segments import split_scenes_recursive
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.lit(0).alias("scene_start"),
+        F.floor("o_totalprice").cast("long").alias("scene_end"),
+    )
+    planned = split_scenes_recursive(
+        o, "scene_start", "scene_end", SCENE_MAX, SCENE_MIN, max_depth=8
+    )
+    return planned.select("o_orderkey", "seg_idx", "start_frame", "end_frame", "duration")

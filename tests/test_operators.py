@@ -71,3 +71,28 @@ def test_sec_to_label_format(spark):
         sec_to_label(F.col("s")).alias("label")
     )
     assert [r.label for r in df.collect()] == ["1-02-05", "0-00-59", "23-59-59"]
+
+
+def test_split_scenes_recursive_matches_reference_recursion(spark):
+    """Exact parity with the reference recursion (scene_segmenter_op.py:22-41):
+    split at (s+e)//2 into (s,mid)/(mid+1,e); keep min<=d<=max; drop short."""
+    from datapipeline_ops_spark.operators.segments import split_scenes_recursive
+
+    def rec(s, e, mx, mn):
+        d = e - s
+        if mn <= d <= mx:
+            return [(s, e)]
+        if d > mx:
+            m = (s + e) // 2
+            return rec(s, m, mx, mn) + rec(m + 1, e, mx, mn)
+        return []
+
+    cases = [(i, 0, n) for i, n in enumerate([0, 5, 10, 99, 100, 101, 1000, 12345, 65536, 7])]
+    df = spark.createDataFrame(cases, ["k", "s", "e"])
+    out = split_scenes_recursive(df, "s", "e", max_duration=100, min_duration=10)
+    got = {}
+    for r in out.collect():
+        got.setdefault(r.k, []).append((r.seg_idx, r.start_frame, r.end_frame))
+    for k, s, e in cases:
+        expected = [(i, a, b) for i, (a, b) in enumerate(rec(s, e, 100, 10))]
+        assert sorted(got.get(k, [])) == expected, (k, s, e)
