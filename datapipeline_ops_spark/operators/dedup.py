@@ -77,6 +77,32 @@ def with_shingles(df: DataFrame, text_col: str, out: str = "shingles") -> DataFr
     return df.withColumn(out, F.array_distinct(shingles(F.col(text_col))))
 
 
+# One live persisted frame per barrier SITE: repeated query invocations in a
+# long-lived session (gate loops, 3-run bench medians) previously persisted
+# a fresh frame per call and never unpersisted — a slow cached-block leak
+# plus "Asked to cache already cached data" warnings. A semantically
+# identical plan reuses the live frame; a different plan (new sf_dir / new
+# input) unpersists the old one first. Queries here run sequentially per
+# session, so dropping the previous barrier is safe.
+_BARRIERS: dict[str, DataFrame] = {}
+
+
+def persist_barrier(df: DataFrame, site: str) -> DataFrame:
+    from pyspark import StorageLevel
+
+    prev = _BARRIERS.get(site)
+    if prev is not None:
+        try:
+            if prev.sameSemantics(df):
+                return prev
+            prev.unpersist()
+        except Exception:  # stale session handle: just replace the entry
+            pass
+    out = df.persist(StorageLevel.MEMORY_AND_DISK)
+    _BARRIERS[site] = out
+    return out
+
+
 def with_shingle_hashes(df: DataFrame, key_col: str, text_col: str = "text") -> DataFrame:
     """(key, hs) with ONE md5-derived 60-bit hash per distinct shingle,
     computed in a parallel stage and materialized ONCE behind a persist
@@ -107,15 +133,15 @@ def with_shingle_hashes(df: DataFrame, key_col: str, text_col: str = "text") -> 
       explicit count, because a numberless repartition is an AQE coalescing
       target and tiny-but-compute-heavy partitions get merged back into one
       task — serializing all the md5 work.
+    - Lifecycle via :func:`persist_barrier`: one live cached frame per
+      site, released when a semantically different input replaces it.
     """
-    from pyspark import StorageLevel
-
     n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
     spread = df.repartition(n, F.col(key_col))
     hashed = with_shingles(spread, text_col).withColumn(
         "hs", F.array_distinct(F.transform("shingles", lambda s: hash64(s)))
     )
-    return hashed.select(key_col, "hs").persist(StorageLevel.MEMORY_AND_DISK)
+    return persist_barrier(hashed.select(key_col, "hs"), "shingle_hashes")
 
 
 def _affine(j: int):

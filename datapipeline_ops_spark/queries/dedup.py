@@ -310,13 +310,14 @@ def _fingerprints(spark: SparkSession, sf_dir: str, out: str = "f") -> DataFrame
     shuffle barrier: the fingerprint aggregate is md5-per-token work, and
     without the barrier CollapseProject would re-inline it into every
     downstream segment/xor expression and the pair self-join would
-    recompute it per side (rationale in with_shingle_hashes)."""
-    from pyspark import StorageLevel
+    recompute it per side (rationale in with_shingle_hashes). Lifecycle
+    via persist_barrier: one live cached frame per site."""
+    from datapipeline_ops_spark.operators.dedup import persist_barrier
 
     n = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     d = load_table(spark, sf_dir, "documents").repartition(n, F.col("doc_id"))
     fp = d.select("doc_id", simhash(tokens(F.col("text"))).alias(out))
-    return fp.persist(StorageLevel.MEMORY_AND_DISK)
+    return persist_barrier(fp, f"simhash_fp_{out}")
 
 
 @query(
@@ -532,16 +533,16 @@ def corpus_curation_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     q = docs.filter(F.size(tokens(F.col("text"))) >= 10)
     w = Window.partitionBy(F.md5(F.col("text").cast("binary"))).orderBy("doc_id")
-    from pyspark import StorageLevel
+    from datapipeline_ops_spark.operators.dedup import persist_barrier
 
     # e feeds two consumers (shingle hashing AND the final keeper join);
     # persist so the scan + md5-window shuffle run once, same rationale as
-    # the with_shingle_hashes barrier.
-    e = (
+    # the with_shingle_hashes barrier (lifecycle: persist_barrier).
+    e = persist_barrier(
         q.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
-        .select("doc_id", "text", "lang", "source")
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .select("doc_id", "text", "lang", "source"),
+        "curation_exact",
     )
     d = with_shingle_hashes(e, "doc_id")
     pairs = _lsh_verified_pairs(d)

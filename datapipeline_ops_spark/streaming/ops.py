@@ -37,13 +37,21 @@ _counter = itertools.count()
 
 def _events_stream_dir(sf_dir: str) -> str:
     """Materialize the events table as a one-file stream-source directory
-    (file streams read directories, not single files). Copied once per sf."""
+    (file streams read directories, not single files). Copied once per sf;
+    re-copied when the source's (mtime, size) changes, so a regenerated
+    source table is never silently read stale."""
     tag = sf_dir.strip("/").replace("/", "_")
     d = os.path.join(_STREAM_CACHE_ROOT, tag)
     dst = os.path.join(d, "events.parquet")
-    if not os.path.exists(dst):
+    src = table_path(sf_dir, "events")
+    st = os.stat(src)
+    if (
+        not os.path.exists(dst)
+        or (os.path.getmtime(dst), os.path.getsize(dst)) != (st.st_mtime, st.st_size)
+    ):
         os.makedirs(d, exist_ok=True)
-        shutil.copyfile(table_path(sf_dir, "events"), dst)
+        shutil.copyfile(src, dst)
+        os.utime(dst, (st.st_atime, st.st_mtime))  # stamp for the next compare
     return d
 
 
