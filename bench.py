@@ -48,7 +48,58 @@ HEADLINE = [
 ]
 
 
+# Median of RUNS repetitions per query: single runs at sub-minute scale are
+# noisy (JIT, page cache, GC); the median of 3 is stable enough to catch
+# real regressions. Persist barriers are cleared between repetitions so
+# every run pays the full cold pipeline, not a warm cache.
+RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+SCALED_COPIES = int(os.environ.get("SPARK_GRAFT_BENCH_SCALE_COPIES", "10"))
+
+
+def _scaled_documents(spark, sf_dir: str, copies: int):
+    """documents unioned with (copies-1) deterministic variants: copy i
+    rewrites every vowel to the digit i, so copies are dissimilar to each
+    other and to the originals (near-dup structure replicates per copy
+    instead of exploding across copies). This stresses the dedup pipeline
+    at ~copies x corpus scale — the regime where a bucket-cap or persist
+    regression shows up long before correctness tests would notice."""
+    from functools import reduce
+
+    import pyspark.sql.functions as F
+    from pyspark.sql import DataFrame
+
+    from datapipeline_ops_spark.tables import load_table
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    frames = [d]
+    for i in range(1, copies):
+        frames.append(
+            d.select(
+                (F.col("doc_id") + i * 10_000_000).alias("doc_id"),
+                F.translate("text", "aeiou", str(i % 10) * 5).alias("text"),
+            )
+        )
+    return reduce(DataFrame.unionByName, frames)
+
+
+def _bench_scaled_dedup(spark) -> dict[str, float]:
+    """Full MinHash->LSH->verify pairs on the ~10x corpus; wall + row count."""
+    from datapipeline_ops_spark.operators.dedup import clear_barriers, with_shingle_hashes
+    from datapipeline_ops_spark.queries.dedup import _lsh_verified_pairs
+
+    clear_barriers()
+    t0 = time.time()
+    scaled = _scaled_documents(spark, SF_DIR, SCALED_COPIES)
+    n = _lsh_verified_pairs(with_shingle_hashes(scaled, "doc_id")).count()
+    wall = round(time.time() - t0, 3)
+    clear_barriers()
+    return {"wall": wall, "pairs": n, "copies": SCALED_COPIES}
+
+
 def main() -> int:
+    import statistics
+
+    from datapipeline_ops_spark.operators.dedup import clear_barriers
     from datapipeline_ops_spark.queries import QUERIES
     from datapipeline_ops_spark.session import get_spark
 
@@ -62,9 +113,13 @@ def main() -> int:
         spec = QUERIES.get(name)
         if spec is None:
             continue
-        t0 = time.time()
-        spec.fn(spark, SF_DIR).count()
-        timings[name] = round(time.time() - t0, 3)
+        runs = []
+        for _ in range(RUNS):
+            clear_barriers()
+            t0 = time.time()
+            spec.fn(spark, SF_DIR).count()
+            runs.append(time.time() - t0)
+        timings[name] = round(statistics.median(runs), 3)
 
     total = round(sum(timings.values()), 3)
     sf = os.path.basename(SF_DIR.rstrip("/")).replace("sf", "")
@@ -80,6 +135,11 @@ def main() -> int:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf_val,
+                "runs_per_query": RUNS,
+                "aggregation": "median",
+                # scale stress line, NOT included in `value` (keeps the
+                # headline total comparable across rounds)
+                "dedup_lsh_scaled": _bench_scaled_dedup(spark),
             }
         )
     )

@@ -103,6 +103,19 @@ def persist_barrier(df: DataFrame, site: str) -> DataFrame:
     return out
 
 
+def clear_barriers() -> None:
+    """Unpersist every live barrier frame (bench uses this between repeat
+    runs so each measurement is cold; safer than ``catalog.clearCache()``,
+    which would drop the blocks while leaving ``_BARRIERS`` pointing at
+    silently-uncached frames)."""
+    for df in _BARRIERS.values():
+        try:
+            df.unpersist()
+        except Exception:
+            pass
+    _BARRIERS.clear()
+
+
 def with_shingle_hashes(df: DataFrame, key_col: str, text_col: str = "text") -> DataFrame:
     """(key, hs) with ONE md5-derived 60-bit hash per distinct shingle,
     computed in a parallel stage and materialized ONCE behind a persist
@@ -226,36 +239,35 @@ def connected_components(
             .groupBy(F.col("d").alias("node"))
             .agg(F.min("label").alias("nlabel"))
         )
-        new_labels = (
+        # localCheckpoint BEFORE the jump self-join: truncate lineage
+        # (iterative plans grow per round and re-execute from the scan
+        # otherwise) and materialize ONCE — the jump join reads these
+        # blocks on both sides instead of re-evaluating the neighbor-min
+        # plan twice (measured ~2x per-round cost without it).
+        nm = (
             labels.join(neighbor_min, "node", "left")
             .select(
                 "node",
                 F.least(F.col("label"), F.coalesce("nlabel", "label")).alias("label"),
                 (F.col("nlabel") < F.col("label")).alias("changed"),
             )
+            .localCheckpoint(eager=True)
         )
+        changed = nm.filter(F.col("changed")).limit(1).count()
+        labels = nm.select("node", "label")
+        if changed == 0:
+            # neighbor-min fixpoint: adjacent labels are all equal, so a
+            # pointer jump could not change anything either — done.
+            return labels
         # pointer jumping: label <- label[label]. Every label value is
         # itself a node, so the self-join always resolves; jlabel <= label
         # by the label[n] <= n invariant.
-        jump = new_labels.select(
-            F.col("node").alias("jnode"), F.col("label").alias("jlabel")
+        jump = labels.select(F.col("node").alias("jnode"), F.col("label").alias("jlabel"))
+        labels = (
+            labels.join(jump, labels["label"] == jump["jnode"], "left")
+            .select("node", F.coalesce("jlabel", "label").alias("label"))
+            .localCheckpoint(eager=True)
         )
-        new_labels = (
-            new_labels.join(jump, new_labels["label"] == jump["jnode"], "left")
-            .select(
-                "node",
-                F.coalesce("jlabel", "label").alias("label"),
-                (F.col("changed") | (F.col("jlabel") < F.col("label"))).alias("changed"),
-            )
-        )
-        # localCheckpoint: truncate lineage (iterative plans grow per round
-        # and re-execute from the scan otherwise) and materialize once for
-        # both the fixpoint test and the next round.
-        new_labels = new_labels.localCheckpoint(eager=True)
-        changed = new_labels.filter(F.col("changed")).limit(1).count()
-        labels = new_labels.select("node", "label")
-        if changed == 0:
-            return labels
     raise RuntimeError(
         f"connected_components did not converge within max_iters={max_iters}; "
         "labels would be partially propagated (silently split clusters). "
