@@ -55,7 +55,8 @@ _R1_DRIVER_CHECKED = {
 _PRIORITY = [
     "greedy_dedup_keep", "asof_click_to_purchase", "salted_group_agg",
     "ann_lsh_buckets", "ann_ivf_topk", "cosine_topk_bruteforce",
-    "embedding_near_dup", "embedding_near_dup_lsh",
+    "embedding_near_dup", "embedding_near_dup_lsh", "embedding_dedup_keepers",
+    "eval_tonemap", "scene_split_recursive",
     "stream_tumbling_counts", "stream_sliding_counts", "stream_session_windows",
     "stream_dedup_count", "stream_running_totals", "stream_static_enrich",
     "stream_stream_click_purchase",

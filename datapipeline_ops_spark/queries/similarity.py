@@ -339,3 +339,52 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= TOP_K)
         .select("query_id", "vec_id", F.round("cos", 6).alias("cos"), "rank")
     )
+
+
+@query(
+    "embedding_dedup_keepers",
+    oracle=f"""
+    WITH RECURSIVE {_V_CTE},
+    {_BUCKET_CTE},
+    prs AS (
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+        FROM v a JOIN v b ON a.vec_id < b.vec_id
+        JOIN bkt ka ON ka.vec_id = a.vec_id
+        JOIN bkt kb ON kb.vec_id = b.vec_id
+        WHERE bit_count(xor(CAST(ka.bucket AS BIGINT), CAST(kb.bucket AS BIGINT))) <= 1
+          AND {_COS_AB} >= {NEAR_DUP_TAU}
+    ),
+    edges AS (SELECT vec_a AS s, vec_b AS d FROM prs
+              UNION SELECT vec_b, vec_a FROM prs),
+    reach AS (
+        SELECT s AS vec_id, s AS label FROM (SELECT DISTINCT s FROM edges)
+        UNION
+        SELECT e.d AS vec_id, r.label FROM reach r JOIN edges e ON e.s = r.vec_id
+    ),
+    clusters AS (SELECT vec_id, min(label) AS cluster_id FROM reach GROUP BY vec_id)
+    SELECT em.vec_id, em.label
+    FROM embeddings em LEFT JOIN clusters c ON em.vec_id = c.vec_id
+    WHERE c.vec_id IS NULL OR c.cluster_id = em.vec_id
+    """,
+)
+def embedding_dedup_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The embedding-side dedup funnel, end to end: sign-LSH multiprobe
+    near-dup pairs (:func:`embedding_near_dup_lsh`) → connected components
+    (pointer-jumping min-label propagation) → keep each cluster's min
+    vec_id plus all singletons. This is `corpus_curation_e2e` for the
+    vector modality — the step an embedding-level training-data dedup runs
+    after text dedup. The oracle replays pairs brute-force over the same
+    Hamming≤1 spec and the clustering as a recursive CTE, so the gate
+    value-checks the full funnel against exact graph reachability."""
+    from datapipeline_ops_spark.operators.dedup import connected_components
+
+    pairs = embedding_near_dup_lsh(spark, sf_dir)
+    clusters = connected_components(pairs, "vec_a", "vec_b").select(
+        F.col("node").alias("vec_id"), F.col("label").alias("cluster_id")
+    )
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id", "label")
+    return (
+        e.join(clusters, "vec_id", "left")
+        .filter(F.col("cluster_id").isNull() | (F.col("cluster_id") == F.col("vec_id")))
+        .select("vec_id", "label")
+    )
