@@ -145,3 +145,29 @@ def test_checkpoint_resume_processes_only_new_files(spark, tmp_path, two_batch_d
     seen.clear()
     drain()
     assert sum(seen) == 1, seen
+
+
+def test_events_stream_cache_refreshes_on_source_change(spark, tmp_path):
+    """A regenerated source parquet must invalidate the stream-source cache
+    copy (the cache compares (mtime, size), not mere existence)."""
+    import os
+    import shutil
+
+    from datapipeline_ops_spark.streaming import ops as sops
+
+    src_dir = tmp_path / "sfX"
+    src_dir.mkdir()
+    shutil.copyfile("/root/testdata/sf0.001/events.parquet", src_dir / "events.parquet")
+    d1 = sops._events_stream_dir(str(src_dir))
+    first_stat = os.stat(os.path.join(d1, "events.parquet"))
+
+    # regenerate the source: different content + mtime
+    shutil.copyfile("/root/testdata/sf0.01/events.parquet", src_dir / "events.parquet")
+    d2 = sops._events_stream_dir(str(src_dir))
+    second_stat = os.stat(os.path.join(d2, "events.parquet"))
+    assert d1 == d2
+    assert second_stat.st_size == os.path.getsize(src_dir / "events.parquet")
+    assert (first_stat.st_mtime, first_stat.st_size) != (
+        second_stat.st_mtime,
+        second_stat.st_size,
+    )

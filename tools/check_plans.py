@@ -250,6 +250,22 @@ def _(qs, spark):
     assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
 
 
+@check("scene_split_recursive: zero exchanges (executor-local array rewrites)")
+def _(qs, spark):
+    plan = plan_of(qs["scene_split_recursive"](spark, SF_DIR))
+    assert "Exchange" not in plan, "halving explode must not shuffle"
+    cols = read_schema_cols(plan, "orders")
+    assert cols <= {"o_orderkey", "o_totalprice"}, cols
+
+
+@check("eval_tonemap: zero exchanges, embeddings pruned to 2 cols")
+def _(qs, spark):
+    plan = plan_of(qs["eval_tonemap"](spark, SF_DIR))
+    assert "Exchange" not in plan, "per-row tonemap must not shuffle"
+    cols = read_schema_cols(plan, "embeddings")
+    assert cols <= {"vec_id", "embedding"}, cols
+
+
 def main() -> int:
     import __spark_entry__ as entry_mod
     from datapipeline_ops_spark.session import get_spark
