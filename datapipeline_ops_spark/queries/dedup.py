@@ -264,12 +264,27 @@ def _lsh_verified_pairs(d: DataFrame, tau: float = 0.5) -> DataFrame:
     return verified.select("doc_a", "doc_b", F.round("jac", 6).alias("jaccard"))
 
 
+# Posting-list (document-frequency) cap for the inverted-index join: a
+# boilerplate shingle occurring in m docs contributes m²/2 join pairs — the
+# same quadratic blowup class as an uncapped LSH bucket. Shingles with
+# df > NGRAM_MAX_DF are dropped from the INDEX (not from the size
+# denominators); true near-dups still intersect through their rarer
+# shingles, and the oracle applies the identical cap so the gate stays
+# value-exact.
+NGRAM_MAX_DF = 256
+
+
 @query(
     "ngram_jaccard_pairs",
     oracle="WITH "
     + _HS_CTE
-    + """,
-    ex AS (SELECT doc_id, unnest(hs) AS s FROM hsv),
+    + f""",
+    ex_raw AS (SELECT doc_id, unnest(hs) AS s FROM hsv),
+    ex AS (
+        SELECT doc_id, s FROM (
+            SELECT doc_id, s, count(*) OVER (PARTITION BY s) AS df FROM ex_raw
+        ) WHERE df <= {NGRAM_MAX_DF}
+    ),
     inter AS (
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
         FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
@@ -286,9 +301,26 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingle hashes, equi-join on the 8-byte hash — cheaper shuffle keys than
     strings — count intersections) — the scalable exact algorithm: work is
     proportional to shared-shingle pairs, not |docs|².
+
+    Scale guard: posting lists are df-capped (``NGRAM_MAX_DF``) via a
+    window over the SAME (s)-partitioning the pair join needs, so the cap
+    rides the exchange the join pays anyway. Pairs whose only shared
+    shingles are boilerplate (df > cap) don't pair — intersections through
+    rarer shingles are unaffected; sizes (denominators) stay uncapped.
     """
+    from datapipeline_ops_spark.operators.dedup import persist_barrier
+
     d = with_shingle_hashes(load_table(spark, sf_dir, "documents"), "doc_id")
-    ex = d.select("doc_id", F.explode("hs").alias("s"))
+    # barrier the capped index: referenced by BOTH self-join sides, and
+    # exchange reuse is best-effort — without it the explode+window subtree
+    # is duplicated per side (observed: 2x Window nodes in the plan).
+    ex = persist_barrier(
+        d.select("doc_id", F.explode("hs").alias("s"))
+        .withColumn("df", F.count(F.lit(1)).over(Window.partitionBy("s")))
+        .filter(F.col("df") <= NGRAM_MAX_DF)
+        .select("doc_id", "s"),
+        "ngram_index",
+    )
     inter = (
         ex.alias("a")
         .join(ex.alias("b"), (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))

@@ -279,3 +279,36 @@ def test_connected_components_raises_on_budget_exhaustion(spark):
     pairs = spark.createDataFrame([(i, i + 1) for i in range(30)], ["doc_a", "doc_b"])
     with pytest.raises(RuntimeError, match="did not converge"):
         connected_components(pairs, max_iters=2)
+
+
+def test_ngram_df_cap_drops_boilerplate_only_pairs(spark):
+    """Docs whose ONLY shared shingles exceed the df cap must not pair;
+    docs sharing rare shingles still pair exactly."""
+    import pyspark.sql.functions as F
+
+    from datapipeline_ops_spark.operators.dedup import with_shingle_hashes
+    from datapipeline_ops_spark.queries import dedup as dq
+
+    boiler = "lorem ipsum dolor sit amet consectetur adipiscing elit sed do"
+    rows = [(i, boiler) for i in range(dq.NGRAM_MAX_DF + 4)]
+    rows += [
+        (2000, "rare alpha beta gamma delta epsilon zeta eta theta iota"),
+        (2001, "rare alpha beta gamma delta epsilon zeta eta theta iota kap"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    d = with_shingle_hashes(df, "doc_id")
+    ex = (
+        d.select("doc_id", F.explode("hs").alias("s"))
+        .withColumn("df", F.count(F.lit(1)).over(__import__("pyspark.sql", fromlist=["Window"]).Window.partitionBy("s")))
+        .filter(F.col("df") <= dq.NGRAM_MAX_DF)
+        .select("doc_id", "s")
+    )
+    inter = (
+        ex.alias("a")
+        .join(ex.alias("b"), (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    pairs = {(r.doc_a, r.doc_b) for r in inter.collect()}
+    assert (2000, 2001) in pairs, "rare-shingle pair lost"
+    assert all(a >= 2000 for a, _ in pairs), f"boilerplate pairs leaked: {sorted(pairs)[:5]}"
