@@ -60,6 +60,9 @@ _PRIORITY = [
     "stream_tumbling_counts", "stream_sliding_counts", "stream_session_windows",
     "stream_dedup_count", "stream_running_totals", "stream_static_enrich",
     "stream_stream_click_purchase",
+    "token_stats", "bpe_ish_token_count", "quality_score", "language_id",
+    "lang_distribution", "doc_fingerprint",
+    "rollup_corpus_report", "cube_events_report", "grouping_sets_report",
 ]
 
 
