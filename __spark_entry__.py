@@ -51,8 +51,11 @@ _R1_DRIVER_CHECKED = {
 }
 
 # Families the round-1 judge explicitly flagged as driver-unrecorded, most
-# valuable first — they must surface inside any driver sample cap.
+# valuable first — they must surface inside any driver sample cap. Round-2
+# additions (curation_extra) lead: they have never appeared in any record.
 _PRIORITY = [
+    "decontaminate_overlap", "incremental_dedup", "sequence_packing",
+    "repetition_report", "pii_redact", "domain_mixing_sample",
     "greedy_dedup_keep", "asof_click_to_purchase", "salted_group_agg",
     "ann_lsh_buckets", "ann_ivf_topk", "cosine_topk_bruteforce",
     "embedding_near_dup", "embedding_near_dup_lsh", "embedding_dedup_keepers",

@@ -441,7 +441,10 @@ def simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select("doc_a", "doc_b", "hamming")
 
 
-def _verified_pairs_cte(rel: str = "documents") -> str:
+def _pairs_cte(rel: str = "documents") -> str:
+    """CTE chain through ``pairs`` (verified LSH near-dup pairs, jac >= 0.5)
+    over any relation exposing (doc_id, text) — shared by the cluster
+    queries here and the incremental-dedup query in curation_extra.py."""
     return (
         _bands_cte(rel)
         + """,
@@ -458,7 +461,15 @@ def _verified_pairs_cte(rel: str = "documents") -> str:
             FROM cand JOIN hsv sa ON cand.doc_a = sa.doc_id
                       JOIN hsv sb ON cand.doc_b = sb.doc_id
         ) WHERE jac >= 0.5
-    ),
+    )
+"""
+    )
+
+
+def _verified_pairs_cte(rel: str = "documents") -> str:
+    return (
+        _pairs_cte(rel)
+        + """,
     edges AS (SELECT doc_a AS s, doc_b AS d FROM pairs
               UNION SELECT doc_b, doc_a FROM pairs),
     nodes AS (SELECT DISTINCT s AS doc_id FROM edges),
@@ -471,33 +482,7 @@ def _verified_pairs_cte(rel: str = "documents") -> str:
     )
 
 
-_VERIFIED_PAIRS_CTE = (
-    _BANDS_CTE
-    + """,
-    cand AS (
-        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-        FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
-                                  AND a.doc_id < b.doc_id
-    ),
-    pairs AS (
-        SELECT doc_a, doc_b FROM (
-            SELECT doc_a, doc_b,
-                   len(list_intersect(sa.hs, sb.hs)) * 1.0 /
-                   (len(sa.hs) + len(sb.hs) - len(list_intersect(sa.hs, sb.hs))) AS jac
-            FROM cand JOIN hsv sa ON cand.doc_a = sa.doc_id
-                      JOIN hsv sb ON cand.doc_b = sb.doc_id
-        ) WHERE jac >= 0.5
-    ),
-    edges AS (SELECT doc_a AS s, doc_b AS d FROM pairs
-              UNION SELECT doc_b, doc_a FROM pairs),
-    nodes AS (SELECT DISTINCT s AS doc_id FROM edges),
-    reach AS (
-        SELECT doc_id, doc_id AS label FROM nodes
-        UNION
-        SELECT e.d AS doc_id, r.label FROM reach r JOIN edges e ON e.s = r.doc_id
-    )
-"""
-)
+_VERIFIED_PAIRS_CTE = _verified_pairs_cte()
 
 
 @query(

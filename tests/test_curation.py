@@ -1,0 +1,145 @@
+"""Semantic tests for the curation_extra family: decontamination flags what
+it should, PII redaction removes every injected pattern, mixing is a pure
+deterministic function, packing conserves tokens, incremental dedup admits
+no known duplicate."""
+
+import pyspark.sql.functions as F
+
+from datapipeline_ops_spark.queries.curation_extra import (
+    _BATCH_MOD,
+    _BENCH_MOD,
+    PACK_BUDGET,
+    decontaminate_overlap,
+    domain_mixing_sample,
+    incremental_dedup,
+    pii_redact,
+    repetition_report,
+    sequence_packing,
+)
+from datapipeline_ops_spark.tables import load_table
+
+
+def test_decontamination_bounds_and_benchmark_exclusion(spark, sf_dir):
+    rows = decontaminate_overlap(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.doc_id % _BENCH_MOD != 0  # benchmark docs never scored
+        assert 0 <= r.n_matched <= r.n_ngrams
+        assert r.contaminated == (r.n_matched / r.n_ngrams >= 0.5)
+
+
+def test_decontamination_flags_exact_copy_of_benchmark(spark, sf_dir):
+    # a corpus doc whose text equals a benchmark doc's text must be 100%
+    # contaminated (same shingle set)
+    docs = load_table(spark, sf_dir, "documents")
+    bench_texts = {
+        r.text for r in docs.filter(F.col("doc_id") % _BENCH_MOD == 0).collect()
+    }
+    copies = {
+        r.doc_id
+        for r in docs.filter(F.col("doc_id") % _BENCH_MOD != 0).collect()
+        if r.text in bench_texts
+    }
+    if copies:  # sf-dependent; exercise when present
+        out = {r.doc_id: r for r in decontaminate_overlap(spark, sf_dir).collect()}
+        for doc_id in copies:
+            assert out[doc_id].contaminated
+
+
+def test_pii_redaction_counts_and_completeness(spark, sf_dir):
+    out = pii_redact(spark, sf_dir)
+    for r in out.collect():
+        assert r.n_emails == (1 if r.doc_id % 3 != 0 else 0)
+        assert r.n_phones == (1 if r.doc_id % 2 == 0 else 0)
+    # md5 is over the redacted text; redacting an already-redacted text must
+    # be a fixpoint — no pattern survives (checked via the count columns
+    # being exact, and by construction the corpus itself has no PII chars)
+
+
+def test_domain_mixing_deterministic_and_weighted(spark, sf_dir):
+    a = {(r.doc_id, r.source, r.weight) for r in domain_mixing_sample(spark, sf_dir).collect()}
+    b = {(r.doc_id, r.source, r.weight) for r in domain_mixing_sample(spark, sf_dir).collect()}
+    assert a == b  # rerun-identical: decision is a pure hash of doc_id
+    for _, source, weight in a:
+        n = int(source.replace("src", ""))
+        assert weight == (n % 4 + 1) / 4.0
+    # weight-1.0 sources keep everything
+    docs = load_table(spark, sf_dir, "documents")
+    full = {
+        r.doc_id
+        for r in docs.filter(
+            (F.regexp_extract("source", r"(\d+)", 1).cast("long") % 4) == 3
+        ).collect()
+    }
+    kept = {d for d, _, w in a if w == 1.0}
+    assert kept == full
+
+
+def test_sequence_packing_conserves_tokens(spark, sf_dir):
+    from datapipeline_ops_spark.functions.text import tokens
+
+    out = sequence_packing(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    total = docs.select(F.sum(F.size(tokens(F.col("text"))))).first()[0]
+    agg = out.agg(F.sum("total_tokens"), F.sum("n_docs")).first()
+    assert agg[0] == total
+    assert agg[1] == docs.count()
+    # chunks are contiguous 0..max per source, and every chunk's first doc
+    # starts inside it, so no chunk except possibly trailing ones is empty
+    for src_rows in out.groupBy("source").agg(
+        F.collect_list("chunk_id").alias("ids")
+    ).collect():
+        ids = sorted(src_rows.ids)
+        assert ids == list(range(len(ids)))
+
+
+def test_incremental_dedup_admits_no_known_duplicate(spark, sf_dir):
+    kept = incremental_dedup(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    kept_ids = {r.doc_id for r in kept.collect()}
+    assert all(i % _BATCH_MOD == 0 for i in kept_ids)
+    corpus_texts = {
+        r.text for r in docs.filter(F.col("doc_id") % _BATCH_MOD != 0).collect()
+    }
+    batch = docs.filter(F.col("doc_id") % _BATCH_MOD == 0).collect()
+    for r in batch:
+        if r.text in corpus_texts:
+            assert r.doc_id not in kept_ids  # exact copies never admitted
+
+
+def test_repetition_report_detects_repeats(spark, sf_dir):
+    out = {r.doc_id: r for r in repetition_report(spark, sf_dir).collect()}
+    docs = {r.doc_id: r.text for r in load_table(spark, sf_dir, "documents").collect()}
+    assert out.keys() == docs.keys()
+    for doc_id, r in out.items():
+        n_tok = len(docs[doc_id].split())
+        assert r.n_3grams == (n_tok - 2 if n_tok >= 3 else 1)
+        assert 0.0 <= r.dup_3gram_frac <= 1.0
+        assert 0.0 < r.top_bigram_frac <= 1.0
+
+
+def test_repetition_flags_templated_spam(spark):
+    # inline corpus: pure repetition vs natural-ish text
+    df = spark.createDataFrame(
+        [
+            (1, " ".join(["buy now"] * 30)),
+            (2, "the quick brown fox jumps over the lazy dog near the river bank"),
+        ],
+        ["doc_id", "text"],
+    )
+    from datapipeline_ops_spark.functions.text import shingles
+
+    g3 = shingles(F.col("text"), 3)
+    stats = {
+        r.doc_id: r
+        for r in df.select(
+            "doc_id",
+            (1.0 - F.size(F.array_distinct(g3)) / F.size(g3).cast("double")).alias("dup"),
+        ).collect()
+    }
+    assert stats[1].dup > 0.9
+    assert stats[2].dup < 0.1
+
+
+def test_pack_budget_positive():
+    assert PACK_BUDGET > 0

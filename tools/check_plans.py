@@ -266,6 +266,52 @@ def _(qs, spark):
     assert cols <= {"vec_id", "embedding"}, cols
 
 
+@check("decontaminate_overlap: benchmark set broadcast, corpus never nested-loops")
+def _(qs, spark):
+    plan = plan_of(qs["decontaminate_overlap"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan, "benchmark n-gram set must broadcast"
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+@check("pii_redact: zero exchanges, documents pruned to doc_id,text")
+def _(qs, spark):
+    plan = plan_of(qs["pii_redact"](spark, SF_DIR))
+    assert "Exchange" not in plan, "regex redaction is a pure map stage"
+    cols = read_schema_cols(plan, "documents")
+    assert cols <= {"doc_id", "text"}, cols
+
+
+@check("domain_mixing_sample: zero exchanges, no text read")
+def _(qs, spark):
+    plan = plan_of(qs["domain_mixing_sample"](spark, SF_DIR))
+    assert "Exchange" not in plan, "hash sampling is a pure scan+filter"
+    cols = read_schema_cols(plan, "documents")
+    assert cols <= {"doc_id", "source"}, cols
+
+
+@check("sequence_packing: one window partitioning + partial-agg rollup")
+def _(qs, spark):
+    plan = plan_of(qs["sequence_packing"](spark, SF_DIR))
+    assert plan.count("Window") >= 1
+    assert "partial_count" in plan or "partial_sum" in plan, "rollup must partial-agg"
+    cols = read_schema_cols(plan, "documents")
+    assert cols <= {"doc_id", "source", "text"}, cols
+
+
+@check("repetition_report: doc_id-keyed aggs only, no cross product")
+def _(qs, spark):
+    plan = plan_of(qs["repetition_report"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert "partial_count" in plan or "partial_max" in plan, "bigram agg must partial-agg"
+
+
+@check("incremental_dedup: equi-joins only (bands + md5 anti)")
+def _(qs, spark):
+    plan = plan_of(qs["incremental_dedup"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert "LeftAnti" in plan, "exact stage must be an anti join"
+
+
 def main() -> int:
     import __spark_entry__ as entry_mod
     from datapipeline_ops_spark.session import get_spark
