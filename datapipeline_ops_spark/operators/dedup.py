@@ -201,35 +201,97 @@ def lsh_band_buckets(sig_col: Column, bands: int = LSH_BANDS, k: int = MINHASH_K
     )
 
 
-def connected_components(
-    pairs: DataFrame, a_col: str = "doc_a", b_col: str = "doc_b", max_iters: int = 20
-) -> DataFrame:
-    """Connected components over an undirected pair list via iterative
-    min-label propagation: every node starts labeled with itself; each round
-    takes the min of its own and its neighbors' labels; fixpoint = cluster
-    id = smallest doc id in the component.
+# Adaptive strategy threshold for connected_components: at or below this
+# many distinct undirected edges the component step runs as a driver-local
+# union-find (two BIGINTs per edge -> <=16 MB collected at the default
+# 1M-edge cap) instead of iterative distributed rounds. This is the same
+# decision AQE makes when it converts a shuffle join to broadcast: below a
+# bounded size, per-round scheduling overhead dominates and a local
+# algorithm on materialized data wins by an order of magnitude. Above the
+# cap the O(log diameter) pointer-jumping rounds run unchanged — results
+# are identical (both produce label = component-minimum id).
+CC_SMALL_GRAPH_EDGES = 1_000_000
 
-    This is the cluster step of near-dup dedup (pairs → clusters → one
-    keeper per cluster). Each round is (a) a neighbor-min shuffle on
-    compact (node, label) ints and (b) a POINTER-JUMPING step
-    (label ← label[label]) that doubles propagation distance per round, so
-    convergence needs O(log diameter) rounds, not O(diameter) — a chain of
-    2^20 near-dup docs converges inside the default budget instead of
-    silently stopping 2^20-20 hops short.
+
+def _cc_driver_union_find(spark, rows) -> DataFrame:
+    """Union-find over a collected edge list; union-by-min-root makes every
+    root the smallest id in its component, matching the distributed
+    fixpoint's labels exactly."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        r = x
+        while parent[r] != r:
+            r = parent[r]
+        while parent[x] != r:  # path compression
+            parent[x], x = r, parent[x]
+        return r
+
+    for row in rows:
+        a, b = row.s, row.d
+        for v in (a, b):
+            parent.setdefault(v, v)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            if ra < rb:
+                parent[rb] = ra
+            else:
+                parent[ra] = rb
+    out = [(n, find(n)) for n in parent]
+    return spark.createDataFrame(out, "node bigint, label bigint")
+
+
+def connected_components(
+    pairs: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    max_iters: int = 20,
+    small_graph_edges: int = CC_SMALL_GRAPH_EDGES,
+) -> DataFrame:
+    """Connected components over an undirected pair list; cluster id =
+    smallest doc id in the component.
+
+    ADAPTIVE execution (like AQE's broadcast decision, but for an iterative
+    algorithm): the distinct edge list is persisted and counted once; at or
+    below ``small_graph_edges`` (default 1M edges, <=16 MB) the components
+    are solved by a driver-local union-find over the collected edges — near-
+    dup graphs are tiny relative to their corpus (pairs are the OUTPUT of
+    aggressive LSH blocking), so this is the common case even at large SF,
+    and it replaces O(log diameter) full scheduling rounds with one collect.
+    Above the threshold the distributed path runs: per round (a) a
+    neighbor-min shuffle on compact (node, label) ints and (b) a POINTER-
+    JUMPING step (label <- label[label]) that doubles propagation distance
+    per round, so convergence needs O(log diameter) rounds, not
+    O(diameter) — a chain of 2^20 near-dup docs converges inside the
+    default budget instead of silently stopping 2^20-20 hops short.
 
     Invariants making this safe: labels only decrease, a node's label is
     always the id of some node in its own component, and label[n] <= n —
     so at the fixpoint every edge joins equal labels and the shared label
-    is the component minimum. If ``max_iters`` is exhausted before the
-    fixpoint the function RAISES instead of returning partially propagated
-    labels (at 100 TB there is no oracle to catch silently split clusters;
-    downstream keeper selection would silently keep duplicates).
+    is the component minimum (union-by-min-root reproduces exactly this).
+    If ``max_iters`` is exhausted before the fixpoint the function RAISES
+    instead of returning partially propagated labels (at 100 TB there is
+    no oracle to catch silently split clusters; downstream keeper
+    selection would silently keep duplicates).
     """
-    edges = (
+    from pyspark import StorageLevel
+
+    und = (
         pairs.select(F.col(a_col).alias("s"), F.col(b_col).alias("d"))
-        .union(pairs.select(F.col(b_col).alias("s"), F.col(a_col).alias("d")))
         .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    try:
+        n_edges = und.count()
+        if n_edges <= small_graph_edges:
+            return _cc_driver_union_find(pairs.sparkSession, und.collect())
+        return _cc_distributed(und, max_iters)
+    finally:
+        und.unpersist()
+
+
+def _cc_distributed(und: DataFrame, max_iters: int) -> DataFrame:
+    edges = und.union(und.select(F.col("d").alias("s"), F.col("s").alias("d"))).distinct()
     labels = edges.select(F.col("s").alias("node")).distinct().withColumn(
         "label", F.col("node")
     )

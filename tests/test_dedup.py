@@ -235,7 +235,10 @@ def test_connected_components_long_chain(spark):
     from datapipeline_ops_spark.operators.dedup import connected_components
 
     pairs = spark.createDataFrame([(i, i + 1) for i in range(59)], ["doc_a", "doc_b"])
-    labels = {r.node: r.label for r in connected_components(pairs).collect()}
+    labels = {
+        r.node: r.label
+        for r in connected_components(pairs, small_graph_edges=0).collect()
+    }
     assert set(labels.values()) == {0} and len(labels) == 60
 
 
@@ -278,7 +281,34 @@ def test_connected_components_raises_on_budget_exhaustion(spark):
 
     pairs = spark.createDataFrame([(i, i + 1) for i in range(30)], ["doc_a", "doc_b"])
     with pytest.raises(RuntimeError, match="did not converge"):
-        connected_components(pairs, max_iters=2)
+        connected_components(pairs, max_iters=2, small_graph_edges=0)
+
+
+def test_connected_components_small_and_distributed_paths_agree(spark):
+    """The adaptive driver-local union-find and the distributed pointer-
+    jumping rounds must label identically (label = component min id)."""
+    import hashlib
+
+    from datapipeline_ops_spark.operators.dedup import connected_components
+
+    edges = []
+    for i in range(150):
+        h = int(hashlib.md5(f"cc2:{i}".encode()).hexdigest()[:8], 16)
+        edges.append((h % 80, (h >> 8) % 80))
+    pairs = spark.createDataFrame(edges, ["doc_a", "doc_b"])
+    small = {r.node: r.label for r in connected_components(pairs).collect()}
+    dist = {
+        r.node: r.label
+        for r in connected_components(pairs, small_graph_edges=0).collect()
+    }
+    assert small == dist
+
+
+def test_connected_components_empty_input(spark):
+    from datapipeline_ops_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame([], "doc_a bigint, doc_b bigint")
+    assert connected_components(pairs).count() == 0
 
 
 def test_ngram_df_cap_drops_boilerplate_only_pairs(spark):
