@@ -32,7 +32,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 
 from datapipeline_ops_spark.core.registry import query
 from datapipeline_ops_spark.functions.hashing import hash_unit, sql_hash_unit
-from datapipeline_ops_spark.functions.vectors import as_double, cosine, sql_cosine
+from datapipeline_ops_spark.functions.vectors import as_double, dot, norm, sql_cosine
 from datapipeline_ops_spark.tables import load_table
 
 N_QUERIES = 10  # vec_id < 10 are the query vectors
@@ -58,8 +58,17 @@ _COS_AB = sql_cosine("a.vec", "b.vec")
 
 
 def _vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, label, vec, nrm): the L2 norm is computed ONCE per vector in
+    the scan projection — every pair query then divides a pair dot product
+    by the two cached norms instead of re-walking both arrays per CANDIDATE
+    PAIR (zip_with/aggregate are interpreted, not codegen'd; norms were 2/3
+    of the pair-stage expression work). Queries that don't reference ``nrm``
+    lose the column to Catalyst's projection pruning — computing it here is
+    free for them. Values are bit-identical either way (same IEEE ops in
+    the same order), so the oracles are unchanged."""
     e = load_table(spark, sf_dir, "embeddings")
-    return e.select("vec_id", "label", as_double(F.col("embedding")).alias("vec"))
+    v = e.select("vec_id", "label", as_double(F.col("embedding")).alias("vec"))
+    return v.withColumn("nrm", norm(F.col("vec")))
 
 
 @query(
@@ -85,11 +94,13 @@ def cosine_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     tie-break on vec_id so ranking is stable across engines and runs."""
     v = _vectors(spark, sf_dir)
     q = v.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("vec").alias("qvec")
+        F.col("vec_id").alias("query_id"),
+        F.col("vec").alias("qvec"),
+        F.col("nrm").alias("qnrm"),
     )
     scored = (
         v.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
-        .withColumn("cos", cosine(F.col("qvec"), F.col("vec")))
+        .withColumn("cos", dot(F.col("qvec"), F.col("vec")) / (F.col("qnrm") * F.col("nrm")))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
     return (
@@ -137,13 +148,19 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(ba, bb) for ba in range(NEAR_DUP_BLOCKS) for bb in range(ba, NEAR_DUP_BLOCKS)],
         "ba int, bb int",
     )
-    a = v.select(F.col("vec_id").alias("id_a"), F.col("vec").alias("va"), F.col("block").alias("ba"))
-    b = v.select(F.col("vec_id").alias("id_b"), F.col("vec").alias("vb"), F.col("block").alias("bb"))
+    a = v.select(
+        F.col("vec_id").alias("id_a"), F.col("vec").alias("va"),
+        F.col("nrm").alias("na"), F.col("block").alias("ba"),
+    )
+    b = v.select(
+        F.col("vec_id").alias("id_b"), F.col("vec").alias("vb"),
+        F.col("nrm").alias("nb"), F.col("block").alias("bb"),
+    )
     return (
         a.join(F.broadcast(bp), "ba")
         .join(b, "bb")
         .filter((F.col("ba") < F.col("bb")) | (F.col("id_a") < F.col("id_b")))
-        .withColumn("cos", cosine(F.col("va"), F.col("vb")))
+        .withColumn("cos", dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")))
         .filter(F.col("cos") >= NEAR_DUP_TAU)
         .select(
             F.least("id_a", "id_b").alias("vec_a"),
@@ -178,25 +195,28 @@ def ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return v.select("vec_id", _lsh_bucket(F.col("vec")).alias("bucket"))
 
 
+def _plane_const(j: int, i: int) -> float:
+    """plane_j[i] = hash_unit(\"j:i\") - 0.5, evaluated at plan-build time.
+    Bit-identical to the engine expression (md5 hex → 60-bit int → %1e6 →
+    /1e6): the components are pure functions of (j, i), and Catalyst does
+    NOT constant-fold through transform() lambdas — the previous in-plan
+    construction re-ran 8×64 md5+conv per ROW. The DuckDB oracle keeps the
+    hash-based construction and reproduces these exact doubles."""
+    import hashlib
+
+    v = int(hashlib.md5(f"{j}:{i}".encode()).hexdigest()[:15], 16)
+    return (v % 1_000_000) / 1_000_000.0 - 0.5
+
+
 def _lsh_bucket(vec) -> F.Column:
     """8-bit sign-LSH bucket of a double-array column (shared by
     ann_lsh_buckets and embedding_near_dup_lsh; mirrored by the proj/bucket
-    oracle CTEs)."""
-
-    def plane(j: int):
-        # plane_j[i] = hash_unit("j:i") - 0.5. NB: 1-param lambda only —
-        # PySpark passes (element, index) to 2-param lambdas, which would
-        # silently clobber a `j=j` default arg (see operators/dedup.py).
-        return lambda i: hash_unit(F.concat_ws(":", F.lit(str(j)), i.cast("string"))) - 0.5
-
+    oracle CTEs). Planes are literal arrays — zero hashing in the scan."""
     bucket = F.lit(0)
     for j in range(LSH_PLANES):
+        plane = F.array(*[F.lit(_plane_const(j, i)) for i in range(EMB_DIM)])
         proj = F.aggregate(
-            F.zip_with(
-                vec,
-                F.transform(F.sequence(F.lit(0), F.lit(EMB_DIM - 1)), plane(j)),
-                lambda x, h: x * h,
-            ),
+            F.zip_with(vec, plane, lambda x, h: x * h),
             F.lit(0.0),
             lambda acc, x: acc + x,
         )
@@ -257,13 +277,17 @@ def embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = v.select(
         F.col("vec_id").alias("id_a"),
         F.col("vec").alias("va"),
+        F.col("nrm").alias("na"),
         F.explode(probes).alias("bucket"),
     )
-    b = v.select(F.col("vec_id").alias("id_b"), F.col("vec").alias("vb"), "bucket")
+    b = v.select(
+        F.col("vec_id").alias("id_b"), F.col("vec").alias("vb"),
+        F.col("nrm").alias("nb"), "bucket",
+    )
     return (
         a.join(b, "bucket")
         .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("cos", cosine(F.col("va"), F.col("vb")))
+        .withColumn("cos", dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")))
         .filter(F.col("cos") >= NEAR_DUP_TAU)
         .select(
             F.col("id_a").alias("vec_a"),
@@ -309,29 +333,33 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     v = _vectors(spark, sf_dir)
     cent = v.filter(
         (F.col("vec_id") >= IVF_CENTROIDS[0]) & (F.col("vec_id") < IVF_CENTROIDS[1])
-    ).select(F.col("vec_id").alias("cid"), F.col("vec").alias("cvec"))
+    ).select(
+        F.col("vec_id").alias("cid"), F.col("vec").alias("cvec"),
+        F.col("nrm").alias("cnrm"),
+    )
 
     w_assign = Window.partitionBy("vec_id").orderBy(
         F.desc("ccos"), F.asc("cid")
     )
     assign = (
         v.join(F.broadcast(cent))
-        .withColumn("ccos", cosine(F.col("vec"), F.col("cvec")))
+        .withColumn("ccos", dot(F.col("vec"), F.col("cvec")) / (F.col("nrm") * F.col("cnrm")))
         .withColumn("rn", F.row_number().over(w_assign))
         .filter(F.col("rn") == 1)
-        .select("vec_id", "cid", "vec")
+        .select("vec_id", "cid", "vec", "nrm")
     )
     q = assign.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("cid").alias("qcid"),
         F.col("vec").alias("qvec"),
+        F.col("nrm").alias("qnrm"),
     )
     scored = (
         assign.join(
             F.broadcast(q),
             (F.col("cid") == F.col("qcid")) & (F.col("vec_id") != F.col("query_id")),
         )
-        .withColumn("cos", cosine(F.col("qvec"), F.col("vec")))
+        .withColumn("cos", dot(F.col("qvec"), F.col("vec")) / (F.col("qnrm") * F.col("nrm")))
     )
     w_rank = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
     return (
