@@ -11,6 +11,7 @@ from datapipeline_ops_spark.queries import (  # noqa: F401
     multimodal,
     pipeline_analogs,
     pipelines_e2e,
+    profiling,
     relational,
     relational_extra,
     robustness,

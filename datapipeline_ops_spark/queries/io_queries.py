@@ -76,6 +76,29 @@ def jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "orc_roundtrip",
+    oracle="""
+    SELECT s_nationkey, count(*) AS n_suppliers,
+           round(sum(s_acctbal), 4) AS total_acctbal
+    FROM supplier GROUP BY s_nationkey
+    """,
+)
+def orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """supplier → ORC sink → explicit-schema ORC source → aggregate. ORC is
+    the third columnar interchange format next to parquet and CSV/JSONL;
+    the oracle reads the original parquet, so the hash match proves the
+    sink/source pair is lossless (types, nulls, doubles)."""
+    sup = load_table(spark, sf_dir, "supplier")
+    path = _scratch(sf_dir, "supplier_orc")
+    sup.write.mode("overwrite").orc(path)
+    back = spark.read.schema(sup.schema).orc(path)
+    return back.groupBy("s_nationkey").agg(
+        F.count(F.lit(1)).alias("n_suppliers"),
+        F.round(F.sum("s_acctbal"), 4).alias("total_acctbal"),
+    )
+
+
+@query(
     "jsonl_records",
     oracle="""
     SELECT doc_id,

@@ -1,0 +1,120 @@
+"""Dataset profiling queries: per-column statistics and corpus vocabulary.
+
+Beyond-reference surface: the reference pipelines log ad-hoc dict stats per
+stage (e.g. ``pipeline/video_extract_frame.py`` prints counts); a 100 TB
+ingest needs a real profiling pass — the report that drives schema checks,
+null-rate alerts and tokenizer vocabulary decisions — expressed as ONE scan,
+not a loop of per-column jobs.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from datapipeline_ops_spark.core.registry import query
+from datapipeline_ops_spark.functions.text import sql_tokens, tokens
+from datapipeline_ops_spark.tables import load_table
+
+# (column, render kind) for the orders profile; "price" renders %.2f so the
+# float min/max strings are byte-identical across engines.
+_PROFILE_COLS = [
+    ("o_orderkey", "int"),
+    ("o_custkey", "int"),
+    ("o_orderstatus", "str"),
+    ("o_orderpriority", "str"),
+    ("o_orderdate", "ts"),
+    ("o_totalprice", "price"),
+]
+
+
+def _render(kind: str, col: F.Column) -> F.Column:
+    if kind == "ts":
+        return F.date_format(col, "yyyy-MM-dd HH:mm:ss")
+    if kind == "price":
+        return F.format_string("%.2f", col)
+    return col.cast("string")
+
+
+def _sql_render(kind: str, expr: str) -> str:
+    if kind == "ts":
+        return f"strftime({expr}, '%Y-%m-%d %H:%M:%S')"
+    if kind == "price":
+        return f"printf('%.2f', {expr})"
+    return f"CAST({expr} AS VARCHAR)"
+
+
+_PROFILE_ORACLE = "\nUNION ALL\n".join(
+    f"""SELECT '{c}' AS col_name,
+           count(*) - count({c}) AS n_null,
+           count(DISTINCT {c}) AS n_distinct,
+           {_sql_render(k, f"min({c})")} AS min_value,
+           {_sql_render(k, f"max({c})")} AS max_value
+    FROM orders"""
+    for c, k in _PROFILE_COLS
+)
+
+
+@query("table_profile", oracle=_PROFILE_ORACLE)
+def table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass table profile: per column, null count, exact distinct
+    count, and rendered min/max — the ingest-validation report. All columns
+    profile in ONE aggregation job (Spark plans the multi-distinct via one
+    Expand, cost ~n_cols x rows map-side, vs n_cols separate scans for the
+    loop formulation); the 1-row aggregate then unpivots to one row per
+    column with an explode of literal structs. At 100 TB swap
+    ``count_distinct`` for ``approx_count_distinct`` — the plan shape is
+    unchanged."""
+    o = load_table(spark, sf_dir, "orders")
+    aggs = []
+    for c, _ in _PROFILE_COLS:
+        aggs += [
+            (F.count(F.lit(1)) - F.count(c)).alias(f"{c}__nn"),
+            F.count_distinct(F.col(c)).alias(f"{c}__nd"),
+            F.min(c).alias(f"{c}__mn"),
+            F.max(c).alias(f"{c}__mx"),
+        ]
+    row = o.agg(*aggs)
+    structs = [
+        F.struct(
+            F.lit(c).alias("col_name"),
+            F.col(f"{c}__nn").alias("n_null"),
+            F.col(f"{c}__nd").alias("n_distinct"),
+            _render(k, F.col(f"{c}__mn")).alias("min_value"),
+            _render(k, F.col(f"{c}__mx")).alias("max_value"),
+        )
+        for c, k in _PROFILE_COLS
+    ]
+    return row.select(F.explode(F.array(*structs)).alias("p")).select("p.*")
+
+
+VOCAB_MIN_COUNT = 5
+VOCAB_TOP_K = 100
+
+
+@query(
+    "vocab_top_tokens",
+    oracle=f"""
+    SELECT token, n FROM (
+        SELECT t.token AS token, count(*) AS n
+        FROM (SELECT unnest({sql_tokens("text")}) AS token FROM documents) t
+        GROUP BY t.token
+    ) WHERE n >= {VOCAB_MIN_COUNT}
+    ORDER BY n DESC, token LIMIT {VOCAB_TOP_K}
+    """,
+)
+def vocab_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary builder: corpus-wide token frequencies, floor-filtered and
+    truncated to the top-K — the first step of any tokenizer build. Explode
+    + partial-aggregated count (the shuffle carries per-partition partial
+    counts, not tokens), then a global top-K with a total (n DESC, token)
+    order so the truncation boundary is deterministic in both engines.
+    At 100 TB the top-K is a TakeOrdered merge, never a full sort."""
+    d = load_table(spark, sf_dir, "documents")
+    counts = (
+        d.select(F.explode(tokens(F.col("text"))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= VOCAB_MIN_COUNT)
+    )
+    return counts.orderBy(F.desc("n"), F.asc("token")).limit(VOCAB_TOP_K)

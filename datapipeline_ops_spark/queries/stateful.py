@@ -9,6 +9,7 @@ state, one recursion step per row — so even this op is value-verified.
 
 from __future__ import annotations
 
+import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from datapipeline_ops_spark.core.registry import query
@@ -57,6 +58,82 @@ SELECT st.user_id AS user_id, u.event_id AS event_id
 FROM st JOIN n ON st.user_id = n.user_id AND st.rn = n.maxrn,
      LATERAL (SELECT unnest(kept, recursive:=true)) AS u
 """
+
+
+_COGROUP_ORACLE = """
+WITH c AS (SELECT user_id, epoch_us(ts) AS t FROM events WHERE event_type = 'click'),
+p AS (SELECT user_id, epoch_us(ts) AS t, value FROM events WHERE event_type = 'purchase'),
+cu AS (SELECT user_id, count(*) AS n_clicks, min(t) AS first_t FROM c GROUP BY user_id),
+pu AS (SELECT user_id, count(*) AS n_purchases FROM p GROUP BY user_id),
+attr AS (
+    SELECT p.user_id,
+           sum(CASE WHEN cu.first_t IS NOT NULL AND p.t >= cu.first_t
+                    THEN 1 ELSE 0 END) AS n_attributed,
+           sum(CASE WHEN cu.first_t IS NOT NULL AND p.t >= cu.first_t
+                    THEN p.value ELSE 0 END) AS av
+    FROM p LEFT JOIN cu ON p.user_id = cu.user_id GROUP BY p.user_id
+)
+SELECT coalesce(cu.user_id, pu.user_id) AS user_id,
+       CAST(coalesce(n_clicks, 0) AS BIGINT) AS n_clicks,
+       CAST(coalesce(n_purchases, 0) AS BIGINT) AS n_purchases,
+       CAST(coalesce(n_attributed, 0) AS BIGINT) AS n_attributed,
+       round(coalesce(av, 0), 4) AS attributed_value
+FROM cu FULL JOIN pu ON cu.user_id = pu.user_id
+LEFT JOIN attr ON coalesce(cu.user_id, pu.user_id) = attr.user_id
+"""
+
+
+@query("cogroup_click_purchase_stats", oracle=_COGROUP_ORACLE)
+def cogroup_click_purchase_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user alignment of two event streams via COGROUPED Arrow UDF
+    (``groupBy().cogroup().applyInPandas``): each user's clicks and
+    purchases arrive as two pandas frames in one call — the natural shape
+    for merge-scan logic (attribution, funnel alignment, session stitching)
+    that would otherwise need a join + re-group. Here: purchase counts as
+    attributed if the user clicked at or before its timestamp.
+
+    Scale: one co-partitioned shuffle on user_id for both sides, Arrow
+    batches both ways, groups process independently across executors. The
+    oracle replays the semantics relationally (first-click join), proving
+    the imperative per-group scan equals the declarative form."""
+    import pandas as pd
+
+    e = load_table(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id", F.unix_micros("ts").alias("t")
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.unix_micros("ts").alias("t"), "value"
+    )
+
+    def stats(key: tuple, left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        first = left["t"].min() if len(left) else None
+        if first is None:
+            attr = right.iloc[0:0]
+        else:
+            attr = right[right["t"] >= first].sort_values("t")
+        return pd.DataFrame(
+            [
+                {
+                    "user_id": key[0],
+                    "n_clicks": len(left),
+                    "n_purchases": len(right),
+                    "n_attributed": len(attr),
+                    "attributed_value": float(attr["value"].sum()),
+                }
+            ]
+        )
+
+    out = (
+        clicks.groupBy("user_id")
+        .cogroup(purchases.groupBy("user_id"))
+        .applyInPandas(
+            stats,
+            schema="user_id bigint, n_clicks bigint, n_purchases bigint, "
+            "n_attributed bigint, attributed_value double",
+        )
+    )
+    return out.withColumn("attributed_value", F.round("attributed_value", 4))
 
 
 @query("greedy_dedup_keep", oracle=_GREEDY_ORACLE)

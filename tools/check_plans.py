@@ -305,6 +305,30 @@ def _(qs, spark):
     assert "partial_count" in plan or "partial_max" in plan, "bigram agg must partial-agg"
 
 
+@check("table_profile: single scan, one Expand for all distinct aggs")
+def _(qs, spark):
+    plan = plan_of(qs["table_profile"](spark, SF_DIR))
+    # count node headers ("(N) Scan parquet"), not tree+detail mentions
+    n_scans = len(re.findall(r"\(\d+\) Scan parquet", plan))
+    assert n_scans == 1, f"profile must be one pass, saw {n_scans} scans"
+    assert "Expand" in plan, "multi-distinct should plan via Expand"
+
+
+@check("vocab_top_tokens: partial-agg counts + TakeOrdered top-K (no full sort)")
+def _(qs, spark):
+    plan = plan_of(qs["vocab_top_tokens"](spark, SF_DIR))
+    assert "partial_count" in plan, "token counts must partial-agg before shuffle"
+    assert "TakeOrderedAndProject" in plan, "top-K must be a TakeOrdered merge"
+
+
+@check("cogroup_click_purchase_stats: Arrow cogroup, both sides hash-partitioned once")
+def _(qs, spark):
+    plan = plan_of(qs["cogroup_click_purchase_stats"](spark, SF_DIR))
+    assert "FlatMapCoGroupsInPandas" in plan
+    n_ex = len(re.findall(r"\(\d+\) Exchange", plan))
+    assert n_ex <= 2, f"one shuffle per side, saw {n_ex}"
+
+
 @check("incremental_dedup: equi-joins only (bands + md5 anti)")
 def _(qs, spark):
     plan = plan_of(qs["incremental_dedup"](spark, SF_DIR))
