@@ -57,7 +57,7 @@ _PRIORITY = [
     "decontaminate_overlap", "incremental_dedup", "sequence_packing",
     "repetition_report", "pii_redact", "domain_mixing_sample",
     "table_profile", "vocab_top_tokens", "orc_roundtrip",
-    "cogroup_click_purchase_stats",
+    "cogroup_click_purchase_stats", "snapshot_diff_cdc",
     "greedy_dedup_keep", "asof_click_to_purchase", "salted_group_agg",
     "ann_lsh_buckets", "ann_ivf_topk", "cosine_topk_bruteforce",
     "embedding_near_dup", "embedding_near_dup_lsh", "embedding_dedup_keepers",

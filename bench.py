@@ -45,6 +45,12 @@ HEADLINE = [
     "label_centroids",      # vector explode + partial-agg centroid matrix
     "promo_revenue_share",  # fact-dim broadcast join + conditional agg
     "corpus_curation_e2e",  # quality gate -> exact dedup -> near-dup clusters
+    # round-2 additions
+    "decontaminate_overlap",       # broadcast benchmark n-gram join
+    "incremental_dedup",           # batch-vs-corpus exact + LSH admission
+    "embedding_dedup_keepers",     # sign-LSH pairs -> clusters -> keepers
+    "cogroup_click_purchase_stats",  # Arrow cogroup per-user merge scan
+    "table_profile",               # single-scan multi-distinct profile
 ]
 
 

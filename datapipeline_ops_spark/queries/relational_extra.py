@@ -528,3 +528,77 @@ def returned_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count_distinct(F.col("c_custkey")).alias("n_customers"),
         )
     )
+
+
+# --- CDC snapshot diff ------------------------------------------------------
+
+# Deterministic two-snapshot derivation from one table: rows with
+# key % 50 == 7 are "inserted" after the old snapshot, key % 50 == 23 are
+# "deleted" before the new one, and key % 13 == 0 rows change price.
+_INS_MOD, _DEL_MOD, _UPD_MOD = 7, 23, 13
+
+
+@query(
+    "snapshot_diff_cdc",
+    oracle=f"""
+    WITH old_s AS (
+        SELECT o_orderkey,
+               md5(o_orderstatus || '|' || printf('%.2f', o_totalprice)) AS h
+        FROM orders WHERE o_orderkey % 50 <> {_INS_MOD}
+    ),
+    new_s AS (
+        SELECT o_orderkey,
+               md5(o_orderstatus || '|' || printf('%.2f',
+                   CASE WHEN o_orderkey % {_UPD_MOD} = 0
+                        THEN o_totalprice + 1.0 ELSE o_totalprice END)) AS h
+        FROM orders WHERE o_orderkey % 50 <> {_DEL_MOD}
+    )
+    SELECT coalesce(old_s.o_orderkey, new_s.o_orderkey) AS o_orderkey,
+           CASE WHEN old_s.h IS NULL THEN 'insert'
+                WHEN new_s.h IS NULL THEN 'delete'
+                WHEN old_s.h <> new_s.h THEN 'update'
+                ELSE 'unchanged' END AS change_type
+    FROM old_s FULL JOIN new_s ON old_s.o_orderkey = new_s.o_orderkey
+    """,
+)
+def snapshot_diff_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC-style snapshot diff: classify every key across two table versions
+    as insert / delete / update / unchanged — the change-detection pass an
+    incremental ingest runs before a merge/upsert. Rows compare via an
+    md5 row-hash of the tracked columns (the wide-table CDC pattern: one
+    hash comparison instead of N column comparisons), and the two versions
+    full-outer-join on the key.
+
+    Scale: two scans of the same table (in production: two snapshot
+    locations), one full outer shuffle join on the bigint key; the row hash
+    is computed map-side so the shuffle carries (key, 32-byte hash), never
+    the tracked columns themselves."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+
+    def row_hash(price: F.Column) -> F.Column:
+        return F.md5(
+            F.concat_ws("|", F.col("o_orderstatus"), F.format_string("%.2f", price)).cast(
+                "binary"
+            )
+        )
+
+    old_s = o.filter(F.col("o_orderkey") % 50 != _INS_MOD).select(
+        "o_orderkey", row_hash(F.col("o_totalprice")).alias("h_old")
+    )
+    new_price = F.when(
+        F.col("o_orderkey") % _UPD_MOD == 0, F.col("o_totalprice") + 1.0
+    ).otherwise(F.col("o_totalprice"))
+    new_s = o.filter(F.col("o_orderkey") % 50 != _DEL_MOD).select(
+        "o_orderkey", row_hash(new_price).alias("h_new")
+    )
+    diff = old_s.join(new_s, "o_orderkey", "full")
+    return diff.select(
+        "o_orderkey",
+        F.when(F.col("h_old").isNull(), "insert")
+        .when(F.col("h_new").isNull(), "delete")
+        .when(F.col("h_old") != F.col("h_new"), "update")
+        .otherwise("unchanged")
+        .alias("change_type"),
+    )

@@ -329,6 +329,14 @@ def _(qs, spark):
     assert n_ex <= 2, f"one shuffle per side, saw {n_ex}"
 
 
+@check("snapshot_diff_cdc: full outer on key, row hash map-side, 3-col scan")
+def _(qs, spark):
+    plan = plan_of(qs["snapshot_diff_cdc"](spark, SF_DIR))
+    assert "FullOuter" in plan, "diff must be a full outer join"
+    cols = read_schema_cols(plan, "orders")
+    assert cols <= {"o_orderkey", "o_orderstatus", "o_totalprice"}, cols
+
+
 @check("incremental_dedup: equi-joins only (bands + md5 anti)")
 def _(qs, spark):
     plan = plan_of(qs["incremental_dedup"](spark, SF_DIR))
