@@ -58,6 +58,7 @@ _PRIORITY = [
     "repetition_report", "pii_redact", "domain_mixing_sample",
     "table_profile", "vocab_top_tokens", "orc_roundtrip",
     "cogroup_click_purchase_stats", "snapshot_diff_cdc",
+    "manifest_source_scan", "variant_props_stats",
     "greedy_dedup_keep", "asof_click_to_purchase", "salted_group_agg",
     "ann_lsh_buckets", "ann_ivf_topk", "cosine_topk_bruteforce",
     "embedding_near_dup", "embedding_near_dup_lsh", "embedding_dedup_keepers",

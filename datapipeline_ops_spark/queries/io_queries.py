@@ -130,3 +130,44 @@ def jsonl_records(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return d.select("doc_id", rec.alias("record"))
+
+
+@query(
+    "manifest_source_scan",
+    oracle="""
+    SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM documents GROUP BY lang
+    """,
+)
+def manifest_source_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → JSONL shards + manifest → custom Python Data Source
+    (``sources/manifest_source.py``) → aggregate. The manifest is read once
+    at planning time and every shard becomes one InputPartition, so the read
+    parallelism equals shard count with a single driver listing — the
+    Spark-native replacement for the reference's imperative object-store
+    manifest loops. The oracle reads the original parquet: a hash match
+    proves the writer+manifest+source chain is lossless."""
+    from datapipeline_ops_spark.sources.manifest_source import (
+        ManifestJsonlDataSource,
+        write_manifest,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    shard_dir = _scratch(sf_dir, "documents_manifest_shards")
+    write_jsonl(d, shard_dir)
+    manifest = os.path.join(_scratch(sf_dir, "documents_manifest"), "manifest.json")
+    write_manifest(shard_dir, manifest)
+    try:
+        spark.dataSource.register(ManifestJsonlDataSource)
+    except Exception:
+        pass  # already registered in this session
+    back = (
+        spark.read.format("jsonl_manifest")
+        .schema("doc_id bigint, text string, lang string, source string, n_chars bigint")
+        .option("manifest", manifest)
+        .load()
+    )
+    return back.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+    )

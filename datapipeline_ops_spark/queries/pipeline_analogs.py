@@ -500,3 +500,38 @@ def scene_split_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
         o, "scene_start", "scene_end", SCENE_MAX, SCENE_MIN, max_depth=8
     )
     return planned.select("o_orderkey", "seg_idx", "start_frame", "end_frame", "duration")
+
+
+@query(
+    "variant_props_stats",
+    oracle="""
+    SELECT CAST(floor(CAST(json_extract_string(props, '$.k') AS INT) / 10) AS BIGINT)
+               AS k_decile,
+           count(*) AS n_events,
+           count(DISTINCT user_id) AS n_users
+    FROM events
+    WHERE props IS NOT NULL
+      AND json_extract_string(props, '$.k') IS NOT NULL
+    GROUP BY k_decile
+    """,
+)
+def variant_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured props through Spark 4's VARIANT type: ``parse_json``
+    once into a Variant column, then typed path extraction with
+    ``try_variant_get`` — the open-schema path for event properties that
+    avoids both rigid from_json schemas and repeated string re-parsing
+    (Variant stores a parsed binary form; N extractions parse once, not N
+    times). Malformed/missing paths yield NULL via the try_ forms and are
+    filtered, mirroring the oracle's json_extract_string semantics."""
+    e = load_table(spark, sf_dir, "events")
+    v = F.try_parse_json(F.col("props"))
+    k = F.try_variant_get(v, "$.k", "int")
+    return (
+        e.select("user_id", k.alias("k"))
+        .filter(F.col("k").isNotNull())
+        .groupBy(F.floor(F.col("k") / 10).cast("long").alias("k_decile"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count_distinct("user_id").alias("n_users"),
+        )
+    )

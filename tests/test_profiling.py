@@ -78,3 +78,36 @@ def test_cogroup_attribution_semantics(spark, sf_dir):
         assert s.n_attributed == len(attr)
         assert abs(s.attributed_value - round(sum(r.value for r in attr), 4)) < 1e-6
     assert stats.keys() == by_user.keys()
+
+
+def test_manifest_source_partitions_and_fidelity(spark, sf_dir):
+    import os
+
+    from datapipeline_ops_spark.queries.io_queries import _scratch
+    from datapipeline_ops_spark.sources.io import write_jsonl
+    from datapipeline_ops_spark.sources.manifest_source import (
+        ManifestJsonlDataSource,
+        write_manifest,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    shard_dir = _scratch(sf_dir, "test_manifest_shards")
+    write_jsonl(d.repartition(3), shard_dir)
+    manifest = os.path.join(_scratch(sf_dir, "test_manifest"), "manifest.json")
+    n_shards = write_manifest(shard_dir, manifest)
+    assert n_shards == 3
+    try:
+        spark.dataSource.register(ManifestJsonlDataSource)
+    except Exception:
+        pass
+    back = (
+        spark.read.format("jsonl_manifest")
+        .schema("doc_id bigint, text string, lang string, source string, n_chars bigint")
+        .option("manifest", manifest)
+        .load()
+    )
+    # one input partition per shard
+    assert back.rdd.getNumPartitions() == 3
+    got = {(r.doc_id, r.text, r.lang, r.source, r.n_chars) for r in back.collect()}
+    want = {(r.doc_id, r.text, r.lang, r.source, r.n_chars) for r in d.collect()}
+    assert got == want
