@@ -92,41 +92,65 @@ def cogroup_click_purchase_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     that would otherwise need a join + re-group. Here: purchase counts as
     attributed if the user clicked at or before its timestamp.
 
-    Scale: one co-partitioned shuffle on user_id for both sides, Arrow
-    batches both ways, groups process independently across executors. The
+    Scale shape — the COARSE-KEY cogroup pattern: grouping by raw user_id
+    pays the per-call Python/Arrow overhead (~ms) once per KEY, which is
+    the real cost at 1e9 users (measured 6.4s for 1.5k users at sf0.1 —
+    all overhead, no compute). Instead both sides cogroup on a HASH BUCKET
+    of the key and the per-user logic runs VECTORIZED inside pandas
+    (groupby/merge over the whole bucket), so the per-call overhead
+    amortizes across bucket_size users and each call does real columnar
+    work. One co-partitioned shuffle on the bucket for both sides. The
     oracle replays the semantics relationally (first-click join), proving
-    the imperative per-group scan equals the declarative form."""
+    the vectorized form equals the declarative one."""
     import pandas as pd
 
+    n_buckets = int(spark.conf.get("spark.sql.shuffle.partitions", "32")) * 4
     e = load_table(spark, sf_dir, "events")
+    # input columns are named uid/t/value, DISJOINT from the output schema:
+    # when a cogroup input column shares a name with an output-schema column
+    # (here: user_id), FlatMapCoGroupsInPandas' attribute dedup drops it
+    # from one side's pandas frame (observed on the right side) — renaming
+    # the inputs sidesteps the collision entirely.
+    bkt = (F.col("user_id") % n_buckets).alias("bkt")
     clicks = e.filter(F.col("event_type") == "click").select(
-        "user_id", F.unix_micros("ts").alias("t")
+        bkt, F.col("user_id").alias("uid"), F.unix_micros("ts").alias("t")
     )
     purchases = e.filter(F.col("event_type") == "purchase").select(
-        "user_id", F.unix_micros("ts").alias("t"), "value"
+        bkt, F.col("user_id").alias("uid"), F.unix_micros("ts").alias("t"), "value"
     )
 
     def stats(key: tuple, left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
-        first = left["t"].min() if len(left) else None
-        if first is None:
-            attr = right.iloc[0:0]
-        else:
-            attr = right[right["t"] >= first].sort_values("t")
-        return pd.DataFrame(
-            [
+        cl = left.groupby("uid")["t"].agg(["size", "min"])
+        cl.columns = ["n_clicks", "first_t"]
+        if len(right):
+            pr = right.merge(cl["first_t"], left_on="uid", right_index=True, how="left")
+            attr = pr["t"] >= pr["first_t"]  # NaN first_t compares False
+            pr["av"] = pr["value"].where(attr, 0.0)
+            pu = pd.DataFrame(
                 {
-                    "user_id": key[0],
-                    "n_clicks": len(left),
-                    "n_purchases": len(right),
-                    "n_attributed": len(attr),
-                    "attributed_value": float(attr["value"].sum()),
+                    "n_purchases": pr.groupby("uid")["t"].size(),
+                    "n_attributed": attr.groupby(pr["uid"]).sum(),
+                    "attributed_value": pr.groupby("uid")["av"].sum(),
                 }
-            ]
+            )
+        else:
+            pu = pd.DataFrame(
+                columns=["n_purchases", "n_attributed", "attributed_value"]
+            )
+        out = cl[["n_clicks"]].join(pu, how="outer").fillna(0).reset_index()
+        return pd.DataFrame(
+            {
+                "user_id": out["uid"].astype("int64"),
+                "n_clicks": out["n_clicks"].astype("int64"),
+                "n_purchases": out["n_purchases"].astype("int64"),
+                "n_attributed": out["n_attributed"].astype("int64"),
+                "attributed_value": out["attributed_value"].astype("float64"),
+            }
         )
 
     out = (
-        clicks.groupBy("user_id")
-        .cogroup(purchases.groupBy("user_id"))
+        clicks.groupBy("bkt")
+        .cogroup(purchases.groupBy("bkt"))
         .applyInPandas(
             stats,
             schema="user_id bigint, n_clicks bigint, n_purchases bigint, "
