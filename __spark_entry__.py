@@ -54,6 +54,8 @@ _R1_DRIVER_CHECKED = {
 # valuable first — they must surface inside any driver sample cap. Round-2
 # additions (curation_extra) lead: they have never appeared in any record.
 _PRIORITY = [
+    "pagerank_purchase_graph", "scd2_user_state", "bpe_pair_counts",
+    "chunk_overlap_plan", "zorder_layout", "winsorized_value_stats",
     "decontaminate_overlap", "incremental_dedup", "sequence_packing",
     "repetition_report", "pii_redact", "domain_mixing_sample",
     "table_profile", "vocab_top_tokens", "orc_roundtrip",

@@ -6,8 +6,10 @@ from datapipeline_ops_spark.queries import (  # noqa: F401
     curation_extra,
     dedup,
     evaluation,
+    graph_queries,
     inference_queries,
     io_queries,
+    layout_queries,
     multimodal,
     pipeline_analogs,
     pipelines_e2e,

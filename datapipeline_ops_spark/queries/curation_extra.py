@@ -403,3 +403,99 @@ def incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_ok.join(contaminated, "doc_id", "left_anti").select(
         "doc_id", "lang", "source"
     )
+
+
+# ---------------------------------------------------------------------------
+# Tokenizer prep: BPE pair statistics + context-window chunking with overlap
+# ---------------------------------------------------------------------------
+
+BPE_TOP_PAIRS = 50
+CHUNK_SIZE = 64
+CHUNK_STRIDE = 48
+
+
+@query(
+    "bpe_pair_counts",
+    oracle=f"""
+    WITH t AS (
+        SELECT regexp_split_to_array(lower(text), '\\s+') AS l FROM documents
+    ),
+    p AS (
+        SELECT unnest(l[1:len(l) - 1]) AS a, unnest(l[2:len(l)]) AS b
+        FROM t WHERE len(l) >= 2
+    )
+    SELECT a, b, count(*) AS cnt
+    FROM p GROUP BY a, b
+    ORDER BY cnt DESC, a, b LIMIT {BPE_TOP_PAIRS}
+    """,
+)
+def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The merge-selection round of BPE tokenizer training: corpus-wide
+    counts of ADJACENT lowercase token pairs, top-{50} by frequency with a
+    deterministic (cnt, a, b) tiebreak — the pair a real trainer would merge
+    next. Complements vocab_top_tokens (unigram floor) in curation_extra.
+
+    Plan shape: pairs are built ARRAY-SIDE per document (sequence +
+    element_at zip, no posexplode-then-window), so the only shuffle is the
+    partial-aggregated (a, b) count rollup — at 100 TB the token stream
+    never moves, only the pair-count deltas do. The global top-K is a
+    TakeOrdered over the aggregated pair table (|vocab|², far smaller than
+    the corpus)."""
+    d = load_table(spark, sf_dir, "documents")
+    t = tokens(F.lower(F.col("text")))
+    pairs = F.expr(
+        "transform(sequence(1, size(_toks) - 1),"
+        " i -> struct(element_at(_toks, i) AS a, element_at(_toks, i + 1) AS b))"
+    )
+    return (
+        d.select(t.alias("_toks"))
+        .filter(F.size("_toks") >= 2)
+        .select(F.explode(pairs).alias("p"))
+        .select("p.a", "p.b")
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), "a", "b")
+        .limit(BPE_TOP_PAIRS)
+    )
+
+
+@query(
+    "chunk_overlap_plan",
+    oracle=f"""
+    WITH d AS (
+        SELECT doc_id, len(regexp_split_to_array(text, '\\s+')) AS n
+        FROM documents
+    )
+    SELECT doc_id, CAST(s // {CHUNK_STRIDE} AS BIGINT) AS chunk_id,
+           s AS start_tok, least(s + {CHUNK_SIZE}, n) AS end_tok,
+           least(s + {CHUNK_SIZE}, n) - s AS n_tok,
+           least(s + {CHUNK_SIZE}, n) - s = {CHUNK_SIZE} AS is_full
+    FROM (SELECT doc_id, n, unnest(range(0, n, {CHUNK_STRIDE})) AS s FROM d)
+    """,
+)
+def chunk_overlap_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding context-window chunk plan: size {64}, stride {48} (16-token
+    overlap), the RAG / pretraining-window counterpart of sequence_packing
+    (which packs WITHOUT overlap). Emits one row per (doc, window) with
+    token offsets; the downstream slice step is `slice(tokens, start+1,
+    n_tok)` on the same array.
+
+    Pure per-row array arithmetic (sequence + explode) — no shuffle at all;
+    chunk counts scale with corpus tokens / stride and the plan stays
+    embarrassingly parallel at 100 TB."""
+    d = load_table(spark, sf_dir, "documents")
+    n = F.size(tokens(F.col("text")))
+    starts = F.sequence(F.lit(0), F.col("n") - 1, F.lit(CHUNK_STRIDE))
+    end = F.least(F.col("s") + CHUNK_SIZE, F.col("n"))
+    return (
+        d.select("doc_id", n.alias("n"))
+        .select("doc_id", "n", F.explode(starts).alias("s"))
+        .select(
+            "doc_id",
+            (F.col("s") / CHUNK_STRIDE).cast("bigint").alias("chunk_id"),
+            F.col("s").alias("start_tok"),
+            end.alias("end_tok"),
+            (end - F.col("s")).alias("n_tok"),
+            (end - F.col("s") == CHUNK_SIZE).alias("is_full"),
+        )
+    )

@@ -1,0 +1,141 @@
+"""Graph analytics over relational edges: fixed-iteration PageRank.
+
+The reference has no graph operators (SURVEY.md §2 — its dataflow is linear
+per-item pipelines); this is beyond-reference surface for the
+training-data brief: entity graphs (who-bought-from-whom, doc-link graphs,
+near-dup graphs) need iterative algorithms, and PageRank is the canonical
+shape. The engine already ships connected components
+(operators/dedup.py); this adds the weighted-propagation family.
+
+Spark-first design: the edge list is a DataFrame persisted once with
+precomputed contribution weights 1/outdeg; each of the K fixed iterations
+is one join (ranks ⋈ edges on src) + one partial-aggregated groupBy(dst) —
+the same two-shuffle round a 1000-executor GraphX/Pregel step performs.
+K is FIXED (not run-to-convergence) so the DuckDB oracle can unroll the
+identical K rounds as chained CTEs and verify every rank value exactly.
+
+Scale notes (100 TB):
+- edges persist MEMORY_AND_DISK and are the only large state; ranks are
+  one row per node (orders of magnitude smaller than edges);
+- each round shuffles on src then dst — at scale, pre-partitioning edges
+  by src and reusing that partitioning across rounds (bucketed write or
+  repartition before persist) makes the ranks-side join the only movement;
+- per-iteration rounding (12 dp) both pins cross-engine parity and bounds
+  float drift across rounds;
+- the driver-side ``nodes.count()`` is one scalar-aggregate job per run
+  (needed for the teleport term), not a data collect.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.storagelevel import StorageLevel
+
+from datapipeline_ops_spark.core.registry import query
+from datapipeline_ops_spark.tables import load_table
+
+PAGERANK_ITERS = 5
+PAGERANK_DAMPING = 0.85
+
+
+def _pagerank_oracle(k: int = PAGERANK_ITERS, d: float = PAGERANK_DAMPING) -> str:
+    """Unroll K PageRank rounds as chained CTEs (DuckDB recursive CTEs
+    disallow aggregates in the recursive term, so fixed-K unrolling is the
+    value-exact formulation)."""
+    ctes = [
+        """
+        p AS (SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+              FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        e AS (SELECT 'c:' || c AS src, 's:' || s AS dst FROM p
+              UNION ALL
+              SELECT 's:' || s AS src, 'c:' || c AS dst FROM p),
+        deg AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
+        ew AS (SELECT e.src, e.dst, 1e0 / deg.outdeg AS w
+               FROM e JOIN deg ON e.src = deg.src),
+        nodes AS (SELECT DISTINCT src AS node FROM e),
+        nn AS (SELECT count(*) AS n FROM nodes),
+        r0 AS (SELECT node, 1e0 / (SELECT n FROM nn) AS rank FROM nodes)
+        """
+    ]
+    for i in range(1, k + 1):
+        ctes.append(
+            f"""
+        r{i} AS (
+            SELECT nodes.node,
+                   round((1e0 - {d}) / (SELECT n FROM nn)
+                         + {d} * coalesce(sum(t.contrib), 0), 12) AS rank
+            FROM nodes
+            LEFT JOIN (
+                SELECT ew.dst, ew.w * r{i - 1}.rank AS contrib
+                FROM ew JOIN r{i - 1} ON ew.src = r{i - 1}.node
+            ) t ON t.dst = nodes.node
+            GROUP BY nodes.node
+        )
+        """
+        )
+    return (
+        "WITH "
+        + ",".join(ctes)
+        + f" SELECT node, round(rank, 8) AS pagerank FROM r{k}"
+    )
+
+
+@query("pagerank_purchase_graph", oracle=_pagerank_oracle())
+def pagerank_purchase_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (damping 0.85, 5 fixed iterations) over the undirected
+    customer–supplier purchase graph: nodes are 'c:<custkey>' /
+    's:<suppkey>', one edge pair per distinct (customer, supplier) purchase
+    relation from orders ⋈ lineitem.
+
+    Each iteration: ranks ⋈ edges on src (edges carry precomputed 1/outdeg
+    weights behind a persist), partial-aggregated sum by dst, then the
+    teleport term. Per-iteration round(12) pins parity with the unrolled-CTE
+    oracle; final ranks rounded to 8 dp.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    pairs = (
+        orders.join(lineitem, orders.o_orderkey == lineitem.l_orderkey)
+        .select("o_custkey", "l_suppkey")
+        .distinct()
+    )
+    c = F.concat(F.lit("c:"), F.col("o_custkey").cast("string"))
+    s = F.concat(F.lit("s:"), F.col("l_suppkey").cast("string"))
+    edges = pairs.select(c.alias("src"), s.alias("dst")).unionAll(
+        pairs.select(s.alias("src"), c.alias("dst"))
+    )
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    ew = (
+        edges.join(deg, "src")
+        .select("src", "dst", (F.lit(1.0) / F.col("outdeg")).alias("w"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    try:
+        nodes = ew.select(F.col("src").alias("node")).distinct().persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+        n = nodes.count()  # scalar-aggregate job: teleport denominator
+        ranks = nodes.select("node", F.lit(1.0 / n).alias("rank"))
+        teleport = (1.0 - PAGERANK_DAMPING) / n
+        for _ in range(PAGERANK_ITERS):
+            contribs = (
+                ew.join(ranks, ew.src == ranks.node)
+                .select("dst", (F.col("w") * F.col("rank")).alias("contrib"))
+                .groupBy("dst")
+                .agg(F.sum("contrib").alias("_s"))
+            )
+            ranks = nodes.join(contribs, nodes.node == contribs.dst, "left").select(
+                "node",
+                F.round(
+                    F.lit(teleport)
+                    + F.lit(PAGERANK_DAMPING) * F.coalesce(F.col("_s"), F.lit(0.0)),
+                    12,
+                ).alias("rank"),
+            )
+        out = ranks.select("node", F.round("rank", 8).alias("pagerank"))
+        out = out.localCheckpoint(eager=True)  # cut the K-round lineage
+    finally:
+        ew.unpersist()
+        nodes.unpersist()
+    return out

@@ -1,0 +1,116 @@
+"""Data-layout optimization: z-order (Morton) clustering keys.
+
+Beyond-reference surface: the reference writes outputs wherever the
+pipeline walks (SURVEY.md §2.2 sinks); at 100 TB the WRITE layout decides
+every future scan's cost. Z-ordering interleaves the bits of several
+quantized columns into one sort key so that a range predicate on ANY of
+the interleaved dimensions touches few files — the technique behind
+Delta/Iceberg `OPTIMIZE ZORDER BY`, built here from plain expressions.
+
+The gate query quantizes orders to an 8-bit grid on (o_totalprice,
+o_custkey), interleaves to a 16-bit Morton code, groups rows into
+256-rows-per-file buckets by code prefix, and reports each bucket's
+min/max per dimension — the exact metadata a file-skipping reader would
+consult. Tight per-bucket ranges (verified value-exact by the oracle) are
+the point: both a price filter AND a customer filter prune most buckets.
+
+Scale notes: the Morton code is a per-row projection (16 bit-ops, all
+whole-stage codegen); writing z-ordered files is then just
+``repartitionByRange(z).sortWithinPartitions(z)`` — one range shuffle,
+the same cost as any global sort, paid once at write to save every read.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame, SparkSession
+
+from datapipeline_ops_spark.core.registry import query
+from datapipeline_ops_spark.tables import load_table
+
+ZBITS = 8  # per-dimension quantization width; 2 dims -> 16-bit Morton code
+ZBUCKET_SHIFT = 8  # bucket = z >> 8 -> 256 buckets ("files")
+
+
+def morton2(x: Column, y: Column, bits: int = ZBITS) -> Column:
+    """Interleave two ``bits``-wide non-negative ints: x in even bit
+    positions, y in odd. Pure integer expressions (codegen-friendly)."""
+    z = F.lit(0)
+    for i in range(bits):
+        z = (
+            z
+            + F.shiftleft(F.shiftright(x, i).bitwiseAND(F.lit(1)), 2 * i)
+            + F.shiftleft(F.shiftright(y, i).bitwiseAND(F.lit(1)), 2 * i + 1)
+        )
+    return z
+
+
+def _sql_morton2(x: str, y: str, bits: int = ZBITS) -> str:
+    terms = [
+        f"((({x} >> {i}) & 1) << {2 * i}) + ((({y} >> {i}) & 1) << {2 * i + 1})"
+        for i in range(bits)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+_Q = (
+    "least({m} - 1, CAST(floor(({c} - lo_{k}) * ({m} - 0e0) / (hi_{k} - lo_{k})) AS INT))"
+)
+
+
+@query(
+    "zorder_layout",
+    oracle=f"""
+    WITH ext AS (
+        SELECT min(o_totalprice) AS lo_p, max(o_totalprice) AS hi_p,
+               min(o_custkey)    AS lo_c, max(o_custkey)    AS hi_c
+        FROM orders
+    ),
+    q AS (
+        SELECT {_Q.format(c="o_totalprice", k="p", m=2**ZBITS)} AS qp,
+               {_Q.format(c="o_custkey", k="c", m=2**ZBITS)} AS qc
+        FROM orders, ext
+    ),
+    z AS (SELECT qp, qc, {_sql_morton2("qp", "qc")} AS zval FROM q)
+    SELECT zval >> {ZBUCKET_SHIFT} AS bucket, count(*) AS n_rows,
+           min(qp) AS price_lo, max(qp) AS price_hi,
+           min(qc) AS cust_lo, max(qc) AS cust_hi
+    FROM z GROUP BY bucket
+    """,
+)
+def zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order layout plan for orders on (o_totalprice, o_custkey): 8-bit
+    quantization per dimension (min/max scaled), 16-bit Morton interleave,
+    bucket = top 8 code bits, and per-bucket min/max of both quantized
+    dimensions — the file-skipping statistics a z-ordered write produces.
+
+    The min/max extent is a broadcast one-row aggregate crossed into the
+    scan; everything else is per-row integer bit arithmetic + one
+    partial-aggregated rollup on the 256 bucket keys."""
+    o = load_table(spark, sf_dir, "orders")
+    ext = o.agg(
+        F.min("o_totalprice").alias("lo_p"),
+        F.max("o_totalprice").alias("hi_p"),
+        F.min("o_custkey").alias("lo_c"),
+        F.max("o_custkey").alias("hi_c"),
+    )
+    m = 2**ZBITS
+
+    def quant(c: str, k: str) -> Column:
+        lo, hi = F.col(f"lo_{k}"), F.col(f"hi_{k}")
+        raw = F.floor((F.col(c) - lo) * (m - 0.0) / (hi - lo))
+        return F.least(F.lit(m - 1), raw.cast("int"))
+
+    q = o.crossJoin(F.broadcast(ext)).select(
+        quant("o_totalprice", "p").alias("qp"), quant("o_custkey", "c").alias("qc")
+    )
+    z = q.select("qp", "qc", morton2(F.col("qp"), F.col("qc")).alias("zval"))
+    return z.groupBy(
+        F.shiftright("zval", ZBUCKET_SHIFT).alias("bucket")
+    ).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("qp").alias("price_lo"),
+        F.max("qp").alias("price_hi"),
+        F.min("qc").alias("cust_lo"),
+        F.max("qc").alias("cust_hi"),
+    )

@@ -602,3 +602,47 @@ def snapshot_diff_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("unchanged")
         .alias("change_type"),
     )
+
+
+@query(
+    "winsorized_value_stats",
+    oracle="""
+    WITH q AS (
+        SELECT event_type,
+               quantile_cont(value, 0.01) AS lo, quantile_cont(value, 0.99) AS hi
+        FROM events WHERE value IS NOT NULL GROUP BY event_type
+    )
+    SELECT e.event_type,
+           round(avg(least(greatest(value, lo), hi)), 4) AS wavg,
+           round(stddev(least(greatest(value, lo), hi)), 4) AS wstd,
+           count(*) AS n,
+           round(min(lo), 4) AS p01, round(min(hi), 4) AS p99
+    FROM events e JOIN q ON e.event_type = q.event_type
+    WHERE value IS NOT NULL
+    GROUP BY e.event_type
+    """,
+)
+def winsorized_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized (p01/p99-clipped) mean and stddev per event type — the
+    outlier-robust summary a feature pipeline computes before normalizing a
+    heavy-tailed metric column. Two passes: exact interpolated cutpoints
+    per group (matches DuckDB quantile_cont), then the tiny per-type
+    cutpoint table broadcast back onto the scan for clip + aggregate; the
+    fact table shuffles once, on event_type, for the partial-agg rollup."""
+    e = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    pct = F.expr("percentile(value, array(0.01, 0.99))")
+    q = e.groupBy("event_type").agg(
+        pct[0].alias("lo"), pct[1].alias("hi")
+    )
+    clipped = F.least(F.greatest(F.col("value"), F.col("lo")), F.col("hi"))
+    return (
+        e.join(F.broadcast(q), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.round(F.avg(clipped), 4).alias("wavg"),
+            F.round(F.stddev(clipped), 4).alias("wstd"),
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("lo"), 4).alias("p01"),
+            F.round(F.min("hi"), 4).alias("p99"),
+        )
+    )

@@ -9,7 +9,7 @@ against DuckDB's correlated-subquery formulations.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from datapipeline_ops_spark.core.registry import query
 from datapipeline_ops_spark.operators.temporal import asof_join, range_join_buckets
@@ -88,4 +88,68 @@ def range_join_value_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.groupBy("band").agg(
         F.count(F.lit(1)).alias("n_events"),
         F.round(F.sum("value"), 4).alias("total_value"),
+    )
+
+
+@query(
+    "scd2_user_state",
+    oracle="""
+    WITH s AS (
+        SELECT user_id, event_type, epoch_us(ts) AS t, event_id,
+               row_number() OVER (
+                   PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS rn,
+               row_number() OVER (
+                   PARTITION BY user_id, event_type
+                   ORDER BY epoch_us(ts), event_id) AS rns
+        FROM events
+    ),
+    i AS (
+        SELECT user_id, event_type AS state, rn - rns AS grp,
+               min(t) AS valid_from, count(*) AS n_events
+        FROM s GROUP BY user_id, event_type, rn - rns
+    )
+    SELECT user_id, state, valid_from,
+           lead(valid_from) OVER (
+               PARTITION BY user_id ORDER BY valid_from, state) AS valid_to,
+           n_events,
+           lead(valid_from) OVER (
+               PARTITION BY user_id ORDER BY valid_from, state) IS NULL AS is_current
+    FROM i
+    """,
+)
+def scd2_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 dimension build from an event log: collapse each user's
+    consecutive runs of the same event_type into validity intervals
+    [valid_from, valid_to) in epoch micros, open-ended (is_current) on the
+    last run — the standard warehouse pattern for turning CDC/event streams
+    into slowly-changing dimensions (the reference has no temporal
+    versioning; SURVEY.md §2.2).
+
+    Gaps-and-islands via the rn − rn_per_state difference; all three window
+    passes share the user_id partition key, so the whole build is ONE
+    shuffle on user_id — at 100 TB the dimension key (not time) carries the
+    partitioning and no global sort exists anywhere."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.unix_micros("ts").alias("t"), "event_id"
+    )
+    w_user = Window.partitionBy("user_id").orderBy("t", "event_id")
+    w_state = Window.partitionBy("user_id", "event_type").orderBy("t", "event_id")
+    runs = e.select(
+        "user_id",
+        F.col("event_type").alias("state"),
+        "t",
+        (F.row_number().over(w_user) - F.row_number().over(w_state)).alias("grp"),
+    )
+    islands = runs.groupBy("user_id", "state", "grp").agg(
+        F.min("t").alias("valid_from"), F.count(F.lit(1)).alias("n_events")
+    )
+    w_seq = Window.partitionBy("user_id").orderBy("valid_from", "state")
+    nxt = F.lead("valid_from").over(w_seq)
+    return islands.select(
+        "user_id",
+        "state",
+        "valid_from",
+        nxt.alias("valid_to"),
+        "n_events",
+        nxt.isNull().alias("is_current"),
     )
