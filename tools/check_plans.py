@@ -344,6 +344,49 @@ def _(qs, spark):
     assert "LeftAnti" in plan, "exact stage must be an anti join"
 
 
+@check("scd2_user_state: all windows share ONE user_id shuffle")
+def _(qs, spark):
+    plan = plan_of(qs["scd2_user_state"](spark, SF_DIR))
+    n_exchange = len(re.findall(r"^\(\d+\) Exchange", plan, re.M))
+    assert n_exchange == 1, f"expected 1 exchange, saw {n_exchange}"
+
+
+@check("chunk_overlap_plan: zero shuffles (pure per-row explode)")
+def _(qs, spark):
+    plan = plan_of(qs["chunk_overlap_plan"](spark, SF_DIR))
+    assert "Exchange" not in plan, "chunk planning must not shuffle"
+    assert "explode(sequence" in plan
+
+
+@check("bpe_pair_counts: top-K via TakeOrdered, single pair-count shuffle")
+def _(qs, spark):
+    plan = plan_of(qs["bpe_pair_counts"](spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan, "global sort instead of top-K"
+    n_exchange = len(re.findall(r"^\(\d+\) Exchange", plan, re.M))
+    assert n_exchange == 1, f"expected 1 exchange, saw {n_exchange}"
+
+
+@check("winsorized_value_stats: cutpoint table broadcast back to scan")
+def _(qs, spark):
+    plan = plan_of(qs["winsorized_value_stats"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+@check("zorder_layout: extent broadcast, no real data movement before rollup")
+def _(qs, spark):
+    plan = plan_of(qs["zorder_layout"](spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    cols = read_schema_cols(plan, "orders")
+    assert cols and "o_comment" not in cols and "o_orderpriority" not in cols, cols
+
+
+@check("pagerank_purchase_graph: no cartesian products across rounds")
+def _(qs, spark):
+    plan = plan_of(qs["pagerank_purchase_graph"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+
+
 def main() -> int:
     import __spark_entry__ as entry_mod
     from datapipeline_ops_spark.session import get_spark
