@@ -56,6 +56,8 @@ _R1_DRIVER_CHECKED = {
 _PRIORITY = [
     "pagerank_purchase_graph", "scd2_user_state", "bpe_pair_counts",
     "chunk_overlap_plan", "zorder_layout", "winsorized_value_stats",
+    "funnel_conversion", "merge_upsert_apply", "tfidf_top_terms",
+    "char_trigram_lm_score",
     "decontaminate_overlap", "incremental_dedup", "sequence_packing",
     "repetition_report", "pii_redact", "domain_mixing_sample",
     "table_profile", "vocab_top_tokens", "orc_roundtrip",

@@ -199,3 +199,71 @@ def monthly_spine_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
         F.coalesce("revenue", F.lit(0.0)).alias("revenue"),
     )
+
+
+@query(
+    "funnel_conversion",
+    oracle="""
+    WITH t1 AS (SELECT user_id, min(epoch_us(ts)) AS v FROM events
+                WHERE event_type = 'signup' GROUP BY user_id),
+    t2 AS (SELECT e.user_id, min(epoch_us(ts)) AS v FROM events e
+           JOIN t1 ON e.user_id = t1.user_id
+           WHERE event_type = 'view' AND epoch_us(ts) > t1.v GROUP BY e.user_id),
+    t3 AS (SELECT e.user_id, min(epoch_us(ts)) AS v FROM events e
+           JOIN t2 ON e.user_id = t2.user_id
+           WHERE event_type = 'click' AND epoch_us(ts) > t2.v GROUP BY e.user_id),
+    t4 AS (SELECT e.user_id, min(epoch_us(ts)) AS v FROM events e
+           JOIN t3 ON e.user_id = t3.user_id
+           WHERE event_type = 'purchase' AND epoch_us(ts) > t3.v GROUP BY e.user_id)
+    SELECT (SELECT count(*) FROM t1) AS n_signup,
+           (SELECT count(*) FROM t2) AS n_then_view,
+           (SELECT count(*) FROM t3) AS n_then_click,
+           (SELECT count(*) FROM t4) AS n_then_purchase
+    """,
+)
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel analysis: users who signed up, THEN viewed, THEN
+    clicked, THEN purchased — each stage strictly after the previous
+    stage's first completion (the product-analytics funnel the reference's
+    linear pipelines can't express; every step is an ordered temporal
+    predicate, not a set intersection).
+
+    Four chained (aggregate → co-partitioned join) stages, all keyed on
+    user_id: the event log shuffles ONCE onto user_id and every subsequent
+    min/join reuses that partitioning; stage frames shrink monotonically,
+    so at 100 TB each later stage joins an ever-smaller user set."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.unix_micros("ts").alias("t")
+    )
+
+    def stage(prev: DataFrame, etype: str) -> DataFrame:
+        return (
+            e.filter(F.col("event_type") == etype)
+            .join(prev, "user_id")
+            .filter(F.col("t") > F.col("v"))
+            .groupBy("user_id")
+            .agg(F.min("t").alias("v2"))
+            .select("user_id", F.col("v2").alias("v"))
+        )
+
+    t1 = (
+        e.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("t").alias("v"))
+    )
+    t2 = stage(t1, "view")
+    t3 = stage(t2, "click")
+    t4 = stage(t3, "purchase")
+    counts = [
+        df.agg(F.count(F.lit(1)).alias(name))
+        for df, name in [
+            (t1, "n_signup"),
+            (t2, "n_then_view"),
+            (t3, "n_then_click"),
+            (t4, "n_then_purchase"),
+        ]
+    ]
+    out = counts[0]
+    for c in counts[1:]:
+        out = out.crossJoin(c)
+    return out

@@ -646,3 +646,60 @@ def winsorized_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.min("hi"), 4).alias("p99"),
         )
     )
+
+
+@query(
+    "merge_upsert_apply",
+    oracle=f"""
+    WITH old_s AS (
+        SELECT o_orderkey, round(o_totalprice, 2) AS price
+        FROM orders WHERE o_orderkey % 50 <> {_INS_MOD}
+    ),
+    new_s AS (
+        SELECT o_orderkey,
+               round(CASE WHEN o_orderkey % {_UPD_MOD} = 0
+                          THEN o_totalprice + 1.0 ELSE o_totalprice END, 2) AS price
+        FROM orders WHERE o_orderkey % 50 <> {_DEL_MOD}
+    )
+    SELECT new_s.o_orderkey, new_s.price,
+           CASE WHEN old_s.o_orderkey IS NULL THEN 'insert'
+                WHEN old_s.price <> new_s.price THEN 'update'
+                ELSE 'keep' END AS action
+    FROM old_s FULL JOIN new_s ON old_s.o_orderkey = new_s.o_orderkey
+    WHERE new_s.o_orderkey IS NOT NULL
+    """,
+)
+def merge_upsert_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MERGE (upsert) that follows snapshot_diff_cdc: apply the source
+    snapshot onto the target — insert new keys, update changed rows, keep
+    unchanged ones, drop keys absent from the source (`WHEN NOT MATCHED BY
+    SOURCE THEN DELETE`) — emitting the merged table with a per-row action
+    tag, exactly what a Delta/Iceberg MERGE writes plus its audit column.
+
+    Same deterministic two-snapshot derivation as snapshot_diff_cdc
+    (`_INS_MOD`/`_DEL_MOD`/`_UPD_MOD`); one full-outer shuffle join on the
+    key — at 100 TB both sides are key-partitioned snapshots, so the merge
+    is the canonical co-partitioned sort-merge join and the write preserves
+    the target's partitioning for the next increment."""
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    old_s = o.filter(F.col("o_orderkey") % 50 != _INS_MOD).select(
+        F.col("o_orderkey").alias("k_old"),
+        F.round("o_totalprice", 2).alias("p_old"),
+    )
+    new_price = F.when(
+        F.col("o_orderkey") % _UPD_MOD == 0, F.col("o_totalprice") + 1.0
+    ).otherwise(F.col("o_totalprice"))
+    new_s = o.filter(F.col("o_orderkey") % 50 != _DEL_MOD).select(
+        F.col("o_orderkey").alias("k_new"), F.round(new_price, 2).alias("p_new")
+    )
+    merged = old_s.join(new_s, old_s.k_old == new_s.k_new, "full").filter(
+        F.col("k_new").isNotNull()
+    )
+    return merged.select(
+        F.col("k_new").alias("o_orderkey"),
+        F.col("p_new").alias("price"),
+        F.when(F.col("k_old").isNull(), "insert")
+        .when(F.col("p_old") != F.col("p_new"), "update")
+        .otherwise("keep")
+        .alias("action"),
+    )

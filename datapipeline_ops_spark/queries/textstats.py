@@ -247,3 +247,115 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda acc, h: (acc * _FP_B + h) % _FP_P,
     )
     return d.select("doc_id", fp.alias("fingerprint"))
+
+
+@query(
+    "tfidf_top_terms",
+    oracle="""
+    WITH tok AS (
+        SELECT lang, unnest(regexp_split_to_array(lower(text), '\\s+')) AS term
+        FROM documents
+    ),
+    tf AS (SELECT lang, term, count(*) AS tf FROM tok GROUP BY lang, term),
+    df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    nl AS (SELECT count(DISTINCT lang) AS n FROM tf),
+    scored AS (
+        SELECT tf.lang, tf.term,
+               round(tf.tf * ln((SELECT n FROM nl) * 1e0 / df.df), 6) AS tfidf
+        FROM tf JOIN df ON tf.term = df.term
+    )
+    SELECT lang, term, tfidf FROM (
+        SELECT lang, term, tfidf,
+               row_number() OVER (
+                   PARTITION BY lang ORDER BY tfidf DESC, term) AS rk
+        FROM scored
+    ) WHERE rk <= 10
+    """,
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language top-10 terms by TF-IDF (corpus partitions as the
+    "documents": tf = term count within the language, idf = ln(n_langs /
+    n_langs_containing)) — the characteristic-vocabulary report a corpus
+    curator uses to spot contamination between language shards.
+
+    Two aggregations (term×lang, then term) plus a broadcast of the tiny
+    df table back onto tf; the per-lang top-10 is a bounded window over the
+    aggregated term table — token rows never pass through a window."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("lang", F.explode(tokens(F.lower(F.col("text")))).alias("term"))
+    tf = tok.groupBy("lang", "term").agg(F.count(F.lit(1)).alias("tf"))
+    tf = tf.persist()
+    try:
+        df_t = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+        n_langs = tf.select("lang").distinct().count()
+        scored = tf.join(df_t, "term").select(
+            "lang",
+            "term",
+            F.round(
+                F.col("tf") * F.log(F.lit(float(n_langs)) / F.col("df")), 6
+            ).alias("tfidf"),
+        )
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("lang").orderBy(F.desc("tfidf"), "term")
+        out = (
+            scored.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= 10)
+            .select("lang", "term", "tfidf")
+        )
+        out = out.localCheckpoint(eager=True)
+    finally:
+        tf.unpersist()
+    return out
+
+
+@query(
+    "char_trigram_lm_score",
+    oracle="""
+    WITH tri AS (
+        SELECT doc_id,
+               unnest(list_transform(generate_series(1, length(text) - 2),
+                                     i -> substr(text, i, 3))) AS g
+        FROM documents WHERE length(text) >= 3
+    ),
+    cnt AS (SELECT g, count(*) AS c FROM tri GROUP BY g),
+    tot AS (SELECT count(*) AS t FROM tri)
+    SELECT tri.doc_id,
+           count(*) AS n_tri,
+           round(avg(ln(cnt.c * 1e0 / (SELECT t FROM tot))), 4) AS lm_score
+    FROM tri JOIN cnt ON tri.g = cnt.g
+    GROUP BY tri.doc_id
+    """,
+)
+def char_trigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-trigram language-model quality score: train unigram-of-
+    trigram stats over the whole corpus in one aggregation, then score each
+    document as the mean log-probability of its trigrams — the
+    perplexity-style fluency filter (KenLM-shaped, model-free) used to
+    rank web-scraped text before training.
+
+    Plan: trigrams are materialized array-side per row (substring ladder,
+    no Python), counted once (shuffle on trigram), then the SAME exploded
+    frame re-joins the count table and partial-aggregates per doc. The
+    trigram vocabulary is bounded (charset³), so at 100 TB the count table
+    broadcasts while the corpus-side explode streams."""
+    d = load_table(spark, sf_dir, "documents").filter(F.length("text") >= 3)
+    grams = F.expr(
+        "transform(sequence(1, length(text) - 2), i -> substring(text, i, 3))"
+    )
+    tri = d.select("doc_id", F.explode(grams).alias("g")).persist()
+    try:
+        cnt = tri.groupBy("g").agg(F.count(F.lit(1)).alias("c"))
+        total = tri.count()
+        out = (
+            tri.join(F.broadcast(cnt), "g")
+            .groupBy("doc_id")
+            .agg(
+                F.count(F.lit(1)).alias("n_tri"),
+                F.round(F.avg(F.log(F.col("c") * 1.0 / total)), 4).alias("lm_score"),
+            )
+        )
+        out = out.localCheckpoint(eager=True)
+    finally:
+        tri.unpersist()
+    return out
