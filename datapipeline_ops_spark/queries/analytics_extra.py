@@ -267,3 +267,54 @@ def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     for c in counts[1:]:
         out = out.crossJoin(c)
     return out
+
+
+SESSION_GAP_US = 30 * 60 * 1_000_000  # 30-minute session gap
+
+
+@query(
+    "event_bigram_paths",
+    oracle=f"""
+    WITH s AS (
+        SELECT user_id, event_type, epoch_us(ts) AS t, event_id,
+               lead(event_type) OVER w AS nxt,
+               lead(epoch_us(ts)) OVER w AS nxt_t
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+    )
+    SELECT event_type AS step_a, nxt AS step_b, count(*) AS n_transitions
+    FROM s
+    WHERE nxt IS NOT NULL AND nxt_t - t <= {SESSION_GAP_US}
+    GROUP BY event_type, nxt
+    """,
+)
+def event_bigram_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User-path transition matrix: counts of consecutive event-type
+    bigrams within a 30-minute session gap — the Markov-chain view of user
+    journeys that powers next-step prediction and funnel discovery
+    (complements funnel_conversion's fixed-order stages with the full
+    empirical transition graph).
+
+    One shuffle on user_id for the lead() window, then a partial-aggregated
+    rollup on the tiny (type × type) key space; transition counts are
+    |types|² rows regardless of corpus size."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.unix_micros("ts").alias("t"), "event_id"
+    )
+    w = Window.partitionBy("user_id").orderBy("t", "event_id")
+    s = e.select(
+        "event_type",
+        "t",
+        F.lead("event_type").over(w).alias("nxt"),
+        F.lead("t").over(w).alias("nxt_t"),
+    )
+    return (
+        s.filter(
+            F.col("nxt").isNotNull()
+            & (F.col("nxt_t") - F.col("t") <= SESSION_GAP_US)
+        )
+        .groupBy(
+            F.col("event_type").alias("step_a"), F.col("nxt").alias("step_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_transitions"))
+    )

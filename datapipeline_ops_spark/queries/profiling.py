@@ -118,3 +118,44 @@ def vocab_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n") >= VOCAB_MIN_COUNT)
     )
     return counts.orderBy(F.desc("n"), F.asc("token")).limit(VOCAB_TOP_K)
+
+
+@query(
+    "benford_price_check",
+    oracle="""
+    WITH d AS (
+        SELECT CAST(substr(printf('%.0f', floor(o_totalprice)), 1, 1) AS INT) AS digit
+        FROM orders WHERE o_totalprice >= 1
+    )
+    SELECT digit, count(*) AS n,
+           round(count(*) * 1e0 / (SELECT count(*) FROM d), 6) AS share,
+           round(log10(1e0 + 1e0 / digit), 6) AS benford_expected
+    FROM d GROUP BY digit
+    """,
+)
+def benford_price_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit on order totals: observed leading-
+    digit shares next to the Benford expectation log10(1 + 1/d) — the
+    classic fraud / synthetic-data smell test a profiling pass runs on
+    monetary columns (TPC-H's uniform prices deliberately FAIL it, which
+    is exactly what the report shows).
+
+    Per-row digit extraction + a 9-key rollup: one partial-aggregated
+    shuffle of 9 rows; the total-count denominator is a broadcast scalar."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") >= 1)
+    d = o.select(
+        F.substring(F.format_string("%.0f", F.floor("o_totalprice")), 1, 1)
+        .cast("int")
+        .alias("digit")
+    ).persist()
+    try:
+        total = d.count()
+        out = d.groupBy("digit").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.count(F.lit(1)) * 1.0 / total, 6).alias("share"),
+            F.round(F.log10(1.0 + 1.0 / F.col("digit")), 6).alias("benford_expected"),
+        )
+        out = out.localCheckpoint(eager=True)
+    finally:
+        d.unpersist()
+    return out

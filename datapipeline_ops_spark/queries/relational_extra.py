@@ -703,3 +703,116 @@ def merge_upsert_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("keep")
         .alias("action"),
     )
+
+
+@query(
+    "copurchase_part_pairs",
+    oracle="""
+    WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    p AS (
+        SELECT a.l_partkey AS part_a, b.l_partkey AS part_b
+        FROM li a JOIN li b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    )
+    SELECT part_a, part_b, count(*) AS n_orders
+    FROM p GROUP BY part_a, part_b
+    ORDER BY n_orders DESC, part_a, part_b LIMIT 25
+    """,
+)
+def copurchase_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence: the top-25 part pairs that appear in the
+    same order, with a deterministic (count, a, b) tiebreak — the candidate
+    stage of frequent-itemset mining.
+
+    The self-join is keyed on l_orderkey, so candidate pairs scale with
+    Σ items_per_order² — bounded because baskets are small (TPC-H ≤ 7
+    lines/order); at 100 TB the guard for pathological baskets is the same
+    per-key cap used in the LSH bucket stage (operators/dedup.py
+    LSH_MAX_BUCKET pattern). Top-K is a TakeOrdered over the aggregated
+    pair table, never a global sort."""
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = li.alias("a")
+    b = li.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+    ).select(
+        F.col("a.l_partkey").alias("part_a"), F.col("b.l_partkey").alias("part_b")
+    )
+    return (
+        pairs.groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy(F.desc("n_orders"), "part_a", "part_b")
+        .limit(25)
+    )
+
+
+@query(
+    "fk_integrity_report",
+    oracle="""
+    SELECT 'lineitem->orders' AS fk, count(*) AS n_rows,
+           sum(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END) AS n_orphans
+    FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+    UNION ALL
+    SELECT 'orders->customer', count(*),
+           sum(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END)
+    FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+    UNION ALL
+    SELECT 'lineitem->part', count(*),
+           sum(CASE WHEN p.p_partkey IS NULL THEN 1 ELSE 0 END)
+    FROM lineitem l LEFT JOIN part p ON l.l_partkey = p.p_partkey
+    UNION ALL
+    SELECT 'lineitem->supplier', count(*),
+           sum(CASE WHEN s.s_suppkey IS NULL THEN 1 ELSE 0 END)
+    FROM lineitem l LEFT JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    UNION ALL
+    SELECT 'customer->nation', count(*),
+           sum(CASE WHEN n.n_nationkey IS NULL THEN 1 ELSE 0 END)
+    FROM customer c LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+    """,
+)
+def fk_integrity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit across every foreign key in the star
+    schema: per FK, total child rows and orphan rows whose parent key is
+    missing — the pre-ingest data-quality gate a lakehouse pipeline runs
+    before trusting joins (Spark enforces no constraints; this computes
+    them).
+
+    Each edge is a left join against the PARENT KEY COLUMN only —
+    dimension-sized parents (customer/part/supplier/nation) broadcast so
+    the fact side never shuffles; the fact-sized parent (orders) goes
+    through a shuffled join on the key both sides are already bucketed by
+    in a production layout. The five audits are independent jobs unioned
+    into one report."""
+    t = {n: load_table(spark, sf_dir, n) for n in
+         ["lineitem", "orders", "customer", "supplier", "part", "nation"]}
+
+    def audit(fk: str, child: DataFrame, ck: str, parent: DataFrame, pk: str,
+              bcast: bool = True) -> DataFrame:
+        p = parent.select(pk).distinct()
+        if bcast:
+            p = F.broadcast(p)
+        j = child.select(ck).join(p, child[ck] == p[pk], "left")
+        return j.agg(
+            F.lit(fk).alias("fk"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.when(F.col(pk).isNull(), 1).otherwise(0)).alias("n_orphans"),
+        )
+
+    reports = [
+        audit("lineitem->orders", t["lineitem"], "l_orderkey", t["orders"],
+              "o_orderkey", bcast=False),
+        audit("orders->customer", t["orders"], "o_custkey", t["customer"], "c_custkey"),
+        audit("lineitem->part", t["lineitem"], "l_partkey", t["part"], "p_partkey"),
+        audit("lineitem->supplier", t["lineitem"], "l_suppkey", t["supplier"], "s_suppkey"),
+        audit("customer->nation", t["customer"], "c_nationkey", t["nation"], "n_nationkey"),
+    ]
+    out = reports[0]
+    for r in reports[1:]:
+        out = out.unionAll(r)
+    return out
