@@ -114,28 +114,53 @@ def main() -> int:
     # warm up JVM + parquet footer cache with a trivial action
     spark.read.parquet(f"{SF_DIR}/region.parquet").count()
 
+    # schema probe: events.ts must normalize to TimestampType no matter how
+    # the testdata generator encoded it (nanos-long / micros-NTZ / micros-UTC)
+    # — a regeneration that breaks this took out 1/3 of the gate in round 2.
+    from pyspark.sql.types import TimestampType
+
+    from datapipeline_ops_spark.tables import load_table
+
+    ts_type = load_table(spark, SF_DIR, "events").schema["ts"].dataType
+    if not isinstance(ts_type, TimestampType):
+        print(
+            json.dumps({"metric": "schema_probe_failed", "events_ts": str(ts_type)}),
+            file=sys.stderr,
+        )
+
     # JIT warm-up: run each headline query once UNTIMED before measuring.
     # The first execution of a heavy expression tree pays whole-stage-codegen
     # compilation (observed 2-4x on the hash-dense dedup pipelines); without
     # a warm-up the median-of-3 reports compiler time, not engine time. Data
     # caches are still cleared per timed run, so measurements stay cold-cache.
+    # Per-query failure isolation: one broken query must not kill the whole
+    # harness (round-2's bench died in warm-up and measured NOTHING). Failures
+    # are reported as entries in `failed`; the headline total covers survivors.
+    failed: dict[str, str] = {}
     for name in HEADLINE:
         spec = QUERIES.get(name)
         if spec is not None:
-            clear_barriers()
-            spec.fn(spark, SF_DIR).count()
+            try:
+                clear_barriers()
+                spec.fn(spark, SF_DIR).count()
+            except Exception as exc:  # noqa: BLE001 — isolate, report, continue
+                failed[name] = f"{type(exc).__name__}: {exc}"[:300]
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
         spec = QUERIES.get(name)
-        if spec is None:
+        if spec is None or name in failed:
             continue
         runs = []
-        for _ in range(RUNS):
-            clear_barriers()
-            t0 = time.time()
-            spec.fn(spark, SF_DIR).count()
-            runs.append(time.time() - t0)
+        try:
+            for _ in range(RUNS):
+                clear_barriers()
+                t0 = time.time()
+                spec.fn(spark, SF_DIR).count()
+                runs.append(time.time() - t0)
+        except Exception as exc:  # noqa: BLE001
+            failed[name] = f"{type(exc).__name__}: {exc}"[:300]
+            continue
         timings[name] = round(statistics.median(runs), 3)
 
     total = round(sum(timings.values()), 3)
@@ -144,22 +169,25 @@ def main() -> int:
         sf_val: float | str = float(sf)
     except ValueError:
         sf_val = sf
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf_val,
-                "runs_per_query": RUNS,
-                "aggregation": "median",
-                # scale stress line, NOT included in `value` (keeps the
-                # headline total comparable across rounds)
-                "dedup_lsh_scaled": _bench_scaled_dedup(spark),
-            }
-        )
-    )
+    try:
+        scaled = _bench_scaled_dedup(spark)
+    except Exception as exc:  # noqa: BLE001
+        scaled = {"error": f"{type(exc).__name__}: {exc}"[:300]}
+    payload = {
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_val,
+        "runs_per_query": RUNS,
+        "aggregation": "median",
+        # scale stress line, NOT included in `value` (keeps the
+        # headline total comparable across rounds)
+        "dedup_lsh_scaled": scaled,
+    }
+    if failed:
+        payload["failed"] = failed
+    print(json.dumps(payload))
     return 0
 
 

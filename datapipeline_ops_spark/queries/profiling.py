@@ -144,7 +144,9 @@ def benford_price_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle of 9 rows; the total-count denominator is a broadcast scalar."""
     o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") >= 1)
     d = o.select(
-        F.substring(F.format_string("%.0f", F.floor("o_totalprice")), 1, 1)
+        # floor() yields LONG — format via a plain string cast (Java's %.0f
+        # throws IllegalFormatConversionException on integral types)
+        F.substring(F.floor("o_totalprice").cast("string"), 1, 1)
         .cast("int")
         .alias("digit")
     ).persist()

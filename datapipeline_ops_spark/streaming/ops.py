@@ -21,11 +21,8 @@ import itertools
 import os
 import shutil
 
-import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql.types import LongType
-
-from datapipeline_ops_spark.tables import table_path
+from datapipeline_ops_spark.tables import _normalize_event_ts, table_path
 
 _STREAM_CACHE_ROOT = os.path.join(
     os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
@@ -68,10 +65,9 @@ def events_stream(
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     df = reader.parquet(src_dir)
-    if isinstance(df.schema["ts"].dataType, LongType):
-        # integer DIV: see tables.load_table — double division drifts ±1 µs
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
-    return df
+    # same nanos-long / micros-NTZ / micros-UTC normalization as the batch
+    # loader — watermarks require a true TimestampType event-time column
+    return _normalize_event_ts(df)
 
 
 def run_stream_to_table(sdf: DataFrame, output_mode: str) -> DataFrame:

@@ -405,6 +405,13 @@ def main() -> int:
             print(f"PLAN BAD  {name}: {exc}")
             if verbose:
                 raise
+        except Exception as exc:  # noqa: BLE001 — a query that cannot even
+            # plan must not kill the remaining checks (round 2: one
+            # AnalysisException hid 30 later assertions)
+            failed += 1
+            print(f"PLAN ERR  {name}: {type(exc).__name__}: {str(exc).splitlines()[0][:200]}")
+            if verbose:
+                raise
     print(f"{len(CHECKS) - failed} ok, {failed} bad")
     return 1 if failed else 0
 
