@@ -318,3 +318,131 @@ def event_bigram_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("n_transitions"))
     )
+
+
+@query(
+    "retention_cohorts",
+    oracle="""
+    WITH firstday AS (
+        SELECT user_id,
+               CAST(epoch_us(min(ts)) // 86400000000 AS BIGINT) AS cohort_day
+        FROM events GROUP BY user_id
+    )
+    SELECT f.cohort_day,
+           CAST(epoch_us(e.ts) // 86400000000 AS BIGINT) - f.cohort_day AS day_offset,
+           count(DISTINCT e.user_id) AS n_users
+    FROM events e JOIN firstday f ON f.user_id = e.user_id
+    GROUP BY 1, 2
+    """,
+)
+def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by first-activity day, counted
+    on each subsequent day they return — the standard growth-analytics
+    triangle (cohort_day x day_offset -> distinct returning users).
+
+    Shape at scale: the first-touch per user is a window min over ONE
+    user_id exchange; day arithmetic stays on epoch-day integers (timezone-
+    proof). The distinct-user rollup re-shuffles on the tiny
+    (cohort_day, day_offset) key — partial aggregation collapses the
+    per-user rows map-side first. No join against a separate firstday
+    table: the window computes first-touch in the same exchange the events
+    already need, where the oracle's self-join shape would scan twice."""
+    e = load_table(spark, sf_dir, "events").select(
+        "user_id", (F.unix_micros("ts") / F.lit(86_400_000_000)).cast("long").alias("day")
+    )
+    w = Window.partitionBy("user_id")
+    cohorted = e.select(
+        "user_id", "day", F.min("day").over(w).alias("cohort_day")
+    )
+    return (
+        cohorted.groupBy(
+            "cohort_day", (F.col("day") - F.col("cohort_day")).alias("day_offset")
+        )
+        .agg(F.count_distinct("user_id").alias("n_users"))
+    )
+
+
+_HIST_BINS = 20
+
+
+@query(
+    "histogram_equi_width",
+    oracle=f"""
+    WITH ext AS (SELECT min(value) AS lo, max(value) AS hi FROM events
+                 WHERE value IS NOT NULL),
+    b AS (
+        SELECT least({_HIST_BINS - 1},
+                     CAST(floor((value - lo) * {_HIST_BINS}e0 / (hi - lo)) AS INT)) AS bin
+        FROM events, ext WHERE value IS NOT NULL
+    )
+    SELECT bin,
+           round((SELECT lo FROM ext) + bin * ((SELECT hi FROM ext) - (SELECT lo FROM ext)) / {_HIST_BINS}e0, 4) AS bin_lo,
+           round((SELECT lo FROM ext) + (bin + 1) * ((SELECT hi FROM ext) - (SELECT lo FROM ext)) / {_HIST_BINS}e0, 4) AS bin_hi,
+           count(*) AS n
+    FROM b GROUP BY bin
+    """,
+)
+def histogram_equi_width(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram of the event value column: 20 bins over the
+    observed [min, max], each row reporting its bounds and count — the
+    profiling primitive behind NDV/selectivity estimation and data-drift
+    monitors.
+
+    Two passes, both cheap at scale: a full-scan min/max agg collapses to a
+    single broadcast row (crossJoin of a 1-row extent is a broadcast, not a
+    shuffle), then the binning pass is pure per-row arithmetic feeding a
+    partial-aggregated rollup of exactly 20 groups."""
+    e = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    ext = e.agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
+    nb = F.lit(float(_HIST_BINS))
+    binned = e.crossJoin(F.broadcast(ext)).select(
+        F.least(
+            F.lit(_HIST_BINS - 1),
+            F.floor((F.col("value") - F.col("lo")) * nb / (F.col("hi") - F.col("lo"))).cast("int"),
+        ).alias("bin"),
+        "lo",
+        "hi",
+    )
+    return binned.groupBy("bin").agg(
+        F.round(F.first("lo") + F.col("bin") * (F.first("hi") - F.first("lo")) / nb, 4).alias("bin_lo"),
+        F.round(F.first("lo") + (F.col("bin") + 1) * (F.first("hi") - F.first("lo")) / nb, 4).alias("bin_hi"),
+        F.count(F.lit(1)).alias("n"),
+    ).select("bin", "bin_lo", "bin_hi", "n")
+
+
+@query(
+    "partition_skew_report",
+    oracle="""
+    WITH per_key AS (
+        SELECT user_id, count(*) AS n FROM events GROUP BY user_id
+    )
+    SELECT count(*) AS n_keys,
+           sum(n) AS n_rows,
+           max(n) AS max_rows,
+           round(avg(n), 4) AS avg_rows,
+           round(max(n) * 1e0 / avg(n), 4) AS skew_factor
+    FROM per_key
+    """,
+)
+def partition_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-key skew profile for the events/user_id join key: per-key row
+    counts reduced to (keys, rows, max, avg, max/avg skew factor) — the
+    diagnostic that decides whether a 100 TB join needs salting or AQE skew
+    handling BEFORE it runs. A skew_factor near 1 means uniform keys; the
+    hot-key regime (factor >> shuffle parallelism) is where an unsalted
+    shuffle stalls on one straggler task.
+
+    Two aggregations, both partial-agg collapsed: per-key counts shuffle
+    once on user_id; the five-number summary reduces to a single row."""
+    per_key = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return per_key.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("n").alias("n_rows"),
+        F.max("n").alias("max_rows"),
+        F.round(F.avg("n"), 4).alias("avg_rows"),
+        F.round(F.max("n") * F.lit(1.0) / F.avg("n"), 4).alias("skew_factor"),
+    )

@@ -23,7 +23,7 @@ the same cost as any global sort, paid once at write to save every read.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 
 from datapipeline_ops_spark.core.registry import query
 from datapipeline_ops_spark.tables import load_table
@@ -113,4 +113,59 @@ def zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("qp").alias("price_hi"),
         F.min("qc").alias("cust_lo"),
         F.max("qc").alias("cust_hi"),
+    )
+
+
+_COMPACT_TARGET = 100_000  # target output-file payload in chars ("bytes")
+
+
+@query(
+    "compaction_plan",
+    oracle=f"""
+    WITH sized AS (
+        SELECT doc_id, source, n_chars,
+               sum(n_chars) OVER (PARTITION BY source ORDER BY doc_id
+                                  ROWS UNBOUNDED PRECEDING) AS cum
+        FROM documents
+    ),
+    assigned AS (
+        SELECT source, doc_id, n_chars,
+               CAST(floor((cum - 1) / {_COMPACT_TARGET}) AS BIGINT) AS file_no
+        FROM sized
+    )
+    SELECT source, file_no, count(*) AS n_docs, sum(n_chars) AS total_chars,
+           min(doc_id) AS first_doc, max(doc_id) AS last_doc
+    FROM assigned GROUP BY source, file_no
+    """,
+)
+def compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction planner: bin-packs documents into target-size
+    output files per source partition (greedy first-fit in doc_id order via
+    a running-size cumulative sum), reporting each planned file's doc count,
+    payload, and id range — the OPTIMIZE/compact step every lakehouse needs
+    once streaming ingest has scattered millions of small files.
+
+    Contiguous packing (cumsum // target) rather than true bin-packing is
+    deliberate: it preserves doc_id clustering within output files (range
+    scans stay file-local) and needs only ONE window pass — a single
+    exchange on source — where optimal packing is a sequential dependency.
+    The plan itself is metadata (|files| rows); executing it is one
+    repartition by (source, file_no) write."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    assigned = d.select(
+        "source",
+        "doc_id",
+        "n_chars",
+        F.floor((F.sum("n_chars").over(w) - 1) / F.lit(_COMPACT_TARGET)).alias("file_no"),
+    )
+    return assigned.groupBy("source", "file_no").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
     )

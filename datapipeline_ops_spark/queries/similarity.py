@@ -32,7 +32,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 
 from datapipeline_ops_spark.core.registry import query
 from datapipeline_ops_spark.functions.hashing import hash_unit, sql_hash_unit
-from datapipeline_ops_spark.functions.vectors import as_double, dot, norm, sql_cosine
+from datapipeline_ops_spark.functions.vectors import as_double, dot, norm, sql_cosine, sql_dot
 from datapipeline_ops_spark.tables import load_table
 
 N_QUERIES = 10  # vec_id < 10 are the query vectors
@@ -415,4 +415,149 @@ def embedding_dedup_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.join(clusters, "vec_id", "left")
         .filter(F.col("cluster_id").isNull() | (F.col("cluster_id") == F.col("vec_id")))
         .select("vec_id", "label")
+    )
+
+
+RERANK_SHORTLIST = 20
+RERANK_K = 5
+_L2_AB = (
+    "sqrt(greatest(0e0, "
+    + sql_dot("a.vec", "a.vec")
+    + " + "
+    + sql_dot("b.vec", "b.vec")
+    + " - 2 * "
+    + sql_dot("a.vec", "b.vec")
+    + "))"
+)
+
+
+@query(
+    "ann_rerank_l2",
+    oracle=f"""
+    WITH {_V_CTE},
+    scored AS (
+        SELECT a.vec_id AS query_id, b.vec_id AS vec_id,
+               {_L2_AB} AS l2,
+               row_number() OVER (PARTITION BY a.vec_id
+                                  ORDER BY {_COS_AB} DESC, b.vec_id) AS rn
+        FROM v a JOIN v b ON b.vec_id <> a.vec_id
+        WHERE a.vec_id < {N_QUERIES}
+    ),
+    rr AS (
+        SELECT query_id, vec_id, l2,
+               row_number() OVER (PARTITION BY query_id ORDER BY l2, vec_id) AS rank
+        FROM scored WHERE rn <= {RERANK_SHORTLIST}
+    )
+    SELECT query_id, vec_id, round(l2, 6) AS l2, CAST(rank AS INT) AS rank
+    FROM rr WHERE rank <= {RERANK_K}
+    """,
+)
+def ann_rerank_l2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage retrieval: a cheap cosine shortlist (top-20 per query) is
+    re-ranked by exact L2 distance to the final top-5 — the
+    shortlist-then-rerank architecture every production ANN service uses
+    (coarse metric or quantized vectors for recall, exact/expensive metric
+    for precision on the tiny shortlist).
+
+    L2 is derived from the SAME dot products the cosine stage computes
+    (|a-b|² = |a|² + |b|² − 2a·b), so stage 2 re-walks no arrays. At scale:
+    stage 1 is the broadcast-query corpus pass (IVF/LSH would replace it
+    above memory); stage 2 touches shortlist×queries rows — constant work
+    regardless of corpus size."""
+    v = _vectors(spark, sf_dir)
+    q = v.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("vec").alias("qvec"),
+        F.col("nrm").alias("qnrm"),
+    )
+    scored = (
+        v.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+        .withColumn("dp", dot(F.col("qvec"), F.col("vec")))
+        .withColumn("cos", F.col("dp") / (F.col("qnrm") * F.col("nrm")))
+        .withColumn(
+            "l2",
+            F.sqrt(
+                F.greatest(
+                    F.lit(0.0),
+                    F.col("qnrm") * F.col("qnrm")
+                    + F.col("nrm") * F.col("nrm")
+                    - 2 * F.col("dp"),
+                )
+            ),
+        )
+    )
+    w1 = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    short = scored.withColumn("rn", F.row_number().over(w1)).filter(
+        F.col("rn") <= RERANK_SHORTLIST
+    )
+    w2 = Window.partitionBy("query_id").orderBy(F.asc("l2"), F.asc("vec_id"))
+    return (
+        short.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= RERANK_K)
+        .select("query_id", "vec_id", F.round("l2", 6).alias("l2"), "rank")
+    )
+
+
+@query(
+    "kmeans_refine_step",
+    oracle=f"""
+    WITH {_V_CTE},
+    c AS (SELECT vec_id - {IVF_CENTROIDS[0]} AS cluster_id, vec FROM v
+          WHERE vec_id >= {IVF_CENTROIDS[0]} AND vec_id < {IVF_CENTROIDS[1]}),
+    assign AS (
+        SELECT a.vec_id, c.cluster_id,
+               row_number() OVER (PARTITION BY a.vec_id
+                                  ORDER BY {sql_cosine("a.vec", "c.vec")} DESC,
+                                           c.cluster_id) AS rn
+        FROM v a, c
+    ),
+    m AS (
+        SELECT v.vec_id, a.cluster_id, v.vec
+        FROM v JOIN (SELECT vec_id, cluster_id FROM assign WHERE rn = 1) a
+          USING (vec_id)
+    )
+    SELECT cluster_id, i.dim AS dim,
+           round(avg(vec[i.dim + 1]), 6) AS centroid,
+           count(*) AS n_members
+    FROM m, LATERAL (SELECT unnest(generate_series(0, {EMB_DIM - 1})) AS dim) AS i
+    GROUP BY 1, 2
+    """,
+)
+def kmeans_refine_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One Lloyd iteration of k-means over the embedding corpus: assign
+    every vector to its nearest centroid (cosine, deterministic tie-break),
+    then recompute each centroid as the member mean per dimension — the
+    assign+update step that trains the IVF coarse quantizer
+    (``ann_ivf_topk`` consumes exactly such centroids).
+
+    Scale shape: the K=10 centroid batch broadcasts (constant size); the
+    assignment is one corpus pass with a per-row argmax — no shuffle of
+    vectors. The update explodes members to (cluster, dim, value) rows and
+    partial-aggregates map-side down to K×dim cells, so the exchange
+    carries only the new centroid matrix. Driving the loop to convergence
+    re-runs this plan with the previous round's broadcast output."""
+    v = _vectors(spark, sf_dir)
+    c = v.filter(
+        (F.col("vec_id") >= IVF_CENTROIDS[0]) & (F.col("vec_id") < IVF_CENTROIDS[1])
+    ).select(
+        (F.col("vec_id") - IVF_CENTROIDS[0]).alias("cluster_id"),
+        F.col("vec").alias("cvec"),
+        F.col("nrm").alias("cnrm"),
+    )
+    scored = v.crossJoin(F.broadcast(c)).withColumn(
+        "cos", dot(F.col("vec"), F.col("cvec")) / (F.col("nrm") * F.col("cnrm"))
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cos"), F.asc("cluster_id"))
+    members = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "cluster_id", "vec")
+    )
+    return (
+        members.select("cluster_id", F.posexplode("vec").alias("dim", "val"))
+        .groupBy("cluster_id", "dim")
+        .agg(
+            F.round(F.avg("val"), 6).alias("centroid"),
+            F.count(F.lit(1)).alias("n_members"),
+        )
     )

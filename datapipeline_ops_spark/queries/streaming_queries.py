@@ -16,11 +16,19 @@ watermark for that reason even though a finite drain never drops rows.
 
 from __future__ import annotations
 
+import os
+import shutil
+
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from datapipeline_ops_spark.core.registry import query
-from datapipeline_ops_spark.streaming.ops import events_stream, run_stream_to_table
+from datapipeline_ops_spark.streaming.ops import (
+    _STREAM_CACHE_ROOT,
+    events_stream,
+    run_stream_foreach_batch,
+    run_stream_to_table,
+)
 from datapipeline_ops_spark.streaming.stateful import running_totals_per_user
 
 _US_H = 3_600_000_000  # one hour in microseconds
@@ -197,6 +205,49 @@ def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = run_stream_to_table(agg, output_mode="complete")
     return out.select("event_type", "segment", "n", "total")
+
+
+@query(
+    "stream_foreachbatch_sink",
+    oracle="""
+    SELECT event_type, count(*) AS n, round(sum(value), 4) AS total
+    FROM events GROUP BY event_type
+    """,
+)
+def stream_foreachbatch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drain the event stream through a ``foreachBatch`` parquet sink with
+    per-batch-id idempotent overwrite, then read the sink back and verify it
+    holds exactly the source rows (the oracle is the batch aggregate).
+
+    Each micro-batch writes to its own ``batch_id=N`` partition directory
+    with ``mode("overwrite")`` — the exactly-once discipline for foreachBatch:
+    a replayed batch (same batch_id after failure) overwrites its own
+    partition instead of appending duplicates. The idempotency property
+    itself is unit-tested in tests/test_streaming.py; this gate query checks
+    the end-to-end plumbing produced a loss-free, duplication-free sink.
+
+    At 100 TB: foreachBatch is the sink escape hatch for targets Structured
+    Streaming lacks natively (MERGE into a lakehouse table, multi-table
+    fan-out, JDBC). The per-batch DataFrame write is a normal distributed
+    batch write — nothing funnels through the driver."""
+    sink_dir = os.path.join(
+        _STREAM_CACHE_ROOT, "..", "fb_sink", sf_dir.strip("/").replace("/", "_")
+    )
+    sink_dir = os.path.abspath(sink_dir)
+    shutil.rmtree(sink_dir, ignore_errors=True)
+
+    s = events_stream(spark, sf_dir).select("event_id", "event_type", "value")
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("overwrite").parquet(
+            os.path.join(sink_dir, f"batch_id={batch_id}")
+        )
+
+    run_stream_foreach_batch(s, write_batch, output_mode="append")
+    out = spark.read.parquet(sink_dir)
+    return out.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("total")
+    )
 
 
 @query(

@@ -1,0 +1,103 @@
+"""Round-3 additions: foreachBatch sink gate, cohort/histogram/skew
+analytics, compaction planning, two-stage ANN rerank, k-means refinement.
+
+Correctness vs the DuckDB oracle runs in tools/check_correctness.py; these
+tests pin the semantic invariants that a value-hash alone wouldn't explain
+if it broke."""
+
+import pyspark.sql.functions as F
+
+from datapipeline_ops_spark.queries import QUERIES
+
+
+def test_stream_foreachbatch_sink_matches_batch(spark, sf_dir):
+    from datapipeline_ops_spark.tables import load_table
+
+    out = QUERIES["stream_foreachbatch_sink"].fn(spark, sf_dir)
+    sink_total = out.agg(F.sum("n")).first()[0]
+    src_total = load_table(spark, sf_dir, "events").count()
+    # loss-free and duplication-free: sink row count equals the source
+    assert sink_total == src_total
+
+
+def test_retention_cohorts_day_zero_covers_all_users(spark, sf_dir):
+    from datapipeline_ops_spark.tables import load_table
+
+    out = QUERIES["retention_cohorts"].fn(spark, sf_dir)
+    n_users = (
+        load_table(spark, sf_dir, "events").select("user_id").distinct().count()
+    )
+    # every user appears in their own cohort on day 0
+    day0 = out.filter(F.col("day_offset") == 0).agg(F.sum("n_users")).first()[0]
+    assert day0 == n_users
+    assert out.filter(F.col("day_offset") < 0).count() == 0
+
+
+def test_histogram_covers_all_rows_and_bounds_nest(spark, sf_dir):
+    from datapipeline_ops_spark.tables import load_table
+
+    out = QUERIES["histogram_equi_width"].fn(spark, sf_dir).collect()
+    n_src = (
+        load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull()).count()
+    )
+    assert sum(r["n"] for r in out) == n_src
+    for r in out:
+        assert r["bin_lo"] < r["bin_hi"]
+        assert 0 <= r["bin"] < 20
+
+
+def test_partition_skew_report_consistency(spark, sf_dir):
+    r = QUERIES["partition_skew_report"].fn(spark, sf_dir).first()
+    assert r["n_rows"] >= r["n_keys"] >= 1
+    assert r["max_rows"] >= r["avg_rows"]
+    assert r["skew_factor"] >= 1.0
+
+
+def test_compaction_plan_respects_target_and_partitions(spark, sf_dir):
+    rows = QUERIES["compaction_plan"].fn(spark, sf_dir).collect()
+    # every planned file except a source's last must be "full": adding its
+    # first doc tipped it over the boundary, so total >= target - (doc size)
+    by_source = {}
+    for r in rows:
+        by_source.setdefault(r["source"], []).append(r)
+    for src, files in by_source.items():
+        files.sort(key=lambda r: r["file_no"])
+        # file numbers are contiguous from 0
+        assert [f["file_no"] for f in files] == list(range(len(files)))
+        # id ranges don't overlap across consecutive files (clustering kept)
+        for a, b in zip(files, files[1:]):
+            assert a["last_doc"] < b["first_doc"]
+
+
+def test_ann_rerank_is_subset_of_shortlist(spark, sf_dir):
+    from datapipeline_ops_spark.queries.similarity import RERANK_K
+
+    out = QUERIES["ann_rerank_l2"].fn(spark, sf_dir)
+    per_query = out.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n"), F.max("rank").alias("max_rank")
+    )
+    for r in per_query.collect():
+        assert r["n"] == RERANK_K and r["max_rank"] == RERANK_K
+    # distances are non-negative and ranked ascending per query
+    bad = out.filter(F.col("l2") < 0).count()
+    assert bad == 0
+
+
+def test_kmeans_refine_step_shape(spark, sf_dir):
+    from datapipeline_ops_spark.queries.similarity import EMB_DIM
+    from datapipeline_ops_spark.tables import load_table
+
+    out = QUERIES["kmeans_refine_step"].fn(spark, sf_dir)
+    rows = out.collect()
+    n_vec = load_table(spark, sf_dir, "embeddings").count()
+    clusters = {r["cluster_id"] for r in rows}
+    assert clusters <= set(range(10))
+    # each cluster contributes exactly EMB_DIM rows
+    per_cluster = {}
+    for r in rows:
+        per_cluster.setdefault(r["cluster_id"], set()).add(r["dim"])
+    for c, dims in per_cluster.items():
+        assert dims == set(range(EMB_DIM))
+    # membership partitions the corpus: per-dim member counts sum to n_vec
+    dim0 = [r for r in rows if r["dim"] == 0]
+    assert sum(r["n_members"] for r in dim0) == n_vec

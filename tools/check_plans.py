@@ -387,6 +387,60 @@ def _(qs, spark):
     assert "CartesianProduct" not in plan
 
 
+@check("retention_cohorts: window + rollup, partial-agg, events pruned")
+def _(qs, spark):
+    plan = plan_of(qs["retention_cohorts"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "partial_" in plan, "distinct-user rollup must partial-agg"
+    cols = read_schema_cols(plan, "events")
+    assert cols <= {"user_id", "ts"}, cols
+
+
+@check("histogram_equi_width: 1-row extent broadcast, 20-group partial agg")
+def _(qs, spark):
+    plan = plan_of(qs["histogram_equi_width"](spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, (
+        "extent row must broadcast, not shuffle"
+    )
+    assert "partial_" in plan, "bin rollup must partial-agg"
+    cols = read_schema_cols(plan, "events")
+    assert cols <= {"value"}, cols
+
+
+@check("partition_skew_report: events pruned to user_id, both aggs partial")
+def _(qs, spark):
+    plan = plan_of(qs["partition_skew_report"](spark, SF_DIR))
+    assert "partial_count" in plan, "per-key counts must partial-agg"
+    cols = read_schema_cols(plan, "events")
+    assert cols <= {"user_id"}, cols
+
+
+@check("compaction_plan: rollup reuses the window's source partitioning (1 exchange)")
+def _(qs, spark):
+    plan = plan_of(qs["compaction_plan"](spark, SF_DIR))
+    n_exchange = len(re.findall(r"^\(\d+\) Exchange", plan, re.M))
+    assert n_exchange == 1, f"expected 1 exchange, saw {n_exchange}"
+    cols = read_schema_cols(plan, "documents")
+    assert "text" not in cols, f"planner must not read text: {cols}"
+
+
+@check("ann_rerank_l2: broadcast query batch, rerank adds no corpus pass")
+def _(qs, spark):
+    plan = plan_of(qs["ann_rerank_l2"](spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    n_scans = len(re.findall(r"\(\d+\) Scan parquet", plan))
+    assert n_scans <= 2, f"rerank stage must not rescan the corpus: {n_scans} scans"
+
+
+@check("kmeans_refine_step: centroids broadcast, update partial-aggregates")
+def _(qs, spark):
+    plan = plan_of(qs["kmeans_refine_step"](spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, (
+        "centroid batch must broadcast"
+    )
+    assert "partial_" in plan, "centroid update must partial-agg the explode"
+
+
 def main() -> int:
     import __spark_entry__ as entry_mod
     from datapipeline_ops_spark.session import get_spark
