@@ -139,3 +139,105 @@ def pagerank_purchase_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         ew.unpersist()
         nodes.unpersist()
     return out
+
+
+COPURCHASE_MIN_ORDERS = 2
+
+
+@query(
+    "triangle_copurchase_stats",
+    oracle=f"""
+    WITH pairs AS (
+        SELECT a.l_partkey AS pa, b.l_partkey AS pb
+        FROM lineitem a JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2 HAVING count(*) >= {COPURCHASE_MIN_ORDERS}
+    ),
+    deg AS (
+        SELECT node, count(*) AS d FROM (
+            SELECT pa AS node FROM pairs UNION ALL SELECT pb FROM pairs
+        ) GROUP BY node
+    ),
+    tri AS (
+        SELECT count(*) AS n_triangles
+        FROM pairs e1
+        JOIN pairs e2 ON e2.pa = e1.pb
+        JOIN pairs e3 ON e3.pa = e1.pa AND e3.pb = e2.pb
+    ),
+    w AS (SELECT sum(d * (d - 1) / 2) AS n_wedges, count(*) AS n_nodes FROM deg)
+    SELECT (SELECT count(*) FROM pairs) AS n_edges,
+           (SELECT n_nodes FROM w) AS n_nodes,
+           CAST((SELECT n_wedges FROM w) AS BIGINT) AS n_wedges,
+           (SELECT n_triangles FROM tri) AS n_triangles,
+           round(3e0 * (SELECT n_triangles FROM tri) / (SELECT n_wedges FROM w), 6)
+               AS clustering_coeff
+    """,
+)
+def triangle_copurchase_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle census of the co-purchase graph: parts bought together in
+    >= 2 distinct orders form edges; the query counts edges, wedges
+    (2-paths), closed triangles, and the global clustering coefficient
+    3·triangles/wedges — the graph-structure profile behind community
+    detection and recommendation quality checks.
+
+    Scale shape: the pair stage is an equi-join on l_orderkey (items per
+    order is bounded, so pairs-per-order is bounded); the >= 2-order
+    support filter prunes the edge set by ~30× BEFORE the cubic stage, and
+    triangle enumeration is two shuffle equi-joins on oriented edges
+    (a<b<c canonical form counts each triangle exactly once). Wedge counts
+    are a degree aggregation — no join. This is the standard distributed
+    triangle algorithm (node-iterator on oriented edges)."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.alias("a")
+    b = li.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb")
+        )
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .filter(F.col("n_orders") >= COPURCHASE_MIN_ORDERS)
+        .select("pa", "pb")
+        .persist()
+    )
+    try:
+        deg = (
+            edges.select(F.col("pa").alias("node"))
+            .unionAll(edges.select(F.col("pb").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("d"))
+        )
+        wedge_row = deg.agg(
+            F.sum(F.col("d") * (F.col("d") - 1) / 2).cast("long").alias("n_wedges"),
+            F.count(F.lit(1)).alias("n_nodes"),
+        )
+        e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
+        tri_row = (
+            e1.join(e2, F.col("e2.pa") == F.col("e1.pb"))
+            .join(
+                e3,
+                (F.col("e3.pa") == F.col("e1.pa")) & (F.col("e3.pb") == F.col("e2.pb")),
+            )
+            .agg(F.count(F.lit(1)).alias("n_triangles"))
+        )
+        edge_row = edges.agg(F.count(F.lit(1)).alias("n_edges"))
+        out = (
+            edge_row.crossJoin(wedge_row)
+            .crossJoin(tri_row)
+            .select(
+                "n_edges",
+                "n_nodes",
+                "n_wedges",
+                "n_triangles",
+                F.round(
+                    3.0 * F.col("n_triangles") / F.col("n_wedges"), 6
+                ).alias("clustering_coeff"),
+            )
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        edges.unpersist()

@@ -14,6 +14,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
 from datapipeline_ops_spark.core.registry import query
+from datapipeline_ops_spark.functions.hashing import hash_unit, sql_hash_unit
 from datapipeline_ops_spark.tables import load_table
 
 _EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
@@ -113,4 +114,48 @@ def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_events"),
         )
         .orderBy("event_type")
+    )
+
+
+SPLIT_SEED = 777
+SPLIT_TRAIN, SPLIT_VAL = 0.8, 0.9  # train < 0.8 <= val < 0.9 <= test
+
+
+@query(
+    "dataset_split_assign",
+    oracle=f"""
+    WITH assigned AS (
+        SELECT source,
+               CASE WHEN {sql_hash_unit("doc_id", SPLIT_SEED)} < {SPLIT_TRAIN} THEN 'train'
+                    WHEN {sql_hash_unit("doc_id", SPLIT_SEED)} < {SPLIT_VAL} THEN 'val'
+                    ELSE 'test' END AS split
+        FROM documents
+    )
+    SELECT source, split, count(*) AS n_docs
+    FROM assigned GROUP BY source, split
+    """,
+)
+def dataset_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split assignment (80/10/10) by seeded
+    hash of the stable document id, reported as per-source split counts —
+    the reproducible-holdout primitive every training pipeline needs:
+    membership is a pure function of (doc_id, seed), so reruns, backfills
+    and incremental batches assign identically with NO stored split table
+    and no coordination.
+
+    Pure per-row hashing (no shuffle until the tiny rollup); at 100 TB the
+    split column is computed at read time wherever needed rather than
+    materialized — a projection, not a join against a membership list."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "source", hash_unit(F.col("doc_id"), SPLIT_SEED).alias("u")
+    )
+    assigned = d.select(
+        "source",
+        F.when(F.col("u") < SPLIT_TRAIN, "train")
+        .when(F.col("u") < SPLIT_VAL, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+    return assigned.groupBy("source", "split").agg(
+        F.count(F.lit(1)).alias("n_docs")
     )

@@ -153,3 +153,69 @@ def scd2_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         nxt.isNull().alias("is_current"),
     )
+
+
+@query(
+    "ohlc_time_bars",
+    oracle="""
+    WITH e AS (
+        SELECT event_type, value, event_id,
+               epoch_us(ts) // 3600000000 AS hour,
+               row_number() OVER (PARTITION BY event_type, epoch_us(ts) // 3600000000
+                                  ORDER BY epoch_us(ts), event_id) AS rna,
+               row_number() OVER (PARTITION BY event_type, epoch_us(ts) // 3600000000
+                                  ORDER BY epoch_us(ts) DESC, event_id DESC) AS rnd
+        FROM events WHERE value IS NOT NULL
+    )
+    SELECT event_type, CAST(hour * 3600 AS BIGINT) AS bar_start,
+           round(max(CASE WHEN rna = 1 THEN value END), 6) AS open,
+           round(max(value), 6) AS high,
+           round(min(value), 6) AS low,
+           round(max(CASE WHEN rnd = 1 THEN value END), 6) AS close,
+           count(*) AS n_events
+    FROM e GROUP BY event_type, hour
+    """,
+)
+def ohlc_time_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style time-bucket rollup: 1-hour OHLC (open/high/low/
+    close) bars of the event value stream per event_type — the continuous-
+    aggregate shape time-series stores precompute for dashboards, built
+    from plain windows + one rollup.
+
+    Open/close are first/last by (ts, event_id) — deterministic under ts
+    ties. Both row_number passes and the final groupBy share ONE
+    (event_type, hour) exchange; at 100 TB the bar table is |types|×|hours|
+    rows, and incremental maintenance is per-arriving-bucket (append-only
+    event time means closed bars never change — the same property the
+    streaming watermark queries exploit)."""
+    e = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select(
+            "event_type",
+            "value",
+            "event_id",
+            F.unix_micros("ts").alias("t"),
+            (F.unix_micros("ts") / F.lit(3_600_000_000)).cast("long").alias("hour"),
+        )
+    )
+    wa = Window.partitionBy("event_type", "hour").orderBy(F.asc("t"), F.asc("event_id"))
+    wd = Window.partitionBy("event_type", "hour").orderBy(F.desc("t"), F.desc("event_id"))
+    marked = e.withColumn("rna", F.row_number().over(wa)).withColumn(
+        "rnd", F.row_number().over(wd)
+    )
+    return marked.groupBy("event_type", "hour").agg(
+        F.round(F.max(F.when(F.col("rna") == 1, F.col("value"))), 6).alias("open"),
+        F.round(F.max("value"), 6).alias("high"),
+        F.round(F.min("value"), 6).alias("low"),
+        F.round(F.max(F.when(F.col("rnd") == 1, F.col("value"))), 6).alias("close"),
+        F.count(F.lit(1)).alias("n_events"),
+    ).select(
+        "event_type",
+        (F.col("hour") * 3600).cast("long").alias("bar_start"),
+        "open",
+        "high",
+        "low",
+        "close",
+        "n_events",
+    )

@@ -12,7 +12,7 @@ them in one scan pass and the DuckDB oracle reproduces every value.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from datapipeline_ops_spark.core.registry import query
 from datapipeline_ops_spark.functions.text import sql_tokens, tokens
@@ -359,3 +359,55 @@ def char_trigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         tri.unpersist()
     return out
+
+
+@query(
+    "zipf_slope_fit",
+    oracle="""
+    WITH tok AS (
+        SELECT unnest(regexp_split_to_array(lower(text), '\\s+')) AS token
+        FROM documents
+    ),
+    counts AS (
+        SELECT token, count(*) AS n FROM tok WHERE token <> '' GROUP BY token
+    ),
+    top AS (SELECT token, n FROM counts ORDER BY n DESC, token LIMIT 50000),
+    ranked AS (
+        SELECT n, row_number() OVER (ORDER BY n DESC, token) AS rank FROM top
+    )
+    SELECT count(*) AS n_tokens,
+           round(regr_slope(ln(n), ln(rank)), 6) AS zipf_slope,
+           round(regr_intercept(ln(n), ln(rank)), 6) AS zipf_intercept,
+           round(regr_r2(ln(n), ln(rank)), 6) AS r2
+    FROM ranked
+    """,
+)
+def zipf_slope_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit of the corpus token distribution: log-log linear
+    regression of frequency on rank (natural corpora slope ≈ −1; synthetic
+    or templated text departs sharply — a cheap corpus-health fingerprint
+    next to language-ID and quality gates).
+
+    Single token-count shuffle; the rank window runs over the top-50k
+    vocabulary only (a TakeOrdered merge bounds it — the long tail of
+    hapaxes adds noise, not signal, to the fit), then a one-row regression
+    aggregate (regr_* are single-pass moment aggregations, partial-combined
+    map-side)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        F.explode(tokens(F.lower(F.col("text")))).alias("token")
+    ).filter(F.col("token") != "")
+    counts = toks.groupBy("token").agg(F.count(F.lit(1)).alias("n"))
+    # bound the fit to the top-50k vocabulary: the global-rank window then
+    # runs over a CONSTANT-size input (the limit plans as a TakeOrdered
+    # merge, no full sort) instead of single-partitioning the whole vocab
+    top = counts.orderBy(F.desc("n"), F.asc("token")).limit(50_000)
+    w = Window.orderBy(F.desc("n"), F.asc("token"))
+    ranked = top.select("n", F.row_number().over(w).alias("rank"))
+    ln_n, ln_r = F.log(F.col("n")), F.log(F.col("rank"))
+    return ranked.agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.round(F.regr_slope(ln_n, ln_r), 6).alias("zipf_slope"),
+        F.round(F.regr_intercept(ln_n, ln_r), 6).alias("zipf_intercept"),
+        F.round(F.regr_r2(ln_n, ln_r), 6).alias("r2"),
+    )

@@ -101,3 +101,43 @@ def test_kmeans_refine_step_shape(spark, sf_dir):
     # membership partitions the corpus: per-dim member counts sum to n_vec
     dim0 = [r for r in rows if r["dim"] == 0]
     assert sum(r["n_members"] for r in dim0) == n_vec
+
+
+def test_ohlc_bars_invariants(spark, sf_dir):
+    rows = QUERIES["ohlc_time_bars"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["low"] <= r["open"] <= r["high"]
+        assert r["low"] <= r["close"] <= r["high"]
+        assert r["n_events"] >= 1
+
+
+def test_triangle_stats_bounds(spark, sf_dir):
+    r = QUERIES["triangle_copurchase_stats"].fn(spark, sf_dir).first()
+    # every triangle contains 3 wedges; coefficient in [0, 1]
+    assert 0 <= r["clustering_coeff"] <= 1
+    assert 3 * r["n_triangles"] <= r["n_wedges"]
+    assert r["n_nodes"] <= 2 * r["n_edges"]
+
+
+def test_zipf_slope_negative(spark, sf_dir):
+    r = QUERIES["zipf_slope_fit"].fn(spark, sf_dir).first()
+    # frequency decreases with rank: slope must be negative with decent fit
+    assert r["zipf_slope"] < 0
+    assert 0 <= r["r2"] <= 1
+
+
+def test_dataset_split_proportions_and_stability(spark, sf_dir):
+    out1 = {
+        (r["source"], r["split"]): r["n_docs"]
+        for r in QUERIES["dataset_split_assign"].fn(spark, sf_dir).collect()
+    }
+    out2 = {
+        (r["source"], r["split"]): r["n_docs"]
+        for r in QUERIES["dataset_split_assign"].fn(spark, sf_dir).collect()
+    }
+    assert out1 == out2  # deterministic across runs
+    total = sum(out1.values())
+    train = sum(v for (s, sp), v in out1.items() if sp == "train")
+    # hash split at small n is noisy; 80% ± 15pp is the sanity band
+    assert 0.65 <= train / total <= 0.95

@@ -441,6 +441,39 @@ def _(qs, spark):
     assert "partial_" in plan, "centroid update must partial-agg the explode"
 
 
+@check("ohlc_time_bars: both window passes + rollup share one exchange")
+def _(qs, spark):
+    plan = plan_of(qs["ohlc_time_bars"](spark, SF_DIR))
+    n_exchange = len(re.findall(r"^\(\d+\) Exchange", plan, re.M))
+    assert n_exchange == 1, f"expected 1 exchange, saw {n_exchange}"
+    cols = read_schema_cols(plan, "events")
+    assert cols <= {"event_type", "value", "event_id", "ts"}, cols
+
+
+@check("triangle_copurchase_stats: equi-joins only, support filter before cubic stage")
+def _(qs, spark):
+    plan = plan_of(qs["triangle_copurchase_stats"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    cols = read_schema_cols(plan, "lineitem")
+    assert cols <= {"l_orderkey", "l_partkey"}, cols
+
+
+@check("zipf_slope_fit: top-K via TakeOrdered bounds the rank window input")
+def _(qs, spark):
+    plan = plan_of(qs["zipf_slope_fit"](spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan, "vocab cap must plan as TakeOrdered"
+    assert "partial_count" in plan, "token counts must partial-agg"
+
+
+@check("dataset_split_assign: pure projection + tiny rollup, no text read")
+def _(qs, spark):
+    plan = plan_of(qs["dataset_split_assign"](spark, SF_DIR))
+    n_exchange = len(re.findall(r"^\(\d+\) Exchange", plan, re.M))
+    assert n_exchange <= 1, f"split assignment must not shuffle rows: {n_exchange}"
+    cols = read_schema_cols(plan, "documents")
+    assert cols <= {"doc_id", "source"}, cols
+
+
 def main() -> int:
     import __spark_entry__ as entry_mod
     from datapipeline_ops_spark.session import get_spark
