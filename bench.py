@@ -51,6 +51,12 @@ HEADLINE = [
     "embedding_dedup_keepers",     # sign-LSH pairs -> clusters -> keepers
     "cogroup_click_purchase_stats",  # Arrow cogroup per-user merge scan
     "table_profile",               # single-scan multi-distinct profile
+    # round-3 additions
+    "retention_cohorts",           # window first-touch + distinct rollup
+    "ohlc_time_bars",              # hypertable-style time-bucket rollup
+    "triangle_copurchase_stats",   # support-filtered triangle joins
+    "zipf_slope_fit",              # token counts + bounded rank + regression
+    "ann_rerank_l2",               # broadcast shortlist + rerank
 ]
 
 

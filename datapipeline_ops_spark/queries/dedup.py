@@ -209,7 +209,7 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _lsh_verified_pairs(d)
 
 
-def _lsh_verified_pairs(d: DataFrame, tau: float = 0.5) -> DataFrame:
+def _lsh_verified_pairs(d: DataFrame, tau: float = 0.5, pair_filter=None) -> DataFrame:
     """sign → band → bucket-group pair generation (with size cap) →
     exact-Jaccard verify, over a barriered (doc_id, hs) frame from
     :func:`with_shingle_hashes`.
@@ -226,7 +226,13 @@ def _lsh_verified_pairs(d: DataFrame, tau: float = 0.5) -> DataFrame:
     their other bands). Degenerate buckets do materialize their member
     array before the filter — collect_list aggregation spills under the
     sort-based fallback, so a pathological bucket costs disk, not an OOM,
-    and is discarded immediately."""
+    and is discarded immediately.
+
+    ``pair_filter`` (a Column predicate over doc_a/doc_b) prunes CANDIDATES
+    before the verify stage — callers that only want a subset of pairs
+    (e.g. incremental_dedup's batch x corpus cross pairs, ~18% of all
+    candidates at a 10% batch fraction) skip the two hs-array joins and
+    the Jaccard walk for pairs they would discard anyway."""
     sigs = d.withColumn("sig", minhash_signature_from_hashes(F.col("hs")))
     bands = sigs.select(
         "doc_id", F.explode(lsh_band_buckets(F.col("sig"))).alias("bb")
@@ -253,8 +259,10 @@ def _lsh_verified_pairs(d: DataFrame, tau: float = 0.5) -> DataFrame:
             ).alias("p")
         )
         .select("p.doc_a", "p.doc_b")
-        .distinct()
     )
+    if pair_filter is not None:
+        cand = cand.filter(pair_filter)
+    cand = cand.distinct()
     verified = (
         cand.join(d.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("hs", "hs_a"), "doc_a")
         .join(d.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("hs", "hs_b"), "doc_b")

@@ -188,17 +188,28 @@ def triangle_copurchase_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     are a degree aggregation — no join. This is the standard distributed
     triangle algorithm (node-iterator on oriented edges)."""
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    a = li.alias("a")
-    b = li.alias("b")
+    # pair generation is ARRAY-SIDE per order (items-per-order is bounded, so
+    # the member array is tiny): ONE groupBy shuffle of lineitem instead of a
+    # self-join that scans and shuffles the table twice — the same
+    # bucket-collect pattern the LSH candidate stage uses
+    per_order = li.groupBy("l_orderkey").agg(F.collect_list("l_partkey").alias("ps"))
+    pairs = per_order.select(
+        F.explode(
+            F.filter(
+                F.flatten(
+                    F.transform(
+                        "ps",
+                        lambda a: F.transform(
+                            "ps", lambda b: F.struct(a.alias("pa"), b.alias("pb"))
+                        ),
+                    )
+                ),
+                lambda s: s.pa < s.pb,
+            )
+        ).alias("p")
+    ).select("p.pa", "p.pb")
     edges = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(
-            F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb")
-        )
+        pairs.groupBy("pa", "pb")
         .agg(F.count(F.lit(1)).alias("n_orders"))
         .filter(F.col("n_orders") >= COPURCHASE_MIN_ORDERS)
         .select("pa", "pb")
