@@ -37,7 +37,8 @@ _PRIORITY = [
     "stream_foreachbatch_sink", "retention_cohorts", "histogram_equi_width",
     "partition_skew_report", "compaction_plan", "ann_rerank_l2",
     "kmeans_refine_step", "ohlc_time_bars", "triangle_copurchase_stats",
-    "zipf_slope_fit", "dataset_split_assign",
+    "zipf_slope_fit", "dataset_split_assign", "exact_substring_spans",
+    "semantic_dedup_keepers", "weighted_sample_per_source",
     # (a) never driver-checked (r01∪r02 gap — VERDICT r02 item 4)
     "sessionize_events", "lead_lag_deltas", "rolling_window_avg",
     "event_bigram_paths", "benford_price_check", "bin_argmax", "semi_join",

@@ -28,7 +28,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
 from datapipeline_ops_spark.core.registry import query
-from datapipeline_ops_spark.functions.hashing import hash_unit, sql_hash_unit
+from datapipeline_ops_spark.functions.hashing import hash64, hash_unit, sql_hash64, sql_hash_unit
 from datapipeline_ops_spark.functions.text import shingles, sql_shingles, sql_tokens, tokens
 from datapipeline_ops_spark.operators.dedup import persist_barrier, with_shingle_hashes
 from datapipeline_ops_spark.queries.dedup import _hs_cte, _pairs_cte
@@ -503,4 +503,227 @@ def chunk_overlap_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             (end - F.col("s")).alias("n_tok"),
             (end - F.col("s") == CHUNK_SIZE).alias("is_full"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact-substring duplication spans (Lee et al. 2022, "Deduplicating Training
+# Data Makes Language Models Better" — gram-granular approximation of the
+# suffix-array ExactSubstr dedup)
+# ---------------------------------------------------------------------------
+
+SPAN_LEN = 32
+SPAN_STRIDE = 16
+
+
+@query(
+    "exact_substring_spans",
+    oracle=f"""
+    WITH spans AS (
+        SELECT doc_id, substr(text, s.s, {SPAN_LEN}) AS gram
+        FROM documents,
+             LATERAL (SELECT unnest(generate_series(1, len(text) - {SPAN_LEN - 1},
+                                                    {SPAN_STRIDE})) AS s) AS s
+        WHERE len(text) >= {SPAN_LEN}
+    ),
+    df AS (
+        SELECT gram, count(DISTINCT doc_id) AS docs FROM spans GROUP BY gram
+    )
+    SELECT doc_id,
+           count(*) AS n_spans,
+           sum(CASE WHEN df.docs >= 2 THEN 1 ELSE 0 END) AS n_dup_spans,
+           round(sum(CASE WHEN df.docs >= 2 THEN 1 ELSE 0 END) * 1e0 / count(*), 6)
+               AS dup_fraction
+    FROM spans JOIN df USING (gram)
+    GROUP BY doc_id
+    """,
+)
+def exact_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring duplication profile: each document is cut into
+    {SPAN_LEN}-char grams at stride {SPAN_STRIDE}; a gram appearing in >= 2
+    distinct documents marks a duplicated span, and the per-doc duplicated-
+    span fraction is the ExactSubstr dedup signal of Lee et al. 2022 — the
+    gram-granular, shuffle-friendly approximation of their suffix-array
+    method (a suffix array is a sequential build; gram df is two
+    partial-aggregated shuffles).
+
+    At 100 TB: span rows are (doc_id, 32-char gram) — ~len/16 rows per doc;
+    the df rollup shuffles on the gram key with map-side combine, and the
+    span-level join back is an equi-join on the same key. Boilerplate
+    grams (high df) concentrate rows but carry no payload beyond the
+    count, and AQE splits the hot key's join side."""
+    d = load_table(spark, sf_dir, "documents").filter(
+        F.length("text") >= SPAN_LEN
+    )
+    spans = d.select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.lit(1), F.length("text") - (SPAN_LEN - 1), F.lit(SPAN_STRIDE))
+        ).alias("s"),
+        "text",
+    ).select("doc_id", F.col("text").substr(F.col("s"), F.lit(SPAN_LEN)).alias("gram"))
+    df_counts = spans.groupBy("gram").agg(
+        F.count_distinct("doc_id").alias("docs")
+    )
+    joined = spans.join(df_counts, "gram")
+    return joined.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        F.sum(F.when(F.col("docs") >= 2, 1).otherwise(0)).alias("n_dup_spans"),
+        F.round(
+            F.sum(F.when(F.col("docs") >= 2, 1).otherwise(0)) * 1.0 / F.count(F.lit(1)),
+            6,
+        ).alias("dup_fraction"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup-style semantic dedup: cluster-scoped cosine pruning
+# ---------------------------------------------------------------------------
+
+SEMDEDUP_TAU = 0.35
+
+
+@query(
+    "semantic_dedup_keepers",
+    oracle=f"""
+    WITH v AS (SELECT vec_id,
+                      list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+               FROM embeddings),
+    c AS (SELECT vec_id - 10 AS cluster_id, vec FROM v
+          WHERE vec_id >= 10 AND vec_id < 20),
+    assign AS (
+        SELECT a.vec_id, c.cluster_id,
+               row_number() OVER (PARTITION BY a.vec_id
+                                  ORDER BY (list_sum(list_transform(generate_series(1, len(a.vec)), i -> a.vec[i] * c.vec[i]))
+                                            / (sqrt(list_sum(list_transform(generate_series(1, len(a.vec)), i -> a.vec[i] * a.vec[i])))
+                                               * sqrt(list_sum(list_transform(generate_series(1, len(c.vec)), i -> c.vec[i] * c.vec[i]))))) DESC,
+                                           c.cluster_id) AS rn
+        FROM v a, c
+    ),
+    m AS (SELECT v.vec_id, a.cluster_id, v.vec
+          FROM v JOIN (SELECT vec_id, cluster_id FROM assign WHERE rn = 1) a
+            USING (vec_id)),
+    dropped AS (
+        SELECT DISTINCT b.vec_id
+        FROM m a JOIN m b
+          ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id
+        WHERE (list_sum(list_transform(generate_series(1, len(a.vec)), i -> a.vec[i] * b.vec[i]))
+               / (sqrt(list_sum(list_transform(generate_series(1, len(a.vec)), i -> a.vec[i] * a.vec[i])))
+                  * sqrt(list_sum(list_transform(generate_series(1, len(b.vec)), i -> b.vec[i] * b.vec[i])))))
+              >= {SEMDEDUP_TAU}
+    )
+    SELECT m.vec_id, m.cluster_id
+    FROM m LEFT JOIN dropped ON m.vec_id = dropped.vec_id
+    WHERE dropped.vec_id IS NULL
+    """,
+)
+def semantic_dedup_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): embeddings are k-means-clustered, and
+    near-duplicate PAIRS are only sought WITHIN a cluster — a vector is
+    dropped when a lower-id member of its own cluster sits above the cosine
+    threshold. Returns the kept (vec_id, cluster_id) rows.
+
+    This is the scale answer for semantic (not lexical) dedup: the
+    within-cluster equi-join makes candidate volume n²/K instead of n²,
+    and clusters shard across executors. Reuses the IVF coarse centroids
+    (deterministic, oracle-reproducible); production would feed trained
+    centroids from kmeans_refine_step iterations. Complements
+    embedding_near_dup_lsh: LSH buckets catch high-cosine lexical twins,
+    cluster scoping catches same-topic redundancy at lower tau."""
+    from datapipeline_ops_spark.functions.vectors import dot
+    from datapipeline_ops_spark.queries.similarity import IVF_CENTROIDS, _vectors
+
+    v = _vectors(spark, sf_dir)
+    c = v.filter(
+        (F.col("vec_id") >= IVF_CENTROIDS[0]) & (F.col("vec_id") < IVF_CENTROIDS[1])
+    ).select(
+        (F.col("vec_id") - IVF_CENTROIDS[0]).alias("cluster_id"),
+        F.col("vec").alias("cvec"),
+        F.col("nrm").alias("cnrm"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.desc("cos"), F.asc("cluster_id")
+    )
+    members = (
+        v.crossJoin(F.broadcast(c))
+        .withColumn("cos", dot(F.col("vec"), F.col("cvec")) / (F.col("nrm") * F.col("cnrm")))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "cluster_id", "vec", "nrm")
+    )
+    a = members.select(
+        F.col("cluster_id"),
+        F.col("vec_id").alias("a_id"),
+        F.col("vec").alias("a_vec"),
+        F.col("nrm").alias("a_nrm"),
+    )
+    b = members.select(
+        F.col("cluster_id"),
+        F.col("vec_id").alias("b_id"),
+        F.col("vec").alias("b_vec"),
+        F.col("nrm").alias("b_nrm"),
+    )
+    dropped = (
+        a.join(b, "cluster_id")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .withColumn(
+            "cos",
+            dot(F.col("a_vec"), F.col("b_vec")) / (F.col("a_nrm") * F.col("b_nrm")),
+        )
+        .filter(F.col("cos") >= SEMDEDUP_TAU)
+        .select(F.col("b_id").alias("vec_id"))
+        .distinct()
+    )
+    return members.join(dropped, "vec_id", "left_anti").select("vec_id", "cluster_id")
+
+
+# ---------------------------------------------------------------------------
+# Weighted sampling (Efraimidis–Spirakis): deterministic weighted holdout
+# ---------------------------------------------------------------------------
+
+WSAMPLE_K = 5
+WSAMPLE_SEED = 4242
+
+
+@query(
+    "weighted_sample_per_source",
+    oracle=f"""
+    WITH keyed AS (
+        SELECT source, doc_id, n_chars,
+               -ln(({sql_hash64("doc_id", WSAMPLE_SEED)} % 1000000 + 1) / 1000001e0)
+                   / n_chars AS k
+        FROM documents
+    )
+    SELECT source, doc_id, n_chars FROM (
+        SELECT source, doc_id, n_chars,
+               row_number() OVER (PARTITION BY source ORDER BY k, doc_id) AS rn
+        FROM keyed
+    ) WHERE rn <= {WSAMPLE_K}
+    """,
+)
+def weighted_sample_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling without replacement per source
+    stratum (Efraimidis–Spirakis A-Res): each doc draws u from the seeded
+    cross-engine hash and competes on key -ln(u)/weight — taking the K
+    smallest keys per stratum samples proportionally to weight (n_chars
+    here: longer docs more likely), reproducibly across engines and reruns.
+
+    One window shuffle on source; at production stratum cardinality the
+    row_number pass becomes a per-partition top-K merge (same note as
+    stratified_sample_per_source). The u+1 shift keeps u strictly positive
+    so ln is finite."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "source",
+        "doc_id",
+        "n_chars",
+        (
+            -F.log((hash64(F.col("doc_id"), WSAMPLE_SEED) % 1_000_000 + 1) / 1_000_001.0)
+            / F.col("n_chars")
+        ).alias("k"),
+    )
+    w = Window.partitionBy("source").orderBy(F.asc("k"), F.asc("doc_id"))
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= WSAMPLE_K)
+        .select("source", "doc_id", "n_chars")
     )

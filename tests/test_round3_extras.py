@@ -141,3 +141,37 @@ def test_dataset_split_proportions_and_stability(spark, sf_dir):
     train = sum(v for (s, sp), v in out1.items() if sp == "train")
     # hash split at small n is noisy; 80% ± 15pp is the sanity band
     assert 0.65 <= train / total <= 0.95
+
+
+def test_exact_substring_spans_fractions(spark, sf_dir):
+    rows = QUERIES["exact_substring_spans"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["n_dup_spans"] <= r["n_spans"]
+        assert 0.0 <= r["dup_fraction"] <= 1.0
+
+
+def test_semantic_dedup_keepers_subset_and_lowest_kept(spark, sf_dir):
+    from datapipeline_ops_spark.tables import load_table
+
+    out = QUERIES["semantic_dedup_keepers"].fn(spark, sf_dir)
+    n_vec = load_table(spark, sf_dir, "embeddings").count()
+    kept = out.count()
+    assert 0 < kept <= n_vec
+    # vec 0's cluster keeps its lowest id: the minimum vec_id overall must
+    # survive (nothing with a lower id exists to drop it)
+    min_id = out.agg(F.min("vec_id")).first()[0]
+    assert min_id == 0
+
+
+def test_weighted_sample_per_source_shape(spark, sf_dir):
+    from datapipeline_ops_spark.queries.curation_extra import WSAMPLE_K
+
+    out = QUERIES["weighted_sample_per_source"].fn(spark, sf_dir)
+    per_src = out.groupBy("source").count().collect()
+    for r in per_src:
+        assert r["count"] <= WSAMPLE_K
+    # deterministic across runs
+    a = sorted(r["doc_id"] for r in out.collect())
+    b = sorted(r["doc_id"] for r in QUERIES["weighted_sample_per_source"].fn(spark, sf_dir).collect())
+    assert a == b

@@ -474,6 +474,31 @@ def _(qs, spark):
     assert cols <= {"doc_id", "source"}, cols
 
 
+@check("exact_substring_spans: gram df + span join are equi-shuffles, text-only scan")
+def _(qs, spark):
+    plan = plan_of(qs["exact_substring_spans"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert "partial_" in plan, "gram df must partial-agg"
+    cols = read_schema_cols(plan, "documents")
+    assert cols <= {"doc_id", "text"}, cols
+
+
+@check("semantic_dedup_keepers: centroids broadcast, pairs equi-join on cluster_id")
+def _(qs, spark):
+    plan = plan_of(qs["semantic_dedup_keepers"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "LeftAnti" in plan, "keeper filter must be an anti join"
+
+
+@check("weighted_sample_per_source: one window exchange, no text read")
+def _(qs, spark):
+    plan = plan_of(qs["weighted_sample_per_source"](spark, SF_DIR))
+    n_exchange = len(re.findall(r"^\(\d+\) Exchange", plan, re.M))
+    assert n_exchange == 1, f"expected 1 exchange, saw {n_exchange}"
+    cols = read_schema_cols(plan, "documents")
+    assert cols <= {"source", "doc_id", "n_chars"}, cols
+
+
 def main() -> int:
     import __spark_entry__ as entry_mod
     from datapipeline_ops_spark.session import get_spark
