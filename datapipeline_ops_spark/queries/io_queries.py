@@ -171,3 +171,94 @@ def manifest_source_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_chars").cast("long").alias("total_chars"),
     )
+
+
+@query(
+    "partitioned_write_prune",
+    oracle="""
+    SELECT o_orderpriority, count(*) AS n_orders,
+           round(sum(o_totalprice), 4) AS total
+    FROM orders WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+    GROUP BY o_orderpriority
+    """,
+)
+def partitioned_write_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-style partitioned write + partition-pruned read: orders land
+    partitioned by o_orderpriority, and the read-back filter on the
+    partition column prunes whole directories — the scan never opens the
+    other partitions' files. This is THE layout decision for a 100 TB
+    fact table: a predicate on the partition key becomes a listing
+    operation, not an I/O pass (check_plans asserts the pruned scan).
+
+    The partition column count must be low-cardinality and coarse
+    (priority/date, never user_id) — each distinct value is a directory,
+    and small-file explosion from over-partitioning is the classic failure
+    (compaction_plan is the repair tool)."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    )
+    path = _scratch(sf_dir, "orders_by_priority")
+    o.write.mode("overwrite").partitionBy("o_orderpriority").parquet(path)
+    back = spark.read.parquet(path).filter(
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    )
+    return back.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 4).alias("total"),
+    )
+
+
+@query(
+    "bucketed_join_copartition",
+    oracle="""
+    SELECT o.o_orderpriority, count(*) AS n_items,
+           round(sum(l.l_extendedprice), 4) AS revenue
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderpriority
+    """,
+)
+def bucketed_join_copartition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed co-located join: orders and lineitem are written ONCE as
+    bucketed tables (8 buckets on the join key, sorted within buckets);
+    the subsequent join reads bucket i against bucket i directly — NO
+    exchange on either side (check_plans asserts zero exchanges before
+    the join). This is the bucketing payoff at 100 TB: the shuffle for
+    every future join on that key is paid once at write time.
+
+    Buckets also bound AQE's skew problem (a hot orderkey lands in one
+    bucket, not one reduce task) and give sort-merge join presorted runs.
+    The bucket count is a layout constant — production uses
+    hundreds-to-thousands so each bucket file stays ~128-512 MB."""
+    import shutil
+
+    tag = sf_dir.strip("/").replace("/", "_").replace(".", "_")
+    t_orders, t_lineitem = f"b_orders_{tag}", f"b_lineitem_{tag}"
+    # a table dir left by ANOTHER session's catalog blocks saveAsTable even
+    # in overwrite mode — drop the catalog entry AND any orphaned location
+    warehouse = spark.conf.get(
+        "spark.sql.warehouse.dir", "spark-warehouse"
+    ).removeprefix("file:")
+    for t in (t_orders, t_lineitem):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(os.path.join(warehouse, t), ignore_errors=True)
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice")
+    (
+        o.write.mode("overwrite")
+        .bucketBy(8, "o_orderkey")
+        .sortBy("o_orderkey")
+        .saveAsTable(t_orders)
+    )
+    (
+        li.write.mode("overwrite")
+        .bucketBy(8, "l_orderkey")
+        .sortBy("l_orderkey")
+        .saveAsTable(t_lineitem)
+    )
+    bo = spark.table(t_orders)
+    bl = spark.table(t_lineitem)
+    joined = bo.join(bl, bl.l_orderkey == bo.o_orderkey)
+    return joined.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.round(F.sum("l_extendedprice"), 4).alias("revenue"),
+    )

@@ -175,3 +175,26 @@ def test_weighted_sample_per_source_shape(spark, sf_dir):
     a = sorted(r["doc_id"] for r in out.collect())
     b = sorted(r["doc_id"] for r in QUERIES["weighted_sample_per_source"].fn(spark, sf_dir).collect())
     assert a == b
+
+
+def test_partitioned_write_prune_reads_only_selected(spark, sf_dir, tmp_path):
+    import os
+
+    out = QUERIES["partitioned_write_prune"].fn(spark, sf_dir).collect()
+    assert {r["o_orderpriority"] for r in out} == {"1-URGENT", "2-HIGH"}
+    # the write produced one directory per priority value
+    base = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        ".tmp", "io", sf_dir.strip("/").replace("/", "_"), "orders_by_priority",
+    )
+    dirs = {d for d in os.listdir(base) if d.startswith("o_orderpriority=")}
+    assert len(dirs) >= 3  # partitioned layout materialized
+
+
+def test_bucketed_join_rerunnable_and_correct(spark, sf_dir):
+    # twice in the same session: DROP+overwrite must make it idempotent
+    a = {r["o_orderpriority"]: r["n_items"]
+         for r in QUERIES["bucketed_join_copartition"].fn(spark, sf_dir).collect()}
+    b = {r["o_orderpriority"]: r["n_items"]
+         for r in QUERIES["bucketed_join_copartition"].fn(spark, sf_dir).collect()}
+    assert a == b and a

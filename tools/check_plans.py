@@ -499,6 +499,34 @@ def _(qs, spark):
     assert cols <= {"source", "doc_id", "n_chars"}, cols
 
 
+@check("partitioned_write_prune: read-back scan prunes on the partition column")
+def _(qs, spark):
+    plan = plan_of(qs["partitioned_write_prune"](spark, SF_DIR))
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "o_orderpriority" in m.group(1), (
+        f"partition filter not applied: {m and m.group(1)!r}"
+    )
+    assert "partial_" in plan
+
+
+@check("bucketed_join_copartition: join runs exchange-free off bucketed tables")
+def _(qs, spark):
+    # at toy SF Catalyst auto-broadcasts the small side; the scale property
+    # under test is the no-exchange sort-merge path, so force it the way a
+    # 100 TB table would (both sides over the broadcast threshold)
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = plan_of(qs["bucketed_join_copartition"](spark, SF_DIR))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert "SortMergeJoin" in plan, "bucketed join should sort-merge"
+    n_exchange = len(re.findall(r"^\(\d+\) Exchange", plan, re.M))
+    assert n_exchange <= 1, (
+        f"bucketed join must not shuffle its inputs (only the rollup may): {n_exchange}"
+    )
+
+
 def main() -> int:
     import __spark_entry__ as entry_mod
     from datapipeline_ops_spark.session import get_spark
