@@ -262,3 +262,51 @@ def bucketed_join_copartition(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_items"),
         F.round(F.sum("l_extendedprice"), 4).alias("revenue"),
     )
+
+
+@query(
+    "manifest_stream_scan",
+    oracle="""
+    SELECT source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM documents GROUP BY source
+    """,
+)
+def manifest_stream_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming read through the custom Python Data Source: the stream
+    TAILS the shard manifest (offset = committed shard count), each
+    micro-batch ingesting newly listed shards, drained with availableNow
+    into a complete-mode aggregate. A hash match against the parquet oracle
+    proves the writer → manifest → stream-offset → read chain is lossless
+    and duplication-free across micro-batch boundaries.
+
+    This is the continuous-ingest connector shape for a 100 TB lake: an
+    upstream writer appends shards and rewrites the manifest; the stream's
+    (start, end] shard-slice offsets make every batch replayable, so
+    failure recovery re-reads exactly the same shards."""
+    from datapipeline_ops_spark.sources.manifest_source import (
+        ManifestJsonlDataSource,
+        write_manifest,
+    )
+    from datapipeline_ops_spark.streaming.ops import run_stream_to_table
+
+    d = load_table(spark, sf_dir, "documents")
+    shard_dir = _scratch(sf_dir, "documents_stream_shards")
+    write_jsonl(d, shard_dir)
+    manifest = os.path.join(_scratch(sf_dir, "documents_stream_manifest"), "manifest.json")
+    write_manifest(shard_dir, manifest)
+    try:
+        spark.dataSource.register(ManifestJsonlDataSource)
+    except Exception:
+        pass  # already registered in this session
+    s = (
+        spark.readStream.format("jsonl_manifest")
+        .schema("doc_id bigint, text string, lang string, source string, n_chars bigint")
+        .option("manifest", manifest)
+        .load()
+    )
+    agg = s.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+    )
+    out = run_stream_to_table(agg, output_mode="complete")
+    return out.select("source", "n_docs", "total_chars")

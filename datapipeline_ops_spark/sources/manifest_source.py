@@ -20,7 +20,12 @@ from __future__ import annotations
 import json
 import os
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    InputPartition,
+)
 
 
 class ManifestShard(InputPartition):
@@ -47,9 +52,50 @@ class ManifestJsonlReader(DataSourceReader):
                 yield tuple(rec.get(f) for f in self.fields)
 
 
+class ManifestJsonlStreamReader(DataSourceStreamReader):
+    """Streaming flavor of the manifest source: the OFFSET is the number of
+    manifest shards already committed, so each micro-batch reads exactly the
+    shards that appeared since the last batch — the continuous-ingest shape
+    (a writer job appends shards + rewrites the manifest; the stream tails
+    it). Replayability comes free: offsets (start, end) always map to the
+    same manifest slice, so a failed batch re-reads identically — the
+    exactly-once contract a Structured Streaming source must keep."""
+
+    def __init__(self, options: dict, schema):
+        self.manifest = options["manifest"]
+        self.fields = [f.name for f in schema.fields]
+
+    def _shards(self) -> list[str]:
+        with open(self.manifest) as fh:
+            return json.load(fh)["shards"]
+
+    def initialOffset(self) -> dict:
+        return {"shard": 0}
+
+    def latestOffset(self) -> dict:
+        return {"shard": len(self._shards())}
+
+    def partitions(self, start: dict, end: dict):
+        shards = self._shards()[start["shard"] : end["shard"]]
+        return [ManifestShard(p) for p in shards]
+
+    def read(self, partition: ManifestShard):
+        with open(partition.path) as fh:
+            for line in fh:
+                if not line.strip():
+                    continue
+                rec = json.loads(line)
+                yield tuple(rec.get(f) for f in self.fields)
+
+    def commit(self, end: dict) -> None:
+        pass  # manifest shards are immutable; nothing to clean up
+
+
 class ManifestJsonlDataSource(DataSource):
     """``spark.read.format("jsonl_manifest").schema(ddl)
-    .option("manifest", path)`` — one input partition per manifest shard."""
+    .option("manifest", path)`` — one input partition per manifest shard.
+    Also registers a stream reader: ``spark.readStream.format(...)`` tails
+    the manifest with shard-count offsets."""
 
     @classmethod
     def name(cls) -> str:
@@ -57,6 +103,9 @@ class ManifestJsonlDataSource(DataSource):
 
     def reader(self, schema) -> ManifestJsonlReader:
         return ManifestJsonlReader(self.options, schema)
+
+    def streamReader(self, schema) -> ManifestJsonlStreamReader:
+        return ManifestJsonlStreamReader(self.options, schema)
 
 
 def write_manifest(shard_dir: str, manifest_path: str) -> int:

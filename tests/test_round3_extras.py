@@ -198,3 +198,15 @@ def test_bucketed_join_rerunnable_and_correct(spark, sf_dir):
     b = {r["o_orderpriority"]: r["n_items"]
          for r in QUERIES["bucketed_join_copartition"].fn(spark, sf_dir).collect()}
     assert a == b and a
+
+
+def test_manifest_stream_scan_matches_batch_source(spark, sf_dir):
+    # the stream-tail read must see exactly what the batch source sees
+    batch = {
+        r["lang"]: r["n_docs"]
+        for r in QUERIES["manifest_source_scan"].fn(spark, sf_dir).collect()
+    }
+    stream_total = sum(
+        r["n_docs"] for r in QUERIES["manifest_stream_scan"].fn(spark, sf_dir).collect()
+    )
+    assert stream_total == sum(batch.values())
