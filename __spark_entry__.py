@@ -33,7 +33,14 @@ def entry(spark: SparkSession) -> DataFrame:
 # (c) everything already recorded green. All 141 queries remain present —
 # ordering only affects which land inside a capped driver sample.
 _PRIORITY = [
-    # (a0) new in round 3 — no driver record exists yet
+    # (a) r02-red, fixed this round (the TIMESTAMP_NTZ loader regression) —
+    # flipping these driver records red -> green is the round's headline,
+    # so they must land inside any driver sample cap
+    "asof_click_to_purchase", "cogroup_click_purchase_stats",
+    "funnel_conversion", "scd2_user_state", "stream_tumbling_counts",
+    "stream_sliding_counts", "stream_session_windows", "stream_dedup_count",
+    "stream_stream_click_purchase",
+    # (b) new in round 3 — no driver record exists yet
     "stream_foreachbatch_sink", "retention_cohorts", "histogram_equi_width",
     "partition_skew_report", "compaction_plan", "ann_rerank_l2",
     "kmeans_refine_step", "ohlc_time_bars", "triangle_copurchase_stats",
@@ -41,7 +48,7 @@ _PRIORITY = [
     "semantic_dedup_keepers", "weighted_sample_per_source",
     "partitioned_write_prune", "bucketed_join_copartition",
     "manifest_stream_scan",
-    # (a) never driver-checked (r01∪r02 gap — VERDICT r02 item 4)
+    # (c) never driver-checked (r01∪r02 gap — VERDICT r02 item 4)
     "sessionize_events", "lead_lag_deltas", "rolling_window_avg",
     "event_bigram_paths", "benford_price_check", "bin_argmax", "semi_join",
     "promo_revenue_share", "events_type_pivot", "ntile_price_quartiles",
@@ -57,11 +64,6 @@ _PRIORITY = [
     "fk_integrity_report", "retry_cut_status", "set_ops_segments",
     "stratified_sample_per_source", "approx_distinct_users",
     "range_join_value_bands",
-    # (b) r02-red, fixed this round — need a green driver record
-    "asof_click_to_purchase", "cogroup_click_purchase_stats",
-    "funnel_conversion", "scd2_user_state", "stream_tumbling_counts",
-    "stream_sliding_counts", "stream_session_windows", "stream_dedup_count",
-    "stream_stream_click_purchase",
 ]
 
 
