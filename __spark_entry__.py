@@ -47,7 +47,7 @@ _PRIORITY = [
     "zipf_slope_fit", "dataset_split_assign", "exact_substring_spans",
     "semantic_dedup_keepers", "weighted_sample_per_source",
     "partitioned_write_prune", "bucketed_join_copartition",
-    "manifest_stream_scan",
+    "manifest_stream_scan", "pretrain_data_e2e",
     # (c) never driver-checked (r01∪r02 gap — VERDICT r02 item 4)
     "sessionize_events", "lead_lag_deltas", "rolling_window_avg",
     "event_bigram_paths", "benford_price_check", "bin_argmax", "semi_join",

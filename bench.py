@@ -57,6 +57,7 @@ HEADLINE = [
     "triangle_copurchase_stats",   # support-filtered triangle joins
     "zipf_slope_fit",              # token counts + bounded rank + regression
     "ann_rerank_l2",               # broadcast shortlist + rerank
+    "pretrain_data_e2e",           # text-side curation funnel e2e
 ]
 
 

@@ -18,7 +18,8 @@ from pyspark.sql import DataFrame, SparkSession, Window
 
 from datapipeline_ops_spark.core.op import Pipeline, op
 from datapipeline_ops_spark.core.registry import query
-from datapipeline_ops_spark.functions.hashing import hash_unit, sql_hash_unit
+from datapipeline_ops_spark.functions.hashing import hash_unit, sql_hash64, sql_hash_unit
+from datapipeline_ops_spark.functions.text import sql_shingles, sql_tokens
 from datapipeline_ops_spark.operators.segments import plan_segments
 from datapipeline_ops_spark.tables import load_table
 
@@ -438,4 +439,127 @@ def pipeline_bg_filter_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p_partkey",
         F.round("max_ratio", 6).alias("max_ratio"),
         F.format_string("/bg_out/part_%d.png", F.col("p_partkey")).alias("out_path"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Pretraining-data preparation, end-to-end (text-side flagship)
+# ---------------------------------------------------------------------------
+
+_PRETRAIN_BENCH_MOD = 97
+_PRETRAIN_TAU = 0.5
+_PRETRAIN_SEED = 777  # same split constants as dataset_split_assign
+
+
+@query(
+    "pretrain_data_e2e",
+    oracle=f"""
+    WITH q AS (
+        SELECT doc_id, source, text FROM documents
+        WHERE len({sql_tokens("text")}) >= 10
+    ),
+    shq AS (
+        SELECT doc_id, source, text,
+               list_distinct(list_transform({sql_shingles("text", 3)},
+                                            s -> {sql_hash64("s")})) AS hs
+        FROM q
+    ),
+    bench AS (SELECT DISTINCT unnest(hs) AS s FROM shq
+              WHERE doc_id % {_PRETRAIN_BENCH_MOD} = 0),
+    corpus AS (SELECT * FROM shq WHERE doc_id % {_PRETRAIN_BENCH_MOD} <> 0),
+    ex AS (SELECT doc_id, len(hs) AS n_hs, unnest(hs) AS s FROM corpus),
+    contam AS (
+        SELECT ex.doc_id, count(bench.s) * 1e0 / any_value(ex.n_hs) AS contamination
+        FROM ex LEFT JOIN bench ON ex.s = bench.s
+        GROUP BY ex.doc_id
+    ),
+    clean AS (
+        SELECT corpus.doc_id, corpus.source, corpus.text
+        FROM corpus JOIN contam ON corpus.doc_id = contam.doc_id
+        WHERE contam.contamination < {_PRETRAIN_TAU}
+    ),
+    keepers AS (
+        SELECT doc_id, source, text FROM (
+            SELECT doc_id, source, text,
+                   row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+            FROM clean
+        ) WHERE rn = 1
+    ),
+    assigned AS (
+        SELECT source,
+               CASE WHEN {sql_hash_unit("doc_id", _PRETRAIN_SEED)} < 0.8 THEN 'train'
+                    WHEN {sql_hash_unit("doc_id", _PRETRAIN_SEED)} < 0.9 THEN 'val'
+                    ELSE 'test' END AS split,
+               len({sql_tokens("text")}) AS n_tok
+        FROM keepers
+    )
+    SELECT split, source, count(*) AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS total_tokens
+    FROM assigned GROUP BY split, source
+    """,
+)
+def pretrain_data_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The text-side pretraining-data preparation funnel as ONE composed
+    Catalyst plan: quality gate (>= 10 tokens) → benchmark decontamination
+    (3-gram overlap vs the broadcast benchmark set, tau 0.5) → exact dedup
+    keepers (min doc_id per md5) → deterministic 80/10/10 split assignment
+    → per-(split, source) document/token rollup. Companion flagship to
+    ``corpus_curation_e2e`` (which owns the near-dup story): together they
+    are the full corpus build a 100 TB pretraining run executes.
+
+    Funnel discipline: each stage strictly shrinks the next stage's input;
+    the benchmark set is the only broadcast; the exact-dedup window and the
+    final rollup are the only exchanges over the corpus. The oracle replays
+    all five stages as chained CTEs with the identical cross-engine hash."""
+    from datapipeline_ops_spark.functions.text import shingles, tokens
+    from datapipeline_ops_spark.functions.hashing import hash64, hash_unit
+
+    from datapipeline_ops_spark.operators.dedup import persist_barrier
+
+    docs = load_table(spark, sf_dir, "documents")
+    q = docs.filter(F.size(tokens(F.col("text"))) >= 10).select(
+        "doc_id", "source", "text"
+    )
+    hs = F.array_distinct(F.transform(shingles(F.col("text"), 3), lambda s: hash64(s)))
+    # same two defenses as with_shingle_hashes: spread the md5 work over all
+    # cores (a single small parquet file scans as ONE partition), and barrier
+    # the hashed frame so CollapseProject can't re-evaluate the md5 transform
+    # in every downstream branch (bench/explode/dedup each consume it)
+    n = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    shq = persist_barrier(
+        q.repartition(n, F.col("doc_id")).withColumn("hs", hs), "pretrain_hs"
+    )
+    bench = (
+        shq.filter(F.col("doc_id") % _PRETRAIN_BENCH_MOD == 0)
+        .select(F.explode("hs").alias("s"))
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    corpus = shq.filter(F.col("doc_id") % _PRETRAIN_BENCH_MOD != 0)
+    contam = (
+        corpus.select("doc_id", F.size("hs").alias("n_hs"), F.explode("hs").alias("s"))
+        .join(F.broadcast(bench), "s", "left")
+        .groupBy("doc_id")
+        .agg((F.count("hit") * 1.0 / F.first("n_hs")).alias("contamination"))
+    )
+    clean = corpus.join(contam, "doc_id").filter(
+        F.col("contamination") < _PRETRAIN_TAU
+    )
+    w = Window.partitionBy(F.md5(F.col("text").cast("binary"))).orderBy("doc_id")
+    keepers = (
+        clean.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "source", "text")
+    )
+    assigned = keepers.select(
+        "source",
+        F.when(hash_unit(F.col("doc_id"), _PRETRAIN_SEED) < 0.8, "train")
+        .when(hash_unit(F.col("doc_id"), _PRETRAIN_SEED) < 0.9, "val")
+        .otherwise("test")
+        .alias("split"),
+        F.size(tokens(F.col("text"))).alias("n_tok"),
+    )
+    return assigned.groupBy("split", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").cast("long").alias("total_tokens"),
     )

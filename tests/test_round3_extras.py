@@ -210,3 +210,13 @@ def test_manifest_stream_scan_matches_batch_source(spark, sf_dir):
         r["n_docs"] for r in QUERIES["manifest_stream_scan"].fn(spark, sf_dir).collect()
     )
     assert stream_total == sum(batch.values())
+
+
+def test_pretrain_data_e2e_funnel_monotone(spark, sf_dir):
+    from datapipeline_ops_spark.tables import load_table
+
+    out = QUERIES["pretrain_data_e2e"].fn(spark, sf_dir).collect()
+    n_total = load_table(spark, sf_dir, "documents").count()
+    kept = sum(r["n_docs"] for r in out)
+    assert 0 < kept < n_total  # benchmark docs + dupes + junk removed
+    assert {r["split"] for r in out} <= {"train", "val", "test"}

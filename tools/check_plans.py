@@ -527,6 +527,15 @@ def _(qs, spark):
     )
 
 
+@check("pretrain_data_e2e: benchmark broadcast, monotone funnel, no cross product")
+def _(qs, spark):
+    plan = plan_of(qs["pretrain_data_e2e"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan, "benchmark n-gram set must broadcast"
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    cols = read_schema_cols(plan, "documents")
+    assert cols <= {"doc_id", "source", "text"}, cols
+
+
 def main() -> int:
     import __spark_entry__ as entry_mod
     from datapipeline_ops_spark.session import get_spark
