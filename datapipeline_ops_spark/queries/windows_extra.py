@@ -126,3 +126,90 @@ def grouping_sets_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY GROUPING SETS ((lang), (source), (lang, source))
         """
     )
+
+
+@query(
+    "time_range_rolling_sum",
+    oracle="""
+    SELECT event_id, user_id,
+           CAST(epoch_us(ts) // 1000000 AS BIGINT) AS t_sec,
+           count(*) OVER w AS n_in_hour,
+           round(sum(value) OVER w, 4) AS sum_in_hour
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts) // 1000000
+                 RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+    """,
+)
+def time_range_rolling_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-TIME rolling window (RANGE frame on epoch seconds): per user,
+    the count and value-sum of events in the trailing hour AT each event —
+    the rate-limiter / trailing-exposure primitive row-count frames can't
+    express (rows frames count neighbors, range frames honor actual time
+    gaps and tie peers identically in both engines).
+
+    One exchange on user_id; the range frame is evaluated over the sorted
+    run with a sliding two-pointer, so per-partition cost is linear — the
+    same plan shape as the rows-frame rolling mean, just a different frame
+    boundary rule."""
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "value",
+        (F.unix_micros("ts") / F.lit(1_000_000)).cast("long").alias("t_sec"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("t_sec")
+        .rangeBetween(-3600, 0)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        "t_sec",
+        F.count(F.lit(1)).over(w).alias("n_in_hour"),
+        F.round(F.sum("value").over(w), 4).alias("sum_in_hour"),
+    )
+
+
+@query(
+    "daily_anomaly_zscore",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type,
+               CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+               count(*) AS n
+        FROM events GROUP BY 1, 2
+    )
+    SELECT event_type, day, n,
+           round((n - avg(n) OVER (PARTITION BY event_type))
+                 / stddev_samp(n) OVER (PARTITION BY event_type), 4) AS z,
+           abs((n - avg(n) OVER (PARTITION BY event_type))
+               / stddev_samp(n) OVER (PARTITION BY event_type)) > 3 AS anomalous
+    FROM daily
+    """,
+)
+def daily_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume-anomaly monitor: daily event counts per type, z-scored against
+    that type's own distribution; |z| > 3 flags the days a pipeline health
+    dashboard would page on (ingest stall, upstream replay, bot burst).
+
+    The daily rollup partial-aggregates the raw scan down to |types|x|days|
+    rows; the z-score pass is a window over that tiny frame — at 100 TB the
+    expensive part never shuffles more than the daily matrix."""
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(
+            "event_type",
+            (F.unix_micros("ts") / F.lit(86_400_000_000)).cast("long").alias("day"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("event_type")
+    z = (F.col("n") - F.avg("n").over(w)) / F.stddev_samp("n").over(w)
+    return daily.select(
+        "event_type",
+        "day",
+        "n",
+        F.round(z, 4).alias("z"),
+        (F.abs(z) > 3).alias("anomalous"),
+    )

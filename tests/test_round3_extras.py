@@ -220,3 +220,20 @@ def test_pretrain_data_e2e_funnel_monotone(spark, sf_dir):
     kept = sum(r["n_docs"] for r in out)
     assert 0 < kept < n_total  # benchmark docs + dupes + junk removed
     assert {r["split"] for r in out} <= {"train", "val", "test"}
+
+
+def test_time_range_rolling_includes_self(spark, sf_dir):
+    rows = QUERIES["time_range_rolling_sum"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows[:200]:
+        assert r["n_in_hour"] >= 1  # frame always includes the current row
+
+
+def test_daily_anomaly_zscore_centered(spark, sf_dir):
+    rows = QUERIES["daily_anomaly_zscore"].fn(spark, sf_dir).collect()
+    # z-scores per type sum to ~0
+    by_type = {}
+    for r in rows:
+        by_type.setdefault(r["event_type"], []).append(r["z"])
+    for t, zs in by_type.items():
+        assert abs(sum(zs)) < 0.01 * len(zs) + 0.01

@@ -536,6 +536,23 @@ def _(qs, spark):
     assert cols <= {"doc_id", "source", "text"}, cols
 
 
+@check("time_range_rolling_sum: one user_id exchange, 4-col events scan")
+def _(qs, spark):
+    plan = plan_of(qs["time_range_rolling_sum"](spark, SF_DIR))
+    n_exchange = len(re.findall(r"^\(\d+\) Exchange", plan, re.M))
+    assert n_exchange == 1, f"expected 1 exchange, saw {n_exchange}"
+    cols = read_schema_cols(plan, "events")
+    assert cols <= {"event_id", "user_id", "value", "ts"}, cols
+
+
+@check("daily_anomaly_zscore: partial-agg daily rollup feeds the window")
+def _(qs, spark):
+    plan = plan_of(qs["daily_anomaly_zscore"](spark, SF_DIR))
+    assert "partial_count" in plan, "daily rollup must partial-agg"
+    cols = read_schema_cols(plan, "events")
+    assert cols <= {"event_type", "ts"}, cols
+
+
 def main() -> int:
     import __spark_entry__ as entry_mod
     from datapipeline_ops_spark.session import get_spark
