@@ -816,3 +816,55 @@ def fk_integrity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     for r in reports[1:]:
         out = out.unionAll(r)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Incremental materialized-view refresh
+# ---------------------------------------------------------------------------
+
+_MV_CUTOVER_DAY = 19745  # events on/after this epoch-day are "new arrivals"
+
+
+@query(
+    "incremental_mv_refresh",
+    oracle="""
+    SELECT event_type,
+           CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+           count(*) AS n_events,
+           round(sum(value), 4) AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def incremental_mv_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance: the daily-rollup MV is
+    refreshed by aggregating ONLY the newly arrived slice (day >=
+    cutover) and merging it with the existing MV rows — base rows pass
+    through untouched, overlapping (type, day) cells combine additively
+    (count and sum are self-decomposable aggregates). The oracle is the
+    full recompute, so the hash match PROVES incremental == full — the
+    property that lets a 100 TB warehouse maintain daily rollups by
+    touching only the new partition instead of re-scanning history.
+
+    Plan shape: two partial-aggregated rollups (the base build stands in
+    for the stored MV — production reads it back from the lake, paying
+    zero scan of history) and a union + re-rollup over |cells| rows, not
+    raw events. Avg/percentile-style MVs store (sum, count) components to
+    stay decomposable; MIN/MAX only merge additively under inserts."""
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        (F.unix_micros("ts") / F.lit(86_400_000_000)).cast("long").alias("day"),
+        "value",
+    )
+    daily = lambda df: df.groupBy("event_type", "day").agg(
+        F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("sv")
+    )
+    base_mv = daily(e.filter(F.col("day") < _MV_CUTOVER_DAY))      # the stored MV
+    delta_mv = daily(e.filter(F.col("day") >= _MV_CUTOVER_DAY))    # new slice only
+    merged = (
+        base_mv.unionByName(delta_mv)
+        .groupBy("event_type", "day")
+        .agg(F.sum("n_events").alias("n_events"), F.sum("sv").alias("sv"))
+    )
+    return merged.select(
+        "event_type", "day", "n_events", F.round("sv", 4).alias("total_value")
+    )

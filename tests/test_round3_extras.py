@@ -237,3 +237,20 @@ def test_daily_anomaly_zscore_centered(spark, sf_dir):
         by_type.setdefault(r["event_type"], []).append(r["z"])
     for t, zs in by_type.items():
         assert abs(sum(zs)) < 0.01 * len(zs) + 0.01
+
+
+def test_incremental_mv_refresh_equals_full_recompute(spark, sf_dir):
+    from datapipeline_ops_spark.tables import load_table
+
+    out = QUERIES["incremental_mv_refresh"].fn(spark, sf_dir)
+    full = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(
+            "event_type",
+            (F.unix_micros("ts") / F.lit(86_400_000_000)).cast("long").alias("day"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    got = {(r["event_type"], r["day"]): r["n_events"] for r in out.collect()}
+    want = {(r["event_type"], r["day"]): r["n_events"] for r in full.collect()}
+    assert got == want

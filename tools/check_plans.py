@@ -553,6 +553,15 @@ def _(qs, spark):
     assert cols <= {"event_type", "ts"}, cols
 
 
+@check("incremental_mv_refresh: both rollups partial-agg; merge over cells only")
+def _(qs, spark):
+    plan = plan_of(qs["incremental_mv_refresh"](spark, SF_DIR))
+    assert "partial_count" in plan and "partial_sum" in plan
+    assert "CartesianProduct" not in plan
+    cols = read_schema_cols(plan, "events")
+    assert cols <= {"event_type", "ts", "value"}, cols
+
+
 def main() -> int:
     import __spark_entry__ as entry_mod
     from datapipeline_ops_spark.session import get_spark
