@@ -310,3 +310,50 @@ def manifest_stream_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = run_stream_to_table(agg, output_mode="complete")
     return out.select("source", "n_docs", "total_chars")
+
+
+@query(
+    "dpp_partitioned_join",
+    oracle="""
+    SELECT o.o_orderpriority, count(*) AS n_orders,
+           round(sum(o.o_totalprice), 4) AS total
+    FROM orders o
+    WHERE o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+    GROUP BY o.o_orderpriority
+    """,
+)
+def dpp_partitioned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition pruning: the fact table is stored partitioned by
+    o_orderpriority, the filter lives on a tiny DIMENSION table, and the
+    partition values to scan are only known at RUNTIME — Catalyst injects
+    a subquery filter on the fact's partition column from the dim side
+    (``dynamicpruning`` in the plan, asserted), so the fact scan reads 2
+    of 5 partitions without the query ever naming them statically.
+
+    At 100 TB this is the star-join workhorse: date-dim filters
+    ("last quarter") prune a date-partitioned fact to the matching
+    partitions at runtime, cutting the scan by the dim's selectivity
+    before a single fact row is read."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    )
+    path = _scratch(sf_dir, "orders_dpp")
+    o.write.mode("overwrite").partitionBy("o_orderpriority").parquet(path)
+    fact = spark.read.parquet(path)
+    # DPP wants a SELECTIVE predicate on the dim side (an unfiltered literal
+    # relation doesn't qualify): full priority dim, filtered to the fast tier
+    dim = spark.createDataFrame(
+        [
+            ("1-URGENT", "fast"),
+            ("2-HIGH", "fast"),
+            ("3-MEDIUM", "slow"),
+            ("4-NOT SPECIFIED", "slow"),
+            ("5-LOW", "slow"),
+        ],
+        ["priority", "tier"],
+    ).filter(F.col("tier") == "fast")
+    joined = fact.join(dim, fact.o_orderpriority == dim.priority)
+    return joined.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 4).alias("total"),
+    )

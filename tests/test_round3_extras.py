@@ -254,3 +254,11 @@ def test_incremental_mv_refresh_equals_full_recompute(spark, sf_dir):
     got = {(r["event_type"], r["day"]): r["n_events"] for r in out.collect()}
     want = {(r["event_type"], r["day"]): r["n_events"] for r in full.collect()}
     assert got == want
+
+
+def test_dpp_partitioned_join_matches_direct_filter(spark, sf_dir):
+    out = {r["o_orderpriority"]: r["n_orders"]
+           for r in QUERIES["dpp_partitioned_join"].fn(spark, sf_dir).collect()}
+    direct = {r["o_orderpriority"]: r["n_orders"]
+              for r in QUERIES["partitioned_write_prune"].fn(spark, sf_dir).collect()}
+    assert out == direct

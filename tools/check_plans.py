@@ -562,6 +562,13 @@ def _(qs, spark):
     assert cols <= {"event_type", "ts", "value"}, cols
 
 
+@check("dpp_partitioned_join: runtime dynamicpruning subquery on the fact scan")
+def _(qs, spark):
+    plan = plan_of(qs["dpp_partitioned_join"](spark, SF_DIR))
+    assert "dynamicpruning" in plan.lower(), "no dynamic partition pruning injected"
+    assert "BroadcastHashJoin" in plan, "tiny dim must broadcast"
+
+
 def main() -> int:
     import __spark_entry__ as entry_mod
     from datapipeline_ops_spark.session import get_spark
