@@ -109,6 +109,72 @@ def _bench_scaled_dedup(spark) -> dict[str, float]:
     return {"wall": wall, "pairs": n, "copies": SCALED_COPIES}
 
 
+def _bench_scaled_embeddings(spark, copies: int = 10) -> dict[str, float]:
+    """Sign-LSH near-dup pairs on a ~copies x embeddings table: copy c flips
+    the sign of dimensions where bit (c % 6) of the index is set, so copies
+    are ~orthogonal to the originals (near-dup structure replicates per copy
+    instead of exploding across copies). Measures the bucketed scale path —
+    probe explode, bucket equi-join, cosine verify — at 10x corpus size."""
+    import pyspark.sql.functions as F
+
+    from datapipeline_ops_spark.functions.vectors import as_double, dot, norm
+    from datapipeline_ops_spark.queries.similarity import (
+        LSH_PLANES,
+        NEAR_DUP_TAU,
+        _lsh_bucket,
+    )
+    from datapipeline_ops_spark.tables import load_table
+
+    t0 = time.time()
+    base = load_table(spark, SF_DIR, "embeddings").select("vec_id", "embedding")
+    frames = [base]
+    for c in range(1, copies):
+        flip = F.transform(
+            "embedding",
+            lambda x, i: F.when(
+                F.shiftright(i, c % 6).bitwiseAND(F.lit(1)) == 1, -x
+            ).otherwise(x),
+        )
+        frames.append(
+            base.select(
+                (F.col("vec_id") + c * 10_000_000).alias("vec_id"),
+                flip.alias("embedding"),
+            )
+        )
+    from functools import reduce
+
+    from pyspark.sql import DataFrame
+
+    scaled = reduce(DataFrame.unionByName, frames)
+    v = (
+        scaled.select("vec_id", as_double(F.col("embedding")).alias("vec"))
+        .withColumn("nrm", norm(F.col("vec")))
+        .withColumn("bucket", _lsh_bucket(F.col("vec")))
+    )
+    probes = F.array(
+        F.col("bucket"),
+        *[F.col("bucket").bitwiseXOR(F.lit(1 << j)) for j in range(LSH_PLANES)],
+    )
+    a = v.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("vec").alias("va"),
+        F.col("nrm").alias("na"),
+        F.explode(probes).alias("bucket"),
+    )
+    b = v.select(
+        F.col("vec_id").alias("id_b"), F.col("vec").alias("vb"),
+        F.col("nrm").alias("nb"), "bucket",
+    )
+    n = (
+        a.join(b, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cos", dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")))
+        .filter(F.col("cos") >= NEAR_DUP_TAU)
+        .count()
+    )
+    return {"wall": round(time.time() - t0, 3), "pairs": n, "copies": copies}
+
+
 def main() -> int:
     import statistics
 
@@ -180,6 +246,10 @@ def main() -> int:
         scaled = _bench_scaled_dedup(spark)
     except Exception as exc:  # noqa: BLE001
         scaled = {"error": f"{type(exc).__name__}: {exc}"[:300]}
+    try:
+        scaled_emb = _bench_scaled_embeddings(spark)
+    except Exception as exc:  # noqa: BLE001
+        scaled_emb = {"error": f"{type(exc).__name__}: {exc}"[:300]}
     payload = {
         "metric": "headline_queries_total_wall",
         "value": total,
@@ -191,6 +261,7 @@ def main() -> int:
         # scale stress line, NOT included in `value` (keeps the
         # headline total comparable across rounds)
         "dedup_lsh_scaled": scaled,
+        "embedding_lsh_scaled": scaled_emb,
     }
     if failed:
         payload["failed"] = failed
