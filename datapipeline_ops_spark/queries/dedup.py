@@ -579,3 +579,29 @@ def corpus_curation_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cluster_id").isNull() | (F.col("cluster_id") == F.col("doc_id")))
     )
     return kept.select("doc_id", "lang", "source")
+
+
+@query(
+    "neardup_cluster_sizes",
+    oracle="WITH RECURSIVE "
+    + _VERIFIED_PAIRS_CTE
+    + """,
+    clusters AS (SELECT doc_id, min(label) AS cluster_id FROM reach GROUP BY doc_id)
+    SELECT cluster_size, count(*) AS n_clusters FROM (
+        SELECT cluster_id, count(*) AS cluster_size FROM clusters GROUP BY cluster_id
+    ) GROUP BY cluster_size
+    """,
+)
+def neardup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster-size distribution: how many clusters of each size
+    the verified-pair graph produces — the dedup-health histogram (a fat
+    tail of giant clusters means boilerplate is slipping past the bucket
+    caps; mostly-pairs means healthy near-dup structure). Two tiny rollups
+    over the component labels; the expensive work is the shared
+    LSH machinery the pair query already runs."""
+    from datapipeline_ops_spark.operators.dedup import connected_components
+
+    pairs = minhash_lsh_pairs(spark, sf_dir)
+    cc = connected_components(pairs, "doc_a", "doc_b")
+    sizes = cc.groupBy("label").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return sizes.groupBy("cluster_size").agg(F.count(F.lit(1)).alias("n_clusters"))

@@ -411,3 +411,108 @@ def zipf_slope_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.regr_intercept(ln_n, ln_r), 6).alias("zipf_intercept"),
         F.round(F.regr_r2(ln_n, ln_r), 6).alias("r2"),
     )
+
+
+_OOV_VOCAB_K = 100
+_OOV_MIN_COUNT = 5
+
+
+@query(
+    "oov_rate_report",
+    oracle=f"""
+    WITH vocab AS (
+        SELECT token FROM (
+            SELECT t.token AS token, count(*) AS n
+            FROM (SELECT unnest({sql_tokens("text")}) AS token FROM documents) t
+            GROUP BY t.token
+        ) WHERE n >= {_OOV_MIN_COUNT}
+        ORDER BY n DESC, token LIMIT {_OOV_VOCAB_K}
+    ),
+    tok AS (
+        SELECT doc_id, unnest({sql_tokens("text")}) AS token FROM documents
+    )
+    SELECT doc_id,
+           count(*) AS n_tokens,
+           sum(CASE WHEN vocab.token IS NULL THEN 1 ELSE 0 END) AS n_oov,
+           round(sum(CASE WHEN vocab.token IS NULL THEN 1 ELSE 0 END) * 1e0
+                 / count(*), 6) AS oov_rate
+    FROM tok LEFT JOIN vocab ON tok.token = vocab.token
+    GROUP BY doc_id
+    """,
+)
+def oov_rate_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-fit audit: per-document out-of-vocabulary rate against the
+    corpus-built top-{100} vocabulary (the vocab_top_tokens artifact) — the
+    health metric that decides whether a tokenizer/vocab needs retraining
+    before the corpus ships. High-OOV docs are either foreign-domain or
+    junk; both matter to a curation pass.
+
+    The vocabulary is a TakeOrdered-bounded constant-size set and
+    BROADCASTS; the corpus side explodes tokens, marks membership map-side
+    and partial-aggregates per doc — one compact (doc_id, counts) shuffle,
+    no vocab-side shuffle at any corpus size."""
+    d = load_table(spark, sf_dir, "documents")
+    counts = (
+        d.select(F.explode(tokens(F.col("text"))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= _OOV_MIN_COUNT)
+    )
+    vocab = (
+        counts.orderBy(F.desc("n"), F.asc("token"))
+        .limit(_OOV_VOCAB_K)
+        .select("token")
+        .withColumn("hit", F.lit(1))
+    )
+    tok = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("token"))
+    return (
+        tok.join(F.broadcast(vocab), "token", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.when(F.col("hit").isNull(), 1).otherwise(0)).alias("n_oov"),
+            F.round(
+                F.sum(F.when(F.col("hit").isNull(), 1).otherwise(0)) * 1.0
+                / F.count(F.lit(1)),
+                6,
+            ).alias("oov_rate"),
+        )
+    )
+
+
+@query(
+    "lang_confusion_matrix",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, lang, {sql_tokens("text")} AS toks FROM documents)
+    SELECT lang AS declared_lang,
+           CASE {_BEST_SQL} ELSE 'unknown' END AS pred_lang,
+           count(*) AS n_docs
+    FROM t GROUP BY 1, 2
+    """,
+)
+def lang_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-trust audit: the declared ``lang`` column cross-tabulated
+    against the engine's own language prediction — the confusion matrix
+    that tells a curation pass whether upstream language tags can be used
+    for routing/mixing or must be re-derived. Disagreement cells are the
+    docs to re-inspect.
+
+    Same per-row profile scoring as language_id (pure JVM array ops, one
+    scan), then a partial-aggregated rollup of |langs|x|preds| cells."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+
+    def profile_hits(words):
+        arr = F.array(*[F.lit(w) for w in words])
+        return F.size(F.filter(toks, lambda x: F.array_contains(arr, x)))
+
+    scores = {lang: profile_hits(tuple(words)) for lang, words in LANG_PROFILES.items()}
+    best = F.greatest(*[scores[lang] for lang in sorted(LANG_PROFILES)])
+    pred = F.lit("unknown")
+    for lang in sorted(LANG_PROFILES, reverse=True):
+        pred = F.when(scores[lang] >= best, F.lit(lang)).otherwise(pred)
+    return (
+        d.select(F.col("lang").alias("declared_lang"), pred.alias("pred_lang"))
+        .groupBy("declared_lang", "pred_lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )

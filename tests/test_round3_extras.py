@@ -262,3 +262,26 @@ def test_dpp_partitioned_join_matches_direct_filter(spark, sf_dir):
     direct = {r["o_orderpriority"]: r["n_orders"]
               for r in QUERIES["partitioned_write_prune"].fn(spark, sf_dir).collect()}
     assert out == direct
+
+
+def test_oov_rate_bounds(spark, sf_dir):
+    rows = QUERIES["oov_rate_report"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["n_oov"] <= r["n_tokens"]
+        assert 0.0 <= r["oov_rate"] <= 1.0
+
+
+def test_lang_confusion_covers_all_docs(spark, sf_dir):
+    from datapipeline_ops_spark.tables import load_table
+
+    rows = QUERIES["lang_confusion_matrix"].fn(spark, sf_dir).collect()
+    n = load_table(spark, sf_dir, "documents").count()
+    assert sum(r["n_docs"] for r in rows) == n
+
+
+def test_neardup_cluster_sizes_all_ge2(spark, sf_dir):
+    rows = QUERIES["neardup_cluster_sizes"].fn(spark, sf_dir).collect()
+    # a component from a pair graph has at least 2 members
+    for r in rows:
+        assert r["cluster_size"] >= 2

@@ -569,6 +569,22 @@ def _(qs, spark):
     assert "BroadcastHashJoin" in plan, "tiny dim must broadcast"
 
 
+@check("oov_rate_report: vocab broadcast, membership marked map-side")
+def _(qs, spark):
+    plan = plan_of(qs["oov_rate_report"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan, "vocabulary must broadcast"
+    assert "TakeOrderedAndProject" in plan, "vocab cap must plan as TakeOrdered"
+    assert "partial_" in plan
+
+
+@check("lang_confusion_matrix: single scan, tiny rollup")
+def _(qs, spark):
+    plan = plan_of(qs["lang_confusion_matrix"](spark, SF_DIR))
+    n_scans = len(re.findall(r"\(\d+\) Scan parquet", plan))
+    assert n_scans == 1, f"one documents pass expected, saw {n_scans}"
+    assert "partial_count" in plan
+
+
 def main() -> int:
     import __spark_entry__ as entry_mod
     from datapipeline_ops_spark.session import get_spark
