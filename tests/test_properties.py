@@ -97,3 +97,63 @@ import pytest  # noqa: E402
 @pytest.fixture(scope="session")
 def spark_session(spark):
     return spark
+
+
+@given(
+    st.lists(
+        st.integers(min_value=0, max_value=(1 << 8) - 1), min_size=2, max_size=2
+    ),
+    st.lists(
+        st.integers(min_value=0, max_value=(1 << 8) - 1), min_size=2, max_size=2
+    ),
+)
+@settings(max_examples=50, deadline=None)
+def test_morton_preserves_per_dimension_order_on_shared_prefix(a, b):
+    """If two points agree on one dimension, their Morton order follows the
+    other dimension — the interleaving never inverts a single-axis range."""
+    from datapipeline_ops_spark.queries.layout_queries import _sql_morton2
+
+    con = duckdb.connect()
+
+    def z(x, y):
+        return con.execute(
+            f"SELECT {_sql_morton2('x', 'y')} FROM (SELECT {x} AS x, {y} AS y)"
+        ).fetchone()[0]
+
+    (xa, ya), (xb, yb) = a, b
+    if xa == xb and ya < yb:
+        assert z(xa, ya) < z(xb, yb)
+    if ya == yb and xa < xb:
+        assert z(xa, ya) < z(xb, yb)
+
+
+@given(st.integers(min_value=0, max_value=10**9), st.integers(min_value=1, max_value=10**6))
+@settings(max_examples=50, deadline=None)
+def test_efraimidis_key_finite_positive(doc_id, weight):
+    """The weighted-sampling key -ln(u)/w must be finite and non-negative
+    for every doc id: u is shifted into (0, 1], so ln never sees 0."""
+    h = int(hashlib.md5(f"4242:{doc_id}".encode()).hexdigest()[:15], 16)
+    u = (h % 1_000_000 + 1) / 1_000_001.0
+    k = -math.log(u) / weight
+    assert k >= 0.0 and math.isfinite(k)
+
+
+@given(st.integers(min_value=0, max_value=10**9))
+@settings(max_examples=50, deadline=None)
+def test_split_assign_partitions_and_is_stable(doc_id):
+    """Every doc lands in exactly one of train/val/test, identically on
+    both engines (the DuckDB expression IS the oracle's)."""
+    from datapipeline_ops_spark.queries.sampling_sketch import (
+        SPLIT_SEED,
+        SPLIT_TRAIN,
+        SPLIT_VAL,
+    )
+
+    con = duckdb.connect()
+    u = con.execute(
+        f"SELECT {sql_hash_unit('d', SPLIT_SEED)} FROM (SELECT {doc_id} AS d)"
+    ).fetchone()[0]
+    h = int(hashlib.md5(f"{SPLIT_SEED}:{doc_id}".encode()).hexdigest()[:15], 16)
+    assert u == (h % 1_000_000) / 1_000_000.0
+    split = "train" if u < SPLIT_TRAIN else ("val" if u < SPLIT_VAL else "test")
+    assert split in ("train", "val", "test")
