@@ -868,3 +868,47 @@ def incremental_mv_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merged.select(
         "event_type", "day", "n_events", F.round("sv", 4).alias("total_value")
     )
+
+
+@query(
+    "unpivot_order_metrics",
+    oracle="""
+    SELECT metric, count(*) AS n,
+           round(sum(val), 4) AS total,
+           round(avg(val), 6) AS mean
+    FROM (
+        SELECT l_orderkey, metric, val FROM (
+            SELECT l_orderkey,
+                   l_quantity AS quantity,
+                   l_extendedprice AS extendedprice,
+                   l_discount AS discount,
+                   l_tax AS tax
+            FROM lineitem
+        ) UNPIVOT (val FOR metric IN (quantity, extendedprice, discount, tax))
+    ) GROUP BY metric
+    """,
+)
+def unpivot_order_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT/melt — the inverse of events_type_pivot: four wide lineitem
+    metric columns melted to long (key, metric, value) rows and profiled
+    per metric. The long form is what metric stores, drift monitors and
+    plotting layers consume; Spark's `unpivot` keeps it one scan with the
+    row expansion done post-projection (4 rows out per lineitem).
+
+    Melting never shuffles — the only exchange is the |metrics|-row
+    rollup, partial-aggregated map-side."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        F.col("l_quantity").alias("quantity"),
+        F.col("l_extendedprice").alias("extendedprice"),
+        F.col("l_discount").alias("discount"),
+        F.col("l_tax").alias("tax"),
+    )
+    melted = li.unpivot(
+        "l_orderkey", ["quantity", "extendedprice", "discount", "tax"], "metric", "val"
+    )
+    return melted.groupBy("metric").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("val"), 4).alias("total"),
+        F.round(F.avg("val"), 6).alias("mean"),
+    )

@@ -516,3 +516,46 @@ def lang_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("declared_lang", "pred_lang")
         .agg(F.count(F.lit(1)).alias("n_docs"))
     )
+
+
+@query(
+    "text_normalize_stats",
+    oracle="""
+    WITH n AS (
+        SELECT doc_id,
+               trim(regexp_replace(regexp_replace(text, '[\\t\\r\\n]', ' ', 'g'),
+                                   ' +', ' ', 'g')) AS norm
+        FROM documents
+    )
+    SELECT n.doc_id,
+           length(d.text) AS raw_len,
+           length(n.norm) AS norm_len,
+           length(d.text) - length(n.norm) AS removed,
+           md5(n.norm) AS norm_hash
+    FROM n JOIN documents d ON n.doc_id = d.doc_id
+    """,
+)
+def text_normalize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text normalization (the pass every corpus runs before hashing or
+    tokenizing): control whitespace (tab/CR/LF) to spaces, runs of spaces
+    collapsed, edges trimmed — reported as per-doc raw/normalized lengths,
+    removed-char count, and the md5 of the NORMALIZED text (the identity
+    exact-dedup should key on, so whitespace variants of one document
+    hash identically).
+
+    One scan, pure JVM regex projection, no shuffle — the md5 parity with
+    the oracle proves both engines normalize to the identical byte string,
+    which is exactly the property dedup correctness rests on."""
+    d = load_table(spark, sf_dir, "documents")
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.col("text"), r"[\t\r\n]", " "), " +", " "
+        )
+    )
+    return d.select(
+        "doc_id",
+        F.length("text").alias("raw_len"),
+        F.length(norm).alias("norm_len"),
+        (F.length("text") - F.length(norm)).alias("removed"),
+        F.md5(norm.cast("binary")).alias("norm_hash"),
+    )

@@ -285,3 +285,20 @@ def test_neardup_cluster_sizes_all_ge2(spark, sf_dir):
     # a component from a pair graph has at least 2 members
     for r in rows:
         assert r["cluster_size"] >= 2
+
+
+def test_text_normalize_idempotent(spark, sf_dir):
+    rows = QUERIES["text_normalize_stats"].fn(spark, sf_dir).collect()
+    for r in rows:
+        assert r["norm_len"] <= r["raw_len"]
+        assert r["removed"] == r["raw_len"] - r["norm_len"]
+
+
+def test_unpivot_row_multiplicity(spark, sf_dir):
+    from datapipeline_ops_spark.tables import load_table
+
+    rows = QUERIES["unpivot_order_metrics"].fn(spark, sf_dir).collect()
+    n_li = load_table(spark, sf_dir, "lineitem").count()
+    assert {r["metric"] for r in rows} == {"quantity", "extendedprice", "discount", "tax"}
+    for r in rows:
+        assert r["n"] == n_li  # every metric column melts to one row per lineitem

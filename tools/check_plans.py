@@ -585,6 +585,24 @@ def _(qs, spark):
     assert "partial_count" in plan
 
 
+@check("text_normalize_stats: zero exchanges, one documents scan")
+def _(qs, spark):
+    plan = plan_of(qs["text_normalize_stats"](spark, SF_DIR))
+    assert "Exchange" not in plan, "normalization is a pure map stage"
+    n_scans = len(re.findall(r"\(\d+\) Scan parquet", plan))
+    assert n_scans == 1, f"one scan expected, saw {n_scans}"
+
+
+@check("unpivot_order_metrics: melt adds no shuffle before the rollup")
+def _(qs, spark):
+    plan = plan_of(qs["unpivot_order_metrics"](spark, SF_DIR))
+    n_exchange = len(re.findall(r"^\(\d+\) Exchange", plan, re.M))
+    assert n_exchange == 1, f"only the rollup may exchange: {n_exchange}"
+    assert "partial_" in plan
+    cols = read_schema_cols(plan, "lineitem")
+    assert cols <= {"l_orderkey", "l_quantity", "l_extendedprice", "l_discount", "l_tax"}, cols
+
+
 def main() -> int:
     import __spark_entry__ as entry_mod
     from datapipeline_ops_spark.session import get_spark
