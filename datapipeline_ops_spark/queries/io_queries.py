@@ -357,3 +357,54 @@ def dpp_partitioned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_orders"),
         F.round(F.sum("o_totalprice"), 4).alias("total"),
     )
+
+
+@query(
+    "schema_evolution_merge",
+    oracle="""
+    SELECT o_orderstatus,
+           count(*) AS n,
+           CAST(sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_missing_price,
+           round(sum(coalesce(o_totalprice, 0)), 4) AS total_known
+    FROM (
+        SELECT o_orderkey, o_orderstatus, NULL::DOUBLE AS o_totalprice
+        FROM orders WHERE o_orderkey % 2 = 0
+        UNION ALL
+        SELECT o_orderkey, o_orderstatus, o_totalprice
+        FROM orders WHERE o_orderkey % 2 = 1
+    ) GROUP BY o_orderstatus
+    """,
+)
+def schema_evolution_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution across file generations: generation 1 wrote
+    (orderkey, status) — no price column existed yet; generation 2 added
+    o_totalprice. ``mergeSchema`` reconciles both into one scan schema with
+    NULL-fill for the missing column, and the aggregate accounts for the
+    gap explicitly (missing-count + known-total). This is the WHEN-not-IF
+    of a 100 TB lake: columns get added mid-history, and readers must see
+    one coherent schema without rewriting old files.
+
+    The per-generation writes stay partition-parallel; mergeSchema pays one
+    footer read per file at planning (production: a table-format catalog
+    carries the schema instead)."""
+    o = load_table(spark, sf_dir, "orders")
+    path = _scratch(sf_dir, "orders_evolving")
+    gen1 = o.filter(F.col("o_orderkey") % 2 == 0).select("o_orderkey", "o_orderstatus")
+    gen2 = o.filter(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    gen1.write.mode("overwrite").parquet(os.path.join(path, "gen=1"))
+    gen2.write.mode("overwrite").parquet(os.path.join(path, "gen=2"))
+    merged = spark.read.option("mergeSchema", "true").parquet(
+        os.path.join(path, "gen=1"), os.path.join(path, "gen=2")
+    )
+    return merged.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("o_totalprice").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_missing_price"),
+        F.round(F.sum(F.coalesce(F.col("o_totalprice"), F.lit(0.0))), 4).alias(
+            "total_known"
+        ),
+    )

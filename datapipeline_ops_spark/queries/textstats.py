@@ -15,7 +15,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
 from datapipeline_ops_spark.core.registry import query
-from datapipeline_ops_spark.functions.text import sql_tokens, tokens
+from datapipeline_ops_spark.functions.text import sql_shingles, sql_tokens, tokens
 from datapipeline_ops_spark.tables import load_table
 
 # tiny deterministic stopword list for the quality heuristics
@@ -558,4 +558,94 @@ def text_normalize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length(norm).alias("norm_len"),
         (F.length("text") - F.length(norm)).alias("removed"),
         F.md5(norm.cast("binary")).alias("norm_hash"),
+    )
+
+
+@query(
+    "corpus_report_card",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, source, {sql_tokens("text")} AS toks, text FROM documents
+    ),
+    m AS (
+        SELECT doc_id, source,
+               len(toks) AS n_tokens,
+               len(list_filter(toks, x -> list_contains({_SW_LIST}, x))) * 1.0
+                   / len(toks) AS sw_ratio,
+               CASE {_BEST_SQL} ELSE 'unknown' END AS pred_lang
+        FROM t
+    ),
+    g AS (
+        SELECT doc_id, {sql_shingles("text", 3)} AS g3 FROM documents
+    ),
+    rep AS (
+        SELECT doc_id,
+               1.0 - len(list_distinct(g3)) * 1.0 / len(g3) AS dup3
+        FROM g
+    )
+    SELECT m.source,
+           count(*) AS n_docs,
+           round(avg(m.n_tokens), 4) AS mean_tokens,
+           round(avg(CASE WHEN m.n_tokens >= 10 AND m.sw_ratio >= 0.05
+                          THEN 1e0 ELSE 0e0 END), 6) AS quality_pass_rate,
+           round(avg(CASE WHEN rep.dup3 > 0.05 THEN 1e0 ELSE 0e0 END), 6)
+               AS repetitive_rate,
+           round(avg(CASE WHEN m.pred_lang = 'unknown' THEN 1e0 ELSE 0e0 END), 6)
+               AS lang_unknown_rate
+    FROM m JOIN rep ON m.doc_id = rep.doc_id
+    GROUP BY m.source
+    """,
+)
+def corpus_report_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus report card: document count, mean length, quality
+    pass rate (length + stopword gates), repetition rate (dup-3-gram
+    fraction > 0.05), and language-ID unknown rate — the one-page summary
+    a data team reviews per ingest source before admitting it to the
+    training mix. Integrates three per-doc audits (quality, repetition,
+    language) in a single pass over the corpus plus one |sources|-row
+    rollup — audits compose as column expressions, not separate scans."""
+    from datapipeline_ops_spark.functions.text import shingles
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    n = F.size(toks)
+    sw = F.array(*[F.lit(w) for w in STOPWORDS])
+    sw_ratio = F.size(F.filter(toks, lambda x: F.array_contains(sw, x))) * 1.0 / n
+    g3 = shingles(F.col("text"), 3)
+    dup3 = 1.0 - F.size(F.array_distinct(g3)) / F.size(g3).cast("double")
+
+    def profile_hits(words):
+        arr = F.array(*[F.lit(w) for w in words])
+        return F.size(F.filter(toks, lambda x: F.array_contains(arr, x)))
+
+    scores = {lang: profile_hits(tuple(words)) for lang, words in LANG_PROFILES.items()}
+    best = F.greatest(*[scores[lang] for lang in sorted(LANG_PROFILES)])
+    pred = F.lit("unknown")
+    for lang in sorted(LANG_PROFILES, reverse=True):
+        pred = F.when(scores[lang] >= best, F.lit(lang)).otherwise(pred)
+
+    per_doc = d.select(
+        "source",
+        n.alias("n_tokens"),
+        sw_ratio.alias("sw_ratio"),
+        dup3.alias("dup3"),
+        pred.alias("pred_lang"),
+    )
+    return per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("n_tokens"), 4).alias("mean_tokens"),
+        F.round(
+            F.avg(
+                F.when(
+                    (F.col("n_tokens") >= 10) & (F.col("sw_ratio") >= 0.05), 1.0
+                ).otherwise(0.0)
+            ),
+            6,
+        ).alias("quality_pass_rate"),
+        F.round(
+            F.avg(F.when(F.col("dup3") > 0.05, 1.0).otherwise(0.0)), 6
+        ).alias("repetitive_rate"),
+        F.round(
+            F.avg(F.when(F.col("pred_lang") == "unknown", 1.0).otherwise(0.0)), 6
+        ).alias("lang_unknown_rate"),
     )

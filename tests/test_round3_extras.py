@@ -302,3 +302,22 @@ def test_unpivot_row_multiplicity(spark, sf_dir):
     assert {r["metric"] for r in rows} == {"quantity", "extendedprice", "discount", "tax"}
     for r in rows:
         assert r["n"] == n_li  # every metric column melts to one row per lineitem
+
+
+def test_schema_evolution_accounts_for_gap(spark, sf_dir):
+    from datapipeline_ops_spark.tables import load_table
+
+    rows = QUERIES["schema_evolution_merge"].fn(spark, sf_dir).collect()
+    n_orders = load_table(spark, sf_dir, "orders").count()
+    assert sum(r["n"] for r in rows) == n_orders
+    # roughly half the orders (even keys) predate the price column
+    missing = sum(r["n_missing_price"] for r in rows)
+    assert 0 < missing < n_orders
+
+
+def test_corpus_report_card_rates_in_unit_interval(spark, sf_dir):
+    rows = QUERIES["corpus_report_card"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        for k in ("quality_pass_rate", "repetitive_rate", "lang_unknown_rate"):
+            assert 0.0 <= r[k] <= 1.0

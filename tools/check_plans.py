@@ -603,6 +603,21 @@ def _(qs, spark):
     assert cols <= {"l_orderkey", "l_quantity", "l_extendedprice", "l_discount", "l_tax"}, cols
 
 
+@check("schema_evolution_merge: merged scan null-fills, rollup partial-aggs")
+def _(qs, spark):
+    plan = plan_of(qs["schema_evolution_merge"](spark, SF_DIR))
+    assert "partial_" in plan
+    assert "CartesianProduct" not in plan
+
+
+@check("corpus_report_card: all three audits in ONE documents pass")
+def _(qs, spark):
+    plan = plan_of(qs["corpus_report_card"](spark, SF_DIR))
+    n_scans = len(re.findall(r"\(\d+\) Scan parquet", plan))
+    assert n_scans == 1, f"audits must share one scan, saw {n_scans}"
+    assert "partial_" in plan
+
+
 def main() -> int:
     import __spark_entry__ as entry_mod
     from datapipeline_ops_spark.session import get_spark
