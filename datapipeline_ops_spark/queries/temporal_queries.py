@@ -219,3 +219,69 @@ def ohlc_time_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
         "close",
         "n_events",
     )
+
+
+@query(
+    "pit_state_at_order",
+    oracle="""
+    SELECT o.o_orderkey, o.o_custkey,
+           s.event_type AS state_at_order,
+           s.event_id AS state_event
+    FROM orders o
+    LEFT JOIN LATERAL (
+        SELECT event_type, event_id FROM events e
+        WHERE e.user_id = o.o_custkey
+          AND epoch_us(e.ts) <= epoch(CAST(o.o_orderdate AS TIMESTAMP)) * 1000000
+        ORDER BY epoch_us(e.ts) DESC, event_id DESC LIMIT 1
+    ) s ON true
+    """,
+)
+def pit_state_at_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time feature join (the feature-store correctness pattern):
+    each order looks up the customer's event state AS OF the order date —
+    the last event at-or-before that instant, never a later one (lookahead
+    leakage is THE bug PIT joins exist to prevent in training-data
+    assembly). Cross-table: probes come from orders, history from events.
+
+    Same union+window machinery as the as-of join — state rows and probe
+    rows union on (user, t), one window pass carries the last state
+    forward, probe rows keep the carried value. ONE exchange on user id;
+    no range join, no per-probe scan. At 100 TB this is how feature
+    snapshots attach to billions of training examples."""
+    e = load_table(spark, sf_dir, "events").select(
+        F.col("user_id").alias("uid"),
+        F.unix_micros("ts").alias("t"),
+        F.col("event_type").alias("state"),
+        "event_id",
+        F.lit(1).alias("is_state"),
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("uid"),
+        (F.col("o_orderdate").cast("timestamp").cast("long") * 1_000_000).alias("t"),
+        F.lit(None).cast("string").alias("state"),
+        F.lit(None).cast("long").alias("event_id"),
+        F.lit(0).alias("is_state"),
+        "o_orderkey",
+    )
+    u = e.withColumn("o_orderkey", F.lit(None).cast("long")).unionByName(o)
+    # states sort BEFORE probes at the same instant (at-or-before semantics);
+    # among same-instant states the largest event_id wins, matching the
+    # oracle's ORDER BY t DESC, event_id DESC LIMIT 1
+    w = (
+        Window.partitionBy("uid")
+        .orderBy(F.asc("t"), F.desc("is_state"), F.asc("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = u.select(
+        "uid",
+        "o_orderkey",
+        "is_state",
+        F.last("state", ignorenulls=True).over(w).alias("state_at_order"),
+        F.last("event_id", ignorenulls=True).over(w).alias("state_event"),
+    )
+    return carried.filter(F.col("is_state") == 0).select(
+        "o_orderkey",
+        F.col("uid").alias("o_custkey"),
+        "state_at_order",
+        "state_event",
+    )

@@ -321,3 +321,23 @@ def test_corpus_report_card_rates_in_unit_interval(spark, sf_dir):
     for r in rows:
         for k in ("quality_pass_rate", "repetitive_rate", "lang_unknown_rate"):
             assert 0.0 <= r[k] <= 1.0
+
+
+def test_pit_state_never_uses_future_events(spark, sf_dir):
+    from datapipeline_ops_spark.tables import load_table
+
+    out = QUERIES["pit_state_at_order"].fn(spark, sf_dir)
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id", F.unix_micros("ts").alias("t")
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        (F.col("o_orderdate").cast("timestamp").cast("long") * 1_000_000).alias("ot"),
+    )
+    joined = (
+        out.filter(F.col("state_event").isNotNull())
+        .join(e, out.state_event == e.event_id)
+        .join(o, "o_orderkey")
+    )
+    # lookahead-leakage check: the attached state event precedes the order
+    assert joined.filter(F.col("t") > F.col("ot")).count() == 0

@@ -618,6 +618,16 @@ def _(qs, spark):
     assert "partial_" in plan
 
 
+@check("pit_state_at_order: union+window PIT join, no per-probe scan or range join")
+def _(qs, spark):
+    plan = plan_of(qs["pit_state_at_order"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    n_exchange = len(re.findall(r"^\(\d+\) Exchange", plan, re.M))
+    assert n_exchange == 1, f"one uid exchange expected, saw {n_exchange}"
+    cols = read_schema_cols(plan, "orders")
+    assert cols <= {"o_orderkey", "o_custkey", "o_orderdate"}, cols
+
+
 def main() -> int:
     import __spark_entry__ as entry_mod
     from datapipeline_ops_spark.session import get_spark
