@@ -161,3 +161,90 @@ def benford_price_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         d.unpersist()
     return out
+
+
+@query(
+    "expectations_report",
+    oracle="""
+    WITH stats AS (
+        SELECT count(*) AS n,
+               sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS null_price,
+               sum(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS nonpos_price,
+               count(DISTINCT o_orderkey) AS distinct_keys,
+               sum(CASE WHEN o_orderdate < DATE '1995-01-01'
+                         OR o_orderdate > DATE '2001-12-31' THEN 1 ELSE 0 END)
+                   AS date_out_of_range,
+               sum(CASE WHEN o_orderstatus NOT IN ('F', 'O', 'P') THEN 1 ELSE 0 END)
+                   AS bad_status
+        FROM orders
+    )
+    SELECT u.name AS expectation, u.violations,
+           u.violations = 0 AS passed
+    FROM stats, LATERAL (
+        SELECT * FROM (VALUES
+            ('price_not_null', CAST(null_price AS BIGINT)),
+            ('price_positive', CAST(nonpos_price AS BIGINT)),
+            ('orderkey_unique', CAST(n - distinct_keys AS BIGINT)),
+            ('orderdate_in_range', CAST(date_out_of_range AS BIGINT)),
+            ('status_in_domain', CAST(bad_status AS BIGINT))
+        ) AS v(name, violations)
+    ) u
+    """,
+)
+def expectations_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-contract expectation suite (the deequ/Great-Expectations shape):
+    declarative constraints — completeness (no null prices), validity
+    (positive amounts, status in domain, dates in the catalog's 1995-2001 business range), and
+    uniqueness of the primary key — evaluated in ONE scan as conditional
+    aggregates and reported as (expectation, violations, passed) rows. A
+    failed row is the admission gate between ingest and the training mix.
+
+    All checks share a single pass: each constraint is a conditional sum,
+    the uniqueness check rides the same aggregate via count distinct, and
+    the report is a constant-size unpivot of the one stats row."""
+    o = load_table(spark, sf_dir, "orders")
+    stats = o.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("o_totalprice").isNull(), 1).otherwise(0)).alias("null_price"),
+        F.sum(F.when(F.col("o_totalprice") <= 0, 1).otherwise(0)).alias("nonpos_price"),
+        F.count_distinct("o_orderkey").alias("distinct_keys"),
+        F.sum(
+            F.when(
+                (F.col("o_orderdate") < F.lit("1995-01-01").cast("date"))
+                | (F.col("o_orderdate") > F.lit("2001-12-31").cast("date")),
+                1,
+            ).otherwise(0)
+        ).alias("date_out_of_range"),
+        F.sum(
+            F.when(~F.col("o_orderstatus").isin("F", "O", "P"), 1).otherwise(0)
+        ).alias("bad_status"),
+    )
+    checks = stats.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("price_not_null").alias("expectation"),
+                    F.col("null_price").cast("long").alias("violations"),
+                ),
+                F.struct(
+                    F.lit("price_positive").alias("expectation"),
+                    F.col("nonpos_price").cast("long").alias("violations"),
+                ),
+                F.struct(
+                    F.lit("orderkey_unique").alias("expectation"),
+                    (F.col("n") - F.col("distinct_keys")).cast("long").alias("violations"),
+                ),
+                F.struct(
+                    F.lit("orderdate_in_range").alias("expectation"),
+                    F.col("date_out_of_range").cast("long").alias("violations"),
+                ),
+                F.struct(
+                    F.lit("status_in_domain").alias("expectation"),
+                    F.col("bad_status").cast("long").alias("violations"),
+                ),
+            )
+        ).alias("c")
+    )
+    return checks.select(
+        "c.expectation", "c.violations", (F.col("c.violations") == 0).alias("passed")
+    )

@@ -213,3 +213,33 @@ def daily_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(z, 4).alias("z"),
         (F.abs(z) > 3).alias("anomalous"),
     )
+
+
+@query(
+    "percent_rank_features",
+    oracle="""
+    SELECT event_id, event_type,
+           round(value, 6) AS value,
+           round(percent_rank() OVER w, 6) AS pct_rank,
+           round(cume_dist() OVER w, 6) AS cdf
+    FROM events WHERE value IS NOT NULL
+    WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)
+    """,
+)
+def percent_rank_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDF-transform features: percent_rank and cume_dist of each event's
+    value within its type — the rank-normalization step that makes
+    heavy-tailed features comparable across types before training
+    (a learned model sees uniform [0,1] marginals instead of raw scales).
+
+    One exchange on event_type serves both rank functions; deterministic
+    tie-break on event_id keeps ranks stable across engines and runs."""
+    e = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    w = Window.partitionBy("event_type").orderBy(F.asc("value"), F.asc("event_id"))
+    return e.select(
+        "event_id",
+        "event_type",
+        F.round("value", 6).alias("value"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cdf"),
+    )

@@ -341,3 +341,17 @@ def test_pit_state_never_uses_future_events(spark, sf_dir):
     )
     # lookahead-leakage check: the attached state event precedes the order
     assert joined.filter(F.col("t") > F.col("ot")).count() == 0
+
+
+def test_percent_rank_bounds(spark, sf_dir):
+    rows = QUERIES["percent_rank_features"].fn(spark, sf_dir).collect()
+    for r in rows[:300]:
+        assert 0.0 <= r["pct_rank"] <= 1.0
+        assert 0.0 < r["cdf"] <= 1.0
+
+
+def test_expectations_report_passes_on_clean_data(spark, sf_dir):
+    rows = QUERIES["expectations_report"].fn(spark, sf_dir).collect()
+    assert len(rows) == 5
+    # synthetic orders satisfy the whole contract
+    assert all(r["passed"] for r in rows), rows

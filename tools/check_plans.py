@@ -628,6 +628,20 @@ def _(qs, spark):
     assert cols <= {"o_orderkey", "o_custkey", "o_orderdate"}, cols
 
 
+@check("percent_rank_features: one event_type exchange for both rank fns")
+def _(qs, spark):
+    plan = plan_of(qs["percent_rank_features"](spark, SF_DIR))
+    n_exchange = len(re.findall(r"^\(\d+\) Exchange", plan, re.M))
+    assert n_exchange == 1, f"expected 1 exchange, saw {n_exchange}"
+
+
+@check("expectations_report: all constraints in one scan")
+def _(qs, spark):
+    plan = plan_of(qs["expectations_report"](spark, SF_DIR))
+    n_scans = len(re.findall(r"\(\d+\) Scan parquet", plan))
+    assert n_scans == 1, f"expectation suite must be one pass, saw {n_scans}"
+
+
 def main() -> int:
     import __spark_entry__ as entry_mod
     from datapipeline_ops_spark.session import get_spark
