@@ -446,3 +446,70 @@ def partition_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("n"), 4).alias("avg_rows"),
         F.round(F.max("n") * F.lit(1.0) / F.avg("n"), 4).alias("skew_factor"),
     )
+
+
+_ATTR_WINDOW_US = 30 * 60 * 1_000_000
+
+
+@query(
+    "multi_touch_attribution",
+    oracle=f"""
+    WITH clicks AS (
+        SELECT event_id AS click_id, user_id, epoch_us(ts) AS t
+        FROM events WHERE event_type = 'click'
+    ),
+    purchases AS (
+        SELECT event_id AS purchase_id, user_id, epoch_us(ts) AS t, value
+        FROM events WHERE event_type = 'purchase'
+    ),
+    touches AS (
+        SELECT c.click_id, p.purchase_id, p.value,
+               count(*) OVER (PARTITION BY p.purchase_id) AS n_touches
+        FROM clicks c JOIN purchases p
+          ON p.user_id = c.user_id
+         AND c.t <= p.t AND c.t > p.t - {_ATTR_WINDOW_US}
+    )
+    SELECT click_id,
+           count(*) AS n_purchases,
+           round(sum(1e0 / n_touches), 6) AS credit,
+           round(sum(value / n_touches), 4) AS attributed_value
+    FROM touches GROUP BY click_id
+    """,
+)
+def multi_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear multi-touch attribution: every click in the 30 minutes before
+    a purchase shares that purchase's credit equally (1/n_touches) — the
+    marketing-science upgrade over last-touch (asof_click_to_purchase)
+    that doesn't crown whichever touch happened to be final. Per click:
+    contributing purchases, total credit, and attributed revenue.
+
+    Join shape at scale: clicks x purchases pair only within user_id
+    (equi-key) with the time bound as a join-level filter — the same
+    bounded-state shape as the streaming click/purchase join; the
+    per-purchase touch count is a window over the joined pairs on the
+    SAME purchase partitioning, then one rollup per click."""
+    e = load_table(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        "user_id",
+        F.unix_micros("ts").alias("ct"),
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user_id"),
+        F.unix_micros("ts").alias("pt"),
+        "value",
+    )
+    touches = clicks.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("ct") <= F.col("pt"))
+        & (F.col("ct") > F.col("pt") - _ATTR_WINDOW_US),
+    )
+    w = Window.partitionBy("purchase_id")
+    credited = touches.withColumn("n_touches", F.count(F.lit(1)).over(w))
+    return credited.groupBy("click_id").agg(
+        F.count(F.lit(1)).alias("n_purchases"),
+        F.round(F.sum(1.0 / F.col("n_touches")), 6).alias("credit"),
+        F.round(F.sum(F.col("value") / F.col("n_touches")), 4).alias("attributed_value"),
+    )

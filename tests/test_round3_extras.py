@@ -355,3 +355,33 @@ def test_expectations_report_passes_on_clean_data(spark, sf_dir):
     assert len(rows) == 5
     # synthetic orders satisfy the whole contract
     assert all(r["passed"] for r in rows), rows
+
+
+def test_multi_touch_credit_conserved(spark, sf_dir):
+    from datapipeline_ops_spark.tables import load_table
+
+    out = QUERIES["multi_touch_attribution"].fn(spark, sf_dir)
+    total_credit = out.agg(F.sum("credit")).first()[0] or 0.0
+    # credit is conserved: each attributed purchase hands out exactly 1.0
+    # total, so summed credit equals the number of attributed purchases
+    e = load_table(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id", F.unix_micros("ts").alias("ct")
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("pid"),
+        F.col("user_id").alias("pu"),
+        F.unix_micros("ts").alias("pt"),
+    )
+    attributed = (
+        clicks.join(
+            purchases,
+            (F.col("user_id") == F.col("pu"))
+            & (F.col("ct") <= F.col("pt"))
+            & (F.col("ct") > F.col("pt") - 30 * 60 * 1_000_000),
+        )
+        .select("pid")
+        .distinct()
+        .count()
+    )
+    assert abs(total_credit - attributed) < 0.01

@@ -642,6 +642,14 @@ def _(qs, spark):
     assert n_scans == 1, f"expectation suite must be one pass, saw {n_scans}"
 
 
+@check("multi_touch_attribution: user-key equi-join, no cross product")
+def _(qs, spark):
+    plan = plan_of(qs["multi_touch_attribution"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    cols = read_schema_cols(plan, "events")
+    assert cols <= {"event_id", "user_id", "event_type", "ts", "value"}, cols
+
+
 def main() -> int:
     import __spark_entry__ as entry_mod
     from datapipeline_ops_spark.session import get_spark
