@@ -52,7 +52,7 @@ _PRIORITY = [
     "oov_rate_report", "lang_confusion_matrix", "neardup_cluster_sizes",
     "text_normalize_stats", "unpivot_order_metrics", "schema_evolution_merge",
     "corpus_report_card", "pit_state_at_order", "percent_rank_features",
-    "expectations_report", "multi_touch_attribution",
+    "expectations_report", "multi_touch_attribution", "split_leakage_audit",
     # (c) never driver-checked (r01∪r02 gap — VERDICT r02 item 4)
     "sessionize_events", "lead_lag_deltas", "rolling_window_avg",
     "event_bigram_paths", "benford_price_check", "bin_argmax", "semi_join",

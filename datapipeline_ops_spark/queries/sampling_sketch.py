@@ -159,3 +159,58 @@ def dataset_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     return assigned.groupBy("source", "split").agg(
         F.count(F.lit(1)).alias("n_docs")
     )
+
+
+@query(
+    "split_leakage_audit",
+    oracle=f"""
+    WITH assigned AS (
+        SELECT md5(text) AS h,
+               CASE WHEN {sql_hash_unit("doc_id", SPLIT_SEED)} < {SPLIT_TRAIN} THEN 'train'
+                    WHEN {sql_hash_unit("doc_id", SPLIT_SEED)} < {SPLIT_VAL} THEN 'val'
+                    ELSE 'test' END AS split
+        FROM documents
+    ),
+    groups AS (
+        SELECT h, count(DISTINCT split) AS n_splits, count(*) AS n_docs
+        FROM assigned GROUP BY h
+    )
+    SELECT count(*) AS n_content_groups,
+           CAST(sum(CASE WHEN n_splits > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_leaking_groups,
+           CAST(sum(CASE WHEN n_splits > 1 THEN n_docs ELSE 0 END) AS BIGINT)
+               AS n_leaking_docs
+    FROM groups
+    """,
+)
+def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test leakage audit for the hash split: content groups (by
+    md5(text)) that span MORE THAN ONE split are eval leakage — identical
+    text in both train and test inflates benchmark scores. The report
+    counts content groups, leaking groups, and affected documents; a
+    nonzero leak count means dedup must run BEFORE splitting (the
+    id-hash split assigns duplicate CONTENT independently per doc id —
+    exactly why curation pipelines dedup first).
+
+    One shuffle on the 16-byte content hash with partial aggregation,
+    then a 1-row rollup."""
+    d = load_table(spark, sf_dir, "documents").select(
+        F.md5(F.col("text").cast("binary")).alias("h"),
+        F.when(hash_unit(F.col("doc_id"), SPLIT_SEED) < SPLIT_TRAIN, "train")
+        .when(hash_unit(F.col("doc_id"), SPLIT_SEED) < SPLIT_VAL, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+    groups = d.groupBy("h").agg(
+        F.count_distinct("split").alias("n_splits"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+    return groups.agg(
+        F.count(F.lit(1)).alias("n_content_groups"),
+        F.sum(F.when(F.col("n_splits") > 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_leaking_groups"),
+        F.sum(F.when(F.col("n_splits") > 1, F.col("n_docs")).otherwise(0))
+        .cast("long")
+        .alias("n_leaking_docs"),
+    )

@@ -385,3 +385,10 @@ def test_multi_touch_credit_conserved(spark, sf_dir):
         .count()
     )
     assert abs(total_credit - attributed) < 0.01
+
+
+def test_split_leakage_audit_consistency(spark, sf_dir):
+    r = QUERIES["split_leakage_audit"].fn(spark, sf_dir).first()
+    assert r["n_leaking_groups"] <= r["n_content_groups"]
+    # a leaking group spans >= 2 docs by definition
+    assert r["n_leaking_docs"] >= 2 * r["n_leaking_groups"]

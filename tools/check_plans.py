@@ -650,6 +650,14 @@ def _(qs, spark):
     assert cols <= {"event_id", "user_id", "event_type", "ts", "value"}, cols
 
 
+@check("split_leakage_audit: one content-hash shuffle, partial-agg")
+def _(qs, spark):
+    plan = plan_of(qs["split_leakage_audit"](spark, SF_DIR))
+    assert "partial_" in plan
+    cols = read_schema_cols(plan, "documents")
+    assert cols <= {"doc_id", "text"}, cols
+
+
 def main() -> int:
     import __spark_entry__ as entry_mod
     from datapipeline_ops_spark.session import get_spark
