@@ -265,8 +265,54 @@ def main() -> int:
     }
     if failed:
         payload["failed"] = failed
+    prev = _load_prev_bench()
+    if prev:
+        payload["vs_prev"] = _vs_prev(timings, prev)
     print(json.dumps(payload))
     return 0
+
+
+def _load_prev_bench() -> dict | None:
+    """Latest BENCH_r{N}.json next to this script (the driver's per-round
+    records). Raw totals aren't comparable across rounds — the headline set
+    grows — so main() also emits the shared-subset totals and per-query
+    ratios against this file."""
+    import glob
+    import re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    best, best_n = None, -1
+    for p in glob.glob(os.path.join(here, "BENCH_r*.json")):
+        m = re.search(r"BENCH_r(\d+)\.json$", p)
+        if not m:
+            continue
+        n = int(m.group(1))
+        if n > best_n:
+            best, best_n = p, n
+    if best is None:
+        return None
+    try:
+        with open(best) as f:
+            data = json.load(f)
+    except (OSError, json.JSONDecodeError):
+        return None
+    data["_round"] = best_n
+    return data
+
+
+def _vs_prev(timings: dict[str, float], prev: dict) -> dict:
+    prev_q = prev.get("queries") or {}
+    shared = sorted(set(timings) & set(prev_q))
+    ratios = {
+        n: round(timings[n] / prev_q[n], 3) for n in shared if prev_q[n] > 0
+    }
+    return {
+        "prev_round": prev.get("_round"),
+        "shared_queries": len(shared),
+        "shared_total_now": round(sum(timings[n] for n in shared), 3),
+        "shared_total_prev": round(sum(prev_q[n] for n in shared), 3),
+        "ratio_per_query": ratios,
+    }
 
 
 if __name__ == "__main__":

@@ -417,7 +417,7 @@ def histogram_equi_width(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT user_id, count(*) AS n FROM events GROUP BY user_id
     )
     SELECT count(*) AS n_keys,
-           sum(n) AS n_rows,
+           CAST(sum(n) AS BIGINT) AS n_rows,
            max(n) AS max_rows,
            round(avg(n), 4) AS avg_rows,
            round(max(n) * 1e0 / avg(n), 4) AS skew_factor

@@ -531,7 +531,7 @@ SPAN_STRIDE = 16
     )
     SELECT doc_id,
            count(*) AS n_spans,
-           sum(CASE WHEN df.docs >= 2 THEN 1 ELSE 0 END) AS n_dup_spans,
+           CAST(sum(CASE WHEN df.docs >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_spans,
            round(sum(CASE WHEN df.docs >= 2 THEN 1 ELSE 0 END) * 1e0 / count(*), 6)
                AS dup_fraction
     FROM spans JOIN df USING (gram)

@@ -133,7 +133,8 @@ _COMPACT_TARGET = 100_000  # target output-file payload in chars ("bytes")
                CAST(floor((cum - 1) / {_COMPACT_TARGET}) AS BIGINT) AS file_no
         FROM sized
     )
-    SELECT source, file_no, count(*) AS n_docs, sum(n_chars) AS total_chars,
+    SELECT source, file_no, count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
            min(doc_id) AS first_doc, max(doc_id) AS last_doc
     FROM assigned GROUP BY source, file_no
     """,

@@ -86,23 +86,43 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H-Q5-shaped multi-join rollup (fact-fact join + broadcast dims).
+    """TPC-H-Q5-shaped multi-join rollup (fact-fact joins + broadcast dims).
 
     The reference has no relational join (SURVEY §2.2 joins note); this is
-    part of the engine's beyond-reference relational surface. orders⋈lineitem
-    shuffles on orderkey; nation/region/customer-side dims broadcast.
+    part of the engine's beyond-reference relational surface.
+
+    Only the genuinely tiny dims broadcast (region -> nation -> the 2-col
+    nation/name lookup). customer is FACT-scaled (15M rows at sf100, 1.5B at
+    sf10k) so it must never be forced into a broadcast — orders⋈customer
+    shuffles on custkey (region filter has already cut customers to ~1/5),
+    then ⋈lineitem shuffles on orderkey, with AQE free to pick shuffled-hash
+    vs sort-merge per side at runtime.
     """
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
     n = load_table(spark, sf_dir, "nation")
     r = load_table(spark, sf_dir, "region")
+    dims = (
+        n.join(
+            F.broadcast(r.filter(F.col("r_name") == "ASIA")),
+            n.n_regionkey == r.r_regionkey,
+        ).select("n_nationkey", "n_name")
+    )
+    cust = (
+        c.select("c_custkey", "c_nationkey")
+        .join(F.broadcast(dims), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey", "n_name")
+    )
+    o_f = o.filter(
+        F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp")
+    ).select("o_orderkey", "o_custkey")
     return (
-        li.join(o, li.l_orderkey == o.o_orderkey)
-        .filter(F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
-        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
-        .join(F.broadcast(r.filter(F.col("r_name") == "ASIA")), n.n_regionkey == r.r_regionkey)
+        o_f.join(cust, o_f.o_custkey == cust.c_custkey)
+        .join(
+            li.select("l_orderkey", "l_extendedprice", "l_discount"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
         .groupBy("n_name")
         .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
     )

@@ -756,23 +756,23 @@ def copurchase_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "fk_integrity_report",
     oracle="""
     SELECT 'lineitem->orders' AS fk, count(*) AS n_rows,
-           sum(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END) AS n_orphans
+           CAST(sum(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_orphans
     FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
     UNION ALL
     SELECT 'orders->customer', count(*),
-           sum(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END)
+           CAST(sum(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
     FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
     UNION ALL
     SELECT 'lineitem->part', count(*),
-           sum(CASE WHEN p.p_partkey IS NULL THEN 1 ELSE 0 END)
+           CAST(sum(CASE WHEN p.p_partkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
     FROM lineitem l LEFT JOIN part p ON l.l_partkey = p.p_partkey
     UNION ALL
     SELECT 'lineitem->supplier', count(*),
-           sum(CASE WHEN s.s_suppkey IS NULL THEN 1 ELSE 0 END)
+           CAST(sum(CASE WHEN s.s_suppkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
     FROM lineitem l LEFT JOIN supplier s ON l.l_suppkey = s.s_suppkey
     UNION ALL
     SELECT 'customer->nation', count(*),
-           sum(CASE WHEN n.n_nationkey IS NULL THEN 1 ELSE 0 END)
+           CAST(sum(CASE WHEN n.n_nationkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
     FROM customer c LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
     """,
 )

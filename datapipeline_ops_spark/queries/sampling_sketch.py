@@ -95,23 +95,51 @@ def events_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wide.join(purchase_val, "user_id")
 
 
-@query("approx_distinct_users", oracle=None)
-def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HyperLogLog++ distinct-user sketch per event type (rsd=1%).
+_HLL_TOLERANCE = 0.03  # rsd=1% sketch; observed error <=0.67% at sf0.001..0.1
 
-    No DuckDB oracle on purpose: the estimate is engine-specific (the
-    driver records the rows-only check). At 100 TB this is THE way to count
-    distincts: one pass, fixed ~1.5 KB sketch per group, map-side
-    mergeable — versus count(DISTINCT) shuffling every distinct (type,
-    user) pair. tests/test_relational.py bounds the estimate against the
-    exact count at 1%-rsd tolerance.
+
+@query(
+    "approx_distinct_users",
+    oracle="""
+    SELECT event_type,
+           count(DISTINCT user_id) AS exact_users,
+           count(*) AS n_events,
+           TRUE AS estimate_ok
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ distinct-user sketch per event type (rsd=1%), checked.
+
+    The HLL estimate itself is engine-specific, so it can't be value-matched
+    against DuckDB. Instead the query emits the exact distinct count (which
+    the oracle matches) plus ``estimate_ok`` — the |approx-exact|/exact <=
+    {3%} bound folded into the result as a boolean the oracle asserts as
+    literal TRUE. A drifting sketch flips the boolean and goes driver-red,
+    which makes this a real correctness gate rather than a rows-only check.
+
+    At 100 TB the sketch is THE way to count distincts: one pass, fixed
+    ~1.5 KB sketch per group, map-side mergeable — versus count(DISTINCT)
+    shuffling every distinct (type, user) pair. Emitting both here costs the
+    exact path too (it's the audit query); production callers use the
+    approx column alone.
     """
     e = load_table(spark, sf_dir, "events")
     return (
         e.groupBy("event_type")
         .agg(
             F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users"),
+            F.count_distinct("user_id").alias("exact_users"),
             F.count(F.lit(1)).alias("n_events"),
+        )
+        .select(
+            "event_type",
+            "exact_users",
+            "n_events",
+            (
+                F.abs(F.col("approx_users") - F.col("exact_users"))
+                <= F.col("exact_users") * F.lit(_HLL_TOLERANCE)
+            ).alias("estimate_ok"),
         )
         .orderBy("event_type")
     )

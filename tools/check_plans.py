@@ -83,10 +83,26 @@ def _(qs, spark):
     assert "GreaterThan" in pf or "GreaterThanOrEqual" in pf, f"no pushed filter: {pf!r}"
 
 
-@check("revenue_by_nation: dims broadcast, no shuffle of fact for dims")
+@check("revenue_by_nation: only tiny dims broadcast; customer joins via shuffle")
 def _(qs, spark):
-    plan = plan_of(qs["revenue_by_nation"](spark, SF_DIR))
-    assert "BroadcastHashJoin" in plan, "dimension joins should broadcast"
+    # with auto-broadcast off ("every table exceeds the threshold"), the only
+    # broadcasts left are the explicit region/nation dim hints — customer,
+    # orders, and lineitem must all flow through shuffle equi-joins
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = plan_of(qs["revenue_by_nation"](spark, SF_DIR))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert "BroadcastHashJoin" in plan, "region/nation dims should broadcast"
+    n_bcast = len(re.findall(r"^\(\d+\) BroadcastExchange", plan, re.M))
+    assert n_bcast <= 2, f"fact-scaled table forced into a broadcast: {n_bcast}"
+    n_shuffle_joins = len(
+        re.findall(r"^\(\d+\) (?:SortMergeJoin|ShuffledHashJoin)", plan, re.M)
+    )
+    assert n_shuffle_joins == 2, (
+        f"custkey+orderkey joins must shuffle, saw {n_shuffle_joins}"
+    )
 
 
 @check("broadcast_dim_join: explicit broadcast honored")
