@@ -57,11 +57,13 @@ _PRIORITY = [
     "copurchase_part_pairs", "retry_cut_status", "set_ops_segments",
     "stratified_sample_per_source", "events_type_pivot",
     "promo_revenue_share", "range_join_value_bands",
+    # (b') new in round 4 — first driver record
+    "quantile_sketch_audit", "sentence_split_udtf", "embedding_int8_quant",
+    "dsir_importance_weights",
     # (c) stale-r01 rotation (latest record r01; code/loader changed since)
     "revenue_by_nation", "corpus_curation_e2e", "pricing_summary",
     "top_orders", "dedup_exact_keepers", "minhash_lsh_pairs",
-    "neardup_clusters", "simhash_near_pairs", "similarity_argmax",
-    "pipeline_frame_mining_e2e", "udf_quality_gate", "segment_plan",
+    "neardup_clusters", "similarity_argmax",
 ]
 
 

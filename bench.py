@@ -296,6 +296,9 @@ def _load_prev_bench() -> dict | None:
             data = json.load(f)
     except (OSError, json.JSONDecodeError):
         return None
+    # the driver wraps the bench's own JSON line under "parsed"
+    if "queries" not in data and isinstance(data.get("parsed"), dict):
+        data = data["parsed"]
     data["_round"] = best_n
     return data
 

@@ -14,6 +14,7 @@ from datapipeline_ops_spark.queries import (  # noqa: F401
     pipeline_analogs,
     pipelines_e2e,
     profiling,
+    quantization,
     relational,
     relational_extra,
     robustness,
@@ -23,6 +24,7 @@ from datapipeline_ops_spark.queries import (  # noqa: F401
     streaming_queries,
     temporal_queries,
     textstats,
+    udtf_queries,
     windows_extra,
 )
 

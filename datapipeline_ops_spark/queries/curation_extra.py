@@ -727,3 +727,103 @@ def weighted_sample_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= WSAMPLE_K)
         .select("source", "doc_id", "n_chars")
     )
+
+
+# ---------------------------------------------------------------------------
+# DSIR-style importance weighting (Xie et al. 2023, "Data Selection for
+# Language Models via Importance Resampling" — hashed n-gram feature
+# log-likelihood ratio against a target distribution)
+# ---------------------------------------------------------------------------
+
+DSIR_BUCKETS = 256
+DSIR_TARGET_LANG = "en"
+
+
+@query(
+    "dsir_importance_weights",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, lang, t.token AS token
+        FROM (SELECT doc_id, lang, unnest({sql_tokens("lower(text)")}) AS token
+              FROM documents) t
+        WHERE t.token <> ''
+    ),
+    b AS (
+        SELECT doc_id, lang, ({sql_hash64("token")}) % {DSIR_BUCKETS} AS bucket
+        FROM tok
+    ),
+    s_cnt AS (SELECT bucket, count(*) AS cs FROM b GROUP BY bucket),
+    t_cnt AS (SELECT bucket, count(*) AS ct FROM b
+              WHERE lang = '{DSIR_TARGET_LANG}' GROUP BY bucket),
+    tot AS (SELECT (SELECT count(*) FROM b) AS ns,
+                   (SELECT count(*) FROM b WHERE lang = '{DSIR_TARGET_LANG}') AS nt),
+    dist AS (
+        SELECT s_cnt.bucket,
+               (COALESCE(t_cnt.ct, 0) + 1.0) / (tot.nt + {DSIR_BUCKETS}.0) AS pt,
+               (s_cnt.cs + 1.0) / (tot.ns + {DSIR_BUCKETS}.0) AS ps
+        FROM s_cnt LEFT JOIN t_cnt USING (bucket), tot
+    )
+    SELECT b.doc_id,
+           count(*) AS n_tokens,
+           round(avg(ln(d.pt / d.ps)), 6) AS importance
+    FROM b JOIN dist d USING (bucket)
+    GROUP BY b.doc_id
+    """,
+)
+def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style data selection score (Xie et al. 2023): per document, the
+    mean log-likelihood ratio of its hashed token-bucket features under a
+    TARGET distribution (here the '{en}' slice — "data that reads like the
+    target domain") versus the raw-corpus distribution, with Laplace
+    smoothing. Positive importance = the doc resembles the target more than
+    the average corpus doc; resampling proportional to exp(importance *
+    n_tokens) is the DSIR selection step.
+
+    At 100 TB the feature space is the fixed {256}-bucket hash table: both
+    distributions are partial-aggregated single shuffles that collapse to
+    <=256 rows, the (bucket -> pt/ps) table BROADCASTS back onto the token
+    stream, and the per-doc score is one more partial-aggregated rollup on
+    doc_id — no corpus-sized state anywhere. Cross-engine md5 bucketing
+    keeps every value oracle-checkable."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id",
+        "lang",
+        F.explode(tokens(F.lower(F.col("text")))).alias("token"),
+    ).filter(F.col("token") != "")
+    b = tok.select(
+        "doc_id",
+        "lang",
+        (hash64(F.col("token")) % DSIR_BUCKETS).alias("bucket"),
+    )
+    b = persist_barrier(b, "dsir_token_buckets")  # feeds 3 aggs + score join
+    s_cnt = b.groupBy("bucket").agg(F.count(F.lit(1)).alias("cs"))
+    t_cnt = (
+        b.filter(F.col("lang") == DSIR_TARGET_LANG)
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("ct"))
+    )
+    tot = b.agg(
+        F.count(F.lit(1)).alias("ns"),
+        F.sum(
+            F.when(F.col("lang") == DSIR_TARGET_LANG, 1).otherwise(0)
+        ).alias("nt"),
+    )
+    nb = F.lit(float(DSIR_BUCKETS))
+    dist = (
+        s_cnt.join(t_cnt, "bucket", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "bucket",
+            ((F.coalesce(F.col("ct"), F.lit(0)) + 1.0) / (F.col("nt") + nb)).alias("pt"),
+            ((F.col("cs") + 1.0) / (F.col("ns") + nb)).alias("ps"),
+        )
+    )
+    return (
+        b.join(F.broadcast(dist), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(F.avg(F.log(F.col("pt") / F.col("ps"))), 6).alias("importance"),
+        )
+    )

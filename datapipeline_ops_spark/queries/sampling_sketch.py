@@ -145,6 +145,80 @@ def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_QSKETCH_PROBS = (0.5, 0.95, 0.99)
+_QSKETCH_ACCURACY = 10_000
+
+
+@query(
+    "quantile_sketch_audit",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n_events,
+           round(quantile_cont(value, 0.5), 4)  AS p50,
+           round(quantile_cont(value, 0.95), 4) AS p95,
+           round(quantile_cont(value, 0.99), 4) AS p99,
+           TRUE AS rank_ok_p50,
+           TRUE AS rank_ok_p95,
+           TRUE AS rank_ok_p99
+    FROM events WHERE value IS NOT NULL
+    GROUP BY event_type ORDER BY event_type
+    """,
+)
+def quantile_sketch_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile-sketch audit: per event type, exact p50/p95/p99 (which the
+    oracle value-matches) PLUS a rank-error gate on the approx_percentile
+    sketch. The sketch's output value is engine-specific, so — like the HLL
+    gate in approx_distinct_users — the checkable claim is folded into
+    booleans: the empirical CDF evaluated AT the sketch's answer must sit
+    within eps of the target probability (eps = 1% sketch rank error +
+    2/n group discretization; value-distance would be the wrong test
+    because in a sparse tail the nearest sample can be far from the
+    interpolated exact quantile while still being rank-perfect).
+
+    At 100 TB the sketch is THE quantile path: one pass, fixed-size
+    mergeable state per group, no sort — versus exact percentile's
+    per-group sort. This audit query pays a second pass (CDF lookup join)
+    on purpose; production callers run the sketch alone.
+    """
+    e = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    probs = list(_QSKETCH_PROBS)
+    agg = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.expr(
+            f"percentile(value, array({', '.join(map(str, probs))}))"
+        ).alias("exact_q"),
+        F.expr(
+            f"approx_percentile(value, array({', '.join(map(str, probs))}), "
+            f"{_QSKETCH_ACCURACY})"
+        ).alias("approx_q"),
+    )
+    # one broadcast of the |event_types|-row sketch table back onto the
+    # stream to evaluate the empirical CDF at each sketch output
+    probe = e.join(F.broadcast(agg.select("event_type", "approx_q")), "event_type")
+    cdf = probe.groupBy("event_type").agg(
+        *[
+            F.avg(
+                F.when(F.col("value") <= F.element_at("approx_q", i + 1), 1.0).otherwise(0.0)
+            ).alias(f"cdf_{i}")
+            for i in range(len(probs))
+        ]
+    )
+    eps = F.lit(0.01) + F.lit(2.0) / F.col("n_events")
+    out = agg.join(cdf, "event_type").select(
+        "event_type",
+        "n_events",
+        *[
+            F.round(F.element_at("exact_q", i + 1), 4).alias(f"p{int(p * 100)}")
+            for i, p in enumerate(probs)
+        ],
+        *[
+            (F.abs(F.col(f"cdf_{i}") - F.lit(p)) <= eps).alias(f"rank_ok_p{int(p * 100)}")
+            for i, p in enumerate(probs)
+        ],
+    )
+    return out.orderBy("event_type")
+
+
 SPLIT_SEED = 777
 SPLIT_TRAIN, SPLIT_VAL = 0.8, 0.9  # train < 0.8 <= val < 0.9 <= test
 

@@ -1,0 +1,65 @@
+"""Semantic tests for round-4 queries: quantile sketch audit, UDTF clause
+expansion, int8 quantization, DSIR importance weights."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from datapipeline_ops_spark.queries import QUERIES
+from datapipeline_ops_spark.tables import load_table
+
+
+def q(name, spark, sf_dir):
+    return QUERIES[name].fn(spark, sf_dir)
+
+
+def test_quantile_sketch_audit_ranks_and_order(spark, sf_dir):
+    rows = q("quantile_sketch_audit", spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.rank_ok_p50 and r.rank_ok_p95 and r.rank_ok_p99, r
+        assert r.p50 <= r.p95 <= r.p99, r
+
+
+def test_sentence_split_udtf_numbering(spark, sf_dir):
+    out = q("sentence_split_udtf", spark, sf_dir)
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    rows = out.collect()
+    assert len(rows) > n_docs, "delimiter never fired; expansion is trivial"
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+        assert r.n_chars == len(r.sentence)
+        assert r.sentence == r.sentence.strip(" \t\n\r") != ""
+    for doc_id, rs in by_doc.items():
+        idxs = sorted(x.sent_idx for x in rs)
+        assert idxs == list(range(1, len(rs) + 1)), (doc_id, idxs)
+
+
+def test_embedding_int8_quant_bounds(spark, sf_dir):
+    rows = q("embedding_int8_quant", spark, sf_dir).collect()
+    n_vecs = load_table(spark, sf_dir, "embeddings").count()
+    assert len(rows) == n_vecs
+    for r in rows:
+        assert 0 < r.max_q <= 127, r
+        assert r.scale > 0, r
+        # int8 symmetric quantization of a 64-dim vector: per-dim error is
+        # <= scale/2, so the relative L2 error stays well under 1%
+        assert 0 <= r.rel_err < 0.01, r
+
+
+def test_dsir_importance_separates_target_lang(spark, sf_dir):
+    from datapipeline_ops_spark.queries.curation_extra import DSIR_TARGET_LANG
+
+    imp = q("dsir_importance_weights", spark, sf_dir)
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    joined = imp.join(d, "doc_id")
+    means = {
+        r.grp: r.m
+        for r in joined.groupBy(
+            (F.col("lang") == DSIR_TARGET_LANG).alias("grp")
+        ).agg(F.avg("importance").alias("m")).collect()
+    }
+    assert set(means) == {True, False}
+    # docs in the target language must score higher on average than the
+    # rest — the whole point of the importance weight
+    assert means[True] > means[False], means

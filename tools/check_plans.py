@@ -674,6 +674,42 @@ def _(qs, spark):
     assert cols <= {"doc_id", "text"}, cols
 
 
+@check("sentence_split_udtf: Arrow UDTF expansion, zero shuffles, 2-col scan")
+def _(qs, spark):
+    plan = plan_of(qs["sentence_split_udtf"](spark, SF_DIR))
+    assert "ArrowEvalPythonUDTF" in plan, "UDTF should evaluate via Arrow"
+    assert "BatchEvalPythonUDTF" not in plan, "non-Arrow UDTF in the plan"
+    assert "Exchange" not in plan, "per-row expansion must not shuffle"
+    cols = read_schema_cols(plan, "documents")
+    assert cols <= {"doc_id", "text"}, cols
+
+
+@check("embedding_int8_quant: zero shuffles, embeddings pruned to 2 cols")
+def _(qs, spark):
+    plan = plan_of(qs["embedding_int8_quant"](spark, SF_DIR))
+    assert "Exchange" not in plan, "per-vector quantization must not shuffle"
+    cols = read_schema_cols(plan, "embeddings")
+    assert cols <= {"vec_id", "embedding"}, cols
+
+
+@check("quantile_sketch_audit: sketch table broadcasts back for the CDF pass")
+def _(qs, spark):
+    plan = plan_of(qs["quantile_sketch_audit"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan, "per-type sketch row must broadcast"
+    assert "partial_" in plan, "both aggregations must partial-agg"
+    cols = read_schema_cols(plan, "events")
+    assert cols <= {"event_type", "value"}, cols
+
+
+@check("dsir_importance_weights: bucket dist broadcast, persisted token stream")
+def _(qs, spark):
+    plan = plan_of(qs["dsir_importance_weights"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan, "bucket->pt/ps table must broadcast"
+    assert "partial_count" in plan, "distribution counts must partial-agg"
+    assert "InMemoryTableScan" in plan, "token-bucket persist barrier missing"
+    assert "CartesianProduct" not in plan
+
+
 def main() -> int:
     import __spark_entry__ as entry_mod
     from datapipeline_ops_spark.session import get_spark
