@@ -1,0 +1,381 @@
+"""Distribution-drift and data-quality monitoring queries.
+
+A 100 TB training-data pipeline is only as good as its monitoring: before a
+corpus snapshot ships, the pipeline compares it against the previous snapshot
+(or a holdout split) for covariate drift, checks categorical independence
+assumptions, applies document-quality rule gates (Gopher-style heuristics,
+Rae et al. 2021 §A1.1), and routes malformed records to a dead-letter queue
+instead of poisoning downstream parsing. The reference pipeline has the same
+*shape* of needs — per-row gates plus corpus-level report cards (e.g. the
+quality gauntlets in ``pipeline/for_high_bg_all_morelittler.py:128-150``) —
+re-expressed here as declarative Spark plans.
+
+Scale notes common to the family:
+- Every statistic here is computed from a FIXED-WIDTH BINNED sketch (2048 or
+  10 bins) or a bounded categorical cross-product — the only shuffles carry
+  |bins| or |types|x|weekdays| rows, never input rows.  Exact-order
+  statistics (true KS over raw values) would need a global sort; binned KS
+  converges to it from below and is the standard monitoring practice.
+- Cumulative/total windows run over the PRE-AGGREGATED bin table (<= 2048
+  rows), so the single-partition window sort is bounded and constant, not
+  data-sized.
+- All floating-point is computed in DOUBLE with identical operation order in
+  the Spark plan and the DuckDB oracle, so the gate compares exact values.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from datapipeline_ops_spark.core.registry import query
+from datapipeline_ops_spark.functions.hashing import hash_unit, sql_hash_unit
+from datapipeline_ops_spark.tables import load_table
+
+KS_BINS = 2048
+PSI_BINS = 10
+PSI_EPS = 1e-6
+KS_ALPHA_C = 1.358  # c(alpha) at alpha = 0.05 for the two-sample KS test
+DLQ_RATE = 0.1
+
+
+def _bin_expr(value: F.Column, vmin: F.Column, vmax: F.Column, nbins: int) -> F.Column:
+    """Fixed-width bin id in [0, nbins): identical arithmetic to _sql_bin."""
+    return F.least(
+        F.floor(((value - vmin) / (vmax - vmin)) * F.lit(float(nbins))).cast("long"),
+        F.lit(nbins - 1),
+    )
+
+
+def _sql_bin(value: str, vmin: str, vmax: str, nbins: int) -> str:
+    return (
+        f"LEAST(CAST(FLOOR((({value} - {vmin}) / ({vmax} - {vmin})) * {float(nbins)}) "
+        f"AS BIGINT), {nbins - 1})"
+    )
+
+
+@query(
+    "ks_drift_binned",
+    oracle=f"""
+    WITH ext AS (
+        SELECT min(value) AS vmin, max(value) AS vmax,
+               sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS tot_a,
+               sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS tot_b
+        FROM events
+    ),
+    binned AS (
+        SELECT {_sql_bin('e.value', 'x.vmin', 'x.vmax', KS_BINS)} AS bin,
+               sum(CASE WHEN e.user_id % 2 = 0 THEN 1 ELSE 0 END) AS cnt_a,
+               sum(CASE WHEN e.user_id % 2 = 1 THEN 1 ELSE 0 END) AS cnt_b
+        FROM events e CROSS JOIN ext x
+        GROUP BY 1
+    ),
+    cdf AS (
+        SELECT CAST(sum(cnt_a) OVER w AS DOUBLE) / CAST(x.tot_a AS DOUBLE) AS cdf_a,
+               CAST(sum(cnt_b) OVER w AS DOUBLE) / CAST(x.tot_b AS DOUBLE) AS cdf_b,
+               x.tot_a, x.tot_b
+        FROM binned CROSS JOIN ext x
+        WINDOW w AS (ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT max(abs(cdf_a - cdf_b)) AS ks_stat,
+           CAST(any_value(tot_a) AS BIGINT) AS n_a,
+           CAST(any_value(tot_b) AS BIGINT) AS n_b,
+           {KS_ALPHA_C} * sqrt(CAST(any_value(tot_a) + any_value(tot_b) AS DOUBLE)
+                / CAST(any_value(tot_a) * any_value(tot_b) AS DOUBLE)) AS ks_crit,
+           max(abs(cdf_a - cdf_b)) > {KS_ALPHA_C}
+               * sqrt(CAST(any_value(tot_a) + any_value(tot_b) AS DOUBLE)
+                      / CAST(any_value(tot_a) * any_value(tot_b) AS DOUBLE)) AS drift
+    FROM cdf
+    """,
+)
+def ks_drift_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov drift check between the even-user and
+    odd-user halves of ``events.value``, over a {KS_BINS}-bin fixed-width
+    sketch.  The per-bin counts are one partial-aggregated shuffle carrying
+    <= 2048 rows; the CDF window and final max run on that bounded table.
+    Emits the KS statistic, both sample sizes, the alpha=0.05 critical value
+    1.358*sqrt((na+nb)/(na*nb)), and the drift verdict."""
+    e = load_table(spark, sf_dir, "events")
+    ext = e.agg(
+        F.min("value").alias("vmin"),
+        F.max("value").alias("vmax"),
+        F.sum(F.when(F.col("user_id") % 2 == 0, 1).otherwise(0)).alias("tot_a"),
+        F.sum(F.when(F.col("user_id") % 2 == 1, 1).otherwise(0)).alias("tot_b"),
+    )
+    binned = (
+        e.crossJoin(F.broadcast(ext))
+        .withColumn("bin", _bin_expr(F.col("value"), F.col("vmin"), F.col("vmax"), KS_BINS))
+        .groupBy("bin")
+        .agg(
+            F.sum(F.when(F.col("user_id") % 2 == 0, 1).otherwise(0)).alias("cnt_a"),
+            F.sum(F.when(F.col("user_id") % 2 == 1, 1).otherwise(0)).alias("cnt_b"),
+        )
+    )
+    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cdf = binned.crossJoin(F.broadcast(ext)).select(
+        (F.sum("cnt_a").over(w).cast("double") / F.col("tot_a").cast("double")).alias("cdf_a"),
+        (F.sum("cnt_b").over(w).cast("double") / F.col("tot_b").cast("double")).alias("cdf_b"),
+        "tot_a",
+        "tot_b",
+    )
+    crit = F.lit(KS_ALPHA_C) * F.sqrt(
+        (F.any_value("tot_a") + F.any_value("tot_b")).cast("double")
+        / (F.any_value("tot_a") * F.any_value("tot_b")).cast("double")
+    )
+    return cdf.agg(
+        F.max(F.abs(F.col("cdf_a") - F.col("cdf_b"))).alias("ks_stat"),
+        F.any_value("tot_a").cast("long").alias("n_a"),
+        F.any_value("tot_b").cast("long").alias("n_b"),
+        crit.alias("ks_crit"),
+        (F.max(F.abs(F.col("cdf_a") - F.col("cdf_b"))) > crit).alias("drift"),
+    )
+
+
+@query(
+    "psi_stability_report",
+    oracle=f"""
+    WITH ext AS (
+        SELECT min(value) AS vmin, max(value) AS vmax,
+               (min(epoch_us(ts)) + max(epoch_us(ts))) // 2 AS tmid
+        FROM events
+    ),
+    tagged AS (
+        SELECT {_sql_bin('e.value', 'x.vmin', 'x.vmax', PSI_BINS)} AS bin,
+               CASE WHEN epoch_us(e.ts) <= x.tmid THEN 1 ELSE 0 END AS in_a
+        FROM events e CROSS JOIN ext x
+    ),
+    cells AS (
+        SELECT bin, sum(in_a) AS n_a, sum(1 - in_a) AS n_b FROM tagged GROUP BY bin
+    ),
+    probs AS (
+        SELECT bin, CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+               GREATEST(CAST(n_a AS DOUBLE) / CAST(sum(n_a) OVER () AS DOUBLE), {PSI_EPS}) AS pa,
+               GREATEST(CAST(n_b AS DOUBLE) / CAST(sum(n_b) OVER () AS DOUBLE), {PSI_EPS}) AS pb
+        FROM cells
+    )
+    SELECT bin, n_a, n_b, pa, pb,
+           (pa - pb) * ln(pa / pb) AS psi_term,
+           sum((pa - pb) * ln(pa / pb)) OVER () AS psi_total
+    FROM probs
+    """,
+)
+def psi_stability_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index between the first and second half of the
+    event stream (split at the midpoint timestamp, integer microseconds so
+    both engines pick the identical boundary), over {PSI_BINS} fixed-width
+    value bins.  PSI = sum (pa-pb)*ln(pa/pb) with an epsilon floor on empty
+    bins — the standard production drift gate (PSI > 0.2 => investigate).
+    One input-sized shuffle (the bin group-by); every window runs on the
+    10-row bin table."""
+    e = load_table(spark, sf_dir, "events")
+    ext = e.agg(
+        F.min("value").alias("vmin"),
+        F.max("value").alias("vmax"),
+        ((F.min(F.unix_micros("ts")) + F.max(F.unix_micros("ts"))) / 2)
+        .cast("long")
+        .alias("tmid"),
+    )
+    cells = (
+        e.crossJoin(F.broadcast(ext))
+        .select(
+            _bin_expr(F.col("value"), F.col("vmin"), F.col("vmax"), PSI_BINS).alias("bin"),
+            F.when(F.unix_micros("ts") <= F.col("tmid"), 1).otherwise(0).alias("in_a"),
+        )
+        .groupBy("bin")
+        .agg(F.sum("in_a").alias("n_a"), F.sum(1 - F.col("in_a")).alias("n_b"))
+    )
+    wall = Window.partitionBy()
+    probs = cells.select(
+        "bin",
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        F.greatest(
+            F.col("n_a").cast("double") / F.sum("n_a").over(wall).cast("double"),
+            F.lit(PSI_EPS),
+        ).alias("pa"),
+        F.greatest(
+            F.col("n_b").cast("double") / F.sum("n_b").over(wall).cast("double"),
+            F.lit(PSI_EPS),
+        ).alias("pb"),
+    )
+    term = (F.col("pa") - F.col("pb")) * F.log(F.col("pa") / F.col("pb"))
+    return probs.select(
+        "bin", "n_a", "n_b", "pa", "pb",
+        term.alias("psi_term"),
+        F.sum(term).over(wall).alias("psi_total"),
+    )
+
+
+@query(
+    "chi2_type_by_dow",
+    oracle="""
+    WITH cells AS (
+        SELECT event_type,
+               CAST((epoch_us(ts) // 86400000000 + 3) % 7 AS BIGINT) AS dow,
+               count(*) AS n
+        FROM events GROUP BY 1, 2
+    ),
+    tot AS (SELECT CAST(sum(n) AS DOUBLE) AS n_tot FROM cells),
+    expected AS (
+        SELECT c.event_type, c.dow, CAST(c.n AS BIGINT) AS n,
+               CAST(sum(c.n) OVER (PARTITION BY c.event_type) AS DOUBLE)
+                   * CAST(sum(c.n) OVER (PARTITION BY c.dow) AS DOUBLE)
+                   / t.n_tot AS expected
+        FROM cells c CROSS JOIN tot t
+    )
+    SELECT event_type, dow, n, expected,
+           (CAST(n AS DOUBLE) - expected) * (CAST(n AS DOUBLE) - expected)
+               / expected AS contrib,
+           sum((CAST(n AS DOUBLE) - expected) * (CAST(n AS DOUBLE) - expected)
+               / expected) OVER () AS chi2_total
+    FROM expected
+    """,
+)
+def chi2_type_by_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence audit of event_type x day-of-week — "is event
+    mix stable across the week, or is a source batching its uploads?".
+    Day-of-week comes from epoch-day integer arithmetic ((day+3) % 7,
+    0=Monday) so both engines agree without timezone functions.  The only
+    input-sized operation is the (type, dow) count group-by; marginals and
+    the chi-square total run as windows over the <=70-cell contingency
+    table."""
+    e = load_table(spark, sf_dir, "events")
+    cells = (
+        e.select(
+            "event_type",
+            (((F.unix_micros("ts") / F.lit(86_400_000_000)).cast("long") + 3) % 7)
+            .cast("long")
+            .alias("dow"),
+        )
+        .groupBy("event_type", "dow")
+        .agg(F.count("*").alias("n"))
+    )
+    wall = Window.partitionBy()
+    n_tot = F.sum("n").over(wall).cast("double")
+    expected = (
+        F.sum("n").over(Window.partitionBy("event_type")).cast("double")
+        * F.sum("n").over(Window.partitionBy("dow")).cast("double")
+        / n_tot
+    )
+    contrib = (F.col("n").cast("double") - F.col("expected")) * (
+        F.col("n").cast("double") - F.col("expected")
+    ) / F.col("expected")
+    return (
+        cells.withColumn("expected", expected)
+        .select(
+            "event_type", "dow", F.col("n").cast("long").alias("n"), "expected",
+            contrib.alias("contrib"),
+        )
+        .withColumn("chi2_total", F.sum("contrib").over(wall))
+    )
+
+
+@query(
+    "gopher_quality_flags",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id,
+               regexp_split_to_array(trim(text), '\\s+') AS words,
+               length(regexp_replace(text, '\\s', '', 'g')) AS n_nonspace
+        FROM documents
+    ),
+    m AS (
+        SELECT doc_id,
+               CAST(len(words) AS BIGINT) AS n_words,
+               CAST(n_nonspace AS DOUBLE) / CAST(len(words) AS DOUBLE) AS mean_word_len,
+               CAST(len(list_filter(words, w -> regexp_matches(w, '[a-zA-Z]')))
+                    AS DOUBLE) / CAST(len(words) AS DOUBLE) AS alpha_frac
+        FROM toks
+    )
+    SELECT doc_id, n_words, mean_word_len, alpha_frac,
+           n_words >= 50 AND n_words <= 100000 AS flag_word_count,
+           mean_word_len >= 3.0 AND mean_word_len <= 10.0 AS flag_word_len,
+           alpha_frac > 0.8 AS flag_alpha,
+           (n_words >= 50 AND n_words <= 100000)
+               AND (mean_word_len >= 3.0 AND mean_word_len <= 10.0)
+               AND alpha_frac > 0.8 AS keep
+    FROM m
+    """,
+)
+def gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style rule gates (Rae et al. 2021, §A1.1) per document: word
+    count in [50, 100000], mean word length in [3, 10], alphabetic-word
+    fraction > 0.8 — each emitted as its own flag plus the conjunction, so a
+    corpus report can histogram *which* rule rejects.  Pure JVM expressions
+    (split/filter/length), zero shuffles, scales as a map-only pass."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.split(F.trim(F.col("text")), r"\s+").alias("words"),
+        F.length(F.regexp_replace("text", r"\s", "")).alias("n_nonspace"),
+    )
+    n_words = F.size("words").cast("long")
+    mean_word_len = F.col("n_nonspace").cast("double") / n_words.cast("double")
+    alpha_frac = (
+        F.size(F.expr("filter(words, w -> w rlike '[a-zA-Z]')")).cast("double")
+        / n_words.cast("double")
+    )
+    m = toks.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        mean_word_len.alias("mean_word_len"),
+        alpha_frac.alias("alpha_frac"),
+    )
+    f_wc = (F.col("n_words") >= 50) & (F.col("n_words") <= 100_000)
+    f_wl = (F.col("mean_word_len") >= 3.0) & (F.col("mean_word_len") <= 10.0)
+    f_al = F.col("alpha_frac") > 0.8
+    return m.select(
+        "doc_id", "n_words", "mean_word_len", "alpha_frac",
+        f_wc.alias("flag_word_count"),
+        f_wl.alias("flag_word_len"),
+        f_al.alias("flag_alpha"),
+        (f_wc & f_wl & f_al).alias("keep"),
+    )
+
+
+@query(
+    "dead_letter_split",
+    oracle=f"""
+    WITH corrupted AS (
+        SELECT event_type,
+               CASE WHEN {sql_hash_unit('event_id', seed=7)} < {DLQ_RATE}
+                    THEN substr(props, 1, length(props) - 2) ELSE props END AS raw
+        FROM events
+    ),
+    parsed AS (
+        SELECT event_type,
+               CAST(json_extract_string(TRY_CAST(raw AS JSON), '$.k') AS BIGINT) AS k
+        FROM corrupted
+    )
+    SELECT event_type,
+           count(*) AS n_total,
+           CAST(sum(CASE WHEN k IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_ok,
+           CAST(sum(CASE WHEN k IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_dlq,
+           CAST(sum(k) AS BIGINT) AS sum_k
+    FROM parsed GROUP BY event_type
+    """,
+)
+def dead_letter_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dead-letter routing for malformed payloads: ~10% of ``props`` strings
+    are deterministically corrupted (truncated mid-object, md5-selected by
+    event_id so the oracle corrupts the identical rows), then each row is
+    parsed leniently — parse failures are counted into a per-type DLQ tally
+    instead of failing the job, parse successes contribute to the payload
+    aggregate.  ``get_json_object`` / TRY_CAST-as-JSON return NULL on bad
+    input in the respective engines, which is the error-as-data seam.  One
+    partial-aggregated shuffle on event_type."""
+    e = load_table(spark, sf_dir, "events")
+    raw = F.when(
+        hash_unit(F.col("event_id"), seed=7) < DLQ_RATE,
+        F.substring(F.col("props"), 1, F.length("props") - 2),
+    ).otherwise(F.col("props"))
+    parsed = e.select(
+        "event_type",
+        F.get_json_object(raw, "$.k").cast("long").alias("k"),
+    )
+    return parsed.groupBy("event_type").agg(
+        F.count("*").alias("n_total"),
+        F.sum(F.when(F.col("k").isNotNull(), 1).otherwise(0)).alias("n_ok"),
+        F.sum(F.when(F.col("k").isNull(), 1).otherwise(0)).alias("n_dlq"),
+        F.sum("k").cast("long").alias("sum_k"),
+    )
