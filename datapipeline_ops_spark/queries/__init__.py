@@ -5,6 +5,7 @@ from datapipeline_ops_spark.queries import (  # noqa: F401
     analytics_extra,
     curation_extra,
     dedup,
+    diversity,
     drift_quality,
     evaluation,
     graph_queries,

@@ -252,3 +252,91 @@ def triangle_copurchase_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out.localCheckpoint(eager=True)
     finally:
         edges.unpersist()
+
+
+BFS_MAX_HOPS = 3
+
+
+@query(
+    "bfs_reach_3hop",
+    oracle=f"""
+    WITH RECURSIVE pairs AS (
+        SELECT a.l_partkey AS pa, b.l_partkey AS pb
+        FROM lineitem a JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2 HAVING count(*) >= {COPURCHASE_MIN_ORDERS}
+    ),
+    edges AS (
+        SELECT pa AS src, pb AS dst FROM pairs
+        UNION ALL SELECT pb, pa FROM pairs
+    ),
+    walk(node, hops) AS (
+        SELECT (SELECT min(src) FROM edges), 0
+        UNION
+        SELECT e.dst, w.hops + 1
+        FROM walk w JOIN edges e ON e.src = w.node
+        WHERE w.hops < {BFS_MAX_HOPS}
+    )
+    SELECT node, CAST(min(hops) AS INT) AS hops FROM walk GROUP BY node
+    """,
+)
+def bfs_reach_3hop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded breadth-first search over the co-purchase graph: min-hop
+    distance from the smallest node id to everything within BFS_MAX_HOPS
+    hops — the "related items within k degrees" primitive behind graph
+    expansion sampling.
+
+    Spark-first iterative form: each hop is ONE equi-join of the current
+    frontier against the persisted symmetric edge list plus an anti-join
+    against the visited set — per-round shuffles carry only frontier/visited
+    (node, hop) int pairs, never the whole graph state, and the hop bound
+    makes the loop statically finite (no convergence test).  The oracle is
+    the recursive-CTE formulation with UNION-dedup on (node, hops) and an
+    outer min(hops) — hop-h frontiers match BFS's first-visit semantics
+    exactly.  At 100 TB the same loop runs with edges pre-partitioned by src
+    so every hop joins co-located."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    per_order = li.groupBy("l_orderkey").agg(F.collect_list("l_partkey").alias("ps"))
+    pairs = (
+        per_order.select(
+            F.explode(
+                F.filter(
+                    F.flatten(
+                        F.transform(
+                            "ps",
+                            lambda a: F.transform(
+                                "ps", lambda b: F.struct(a.alias("pa"), b.alias("pb"))
+                            ),
+                        )
+                    ),
+                    lambda s: s.pa < s.pb,
+                )
+            ).alias("p")
+        )
+        .select("p.pa", "p.pb")
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .filter(F.col("n_orders") >= COPURCHASE_MIN_ORDERS)
+    )
+    edges = (
+        pairs.select(F.col("pa").alias("src"), F.col("pb").alias("dst"))
+        .unionAll(pairs.select(F.col("pb").alias("src"), F.col("pa").alias("dst")))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    try:
+        seed = edges.agg(F.min("src").alias("node")).withColumn("hops", F.lit(0))
+        visited = seed.localCheckpoint(eager=True)
+        frontier = visited
+        for h in range(1, BFS_MAX_HOPS + 1):
+            frontier = (
+                edges.join(frontier.select(F.col("node").alias("src")), "src")
+                .select(F.col("dst").alias("node"))
+                .distinct()
+                .join(visited.select("node"), "node", "left_anti")
+                .withColumn("hops", F.lit(h))
+                .localCheckpoint(eager=True)
+            )
+            visited = visited.unionAll(frontier).localCheckpoint(eager=True)
+        return visited.select("node", F.col("hops").cast("int").alias("hops"))
+    finally:
+        edges.unpersist()

@@ -90,6 +90,53 @@ def retry_cut_status(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "salted_skew_join",
+    oracle="""
+    SELECT o_orderpriority,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           count(*) AS n_items
+    FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority
+    """,
+)
+def salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-resistant fact-fact join via explicit salting: the probe side
+    (lineitem) gets a salt derived from NON-join columns, the build side
+    (orders) is replicated across all ``DEFAULT_SALTS`` salts with a tiny
+    posexplode, and the join key becomes (orderkey, salt) — a hot orderkey
+    now spreads over S reducers instead of pinning one.  The oracle is the
+    PLAIN join + aggregate: exact equality proves salting is
+    result-transparent.  (AQE's skew-join split is the automatic variant;
+    this is the portable manual form for engines/stages AQE can't reach,
+    e.g. a skewed key feeding a window.)  Replication cost: |orders| x S
+    rows of two small columns, partial-aggregated before the final
+    priority rollup."""
+    from datapipeline_ops_spark.operators.skew import DEFAULT_SALTS
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_extendedprice", "l_discount"
+    )
+    probe = li.withColumn(
+        "_salt",
+        F.pmod(F.xxhash64("l_linenumber", "l_extendedprice"), F.lit(DEFAULT_SALTS)),
+    )
+    build = o.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(DEFAULT_SALTS - 1)))
+    ).withColumn("_salt", F.col("_salt").cast("long"))
+    joined = probe.join(
+        build,
+        (F.col("l_orderkey") == F.col("o_orderkey")) & (probe["_salt"] == build["_salt"]),
+    )
+    return joined.groupBy("o_orderpriority").agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "revenue"
+        ),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+@query(
     "set_ops_segments",
     oracle="""
     SELECT c_custkey FROM (
