@@ -710,6 +710,57 @@ def _(qs, spark):
     assert "CartesianProduct" not in plan
 
 
+@check("gopher_quality_flags: map-only, documents pruned to doc_id+text")
+def _(qs, spark):
+    plan = plan_of(qs["gopher_quality_flags"](spark, SF_DIR))
+    assert "Exchange" not in plan, "rule gates must not shuffle"
+    cols = read_schema_cols(plan, "documents")
+    assert cols <= {"doc_id", "text"}, cols
+
+
+@check("ks_drift_binned: events pruned to user_id+value, partial-agg bins")
+def _(qs, spark):
+    plan = plan_of(qs["ks_drift_binned"](spark, SF_DIR))
+    cols = read_schema_cols(plan, "events")
+    assert cols <= {"user_id", "value"}, cols
+    assert "partial_sum" in plan, "bin counts must partial-aggregate"
+
+
+@check("dead_letter_split: events pruned, partial-agg per type")
+def _(qs, spark):
+    plan = plan_of(qs["dead_letter_split"](spark, SF_DIR))
+    cols = read_schema_cols(plan, "events")
+    assert cols <= {"event_id", "event_type", "props"}, cols
+    assert "partial_count" in plan or "partial_sum" in plan
+
+
+@check("mmr_diverse_topk: shortlist via TakeOrdered, no global sort, Arrow group")
+def _(qs, spark):
+    plan = plan_of(qs["mmr_diverse_topk"](spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan, "shortlist must be per-partition top-k"
+    assert "FlatMapGroupsInPandas" in plan, "greedy stage must be Arrow-grouped"
+    assert not re.search(r"^\(\d+\) Sort\b.*global", plan, re.M), "global sort leaked"
+
+
+@check("salted_skew_join: salt replication via explode, partial-agg rollup")
+def _(qs, spark):
+    plan = plan_of(qs["salted_skew_join"](spark, SF_DIR))
+    assert "Generate" in plan, "build-side salt replication (explode) missing"
+    assert "partial_sum" in plan, "priority rollup must partial-aggregate"
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+@check("bfs_reach_3hop: edges persisted once, reused across hops")
+def _(qs, spark):
+    plan = plan_of(qs["bfs_reach_3hop"](spark, SF_DIR))
+    # the loop returns localCheckpointed state; the final plan must be flat
+    # scans of the checkpointed RDDs, not a re-derivation of the per-hop joins
+    assert "ExistingRDD" in plan, plan[:400]
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan, (
+        "final plan re-derives the hop joins instead of reading checkpoints"
+    )
+
+
 def main() -> int:
     import __spark_entry__ as entry_mod
     from datapipeline_ops_spark.session import get_spark
