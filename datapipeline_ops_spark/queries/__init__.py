@@ -22,6 +22,7 @@ from datapipeline_ops_spark.queries import (  # noqa: F401
     robustness,
     sampling_sketch,
     similarity,
+    search_rank,  # after similarity: composes its registered oracles
     stateful,
     streaming_queries,
     temporal_queries,

@@ -1,0 +1,257 @@
+"""Search-ranking primitives: BM25 scoring, inverted-index construction, and
+ANN recall evaluation.
+
+Retrieval is half of a modern data pipeline — curation mines "documents like
+these" (BM25/keyword recall feeding embedding rerank), and every ANN index
+the pipeline ships needs a measured recall number against exact search
+before anyone trusts it.  All three queries are pure DataFrame plans.
+
+Scale design:
+- BM25: one explode+group shuffle for term frequencies (only the query's
+  terms survive the filter, so the exploded stream is tiny), corpus-level
+  stats broadcast back as a 1-row join, final top-k via per-partition
+  TakeOrdered merge — no global sort.
+- Inverted index: per-token top-k postings WITHOUT a window — a window
+  partitioned by token collapses every posting of a hot token ("the" at 5 B
+  docs) onto one reducer.  Instead: shard each token's postings 32 ways,
+  take a local top-k per shard with array_sort over the collected shard
+  (bounded: shard top-k only), then merge the 32 bounded lists per token.
+  Both shuffles carry (token, shard)-grained rows.
+- Recall eval: composes the registered exact and IVF retrieval plans and
+  joins their (query, id) sets — the joins are on the tiny result tables.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from datapipeline_ops_spark.core.registry import QUERIES, query
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TERMS = ("spark", "join", "window")
+BM25_TOPK = 20
+POSTINGS_K = 5
+POSTINGS_SHARDS = 32
+
+
+def _terms_sql() -> str:
+    return ", ".join(f"'{t}'" for t in BM25_TERMS)
+
+
+@query(
+    "bm25_topk",
+    oracle=f"""
+    WITH toks AS MATERIALIZED (
+        SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS words
+        FROM documents
+    ),
+    dl AS MATERIALIZED (SELECT doc_id, CAST(len(words) AS BIGINT) AS dl FROM toks),
+    tf AS MATERIALIZED (
+        SELECT doc_id, token, count(*) AS tf
+        FROM toks, unnest(words) AS u(token)
+        WHERE token IN ({_terms_sql()})
+        GROUP BY doc_id, token
+    ),
+    df AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+    stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+                     avg(CAST(dl AS DOUBLE)) AS avgdl FROM dl),
+    scored AS (
+        SELECT tf.doc_id,
+               sum(ln((s.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+                   * (CAST(tf.tf AS DOUBLE) * ({BM25_K1} + 1.0))
+                   / (CAST(tf.tf AS DOUBLE)
+                      + {BM25_K1} * (1.0 - {BM25_B}
+                                     + {BM25_B} * CAST(dl.dl AS DOUBLE) / s.avgdl))
+               ) AS score,
+               count(*) AS n_terms_hit
+        FROM tf JOIN df USING (token) JOIN dl USING (doc_id) CROSS JOIN stats s
+        GROUP BY tf.doc_id
+    )
+    SELECT doc_id, round(score, 6) AS score, n_terms_hit
+    FROM scored ORDER BY score DESC, doc_id LIMIT {BM25_TOPK}
+    """,
+)
+def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 (k1={BM25_K1}, b={BM25_B}) ranking of the corpus for the fixed
+    keyword query {BM25_TERMS}, top-{BM25_TOPK} with doc_id tie-break.  The
+    per-term filter runs INSIDE the explode so only query-term tokens are
+    ever shuffled; document length and corpus stats join back broadcast."""
+    from datapipeline_ops_spark.tables import load_table
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("words")
+    )
+    dl = d.select("doc_id", F.size("words").cast("long").alias("dl"))
+    tf = (
+        d.select("doc_id", F.explode("words").alias("token"))
+        .filter(F.col("token").isin(*BM25_TERMS))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    stats = dl.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        F.avg(F.col("dl").cast("double")).alias("avgdl"),
+    )
+    idf = F.log((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
+    contrib = idf * (
+        F.col("tf").cast("double") * (BM25_K1 + 1.0)
+    ) / (
+        F.col("tf").cast("double")
+        + BM25_K1 * (1.0 - BM25_B + BM25_B * F.col("dl").cast("double") / F.col("avgdl"))
+    )
+    scored = (
+        tf.join(F.broadcast(df), "token")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(F.sum(contrib).alias("score"), F.count(F.lit(1)).alias("n_terms_hit"))
+    )
+    return (
+        scored.orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(BM25_TOPK)
+        .select("doc_id", F.round("score", 6).alias("score"), "n_terms_hit")
+    )
+
+
+@query(
+    "inverted_index_postings",
+    oracle=f"""
+    WITH tf AS MATERIALIZED (
+        SELECT doc_id, token, count(*) AS tf
+        FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS words
+              FROM documents), unnest(words) AS u(token)
+        GROUP BY doc_id, token
+    ),
+    ranked AS (
+        SELECT token, doc_id, tf,
+               row_number() OVER (PARTITION BY token
+                                  ORDER BY tf DESC, doc_id) AS posting_rank,
+               count(*) OVER (PARTITION BY token) AS df,
+               CAST(sum(tf) OVER (PARTITION BY token) AS BIGINT) AS total_tf
+        FROM tf
+    )
+    SELECT token, CAST(posting_rank AS INT) AS posting_rank, doc_id, tf,
+           df, total_tf
+    FROM ranked WHERE posting_rank <= {POSTINGS_K}
+    """,
+)
+def inverted_index_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index build: per token, document frequency, total term
+    frequency, and the top-{POSTINGS_K} postings by tf (doc_id tie-break).
+
+    The per-token top-k deliberately avoids ``row_number() OVER (PARTITION
+    BY token)``: at corpus scale a stopword's partition is billions of rows
+    on one reducer.  Instead postings shard {POSTINGS_SHARDS} ways by
+    doc_id, each (token, shard) group keeps its local top-{POSTINGS_K} via
+    array_sort+slice of the collected shard, and a second group-by merges
+    the <= {POSTINGS_SHARDS}x{POSTINGS_K} bounded lists per token — the
+    classic two-phase top-k-per-key.  The oracle is the window formulation
+    (semantically identical; the oracle's data fits one node)."""
+    from datapipeline_ops_spark.tables import load_table
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("words")
+    )
+    tf = (
+        d.select("doc_id", F.explode("words").alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    # phase 1: bounded local top-k per (token, shard). The collected list is
+    # one shard of one token's postings; the slice caps what leaves the agg.
+    entry = F.struct((-F.col("tf")).alias("ntf"), F.col("doc_id").alias("doc_id"),
+                     F.col("tf").alias("tf"))
+    local = (
+        tf.withColumn("shard", F.pmod(F.col("doc_id"), F.lit(POSTINGS_SHARDS)))
+        .groupBy("token", "shard")
+        .agg(
+            F.slice(F.array_sort(F.collect_list(entry)), 1, POSTINGS_K).alias("top"),
+            F.count(F.lit(1)).alias("df_part"),
+            F.sum("tf").alias("tf_part"),
+        )
+    )
+    # phase 2: merge the bounded shard lists; df/total_tf combine exactly.
+    merged = local.groupBy("token").agg(
+        F.slice(F.array_sort(F.flatten(F.collect_list("top"))), 1, POSTINGS_K).alias("top"),
+        F.sum("df_part").alias("df"),
+        F.sum("tf_part").cast("long").alias("total_tf"),
+    )
+    return merged.select(
+        "token",
+        F.posexplode("top").alias("pos", "p"),
+        "df",
+        "total_tf",
+    ).select(
+        "token",
+        (F.col("pos") + 1).cast("int").alias("posting_rank"),
+        F.col("p.doc_id").alias("doc_id"),
+        F.col("p.tf").alias("tf"),
+        "df",
+        "total_tf",
+    )
+
+
+@query(
+    "ann_recall_eval",
+    oracle=None,  # composed from the registered retrieval oracles below
+)
+def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of the IVF ANN path against exact brute-force ground truth,
+    per query and macro-averaged — the acceptance gate for any approximate
+    index the pipeline ships.  Composes the two registered retrieval plans
+    and joins their id sets; every join input is a top-k result table
+    (queries x k rows), so the evaluation is constant-sized regardless of
+    corpus scale."""
+    gt = QUERIES["cosine_topk_bruteforce"].fn(spark, sf_dir).select(
+        "query_id", "vec_id"
+    )
+    ap = QUERIES["ann_ivf_topk"].fn(spark, sf_dir).select(
+        "query_id", F.col("vec_id").alias("ap_vec_id")
+    )
+    hits = (
+        gt.join(
+            ap,
+            (gt["query_id"] == ap["query_id"]) & (gt["vec_id"] == ap["ap_vec_id"]),
+            "left",
+        )
+        .select(gt["query_id"], F.col("ap_vec_id").isNotNull().cast("int").alias("hit"))
+        .groupBy("query_id")
+        .agg(
+            F.sum("hit").cast("long").alias("n_hits"),
+            F.count(F.lit(1)).cast("long").alias("k"),
+        )
+        .withColumn(
+            "recall", F.col("n_hits").cast("double") / F.col("k").cast("double")
+        )
+    )
+    return hits.withColumn(
+        "mean_recall", F.avg("recall").over(Window.partitionBy())
+    )
+
+
+def _ann_recall_oracle() -> str:
+    gt_sql = QUERIES["cosine_topk_bruteforce"].oracle
+    ap_sql = QUERIES["ann_ivf_topk"].oracle
+    return f"""
+    WITH gt AS MATERIALIZED (SELECT query_id, vec_id FROM ({gt_sql})),
+    ap AS MATERIALIZED (SELECT query_id, vec_id FROM ({ap_sql})),
+    hits AS (
+        SELECT gt.query_id,
+               CAST(sum(CASE WHEN ap.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_hits,
+               count(*) AS k
+        FROM gt LEFT JOIN ap
+          ON ap.query_id = gt.query_id AND ap.vec_id = gt.vec_id
+        GROUP BY gt.query_id
+    )
+    SELECT query_id, n_hits, k,
+           CAST(n_hits AS DOUBLE) / CAST(k AS DOUBLE) AS recall,
+           avg(CAST(n_hits AS DOUBLE) / CAST(k AS DOUBLE)) OVER () AS mean_recall
+    FROM hits
+    """
+
+
+QUERIES["ann_recall_eval"].oracle = _ann_recall_oracle()

@@ -761,6 +761,28 @@ def _(qs, spark):
     )
 
 
+@check("bm25_topk: term filter inside explode, TakeOrdered top-k, stats broadcast")
+def _(qs, spark):
+    plan = plan_of(qs["bm25_topk"](spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan, "top-k must not global-sort"
+    assert "BroadcastHashJoin" in plan, "df/stats tables must broadcast"
+    cols = read_schema_cols(plan, "documents")
+    assert cols <= {"doc_id", "text"}, cols
+
+
+@check("inverted_index_postings: two-phase top-k, no token window")
+def _(qs, spark):
+    plan = plan_of(qs["inverted_index_postings"](spark, SF_DIR))
+    assert "Window" not in plan, "hot-token window partition leaked into the plan"
+    assert "partial_count" in plan or "partial_sum" in plan
+
+
+@check("ann_recall_eval: joins only top-k result tables")
+def _(qs, spark):
+    plan = plan_of(qs["ann_recall_eval"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+
+
 def main() -> int:
     import __spark_entry__ as entry_mod
     from datapipeline_ops_spark.session import get_spark
