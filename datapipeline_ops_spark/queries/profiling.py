@@ -248,3 +248,81 @@ def expectations_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return checks.select(
         "c.expectation", "c.violations", (F.col("c.violations") == 0).alias("passed")
     )
+
+
+_CORR_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+
+def _corr_oracle() -> str:
+    sums = ["count(*) AS n"]
+    for c in _CORR_COLS:
+        sums.append(f"sum(CAST({c} AS DOUBLE)) AS s_{c}")
+        sums.append(f"sum(CAST({c} AS DOUBLE) * CAST({c} AS DOUBLE)) AS ss_{c}")
+    pairs = [
+        (x, y)
+        for i, x in enumerate(_CORR_COLS)
+        for y in _CORR_COLS[i + 1 :]
+    ]
+    for x, y in pairs:
+        sums.append(f"sum(CAST({x} AS DOUBLE) * CAST({y} AS DOUBLE)) AS sp_{x}_{y}")
+    selects = []
+    for x, y in pairs:
+        corr = (
+            f"(CAST(n AS DOUBLE) * sp_{x}_{y} - s_{x} * s_{y}) / "
+            f"(sqrt(CAST(n AS DOUBLE) * ss_{x} - s_{x} * s_{x}) * "
+            f"sqrt(CAST(n AS DOUBLE) * ss_{y} - s_{y} * s_{y}))"
+        )
+        selects.append(
+            f"SELECT '{x}' AS col_x, '{y}' AS col_y, CAST(n AS BIGINT) AS n, "
+            f"{corr} AS corr FROM agg"
+        )
+    return (
+        "WITH agg AS (SELECT " + ", ".join(sums) + " FROM lineitem)\n    "
+        + "\n    UNION ALL ".join(selects)
+    )
+
+
+@query("column_correlation_matrix", oracle=_corr_oracle())
+def column_correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlation over the numeric lineitem columns in ONE
+    scan: a single aggregation computes every sum / sum-of-squares /
+    cross-product moment (4 + 4 + 6 aggregates), then each pair's
+    correlation is assembled from the one-row moment table — no per-pair
+    jobs, no second pass, and the identical closed-form arithmetic runs in
+    the oracle so values match to float-hash precision.  At 100 TB this is
+    the schema-drift guard ("did discount stop tracking price?") priced at
+    one partial-aggregated scan."""
+    li = load_table(spark, sf_dir, "lineitem")
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for c in _CORR_COLS:
+        cd = F.col(c).cast("double")
+        aggs.append(F.sum(cd).alias(f"s_{c}"))
+        aggs.append(F.sum(cd * cd).alias(f"ss_{c}"))
+    pairs = [
+        (x, y)
+        for i, x in enumerate(_CORR_COLS)
+        for y in _CORR_COLS[i + 1 :]
+    ]
+    for x, y in pairs:
+        aggs.append(
+            F.sum(F.col(x).cast("double") * F.col(y).cast("double")).alias(f"sp_{x}_{y}")
+        )
+    m = li.agg(*aggs)
+    nd = F.col("n").cast("double")
+    rows = []
+    for x, y in pairs:
+        corr = (nd * F.col(f"sp_{x}_{y}") - F.col(f"s_{x}") * F.col(f"s_{y}")) / (
+            F.sqrt(nd * F.col(f"ss_{x}") - F.col(f"s_{x}") * F.col(f"s_{x}"))
+            * F.sqrt(nd * F.col(f"ss_{y}") - F.col(f"s_{y}") * F.col(f"s_{y}"))
+        )
+        rows.append(
+            F.struct(
+                F.lit(x).alias("col_x"),
+                F.lit(y).alias("col_y"),
+                F.col("n").cast("long").alias("n"),
+                corr.alias("corr"),
+            )
+        )
+    return m.select(F.explode(F.array(*rows)).alias("r")).select(
+        "r.col_x", "r.col_y", "r.n", "r.corr"
+    )

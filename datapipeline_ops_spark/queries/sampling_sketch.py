@@ -316,3 +316,73 @@ def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_leaking_docs"),
     )
+
+
+HH_K = 10
+HH_SLOTS = 64
+
+
+@query(
+    "heavy_hitters_verified",
+    oracle=f"""
+    SELECT token, count(*) AS cnt FROM (
+        SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS token
+        FROM documents
+    ) GROUP BY token ORDER BY cnt DESC, token LIMIT {HH_K}
+    """,
+)
+def heavy_hitters_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-{HH_K} tokens via the sketch-then-verify pattern: a
+    Misra–Gries summary ({HH_SLOTS} slots) runs per partition inside
+    ``mapInPandas`` — bounded memory no matter how many distinct tokens
+    stream through — then the surviving candidates are exactly recounted in
+    one semi-joined aggregation and ranked.
+
+    Why this shape at 100 TB: a plain groupBy(token) shuffles EVERY distinct
+    token (billions for web text); here the shuffle carries only per-partition
+    candidate survivors (<= partitions x {HH_SLOTS} rows) plus the recount of
+    the candidate set. MG guarantees any token with per-partition frequency
+    > n_p/{HH_SLOTS} survives that partition; the verify pass then makes the
+    final counts exact (a candidate superset can only ADD rows to recount,
+    never corrupt ranks). On this synthetic corpus the vocabulary (~31) is
+    below the slot budget, so candidates are lossless by construction; the
+    oracle is the exact global top-{HH_K} and agrees."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    d = load_table(spark, sf_dir, "documents")
+    tokens = d.select(
+        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("token")
+    )
+
+    def mg_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        counters: dict[str, int] = {}
+        for pdf in batches:
+            for tok in pdf["token"]:
+                if tok in counters:
+                    counters[tok] += 1
+                elif len(counters) < HH_SLOTS:
+                    counters[tok] = 1
+                else:
+                    # decrement-all step: drop zeroed slots
+                    dead = []
+                    for k in counters:
+                        counters[k] -= 1
+                        if counters[k] == 0:
+                            dead.append(k)
+                    for k in dead:
+                        del counters[k]
+        yield pd.DataFrame({"token": list(counters.keys())})
+
+    candidates = (
+        tokens.mapInPandas(mg_partition, schema="token string")
+        .distinct()
+    )
+    return (
+        tokens.join(F.broadcast(candidates), "token", "left_semi")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("token"))
+        .limit(HH_K)
+    )

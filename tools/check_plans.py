@@ -777,6 +777,23 @@ def _(qs, spark):
     assert "partial_count" in plan or "partial_sum" in plan
 
 
+@check("heavy_hitters_verified: candidate broadcast semi-join, partial recount")
+def _(qs, spark):
+    plan = plan_of(qs["heavy_hitters_verified"](spark, SF_DIR))
+    assert "LeftSemi" in plan, "candidate filter must be a semi join"
+    assert "TakeOrderedAndProject" in plan, "top-k must not global-sort"
+    assert "partial_count" in plan, "recount must partial-aggregate"
+
+
+@check("column_correlation_matrix: one scan, one partial-agg, no joins")
+def _(qs, spark):
+    plan = plan_of(qs["column_correlation_matrix"](spark, SF_DIR))
+    assert "partial_sum" in plan
+    assert "Join" not in plan, "moment matrix must come from a single scan"
+    cols = read_schema_cols(plan, "lineitem")
+    assert cols <= {"l_quantity", "l_extendedprice", "l_discount", "l_tax"}, cols
+
+
 @check("ann_recall_eval: joins only top-k result tables")
 def _(qs, spark):
     plan = plan_of(qs["ann_recall_eval"](spark, SF_DIR))
