@@ -305,3 +305,125 @@ def stream_stream_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         (F.col("purchase_ts").cast("long") - F.col("click_ts").cast("long")).alias("gap_s"),
     )
+
+
+_US_D = 86_400_000_000  # one day in microseconds
+
+
+@query(
+    "stream_psi_drift",
+    oracle=f"""
+    WITH ext AS MATERIALIZED (SELECT min(value) AS vmin, max(value) AS vmax FROM events),
+    hist AS MATERIALIZED (
+        SELECT CAST((epoch_us(ts) // {_US_D}) * 86400 AS BIGINT) AS window_start,
+               {{bin}} AS bin, count(*) AS n
+        FROM events e CROSS JOIN ext x GROUP BY 1, 2
+    ),
+    spine AS (
+        SELECT w.window_start, CAST(b.bin AS BIGINT) AS bin
+        FROM (SELECT DISTINCT window_start FROM hist) w,
+             (SELECT unnest(generate_series(0, {{nb_1}})) AS bin) b
+    ),
+    dense AS (
+        SELECT s.window_start, s.bin, CAST(coalesce(h.n, 0) AS BIGINT) AS n
+        FROM spine s LEFT JOIN hist h USING (window_start, bin)
+    ),
+    ref AS MATERIALIZED (
+        SELECT {{bin}} AS bin,
+               CAST(count(*) AS DOUBLE) / CAST(sum(count(*)) OVER () AS DOUBLE) AS pref
+        FROM events e CROSS JOIN ext x GROUP BY 1
+    ),
+    terms AS (
+        SELECT d.window_start,
+               GREATEST(CAST(d.n AS DOUBLE)
+                        / CAST(sum(d.n) OVER (PARTITION BY d.window_start) AS DOUBLE),
+                        {{eps}}) AS pa,
+               GREATEST(r.pref, {{eps}}) AS pb
+        FROM dense d JOIN ref r USING (bin)
+    )
+    SELECT window_start,
+           sum((pa - pb) * ln(pa / pb)) AS psi,
+           sum((pa - pb) * ln(pa / pb)) > 0.2 AS drift
+    FROM terms GROUP BY window_start
+    """.format(
+        bin="LEAST(CAST(FLOOR(((e.value - x.vmin) / (x.vmax - x.vmin)) * 10.0) AS BIGINT), 9)",
+        nb_1=9,
+        eps=1e-6,
+    ),
+)
+def stream_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming drift monitor: per event-time DAY window, the value
+    histogram streams through the REAL stateful machinery (stream-static
+    join against the broadcast bin extent, 1-day watermark, windowed
+    count), then PSI against the corpus-wide reference distribution is
+    assembled from the drained histogram — exactly what a foreachBatch
+    alerting sink would compute per micro-batch in production.
+
+    Two-layer design matters at scale: the stateful stream keeps only
+    (window x 10 bins) counters per state key — bounded by the watermark —
+    while the PSI assembly touches the tiny histogram table, never raw
+    events. Empty window-bins are densified against a 10-row spine so the
+    epsilon-floored PSI term for vanished bins is included (a silently
+    missing bin is precisely the drift you must not drop)."""
+    from datapipeline_ops_spark.queries.drift_quality import (
+        PSI_BINS,
+        PSI_EPS,
+        _bin_expr,
+    )
+    from datapipeline_ops_spark.tables import load_table
+
+    batch = load_table(spark, sf_dir, "events")
+    ext = batch.agg(F.min("value").alias("vmin"), F.max("value").alias("vmax")).withColumn(
+        "k", F.lit(1)
+    )
+    s = events_stream(spark, sf_dir).withColumn("k", F.lit(1))
+    binned = s.join(F.broadcast(ext), "k").withColumn(
+        "bin", _bin_expr(F.col("value"), F.col("vmin"), F.col("vmax"), PSI_BINS)
+    )
+    agg = (
+        binned.withWatermark("ts", "1 day")
+        .groupBy(F.window("ts", "1 day").alias("w"), "bin")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    hist = run_stream_to_table(agg, output_mode="complete").select(
+        F.unix_timestamp(F.col("w.start")).alias("window_start"), "bin", "n"
+    )
+    # batch post-processing on the drained (windows x 10)-row histogram
+    spine = (
+        hist.select("window_start")
+        .distinct()
+        .select(
+            "window_start",
+            F.explode(F.sequence(F.lit(0), F.lit(PSI_BINS - 1))).alias("bin"),
+        )
+        .withColumn("bin", F.col("bin").cast("long"))
+    )
+    dense = (
+        spine.join(hist, ["window_start", "bin"], "left")
+        .select("window_start", "bin", F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n"))
+    )
+    from pyspark.sql import Window as W
+
+    ref = (
+        batch.crossJoin(F.broadcast(ext.drop("k")))
+        .select(_bin_expr(F.col("value"), F.col("vmin"), F.col("vmax"), PSI_BINS).alias("bin"))
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("rn"))
+        .select(
+            "bin",
+            (F.col("rn").cast("double") / F.sum("rn").over(W.partitionBy()).cast("double")).alias("pref"),
+        )
+    )
+    terms = dense.join(F.broadcast(ref), "bin").select(
+        "window_start",
+        F.greatest(
+            F.col("n").cast("double")
+            / F.sum("n").over(W.partitionBy("window_start")).cast("double"),
+            F.lit(PSI_EPS),
+        ).alias("pa"),
+        F.greatest(F.col("pref"), F.lit(PSI_EPS)).alias("pb"),
+    )
+    term = (F.col("pa") - F.col("pb")) * F.log(F.col("pa") / F.col("pb"))
+    return terms.groupBy("window_start").agg(
+        F.sum(term).alias("psi"), (F.sum(term) > 0.2).alias("drift")
+    )

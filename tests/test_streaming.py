@@ -171,3 +171,36 @@ def test_events_stream_cache_refreshes_on_source_change(spark, tmp_path):
         second_stat.st_mtime,
         second_stat.st_size,
     )
+
+
+def test_stream_psi_drift_windows_and_bounds(spark, sf_dir):
+    from datapipeline_ops_spark.queries import QUERIES
+    from datapipeline_ops_spark.tables import load_table
+
+    rows = QUERIES["stream_psi_drift"].fn(spark, sf_dir).collect()
+    e = load_table(spark, sf_dir, "events")
+    n_days = (
+        e.select((F.unix_micros("ts") / F.lit(86_400_000_000)).cast("long").alias("d"))
+        .distinct()
+        .count()
+    )
+    assert len(rows) == n_days, "one PSI row per event-time day window"
+    for r in rows:
+        assert r.window_start % 86_400 == 0
+        assert r.psi >= 0.0
+        assert r.drift == (r.psi > 0.2)
+    # i.i.d. synthetic stream: a well-sampled day must not alarm (small-
+    # sample days MAY alarm — PSI noise scales ~bins/n, which is the correct
+    # monitoring behavior, not a defect)
+    per_day = {
+        r.d: r.n
+        for r in e.select(
+            (F.unix_micros("ts") / F.lit(86_400_000_000)).cast("long").alias("d")
+        )
+        .groupBy("d")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    for r in rows:
+        if per_day[r.window_start // 86_400] >= 200:
+            assert not r.drift, (r.window_start, r.psi)
