@@ -58,6 +58,16 @@ HEADLINE = [
     "zipf_slope_fit",              # token counts + bounded rank + regression
     "ann_rerank_l2",               # broadcast shortlist + rerank
     "pretrain_data_e2e",           # text-side curation funnel e2e
+    # round-4 additions
+    "ks_drift_binned",             # 2048-bin KS sketch, bounded CDF window
+    "dead_letter_split",           # JSON parse + error-as-data routing
+    "gopher_quality_flags",        # map-only rule gates
+    "mmr_diverse_topk",            # relevance scan + bounded greedy
+    "salted_skew_join",            # salt-replicated fact-fact join
+    "bfs_reach_3hop",              # iterative frontier joins
+    "bm25_topk",                   # filter-inside-explode + TakeOrdered
+    "inverted_index_postings",     # two-phase per-token top-k
+    "heavy_hitters_verified",      # MG sketch + exact recount
 ]
 
 

@@ -649,3 +649,140 @@ def corpus_report_card(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.avg(F.when(F.col("pred_lang") == "unknown", 1.0).otherwise(0.0)), 6
         ).alias("lang_unknown_rate"),
     )
+
+
+@query(
+    "entropy_by_source",
+    oracle="""
+    WITH tok AS MATERIALIZED (
+        SELECT source, token, count(*) AS n
+        FROM (SELECT source, unnest(regexp_split_to_array(text, '\\s+')) AS token
+              FROM documents)
+        GROUP BY source, token
+    ),
+    shares AS (
+        SELECT source, n,
+               CAST(n AS DOUBLE) / CAST(sum(n) OVER (PARTITION BY source) AS DOUBLE) AS p
+        FROM tok
+    )
+    SELECT source,
+           CAST(sum(n) AS BIGINT) AS n_tokens,
+           count(*) AS n_distinct,
+           -sum(p * ln(p)) AS entropy,
+           -sum(p * ln(p)) / ln(CAST(count(*) AS DOUBLE)) AS entropy_norm
+    FROM shares GROUP BY source
+    """,
+)
+def entropy_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of each source's token distribution plus the
+    [0, 1]-normalized form H/ln(|vocab_s|) — the "is this source
+    boilerplate?" signal (near-0 = a few tokens dominate; near-1 =
+    uniform).  One explode+group shuffle carries (source, token) partial
+    counts; shares and the entropy sum run on the bounded per-source
+    vocabulary table."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = (
+        d.select("source", F.explode(tokens(F.col("text"))).alias("token"))
+        .groupBy("source", "token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("source")
+    shares = tok.select(
+        "source",
+        "n",
+        (F.col("n").cast("double") / F.sum("n").over(w).cast("double")).alias("p"),
+    )
+    return shares.groupBy("source").agg(
+        F.sum("n").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        (-F.sum(F.col("p") * F.log("p"))).alias("entropy"),
+        (
+            -F.sum(F.col("p") * F.log("p"))
+            / F.log(F.count(F.lit(1)).cast("double"))
+        ).alias("entropy_norm"),
+    )
+
+
+@query(
+    "js_divergence_sources",
+    oracle="""
+    WITH tok AS MATERIALIZED (
+        SELECT source, token, count(*) AS n
+        FROM (SELECT source, unnest(regexp_split_to_array(text, '\\s+')) AS token
+              FROM documents)
+        GROUP BY source, token
+    ),
+    corpus AS MATERIALIZED (
+        SELECT token,
+               CAST(sum(n) AS DOUBLE) / CAST(sum(sum(n)) OVER () AS DOUBLE) AS q
+        FROM tok GROUP BY token
+    ),
+    spine AS (
+        SELECT s.source, c.token, c.q
+        FROM (SELECT DISTINCT source FROM tok) s CROSS JOIN corpus c
+    ),
+    dense AS (
+        SELECT sp.source, sp.token, sp.q,
+               CAST(coalesce(t.n, 0) AS DOUBLE)
+                   / CAST(sum(coalesce(t.n, 0)) OVER (PARTITION BY sp.source) AS DOUBLE) AS p
+        FROM spine sp LEFT JOIN tok t
+          ON t.source = sp.source AND t.token = sp.token
+    )
+    SELECT source,
+           sum(CASE WHEN p > 0 THEN 0.5 * p * ln(p / ((p + q) / 2)) ELSE 0.0 END
+               + 0.5 * q * ln(q / ((p + q) / 2))) AS jsd,
+           sum(CASE WHEN p > 0 THEN 0.5 * p * ln(p / ((p + q) / 2)) ELSE 0.0 END
+               + 0.5 * q * ln(q / ((p + q) / 2))) / ln(2.0) AS jsd_norm
+    FROM dense GROUP BY source
+    """,
+)
+def js_divergence_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jensen–Shannon divergence of each source's token distribution from
+    the corpus distribution, plus the ln(2)-normalized [0,1] form — the
+    domain-mixing diagnostic ("which source is the outlier?") that pairs
+    with `domain_mixing_sample`'s reweighting.
+
+    The spine is sources x corpus vocabulary so tokens a source never emits
+    still contribute their KL(Q||M) mass (p=0 terms of KL(P||M) are 0 by
+    convention).  Shuffles: the (source, token) count group-by (input-
+    sized, partial-aggregated) — the spine/densify/divergence stages all
+    run on |sources| x |vocab| bounded rows.  At web scale, cap the
+    vocabulary to top-K by corpus frequency first (the tail's q mass is
+    negligible to JSD)."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = (
+        d.select("source", F.explode(tokens(F.col("text"))).alias("token"))
+        .groupBy("source", "token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    wall = Window.partitionBy()
+    corpus = (
+        tok.groupBy("token")
+        .agg(F.sum("n").alias("cn"))
+        .select(
+            "token",
+            (F.col("cn").cast("double") / F.sum("cn").over(wall).cast("double")).alias("q"),
+        )
+    )
+    spine = tok.select("source").distinct().crossJoin(F.broadcast(corpus))
+    wsrc = Window.partitionBy("source")
+    dense = (
+        spine.join(tok, ["source", "token"], "left")
+        .select(
+            "source",
+            "q",
+            (
+                F.coalesce(F.col("n"), F.lit(0)).cast("double")
+                / F.sum(F.coalesce(F.col("n"), F.lit(0))).over(wsrc).cast("double")
+            ).alias("p"),
+        )
+    )
+    m = (F.col("p") + F.col("q")) / 2
+    term = (
+        F.when(F.col("p") > 0, 0.5 * F.col("p") * F.log(F.col("p") / m)).otherwise(0.0)
+        + 0.5 * F.col("q") * F.log(F.col("q") / m)
+    )
+    return dense.groupBy("source").agg(
+        F.sum(term).alias("jsd"),
+        (F.sum(term) / F.log(F.lit(2.0))).alias("jsd_norm"),
+    )

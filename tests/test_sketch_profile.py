@@ -38,3 +38,25 @@ def test_correlation_matrix_matches_spark_corr(spark, sf_dir):
         assert math.isclose(r.corr, ref, rel_tol=1e-9, abs_tol=1e-9), (
             r.col_x, r.col_y, r.corr, ref,
         )
+
+
+def test_entropy_by_source_bounds(spark, sf_dir):
+    rows = q("entropy_by_source", spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.n_distinct >= 1 and r.n_tokens >= r.n_distinct
+        assert 0.0 <= r.entropy <= __import__("math").log(r.n_distinct) + 1e-9
+        assert 0.0 <= r.entropy_norm <= 1.0 + 1e-9
+
+
+def test_jsd_sources_bounds_and_zero_case(spark, sf_dir):
+    import math
+
+    rows = q("js_divergence_sources", spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        # JSD in [0, ln 2]; normalized in [0, 1]
+        assert -1e-12 <= r.jsd <= math.log(2.0) + 1e-12
+        assert abs(r.jsd_norm - r.jsd / math.log(2.0)) < 1e-12
+    # sources drawn from the same generator: none should be a hard outlier
+    assert max(r.jsd_norm for r in rows) < 0.5
