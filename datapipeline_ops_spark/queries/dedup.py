@@ -209,6 +209,39 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _lsh_verified_pairs(d)
 
 
+def _lsh_candidates(d: DataFrame) -> DataFrame:
+    """(doc_a, doc_b) LSH band-bucket candidates (bucket-size capped, in-array
+    pair generation — see :func:`_lsh_verified_pairs` for why no self-join),
+    NOT yet deduplicated across bands."""
+    sigs = d.withColumn("sig", minhash_signature_from_hashes(F.col("hs")))
+    bands = sigs.select(
+        "doc_id", F.explode(lsh_band_buckets(F.col("sig"))).alias("bb")
+    ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    buckets = (
+        bands.groupBy("band", "bucket")
+        .agg(F.collect_list("doc_id").alias("ids"))
+        .filter(F.size("ids").between(2, LSH_MAX_BUCKET))
+    )
+    return (
+        buckets.select(
+            F.explode(
+                F.filter(
+                    F.flatten(
+                        F.transform(
+                            "ids",
+                            lambda a: F.transform(
+                                "ids", lambda b: F.struct(a.alias("doc_a"), b.alias("doc_b"))
+                            ),
+                        )
+                    ),
+                    lambda s: s.doc_a < s.doc_b,
+                )
+            ).alias("p")
+        )
+        .select("p.doc_a", "p.doc_b")
+    )
+
+
 def _lsh_verified_pairs(d: DataFrame, tau: float = 0.5, pair_filter=None) -> DataFrame:
     """sign → band → bucket-group pair generation (with size cap) →
     exact-Jaccard verify, over a barriered (doc_id, hs) frame from
@@ -233,33 +266,7 @@ def _lsh_verified_pairs(d: DataFrame, tau: float = 0.5, pair_filter=None) -> Dat
     (e.g. incremental_dedup's batch x corpus cross pairs, ~18% of all
     candidates at a 10% batch fraction) skip the two hs-array joins and
     the Jaccard walk for pairs they would discard anyway."""
-    sigs = d.withColumn("sig", minhash_signature_from_hashes(F.col("hs")))
-    bands = sigs.select(
-        "doc_id", F.explode(lsh_band_buckets(F.col("sig"))).alias("bb")
-    ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
-    buckets = (
-        bands.groupBy("band", "bucket")
-        .agg(F.collect_list("doc_id").alias("ids"))
-        .filter(F.size("ids").between(2, LSH_MAX_BUCKET))
-    )
-    cand = (
-        buckets.select(
-            F.explode(
-                F.filter(
-                    F.flatten(
-                        F.transform(
-                            "ids",
-                            lambda a: F.transform(
-                                "ids", lambda b: F.struct(a.alias("doc_a"), b.alias("doc_b"))
-                            ),
-                        )
-                    ),
-                    lambda s: s.doc_a < s.doc_b,
-                )
-            ).alias("p")
-        )
-        .select("p.doc_a", "p.doc_b")
-    )
+    cand = _lsh_candidates(d)
     if pair_filter is not None:
         cand = cand.filter(pair_filter)
     cand = cand.distinct()
@@ -605,3 +612,75 @@ def neardup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     cc = connected_components(pairs, "doc_a", "doc_b")
     sizes = cc.groupBy("label").agg(F.count(F.lit(1)).alias("cluster_size"))
     return sizes.groupBy("cluster_size").agg(F.count(F.lit(1)).alias("n_clusters"))
+
+
+@query(
+    "minhash_estimate_audit",
+    oracle="WITH "
+    + _BANDS_CTE
+    + f""",
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
+                                  AND a.doc_id < b.doc_id
+    ),
+    audited AS (
+        SELECT doc_a, doc_b,
+               len(list_intersect(sa.hs, sb.hs)) * 1.0 /
+               (len(sa.hs) + len(sb.hs) - len(list_intersect(sa.hs, sb.hs))) AS jaccard,
+               CAST(len(list_filter(generate_series(1, {MINHASH_K}),
+                                    i -> ga.sig[i] = gb.sig[i])) AS DOUBLE)
+                   / {MINHASH_K}.0 AS est
+        FROM cand
+        JOIN hsv sa ON cand.doc_a = sa.doc_id
+        JOIN hsv sb ON cand.doc_b = sb.doc_id
+        JOIN sig ga ON cand.doc_a = ga.doc_id
+        JOIN sig gb ON cand.doc_b = gb.doc_id
+    )
+    SELECT doc_a, doc_b, jaccard, est, abs(est - jaccard) AS abs_err,
+           avg(abs(est - jaccard)) OVER () AS mean_abs_err,
+           max(abs(est - jaccard)) OVER () AS max_abs_err
+    FROM audited
+    """,
+)
+def minhash_estimate_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Estimator-quality audit for the MinHash sketch: on every LSH
+    candidate pair (no Jaccard threshold — the audit wants the full range),
+    compare the k={MINHASH_K} signature agreement rate (the MinHash Jaccard
+    estimate, E[est] = J) against the exact shingle-hash Jaccard, and report
+    per-pair absolute error plus the corpus-wide mean/max.
+
+    This closes the approximation-accountability loop the ANN recall gate
+    (`ann_recall_eval`) and the Misra–Gries exact-verify
+    (`heavy_hitters_verified`) follow: no sketch ships without a measured
+    error against ground truth.  Cost: the same candidate-join plan as
+    `minhash_lsh_pairs` plus one 8-int array comparison per pair — exact
+    Jaccard is already computed there, so the audit is nearly free, and at
+    100 TB it runs on a sampled candidate subset."""
+    d = with_shingle_hashes(load_table(spark, sf_dir, "documents"), "doc_id")
+    feats = d.withColumn("sig", minhash_signature_from_hashes(F.col("hs")))
+    cand = _lsh_candidates(d).distinct()
+    a = feats.select(
+        F.col("doc_id").alias("doc_a"), F.col("hs").alias("hs_a"), F.col("sig").alias("sig_a")
+    )
+    b = feats.select(
+        F.col("doc_id").alias("doc_b"), F.col("hs").alias("hs_b"), F.col("sig").alias("sig_b")
+    )
+    est = (
+        F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda v: v))
+        .cast("double")
+        / float(MINHASH_K)
+    )
+    audited = (
+        cand.join(a, "doc_a")
+        .join(b, "doc_b")
+        .withColumn("jaccard", jaccard(F.col("hs_a"), F.col("hs_b")))
+        .withColumn("est", est)
+        .withColumn("abs_err", F.abs(F.col("est") - F.col("jaccard")))
+    )
+    wall = Window.partitionBy()
+    return audited.select(
+        "doc_a", "doc_b", "jaccard", "est", "abs_err",
+        F.avg("abs_err").over(wall).alias("mean_abs_err"),
+        F.max("abs_err").over(wall).alias("max_abs_err"),
+    )

@@ -342,3 +342,26 @@ def test_ngram_df_cap_drops_boilerplate_only_pairs(spark):
     pairs = {(r.doc_a, r.doc_b) for r in inter.collect()}
     assert (2000, 2001) in pairs, "rare-shingle pair lost"
     assert all(a >= 2000 for a, _ in pairs), f"boilerplate pairs leaked: {sorted(pairs)[:5]}"
+
+
+def test_minhash_estimate_audit_statistics(spark, sf_dir):
+    from datapipeline_ops_spark.queries import QUERIES
+
+    rows = QUERIES["minhash_estimate_audit"].fn(spark, sf_dir).collect()
+    assert rows
+    errs = [r.abs_err for r in rows]
+    mean = sum(errs) / len(errs)
+    for r in rows:
+        # est is an agreement fraction over k=8 components; every LSH
+        # candidate matched at least one 2-row band, so est >= 2/8 by
+        # construction (selection bias the audit exists to expose)
+        assert 0.25 - 1e-9 <= r.est <= 1.0
+        assert abs(r.est * 8 - round(r.est * 8)) < 1e-9
+        assert 0.0 <= r.jaccard <= 1.0
+        assert abs(r.abs_err - abs(r.est - r.jaccard)) < 1e-12
+        assert abs(r.mean_abs_err - mean) < 1e-9
+        assert abs(r.max_abs_err - max(errs)) < 1e-12
+    # k=8 per-pair std is sqrt(J(1-J)/8) <= 0.18, but candidate selection
+    # floors est at 0.25 for near-zero-J fluke pairs, so the mean error over
+    # ALL candidates is bounded by ~the floor, not the sketch std
+    assert mean < 0.5
