@@ -684,3 +684,49 @@ def minhash_estimate_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.avg("abs_err").over(wall).alias("mean_abs_err"),
         F.max("abs_err").over(wall).alias("max_abs_err"),
     )
+
+
+@query(
+    "ngram_novelty_rate",
+    oracle="WITH "
+    + _HS_CTE
+    + """,
+    ex AS (SELECT doc_id, unnest(hs) AS s FROM hsv),
+    first AS (SELECT s, min(doc_id) AS first_doc FROM ex GROUP BY s)
+    SELECT e.doc_id,
+           count(*) AS n_grams,
+           CAST(sum(CASE WHEN f.first_doc = e.doc_id THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_novel,
+           CAST(sum(CASE WHEN f.first_doc = e.doc_id THEN 1 ELSE 0 END) AS DOUBLE)
+               / CAST(count(*) AS DOUBLE) AS novelty_rate
+    FROM ex e JOIN first f USING (s)
+    GROUP BY e.doc_id
+    """,
+)
+def ngram_novelty_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Novelty profile over corpus order: per document, the fraction of its
+    distinct 3-gram shingles whose FIRST occurrence (min doc_id) is this
+    document — the memorization/duplication curve used to decide where a
+    crawl stops contributing new text (novelty collapsing toward 0 = the
+    tail is rehashing the head).
+
+    Shuffle inventory: one explode+group on the 60-bit shingle hash for
+    first-occurrence, one join back on the same key (the exchange is
+    reusable), one per-doc aggregation — all on compact int keys, never
+    shingle strings.  The shingle-hash persist barrier is shared with every
+    other dedup query in a combined run."""
+    d = with_shingle_hashes(load_table(spark, sf_dir, "documents"), "doc_id")
+    ex = d.select("doc_id", F.explode("hs").alias("s"))
+    first = ex.groupBy("s").agg(F.min("doc_id").alias("first_doc"))
+    novel = (F.col("first_doc") == F.col("doc_id")).cast("int")
+    return (
+        ex.join(first, "s")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(novel).cast("long").alias("n_novel"),
+            (F.sum(novel).cast("double") / F.count(F.lit(1)).cast("double")).alias(
+                "novelty_rate"
+            ),
+        )
+    )

@@ -365,3 +365,18 @@ def test_minhash_estimate_audit_statistics(spark, sf_dir):
     # floors est at 0.25 for near-zero-J fluke pairs, so the mean error over
     # ALL candidates is bounded by ~the floor, not the sketch std
     assert mean < 0.5
+
+
+def test_ngram_novelty_first_doc_is_fully_novel(spark, sf_dir):
+    from datapipeline_ops_spark.queries import QUERIES
+    from datapipeline_ops_spark.tables import load_table
+
+    rows = {r.doc_id: r for r in QUERIES["ngram_novelty_rate"].fn(spark, sf_dir).collect()}
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    assert len(rows) == n_docs
+    first = rows[min(rows)]
+    # the earliest doc introduces every one of its shingles
+    assert first.n_novel == first.n_grams and first.novelty_rate == 1.0
+    for r in rows.values():
+        assert 0 <= r.n_novel <= r.n_grams
+        assert abs(r.novelty_rate - r.n_novel / r.n_grams) < 1e-12
