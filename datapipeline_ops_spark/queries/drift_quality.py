@@ -379,3 +379,91 @@ def dead_letter_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("k").isNull(), 1).otherwise(0)).alias("n_dlq"),
         F.sum("k").cast("long").alias("sum_k"),
     )
+
+
+AUC_BINS = 2048
+AUC_LABEL_CHARS = 300  # label: long doc (n_chars >= this)
+
+
+@query(
+    "auc_binned_report",
+    oracle=f"""
+    WITH scored AS MATERIALIZED (
+        SELECT CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS DOUBLE) AS score,
+               CASE WHEN n_chars >= {AUC_LABEL_CHARS} THEN 1 ELSE 0 END AS label
+        FROM documents
+    ),
+    ext AS (SELECT min(score) AS vmin, max(score) AS vmax FROM scored),
+    bins AS (
+        SELECT {_sql_bin('s.score', 'x.vmin', 'x.vmax', AUC_BINS)} AS bin,
+               CAST(sum(s.label) AS BIGINT) AS n_pos,
+               CAST(sum(1 - s.label) AS BIGINT) AS n_neg
+        FROM scored s CROSS JOIN ext x GROUP BY 1
+    ),
+    cum AS (
+        SELECT n_pos, n_neg,
+               coalesce(sum(n_pos) OVER (ORDER BY bin
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pos_below
+        FROM bins
+    ),
+    tot AS (SELECT CAST(sum(n_pos) AS DOUBLE) AS p, CAST(sum(n_neg) AS DOUBLE) AS n
+            FROM cum)
+    SELECT CAST(t.p AS BIGINT) AS n_pos, CAST(t.n AS BIGINT) AS n_neg,
+           sum(CAST(c.n_neg AS DOUBLE)
+               * (CAST(c.pos_below AS DOUBLE) + 0.5 * CAST(c.n_pos AS DOUBLE)))
+               / (t.p * t.n) AS auc,
+           2.0 * (sum(CAST(c.n_neg AS DOUBLE)
+               * (CAST(c.pos_below AS DOUBLE) + 0.5 * CAST(c.n_pos AS DOUBLE)))
+               / (t.p * t.n)) - 1.0 AS gini
+    FROM cum c CROSS JOIN tot t
+    GROUP BY t.p, t.n
+    """,
+)
+def auc_binned_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROC-AUC of a score against a binary label, computed from a
+    {AUC_BINS}-bin score sketch — the scalable form of the classifier
+    acceptance metric (exact AUC needs a global rank; binned AUC with
+    within-bin ties counted 1/2 converges from the same sketch the drift
+    checks use).  Demonstrated on word-count-as-score vs long-document
+    label (AUC ~1 by construction — the metric plumbing is the point;
+    substitute any model score column).
+
+    AUC = sum over score bins of n_neg_b * (pos_below_b + n_pos_b/2) /
+    (P*N) — rank-sum (Mann-Whitney) over the binned distribution.  One
+    partial-aggregated shuffle carries <= {AUC_BINS} rows; the cumulative
+    window runs on the bounded bin table."""
+    d = load_table(spark, sf_dir, "documents")
+    scored = d.select(
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("double").alias("score"),
+        F.when(F.col("n_chars") >= AUC_LABEL_CHARS, 1).otherwise(0).alias("label"),
+    )
+    ext = scored.agg(F.min("score").alias("vmin"), F.max("score").alias("vmax"))
+    bins = (
+        scored.crossJoin(F.broadcast(ext))
+        .withColumn("bin", _bin_expr(F.col("score"), F.col("vmin"), F.col("vmax"), AUC_BINS))
+        .groupBy("bin")
+        .agg(
+            F.sum("label").cast("long").alias("n_pos"),
+            F.sum(1 - F.col("label")).cast("long").alias("n_neg"),
+        )
+    )
+    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, -1)
+    cum = bins.select(
+        "n_pos", "n_neg",
+        F.coalesce(F.sum("n_pos").over(w), F.lit(0)).alias("pos_below"),
+    )
+    wall = Window.partitionBy()
+    tot_p = F.sum("n_pos").over(wall).cast("double")
+    tot_n = F.sum("n_neg").over(wall).cast("double")
+    contrib = F.col("n_neg").cast("double") * (
+        F.col("pos_below").cast("double") + 0.5 * F.col("n_pos").cast("double")
+    )
+    staged = cum.select(
+        "n_pos", "n_neg", contrib.alias("contrib"), tot_p.alias("p"), tot_n.alias("n")
+    )
+    return staged.groupBy("p", "n").agg(
+        F.any_value("p").cast("long").alias("n_pos"),
+        F.any_value("n").cast("long").alias("n_neg"),
+        (F.sum("contrib") / (F.any_value("p") * F.any_value("n"))).alias("auc"),
+        (2.0 * F.sum("contrib") / (F.any_value("p") * F.any_value("n")) - 1.0).alias("gini"),
+    ).drop("p", "n")

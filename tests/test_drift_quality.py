@@ -72,3 +72,11 @@ def test_dead_letter_split_routes_about_ten_percent(spark, sf_dir):
         assert r.n_ok + r.n_dlq == r.n_total
         assert r.sum_k is not None and r.sum_k > 0
     assert 0.05 < n_dlq / n_total < 0.15
+
+
+def test_auc_binned_separates_length_label(spark, sf_dir):
+    row = q("auc_binned_report", spark, sf_dir).collect()[0]
+    assert row.n_pos > 0 and row.n_neg > 0
+    # word count is near-monotone in n_chars, so AUC must be ~1
+    assert 0.95 <= row.auc <= 1.0
+    assert abs(row.gini - (2 * row.auc - 1)) < 1e-12
