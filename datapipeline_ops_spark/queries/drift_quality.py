@@ -402,18 +402,18 @@ AUC_LABEL_CHARS = 300  # label: long doc (n_chars >= this)
     ),
     cum AS (
         SELECT n_pos, n_neg,
-               coalesce(sum(n_pos) OVER (ORDER BY bin
-                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pos_below
+               coalesce(sum(n_neg) OVER (ORDER BY bin
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS neg_below
         FROM bins
     ),
     tot AS (SELECT CAST(sum(n_pos) AS DOUBLE) AS p, CAST(sum(n_neg) AS DOUBLE) AS n
             FROM cum)
     SELECT CAST(t.p AS BIGINT) AS n_pos, CAST(t.n AS BIGINT) AS n_neg,
-           sum(CAST(c.n_neg AS DOUBLE)
-               * (CAST(c.pos_below AS DOUBLE) + 0.5 * CAST(c.n_pos AS DOUBLE)))
+           sum(CAST(c.n_pos AS DOUBLE)
+               * (CAST(c.neg_below AS DOUBLE) + 0.5 * CAST(c.n_neg AS DOUBLE)))
                / (t.p * t.n) AS auc,
-           2.0 * (sum(CAST(c.n_neg AS DOUBLE)
-               * (CAST(c.pos_below AS DOUBLE) + 0.5 * CAST(c.n_pos AS DOUBLE)))
+           2.0 * (sum(CAST(c.n_pos AS DOUBLE)
+               * (CAST(c.neg_below AS DOUBLE) + 0.5 * CAST(c.n_neg AS DOUBLE)))
                / (t.p * t.n)) - 1.0 AS gini
     FROM cum c CROSS JOIN tot t
     GROUP BY t.p, t.n
@@ -428,7 +428,7 @@ def auc_binned_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     label (AUC ~1 by construction — the metric plumbing is the point;
     substitute any model score column).
 
-    AUC = sum over score bins of n_neg_b * (pos_below_b + n_pos_b/2) /
+    AUC = sum over score bins of n_pos_b * (neg_below_b + n_neg_b/2) /
     (P*N) — rank-sum (Mann-Whitney) over the binned distribution.  One
     partial-aggregated shuffle carries <= {AUC_BINS} rows; the cumulative
     window runs on the bounded bin table."""
@@ -450,13 +450,13 @@ def auc_binned_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, -1)
     cum = bins.select(
         "n_pos", "n_neg",
-        F.coalesce(F.sum("n_pos").over(w), F.lit(0)).alias("pos_below"),
+        F.coalesce(F.sum("n_neg").over(w), F.lit(0)).alias("neg_below"),
     )
     wall = Window.partitionBy()
     tot_p = F.sum("n_pos").over(wall).cast("double")
     tot_n = F.sum("n_neg").over(wall).cast("double")
-    contrib = F.col("n_neg").cast("double") * (
-        F.col("pos_below").cast("double") + 0.5 * F.col("n_pos").cast("double")
+    contrib = F.col("n_pos").cast("double") * (
+        F.col("neg_below").cast("double") + 0.5 * F.col("n_neg").cast("double")
     )
     staged = cum.select(
         "n_pos", "n_neg", contrib.alias("contrib"), tot_p.alias("p"), tot_n.alias("n")
