@@ -65,6 +65,16 @@ _PRIORITY = [
     "top_orders", "dedup_exact_keepers", "minhash_lsh_pairs",
     "neardup_clusters", "similarity_argmax",
 ]
+# ROUND-5 ORDERING PLAN (do not apply before the round-4 gate runs — the
+# driver reads this order at round end): head the 50-slot window with the
+# round-4 additions that have no driver record yet —
+#   ks_drift_binned psi_stability_report chi2_type_by_dow
+#   gopher_quality_flags dead_letter_split auc_binned_report
+#   mmr_diverse_topk salted_skew_join bfs_reach_3hop bm25_topk
+#   inverted_index_postings ann_recall_eval heavy_hitters_verified
+#   column_correlation_matrix entropy_by_source js_divergence_sources
+#   minhash_estimate_audit ngram_novelty_rate stream_psi_drift
+# then continue the stale-green rotation (oldest records first).
 
 
 def _ordered_names() -> list[str]:
