@@ -561,3 +561,72 @@ def kmeans_refine_step(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_members"),
         )
     )
+
+
+@query(
+    "embedding_centroid_drift",
+    oracle=f"""
+    WITH {_V_CTE},
+    halves AS (
+        SELECT label, vec_id % 2 AS grp, i.dim AS dim,
+               round(avg(vec[i.dim + 1]), 6) AS c
+        FROM v, LATERAL (SELECT unnest(generate_series(0, {EMB_DIM - 1})) AS dim) AS i
+        GROUP BY 1, 2, 3
+    ),
+    paired AS (
+        SELECT a.label, a.dim, a.c AS ca, b.c AS cb
+        FROM halves a JOIN halves b
+          ON a.label = b.label AND a.dim = b.dim AND a.grp = 0 AND b.grp = 1
+    ),
+    counts AS (
+        SELECT label,
+               CAST(sum(CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+               CAST(sum(CASE WHEN vec_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+        FROM v GROUP BY label
+    )
+    SELECT p.label, c.n_a, c.n_b,
+           sum(ca * cb) / (sqrt(sum(ca * ca)) * sqrt(sum(cb * cb))) AS centroid_cos
+    FROM paired p JOIN counts c ON p.label = c.label
+    GROUP BY p.label, c.n_a, c.n_b
+    """,
+)
+def embedding_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space drift monitor: per label, the cosine between the
+    centroid of the even-id half and the odd-id half of the corpus — the
+    vector analog of the PSI gate ("did this class's embedding distribution
+    move between snapshots?").  Reading: a label whose members cluster in a
+    direction shows cos near 1 (and drift as a drop); a label with no
+    geometric structure — like this corpus's uniform synthetic labels —
+    shows the half-centroids as uncorrelated noise residues, cos near 0,
+    which is itself the useful diagnostic ("label carries no direction").
+
+    Plan: posexplode to (label, half, dim) rows -> ONE partial-aggregated
+    shuffle of per-dim sums (the same centroid shape as `label_centroids` /
+    `kmeans_refine_step`) -> the cosine assembles from the K x 2 x {EMB_DIM}
+    bounded centroid table.  Centroids round to 6 dp in BOTH engines before
+    the cosine so the gate compares identical doubles."""
+    e = load_table(spark, sf_dir, "embeddings")
+    dims = e.select(
+        "label",
+        (F.col("vec_id") % 2).alias("grp"),
+        F.posexplode(as_double(F.col("embedding"))).alias("dim", "x"),
+    )
+    halves = dims.groupBy("label", "grp", "dim").agg(
+        F.round(F.avg("x"), 6).alias("c")
+    )
+    a = halves.filter(F.col("grp") == 0).select("label", "dim", F.col("c").alias("ca"))
+    b = halves.filter(F.col("grp") == 1).select("label", "dim", F.col("c").alias("cb"))
+    counts = e.groupBy("label").agg(
+        F.sum(F.when(F.col("vec_id") % 2 == 0, 1).otherwise(0)).cast("long").alias("n_a"),
+        F.sum(F.when(F.col("vec_id") % 2 == 1, 1).otherwise(0)).cast("long").alias("n_b"),
+    )
+    paired = a.join(b, ["label", "dim"])
+    cos = F.sum(F.col("ca") * F.col("cb")) / (
+        F.sqrt(F.sum(F.col("ca") * F.col("ca"))) * F.sqrt(F.sum(F.col("cb") * F.col("cb")))
+    )
+    return (
+        paired.groupBy("label")
+        .agg(cos.alias("centroid_cos"))
+        .join(F.broadcast(counts), "label")
+        .select("label", "n_a", "n_b", "centroid_cos")
+    )

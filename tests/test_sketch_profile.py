@@ -60,3 +60,14 @@ def test_jsd_sources_bounds_and_zero_case(spark, sf_dir):
         assert abs(r.jsd_norm - r.jsd / math.log(2.0)) < 1e-12
     # sources drawn from the same generator: none should be a hard outlier
     assert max(r.jsd_norm for r in rows) < 0.5
+
+
+def test_embedding_centroid_drift_iid_halves_agree(spark, sf_dir):
+    rows = q("embedding_centroid_drift", spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.n_a > 0 and r.n_b > 0
+        assert -1.0 <= r.centroid_cos <= 1.0
+    # this corpus's labels are geometrically unstructured: half-centroids
+    # are noise residues, so |cos| must hover near 0 — far from either pole
+    assert all(abs(r.centroid_cos) < 0.5 for r in rows)
