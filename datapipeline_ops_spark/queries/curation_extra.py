@@ -827,3 +827,71 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg(F.log(F.col("pt") / F.col("ps"))), 6).alias("importance"),
         )
     )
+
+
+@query(
+    "curriculum_length_buckets",
+    oracle="""
+    WITH lens AS MATERIALIZED (
+        SELECT doc_id, CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_words
+        FROM documents
+    ),
+    hist AS (
+        SELECT n_words, count(*) AS c FROM lens GROUP BY n_words
+    ),
+    cum AS (
+        SELECT n_words,
+               sum(c) OVER (ORDER BY n_words
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cc,
+               sum(c) OVER () AS n
+        FROM hist
+    ),
+    cuts AS (
+        SELECT min(CASE WHEN cc * 3 >= n THEN n_words END) AS t1,
+               min(CASE WHEN cc * 3 >= 2 * n THEN n_words END) AS t2
+        FROM cum
+    )
+    SELECT l.doc_id, l.n_words,
+           CASE WHEN l.n_words <= c.t1 THEN 'short'
+                WHEN l.n_words <= c.t2 THEN 'medium'
+                ELSE 'long' END AS bucket
+    FROM lens l CROSS JOIN cuts c
+    """,
+)
+def curriculum_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-tercile curriculum assignment: every document lands in
+    short/medium/long by word count, with tercile boundaries derived from
+    the corpus's own length distribution — the bucketing step of a
+    length-ordered training curriculum (and of CCNet-style head/middle/tail
+    splits, with any per-doc score substituted for length).
+
+    The boundary computation is INTEGER-exact cross-engine: a bounded
+    length histogram (distinct lengths, not documents), a cumulative window
+    over it, and `min length where 3*cum >= k*N` — no float percentile
+    interpolation, so both engines cut at identical values.  Shuffles: the
+    length histogram group-by; the cuts broadcast back to the doc scan."""
+    d = load_table(spark, sf_dir, "documents")
+    lens = d.select(
+        "doc_id",
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long").alias("n_words"),
+    )
+    hist = lens.groupBy("n_words").agg(F.count(F.lit(1)).alias("c"))
+    w = Window.orderBy("n_words").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wall = Window.partitionBy()
+    cum = hist.select(
+        "n_words",
+        F.sum("c").over(w).alias("cc"),
+        F.sum("c").over(wall).alias("n"),
+    )
+    cuts = cum.agg(
+        F.min(F.when(F.col("cc") * 3 >= F.col("n"), F.col("n_words"))).alias("t1"),
+        F.min(F.when(F.col("cc") * 3 >= 2 * F.col("n"), F.col("n_words"))).alias("t2"),
+    )
+    return lens.crossJoin(F.broadcast(cuts)).select(
+        "doc_id",
+        "n_words",
+        F.when(F.col("n_words") <= F.col("t1"), "short")
+        .when(F.col("n_words") <= F.col("t2"), "medium")
+        .otherwise("long")
+        .alias("bucket"),
+    )

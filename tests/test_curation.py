@@ -143,3 +143,23 @@ def test_repetition_flags_templated_spam(spark):
 
 def test_pack_budget_positive():
     assert PACK_BUDGET > 0
+
+
+def test_curriculum_length_buckets_terciles(spark, sf_dir):
+    from datapipeline_ops_spark.queries import QUERIES
+    from datapipeline_ops_spark.tables import load_table
+
+    rows = QUERIES["curriculum_length_buckets"].fn(spark, sf_dir).collect()
+    n = load_table(spark, sf_dir, "documents").count()
+    assert len(rows) == n
+    sizes = {}
+    for r in rows:
+        sizes[r.bucket] = sizes.get(r.bucket, 0) + 1
+    assert set(sizes) == {"short", "medium", "long"}
+    # ordering respected: every short doc <= every long doc in word count
+    max_short = max(r.n_words for r in rows if r.bucket == "short")
+    min_long = min(r.n_words for r in rows if r.bucket == "long")
+    assert max_short < min_long
+    # terciles are balanced up to length-tie granularity
+    for b, c in sizes.items():
+        assert c > n // 6, (b, c, sizes)
