@@ -895,3 +895,52 @@ def curriculum_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("long")
         .alias("bucket"),
     )
+
+
+K_ANON_THRESHOLD = 5
+
+
+@query(
+    "k_anonymity_audit",
+    oracle=f"""
+    WITH quasi AS (
+        SELECT lang, source,
+               CAST(len(regexp_split_to_array(trim(text), '\\s+')) // 25 AS BIGINT)
+                   AS len_bucket,
+               doc_id
+        FROM documents
+    ),
+    groups AS (
+        SELECT lang, source, len_bucket, count(*) AS group_size
+        FROM quasi GROUP BY 1, 2, 3
+    )
+    SELECT lang, source, len_bucket, group_size,
+           group_size < {K_ANON_THRESHOLD} AS violates_k
+    FROM groups
+    """,
+)
+def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over the quasi-identifier tuple (lang, source,
+    length-bucket): any combination matched by fewer than
+    k={K_ANON_THRESHOLD} documents re-identifies its members and must be
+    suppressed or generalized before the dataset ships — the governance
+    gate that pairs with `pii_redact` (redaction removes direct
+    identifiers; k-anonymity catches the indirect ones).
+
+    One partial-aggregated group-by on the quasi-identifier tuple; the
+    audit output is |combination|-sized, never document-sized, so at 5 B
+    docs the report is still tiny.  Suppression itself is then a
+    broadcast semi-join of the violating combos against the corpus."""
+    d = load_table(spark, sf_dir, "documents")
+    quasi = d.select(
+        "lang",
+        "source",
+        (F.size(F.split(F.trim(F.col("text")), r"\s+")) / F.lit(25))
+        .cast("long")
+        .alias("len_bucket"),
+    )
+    return (
+        quasi.groupBy("lang", "source", "len_bucket")
+        .agg(F.count(F.lit(1)).alias("group_size"))
+        .withColumn("violates_k", F.col("group_size") < K_ANON_THRESHOLD)
+    )

@@ -163,3 +163,18 @@ def test_curriculum_length_buckets_terciles(spark, sf_dir):
     # terciles are balanced up to length-tie granularity
     for b, c in sizes.items():
         assert c > n // 6, (b, c, sizes)
+
+
+def test_k_anonymity_audit_counts(spark, sf_dir):
+    from datapipeline_ops_spark.queries import QUERIES
+    from datapipeline_ops_spark.queries.curation_extra import K_ANON_THRESHOLD
+    from datapipeline_ops_spark.tables import load_table
+
+    rows = QUERIES["k_anonymity_audit"].fn(spark, sf_dir).collect()
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    assert sum(r.group_size for r in rows) == n_docs
+    for r in rows:
+        assert r.violates_k == (r.group_size < K_ANON_THRESHOLD)
+    # tiny sf: most (lang, source, len-bucket) combos are sparse — the audit
+    # must actually flag something here, or the flag logic is dead
+    assert any(r.violates_k for r in rows)
