@@ -912,3 +912,60 @@ def unpivot_order_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("val"), 4).alias("total"),
         F.round(F.avg("val"), 6).alias("mean"),
     )
+
+
+@query(
+    "user_event_type_map",
+    oracle="""
+    WITH cells AS (
+        SELECT user_id, event_type, count(*) AS n
+        FROM events GROUP BY user_id, event_type
+    )
+    SELECT user_id,
+           '{' || string_agg('"' || event_type || '":' || n, ',' ORDER BY event_type)
+               || '}' AS type_counts,
+           CAST(sum(n) AS BIGINT) AS n_total
+    FROM cells GROUP BY user_id
+    """,
+)
+def user_event_type_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user event-type histogram emitted as a MAP column — the nested
+    output shape feature stores serve ("counters per user as one row"),
+    exercising MapType end-to-end through the value gate.  Entries are
+    assembled in sorted key order and the map serializes to canonical JSON
+    for the gate (engines' client-side MAP representations differ; the
+    MapType itself is exercised inside the plan).  One partial-aggregated (user, type) shuffle, then a
+    per-user merge; the map is bounded by |event types|."""
+    e = load_table(spark, sf_dir, "events")
+    cells = e.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("n"))
+    entry = F.struct(F.col("event_type").alias("k"), F.col("n").alias("v"))
+    return cells.groupBy("user_id").agg(
+        F.to_json(F.map_from_entries(F.array_sort(F.collect_list(entry))))
+        .alias("type_counts"),
+        F.sum("n").cast("long").alias("n_total"),
+    )
+
+
+@query(
+    "decimal_exact_totals",
+    oracle="""
+    SELECT o_orderpriority,
+           sum(CAST(CAST(o_totalprice AS DECIMAL(18, 2)) AS DECIMAL(28, 2)))
+               AS total_price,
+           count(*) AS n_orders
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def decimal_exact_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact DECIMAL aggregation: order totals quantized to DECIMAL(18,2)
+    and summed in decimal arithmetic — the money path where double rounding
+    is unacceptable and results must be bit-identical regardless of
+    partitioning or add order (decimal addition is associative; double
+    addition is not).  Exercises Spark's decimal sum codepath through the
+    gate; the oracle mirrors the same two-step quantize-then-widen cast."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)").cast("decimal(28,2)"))
+        .alias("total_price"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )

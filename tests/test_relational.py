@@ -145,3 +145,38 @@ def test_fuzzy_pairs_distance_bounds(spark, sf_dir):
         | (F.levenshtein(F.col("name_a"), F.col("name_b")) != F.col("dist"))
     )
     assert bad.count() == 0
+
+
+def test_user_event_type_map_roundtrip(spark, sf_dir):
+    import json
+
+    from datapipeline_ops_spark.queries import QUERIES
+    from datapipeline_ops_spark.tables import load_table
+
+    rows = QUERIES["user_event_type_map"].fn(spark, sf_dir).collect()
+    e = load_table(spark, sf_dir, "events")
+    n_events = e.count()
+    total = 0
+    for r in rows:
+        m = json.loads(r.type_counts)
+        assert sum(m.values()) == r.n_total
+        assert list(m) == sorted(m), "map keys must serialize sorted"
+        total += r.n_total
+    assert total == n_events
+
+
+def test_decimal_exact_totals_is_exact(spark, sf_dir):
+    from decimal import Decimal
+
+    from datapipeline_ops_spark.queries import QUERIES
+    from datapipeline_ops_spark.tables import load_table
+
+    rows = QUERIES["decimal_exact_totals"].fn(spark, sf_dir).collect()
+    o = load_table(spark, sf_dir, "orders").select("o_orderpriority", "o_totalprice").collect()
+    expect = {}
+    for r in o:
+        q = Decimal(str(r.o_totalprice)).quantize(Decimal("0.01"))
+        expect[r.o_orderpriority] = expect.get(r.o_orderpriority, Decimal(0)) + q
+    for r in rows:
+        assert isinstance(r.total_price, Decimal)
+        assert r.total_price == expect[r.o_orderpriority]
