@@ -730,3 +730,170 @@ def ngram_novelty_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+LSH_TUNE_CONFIGS = [(1, 8), (2, 4), (4, 2), (8, 1)]
+
+
+def _lsh_tuning_oracle() -> str:
+    from datapipeline_ops_spark.functions.hashing import sql_hash64
+
+    base = ("WITH " + _SIG_CTE).replace(
+        "hsv AS (", "hsv AS MATERIALIZED ("
+    ).replace("sig AS (", "sig AS MATERIALIZED (")
+    jac = ("len(list_intersect(sa.hs, sb.hs)) * 1.0 / "
+           "(len(sa.hs) + len(sb.hs) - len(list_intersect(sa.hs, sb.hs)))")
+    parts = [base]
+    parts.append(f""",
+    ex AS MATERIALIZED (SELECT doc_id, unnest(hs) AS s FROM hsv),
+    inter AS (
+        SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS ni
+        FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    sizes AS MATERIALIZED (SELECT doc_id, len(hs) AS n FROM hsv),
+    truth AS MATERIALIZED (
+        SELECT count(*) AS n_true
+        FROM inter JOIN sizes sa ON da = sa.doc_id JOIN sizes sb ON db = sb.doc_id
+        WHERE ni * 1.0 / (sa.n + sb.n - ni) >= 0.5
+    )""")
+    for b, r in LSH_TUNE_CONFIGS:
+        elems = " || ':' || ".join(
+            f"CAST(sig[bi.band * {r} + {j + 1}] AS VARCHAR)" for j in range(r)
+        )
+        bucket = sql_hash64(f"CAST(bi.band AS VARCHAR) || ':' || {elems}")
+        parts.append(f""",
+    bands_{b} AS (
+        SELECT doc_id, bi.band AS band, {bucket} AS bucket
+        FROM sig, LATERAL (SELECT unnest(generate_series(0, {b - 1})) AS band) AS bi
+    ),
+    bandsc_{b} AS MATERIALIZED (
+        SELECT doc_id, band, bucket FROM (
+            SELECT *, count(*) OVER (PARTITION BY band, bucket) AS bsz FROM bands_{b}
+        ) WHERE bsz <= {LSH_MAX_BUCKET}
+    ),
+    cand_{b} AS MATERIALIZED (
+        SELECT DISTINCT x.doc_id AS da, y.doc_id AS db
+        FROM bandsc_{b} x JOIN bandsc_{b} y
+          ON x.band = y.band AND x.bucket = y.bucket AND x.doc_id < y.doc_id
+    ),
+    ver_{b} AS MATERIALIZED (
+        SELECT count(*) AS n FROM cand_{b} c
+        JOIN hsv sa ON c.da = sa.doc_id JOIN hsv sb ON c.db = sb.doc_id
+        WHERE {jac} >= 0.5
+    ),
+    row_{b} AS (
+        SELECT {b} AS n_bands, {r} AS rows_per_band,
+               (SELECT count(*) FROM cand_{b}) AS n_candidates,
+               (SELECT n FROM ver_{b}) AS n_verified
+    )""")
+    union = "\n    UNION ALL ".join(
+        f"SELECT * FROM row_{b}" for b, _ in LSH_TUNE_CONFIGS
+    )
+    parts.append(f""",
+    configs AS ({union})
+    SELECT CAST(n_bands AS INT) AS n_bands,
+           CAST(rows_per_band AS INT) AS rows_per_band,
+           CAST(n_candidates AS BIGINT) AS n_candidates,
+           CAST(n_verified AS BIGINT) AS n_verified,
+           CAST(t.n_true AS BIGINT) AS n_true,
+           CASE WHEN n_candidates = 0 THEN 0.0
+                ELSE CAST(n_verified AS DOUBLE) / CAST(n_candidates AS DOUBLE)
+           END AS precision,
+           CAST(n_verified AS DOUBLE) / CAST(t.n_true AS DOUBLE) AS recall
+    FROM configs CROSS JOIN truth t""")
+    return "".join(parts)
+
+
+@query("lsh_tuning_report", oracle=_lsh_tuning_oracle())
+def lsh_tuning_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banding-parameter sweep for the MinHash LSH index: for every (bands,
+    rows-per-band) factorization of the k=8 signature, the candidate count,
+    the verified-pair count at tau=0.5, and precision/recall against the
+    EXACT pair set (uncapped inverted-index join, computed once) — the
+    tuning table that decides the b x r trade before a 100 TB dedup run
+    (more bands = higher recall and more candidates to verify; the S-curve
+    P(candidate) = 1 - (1 - J^r)^b moves with each row).
+
+    Everything derives from ONE barriered (doc_id, hs, sig) frame: the
+    ground truth is computed once, each config adds a candidates-equi-join
+    and a bounded verify.  At full scale the truth column is computed on a
+    sampled stratum instead (exact all-pairs truth is itself quadratic) —
+    the report's shape is unchanged."""
+    d = with_shingle_hashes(load_table(spark, sf_dir, "documents"), "doc_id")
+    sigs = d.withColumn("sig", minhash_signature_from_hashes(F.col("hs")))
+
+    ex = d.select("doc_id", F.explode("hs").alias("s"))
+    inter = (
+        ex.alias("a")
+        .join(ex.alias("b"), (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db"))
+        .agg(F.count(F.lit(1)).alias("ni"))
+    )
+    sizes = d.select("doc_id", F.size("hs").alias("n"))
+    truth = (
+        inter.join(sizes.withColumnRenamed("doc_id", "da").withColumnRenamed("n", "na"), "da")
+        .join(sizes.withColumnRenamed("doc_id", "db").withColumnRenamed("n", "nb"), "db")
+        .filter(F.col("ni") / (F.col("na") + F.col("nb") - F.col("ni")) >= 0.5)
+        .agg(F.count(F.lit(1)).alias("n_true"))
+    )
+
+    branches = []
+    for b, r in LSH_TUNE_CONFIGS:
+        bands = sigs.select(
+            "doc_id", F.explode(lsh_band_buckets(F.col("sig"), bands=b)).alias("bb")
+        ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+        buckets = (
+            bands.groupBy("band", "bucket")
+            .agg(F.collect_list("doc_id").alias("ids"))
+            .filter(F.size("ids").between(2, LSH_MAX_BUCKET))
+        )
+        cand = (
+            buckets.select(
+                F.explode(
+                    F.filter(
+                        F.flatten(
+                            F.transform(
+                                "ids",
+                                lambda x: F.transform(
+                                    "ids", lambda y: F.struct(x.alias("da"), y.alias("db"))
+                                ),
+                            )
+                        ),
+                        lambda s: s.da < s.db,
+                    )
+                ).alias("p")
+            )
+            .select("p.da", "p.db")
+            .distinct()
+        )
+        ver = (
+            cand.join(d.select(F.col("doc_id").alias("da"), F.col("hs").alias("hs_a")), "da")
+            .join(d.select(F.col("doc_id").alias("db"), F.col("hs").alias("hs_b")), "db")
+            .filter(jaccard(F.col("hs_a"), F.col("hs_b")) >= 0.5)
+            .agg(F.count(F.lit(1)).alias("n_verified"))
+        )
+        branches.append(
+            cand.agg(F.count(F.lit(1)).alias("n_candidates"))
+            .crossJoin(ver)
+            .select(
+                F.lit(b).cast("int").alias("n_bands"),
+                F.lit(r).cast("int").alias("rows_per_band"),
+                F.col("n_candidates").cast("long").alias("n_candidates"),
+                F.col("n_verified").cast("long").alias("n_verified"),
+            )
+        )
+    from functools import reduce
+
+    configs = reduce(DataFrame.unionByName, branches)
+    return configs.crossJoin(F.broadcast(truth)).select(
+        "n_bands",
+        "rows_per_band",
+        "n_candidates",
+        "n_verified",
+        F.col("n_true").cast("long").alias("n_true"),
+        F.when(F.col("n_candidates") == 0, F.lit(0.0))
+        .otherwise(F.col("n_verified").cast("double") / F.col("n_candidates").cast("double"))
+        .alias("precision"),
+        (F.col("n_verified").cast("double") / F.col("n_true").cast("double")).alias("recall"),
+    )

@@ -380,3 +380,22 @@ def test_ngram_novelty_first_doc_is_fully_novel(spark, sf_dir):
     for r in rows.values():
         assert 0 <= r.n_novel <= r.n_grams
         assert abs(r.novelty_rate - r.n_novel / r.n_grams) < 1e-12
+
+
+def test_lsh_tuning_report_monotone_tradeoff(spark, sf_dir):
+    from datapipeline_ops_spark.queries import QUERIES
+
+    rows = sorted(
+        QUERIES["lsh_tuning_report"].fn(spark, sf_dir).collect(),
+        key=lambda r: r.n_bands,
+    )
+    assert [(r.n_bands, r.rows_per_band) for r in rows] == [(1, 8), (2, 4), (4, 2), (8, 1)]
+    n_true = {r.n_true for r in rows}
+    assert len(n_true) == 1 and n_true.pop() > 0
+    for prev, cur in zip(rows, rows[1:]):
+        # more, narrower bands: candidates and recall never decrease
+        assert cur.n_candidates >= prev.n_candidates
+        assert cur.recall >= prev.recall - 1e-12
+    for r in rows:
+        assert r.n_verified <= r.n_candidates
+        assert 0.0 <= r.precision <= 1.0 and 0.0 <= r.recall <= 1.0
