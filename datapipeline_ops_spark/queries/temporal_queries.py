@@ -285,3 +285,42 @@ def pit_state_at_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         "state_at_order",
         "state_event",
     )
+
+
+@query(
+    "twap_per_user",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, value, epoch_us(ts) AS t,
+               lead(epoch_us(ts)) OVER w AS nxt
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+    )
+    SELECT user_id,
+           count(*) AS n_intervals,
+           sum(value * CAST(nxt - t AS DOUBLE)) / sum(CAST(nxt - t AS DOUBLE))
+               AS twap
+    FROM seq WHERE nxt IS NOT NULL
+    GROUP BY user_id
+    """,
+)
+def twap_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average value per user: each observation is weighted by
+    how long it was the latest one (interval to the next event), the
+    standard TWAP/state-duration aggregate for irregularly sampled signals
+    (a plain avg over-weights bursts).  One hash exchange on user_id serves
+    both the lead() window and the final aggregation; interval arithmetic
+    stays on integer microseconds so both engines weight identically."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.unix_micros("ts"), "event_id")
+    seq = e.select(
+        "user_id",
+        "value",
+        F.unix_micros("ts").alias("t"),
+        F.lead(F.unix_micros("ts")).over(w).alias("nxt"),
+    ).filter(F.col("nxt").isNotNull())
+    dt = (F.col("nxt") - F.col("t")).cast("double")
+    return seq.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_intervals"),
+        (F.sum(F.col("value") * dt) / F.sum(dt)).alias("twap"),
+    )

@@ -63,3 +63,28 @@ def test_dsir_importance_separates_target_lang(spark, sf_dir):
     # docs in the target language must score higher on average than the
     # rest — the whole point of the importance weight
     assert means[True] > means[False], means
+
+
+def test_twap_weights_by_interval(spark, sf_dir):
+    import pyspark.sql.functions as F
+
+    rows = {r.user_id: r for r in q("twap_per_user", spark, sf_dir).collect()}
+    assert rows
+    # recompute one user in python
+    e = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", "value", F.unix_micros("ts").alias("t"), "event_id")
+        .collect()
+    )
+    uid = next(iter(rows))
+    seq = sorted(((r.t, r.event_id, r.value) for r in e if r.user_id == uid))
+    num = den = 0.0
+    for (t, _, v), (nt, _, _) in zip(seq, seq[1:]):
+        num += v * float(nt - t)
+        den += float(nt - t)
+    r = rows[uid]
+    assert r.n_intervals == len(seq) - 1
+    assert abs(r.twap - num / den) < 1e-9
+    # TWAP stays inside the observed value range
+    vals = [v for _, _, v in seq[:-1]]
+    assert min(vals) <= r.twap <= max(vals)
