@@ -74,6 +74,9 @@ _PRIORITY = [
 #   inverted_index_postings ann_recall_eval heavy_hitters_verified
 #   column_correlation_matrix entropy_by_source js_divergence_sources
 #   minhash_estimate_audit ngram_novelty_rate stream_psi_drift
+#   embedding_centroid_drift curriculum_length_buckets k_anonymity_audit
+#   user_event_type_map decimal_exact_totals lsh_tuning_report
+#   twap_per_user info_gain_type_by_dow
 # then continue the stale-green rotation (oldest records first).
 
 

@@ -467,3 +467,91 @@ def auc_binned_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.sum("contrib") / (F.any_value("p") * F.any_value("n"))).alias("auc"),
         (2.0 * F.sum("contrib") / (F.any_value("p") * F.any_value("n")) - 1.0).alias("gini"),
     ).drop("p", "n")
+
+
+@query(
+    "info_gain_type_by_dow",
+    oracle="""
+    WITH cells AS MATERIALIZED (
+        SELECT event_type,
+               CAST((epoch_us(ts) // 86400000000 + 3) % 7 AS BIGINT) AS dow,
+               count(*) AS n
+        FROM events GROUP BY 1, 2
+    ),
+    tot AS (SELECT CAST(sum(n) AS DOUBLE) AS nt FROM cells),
+    marg AS (SELECT event_type, CAST(sum(n) AS DOUBLE) AS m FROM cells GROUP BY 1),
+    h_type AS (
+        SELECT -sum((m / t.nt) * ln(m / t.nt)) AS h
+        FROM marg CROSS JOIN tot t GROUP BY t.nt
+    ),
+    wd AS (SELECT dow, n, sum(n) OVER (PARTITION BY dow) AS nd FROM cells),
+    percell AS (
+        SELECT dow, nd,
+               -(CAST(n AS DOUBLE) / CAST(nd AS DOUBLE))
+                   * ln(CAST(n AS DOUBLE) / CAST(nd AS DOUBLE)) AS term
+        FROM wd
+    ),
+    perdow AS (SELECT dow, any_value(nd) AS nd, sum(term) AS hk
+               FROM percell GROUP BY dow),
+    h_cond AS (
+        SELECT sum((CAST(nd AS DOUBLE) / t.nt) * hk) AS h
+        FROM perdow CROSS JOIN tot t GROUP BY t.nt
+    )
+    SELECT a.h AS h_type, b.h AS h_type_given_dow, a.h - b.h AS info_gain,
+           (a.h - b.h) / a.h AS info_gain_ratio
+    FROM h_type a CROSS JOIN h_cond b
+    """,
+)
+def info_gain_type_by_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Information gain of day-of-week about event type: H(type) −
+    H(type | dow) — the mutual-information twin of the chi-square audit
+    (`chi2_type_by_dow`), in nats. Near-zero gain = the weekly cycle
+    carries no signal about event mix (expected for this i.i.d. stream);
+    a real pipeline alerts when gain jumps (a source started batching by
+    weekday). Same single (type, dow) count shuffle as the chi-square;
+    every entropy term computes on the <=35-cell contingency table."""
+    e = load_table(spark, sf_dir, "events")
+    cells = (
+        e.select(
+            "event_type",
+            (((F.unix_micros("ts") / F.lit(86_400_000_000)).cast("long") + 3) % 7)
+            .cast("long")
+            .alias("dow"),
+        )
+        .groupBy("event_type", "dow")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    wall = Window.partitionBy()
+    nt = F.sum("n").over(wall).cast("double")
+    # H(type): marginal over dow first
+    type_tot = cells.groupBy("event_type").agg(F.sum("n").alias("m"))
+    pt = F.col("m").cast("double") / F.sum("m").over(wall).cast("double")
+    h_type = type_tot.select((-F.sum(pt * F.log(pt)).over(wall)).alias("h")).limit(1)
+    # H(type | dow): per-dow entropy weighted by dow mass
+    wdow = Window.partitionBy("dow")
+    pk = F.col("n").cast("double") / F.sum("n").over(wdow).cast("double")
+    per_cell = cells.select(
+        "dow", "n",
+        (-(pk * F.log(pk))).alias("term"),
+        F.sum("n").over(wdow).alias("nd"),
+        nt.alias("nt"),
+    )
+    h_cond = (
+        per_cell.groupBy("dow")
+        .agg(
+            F.sum("term").alias("hk"),
+            F.any_value("nd").alias("nd"),
+            F.any_value("nt").alias("ntt"),
+        )
+        .select((F.col("nd").cast("double") / F.col("ntt") * F.col("hk")).alias("w"))
+        .agg(F.sum("w").alias("h"))
+    )
+    return (
+        h_type.crossJoin(F.broadcast(h_cond.withColumnRenamed("h", "hc")))
+        .select(
+            F.col("h").alias("h_type"),
+            F.col("hc").alias("h_type_given_dow"),
+            (F.col("h") - F.col("hc")).alias("info_gain"),
+            ((F.col("h") - F.col("hc")) / F.col("h")).alias("info_gain_ratio"),
+        )
+    )

@@ -80,3 +80,16 @@ def test_auc_binned_separates_length_label(spark, sf_dir):
     # word count is near-monotone in n_chars, so AUC must be ~1
     assert 0.95 <= row.auc <= 1.0
     assert abs(row.gini - (2 * row.auc - 1)) < 1e-12
+
+
+def test_info_gain_bounds_and_consistency(spark, sf_dir):
+    import math
+
+    row = q("info_gain_type_by_dow", spark, sf_dir).collect()[0]
+    # entropies in nats, bounded by ln(#types); conditioning cannot raise entropy
+    assert 0.0 < row.h_type <= math.log(5) + 1e-12
+    assert 0.0 <= row.h_type_given_dow <= row.h_type + 1e-12
+    assert abs(row.info_gain - (row.h_type - row.h_type_given_dow)) < 1e-12
+    assert abs(row.info_gain_ratio - row.info_gain / row.h_type) < 1e-12
+    # i.i.d. stream: weekday carries (almost) no information about type
+    assert row.info_gain_ratio < 0.05
