@@ -513,3 +513,96 @@ def multi_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum(1.0 / F.col("n_touches")), 6).alias("credit"),
         F.round(F.sum(F.col("value") / F.col("n_touches")), 4).alias("attributed_value"),
     )
+
+
+@query(
+    "wow_type_delta",
+    oracle="""
+    WITH weekly AS (
+        SELECT CAST(epoch_us(ts) // 604800000000 AS BIGINT) AS week,
+               event_type, count(*) AS n
+        FROM events GROUP BY 1, 2
+    )
+    SELECT c.week, c.event_type, c.n,
+           p.n AS prev_n,
+           c.n - p.n AS delta,
+           CAST(c.n - p.n AS DOUBLE) / CAST(p.n AS DOUBLE) AS pct_change
+    FROM weekly c JOIN weekly p
+      ON p.event_type = c.event_type AND p.week = c.week - 1
+    """,
+)
+def wow_type_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-over-week movement per event type: each (week, type) cell joined
+    to its predecessor week, emitting absolute and relative change — the
+    mover/decliner report behind every ops dashboard.  Weeks are integer
+    epoch-week buckets (timezone-proof).  One partial-aggregated count
+    shuffle; the self-join runs on the tiny weekly table.  (lead/lag windows
+    express the same thing — the join form is used here so the weekly table
+    stays reusable for other deltas.)"""
+    e = load_table(spark, sf_dir, "events")
+    weekly = (
+        e.select(
+            (F.unix_micros("ts") / F.lit(604_800_000_000)).cast("long").alias("week"),
+            "event_type",
+        )
+        .groupBy("week", "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    cur = weekly.alias("c")
+    prev = weekly.select(
+        (F.col("week") + 1).alias("week"), "event_type", F.col("n").alias("prev_n")
+    )
+    return (
+        cur.join(prev, ["week", "event_type"])
+        .select(
+            "week", "event_type", "n", "prev_n",
+            (F.col("n") - F.col("prev_n")).alias("delta"),
+            ((F.col("n") - F.col("prev_n")).cast("double") / F.col("prev_n").cast("double"))
+            .alias("pct_change"),
+        )
+    )
+
+
+@query(
+    "new_vs_returning_daily",
+    oracle="""
+    WITH act AS (
+        SELECT DISTINCT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day, user_id
+        FROM events
+    ),
+    first_day AS (SELECT user_id, min(day) AS d0 FROM act GROUP BY user_id)
+    SELECT a.day,
+           CAST(sum(CASE WHEN f.d0 = a.day THEN 1 ELSE 0 END) AS BIGINT) AS new_users,
+           CAST(sum(CASE WHEN f.d0 < a.day THEN 1 ELSE 0 END) AS BIGINT)
+               AS returning_users
+    FROM act a JOIN first_day f USING (user_id)
+    GROUP BY a.day
+    """,
+)
+def new_vs_returning_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily new-vs-returning user split: a user's first active epoch-day
+    tags them "new" on that day and "returning" after — the acquisition/
+    retention headline metric.  Two shuffles on user_id (the distinct-
+    activity set and the first-day aggregate share partitioning; the join
+    is co-located), then a tiny per-day rollup."""
+    e = load_table(spark, sf_dir, "events")
+    act = (
+        e.select(
+            (F.unix_micros("ts") / F.lit(86_400_000_000)).cast("long").alias("day"),
+            "user_id",
+        )
+        .distinct()
+    )
+    first_day = act.groupBy("user_id").agg(F.min("day").alias("d0"))
+    return (
+        act.join(first_day, "user_id")
+        .groupBy("day")
+        .agg(
+            F.sum(F.when(F.col("d0") == F.col("day"), 1).otherwise(0))
+            .cast("long")
+            .alias("new_users"),
+            F.sum(F.when(F.col("d0") < F.col("day"), 1).otherwise(0))
+            .cast("long")
+            .alias("returning_users"),
+        )
+    )

@@ -88,3 +88,24 @@ def test_twap_weights_by_interval(spark, sf_dir):
     # TWAP stays inside the observed value range
     vals = [v for _, _, v in seq[:-1]]
     assert min(vals) <= r.twap <= max(vals)
+
+
+def test_wow_type_delta_consistency(spark, sf_dir):
+    rows = q("wow_type_delta", spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.delta == r.n - r.prev_n
+        assert abs(r.pct_change - r.delta / r.prev_n) < 1e-12
+
+
+def test_new_vs_returning_daily_conservation(spark, sf_dir):
+    import pyspark.sql.functions as F
+
+    rows = sorted(q("new_vs_returning_daily", spark, sf_dir).collect())
+    e = load_table(spark, sf_dir, "events")
+    n_users = e.select("user_id").distinct().count()
+    # every user is new exactly once
+    assert sum(r.new_users for r in rows) == n_users
+    # day 1 has no returning users; later days have some
+    assert rows[0].returning_users == 0
+    assert any(r.returning_users > 0 for r in rows[1:])
