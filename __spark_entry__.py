@@ -76,7 +76,8 @@ _PRIORITY = [
 #   minhash_estimate_audit ngram_novelty_rate stream_psi_drift
 #   embedding_centroid_drift curriculum_length_buckets k_anonymity_audit
 #   user_event_type_map decimal_exact_totals lsh_tuning_report
-#   twap_per_user info_gain_type_by_dow
+#   twap_per_user info_gain_type_by_dow wow_type_delta
+#   new_vs_returning_daily
 # then continue the stale-green rotation (oldest records first).
 
 
