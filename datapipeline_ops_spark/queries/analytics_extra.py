@@ -26,7 +26,7 @@ _DIM = 64
     "label_centroids",
     oracle=f"""
     WITH e AS (SELECT label, embedding FROM embeddings)
-    SELECT label, i.dim AS dim, round(avg(embedding[i.dim + 1]), 4) AS centroid,
+    SELECT label, i.dim AS dim, round(avg(embedding[i.dim + 1]), 4) + 0.0 AS centroid,
            count(*) AS n_vectors
     FROM e, LATERAL (SELECT unnest(generate_series(0, {_DIM - 1})) AS dim) AS i
     GROUP BY 1, 2
@@ -49,7 +49,7 @@ def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.select("label", F.posexplode("embedding").alias("dim", "v"))
         .groupBy("label", "dim")
         .agg(
-            F.round(F.avg("v"), 4).alias("centroid"),
+            (F.round(F.avg("v"), 4) + 0.0).alias("centroid"),
             F.count(F.lit(1)).alias("n_vectors"),
         )
     )

@@ -326,3 +326,64 @@ def column_correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return m.select(F.explode(F.array(*rows)).alias("r")).select(
         "r.col_x", "r.col_y", "r.n", "r.corr"
     )
+
+
+@query(
+    "gini_by_source",
+    oracle="""
+    WITH lens AS (
+        SELECT source, doc_id,
+               CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS x
+        FROM documents
+    ),
+    ranked AS (
+        SELECT source, x,
+               row_number() OVER (PARTITION BY source ORDER BY x, doc_id) AS i,
+               count(*) OVER (PARTITION BY source) AS n,
+               sum(x) OVER (PARTITION BY source) AS sx
+        FROM lens
+    )
+    SELECT source,
+           CAST(any_value(n) AS BIGINT) AS n_docs,
+           CAST(any_value(sx) AS BIGINT) AS total_words,
+           2.0 * CAST(sum(i * x) AS DOUBLE)
+               / (CAST(any_value(n) AS DOUBLE) * CAST(any_value(sx) AS DOUBLE))
+               - (CAST(any_value(n) AS DOUBLE) + 1.0) / CAST(any_value(n) AS DOUBLE)
+               AS gini
+    FROM ranked GROUP BY source
+    """,
+)
+def gini_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of document length per source — the inequality
+    profile that flags a source mixing boilerplate stubs with huge pages
+    (high Gini) vs uniform contributions (near 0).  Computed by the exact
+    rank formula G = 2*sum(i*x_i)/(n*sum x) - (n+1)/n over lengths sorted
+    ascending with doc_id tie-break, so both engines rank identically and
+    the value is deterministic.  The rank window partitions by source —
+    parallel across sources, and per-source state is just the sort (the
+    same shape as any per-key ranking at scale)."""
+    d = load_table(spark, sf_dir, "documents")
+    lens = d.select(
+        "source",
+        "doc_id",
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long").alias("x"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("source").orderBy("x", "doc_id")
+    ws = Window.partitionBy("source")
+    ranked = lens.select(
+        "source",
+        "x",
+        F.row_number().over(w).alias("i"),
+        F.count(F.lit(1)).over(ws).alias("n"),
+        F.sum("x").over(ws).alias("sx"),
+    )
+    nd = F.any_value("n").cast("double")
+    sxd = F.any_value("sx").cast("double")
+    return ranked.groupBy("source").agg(
+        F.any_value("n").cast("long").alias("n_docs"),
+        F.any_value("sx").cast("long").alias("total_words"),
+        (2.0 * F.sum(F.col("i") * F.col("x")).cast("double") / (nd * sxd)
+         - (nd + 1.0) / nd).alias("gini"),
+    )

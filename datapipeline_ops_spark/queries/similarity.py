@@ -517,7 +517,7 @@ def ann_rerank_l2(spark: SparkSession, sf_dir: str) -> DataFrame:
           USING (vec_id)
     )
     SELECT cluster_id, i.dim AS dim,
-           round(avg(vec[i.dim + 1]), 6) AS centroid,
+           round(avg(vec[i.dim + 1]), 6) + 0.0 AS centroid,
            count(*) AS n_members
     FROM m, LATERAL (SELECT unnest(generate_series(0, {EMB_DIM - 1})) AS dim) AS i
     GROUP BY 1, 2
@@ -557,7 +557,7 @@ def kmeans_refine_step(spark: SparkSession, sf_dir: str) -> DataFrame:
         members.select("cluster_id", F.posexplode("vec").alias("dim", "val"))
         .groupBy("cluster_id", "dim")
         .agg(
-            F.round(F.avg("val"), 6).alias("centroid"),
+            (F.round(F.avg("val"), 6) + 0.0).alias("centroid"),
             F.count(F.lit(1)).alias("n_members"),
         )
     )
@@ -569,7 +569,7 @@ def kmeans_refine_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH {_V_CTE},
     halves AS (
         SELECT label, vec_id % 2 AS grp, i.dim AS dim,
-               round(avg(vec[i.dim + 1]), 6) AS c
+               round(avg(vec[i.dim + 1]), 6) + 0.0 AS c
         FROM v, LATERAL (SELECT unnest(generate_series(0, {EMB_DIM - 1})) AS dim) AS i
         GROUP BY 1, 2, 3
     ),
@@ -612,7 +612,7 @@ def embedding_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.posexplode(as_double(F.col("embedding"))).alias("dim", "x"),
     )
     halves = dims.groupBy("label", "grp", "dim").agg(
-        F.round(F.avg("x"), 6).alias("c")
+        (F.round(F.avg("x"), 6) + 0.0).alias("c")
     )
     a = halves.filter(F.col("grp") == 0).select("label", "dim", F.col("c").alias("ca"))
     b = halves.filter(F.col("grp") == 1).select("label", "dim", F.col("c").alias("cb"))

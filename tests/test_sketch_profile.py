@@ -71,3 +71,20 @@ def test_embedding_centroid_drift_iid_halves_agree(spark, sf_dir):
     # this corpus's labels are geometrically unstructured: half-centroids
     # are noise residues, so |cos| must hover near 0 — far from either pole
     assert all(abs(r.centroid_cos) < 0.5 for r in rows)
+
+
+def test_gini_by_source_bounds_and_recompute(spark, sf_dir):
+    rows = q("gini_by_source", spark, sf_dir).collect()
+    assert rows
+    docs = load_table(spark, sf_dir, "documents").select("source", "doc_id", "text").collect()
+    by_src = {}
+    for d in docs:
+        by_src.setdefault(d.source, []).append((len(d.text.split()), d.doc_id))
+    for r in rows:
+        assert 0.0 <= r.gini < 1.0
+        xs = sorted(by_src[r.source])
+        n = len(xs)
+        sx = sum(x for x, _ in xs)
+        g = 2.0 * sum((i + 1) * x for i, (x, _) in enumerate(xs)) / (n * sx) - (n + 1.0) / n
+        assert abs(r.gini - g) < 1e-9, (r.source, r.gini, g)
+        assert r.n_docs == n and r.total_words == sx
