@@ -765,7 +765,7 @@ DSIR_TARGET_LANG = "en"
     )
     SELECT b.doc_id,
            count(*) AS n_tokens,
-           round(avg(ln(d.pt / d.ps)), 6) AS importance
+           round(avg(ln(d.pt / d.ps)), 6) + 0.0 AS importance
     FROM b JOIN dist d USING (bucket)
     GROUP BY b.doc_id
     """,
@@ -824,7 +824,7 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_tokens"),
-            F.round(F.avg(F.log(F.col("pt") / F.col("ps"))), 6).alias("importance"),
+            (F.round(F.avg(F.log(F.col("pt") / F.col("ps"))), 6) + 0.0).alias("importance"),
         )
     )
 
