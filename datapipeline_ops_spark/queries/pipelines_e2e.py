@@ -392,7 +392,7 @@ def _sql_boxes_cte(key_expr: str) -> str:
                )) / (w * h) AS max_ratio
         FROM dims
     )
-    SELECT p_partkey, round(max_ratio, 6) AS max_ratio,
+    SELECT p_partkey, max_ratio,
            printf('/bg_out/part_%d.png', p_partkey) AS out_path
     FROM ratio
     WHERE max_ratio <= 0.4 AND p_partkey % 7 <> 0
@@ -435,9 +435,14 @@ def pipeline_bg_filter_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     done = load_table(spark, sf_dir, "part").filter(F.col("p_partkey") % 7 == 0).select("p_partkey")
     fresh = rated.join(done, "p_partkey", "left_anti")
+    # max_ratio ships RAW: both engines derive it through the identical IEEE
+    # op sequence, so the doubles are bit-equal and the gate hasher's own
+    # normalization applies consistently — an engine-side round(x, 6) is
+    # UNSAFE here because exact .5e-6 boundaries round differently across
+    # engines (observed at sf0.1: 0.0156825 -> 0.015683 vs 0.015682).
     return fresh.select(
         "p_partkey",
-        F.round("max_ratio", 6).alias("max_ratio"),
+        "max_ratio",
         F.format_string("/bg_out/part_%d.png", F.col("p_partkey")).alias("out_path"),
     )
 
