@@ -182,7 +182,7 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
                                   AND a.doc_id < b.doc_id
     )
-    SELECT doc_a, doc_b, round(jac, 6) AS jaccard FROM (
+    SELECT doc_a, doc_b, jac AS jaccard FROM (
         SELECT doc_a, doc_b,
                len(list_intersect(sa.hs, sb.hs)) * 1.0 /
                (len(sa.hs) + len(sb.hs) - len(list_intersect(sa.hs, sb.hs))) AS jac
@@ -276,7 +276,11 @@ def _lsh_verified_pairs(d: DataFrame, tau: float = 0.5, pair_filter=None) -> Dat
         .withColumn("jac", jaccard(F.col("hs_a"), F.col("hs_b")))
         .filter(F.col("jac") >= tau)
     )
-    return verified.select("doc_a", "doc_b", F.round("jac", 6).alias("jaccard"))
+    # jaccard ships RAW: it is a small-denominator rational computed through
+    # identical integer ops in both engines (bit-equal), and engine round()
+    # diverges on exact .5e-6 boundaries (possible when |union| divides 2e6,
+    # e.g. 640) — the gate hasher normalizes both sides identically instead.
+    return verified.select("doc_a", "doc_b", F.col("jac").alias("jaccard"))
 
 
 # Posting-list (document-frequency) cap for the inverted-index join: a
@@ -306,7 +310,7 @@ NGRAM_MAX_DF = 256
         GROUP BY 1, 2
     ),
     sizes AS (SELECT doc_id, len(hs) AS n FROM hsv)
-    SELECT doc_a, doc_b, round(n_inter * 1.0 / (sa.n + sb.n - n_inter), 6) AS jaccard
+    SELECT doc_a, doc_b, n_inter * 1.0 / (sa.n + sb.n - n_inter) AS jaccard
     FROM inter JOIN sizes sa ON doc_a = sa.doc_id JOIN sizes sb ON doc_b = sb.doc_id
     WHERE n_inter * 1.0 / (sa.n + sb.n - n_inter) >= 0.5
     """,
@@ -348,7 +352,7 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "n_b"), "doc_b")
         .withColumn("jaccard", F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")))
         .filter(F.col("jaccard") >= 0.5)
-        .select("doc_a", "doc_b", F.round("jaccard", 6).alias("jaccard"))
+        .select("doc_a", "doc_b", "jaccard")
     )
 
 
