@@ -606,3 +606,62 @@ def new_vs_returning_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("returning_users"),
         )
     )
+
+
+@query(
+    "time_to_convert_quantiles",
+    oracle="""
+    WITH s AS (
+        SELECT user_id, min(epoch_us(ts)) AS t0 FROM events
+        WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    p AS (
+        SELECT e.user_id, min(epoch_us(e.ts)) AS t1
+        FROM events e JOIN s USING (user_id)
+        WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > s.t0
+        GROUP BY e.user_id
+    ),
+    d AS (
+        SELECT CAST(p.t1 - s.t0 AS DOUBLE) / 3600000000.0 AS hours
+        FROM p JOIN s USING (user_id)
+    )
+    SELECT count(*) AS n_converted,
+           round(quantile_cont(hours, 0.5), 4) AS p50_hours,
+           round(quantile_cont(hours, 0.9), 4) AS p90_hours,
+           round(max(hours), 4) AS max_hours
+    FROM d
+    """,
+)
+def time_to_convert_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signup-to-first-purchase latency distribution: per user, the first
+    signup and the first strictly-later purchase, delta in hours, then the
+    conversion-latency quantiles product teams actually watch (median /
+    p90 / worst).  Two partial-aggregated min()s per user share the
+    user_id exchange; the quantile runs over one row per converted user
+    (percentile-approx is the swap-in when even that is unbounded)."""
+    e = load_table(spark, sf_dir, "events")
+    s = (
+        e.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min(F.unix_micros("ts")).alias("t0"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .select("user_id", F.unix_micros("ts").alias("t"))
+        .join(s, "user_id")
+        .filter(F.col("t") > F.col("t0"))
+        .groupBy("user_id")
+        .agg(F.min("t").alias("t1"), F.any_value("t0").alias("t0"))
+    )
+    d = p.select(((F.col("t1") - F.col("t0")).cast("double") / 3.6e9).alias("hours"))
+    pct = F.expr("percentile(hours, array(0.5, 0.9))")
+    return d.agg(
+        F.count(F.lit(1)).alias("n_converted"),
+        pct.alias("_p"),
+        F.round(F.max("hours"), 4).alias("max_hours"),
+    ).select(
+        "n_converted",
+        F.round(F.col("_p")[0], 4).alias("p50_hours"),
+        F.round(F.col("_p")[1], 4).alias("p90_hours"),
+        "max_hours",
+    )

@@ -109,3 +109,9 @@ def test_new_vs_returning_daily_conservation(spark, sf_dir):
     # day 1 has no returning users; later days have some
     assert rows[0].returning_users == 0
     assert any(r.returning_users > 0 for r in rows[1:])
+
+
+def test_time_to_convert_quantiles_ordering(spark, sf_dir):
+    row = q("time_to_convert_quantiles", spark, sf_dir).collect()[0]
+    assert row.n_converted > 0
+    assert 0.0 <= row.p50_hours <= row.p90_hours <= row.max_hours
