@@ -665,3 +665,43 @@ def time_to_convert_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("_p")[1], 4).alias("p90_hours"),
         "max_hours",
     )
+
+
+@query(
+    "cumulative_users_daily",
+    oracle="""
+    WITH fd AS (
+        SELECT user_id, min(CAST(epoch_us(ts) // 86400000000 AS BIGINT)) AS d0
+        FROM events GROUP BY user_id
+    ),
+    days AS (SELECT DISTINCT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day
+             FROM events),
+    news AS (SELECT d0 AS day, count(*) AS n_new FROM fd GROUP BY d0)
+    SELECT d.day,
+           CAST(coalesce(n.n_new, 0) AS BIGINT) AS n_new,
+           CAST(sum(coalesce(n.n_new, 0)) OVER (ORDER BY d.day
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS users_to_date
+    FROM days d LEFT JOIN news n USING (day)
+    """,
+)
+def cumulative_users_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative distinct users per day — the growth curve.  The naive form
+    (COUNT(DISTINCT user) OVER cumulative window) re-scans every prior day's
+    users per day and cannot partial-aggregate; this plan reduces each user
+    to their FIRST-seen day (one user_id shuffle), rolls new-user counts per
+    day, and takes a running sum over the tiny day spine — exact, and the
+    cumulative window touches |days| rows, not |events|."""
+    e = load_table(spark, sf_dir, "events")
+    day = (F.unix_micros("ts") / F.lit(86_400_000_000)).cast("long")
+    fd = e.select(day.alias("day"), "user_id").groupBy("user_id").agg(
+        F.min("day").alias("d0")
+    )
+    days = e.select(day.alias("day")).distinct()
+    news = fd.groupBy(F.col("d0").alias("day")).agg(F.count(F.lit(1)).alias("n_new"))
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        days.join(F.broadcast(news), "day", "left")
+        .select("day", F.coalesce(F.col("n_new"), F.lit(0)).cast("long").alias("n_new"))
+        .withColumn("users_to_date", F.sum("n_new").over(w).cast("long"))
+    )

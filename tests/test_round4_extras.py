@@ -115,3 +115,13 @@ def test_time_to_convert_quantiles_ordering(spark, sf_dir):
     row = q("time_to_convert_quantiles", spark, sf_dir).collect()[0]
     assert row.n_converted > 0
     assert 0.0 <= row.p50_hours <= row.p90_hours <= row.max_hours
+
+
+def test_cumulative_users_monotone_and_totals(spark, sf_dir):
+    rows = sorted(q("cumulative_users_daily", spark, sf_dir).collect())
+    n_users = load_table(spark, sf_dir, "events").select("user_id").distinct().count()
+    assert rows[-1].users_to_date == n_users
+    running = 0
+    for r in rows:
+        running += r.n_new
+        assert r.users_to_date == running
