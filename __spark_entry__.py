@@ -77,7 +77,8 @@ _PRIORITY = [
 #   embedding_centroid_drift curriculum_length_buckets k_anonymity_audit
 #   user_event_type_map decimal_exact_totals lsh_tuning_report
 #   twap_per_user info_gain_type_by_dow wow_type_delta
-#   new_vs_returning_daily
+#   new_vs_returning_daily gini_by_source time_to_convert_quantiles
+#   cumulative_users_daily
 # then continue the stale-green rotation (oldest records first).
 
 
