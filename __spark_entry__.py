@@ -26,60 +26,49 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver gate records a capped prefix of queries() in registration order
-# (r01..r03 each recorded exactly 50), so ordering controls which queries get
-# a driver record. Round-4 ordering fills the 50-slot window with:
-# (a) the 4 r03 hash-reds, fixed this round (HUGEINT oracle columns — integer
-#     sum() in DuckDB degrades to float64 through the driver's fetch; now
-#     CAST ... AS BIGINT) — flipping these red -> green is the headline;
-# (b) the 34 queries with NO driver record in r01∪r02∪r03 (the basic
-#     relational set; includes fk_integrity_report, which carried the same
-#     HUGEINT bug and is fixed pre-first-record, and approx_distinct_users,
-#     upgraded from rows-only to a real oracle this round);
-# (c) 12 stale-r01 greens whose latest record predates material code churn,
-#     revenue_by_nation first (its join plan was rewritten this round to drop
-#     the fact-scaled customer broadcast).
+# (r01..r04 each recorded exactly 50), so ordering controls which queries get
+# a driver record. Round-5 ordering fills the 50-slot window with:
+# (a) the 2 r04 hash-reds, fixed this round (round(agg(double)) half-boundary
+#     divergence — now summed in DECIMAL, associative in both engines, raw
+#     double shipped) — flipping these red -> green is the headline;
+# (b) the 32 round-4 additions with NO driver record in r01..r04 (all pass
+#     the local oracle mimic at sf0.001/0.01/0.1);
+# (c) 16 stale-r01 greens, oldest families first (centroids, temporal spine,
+#     dedup fingerprints, eval suite, UDF surface, IO roundtrips).
 # All queries remain registered — ordering only picks the driver sample.
 _PRIORITY = [
-    # (a) r03 hash-reds, fixed (oracle HUGEINT -> BIGINT casts)
-    "partition_skew_report", "compaction_plan", "exact_substring_spans",
-    "oov_rate_report",
-    # (b) never driver-checked
-    "fk_integrity_report", "approx_distinct_users",
-    "multi_predicate_filter", "count_in_range_filter", "null_guard_filter",
-    "group_count", "group_avg", "running_best_max_by", "topk_per_group",
-    "anti_join_idempotency", "broadcast_dim_join", "distinct_agg_suppliers",
-    "having_big_customers", "above_avg_parts", "revenue_by_region_year",
-    "customer_order_histogram", "priority_with_big_lineitem",
-    "returnflag_share", "deterministic_sample", "value_percentiles_by_type",
-    "ntile_price_quartiles", "price_stats_by_flag", "orders_by_weekday",
-    "overlapping_order_windows", "brand_size_rank",
-    "idle_big_balance_customers", "returned_revenue_by_nation",
-    "copurchase_part_pairs", "retry_cut_status", "set_ops_segments",
-    "stratified_sample_per_source", "events_type_pivot",
-    "promo_revenue_share", "range_join_value_bands",
-    # (b') new in round 4 — first driver record
-    "quantile_sketch_audit", "sentence_split_udtf", "embedding_int8_quant",
-    "dsir_importance_weights",
-    # (c) stale-r01 rotation (latest record r01; code/loader changed since)
-    "revenue_by_nation", "corpus_curation_e2e", "pricing_summary",
-    "top_orders", "dedup_exact_keepers", "minhash_lsh_pairs",
-    "neardup_clusters", "similarity_argmax",
+    # (a) r04 hash-reds, fixed (DECIMAL-stabilized aggregation)
+    "group_avg", "revenue_by_region_year",
+    # (b) round-4 additions, first driver record
+    "ks_drift_binned", "psi_stability_report", "chi2_type_by_dow",
+    "gopher_quality_flags", "dead_letter_split", "auc_binned_report",
+    "mmr_diverse_topk", "salted_skew_join", "bfs_reach_3hop", "bm25_topk",
+    "inverted_index_postings", "ann_recall_eval", "heavy_hitters_verified",
+    "column_correlation_matrix", "entropy_by_source", "js_divergence_sources",
+    "minhash_estimate_audit", "ngram_novelty_rate", "stream_psi_drift",
+    "embedding_centroid_drift", "curriculum_length_buckets",
+    "k_anonymity_audit", "user_event_type_map", "decimal_exact_totals",
+    "lsh_tuning_report", "twap_per_user", "info_gain_type_by_dow",
+    "wow_type_delta", "new_vs_returning_daily", "gini_by_source",
+    "time_to_convert_quantiles", "cumulative_users_daily",
+    # (c) stale-r01 rotation (latest record r01)
+    "label_centroids", "monthly_revenue_trend", "fuzzy_name_pairs",
+    "monthly_spine_gap_fill", "dedup_exact", "minhash_signatures",
+    "ngram_jaccard_pairs", "simhash_fingerprints", "simhash_near_pairs",
+    "eval_rmse_report", "eval_angular_error", "eval_dataset_means",
+    "udf_quality_gate", "udf_detect_count_filter",
+    "udf_pair_similarity_band", "csv_roundtrip",
 ]
-# ROUND-5 ORDERING PLAN (do not apply before the round-4 gate runs — the
-# driver reads this order at round end): head the 50-slot window with the
-# round-4 additions that have no driver record yet —
-#   ks_drift_binned psi_stability_report chi2_type_by_dow
-#   gopher_quality_flags dead_letter_split auc_binned_report
-#   mmr_diverse_topk salted_skew_join bfs_reach_3hop bm25_topk
-#   inverted_index_postings ann_recall_eval heavy_hitters_verified
-#   column_correlation_matrix entropy_by_source js_divergence_sources
-#   minhash_estimate_audit ngram_novelty_rate stream_psi_drift
-#   embedding_centroid_drift curriculum_length_buckets k_anonymity_audit
-#   user_event_type_map decimal_exact_totals lsh_tuning_report
-#   twap_per_user info_gain_type_by_dow wow_type_delta
-#   new_vs_returning_daily gini_by_source time_to_convert_quantiles
-#   cumulative_users_daily
-# then continue the stale-green rotation (oldest records first).
+# ROUND-6 ORDERING PLAN (apply after the round-5 gate runs): head the window
+# with any round-5 reds + round-5 additions lacking records, then continue
+# the stale-r01 rotation — next up: jsonl_roundtrip jsonl_records
+# media_manifest media_decode_stub media_resize_stub media_frame_sample
+# segment_plan segment_summary frame_sample_ref frame_sample_scan
+# path_roundtrip fraction_parse sec_to_label coalesce_fallback
+# json_props_extract placeholders_build array_index_join iou_boxes
+# clipped_area_filter gauntlet_exactly_one pipeline_cut_e2e
+# pipeline_caption_e2e pipeline_frame_mining_e2e pipeline_bg_filter_e2e
+# threshold_filter band_filter (the remaining 26 r01-latest).
 
 
 def _ordered_names() -> list[str]:

@@ -626,9 +626,9 @@ def new_vs_returning_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM p JOIN s USING (user_id)
     )
     SELECT count(*) AS n_converted,
-           round(quantile_cont(hours, 0.5), 4) AS p50_hours,
-           round(quantile_cont(hours, 0.9), 4) AS p90_hours,
-           round(max(hours), 4) AS max_hours
+           quantile_cont(hours, 0.5) AS p50_hours,
+           quantile_cont(hours, 0.9) AS p90_hours,
+           max(hours) AS max_hours
     FROM d
     """,
 )
@@ -653,16 +653,20 @@ def time_to_convert_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id")
         .agg(F.min("t").alias("t1"), F.any_value("t0").alias("t0"))
     )
+    # Quantiles ship RAW: DuckDB quantile_cont and Spark percentile() may
+    # interpolate with different FP op order, so an in-engine round(,4) can
+    # land a .5e-4-boundary value on different sides across engines. The
+    # gate hasher normalizes both raw doubles with the same Python code.
     d = p.select(((F.col("t1") - F.col("t0")).cast("double") / 3.6e9).alias("hours"))
     pct = F.expr("percentile(hours, array(0.5, 0.9))")
     return d.agg(
         F.count(F.lit(1)).alias("n_converted"),
         pct.alias("_p"),
-        F.round(F.max("hours"), 4).alias("max_hours"),
+        F.max("hours").alias("max_hours"),
     ).select(
         "n_converted",
-        F.round(F.col("_p")[0], 4).alias("p50_hours"),
-        F.round(F.col("_p")[1], 4).alias("p90_hours"),
+        F.col("_p")[0].alias("p50_hours"),
+        F.col("_p")[1].alias("p90_hours"),
         "max_hours",
     )
 

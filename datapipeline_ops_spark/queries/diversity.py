@@ -110,6 +110,10 @@ def _mmr_select(pdf: pd.DataFrame) -> pd.DataFrame:
             )
             if best_score is None or score > best_score:
                 best_id, best_score = c, score
+        if best_id is None:
+            # shortlist smaller than MMR_K (tiny/filtered corpus): degrade
+            # to fewer rows instead of raising on sim[c][None] below
+            break
         sel.append(best_id)
         out.append((step, best_id, best_score))
     return pd.DataFrame(out, columns=["step", "vec_id", "mmr_score"])

@@ -271,18 +271,37 @@ def group_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "group_avg",
     oracle="""
-    SELECT l_partkey, round(avg(l_quantity), 4) AS avg_qty,
-           round(avg(l_extendedprice * (1 - l_discount)), 4) AS avg_net
+    SELECT l_partkey,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18, 2))) AS DOUBLE)
+               / CAST(count(*) AS DOUBLE) AS avg_qty,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18, 2))
+                    * (CAST(1 AS DECIMAL(18, 2))
+                       - CAST(l_discount AS DECIMAL(18, 2)))) AS DOUBLE)
+               / CAST(count(*) AS DOUBLE) AS avg_net
     FROM lineitem GROUP BY l_partkey
     """,
 )
 def group_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-group mean analog (``video_extract_frame.py:307-309``: mean of
-    per-person quality/sim scores within a frame)."""
+    per-person quality/sim scores within a frame).
+
+    Averages of double money columns are partition-order dependent (double
+    addition is not associative), so a round() of the double avg can land on
+    different sides of a half-boundary in Spark vs the oracle (the r04
+    driver red). Fix: the inputs are exact 2dp values, so quantize to
+    DECIMAL before summing — decimal addition is associative and
+    bit-identical in both engines — then divide as DOUBLE/DOUBLE (identical
+    operands → identical IEEE result) and ship the raw double for the gate
+    hasher to normalize."""
     li = load_table(spark, sf_dir, "lineitem")
+    one = F.lit(1).cast("decimal(18,2)")
+    net = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        one - F.col("l_discount").cast("decimal(18,2)")
+    )
+    n = F.count(F.lit(1)).cast("double")
     return li.groupBy("l_partkey").agg(
-        F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-        F.round(F.avg(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("avg_net"),
+        (F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double") / n).alias("avg_qty"),
+        (F.sum(net).cast("double") / n).alias("avg_net"),
     )
 
 
@@ -518,7 +537,10 @@ def above_avg_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     "revenue_by_region_year",
     oracle="""
     SELECT r.r_name AS region, CAST(year(o.o_orderdate) AS INT) AS order_year,
-           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18, 2))
+                    * (CAST(1 AS DECIMAL(18, 2))
+                       - CAST(l.l_discount AS DECIMAL(18, 2)))) AS DOUBLE)
+               AS revenue,
            count(DISTINCT o.o_orderkey) AS n_orders
     FROM region r
     JOIN nation n ON n.n_regionkey = r.r_regionkey
@@ -533,7 +555,13 @@ def revenue_by_region_year(spark: SparkSession, sf_dir: str) -> DataFrame:
     time rollup — the deepest join tree in the suite. Catalyst reorders the
     dims first and broadcasts every one of them (region/nation/customer are
     tiny fractions of lineitem), so the fact table is scanned once and
-    never shuffled for the joins; the only exchange is the final group-by."""
+    never shuffled for the joins; the only exchange is the final group-by.
+
+    Revenue is summed in DECIMAL (the 2dp money inputs quantize exactly, and
+    decimal addition is associative so the sum is partition-order
+    independent in both engines), then shipped as the raw cast-to-double —
+    the in-engine round(sum(double), 2) form was the r04 driver hash-red:
+    ~35 rows of 1e7–1e9 double sums make a .005 half-boundary hit likely."""
     region = load_table(spark, sf_dir, "region")
     nation = load_table(spark, sf_dir, "nation")
     customer = load_table(spark, sf_dir, "customer")
@@ -551,7 +579,12 @@ def revenue_by_region_year(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.year("o_orderdate").cast("int").alias("order_year"),
         )
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(18,2)")
+                * (F.lit(1).cast("decimal(18,2)") - F.col("l_discount").cast("decimal(18,2)"))
+            )
+            .cast("double")
+            .alias("revenue"),
             F.countDistinct("o_orderkey").alias("n_orders"),
         )
     )

@@ -69,8 +69,8 @@ def _terms_sql() -> str:
         FROM tf JOIN df USING (token) JOIN dl USING (doc_id) CROSS JOIN stats s
         GROUP BY tf.doc_id
     )
-    SELECT doc_id, round(score, 6) AS score, n_terms_hit
-    FROM scored ORDER BY score DESC, doc_id LIMIT {BM25_TOPK}
+    SELECT doc_id, scored.score AS score, n_terms_hit
+    FROM scored ORDER BY scored.score DESC, doc_id LIMIT {BM25_TOPK}
     """,
 )
 def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -109,10 +109,14 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.sum(contrib).alias("score"), F.count(F.lit(1)).alias("n_terms_hit"))
     )
+    # Raw score on both sides (gate hasher normalizes to 6 sig figs): an
+    # in-engine round(,6) reintroduces the .5e-6 half-boundary divergence,
+    # and ordering by the rounded alias while ranking by the raw score can
+    # pick different doc_ids at a rounded-score tie on the top-k boundary.
     return (
         scored.orderBy(F.desc("score"), F.asc("doc_id"))
         .limit(BM25_TOPK)
-        .select("doc_id", F.round("score", 6).alias("score"), "n_terms_hit")
+        .select("doc_id", "score", "n_terms_hit")
     )
 
 

@@ -800,6 +800,20 @@ def _(qs, spark):
     assert "CartesianProduct" not in plan
 
 
+@check("ntile_price_quartiles: no unpartitioned WindowExec on the fact table")
+def _(qs, spark):
+    # the r04 form was ntile(4) OVER (ORDER BY ...) — a single-task global
+    # sort. The rewrite ranks per range-partition: the fact-side row_number
+    # window must be partitioned by _pid; only the 32-row offset windows may
+    # be unpartitioned.
+    plan = plan_of(qs["ntile_price_quartiles"](spark, SF_DIR))
+    for block in plan.split("\n\n"):
+        if "row_number" in block and "Window" in block:
+            assert "_pid" in block, f"fact window not partitioned: {block[:300]}"
+    assert "ntile" not in plan, "global ntile window crept back in"
+    assert "rangepartitioning" in plan.lower(), "expected a range exchange"
+
+
 def main() -> int:
     import __spark_entry__ as entry_mod
     from datapipeline_ops_spark.session import get_spark
