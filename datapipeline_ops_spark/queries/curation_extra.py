@@ -31,7 +31,7 @@ from datapipeline_ops_spark.core.registry import query
 from datapipeline_ops_spark.functions.hashing import hash64, hash_unit, sql_hash64, sql_hash_unit
 from datapipeline_ops_spark.functions.text import shingles, sql_shingles, sql_tokens, tokens
 from datapipeline_ops_spark.operators.dedup import persist_barrier, with_shingle_hashes
-from datapipeline_ops_spark.queries.dedup import _hs_cte, _pairs_cte
+from datapipeline_ops_spark.queries.dedup import NGRAM_MAX_DF, _hs_cte, _pairs_cte
 from datapipeline_ops_spark.tables import load_table
 
 # ---------------------------------------------------------------------------
@@ -943,4 +943,267 @@ def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         quasi.groupBy("lang", "source", "len_bucket")
         .agg(F.count(F.lit(1)).alias("group_size"))
         .withColumn("violates_k", F.col("group_size") < K_ANON_THRESHOLD)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD'03 — the MOSS
+# algorithm): guaranteed-detection document fingerprinting for substring
+# matching, the position-aware complement to MinHash resemblance.
+# ---------------------------------------------------------------------------
+
+# window of consecutive k-gram hashes; any shared substring of length
+# >= k + w - 1 tokens is guaranteed to share at least one fingerprint
+WINNOW_W = 4
+# fingerprint hash reduced to 38 bits so (hash << 22) | position packs into
+# one BIGINT: min() over the packed value is the winnowing tie-break
+# "smallest hash, then leftmost position", exact in both engines
+_WIN_HASH_MOD = 1 << 38
+_WIN_POS_BITS = 22
+WINNOW_MAX_DF = 64     # posting-list cap for the match join (boilerplate guard)
+WINNOW_MIN_SHARED = 3  # fingerprints shared before a pair is reported
+
+
+def _winnow_sel_cte() -> str:
+    """DuckDB CTE `sel(doc_id, enc)`: the winnowed fingerprint set —
+    identical packed values to :func:`_winnow_selected`."""
+    return f"""
+    sh AS MATERIALIZED (SELECT doc_id, {sql_shingles("text")} AS sh FROM documents),
+    ex AS (
+        SELECT doc_id, len(sh) AS m, g.pos AS pos,
+               (('0x' || substr(md5(sh[g.pos]), 1, 15))::BIGINT % {_WIN_HASH_MOD})
+                   * {1 << _WIN_POS_BITS} + g.pos AS enc
+        FROM sh, unnest(generate_series(1, len(sh))) AS g(pos)
+    ),
+    win AS (
+        SELECT doc_id, pos, m,
+               min(enc) OVER (PARTITION BY doc_id ORDER BY pos
+                              ROWS BETWEEN CURRENT ROW
+                              AND {WINNOW_W - 1} FOLLOWING) AS enc
+        FROM ex
+    ),
+    sel AS MATERIALIZED (
+        SELECT DISTINCT doc_id, enc FROM win
+        WHERE pos <= greatest(m - {WINNOW_W} + 1, 1)
+    )"""
+
+
+def _winnow_selected(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, enc): the winnowed fingerprints — for each window of
+    {WINNOW_W} consecutive shingle hashes keep the minimum, dedup across
+    overlapping windows. Per-document window (partitioned WindowExec, no
+    global sort); everything downstream shuffles packed BIGINTs."""
+    d = load_table(spark, sf_dir, "documents")
+    sh = d.select("doc_id", shingles(F.col("text")).alias("sh"))
+    ex = sh.select(
+        "doc_id",
+        F.size("sh").alias("m"),
+        F.posexplode("sh").alias("pos0", "s"),
+    ).select(
+        "doc_id",
+        "m",
+        (F.col("pos0") + 1).alias("pos"),
+        (
+            (hash64(F.col("s")) % _WIN_HASH_MOD) * (1 << _WIN_POS_BITS)
+            + F.col("pos0") + 1
+        ).alias("enc"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, WINNOW_W - 1)
+    return (
+        ex.withColumn("enc", F.min("enc").over(w))
+        .filter(F.col("pos") <= F.greatest(F.col("m") - (WINNOW_W - 1), F.lit(1)))
+        .select("doc_id", "enc")
+        .distinct()
+    )
+
+
+@query(
+    "winnowing_fingerprints",
+    oracle="WITH " + _winnow_sel_cte() + f"""
+    SELECT doc_id, count(*) AS n_fp,
+           count(DISTINCT enc >> {_WIN_POS_BITS}) AS n_distinct_hash
+    FROM sel GROUP BY doc_id
+    """,
+)
+def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document winnowing fingerprint profile: how many (hash, pos)
+    fingerprints survive the sliding-window min, and how many distinct
+    hashes that is. Density is ~2/(w+1) of positions — the storage the
+    match index (``winnow_match_pairs``) actually carries per doc.
+
+    Scale: one partitioned window per doc + a distinct on packed BIGINTs —
+    no global ordering anywhere; the fingerprint stream is ~{2}/{WINNOW_W + 1}
+    of the shingle stream regardless of corpus size."""
+    sel = _winnow_selected(spark, sf_dir)
+    return sel.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_fp"),
+        F.countDistinct(F.shiftright("enc", _WIN_POS_BITS)).alias("n_distinct_hash"),
+    )
+
+
+@query(
+    "winnow_match_pairs",
+    oracle="WITH " + _winnow_sel_cte() + f""",
+    fp_raw AS (SELECT DISTINCT doc_id, enc >> {_WIN_POS_BITS} AS h FROM sel),
+    fp AS (
+        SELECT doc_id, h FROM (
+            SELECT doc_id, h, count(*) OVER (PARTITION BY h) AS df FROM fp_raw
+        ) WHERE df <= {WINNOW_MAX_DF}
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+    FROM fp a JOIN fp b ON a.h = b.h AND a.doc_id < b.doc_id
+    GROUP BY 1, 2 HAVING count(*) >= {WINNOW_MIN_SHARED}
+    """,
+)
+def winnow_match_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document substring-match candidates: document pairs sharing
+    >= {WINNOW_MIN_SHARED} winnowed fingerprint hashes. Winnowing's
+    guarantee makes this a substring detector, not a bag-of-words one:
+    any shared run of >= SHINGLE_N + {WINNOW_W} - 1 tokens must surface at
+    least one common fingerprint.
+
+    Scale shape is the inverted-index pair join (cf. ngram_jaccard_pairs):
+    explode fingerprints, df-cap the posting lists ({WINNOW_MAX_DF}) via a
+    window over the SAME hash partitioning the join shuffles on, equi-join
+    on the 8-byte hash, count per pair — work proportional to shared-
+    fingerprint pairs, never |docs|^2."""
+    sel = persist_barrier(
+        _winnow_selected(spark, sf_dir)
+        .select("doc_id", F.shiftright("enc", _WIN_POS_BITS).alias("h"))
+        .distinct(),
+        "winnow_fp",
+    )
+    fp = (
+        sel.withColumn("df", F.count(F.lit(1)).over(Window.partitionBy("h")))
+        .filter(F.col("df") <= WINNOW_MAX_DF)
+        .select("doc_id", "h")
+    )
+    a = fp.select(F.col("doc_id").alias("doc_a"), "h")
+    b = fp.select(F.col("doc_id").alias("doc_b"), "h")
+    return (
+        a.join(b, "h")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= WINNOW_MIN_SHARED)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Shingle containment (asymmetric near-dup: quotes / subsets / wrappers)
+# ---------------------------------------------------------------------------
+
+CONTAIN_TAU = 0.8     # |A ∩ B| / |A| threshold
+CONTAIN_MIN_SIZE = 5  # ignore docs with fewer distinct shingles than this
+
+
+@query(
+    "containment_pairs",
+    oracle="WITH "
+    + _hs_cte()
+    + f""",
+    ex_raw AS (SELECT doc_id, unnest(hs) AS s FROM hsv),
+    ex AS (
+        SELECT doc_id, s FROM (
+            SELECT doc_id, s, count(*) OVER (PARTITION BY s) AS df FROM ex_raw
+        ) WHERE df <= {NGRAM_MAX_DF}
+    ),
+    inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+        FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id <> b.doc_id
+        GROUP BY 1, 2
+    ),
+    sizes AS (SELECT doc_id, len(hs) AS n FROM hsv)
+    SELECT doc_a, doc_b, n_inter,
+           CAST(n_inter AS DOUBLE) / CAST(sa.n AS DOUBLE) AS containment
+    FROM inter
+    JOIN sizes sa ON doc_a = sa.doc_id
+    WHERE sa.n >= {CONTAIN_MIN_SIZE}
+      AND CAST(n_inter AS DOUBLE) / CAST(sa.n AS DOUBLE) >= {CONTAIN_TAU}
+    """,
+)
+def containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric shingle containment |A ∩ B| / |A|: detects documents that
+    are (near-)subsets of another — quotes, wrapper pages, partial copies —
+    which symmetric Jaccard misses (a short doc inside a long one has low
+    Jaccard but containment ~1). Ordered pairs, containment measured for
+    the FIRST element.
+
+    Same inverted-index scale shape as ngram_jaccard_pairs (df-capped
+    postings, hash equi-join); the containment ratio is a division of two
+    exact BIGINTs — identical doubles in both engines, shipped raw per the
+    repo's round()-divergence convention."""
+    d = with_shingle_hashes(load_table(spark, sf_dir, "documents"), "doc_id")
+    ex = persist_barrier(
+        d.select("doc_id", F.explode("hs").alias("s"))
+        .withColumn("df", F.count(F.lit(1)).over(Window.partitionBy("s")))
+        .filter(F.col("df") <= NGRAM_MAX_DF)
+        .select("doc_id", "s"),
+        "containment_index",
+    )
+    inter = (
+        ex.select(F.col("doc_id").alias("doc_a"), "s")
+        .join(ex.select(F.col("doc_id").alias("doc_b"), "s"), "s")
+        .filter(F.col("doc_a") != F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sizes = d.select("doc_id", F.size("hs").alias("n"))
+    contain = F.col("n_inter").cast("double") / F.col("n").cast("double")
+    return (
+        inter.join(sizes.withColumnRenamed("doc_id", "doc_a"), "doc_a")
+        .filter((F.col("n") >= CONTAIN_MIN_SIZE) & (contain >= CONTAIN_TAU))
+        .select("doc_a", "doc_b", "n_inter", contain.alias("containment"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Token-budget selection (fill a per-source token budget, best docs first)
+# ---------------------------------------------------------------------------
+
+TOKEN_BUDGET_PER_SOURCE = 1_000
+
+
+@query(
+    "token_budget_select",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, source, CAST(len({sql_tokens("text")}) AS BIGINT) AS n_tokens
+        FROM documents
+    ),
+    c AS (
+        SELECT doc_id, source, n_tokens,
+               CAST(sum(n_tokens) OVER (PARTITION BY source
+                                        ORDER BY n_tokens DESC, doc_id
+                                        ROWS BETWEEN UNBOUNDED PRECEDING
+                                        AND CURRENT ROW) AS BIGINT) AS cum_tokens
+        FROM t
+    )
+    SELECT doc_id, source, n_tokens, cum_tokens
+    FROM c WHERE cum_tokens <= {TOKEN_BUDGET_PER_SOURCE}
+    """,
+)
+def token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy per-source token-budget fill: take documents (longest first,
+    doc_id tie-break) until the source's token budget
+    ({TOKEN_BUDGET_PER_SOURCE}) is exhausted — the mixture-building step
+    where each domain contributes a fixed token count to the training run,
+    not a fixed document count.
+
+    One cumulative-sum window PARTITIONED BY source (the production key is
+    (source, shard) when a single domain outweighs an executor); no global
+    ordering, no driver-side loop."""
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id", "source", F.size(tokens(F.col("text"))).cast("long").alias("n_tokens")
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy(F.desc("n_tokens"), F.asc("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        t.withColumn("cum_tokens", F.sum("n_tokens").over(w).cast("long"))
+        .filter(F.col("cum_tokens") <= TOKEN_BUDGET_PER_SOURCE)
+        .select("doc_id", "source", "n_tokens", "cum_tokens")
     )

@@ -32,7 +32,15 @@ from pyspark.sql import DataFrame, SparkSession, Window
 
 from datapipeline_ops_spark.core.registry import query
 from datapipeline_ops_spark.functions.hashing import hash_unit, sql_hash_unit
-from datapipeline_ops_spark.functions.vectors import as_double, dot, norm, sql_cosine, sql_dot
+from datapipeline_ops_spark.functions.vectors import (
+    as_double,
+    dot,
+    norm,
+    sql_as_double,
+    sql_cosine,
+    sql_dot,
+    sql_norm,
+)
 from datapipeline_ops_spark.tables import load_table
 
 N_QUERIES = 10  # vec_id < 10 are the query vectors
@@ -629,4 +637,73 @@ def embedding_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(cos.alias("centroid_cos"))
         .join(F.broadcast(counts), "label")
         .select("label", "n_a", "n_b", "centroid_cos")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding anisotropy (corpus-level embedding-space diagnostic)
+# ---------------------------------------------------------------------------
+
+_ANISO_UNIT = "list_transform(vec, x -> x / " + sql_norm("vec") + ")"
+
+
+@query(
+    "embedding_anisotropy",
+    oracle=f"""
+    WITH v AS MATERIALIZED (
+        SELECT vec_id, {_ANISO_UNIT} AS unit
+        FROM (SELECT vec_id, {sql_as_double("embedding")} AS vec FROM embeddings)
+    ),
+    stats AS (SELECT CAST(count(*) AS BIGINT) AS n_vecs,
+                     CAST(max(len(unit)) AS INT) AS dim FROM v),
+    ex AS (
+        SELECT g.i AS i, unit[g.i] AS x
+        FROM v, unnest(generate_series(1, len(unit))) AS g(i)
+    ),
+    mu AS (
+        SELECT i, sum(x) / (SELECT CAST(n_vecs AS DOUBLE) FROM stats) AS m
+        FROM ex GROUP BY i
+    )
+    SELECT s.n_vecs, s.dim, (SELECT sum(m * m) FROM mu) AS anisotropy
+    FROM stats s
+    """,
+)
+def embedding_anisotropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anisotropy of the embedding space: E[cos(x, y)] over random vector
+    pairs equals ||mean(unit_vectors)||^2 — a quadratic-pair quantity
+    estimated in ONE linear scan (no pair join). High anisotropy means the
+    embeddings occupy a narrow cone, which degrades cosine-based dedup and
+    retrieval thresholds — this is the diagnostic run before trusting a
+    NEAR_DUP_TAU on a new corpus.
+
+    Scale: explode to (dim_index, component), one partial-aggregated
+    group-by over at most `dim` groups, then a `dim`-row reduction; the
+    vector count and dim ride along as a broadcast 1-row frame (no driver
+    actions). The pairwise definition would cost |corpus|^2 cosines; this
+    is O(|corpus| * dim) with no shuffle wider than the dimension count.
+    Op order mirrors the oracle exactly (sum / n, then m*m, then sum) so
+    the raw doubles agree to the gate's normalization."""
+    e = load_table(spark, sf_dir, "embeddings")
+    v = e.select("vec_id", as_double(F.col("embedding")).alias("vec"))
+    unit = F.transform("vec", lambda x: x / norm(F.col("vec")))
+    stats = v.agg(
+        F.count(F.lit(1)).cast("long").alias("n_vecs"),
+        F.max(F.size("vec")).cast("int").alias("dim"),
+    )
+    ex = v.select(F.posexplode(unit).alias("i0", "x")).select(
+        (F.col("i0") + 1).alias("i"), "x"
+    )
+    mu = (
+        ex.crossJoin(F.broadcast(stats))
+        .groupBy("i")
+        .agg(
+            (F.sum("x") / F.any_value(F.col("n_vecs").cast("double"))).alias("m"),
+            F.any_value("n_vecs").alias("n_vecs"),
+            F.any_value("dim").alias("dim"),
+        )
+    )
+    return mu.agg(
+        F.any_value("n_vecs").alias("n_vecs"),
+        F.any_value("dim").alias("dim"),
+        F.sum(F.col("m") * F.col("m")).alias("anisotropy"),
     )

@@ -786,3 +786,73 @@ def js_divergence_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(term).alias("jsd"),
         (F.sum(term) / F.log(F.lit(2.0))).alias("jsd_norm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary coverage curve (tokenizer design: how much of the token stream
+# the top-k vocabulary entries cover)
+# ---------------------------------------------------------------------------
+
+VOCAB_CURVE_KS = (10, 100, 1000)
+
+
+@query(
+    "vocab_coverage_curve",
+    oracle=f"""
+    WITH counts AS MATERIALIZED (
+        SELECT token, count(*) AS c
+        FROM (SELECT unnest({sql_tokens("text")}) AS token FROM documents)
+        GROUP BY token
+    ),
+    tot AS (SELECT CAST(sum(c) AS BIGINT) AS total FROM counts),
+    ranked AS (
+        SELECT token, c, row_number() OVER (ORDER BY c DESC, token) AS rnk
+        FROM counts
+    )
+    SELECT ks.k, CAST(sum(r.c) AS BIGINT) AS covered_tokens,
+           CAST(CAST(sum(c) AS BIGINT) AS DOUBLE) / CAST(t.total AS DOUBLE)
+               AS coverage
+    FROM ranked r
+    JOIN (VALUES {", ".join(f"({k})" for k in VOCAB_CURVE_KS)}) AS ks(k)
+      ON r.rnk <= ks.k
+    CROSS JOIN tot t
+    GROUP BY ks.k, t.total
+    """,
+)
+def vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Coverage of the token stream by the top-k vocabulary entries for
+    k in {VOCAB_CURVE_KS} — the curve a tokenizer designer reads to size
+    the vocab (what fraction of occurrences the head covers).
+
+    Scale: token counting is the one real shuffle (partial-aggregated);
+    the ranking then runs over AT MOST max(k) rows via TakeOrdered —
+    per-partition top-k + a bounded merge, never a global sort of the
+    vocabulary — and the curve join is a broadcast against that bounded
+    frame. Coverage is BIGINT/BIGINT shipped as the raw double."""
+    d = load_table(spark, sf_dir, "documents")
+    counts = (
+        d.select(F.explode(tokens(F.col("text"))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    total = counts.agg(F.sum("c").cast("long").alias("total"))
+    top = counts.orderBy(F.desc("c"), F.asc("token")).limit(max(VOCAB_CURVE_KS))
+    # bounded frame (<= max(k) rows): the unpartitioned window is fine here
+    ranked = top.withColumn(
+        "rnk", F.row_number().over(Window.orderBy(F.desc("c"), F.asc("token")))
+    )
+    ks = spark.range(1).select(
+        F.explode(F.array(*[F.lit(k) for k in VOCAB_CURVE_KS])).alias("k")
+    )
+    return (
+        ranked.join(F.broadcast(ks), ranked["rnk"] <= ks["k"])
+        .groupBy("k")
+        .agg(F.sum("c").cast("long").alias("covered_tokens"))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "k",
+            "covered_tokens",
+            (F.col("covered_tokens").cast("double") / F.col("total").cast("double"))
+            .alias("coverage"),
+        )
+    )

@@ -1,0 +1,136 @@
+"""Semantic tests for the round-5 additions: winnowing fingerprints obey the
+MOSS guarantee, containment is asymmetric and bounded, token-budget
+selection respects the per-source budget and order, the vocab coverage
+curve is monotone, anisotropy is bounded, and the distributed ntile
+reproduces exact quartile sizes."""
+
+import pyspark.sql.functions as F
+
+from datapipeline_ops_spark.queries.curation_extra import (
+    CONTAIN_TAU,
+    TOKEN_BUDGET_PER_SOURCE,
+    WINNOW_MIN_SHARED,
+    WINNOW_W,
+    _winnow_selected,
+    containment_pairs,
+    token_budget_select,
+    winnow_match_pairs,
+    winnowing_fingerprints,
+)
+from datapipeline_ops_spark.queries.relational_extra import ntile_price_quartiles
+from datapipeline_ops_spark.queries.similarity import embedding_anisotropy
+from datapipeline_ops_spark.queries.textstats import (
+    VOCAB_CURVE_KS,
+    vocab_coverage_curve,
+)
+from datapipeline_ops_spark.tables import load_table
+
+
+def test_winnow_density_and_bounds(spark, sf_dir):
+    # winnowing picks ~2/(w+1) of positions; it must never select MORE
+    # fingerprints than windows, and every doc must have >= 1 fingerprint
+    docs = load_table(spark, sf_dir, "documents").count()
+    fp = winnowing_fingerprints(spark, sf_dir)
+    rows = fp.collect()
+    assert len(rows) == docs
+    assert all(r.n_fp >= 1 and r.n_distinct_hash <= r.n_fp for r in rows)
+
+
+def test_winnow_substring_guarantee(spark):
+    # two docs sharing a long run of tokens MUST share a fingerprint hash
+    # (guarantee: any shared substring of >= k + w - 1 tokens surfaces)
+    shared = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    df = spark.createDataFrame(
+        [
+            (1, shared + " tail one two three"),
+            (2, "prefix words here " + shared),
+            (3, "completely different tokens nothing in common at all"),
+        ],
+        "doc_id long, text string",
+    )
+    df.createOrReplaceTempView("_winnow_test")
+    import datapipeline_ops_spark.queries.curation_extra as cx
+    from datapipeline_ops_spark.functions.hashing import hash64
+    from datapipeline_ops_spark.functions.text import shingles
+
+    sh = df.select("doc_id", shingles(F.col("text")).alias("sh"))
+    ex = sh.select(
+        "doc_id", F.size("sh").alias("m"), F.posexplode("sh").alias("pos0", "s")
+    ).select(
+        "doc_id",
+        "m",
+        (F.col("pos0") + 1).alias("pos"),
+        (
+            (hash64(F.col("s")) % cx._WIN_HASH_MOD) * (1 << cx._WIN_POS_BITS)
+            + F.col("pos0")
+            + 1
+        ).alias("enc"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, WINNOW_W - 1)
+    sel = (
+        ex.withColumn("enc", F.min("enc").over(w))
+        .filter(F.col("pos") <= F.greatest(F.col("m") - (WINNOW_W - 1), F.lit(1)))
+        .select("doc_id", F.shiftright("enc", cx._WIN_POS_BITS).alias("h"))
+        .distinct()
+    )
+    h1 = {r.h for r in sel.filter("doc_id = 1").collect()}
+    h2 = {r.h for r in sel.filter("doc_id = 2").collect()}
+    h3 = {r.h for r in sel.filter("doc_id = 3").collect()}
+    assert h1 & h2, "shared substring must share at least one fingerprint"
+    assert not (h1 & h3) and not (h2 & h3)
+
+
+def test_winnow_match_pairs_symmetric_dedup(spark, sf_dir):
+    pairs = winnow_match_pairs(spark, sf_dir).collect()
+    assert all(r.doc_a < r.doc_b for r in pairs)
+    assert all(r.n_shared >= WINNOW_MIN_SHARED for r in pairs)
+
+
+def test_containment_bounds_and_asymmetry(spark, sf_dir):
+    rows = containment_pairs(spark, sf_dir).collect()
+    assert all(CONTAIN_TAU <= r.containment <= 1.0 + 1e-12 for r in rows)
+    assert all(r.doc_a != r.doc_b for r in rows)
+
+
+def test_token_budget_respected_and_greedy(spark, sf_dir):
+    kept = token_budget_select(spark, sf_dir)
+    per_src = kept.groupBy("source").agg(F.max("cum_tokens").alias("mx")).collect()
+    assert all(r.mx <= TOKEN_BUDGET_PER_SOURCE for r in per_src)
+    # greedy: within a source, every kept doc is at least as long as any
+    # kept doc with a later rank position (cum_tokens increases as n_tokens
+    # decreases down the ranking)
+    rows = kept.orderBy("source", "cum_tokens").collect()
+    by_src = {}
+    for r in rows:
+        by_src.setdefault(r.source, []).append(r.n_tokens)
+    for toks in by_src.values():
+        assert toks == sorted(toks, reverse=True)
+
+
+def test_vocab_coverage_monotone(spark, sf_dir):
+    rows = {r.k: r for r in vocab_coverage_curve(spark, sf_dir).collect()}
+    ks = sorted(VOCAB_CURVE_KS)
+    for a, b in zip(ks, ks[1:]):
+        assert rows[a].coverage <= rows[b].coverage + 1e-12
+    assert all(0.0 < rows[k].coverage <= 1.0 + 1e-12 for k in ks)
+
+
+def test_anisotropy_bounded(spark, sf_dir):
+    r = embedding_anisotropy(spark, sf_dir).collect()[0]
+    # ||mean of unit vectors||^2 is in [0, 1]
+    assert 0.0 <= r.anisotropy <= 1.0 + 1e-12
+    assert r.n_vecs > 0 and r.dim > 0
+
+
+def test_ntile_exact_quartile_sizes(spark, sf_dir):
+    n = load_table(spark, sf_dir, "orders").count()
+    rows = {r.quartile: r for r in ntile_price_quartiles(spark, sf_dir).collect()}
+    assert set(rows) == {1, 2, 3, 4}
+    base, rem = divmod(n, 4)
+    for q in range(1, 5):
+        assert rows[q].n == base + (1 if q <= rem else 0)
+    # buckets must be value-ordered: hi of q <= lo of q+1
+    for q in range(1, 4):
+        assert rows[q].hi <= rows[q + 1].lo

@@ -814,6 +814,54 @@ def _(qs, spark):
     assert "rangepartitioning" in plan.lower(), "expected a range exchange"
 
 
+@check("winnow_match_pairs: partitioned windows only, hash equi-join, no cartesian")
+def _(qs, spark):
+    plan = plan_of(qs["winnow_match_pairs"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    # both windows (per-doc winnow min, per-hash df cap) must be partitioned
+    for block in plan.split("\n\n"):
+        if "Window" in block and "windowspecdefinition" in block:
+            assert "doc_id" in block or "h#" in block, block[:300]
+    cols = read_schema_cols(plan, "documents")
+    assert "text" in cols and "source" not in cols and "lang" not in cols, cols
+
+
+@check("containment_pairs: df-capped index barriered, no cartesian")
+def _(qs, spark):
+    plan = plan_of(qs["containment_pairs"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "InMemoryTableScan" in plan or "InMemoryRelation" in plan, (
+        "capped posting index must come from the persist barrier"
+    )
+
+
+@check("token_budget_select: one source-partitioned window, pruned scan")
+def _(qs, spark):
+    plan = plan_of(qs["token_budget_select"](spark, SF_DIR))
+    for block in plan.split("\n\n"):
+        if "Window" in block and "windowspecdefinition" in block:
+            assert "source" in block, f"budget window must partition by source: {block[:300]}"
+    cols = read_schema_cols(plan, "documents")
+    assert cols <= {"doc_id", "source", "text"}, cols
+
+
+@check("vocab_coverage_curve: vocab cap plans as TakeOrdered, ks broadcast")
+def _(qs, spark):
+    plan = plan_of(qs["vocab_coverage_curve"](spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan, "top-k vocab must be TakeOrdered"
+    assert "partial_count" in plan or "partial_sum" in plan, (
+        "token counting must partial-aggregate before the exchange"
+    )
+
+
+@check("embedding_anisotropy: linear scan, partial agg, no pair join")
+def _(qs, spark):
+    plan = plan_of(qs["embedding_anisotropy"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan, "anisotropy must not join the corpus to itself"
+    assert "partial_sum" in plan, "per-dim mean must partial-aggregate"
+
+
 def main() -> int:
     import __spark_entry__ as entry_mod
     from datapipeline_ops_spark.session import get_spark
