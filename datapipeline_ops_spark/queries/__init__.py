@@ -4,6 +4,7 @@
 from datapipeline_ops_spark.queries import (  # noqa: F401
     analytics_extra,
     curation_extra,
+    decomposition,
     dedup,
     diversity,
     drift_quality,

@@ -334,6 +334,92 @@ def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Temperature-scaled mixture design (UniMax-style: weights from token
+# counts at a sampling temperature, with a per-source epoch cap)
+# ---------------------------------------------------------------------------
+
+MIX_TOKEN_BUDGET = 50_000.0  # total training-token budget to allocate
+MIX_MAX_EPOCHS = 4.0         # cap on repeats of any one source
+
+
+@query(
+    "mixture_temperature_weights",
+    oracle=f"""
+    WITH t AS (
+        SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(len({sql_tokens("text")})) AS BIGINT) AS n_tokens
+        FROM documents GROUP BY source
+    ),
+    w AS MATERIALIZED (
+        SELECT source, n_docs, n_tokens,
+               sqrt(CAST(n_tokens AS DOUBLE)) AS sq
+        FROM t
+    ),
+    tot AS (SELECT sum(sq) AS tot_sq FROM w),
+    p AS MATERIALIZED (
+        SELECT source, n_docs, n_tokens, sq / t.tot_sq AS weight,
+               least(sq / t.tot_sq * {MIX_TOKEN_BUDGET}
+                         / CAST(n_tokens AS DOUBLE),
+                     {MIX_MAX_EPOCHS}) AS epochs
+        FROM w CROSS JOIN tot t
+    ),
+    eff AS (SELECT sum(epochs * CAST(n_tokens AS DOUBLE)) AS tot_eff FROM p)
+    SELECT source, n_docs, n_tokens, weight, epochs,
+           epochs * CAST(n_tokens AS DOUBLE) AS eff_tokens,
+           epochs * CAST(n_tokens AS DOUBLE) / e.tot_eff AS eff_share
+    FROM p CROSS JOIN eff e
+    """,
+)
+def mixture_temperature_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Design the training mixture from the corpus itself: per-source
+    sampling weight proportional to n_tokens^0.5 (temperature-scaled, the
+    UniMax/multilingual-sampling recipe that up-weights small domains
+    without letting any one dominate), an epoch count that spends a fixed
+    token budget at those weights, capped at {MIX_MAX_EPOCHS} epochs per
+    source, and the resulting effective-token share. `token_budget_select`
+    and `domain_mixing_sample` then APPLY a mixture; this query is the step
+    that DERIVES it.
+
+    Scale: one partial-aggregated group-by over source keys; the two
+    corpus totals ride along as broadcast 1-row frames. sqrt (exact IEEE)
+    instead of pow keeps the temperature math bit-comparable across
+    engines; the totals are true float sums and every ratio ships raw."""
+    d = load_table(spark, sf_dir, "documents")
+    t = d.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.size(tokens(F.col("text")))).cast("long").alias("n_tokens"),
+    )
+    w = t.withColumn("sq", F.sqrt(F.col("n_tokens").cast("double")))
+    tot = w.agg(F.sum("sq").alias("tot_sq"))
+    weight = F.col("sq") / F.col("tot_sq")
+    epochs = F.least(
+        weight * MIX_TOKEN_BUDGET / F.col("n_tokens").cast("double"),
+        F.lit(MIX_MAX_EPOCHS),
+    )
+    p = w.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        weight.alias("weight"),
+        epochs.alias("epochs"),
+    )
+    eff = p.agg(
+        F.sum(F.col("epochs") * F.col("n_tokens").cast("double")).alias("tot_eff")
+    )
+    return p.crossJoin(F.broadcast(eff)).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        "weight",
+        "epochs",
+        (F.col("epochs") * F.col("n_tokens").cast("double")).alias("eff_tokens"),
+        (F.col("epochs") * F.col("n_tokens").cast("double") / F.col("tot_eff")).alias(
+            "eff_share"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Incremental dedup: new batch against the existing corpus
 # ---------------------------------------------------------------------------
 

@@ -1,0 +1,72 @@
+"""Semantic tests for the decomposition family: covariance symmetry
+guarantees (diag = variance, |corr| <= 1, corr diag = 1), JL projection
+norm preservation in expectation, and mixture-weight invariants
+(weights/eff shares sum to 1, epoch cap respected)."""
+
+import math
+
+import numpy as np
+import pyspark.sql.functions as F
+
+from datapipeline_ops_spark.queries.curation_extra import (
+    MIX_MAX_EPOCHS,
+    mixture_temperature_weights,
+)
+from datapipeline_ops_spark.queries.decomposition import (
+    EMB_DIM,
+    JL_K,
+    _JL_ROWS,
+    embedding_pca_covariance,
+    jl_random_projection,
+)
+from datapipeline_ops_spark.tables import load_table
+
+
+def test_covariance_matches_numpy(spark, sf_dir):
+    rows = load_table(spark, sf_dir, "embeddings").select("embedding").collect()
+    X = np.array([r.embedding for r in rows], dtype=np.float64)
+    ref = np.cov(X, rowvar=False, bias=True)  # population covariance
+    got = {
+        (r.dim_i, r.dim_j): (r.cov, r.corr)
+        for r in embedding_pca_covariance(spark, sf_dir).collect()
+    }
+    assert len(got) == EMB_DIM * (EMB_DIM + 1) // 2
+    for (i, j), (cov, corr) in got.items():
+        assert i <= j
+        assert math.isclose(cov, ref[i - 1, j - 1], rel_tol=1e-9, abs_tol=1e-12)
+        assert corr <= 1.0 + 1e-12 and corr >= -1.0 - 1e-12
+        if i == j:
+            assert math.isclose(corr, 1.0, rel_tol=1e-12)
+
+
+def test_jl_projection_properties(spark, sf_dir):
+    # the embedded sign matrix is genuinely +-1 and deterministic
+    assert len(_JL_ROWS) == JL_K and all(len(r) == EMB_DIM for r in _JL_ROWS)
+    assert all(s in (1.0, -1.0) for row in _JL_ROWS for s in row)
+    out = jl_random_projection(spark, sf_dir, ).collect()
+    n = load_table(spark, sf_dir, "embeddings").count()
+    assert len(out) == n
+    ratios = [r.norm_ratio for r in out]
+    # JL guarantee: E[||proj||^2 / ||x||^2] = 1; loose band for K=8
+    assert 0.6 < sum(ratios) / len(ratios) < 1.4
+    # spot-check one projection against numpy with the same matrix
+    row = load_table(spark, sf_dir, "embeddings").orderBy("vec_id").first()
+    proj = np.array(_JL_ROWS) @ np.array(row.embedding, dtype=np.float64)
+    proj /= math.sqrt(JL_K)
+    got = next(r for r in out if r.vec_id == row.vec_id)
+    for k in range(JL_K):
+        assert math.isclose(got[f"p{k + 1}"], proj[k], rel_tol=1e-9)
+
+
+def test_mixture_weights_invariants(spark, sf_dir):
+    out = mixture_temperature_weights(spark, sf_dir).collect()
+    assert len(out) >= 2
+    assert math.isclose(sum(r.weight for r in out), 1.0, rel_tol=1e-9)
+    assert math.isclose(sum(r.eff_share for r in out), 1.0, rel_tol=1e-9)
+    for r in out:
+        assert 0.0 < r.epochs <= MIX_MAX_EPOCHS + 1e-12
+        assert math.isclose(r.eff_tokens, r.epochs * r.n_tokens, rel_tol=1e-12)
+    # temperature flattening: weight ordering follows token-count ordering
+    by_tok = sorted(out, key=lambda r: r.n_tokens)
+    weights = [r.weight for r in by_tok]
+    assert weights == sorted(weights)

@@ -862,6 +862,33 @@ def _(qs, spark):
     assert "partial_sum" in plan, "per-dim mean must partial-aggregate"
 
 
+@check("embedding_pca_covariance: map-side-combined Gram, broadcast moments")
+def _(qs, spark):
+    plan = plan_of(qs["embedding_pca_covariance"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan, "moment joins must broadcast (d^2 rows)"
+    assert "partial_sum" in plan, "cross-products must partial-aggregate before the exchange"
+    cols = read_schema_cols(plan, "embeddings")
+    assert cols == {"embedding"}, f"covariance needs only the vector column: {cols}"
+
+
+@check("jl_random_projection: pure narrow plan, zero exchanges, zero UDFs")
+def _(qs, spark):
+    plan = plan_of(qs["jl_random_projection"](spark, SF_DIR))
+    assert "Exchange" not in plan, "JL projection must be shuffle-free"
+    assert "pythonUDF" not in plan and "ArrowEvalPython" not in plan
+    assert "codegen id" in plan, "projection must stay in whole-stage codegen"
+
+
+@check("mixture_temperature_weights: one source rollup, broadcast totals")
+def _(qs, spark):
+    plan = plan_of(qs["mixture_temperature_weights"](spark, SF_DIR))
+    assert "SortMergeJoin" not in plan, "corpus totals must ride broadcast"
+    assert "partial_count" in plan or "partial_sum" in plan
+    cols = read_schema_cols(plan, "documents")
+    assert cols == {"source", "text"}, cols
+
+
 def main() -> int:
     import __spark_entry__ as entry_mod
     from datapipeline_ops_spark.session import get_spark
