@@ -109,3 +109,31 @@ def test_upload_partitioned_calls_uploader_per_path(spark, tmp_path):
     for f in log_dir.iterdir():
         uploaded |= set(f.read_text().split())
     assert uploaded == {f"/data/f{i}.mp4" for i in range(5)}
+
+
+def test_s3a_profile_lands_in_hadoop_conf(spark):
+    from datapipeline_ops_spark.sources.object_store import (
+        apply_s3a_profile,
+        s3a_path,
+        s3a_profile,
+    )
+
+    prof = s3a_profile(
+        endpoint="http://minio.internal:9000",
+        access_key="ak",
+        secret_key="sk",
+        path_style_access=True,
+    )
+    # the scale-critical pieces are non-optional in every profile
+    assert prof["fs.s3a.committer.name"] == "magic"
+    assert prof["fs.s3a.experimental.input.fadvise"] == "random"
+    apply_s3a_profile(spark, prof)
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    assert hconf.get("fs.s3a.endpoint") == "http://minio.internal:9000"
+    assert hconf.get("fs.s3a.path.style.access") == "true"
+    assert hconf.get("fs.s3a.committer.magic.enabled") == "true"
+    assert s3a_path("bucket", "/a/b.parquet") == "s3a://bucket/a/b.parquet"
+    assert s3a_path("bucket") == "s3a://bucket"
+    # no-credentials profile defers to the default provider chain
+    bare = s3a_profile()
+    assert "fs.s3a.access.key" not in bare and "fs.s3a.endpoint" not in bare
