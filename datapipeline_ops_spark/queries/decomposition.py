@@ -32,6 +32,7 @@ both sides to 6 significant figures.
 from __future__ import annotations
 
 import hashlib
+import math
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
@@ -158,6 +159,158 @@ def embedding_pca_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cov",
             (F.col("cov") / F.sqrt(F.col("v_i") * F.col("v"))).alias("corr"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Dominant between-class direction (factored power iteration)
+# ---------------------------------------------------------------------------
+
+POWER_ITERS = 15   # (lambda2/lambda1)^15 <= 0.81^15 ~ 0.04 on this data
+TOP_LOADINGS = 8   # emit the 8 largest-|loading| dims (all >= 0.17 here —
+                   # far above the gate's 6-significant-figure floor)
+
+
+def _scatter_oracle() -> str:
+    """Unrolled {POWER_ITERS}-step power iteration as MATERIALIZED CTEs
+    (every CTE is referenced more than once — see the repo's DuckDB
+    planner convention)."""
+    parts = [
+        f"""
+    WITH v AS MATERIALIZED (
+        SELECT label, {sql_as_double("embedding")} AS vec FROM embeddings
+    ),
+    ex AS (
+        SELECT label, g.i AS i, vec[g.i] AS x
+        FROM v, unnest(generate_series(1, {EMB_DIM})) AS g(i)
+    ),
+    per AS MATERIALIZED (
+        SELECT label, i, sum(x) AS s, count(*) AS n_l FROM ex GROUP BY label, i
+    ),
+    tot AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM v),
+    mu AS MATERIALIZED (
+        SELECT i, sum(s) / (SELECT n FROM tot) AS mu FROM per GROUP BY i
+    ),
+    d AS MATERIALIZED (
+        SELECT per.label, per.i,
+               per.s / CAST(per.n_l AS DOUBLE) - mu.mu AS d,
+               CAST(per.n_l AS DOUBLE) / (SELECT n FROM tot) AS w
+        FROM per JOIN mu ON per.i = mu.i
+    ),
+    x0 AS MATERIALIZED (
+        SELECT g.i AS i, 1.0 AS x FROM unnest(generate_series(1, {EMB_DIM})) AS g(i)
+    )"""
+    ]
+    for t in range(1, POWER_ITERS + 1):
+        parts.append(f""",
+    s{t} AS MATERIALIZED (
+        SELECT d.label, sum(d.d * x.x) AS s, any_value(d.w) AS w
+        FROM d JOIN x{t - 1} x ON d.i = x.i GROUP BY d.label
+    ),
+    y{t} AS MATERIALIZED (
+        SELECT d.i, sum(d.w * d.d * s.s) AS y
+        FROM d JOIN s{t} s ON d.label = s.label GROUP BY d.i
+    ),
+    n{t} AS MATERIALIZED (SELECT sqrt(sum(y * y)) AS nm FROM y{t}),
+    x{t} AS MATERIALIZED (
+        SELECT i, y / (SELECT nm FROM n{t}) AS x FROM y{t}
+    )""")
+    parts.append(f""",
+    tr AS (SELECT sum(w * d * d) AS trace FROM d),
+    ranked AS (
+        SELECT i, x, row_number() OVER (ORDER BY abs(x) DESC, i) AS rnk
+        FROM x{POWER_ITERS}
+    )
+    SELECT CAST(rnk AS INT) AS rank, CAST(i AS INT) AS dim, x AS loading,
+           (SELECT nm FROM n{POWER_ITERS}) AS lambda1,
+           (SELECT nm FROM n{POWER_ITERS}) / (SELECT trace FROM tr)
+               AS scatter_share
+    FROM ranked WHERE rnk <= {TOP_LOADINGS}
+    """)
+    return "".join(parts)
+
+
+@query("class_scatter_direction", oracle=_scatter_oracle())
+def class_scatter_direction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dominant between-class direction: the top eigenvector of the
+    label-weighted between-class scatter matrix B = sum_l w_l (mu_l -
+    mu)(mu_l - mu)^T, found by {POWER_ITERS} power-iteration steps — the
+    axis along which the class centroids separate most (PCA on centroids /
+    LDA numerator), the embedding-space diagnostic for "do my labels even
+    separate linearly?". Emits the {TOP_LOADINGS} largest-|loading| dims
+    plus the eigenvalue and its share of total scatter.
+
+    Scale shape: B is NEVER materialized — the iteration runs on the
+    factored form y = M^T W (M x) where M is the (n_labels x d) centered
+    centroid matrix. ONE distributed, partial-aggregated scan reduces the
+    corpus to that factor (n_labels * d rows — bounded by the SCHEMA, not
+    the data, exactly like the union-find edge cap in operators/dedup.py),
+    which is then collected and iterated driver-side: 15 multiplies of a
+    few-hundred-element factor are microseconds, where the distributed
+    formulation costs 30 scheduler round-trips of 64-row jobs. The corpus
+    is touched exactly once regardless of iteration count. Iteration
+    numerics: cross-engine float drift is damped by the spectral-gap
+    contraction, and all emitted loadings are O(0.2) — raw doubles per the
+    repo convention."""
+    e = load_table(spark, sf_dir, "embeddings")
+    v = e.select("label", as_double(F.col("embedding")).alias("vec"))
+    ex = v.select(
+        "label", F.posexplode("vec").alias("i0", "x")
+    ).select("label", (F.col("i0") + 1).alias("i"), "x")
+    per = ex.groupBy("label", "i").agg(
+        F.sum("x").alias("s"), F.count(F.lit(1)).alias("n_l")
+    )
+    tot = v.agg(F.count(F.lit(1)).cast("double").alias("n"))
+    mu = (
+        per.groupBy("i")
+        .agg(F.sum("s").alias("ts"))
+        .crossJoin(F.broadcast(tot))
+        .select("i", (F.col("ts") / F.col("n")).alias("mu"))
+    )
+    d = (
+        per.crossJoin(F.broadcast(tot))
+        .join(F.broadcast(mu), "i")
+        .select(
+            "label",
+            "i",
+            (F.col("s") / F.col("n_l").cast("double") - F.col("mu")).alias("d"),
+            (F.col("n_l").cast("double") / F.col("n")).alias("w"),
+        )
+    )
+
+    # bounded collect: n_labels * EMB_DIM rows, a property of the schema
+    factor: dict[int, dict[int, float]] = {}
+    weight: dict[int, float] = {}
+    for r in d.collect():
+        factor.setdefault(r.label, {})[r.i] = r.d
+        weight[r.label] = r.w
+    labels = sorted(factor)
+    dims = range(1, EMB_DIM + 1)
+
+    x = {i: 1.0 for i in dims}
+    nm = 0.0
+    for _ in range(POWER_ITERS):
+        s = {
+            lab: sum(factor[lab][i] * x[i] for i in dims) for lab in labels
+        }
+        y = {
+            i: sum(weight[lab] * factor[lab][i] * s[lab] for lab in labels)
+            for i in dims
+        }
+        nm = math.sqrt(sum(y[i] * y[i] for i in dims))
+        x = {i: y[i] / nm for i in dims}
+
+    trace = sum(
+        weight[lab] * factor[lab][i] * factor[lab][i]
+        for lab in labels
+        for i in dims
+    )
+    top = sorted(dims, key=lambda i: (-abs(x[i]), i))[:TOP_LOADINGS]
+    rows = [
+        (rank, i, x[i], nm, nm / trace) for rank, i in enumerate(top, start=1)
+    ]
+    return spark.createDataFrame(
+        rows, "rank int, dim int, loading double, lambda1 double, scatter_share double"
     )
 
 

@@ -70,3 +70,36 @@ def test_mixture_weights_invariants(spark, sf_dir):
     by_tok = sorted(out, key=lambda r: r.n_tokens)
     weights = [r.weight for r in by_tok]
     assert weights == sorted(weights)
+
+
+def test_class_scatter_direction_matches_numpy(spark, sf_dir):
+    from datapipeline_ops_spark.queries.decomposition import (
+        TOP_LOADINGS,
+        class_scatter_direction,
+    )
+
+    rows = load_table(spark, sf_dir, "embeddings").select("label", "embedding").collect()
+    X = np.array([r.embedding for r in rows], dtype=np.float64)
+    lab = np.array([r.label for r in rows])
+    mu = X.mean(0)
+    B = np.zeros((EMB_DIM, EMB_DIM))
+    for lv in np.unique(lab):
+        w = (lab == lv).sum() / len(lab)
+        d = X[lab == lv].mean(0) - mu
+        B += w * np.outer(d, d)
+    ev, V = np.linalg.eigh(B)
+    v1 = V[:, -1]
+
+    out = class_scatter_direction(spark, sf_dir).collect()
+    assert [r.rank for r in out] == list(range(1, TOP_LOADINGS + 1))
+    lam = out[0].lambda1
+    assert math.isclose(lam, ev[-1], rel_tol=1e-3)  # power-iter estimate
+    assert 0.0 < out[0].scatter_share <= 1.0
+    # the emitted loadings align with the numpy eigenvector (up to sign)
+    got = {r.dim: r.loading for r in out}
+    sign = 1.0 if sum(got[d] * v1[d - 1] for d in got) >= 0 else -1.0
+    for d, loading in got.items():
+        assert abs(loading - sign * v1[d - 1]) < 5e-3
+    # ranks genuinely order by |loading|
+    mags = [abs(r.loading) for r in out]
+    assert mags == sorted(mags, reverse=True)
