@@ -32,14 +32,26 @@ def sql_tokens(expr: str) -> str:
     return f"regexp_split_to_array({expr}, '\\s+')"
 
 
-def shingles(text: Column, n: int = SHINGLE_N) -> Column:
-    """Word n-gram shingles; whole text if fewer than n tokens."""
-    t = tokens(text)
+def shingles_from(t: Column, text: Column, n: int = SHINGLE_N) -> Column:
+    """Word n-gram shingles from an already-computed token array.
+
+    Pass a MATERIALIZED token column (one that crossed an exchange or
+    persist since it was computed) and each ``element_at`` is an O(1)
+    array access; pass the raw ``tokens(text)`` expression and Catalyst's
+    project-collapsing inlines the split into every position — O(len^2)
+    per document (measured 13x on the winnowing family at sf0.1)."""
     make = F.transform(
         F.sequence(F.lit(1), F.size(t) - (n - 1)),
         lambda i: F.concat_ws(" ", *[F.element_at(t, i + j) for j in range(n)]),
     )
     return F.when(F.size(t) >= n, make).otherwise(F.array(text))
+
+
+def shingles(text: Column, n: int = SHINGLE_N) -> Column:
+    """Word n-gram shingles; whole text if fewer than n tokens. Quadratic
+    in document length unless the token array is materialized first — for
+    hot paths use :func:`shingles_from` behind a repartition/persist."""
+    return shingles_from(tokens(text), text, n)
 
 
 def sql_shingles(expr: str, n: int = SHINGLE_N) -> str:

@@ -28,7 +28,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame
 
 from datapipeline_ops_spark.functions.hashing import hash64
-from datapipeline_ops_spark.functions.text import shingles
+from datapipeline_ops_spark.functions.text import shingles, shingles_from, tokens
 
 MINHASH_K = 8
 LSH_BANDS = 4  # k/bands rows per band
@@ -150,9 +150,16 @@ def with_shingle_hashes(df: DataFrame, key_col: str, text_col: str = "text") -> 
       site, released when a semantically different input replaces it.
     """
     n = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
-    spread = df.repartition(n, F.col(key_col))
-    hashed = with_shingles(spread, text_col).withColumn(
-        "hs", F.array_distinct(F.transform("shingles", lambda s: hash64(s)))
+    # tokenize BEFORE the exchange: the repartition materializes the token
+    # array, so the shingle builder's element_at calls are O(1) array reads
+    # instead of re-splitting the text per position (O(len^2) per doc —
+    # the dominant cost of this stage before the fix)
+    spread = df.select(
+        key_col, F.col(text_col), tokens(F.col(text_col)).alias("_toks")
+    ).repartition(n, F.col(key_col))
+    sh = F.array_distinct(shingles_from(F.col("_toks"), F.col(text_col)))
+    hashed = spread.withColumn(
+        "hs", F.array_distinct(F.transform(sh, lambda s: hash64(s)))
     )
     return persist_barrier(hashed.select(key_col, "hs"), "shingle_hashes")
 

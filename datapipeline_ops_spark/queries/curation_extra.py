@@ -29,7 +29,14 @@ from pyspark.sql import DataFrame, SparkSession, Window
 
 from datapipeline_ops_spark.core.registry import query
 from datapipeline_ops_spark.functions.hashing import hash64, hash_unit, sql_hash64, sql_hash_unit
-from datapipeline_ops_spark.functions.text import SHINGLE_N, shingles, sql_shingles, sql_tokens, tokens
+from datapipeline_ops_spark.functions.text import (
+    SHINGLE_N,
+    shingles,
+    shingles_from,
+    sql_shingles,
+    sql_tokens,
+    tokens,
+)
 from datapipeline_ops_spark.operators.dedup import persist_barrier, with_shingle_hashes
 from datapipeline_ops_spark.queries.dedup import NGRAM_MAX_DF, _hs_cte, _pairs_cte
 from datapipeline_ops_spark.tables import load_table
@@ -1086,15 +1093,17 @@ def _winnow_selected(spark: SparkSession, sf_dir: str) -> DataFrame:
     # same rationale as operators/dedup.py:144-148. Partitioning on doc_id
     # lets the winnow window reuse the exchange (sort only, no reshuffle).
     n = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    spread = d.select("doc_id", "text").repartition(n, F.col("doc_id"))
-    # shingle count from ONE cheap split — referencing the shingle array
-    # twice (size + posexplode) would evaluate the O(len^2) shingle
-    # expression twice per row
-    m = F.greatest(F.size(tokens(F.col("text"))) - (SHINGLE_N - 1), F.lit(1))
+    spread = d.select(
+        "doc_id", "text", tokens(F.col("text")).alias("_toks")
+    ).repartition(n, F.col("doc_id"))
+    # the exchange materializes the token array, so both the count and the
+    # shingle builder read it O(1) per position (shingles_from) instead of
+    # re-splitting the text per position
+    m = F.greatest(F.size(F.col("_toks")) - (SHINGLE_N - 1), F.lit(1))
     ex = spread.select(
         "doc_id",
         m.alias("m"),
-        F.posexplode(shingles(F.col("text"))).alias("pos0", "s"),
+        F.posexplode(shingles_from(F.col("_toks"), F.col("text"))).alias("pos0", "s"),
     ).select(
         "doc_id",
         "m",
