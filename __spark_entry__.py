@@ -33,8 +33,10 @@ def entry(spark: SparkSession) -> DataFrame:
 #     double shipped) — flipping these red -> green is the headline;
 # (b) the 32 round-4 additions with NO driver record in r01..r04 (all pass
 #     the local oracle mimic at sf0.001/0.01/0.1);
-# (c) 16 stale-r01 greens, oldest families first (centroids, temporal spine,
-#     dedup fingerprints, eval suite, UDF surface, IO roundtrips).
+# (c) the 11 round-5 additions (first records; all pass the mimic at all
+#     three SFs);
+# (d) stale-r01 greens, oldest families first, filling whatever window
+#     remains (~5 slots if the cap stays at 50).
 # All queries remain registered — ordering only picks the driver sample.
 _PRIORITY = [
     # (a) r04 hash-reds, fixed (DECIMAL-stabilized aggregation)
@@ -51,7 +53,13 @@ _PRIORITY = [
     "lsh_tuning_report", "twap_per_user", "info_gain_type_by_dow",
     "wow_type_delta", "new_vs_returning_daily", "gini_by_source",
     "time_to_convert_quantiles", "cumulative_users_daily",
-    # (c) stale-r01 rotation (latest record r01)
+    # (c) round-5 additions, first driver record
+    "winnowing_fingerprints", "winnow_match_pairs", "containment_pairs",
+    "token_budget_select", "vocab_coverage_curve", "embedding_anisotropy",
+    "embedding_pca_covariance", "jl_random_projection",
+    "mixture_temperature_weights", "class_scatter_direction",
+    "ntile_price_quartiles",
+    # (d) stale-r01 rotation (latest record r01)
     "label_centroids", "monthly_revenue_trend", "fuzzy_name_pairs",
     "monthly_spine_gap_fill", "dedup_exact", "minhash_signatures",
     "ngram_jaccard_pairs", "simhash_fingerprints", "simhash_near_pairs",
@@ -60,15 +68,19 @@ _PRIORITY = [
     "udf_pair_similarity_band", "csv_roundtrip",
 ]
 # ROUND-6 ORDERING PLAN (apply after the round-5 gate runs): head the window
-# with any round-5 reds + round-5 additions lacking records, then continue
-# the stale-r01 rotation — next up: jsonl_roundtrip jsonl_records
-# media_manifest media_decode_stub media_resize_stub media_frame_sample
-# segment_plan segment_summary frame_sample_ref frame_sample_scan
-# path_roundtrip fraction_parse sec_to_label coalesce_fallback
-# json_props_extract placeholders_build array_index_join iou_boxes
-# clipped_area_filter gauntlet_exactly_one pipeline_cut_e2e
-# pipeline_caption_e2e pipeline_frame_mining_e2e pipeline_bg_filter_e2e
-# threshold_filter band_filter (the remaining 26 r01-latest).
+# with any round-5 reds + round-6 additions lacking records, then continue
+# the stale-r01 rotation — next up: minhash_signatures ngram_jaccard_pairs
+# simhash_fingerprints simhash_near_pairs eval_rmse_report
+# eval_angular_error eval_dataset_means udf_quality_gate
+# udf_detect_count_filter udf_pair_similarity_band csv_roundtrip
+# jsonl_roundtrip jsonl_records media_manifest media_decode_stub
+# media_resize_stub media_frame_sample segment_plan segment_summary
+# frame_sample_ref frame_sample_scan path_roundtrip fraction_parse
+# sec_to_label coalesce_fallback json_props_extract placeholders_build
+# array_index_join iou_boxes clipped_area_filter gauntlet_exactly_one
+# pipeline_cut_e2e pipeline_caption_e2e pipeline_frame_mining_e2e
+# pipeline_bg_filter_e2e threshold_filter band_filter (the r01-latest
+# backlog; round-5's window only covered 5 of them).
 
 
 def _ordered_names() -> list[str]:

@@ -68,6 +68,13 @@ HEADLINE = [
     "bm25_topk",                   # filter-inside-explode + TakeOrdered
     "inverted_index_postings",     # two-phase per-token top-k
     "heavy_hitters_verified",      # MG sketch + exact recount
+    # round-5 additions
+    "winnow_match_pairs",          # winnowed fingerprint inverted-index join
+    "containment_pairs",           # asymmetric shingle containment
+    "embedding_pca_covariance",    # map-side-combined Gram matrix
+    "jl_random_projection",        # shuffle-free JL sketch
+    "class_scatter_direction",     # factored power iteration
+    "vocab_coverage_curve",        # token counts + TakeOrdered vocab cap
 ]
 
 
