@@ -14,7 +14,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
 from datapipeline_ops_spark.core.registry import query
-from datapipeline_ops_spark.functions.hashing import hash_unit, sql_hash_unit
+from datapipeline_ops_spark.functions.hashing import hash64, hash_unit, sql_hash64, sql_hash_unit
 from datapipeline_ops_spark.tables import load_table
 
 _EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
@@ -385,4 +385,227 @@ def heavy_hitters_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("cnt"))
         .orderBy(F.desc("cnt"), F.asc("token"))
         .limit(HH_K)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter dedup admission (hand-rolled, cross-engine-exact bitmap)
+# ---------------------------------------------------------------------------
+
+# 65536 bits as 1024 x 64-bit words; k=3 md5-derived positions per key.
+# Spark 4's SQL surface has no public bloom_filter_agg/might_contain, and a
+# hand-rolled bitmap is strictly better for the gate: every bit — and thus
+# every membership answer INCLUDING the false positives — is reproduced
+# exactly by the DuckDB oracle, so the check is value-level, not an
+# in-tolerance boolean.
+# 63 usable bits per 64-bit word: DuckDB's checked left-shift raises on
+# 1 << 63 (sign bit), Spark's wraps — excluding bit 63 keeps both exact.
+BLOOM_WORD_BITS = 63
+BLOOM_BITS = BLOOM_WORD_BITS * 1024
+BLOOM_K = 3
+_BLOOM_SEEDS = [911, 912, 913]
+_BATCH_MOD = 10  # every 10th doc is the "newly arrived" batch (matches
+                 # incremental_dedup's split)
+
+
+def _bloom_sql_positions(expr: str) -> str:
+    return "[" + ", ".join(
+        f"{sql_hash64(expr, seed=s)} % {BLOOM_BITS}" for s in _BLOOM_SEEDS
+    ) + "]"
+
+
+@query(
+    "bloom_dedup_admission",
+    oracle=f"""
+    WITH corpus AS MATERIALIZED (
+        SELECT doc_id, text, {sql_hash64('text')} AS h
+        FROM documents WHERE doc_id % {_BATCH_MOD} <> 0
+    ),
+    bm AS MATERIALIZED (
+        SELECT pos // 63 AS word,
+               bit_or(1::BIGINT << CAST(pos % 63 AS INT)) AS w
+        FROM (SELECT unnest({_bloom_sql_positions('text')}) AS pos FROM corpus)
+        GROUP BY pos // 63
+    ),
+    batch AS MATERIALIZED (
+        SELECT doc_id, {sql_hash64('text')} AS h,
+               unnest({_bloom_sql_positions('text')}) AS pos
+        FROM documents WHERE doc_id % {_BATCH_MOD} = 0
+    ),
+    probe AS (
+        SELECT doc_id, any_value(h) AS h,
+               bool_and(coalesce(
+                   (bm.w & (1::BIGINT << CAST(batch.pos % 63 AS INT))) <> 0,
+                   false)) AS bloom_maybe
+        FROM batch LEFT JOIN bm ON batch.pos // 63 = bm.word
+        GROUP BY doc_id
+    ),
+    ch AS (SELECT DISTINCT h FROM corpus)
+    SELECT p.doc_id, p.bloom_maybe,
+           ch.h IS NOT NULL AS exact_dup,
+           p.bloom_maybe AND ch.h IS NULL AS false_positive
+    FROM probe p LEFT JOIN ch ON p.h = ch.h
+    """,
+)
+def bloom_dedup_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter admission for incremental dedup: build a {BLOOM_BITS}-bit
+    bitmap over the corpus text hashes ({BLOOM_K} positions per key), probe
+    every newly-arrived document, and report the bloom verdict next to the
+    exact answer — `false_positive` rows are the admission cost, and a
+    false NEGATIVE (exact_dup without bloom_maybe) is impossible by
+    construction, which the oracle verifies bit-for-bit.
+
+    Scale shape: the bitmap build is one partial-aggregated rollup to
+    <= {BLOOM_BITS // BLOOM_WORD_BITS} words — a FIXED-size structure the batch side
+    joins broadcast, so admission never shuffles the corpus (at 1e9+ keys
+    production sizes the bitmap to GBs and still broadcasts; the exact
+    column here is the audit, not the production path)."""
+    d = load_table(spark, sf_dir, "documents")
+    corpus = d.filter(F.col("doc_id") % _BATCH_MOD != 0).select(
+        "doc_id", "text", hash64(F.col("text")).alias("h")
+    )
+    batch = d.filter(F.col("doc_id") % _BATCH_MOD == 0).select(
+        "doc_id", "text", hash64(F.col("text")).alias("h")
+    )
+    positions = F.array(
+        *[hash64(F.col("text"), seed=s) % BLOOM_BITS for s in _BLOOM_SEEDS]
+    )
+    bitmap = (
+        corpus.select(F.explode(positions).alias("pos"))
+        .select(
+            F.expr("pos div 63").alias("word"),
+            F.expr("shiftleft(1L, CAST(pos % 63 AS INT))").alias("bit"),
+        )
+        .groupBy("word")
+        .agg(F.expr("bit_or(bit)").alias("w"))
+    )
+    probe = (
+        batch.select("doc_id", "h", F.explode(positions).alias("pos"))
+        .withColumn("word", F.expr("pos div 63"))
+        .join(F.broadcast(bitmap), "word", "left")
+        .withColumn(
+            "hit",
+            F.coalesce(
+                F.expr("(w & shiftleft(1L, CAST(pos % 63 AS INT))) <> 0"),
+                F.lit(False),
+            ),
+        )
+        .groupBy("doc_id")
+        .agg(F.any_value("h").alias("h"), F.bool_and("hit").alias("bloom_maybe"))
+    )
+    ch = corpus.select("h").distinct().withColumn("seen", F.lit(True))
+    return (
+        probe.join(F.broadcast(ch), "h", "left")
+        .select(
+            "doc_id",
+            "bloom_maybe",
+            F.coalesce(F.col("seen"), F.lit(False)).alias("exact_dup"),
+            (F.col("bloom_maybe") & F.col("seen").isNull()).alias("false_positive"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Count–Min frequency audit (hand-rolled, cross-engine-exact counters)
+# ---------------------------------------------------------------------------
+
+CMS_D = 4     # depth: independent hash rows
+CMS_W = 512   # width: counters per row
+_CMS_SEEDS = [921, 922, 923, 924]
+_CMS_PROBE_MOD = 13  # probe users with user_id % 13 == 0
+
+
+def _cms_sql_cells(expr: str) -> str:
+    return "[" + ", ".join(
+        f"{sql_hash64(expr, seed=s)} % {CMS_W}" for s in _CMS_SEEDS
+    ) + "]"
+
+
+@query(
+    "count_min_freq_audit",
+    oracle=f"""
+    WITH cells AS MATERIALIZED (
+        SELECT g.j AS j, cols[g.j] AS pos, count(*) AS c
+        FROM (SELECT {_cms_sql_cells('user_id')} AS cols FROM events),
+             unnest(generate_series(1, {CMS_D})) AS g(j)
+        GROUP BY g.j, cols[g.j]
+    ),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS total FROM events),
+    probe AS MATERIALIZED (
+        SELECT user_id, CAST(count(*) AS BIGINT) AS exact_n,
+               {_cms_sql_cells('user_id')} AS cols
+        FROM events WHERE user_id % {_CMS_PROBE_MOD} = 0 GROUP BY user_id
+    ),
+    probej AS MATERIALIZED (
+        SELECT user_id, exact_n, g.j AS j, cols[g.j] AS pos
+        FROM probe, unnest(generate_series(1, {CMS_D})) AS g(j)
+    ),
+    est AS (
+        SELECT p.user_id, any_value(p.exact_n) AS exact_n,
+               CAST(min(coalesce(c.c, 0)) AS BIGINT) AS cms_estimate
+        FROM probej p LEFT JOIN cells c ON c.j = p.j AND c.pos = p.pos
+        GROUP BY p.user_id
+    )
+    SELECT user_id, exact_n, cms_estimate,
+           cms_estimate >= exact_n AS never_underestimates,
+           CAST(cms_estimate - exact_n AS DOUBLE)
+               <= 2.718281828459045 / {CMS_W} * (SELECT total FROM n)
+               AS within_eps
+    FROM est
+    """,
+)
+def count_min_freq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count–Min sketch frequency audit over event user_ids: build a
+    {CMS_D} x {CMS_W} counter table in one partial-aggregated pass, probe a
+    deterministic user subset, and emit the estimate next to the exact
+    count plus the two CMS guarantees as booleans — `never_underestimates`
+    (structural: min over per-row counters that each include the true
+    count) and `within_eps` (est - exact <= (e/w) * N, the standard CMS
+    error bound at the ~63% confidence of d=1, held with room by d={CMS_D}).
+    The sketch is md5-derived, so the oracle reproduces every counter and
+    every estimate EXACTLY — the approximation itself is value-gated.
+
+    Scale shape: the build explodes each event into {CMS_D} (row, cell)
+    pairs and partial-aggregates to <= {CMS_D * CMS_W} cells per partition
+    before the one exchange — a fixed-size mergeable sketch regardless of
+    event volume (the reason CMS replaces exact group-bys for frequency
+    queries at 100 TB); probes join the broadcast cell table."""
+    e = load_table(spark, sf_dir, "events")
+    cells_arr = F.array(
+        *[hash64(F.col("user_id"), seed=s) % CMS_W for s in _CMS_SEEDS]
+    )
+    cells = (
+        e.select(F.posexplode(cells_arr).alias("j0", "pos"))
+        .select((F.col("j0") + 1).alias("j"), "pos")
+        .groupBy("j", "pos")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    total = e.agg(F.count(F.lit(1)).cast("long").alias("total"))
+    probe = (
+        e.filter(F.col("user_id") % _CMS_PROBE_MOD == 0)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("exact_n"))
+        .withColumn("cols", cells_arr)
+    )
+    est = (
+        probe.select(
+            "user_id", "exact_n", F.posexplode("cols").alias("j0", "pos")
+        )
+        .select("user_id", "exact_n", (F.col("j0") + 1).alias("j"), "pos")
+        .join(F.broadcast(cells), ["j", "pos"], "left")
+        .groupBy("user_id")
+        .agg(
+            F.any_value("exact_n").alias("exact_n"),
+            F.min(F.coalesce(F.col("c"), F.lit(0))).cast("long").alias("cms_estimate"),
+        )
+    )
+    return est.crossJoin(F.broadcast(total)).select(
+        "user_id",
+        "exact_n",
+        "cms_estimate",
+        (F.col("cms_estimate") >= F.col("exact_n")).alias("never_underestimates"),
+        (
+            (F.col("cms_estimate") - F.col("exact_n")).cast("double")
+            <= F.lit(2.718281828459045 / CMS_W) * F.col("total")
+        ).alias("within_eps"),
     )

@@ -134,3 +134,26 @@ def test_ntile_exact_quartile_sizes(spark, sf_dir):
     # buckets must be value-ordered: hi of q <= lo of q+1
     for q in range(1, 4):
         assert rows[q].hi <= rows[q + 1].lo
+
+
+def test_bloom_admission_invariants(spark, sf_dir):
+    from datapipeline_ops_spark.queries.sampling_sketch import bloom_dedup_admission
+
+    out = bloom_dedup_admission(spark, sf_dir).collect()
+    assert len(out) > 0
+    for r in out:
+        # no false negatives, ever: an exact dup must be bloom-positive
+        if r.exact_dup:
+            assert r.bloom_maybe
+        # false_positive is exactly (maybe AND NOT dup)
+        assert r.false_positive == (r.bloom_maybe and not r.exact_dup)
+
+
+def test_count_min_guarantees(spark, sf_dir):
+    from datapipeline_ops_spark.queries.sampling_sketch import count_min_freq_audit
+
+    out = count_min_freq_audit(spark, sf_dir).collect()
+    assert len(out) > 0
+    assert all(r.never_underestimates for r in out)
+    assert all(r.cms_estimate >= r.exact_n for r in out)
+    assert all(r.within_eps for r in out)

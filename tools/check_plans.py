@@ -880,6 +880,25 @@ def _(qs, spark):
     assert "codegen id" in plan, "projection must stay in whole-stage codegen"
 
 
+@check("bloom_dedup_admission: fixed-size bitmap broadcast, no corpus shuffle join")
+def _(qs, spark):
+    plan = plan_of(qs["bloom_dedup_admission"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan, (
+        "bitmap and seen-hash set must broadcast; the batch never sort-merges"
+    )
+    assert "partial_bit_or" in plan or "bit_or" in plan, "bitmap words must aggregate"
+
+
+@check("count_min_freq_audit: partial-aggregated cells, broadcast sketch probe")
+def _(qs, spark):
+    plan = plan_of(qs["count_min_freq_audit"](spark, SF_DIR))
+    assert "SortMergeJoin" not in plan, "the cell table is fixed-size — broadcast it"
+    assert "partial_count" in plan, "cells must combine map-side"
+    cols = read_schema_cols(plan, "events")
+    assert cols == {"user_id"}, cols
+
+
 @check("mixture_temperature_weights: one source rollup, broadcast totals")
 def _(qs, spark):
     plan = plan_of(qs["mixture_temperature_weights"](spark, SF_DIR))
