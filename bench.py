@@ -75,6 +75,7 @@ HEADLINE = [
     "jl_random_projection",        # shuffle-free JL sketch
     "class_scatter_direction",     # factored power iteration
     "vocab_coverage_curve",        # token counts + TakeOrdered vocab cap
+    "pq_code_assign",              # broadcast-codebook product quantization
 ]
 
 

@@ -35,7 +35,7 @@ import hashlib
 import math
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from datapipeline_ops_spark.core.registry import query
 from datapipeline_ops_spark.functions.vectors import as_double, dot, sql_as_double, sql_dot
@@ -311,6 +311,96 @@ def class_scatter_direction(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     return spark.createDataFrame(
         rows, "rank int, dim int, loading double, lambda1 double, scatter_share double"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (IVF-PQ's compression stage)
+# ---------------------------------------------------------------------------
+
+PQ_M = 8  # subvectors per vector (EMB_DIM / PQ_M dims each)
+PQ_K = 4  # centroids per subspace; codebook = first PQ_K corpus vectors
+_PQ_SUB = EMB_DIM // PQ_M
+
+
+@query(
+    "pq_code_assign",
+    oracle=f"""
+    WITH v AS MATERIALIZED (
+        SELECT vec_id, {sql_as_double("embedding")} AS vec FROM embeddings
+    ),
+    ex AS MATERIALIZED (
+        SELECT vec_id, g.m AS m, vec[(g.m - 1) * {_PQ_SUB} + 1 : g.m * {_PQ_SUB}] AS sub
+        FROM v, unnest(generate_series(1, {PQ_M})) AS g(m)
+    ),
+    cent AS MATERIALIZED (
+        SELECT vec_id AS k, m, sub AS csub FROM ex WHERE vec_id < {PQ_K}
+    ),
+    d AS (
+        SELECT ex.vec_id, ex.m, cent.k,
+               {sql_dot(f"list_transform(generate_series(1, {_PQ_SUB}), i -> ex.sub[i] - cent.csub[i])",
+                        f"list_transform(generate_series(1, {_PQ_SUB}), i -> ex.sub[i] - cent.csub[i])")}
+                   AS dist
+        FROM ex JOIN cent ON ex.m = cent.m
+    ),
+    best AS (
+        SELECT vec_id, m, k, dist,
+               row_number() OVER (PARTITION BY vec_id, m ORDER BY dist, k) AS rn
+        FROM d
+    )
+    SELECT vec_id,
+           CAST(sum(k * (1 << (2 * (m - 1)))) AS BIGINT) AS pq_code,
+           sum(dist) AS recon_err
+    FROM best WHERE rn = 1 GROUP BY vec_id
+    """,
+)
+def pq_code_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization code assignment: split each vector into {PQ_M}
+    subvectors of {_PQ_SUB} dims, assign each to the nearest of {PQ_K}
+    codebook entries per subspace (deterministic codebook: the subvectors
+    of the first {PQ_K} corpus vectors — a seeded kmeans stand-in; swap in
+    `kmeans_refine_step` centroids in production), and pack the {PQ_M}
+    2-bit codes into one BIGINT. `recon_err` is the summed squared
+    quantization error — the quantity PQ training minimizes and the
+    quality metric for choosing M/K. This is the compression stage of
+    IVF-PQ: 64 floats -> one small int per vector, the difference between
+    an ANN index that fits in RAM at 1e9+ vectors and one that doesn't.
+
+    Scale shape: subvector explode (x{PQ_M}) joins the {PQ_M * PQ_K}-row
+    codebook BROADCAST; the nearest-centroid pick is a window partitioned
+    by (vec_id, m); distances are per-row left-to-right arithmetic —
+    bit-identical across engines, so code assignments (including
+    tie-breaks) match exactly. The pack sum is exact integer math; only
+    recon_err is a float sum (raw, 6-sig-fig gated)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    v = e.select("vec_id", as_double(F.col("embedding")).alias("vec"))
+    subs = F.transform(
+        F.sequence(F.lit(1), F.lit(PQ_M)),
+        lambda m: F.struct(
+            m.alias("m"), F.slice("vec", (m - 1) * _PQ_SUB + 1, _PQ_SUB).alias("sub")
+        ),
+    )
+    ex = v.select("vec_id", F.explode(subs).alias("s")).select(
+        "vec_id", "s.m", "s.sub"
+    )
+    cent = ex.filter(F.col("vec_id") < PQ_K).select(
+        F.col("vec_id").alias("k"), "m", F.col("sub").alias("csub")
+    )
+    diff = F.zip_with("sub", "csub", lambda x, c: x - c)
+    d = ex.join(F.broadcast(cent), "m").select(
+        "vec_id", "m", "k", dot(diff, diff).alias("dist")
+    )
+    best = d.withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("vec_id", "m").orderBy("dist", "k")
+        ),
+    ).filter(F.col("rn") == 1)
+    return best.groupBy("vec_id").agg(
+        F.sum(F.expr("k * shiftleft(1L, CAST(2 * (m - 1) AS INT))"))
+        .cast("long")
+        .alias("pq_code"),
+        F.sum("dist").alias("recon_err"),
     )
 
 

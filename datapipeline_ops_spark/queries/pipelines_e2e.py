@@ -516,23 +516,36 @@ def pretrain_data_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     the benchmark set is the only broadcast; the exact-dedup window and the
     final rollup are the only exchanges over the corpus. The oracle replays
     all five stages as chained CTEs with the identical cross-engine hash."""
-    from datapipeline_ops_spark.functions.text import shingles, tokens
+    from datapipeline_ops_spark.functions.text import shingles_from, tokens
     from datapipeline_ops_spark.functions.hashing import hash64, hash_unit
 
     from datapipeline_ops_spark.operators.dedup import persist_barrier
 
     docs = load_table(spark, sf_dir, "documents")
-    q = docs.filter(F.size(tokens(F.col("text"))) >= 10).select(
-        "doc_id", "source", "text"
-    )
-    hs = F.array_distinct(F.transform(shingles(F.col("text"), 3), lambda s: hash64(s)))
-    # same two defenses as with_shingle_hashes: spread the md5 work over all
-    # cores (a single small parquet file scans as ONE partition), and barrier
-    # the hashed frame so CollapseProject can't re-evaluate the md5 transform
-    # in every downstream branch (bench/explode/dedup each consume it)
+    # same defenses as with_shingle_hashes: tokenize once INTO the exchange
+    # (so the shingle builder reads a materialized array, not a re-split per
+    # position), spread the md5 work over all cores, and barrier the hashed
+    # frame so CollapseProject can't re-evaluate the transform per branch.
+    # n_tok rides along from the same array — the quality gate and the
+    # final token rollup never re-split the text.
     n = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    spread = docs.select(
+        "doc_id", "source", "text", tokens(F.col("text")).alias("_toks")
+    ).repartition(n, F.col("doc_id"))
+    hs = F.array_distinct(
+        F.transform(
+            shingles_from(F.col("_toks"), F.col("text"), 3), lambda s: hash64(s)
+        )
+    )
     shq = persist_barrier(
-        q.repartition(n, F.col("doc_id")).withColumn("hs", hs), "pretrain_hs"
+        spread.filter(F.size("_toks") >= 10).select(
+            "doc_id",
+            "source",
+            "text",
+            F.size("_toks").alias("n_tok"),
+            hs.alias("hs"),
+        ),
+        "pretrain_hs",
     )
     bench = (
         shq.filter(F.col("doc_id") % _PRETRAIN_BENCH_MOD == 0)
@@ -554,7 +567,7 @@ def pretrain_data_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     keepers = (
         clean.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
-        .select("doc_id", "source", "text")
+        .select("doc_id", "source", "n_tok")
     )
     assigned = keepers.select(
         "source",
@@ -562,7 +575,7 @@ def pretrain_data_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(hash_unit(F.col("doc_id"), _PRETRAIN_SEED) < 0.9, "val")
         .otherwise("test")
         .alias("split"),
-        F.size(tokens(F.col("text"))).alias("n_tok"),
+        "n_tok",
     )
     return assigned.groupBy("split", "source").agg(
         F.count(F.lit(1)).alias("n_docs"),

@@ -103,3 +103,37 @@ def test_class_scatter_direction_matches_numpy(spark, sf_dir):
     # ranks genuinely order by |loading|
     mags = [abs(r.loading) for r in out]
     assert mags == sorted(mags, reverse=True)
+
+
+def test_pq_code_assign_matches_numpy(spark, sf_dir):
+    from datapipeline_ops_spark.queries.decomposition import (
+        PQ_K,
+        PQ_M,
+        _PQ_SUB,
+        pq_code_assign,
+    )
+
+    rows = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding").collect()
+    X = {r.vec_id: np.array(r.embedding, dtype=np.float64) for r in rows}
+    cent = {
+        (m, k): X[k][m * _PQ_SUB : (m + 1) * _PQ_SUB]
+        for m in range(PQ_M)
+        for k in range(PQ_K)
+    }
+    out = {r.vec_id: r for r in pq_code_assign(spark, sf_dir).collect()}
+    assert set(out) == set(X)
+    for vid, x in X.items():
+        codes = []
+        err = 0.0
+        for m in range(PQ_M):
+            sub = x[m * _PQ_SUB : (m + 1) * _PQ_SUB]
+            dists = [float(np.sum((sub - cent[(m, k)]) ** 2)) for k in range(PQ_K)]
+            k_best = min(range(PQ_K), key=lambda k: (dists[k], k))
+            codes.append(k_best)
+            err += dists[k_best]
+        packed = sum(k << (2 * m) for m, k in enumerate(codes))
+        assert out[vid].pq_code == packed, vid
+        assert abs(out[vid].recon_err - err) < 1e-9 * max(err, 1.0)
+    # codebook vectors quantize to themselves with zero subspace error
+    for k in range(PQ_K):
+        assert out[k].recon_err < 1e-12

@@ -880,6 +880,16 @@ def _(qs, spark):
     assert "codegen id" in plan, "projection must stay in whole-stage codegen"
 
 
+@check("pq_code_assign: broadcast codebook, partitioned argmin window")
+def _(qs, spark):
+    plan = plan_of(qs["pq_code_assign"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan, "the PQ codebook is M*K rows — broadcast it"
+    for block in plan.split("\n\n"):
+        if "Window" in block and "windowspecdefinition" in block:
+            assert "vec_id" in block, f"argmin window must partition by (vec_id, m): {block[:200]}"
+
+
 @check("bloom_dedup_admission: fixed-size bitmap broadcast, no corpus shuffle join")
 def _(qs, spark):
     plan = plan_of(qs["bloom_dedup_admission"](spark, SF_DIR))
