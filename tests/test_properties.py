@@ -157,3 +157,59 @@ def test_split_assign_partitions_and_is_stable(doc_id):
     assert u == (h % 1_000_000) / 1_000_000.0
     split = "train" if u < SPLIT_TRAIN else ("val" if u < SPLIT_VAL else "test")
     assert split in ("train", "val", "test")
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(st.text(alphabet=st.characters(codec="ascii", min_codepoint=33, exclude_characters="'\\"), min_size=1, max_size=6), min_size=0, max_size=12))
+def test_shingles_sql_matches_python_model(tokens_list):
+    """DuckDB sql_shingles == the python n-gram model for arbitrary token
+    lists (the Spark side is shingles_from over the same array — covered
+    against DuckDB by every dedup-family gate query; this pins the SQL
+    mirror to the abstract definition)."""
+    from datapipeline_ops_spark.functions.text import SHINGLE_N, sql_shingles
+
+    text = " ".join(tokens_list)
+    con = duckdb.connect()
+    # sql_shingles references its arg twice (split + whole-text fallback)
+    got = con.execute(f"SELECT {sql_shingles('?')}", [text, text]).fetchone()[0]
+    # model: regexp_split on whitespace; <n tokens -> [text]
+    toks = text.split(" ") if text != "" else [""]
+    if len(toks) >= SHINGLE_N:
+        expect = [
+            " ".join(toks[i : i + SHINGLE_N])
+            for i in range(len(toks) - SHINGLE_N + 1)
+        ]
+    else:
+        expect = [text]
+    assert got == expect, (text, got, expect)
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.integers(min_value=0, max_value=63 * 1024 - 1))
+def test_bloom_word_packing_boundaries(pos):
+    """The 63-bits-per-word packing never shifts into the sign bit and
+    roundtrips (word, bit) -> pos in DuckDB exactly as in the python
+    model — including pos % 63 == 62, the widest shift used."""
+    word, bit = pos // 63, pos % 63
+    assert 0 <= bit <= 62  # 1 << 62 is safe in checked BIGINT shifts
+    con = duckdb.connect()
+    w, mask = con.execute(
+        "SELECT ? // 63, 1::BIGINT << CAST(? % 63 AS INT)", [pos, pos]
+    ).fetchone()
+    assert w == word and mask == (1 << bit) > 0 and mask == 1 << bit
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(st.integers(min_value=0, max_value=3), min_size=8, max_size=8))
+def test_pq_code_pack_roundtrip(codes):
+    """Packing 8 two-bit codes into one BIGINT is lossless and matches the
+    SQL expression used in both engines."""
+    packed = sum(k << (2 * m) for m, k in enumerate(codes))
+    got = [(packed >> (2 * m)) & 3 for m in range(8)]
+    assert got == codes
+    con = duckdb.connect()
+    sql_packed = con.execute(
+        "SELECT sum(k * (1 << (2 * (m - 1))))::BIGINT FROM (SELECT unnest(?) AS k, unnest(range(1, 9)) AS m)",
+        [codes],
+    ).fetchone()[0]
+    assert sql_packed == packed
