@@ -341,6 +341,69 @@ def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Pareto frontier (2-D skyline) over document objectives
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "pareto_frontier_docs",
+    oracle=f"""
+    WITH t AS MATERIALIZED (
+        SELECT doc_id,
+               CAST(len(list_distinct(toks)) AS BIGINT) AS distinct_tokens,
+               CAST(len(toks) AS BIGINT) AS n_tokens
+        FROM (SELECT doc_id, {sql_tokens("text")} AS toks FROM documents)
+    )
+    SELECT a.doc_id, a.distinct_tokens, a.n_tokens
+    FROM t a
+    WHERE NOT EXISTS (
+        SELECT 1 FROM t b
+        WHERE b.distinct_tokens >= a.distinct_tokens
+          AND b.n_tokens >= a.n_tokens
+          AND (b.distinct_tokens > a.distinct_tokens OR b.n_tokens > a.n_tokens)
+    )
+    """,
+)
+def pareto_frontier_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto frontier (skyline) of documents under two maximize-objectives:
+    vocabulary richness (distinct tokens) and length (total tokens) — the
+    non-dominated set a curation pass keeps when it refuses to trade one
+    quality axis for another. The ORACLE is the quadratic NOT-EXISTS
+    dominance definition; the engine plan is the linear sweep.
+
+    Scale shape: the quadratic self-join never happens. One partial-
+    aggregated rollup reduces the corpus to (distinct_tokens ->
+    max n_tokens) — at most |distinct richness values| rows, bounded by
+    document length not corpus size — the sweep window runs over that tiny
+    frame (same bounded-frame rationale as vocab_coverage_curve's ranking),
+    and one equi-join recovers the frontier documents, ties included."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    t = d.select(
+        "doc_id",
+        F.size(F.array_distinct(toks)).cast("long").alias("distinct_tokens"),
+        F.size(toks).cast("long").alias("n_tokens"),
+    )
+    g = t.groupBy("distinct_tokens").agg(F.max("n_tokens").alias("mnt"))
+    # bounded frame (<= max doc length rows): global window is fine here.
+    # strict-dominance sweep: keep a richness level iff its best length
+    # strictly beats every best length at HIGHER richness (>= would be
+    # dominated by the equal-length, richer doc)
+    w = (
+        Window.orderBy(F.desc("distinct_tokens"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    frontier = (
+        g.withColumn("cm", F.max("mnt").over(w))
+        .filter(F.col("cm").isNull() | (F.col("mnt") > F.col("cm")))
+        .select("distinct_tokens", F.col("mnt").alias("n_tokens"))
+    )
+    return t.join(F.broadcast(frontier), ["distinct_tokens", "n_tokens"]).select(
+        "doc_id", "distinct_tokens", "n_tokens"
+    )
+
+
+# ---------------------------------------------------------------------------
 # Temperature-scaled mixture design (UniMax-style: weights from token
 # counts at a sampling temperature, with a per-source epoch cap)
 # ---------------------------------------------------------------------------

@@ -157,3 +157,29 @@ def test_count_min_guarantees(spark, sf_dir):
     assert all(r.never_underestimates for r in out)
     assert all(r.cms_estimate >= r.exact_n for r in out)
     assert all(r.within_eps for r in out)
+
+
+def test_pareto_frontier_is_nondominated_and_complete(spark, sf_dir):
+    import pyspark.sql.functions as F
+
+    from datapipeline_ops_spark.functions.text import tokens as _tokens
+    from datapipeline_ops_spark.queries.curation_extra import pareto_frontier_docs
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = _tokens(F.col("text"))
+    pts = [
+        (r.doc_id, r.nd, r.nt)
+        for r in d.select(
+            "doc_id",
+            F.size(F.array_distinct(toks)).alias("nd"),
+            F.size(toks).alias("nt"),
+        ).collect()
+    ]
+    def dominated(a, pts):
+        return any(
+            b[1] >= a[1] and b[2] >= a[2] and (b[1] > a[1] or b[2] > a[2])
+            for b in pts
+        )
+    expect = {p[0] for p in pts if not dominated(p, pts)}
+    got = {r.doc_id for r in pareto_frontier_docs(spark, sf_dir).collect()}
+    assert got == expect

@@ -880,6 +880,18 @@ def _(qs, spark):
     assert "codegen id" in plan, "projection must stay in whole-stage codegen"
 
 
+@check("pareto_frontier_docs: no quadratic self-join; sweep on aggregated frame")
+def _(qs, spark):
+    plan = plan_of(qs["pareto_frontier_docs"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan, (
+        "skyline must not plan the quadratic dominance join"
+    )
+    assert "partial_max" in plan, "richness rollup must partial-aggregate"
+    # documents is scanned once for stats + once for the recover join: both prune
+    cols = read_schema_cols(plan, "documents")
+    assert cols <= {"doc_id", "text"}, cols
+
+
 @check("pq_code_assign: broadcast codebook, partitioned argmin window")
 def _(qs, spark):
     plan = plan_of(qs["pq_code_assign"](spark, SF_DIR))
