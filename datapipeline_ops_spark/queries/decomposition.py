@@ -99,6 +99,13 @@ def embedding_pca_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     per the repo convention."""
     e = load_table(spark, sf_dir, "embeddings")
     v = e.select(as_double(F.col("embedding")).alias("vec"))
+    # a small parquet file scans as one partition and the d^2/2 product
+    # fan-out is the expensive stage — spread it, but ONLY when the input
+    # is under-partitioned (at production scale the scan already has
+    # thousands of partitions and this full-vector shuffle would be waste)
+    n = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    if v.rdd.getNumPartitions() < n:
+        v = v.repartition(n)
     nd = F.col("nd")
 
     # per-dimension mean (d rows)
@@ -112,7 +119,11 @@ def embedding_pca_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg((F.sum("x") / F.any_value(nd)).alias("m"))
     )
 
-    # upper-triangle cross products: flat-map then partial-aggregated sum
+    # upper-triangle cross products: FLAT double array (positionally
+    # ordered i=1..d, j=i..d), posexplode, partial-aggregated sum per
+    # linear index — ~1.6x cheaper than exploding (i, j, p) structs; the
+    # (i, j) labels come back from a broadcast index map built once from
+    # a 1-row frame with the identical nesting order
     idx = F.sequence(F.lit(1), F.lit(EMB_DIM))
     vec = F.col("vec")
     tri = F.flatten(
@@ -120,19 +131,30 @@ def embedding_pca_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
             idx,
             lambda i: F.transform(
                 F.sequence(i, F.lit(EMB_DIM)),
-                lambda j: F.struct(
-                    i.alias("i"),
-                    j.alias("j"),
-                    (F.element_at(vec, i) * F.element_at(vec, j)).alias("p"),
-                ),
+                lambda j: F.element_at(vec, i) * F.element_at(vec, j),
             ),
         )
     )
+    pairs = F.flatten(
+        F.transform(
+            F.sequence(F.lit(1), F.lit(EMB_DIM)),
+            lambda i: F.transform(
+                F.sequence(i, F.lit(EMB_DIM)),
+                lambda j: F.struct(i.alias("i"), j.alias("j")),
+            ),
+        )
+    )
+    kmap = (
+        spark.range(1)
+        .select(F.posexplode(pairs).alias("k", "t"))
+        .select("k", "t.i", "t.j")
+    )
     sp = (
-        v.select(F.explode(tri).alias("t"))
-        .select("t.i", "t.j", "t.p")
-        .groupBy("i", "j")
+        v.select(F.posexplode(tri).alias("k", "p"))
+        .groupBy("k")
         .agg(F.sum("p").alias("sp"))
+        .join(F.broadcast(kmap), "k")
+        .select("i", "j", "sp")
     )
 
     cov = (
