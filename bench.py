@@ -193,6 +193,51 @@ def _bench_scaled_embeddings(spark, copies: int = 10) -> dict[str, float]:
     return {"wall": round(time.time() - t0, 3), "pairs": n, "copies": copies}
 
 
+def _bench_scaled_winnow(spark, copies: int = 10) -> dict[str, float]:
+    """Winnowing fingerprint match pairs on the ~copies x corpus: the
+    round-5 substring-match index at 10x scale. Sublinear-in-copies wall is
+    the health signal — the df-cap must keep boilerplate fingerprints from
+    quadratic postings exactly like the LSH bucket cap."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    from datapipeline_ops_spark.operators.dedup import clear_barriers, persist_barrier
+    from datapipeline_ops_spark.queries.curation_extra import (
+        WINNOW_MAX_DF,
+        WINNOW_MIN_SHARED,
+        _WIN_POS_BITS,
+        winnow_fingerprints_of,
+    )
+
+    clear_barriers()
+    t0 = time.time()
+    scaled = _scaled_documents(spark, SF_DIR, copies)
+    sel = persist_barrier(
+        winnow_fingerprints_of(scaled)
+        .select("doc_id", F.shiftright("enc", _WIN_POS_BITS).alias("h"))
+        .distinct(),
+        "winnow_fp_scaled",
+    )
+    fp = (
+        sel.withColumn("df", F.count(F.lit(1)).over(Window.partitionBy("h")))
+        .filter(F.col("df") <= WINNOW_MAX_DF)
+        .select("doc_id", "h")
+    )
+    a = fp.select(F.col("doc_id").alias("doc_a"), "h")
+    b = fp.select(F.col("doc_id").alias("doc_b"), "h")
+    n = (
+        a.join(b, "h")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= WINNOW_MIN_SHARED)
+        .count()
+    )
+    wall = round(time.time() - t0, 3)
+    clear_barriers()
+    return {"wall": wall, "pairs": n, "copies": copies}
+
+
 def main() -> int:
     import statistics
 
@@ -268,6 +313,10 @@ def main() -> int:
         scaled_emb = _bench_scaled_embeddings(spark)
     except Exception as exc:  # noqa: BLE001
         scaled_emb = {"error": f"{type(exc).__name__}: {exc}"[:300]}
+    try:
+        scaled_win = _bench_scaled_winnow(spark)
+    except Exception as exc:  # noqa: BLE001
+        scaled_win = {"error": f"{type(exc).__name__}: {exc}"[:300]}
     payload = {
         "metric": "headline_queries_total_wall",
         "value": total,
@@ -280,6 +329,7 @@ def main() -> int:
         # headline total comparable across rounds)
         "dedup_lsh_scaled": scaled,
         "embedding_lsh_scaled": scaled_emb,
+        "winnow_scaled": scaled_win,
     }
     if failed:
         payload["failed"] = failed

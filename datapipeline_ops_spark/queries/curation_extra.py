@@ -1145,11 +1145,17 @@ def _winnow_sel_cte() -> str:
 
 
 def _winnow_selected(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, enc): the winnowed fingerprints — for each window of
-    {WINNOW_W} consecutive shingle hashes keep the minimum, dedup across
-    overlapping windows. Per-document window (partitioned WindowExec, no
-    global sort); everything downstream shuffles packed BIGINTs."""
-    d = load_table(spark, sf_dir, "documents")
+    """(doc_id, enc) winnowed fingerprints of the documents table."""
+    return winnow_fingerprints_of(load_table(spark, sf_dir, "documents"))
+
+
+def winnow_fingerprints_of(d: DataFrame) -> DataFrame:
+    """(doc_id, enc): the winnowed fingerprints of a (doc_id, text) frame —
+    for each window of {WINNOW_W} consecutive shingle hashes keep the
+    minimum, dedup across overlapping windows. Per-document window
+    (partitioned WindowExec, no global sort); everything downstream
+    shuffles packed BIGINTs."""
+    spark = d.sparkSession
     # Repartition the RAW text before any shingle work: a small parquet
     # file scans as one partition, and shingling is the expensive part
     # (per-position token triples), so it must run after the spread — the
