@@ -609,3 +609,169 @@ def count_min_freq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= F.lit(2.718281828459045 / CMS_W) * F.col("total")
         ).alias("within_eps"),
     )
+
+
+# ---------------------------------------------------------------------------
+# KMV (bottom-k / theta) sketch set operations — deterministic, value-gated
+# ---------------------------------------------------------------------------
+
+KMV_K = 64
+_KMV_MAX = 1 << 60  # hash64 range; v = h / 2^60 in (0, 1)
+
+
+@query(
+    "kmv_set_ops_audit",
+    oracle=f"""
+    WITH h AS MATERIALIZED (
+        SELECT DISTINCT event_type AS t, {sql_hash64("user_id")} AS h FROM events
+    ),
+    bk AS MATERIALIZED (
+        SELECT t, h FROM (
+            SELECT t, h, row_number() OVER (PARTITION BY t ORDER BY h) AS rn FROM h
+        ) WHERE rn <= {KMV_K}
+    ),
+    types AS MATERIALIZED (SELECT DISTINCT t FROM h),
+    pairs AS MATERIALIZED (
+        SELECT a.t AS type_a, b.t AS type_b FROM types a JOIN types b ON a.t < b.t
+    ),
+    pu AS MATERIALIZED (
+        SELECT DISTINCT type_a, type_b, h FROM (
+            SELECT p.type_a, p.type_b, bk.h FROM pairs p JOIN bk ON bk.t = p.type_a
+            UNION ALL
+            SELECT p.type_a, p.type_b, bk.h FROM pairs p JOIN bk ON bk.t = p.type_b
+        )
+    ),
+    ubk AS MATERIALIZED (
+        SELECT type_a, type_b, h FROM (
+            SELECT type_a, type_b, h,
+                   row_number() OVER (PARTITION BY type_a, type_b ORDER BY h) AS rn
+            FROM pu
+        ) WHERE rn <= {KMV_K}
+    ),
+    ust AS MATERIALIZED (
+        SELECT type_a, type_b, CAST(count(*) AS BIGINT) AS n_u, max(h) AS hk
+        FROM ubk GROUP BY type_a, type_b
+    ),
+    rho AS MATERIALIZED (
+        SELECT u.type_a, u.type_b, CAST(count(*) AS BIGINT) AS rho
+        FROM ubk u
+        JOIN bk a ON a.t = u.type_a AND a.h = u.h
+        JOIN bk b ON b.t = u.type_b AND b.h = u.h
+        GROUP BY u.type_a, u.type_b
+    ),
+    ex AS MATERIALIZED (
+        SELECT a.t AS type_a, b.t AS type_b, CAST(count(*) AS BIGINT) AS exact_inter
+        FROM h a JOIN h b ON a.h = b.h AND a.t < b.t
+        GROUP BY 1, 2
+    )
+    SELECT p.type_a, p.type_b,
+           coalesce(ex.exact_inter, 0) AS exact_inter,
+           u.n_u AS n_union_sketch,
+           CASE WHEN u.n_u < {KMV_K} THEN CAST(u.n_u AS DOUBLE)
+                ELSE ({KMV_K} - 1) / (CAST(u.hk AS DOUBLE) / {_KMV_MAX})
+           END AS est_union,
+           CASE WHEN u.n_u < {KMV_K} THEN CAST(coalesce(rho.rho, 0) AS DOUBLE)
+                ELSE CAST(coalesce(rho.rho, 0) AS DOUBLE) / {KMV_K}
+                     * (({KMV_K} - 1) / (CAST(u.hk AS DOUBLE) / {_KMV_MAX}))
+           END AS est_inter,
+           abs(CASE WHEN u.n_u < {KMV_K} THEN CAST(coalesce(rho.rho, 0) AS DOUBLE)
+                    ELSE CAST(coalesce(rho.rho, 0) AS DOUBLE) / {KMV_K}
+                         * (({KMV_K} - 1) / (CAST(u.hk AS DOUBLE) / {_KMV_MAX}))
+               END - coalesce(ex.exact_inter, 0))
+               <= 0.5 * coalesce(ex.exact_inter, 0) + 10.0 AS within_tol
+    FROM pairs p
+    JOIN ust u ON u.type_a = p.type_a AND u.type_b = p.type_b
+    LEFT JOIN rho ON rho.type_a = p.type_a AND rho.type_b = p.type_b
+    LEFT JOIN ex ON ex.type_a = p.type_a AND ex.type_b = p.type_b
+    """,
+)
+def kmv_set_ops_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (bottom-k / theta) sketch set algebra over per-event-type user
+    sets: estimate the distinct-user UNION and INTERSECTION of every type
+    pair from {KMV_K}-minimum-value sketches, next to the exact
+    intersection. Because the sketch is the bottom-k of a deterministic
+    md5-derived hash, every sketch member, theta, and ESTIMATE reproduces
+    bit-for-bit in the oracle — the approximation itself is value-gated
+    (same discipline as bloom_dedup_admission / count_min_freq_audit).
+    Sets smaller than k take the exact branch (the sketch IS the set) —
+    sf0.001 exercises it, larger SFs exercise the (k-1)/theta estimator.
+
+    Sketch algebra: union sketch = bottom-k of the merged bottom-k's;
+    intersection via the rho trick — members of the union sketch present
+    in BOTH input sketches (correct because theta_union <= each input
+    theta). At 100 TB the production build keeps per-partition bottom-k
+    and merges (mergeable, fixed memory, no distinct shuffle); the full
+    distinct here exists only to price the exact audit column."""
+    e = load_table(spark, sf_dir, "events")
+    h = e.select(
+        F.col("event_type").alias("t"), hash64(F.col("user_id")).alias("h")
+    ).distinct()
+    wk = Window.partitionBy("t").orderBy("h")
+    bk = h.withColumn("rn", F.row_number().over(wk)).filter(
+        F.col("rn") <= KMV_K
+    ).select("t", "h")
+    types = h.select("t").distinct()
+    pairs = (
+        types.select(F.col("t").alias("type_a"))
+        .join(types.select(F.col("t").alias("type_b")), F.col("type_a") < F.col("type_b"))
+    )
+    pu = (
+        pairs.join(F.broadcast(bk), bk["t"] == pairs["type_a"])
+        .select("type_a", "type_b", "h")
+        .unionAll(
+            pairs.join(F.broadcast(bk), bk["t"] == pairs["type_b"]).select(
+                "type_a", "type_b", "h"
+            )
+        )
+        .distinct()
+    )
+    wu = Window.partitionBy("type_a", "type_b").orderBy("h")
+    ubk = pu.withColumn("rn", F.row_number().over(wu)).filter(
+        F.col("rn") <= KMV_K
+    ).select("type_a", "type_b", "h")
+    ust = ubk.groupBy("type_a", "type_b").agg(
+        F.count(F.lit(1)).cast("long").alias("n_u"), F.max("h").alias("hk")
+    )
+    rho = (
+        ubk.join(
+            F.broadcast(bk.select(F.col("t").alias("type_a"), "h")),
+            ["type_a", "h"],
+        )
+        .join(
+            F.broadcast(bk.select(F.col("t").alias("type_b"), "h")),
+            ["type_b", "h"],
+        )
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("rho"))
+    )
+    ex = (
+        h.select(F.col("t").alias("type_a"), "h")
+        .join(h.select(F.col("t").alias("type_b"), "h"), "h")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("exact_inter"))
+    )
+    est_union = F.when(
+        F.col("n_u") < KMV_K, F.col("n_u").cast("double")
+    ).otherwise(
+        (KMV_K - 1) / (F.col("hk").cast("double") / float(_KMV_MAX))
+    )
+    rho_d = F.coalesce(F.col("rho"), F.lit(0)).cast("double")
+    est_inter = F.when(F.col("n_u") < KMV_K, rho_d).otherwise(
+        rho_d / KMV_K * ((KMV_K - 1) / (F.col("hk").cast("double") / float(_KMV_MAX)))
+    )
+    exact = F.coalesce(F.col("exact_inter"), F.lit(0))
+    return (
+        pairs.join(ust, ["type_a", "type_b"])
+        .join(rho, ["type_a", "type_b"], "left")
+        .join(ex, ["type_a", "type_b"], "left")
+        .select(
+            "type_a",
+            "type_b",
+            exact.alias("exact_inter"),
+            F.col("n_u").alias("n_union_sketch"),
+            est_union.alias("est_union"),
+            est_inter.alias("est_inter"),
+            (F.abs(est_inter - exact) <= 0.5 * exact + 10.0).alias("within_tol"),
+        )
+    )

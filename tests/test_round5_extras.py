@@ -183,3 +183,17 @@ def test_pareto_frontier_is_nondominated_and_complete(spark, sf_dir):
     expect = {p[0] for p in pts if not dominated(p, pts)}
     got = {r.doc_id for r in pareto_frontier_docs(spark, sf_dir).collect()}
     assert got == expect
+
+
+def test_kmv_sketch_properties(spark, sf_dir):
+    from datapipeline_ops_spark.queries.sampling_sketch import KMV_K, kmv_set_ops_audit
+
+    rows = kmv_set_ops_audit(spark, sf_dir).collect()
+    assert len(rows) == 10  # 5 choose 2 type pairs
+    for r in rows:
+        assert r.n_union_sketch <= KMV_K
+        assert r.within_tol
+        assert r.est_union >= r.est_inter - 1e-9  # union >= intersection
+        if r.n_union_sketch < KMV_K:
+            # small-set branch: the sketch is the set — estimates are exact
+            assert r.est_inter == r.exact_inter

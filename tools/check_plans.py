@@ -880,6 +880,19 @@ def _(qs, spark):
     assert "codegen id" in plan, "projection must stay in whole-stage codegen"
 
 
+@check("kmv_set_ops_audit: one distinct shuffle, bottom-k windows partitioned")
+def _(qs, spark):
+    plan = plan_of(qs["kmv_set_ops_audit"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    cols = read_schema_cols(plan, "events")
+    assert cols == {"event_type", "user_id"}, cols
+    for block in plan.split("\n\n"):
+        if "Window" in block and "windowspecdefinition" in block:
+            assert "t#" in block or "type_a" in block, (
+                "bottom-k windows must partition by type / pair: " + block[:200]
+            )
+
+
 @check("pareto_frontier_docs: no quadratic self-join; sweep on aggregated frame")
 def _(qs, spark):
     plan = plan_of(qs["pareto_frontier_docs"](spark, SF_DIR))
