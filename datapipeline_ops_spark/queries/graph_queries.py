@@ -116,6 +116,10 @@ def pagerank_purchase_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
             StorageLevel.MEMORY_AND_DISK
         )
         n = nodes.count()  # scalar-aggregate job: teleport denominator
+        if n == 0:
+            # empty purchase graph (filtered/tiny input): degrade to an
+            # empty ranking instead of dividing by zero below
+            return nodes.select("node", F.lit(0.0).alias("pagerank")).limit(0)
         ranks = nodes.select("node", F.lit(1.0 / n).alias("rank"))
         teleport = (1.0 - PAGERANK_DAMPING) / n
         for _ in range(PAGERANK_ITERS):

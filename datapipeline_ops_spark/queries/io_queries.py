@@ -12,6 +12,7 @@ nulls, quotes and floats.
 from __future__ import annotations
 
 import os
+import re
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
@@ -231,7 +232,9 @@ def bucketed_join_copartition(spark: SparkSession, sf_dir: str) -> DataFrame:
     hundreds-to-thousands so each bucket file stays ~128-512 MB."""
     import shutil
 
-    tag = sf_dir.strip("/").replace("/", "_").replace(".", "_")
+    # identifier-safe tag: any non-alphanumeric path char (hyphens in tmp
+    # dirs, dots in sf names) would break the unquoted table identifier
+    tag = re.sub(r"[^0-9A-Za-z]+", "_", sf_dir.strip("/"))
     t_orders, t_lineitem = f"b_orders_{tag}", f"b_lineitem_{tag}"
     # a table dir left by ANOTHER session's catalog blocks saveAsTable even
     # in overwrite mode — drop the catalog entry AND any orphaned location
