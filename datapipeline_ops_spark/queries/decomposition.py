@@ -345,6 +345,43 @@ PQ_K = 4  # centroids per subspace; codebook = first PQ_K corpus vectors
 _PQ_SUB = EMB_DIM // PQ_M
 
 
+def _pq_subspaces(v: DataFrame) -> DataFrame:
+    """(vec_id, m, sub): each vector split into {PQ_M} subvectors."""
+    subs = F.transform(
+        F.sequence(F.lit(1), F.lit(PQ_M)),
+        lambda m: F.struct(
+            m.alias("m"), F.slice("vec", (m - 1) * _PQ_SUB + 1, _PQ_SUB).alias("sub")
+        ),
+    )
+    return v.select("vec_id", F.explode(subs).alias("s")).select(
+        "vec_id", "s.m", "s.sub"
+    )
+
+
+def _pq_codebook(ex: DataFrame) -> DataFrame:
+    """(k, m, csub): deterministic codebook — subvectors of the first
+    {PQ_K} corpus vectors (swap in kmeans centroids in production)."""
+    return ex.filter(F.col("vec_id") < PQ_K).select(
+        F.col("vec_id").alias("k"), "m", F.col("sub").alias("csub")
+    )
+
+
+def _pq_best(ex: DataFrame, cent: DataFrame | None = None) -> DataFrame:
+    """(vec_id, m, k, dist): nearest codebook entry per subspace, smallest-k
+    tie-break; distances are per-row left-to-right squared L2 —
+    bit-identical across engines."""
+    if cent is None:
+        cent = _pq_codebook(ex)
+    diff = F.zip_with("sub", "csub", lambda x, c: x - c)
+    d = ex.join(F.broadcast(cent), "m").select(
+        "vec_id", "m", "k", dot(diff, diff).alias("dist")
+    )
+    return d.withColumn(
+        "rn",
+        F.row_number().over(Window.partitionBy("vec_id", "m").orderBy("dist", "k")),
+    ).filter(F.col("rn") == 1)
+
+
 @query(
     "pq_code_assign",
     oracle=f"""
@@ -396,28 +433,7 @@ def pq_code_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     recon_err is a float sum (raw, 6-sig-fig gated)."""
     e = load_table(spark, sf_dir, "embeddings")
     v = e.select("vec_id", as_double(F.col("embedding")).alias("vec"))
-    subs = F.transform(
-        F.sequence(F.lit(1), F.lit(PQ_M)),
-        lambda m: F.struct(
-            m.alias("m"), F.slice("vec", (m - 1) * _PQ_SUB + 1, _PQ_SUB).alias("sub")
-        ),
-    )
-    ex = v.select("vec_id", F.explode(subs).alias("s")).select(
-        "vec_id", "s.m", "s.sub"
-    )
-    cent = ex.filter(F.col("vec_id") < PQ_K).select(
-        F.col("vec_id").alias("k"), "m", F.col("sub").alias("csub")
-    )
-    diff = F.zip_with("sub", "csub", lambda x, c: x - c)
-    d = ex.join(F.broadcast(cent), "m").select(
-        "vec_id", "m", "k", dot(diff, diff).alias("dist")
-    )
-    best = d.withColumn(
-        "rn",
-        F.row_number().over(
-            Window.partitionBy("vec_id", "m").orderBy("dist", "k")
-        ),
-    ).filter(F.col("rn") == 1)
+    best = _pq_best(_pq_subspaces(v))
     return best.groupBy("vec_id").agg(
         F.sum(F.expr("k * shiftleft(1L, CAST(2 * (m - 1) AS INT))"))
         .cast("long")
@@ -497,4 +513,209 @@ def jl_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         *[f"p{j}" for j in range(1, JL_K + 1)],
         (sumsq / F.col("sq")).alias("norm_ratio"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ ANN search: coarse cells + PQ asymmetric distances + exact rerank
+# ---------------------------------------------------------------------------
+
+IVFPQ_SHORTLIST = 10  # ADC candidates per query before exact rerank
+IVFPQ_TOPK = 5
+
+
+def _ivfpq_oracle() -> str:
+    from datapipeline_ops_spark.queries.similarity import (
+        IVF_CENTROIDS,
+        N_QUERIES,
+    )
+    from datapipeline_ops_spark.functions.vectors import sql_cosine
+
+    sq = (
+        f"list_transform(generate_series(1, {_PQ_SUB}), "
+        "i -> qe.sub[i] - cb.csub[i])"
+    )
+    return f"""
+    WITH v AS MATERIALIZED (
+        SELECT vec_id, {sql_as_double("embedding")} AS vec FROM embeddings
+    ),
+    cent AS MATERIALIZED (
+        SELECT vec_id AS cid, vec AS cvec FROM v
+        WHERE vec_id >= {IVF_CENTROIDS[0]} AND vec_id < {IVF_CENTROIDS[1]}
+    ),
+    assign AS MATERIALIZED (
+        SELECT vec_id, cid, vec FROM (
+            SELECT a.vec_id, b.cid, a.vec,
+                   row_number() OVER (PARTITION BY a.vec_id
+                                      ORDER BY {sql_cosine("a.vec", "b.cvec")} DESC,
+                                               b.cid) AS rn
+            FROM v a JOIN cent b ON true
+        ) WHERE rn = 1
+    ),
+    ex AS MATERIALIZED (
+        SELECT vec_id, g.m AS m, vec[(g.m - 1) * {_PQ_SUB} + 1 : g.m * {_PQ_SUB}] AS sub
+        FROM v, unnest(generate_series(1, {PQ_M})) AS g(m)
+    ),
+    cb AS MATERIALIZED (
+        SELECT vec_id AS k, m, sub AS csub FROM ex WHERE vec_id < {PQ_K}
+    ),
+    codes AS MATERIALIZED (
+        SELECT vec_id, m, k AS code FROM (
+            SELECT e.vec_id, e.m, cb.k,
+                   row_number() OVER (PARTITION BY e.vec_id, e.m ORDER BY
+                       {sql_dot(f"list_transform(generate_series(1, {_PQ_SUB}), i -> e.sub[i] - cb.csub[i])",
+                                f"list_transform(generate_series(1, {_PQ_SUB}), i -> e.sub[i] - cb.csub[i])")},
+                       cb.k) AS rn
+            FROM ex e JOIN cb ON e.m = cb.m
+        ) WHERE rn = 1
+    ),
+    qd AS MATERIALIZED (
+        SELECT qe.vec_id AS query_id, cb.m, cb.k,
+               {sql_dot(sq, sq)} AS d
+        FROM ex qe JOIN cb ON qe.m = cb.m
+        WHERE qe.vec_id < {N_QUERIES}
+    ),
+    q AS MATERIALIZED (
+        SELECT vec_id AS query_id, cid AS qcid, vec AS qvec FROM assign
+        WHERE vec_id < {N_QUERIES}
+    ),
+    adc AS MATERIALIZED (
+        SELECT q.query_id, c.vec_id,
+               list_sum(list(qd.d ORDER BY qd.m)) AS adc
+        FROM q
+        JOIN assign c ON c.cid = q.qcid AND c.vec_id <> q.query_id
+        JOIN codes ON codes.vec_id = c.vec_id
+        JOIN qd ON qd.query_id = q.query_id AND qd.m = codes.m
+               AND qd.k = codes.code
+        GROUP BY q.query_id, c.vec_id
+    ),
+    short AS MATERIALIZED (
+        SELECT query_id, vec_id, adc FROM (
+            SELECT query_id, vec_id, adc,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY adc, vec_id) AS rn
+            FROM adc
+        ) WHERE rn <= {IVFPQ_SHORTLIST}
+    ),
+    rr AS (
+        SELECT s.query_id, s.vec_id, s.adc,
+               {sql_cosine("q.qvec", "x.vec")} AS cos,
+               row_number() OVER (PARTITION BY s.query_id
+                                  ORDER BY {sql_cosine("q.qvec", "x.vec")} DESC,
+                                           s.vec_id) AS rank
+        FROM short s
+        JOIN q ON q.query_id = s.query_id
+        JOIN v x ON x.vec_id = s.vec_id
+    )
+    SELECT query_id, vec_id, adc, cos, CAST(rank AS INT) AS rank
+    FROM rr WHERE rank <= {IVFPQ_TOPK}
+    """
+
+
+@query("ann_ivf_pq_topk", oracle=_ivfpq_oracle())
+def ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ approximate nearest neighbor — the production vector-index
+    shape end to end: (1) coarse-quantize the corpus into IVF cells so each
+    query scans only its own cell; (2) rank the cell's candidates by PQ
+    ASYMMETRIC distance — the query precomputes a {PQ_M} x {PQ_K} table of
+    subvector-to-codebook distances, and a candidate's approximate distance
+    is {PQ_M} table lookups summed, NEVER a touch of its full vector;
+    (3) exact-rerank the top-{IVFPQ_SHORTLIST} shortlist by true cosine and
+    return the top-{IVFPQ_TOPK}. At 1e9+ vectors this is why the index fits
+    in RAM: the scan phase reads 2-bit codes, full vectors surface only for
+    {IVFPQ_SHORTLIST} rows per query.
+
+    Determinism: the ADC sum aggregates the per-subspace lookups in
+    EXPLICIT m order (sorted struct array folded left-to-right; DuckDB
+    `list_sum(list(d ORDER BY m))`) so candidate ordering — and therefore
+    the shortlist and final ranks — match the oracle exactly. Plan shape:
+    the distance table ({PQ_M * PQ_K} rows/query) and code table join
+    broadcast; ADC shuffles only (query_id, vec_id, 8 doubles)."""
+    from datapipeline_ops_spark.queries.similarity import (
+        IVF_CENTROIDS,
+        N_QUERIES,
+        _vectors,
+    )
+    from datapipeline_ops_spark.functions.vectors import norm
+
+    vfull = _vectors(spark, sf_dir)  # (vec_id, label, vec, nrm)
+    v = vfull.select("vec_id", "vec")
+    cent = vfull.filter(
+        (F.col("vec_id") >= IVF_CENTROIDS[0]) & (F.col("vec_id") < IVF_CENTROIDS[1])
+    ).select(
+        F.col("vec_id").alias("cid"),
+        F.col("vec").alias("cvec"),
+        F.col("nrm").alias("cnrm"),
+    )
+    w_assign = Window.partitionBy("vec_id").orderBy(F.desc("ccos"), F.asc("cid"))
+    assign = (
+        vfull.join(F.broadcast(cent))
+        .withColumn(
+            "ccos", dot(F.col("vec"), F.col("cvec")) / (F.col("nrm") * F.col("cnrm"))
+        )
+        .withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "cid")
+    )
+
+    ex = _pq_subspaces(v)
+    cb = _pq_codebook(ex)
+    codes = _pq_best(ex, cb).select("vec_id", "m", F.col("k").alias("code"))
+
+    qdiff = F.zip_with("sub", "csub", lambda x, c: x - c)
+    qd = (
+        ex.filter(F.col("vec_id") < N_QUERIES)
+        .withColumnRenamed("vec_id", "query_id")
+        .join(F.broadcast(cb), "m")
+        .select("query_id", "m", "k", dot(qdiff, qdiff).alias("d"))
+    )
+    q = assign.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("cid").alias("qcid")
+    )
+    cand = assign.join(F.broadcast(q), assign["cid"] == q["qcid"]).filter(
+        F.col("vec_id") != F.col("query_id")
+    ).select("query_id", "vec_id")
+    # ADC: 8 lookups per candidate, folded in explicit m order so the sum
+    # is bit-identical to the oracle's list_sum(list(d ORDER BY m))
+    adc = (
+        cand.join(F.broadcast(codes), "vec_id")
+        .join(
+            F.broadcast(qd),
+            (cand["query_id"] == qd["query_id"])
+            & (codes["m"] == qd["m"])
+            & (qd["k"] == codes["code"]),
+        )
+        .select(cand["query_id"], "vec_id", codes["m"].alias("m"), "d")
+        .groupBy("query_id", "vec_id")
+        .agg(
+            F.aggregate(
+                F.sort_array(F.collect_list(F.struct("m", "d"))),
+                F.lit(0.0),
+                lambda acc, s: acc + s["d"],
+            ).alias("adc")
+        )
+    )
+    w_short = Window.partitionBy("query_id").orderBy("adc", "vec_id")
+    short = (
+        adc.withColumn("rn", F.row_number().over(w_short))
+        .filter(F.col("rn") <= IVFPQ_SHORTLIST)
+        .select("query_id", "vec_id", "adc")
+    )
+    qv = vfull.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("vec").alias("qvec"),
+        F.col("nrm").alias("qnrm"),
+    )
+    rr = (
+        short.join(F.broadcast(qv), "query_id")
+        .join(vfull.select("vec_id", "vec", "nrm"), "vec_id")
+        .withColumn(
+            "cos", dot(F.col("qvec"), F.col("vec")) / (F.col("qnrm") * F.col("nrm"))
+        )
+    )
+    w_rank = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    return (
+        rr.withColumn("rank", F.row_number().over(w_rank))
+        .filter(F.col("rank") <= IVFPQ_TOPK)
+        .select("query_id", "vec_id", "adc", "cos", "rank")
     )

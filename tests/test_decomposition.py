@@ -137,3 +137,26 @@ def test_pq_code_assign_matches_numpy(spark, sf_dir):
     # codebook vectors quantize to themselves with zero subspace error
     for k in range(PQ_K):
         assert out[k].recon_err < 1e-12
+
+
+def test_ivf_pq_topk_semantics(spark, sf_dir):
+    from datapipeline_ops_spark.queries.decomposition import (
+        IVFPQ_SHORTLIST,
+        IVFPQ_TOPK,
+        ann_ivf_pq_topk,
+    )
+
+    out = ann_ivf_pq_topk(spark, sf_dir).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r.query_id, []).append(r)
+    for qid, rows in by_q.items():
+        rows = sorted(rows, key=lambda r: r.rank)
+        assert [r.rank for r in rows] == list(range(1, len(rows) + 1))
+        assert len(rows) <= IVFPQ_TOPK
+        # rerank order is by exact cosine descending
+        coss = [r.cos for r in rows]
+        assert coss == sorted(coss, reverse=True)
+        # ADC is a squared distance: non-negative
+        assert all(r.adc >= 0.0 for r in rows)
+        assert all(r.vec_id != qid for r in rows)

@@ -880,6 +880,16 @@ def _(qs, spark):
     assert "codegen id" in plan, "projection must stay in whole-stage codegen"
 
 
+@check("ann_ivf_pq_topk: codes/tables broadcast, full vectors only at rerank")
+def _(qs, spark):
+    plan = plan_of(qs["ann_ivf_pq_topk"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan, "qd/codes/query frames must broadcast"
+    # the ADC phase must not sort-merge the corpus against itself
+    n_smj = plan.count("SortMergeJoin")
+    assert n_smj <= 1, f"ADC phase leaked into shuffle joins: {n_smj}"
+
+
 @check("kmv_set_ops_audit: one distinct shuffle, bottom-k windows partitioned")
 def _(qs, spark):
     plan = plan_of(qs["kmv_set_ops_audit"](spark, SF_DIR))
