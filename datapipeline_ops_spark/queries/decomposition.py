@@ -677,15 +677,21 @@ def ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("query_id", "vec_id")
     # ADC: 8 lookups per candidate, folded in explicit m order so the sum
     # is bit-identical to the oracle's list_sum(list(d ORDER BY m))
+    qd2 = qd.select(
+        F.col("query_id").alias("q_qid"),
+        F.col("m").alias("q_m"),
+        F.col("k").alias("q_k"),
+        "d",
+    )
     adc = (
         cand.join(F.broadcast(codes), "vec_id")
         .join(
-            F.broadcast(qd),
-            (cand["query_id"] == qd["query_id"])
-            & (codes["m"] == qd["m"])
-            & (qd["k"] == codes["code"]),
+            F.broadcast(qd2),
+            (F.col("query_id") == F.col("q_qid"))
+            & (F.col("m") == F.col("q_m"))
+            & (F.col("code") == F.col("q_k")),
         )
-        .select(cand["query_id"], "vec_id", codes["m"].alias("m"), "d")
+        .select("query_id", "vec_id", "m", "d")
         .groupBy("query_id", "vec_id")
         .agg(
             F.aggregate(
