@@ -243,3 +243,145 @@ def percent_rank_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
         F.round(F.cume_dist().over(w), 6).alias("cdf"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Seasonal-trend decomposition + CUSUM changepoint (time-series monitors)
+# ---------------------------------------------------------------------------
+
+_STL_HALF = 3  # centered moving-average half-width (7-day trend window)
+
+
+@query(
+    "seasonal_decompose_daily",
+    oracle=f"""
+    WITH daily AS MATERIALIZED (
+        SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+               sum(value) AS v
+        FROM events WHERE value IS NOT NULL GROUP BY 1
+    ),
+    tr AS MATERIALIZED (
+        SELECT day, v,
+               avg(v) OVER (ORDER BY day ROWS BETWEEN {_STL_HALF} PRECEDING
+                            AND {_STL_HALF} FOLLOWING) AS trend
+        FROM daily
+    ),
+    de AS MATERIALIZED (
+        SELECT day, v, trend, v - trend AS detrended,
+               CAST((day + 3) % 7 AS INT) AS dow
+        FROM tr
+    ),
+    se AS MATERIALIZED (
+        SELECT dow, avg(detrended) AS seasonal FROM de GROUP BY dow
+    )
+    SELECT de.day, de.v AS value, de.trend, se.seasonal,
+           de.detrended - se.seasonal AS residual
+    FROM de JOIN se ON de.dow = se.dow
+    """,
+)
+def seasonal_decompose_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive seasonal-trend decomposition of the daily value series
+    (STL-lite): trend = 7-day centered moving average, seasonal = mean
+    detrended value per day-of-week, residual = the monitor-worthy
+    remainder. This is the decomposition behind 'is Monday always low, or
+    is THIS Monday broken?' — z-scoring residuals beats z-scoring raw
+    values whenever traffic has weekly shape.
+
+    Scale: the raw scan partial-aggregates to |days| rows; every window
+    after that runs on the bounded daily frame (same bounded-global-window
+    rationale as the month/day spine queries), and the seasonal join is a
+    7-row broadcast."""
+    e = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    daily = e.groupBy(
+        (F.unix_micros("ts") / F.lit(86_400_000_000)).cast("long").alias("day")
+    ).agg(F.sum("value").alias("v"))
+    # bounded frame (|days| rows): global ordered window is fine here
+    w = Window.orderBy("day").rowsBetween(-_STL_HALF, _STL_HALF)
+    tr = daily.withColumn("trend", F.avg("v").over(w))
+    de = tr.select(
+        "day",
+        "v",
+        "trend",
+        (F.col("v") - F.col("trend")).alias("detrended"),
+        ((F.col("day") + 3) % 7).cast("int").alias("dow"),
+    )
+    se = de.groupBy("dow").agg(F.avg("detrended").alias("seasonal"))
+    return de.join(F.broadcast(se), "dow").select(
+        "day",
+        F.col("v").alias("value"),
+        "trend",
+        "seasonal",
+        (F.col("detrended") - F.col("seasonal")).alias("residual"),
+    )
+
+
+@query(
+    "changepoint_cusum_daily",
+    oracle="""
+    WITH daily AS MATERIALIZED (
+        SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+               CAST(count(*) AS BIGINT) AS n
+        FROM events GROUP BY 1
+    ),
+    st AS (SELECT CAST(sum(n) AS BIGINT) AS total,
+                  CAST(count(*) AS BIGINT) AS days FROM daily),
+    cu AS MATERIALIZED (
+        SELECT day, n,
+               CAST(sum(n) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)
+                    AS DOUBLE)
+               - CAST(row_number() OVER (ORDER BY day) AS DOUBLE)
+                 * (CAST((SELECT total FROM st) AS DOUBLE)
+                    / CAST((SELECT days FROM st) AS DOUBLE)) AS cusum
+        FROM daily
+    ),
+    mx AS (SELECT max(abs(cusum)) AS peak FROM cu)
+    SELECT day, n, cusum,
+           abs(cusum) = (SELECT peak FROM mx) AS is_changepoint
+    FROM cu
+    """,
+)
+def changepoint_cusum_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint scan over the daily event-volume series:
+    cumulative deviation from the series mean; the |cusum| peak marks the
+    most likely level-shift day (the classic offline CUSUM estimator).
+    The full curve ships so a dashboard shows drift building, not just
+    the argmax.
+
+    Cross-engine exactness by construction: the running sum and the rank
+    are exact integers and the mean is ONE division of two exact integers,
+    so every cusum value — and the exact-equality peak flag — is
+    bit-identical across engines (no near-zero float-tail hazard; the raw
+    value-sum variant fails the gate precisely because the final cusum is
+    structurally ~0 and engine accumulation noise dominates it).
+
+    Scale: one partial-aggregated rollup to |days| rows; the running sum
+    and the peak flag run on that bounded frame with the totals and peak
+    riding along as broadcast 1-row frames."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        (F.unix_micros("ts") / F.lit(86_400_000_000)).cast("long").alias("day")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    st = daily.agg(
+        F.sum("n").cast("long").alias("total"),
+        F.count(F.lit(1)).cast("long").alias("days"),
+    )
+    # bounded frame (|days| rows): global ordered window is fine here
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    wr = Window.orderBy("day")
+    mu = F.col("total").cast("double") / F.col("days").cast("double")
+    cu = (
+        daily.crossJoin(F.broadcast(st))
+        .withColumn(
+            "cusum",
+            F.sum("n").over(w).cast("double")
+            - F.row_number().over(wr).cast("double") * mu,
+        )
+        .select("day", "n", "cusum")
+    )
+    mx = cu.agg(F.max(F.abs(F.col("cusum"))).alias("peak"))
+    return cu.crossJoin(F.broadcast(mx)).select(
+        "day",
+        "n",
+        "cusum",
+        (F.abs(F.col("cusum")) == F.col("peak")).alias("is_changepoint"),
+    )

@@ -197,3 +197,26 @@ def test_kmv_sketch_properties(spark, sf_dir):
         if r.n_union_sketch < KMV_K:
             # small-set branch: the sketch is the set — estimates are exact
             assert r.est_inter == r.exact_inter
+
+
+def test_seasonal_decomposition_reconstructs(spark, sf_dir):
+    from datapipeline_ops_spark.queries.windows_extra import seasonal_decompose_daily
+
+    rows = seasonal_decompose_daily(spark, sf_dir).collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert abs((r.trend + r.seasonal + r.residual) - r.value) < 1e-6 * max(
+            abs(r.value), 1.0
+        )
+
+
+def test_cusum_properties(spark, sf_dir):
+    from datapipeline_ops_spark.queries.windows_extra import changepoint_cusum_daily
+
+    rows = sorted(changepoint_cusum_daily(spark, sf_dir).collect(), key=lambda r: r.day)
+    # the cusum closes at ~0 by construction (total - days * mean)
+    assert abs(rows[-1].cusum) < 1e-6
+    peaks = [r for r in rows if r.is_changepoint]
+    assert len(peaks) >= 1
+    peak_val = max(abs(r.cusum) for r in rows)
+    assert all(abs(p.cusum) == peak_val for p in peaks)
