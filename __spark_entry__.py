@@ -33,10 +33,10 @@ def entry(spark: SparkSession) -> DataFrame:
 #     double shipped) — flipping these red -> green is the headline;
 # (b) the 32 round-4 additions with NO driver record in r01..r04 (all pass
 #     the local oracle mimic at sf0.001/0.01/0.1);
-# (c) the 11 round-5 additions (first records; all pass the mimic at all
-#     three SFs);
-# (d) stale-r01 greens, oldest families first, filling whatever window
-#     remains (~5 slots if the cap stays at 50).
+# (c) the 19 round-5 additions (first records; all pass the mimic at all
+#     three SFs). 2+32+19 = 53 > the 50 cap, so the LAST ~3 (the latest
+#     round-5 additions) plus the rotation backlog wait for round 6;
+# (d) stale-r01 greens — recorded only if the cap is above 53.
 # All queries remain registered — ordering only picks the driver sample.
 _PRIORITY = [
     # (a) r04 hash-reds, fixed (DECIMAL-stabilized aggregation)
