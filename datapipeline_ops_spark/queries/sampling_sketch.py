@@ -775,3 +775,110 @@ def kmv_set_ops_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.abs(est_inter - exact) <= 0.5 * exact + 10.0).alias("within_tol"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Distributed Poisson bootstrap (error bars without resampling passes)
+# ---------------------------------------------------------------------------
+
+BOOT_R = 20          # bootstrap replicates
+_BOOT_SEED0 = 900    # per-replicate hash seeds 900..919
+# Poisson(1) inverse-CDF thresholds (k = 0..5; else 6): the classic
+# Poisson-bootstrap approximation of multinomial resampling — each row
+# contributes an independent Poisson(1) weight per replicate, so ONE scan
+# computes every replicate without materializing any resample
+_POIS_CDF = (
+    0.367879441171,
+    0.735758882343,
+    0.919698602929,
+    0.981011843124,
+    0.996340153173,
+    0.999405815182,
+)
+
+
+def _pois_case_sql(u: str) -> str:
+    branches = " ".join(
+        f"WHEN {u} < {c} THEN {k}" for k, c in enumerate(_POIS_CDF)
+    )
+    return f"(CASE {branches} ELSE 6 END)"
+
+
+@query(
+    "bootstrap_mean_ci",
+    oracle=f"""
+    WITH reps AS MATERIALIZED (
+        SELECT g.r AS r,
+               {_pois_case_sql(f"({sql_hash64('event_id || :_: || g.r')} % 1000000) / 1000000.0".replace(":_:", "'_'"))} AS w,
+               value
+        FROM (SELECT event_id, value FROM events WHERE value IS NOT NULL),
+             unnest(generate_series(1, {BOOT_R})) AS g(r)
+    ),
+    means AS MATERIALIZED (
+        SELECT r, sum(w * value) / sum(w) AS rep_mean
+        FROM reps WHERE w > 0 GROUP BY r
+    ),
+    base AS (
+        SELECT CAST(count(*) AS BIGINT) AS n, avg(value) AS mean_value
+        FROM events WHERE value IS NOT NULL
+    )
+    SELECT b.n, b.mean_value,
+           (SELECT quantile_cont(rep_mean, 0.025) FROM means) AS ci_lo,
+           (SELECT quantile_cont(rep_mean, 0.975) FROM means) AS ci_hi,
+           (SELECT stddev_samp(rep_mean) FROM means) AS boot_se,
+           CAST({BOOT_R} AS INT) AS n_replicates
+    FROM base b
+    """,
+)
+def bootstrap_mean_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson-bootstrap confidence interval for the mean event value:
+    each row contributes an independent Poisson(1) weight to each of
+    {BOOT_R} replicates (deterministic: inverse-CDF of a seeded md5
+    uniform), replicate means come out of ONE partial-aggregated scan,
+    and the 95% CI / bootstrap SE are quantiles over the {BOOT_R}-row
+    replicate frame. This is how error bars are priced at 100 TB — the
+    classic resample-R-times bootstrap would be R full passes (or a
+    driver-memory sample); the Poisson trick folds all replicates into
+    one scan with a 7-branch CASE per (row, replicate).
+
+    Determinism: weights are exact integers from md5 thresholds, so both
+    engines build identical replicates; replicate means are true float
+    aggregations (raw, 6-sig-fig gated), and the interpolated CI
+    quantiles inherit their tiny drift — well inside the gate floor."""
+    e = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    u = hash_unit(
+        F.concat(F.col("event_id").cast("string"), F.lit("_"), F.col("r").cast("string"))
+    )
+    pois = F.when(u < _POIS_CDF[0], 0)
+    for k in range(1, len(_POIS_CDF)):
+        pois = pois.when(u < _POIS_CDF[k], k)
+    pois = pois.otherwise(6)
+    reps = (
+        e.select(
+            "event_id",
+            "value",
+            F.explode(F.sequence(F.lit(1), F.lit(BOOT_R))).alias("r"),
+        )
+        .withColumn("w", pois)
+        .filter(F.col("w") > 0)
+    )
+    means = reps.groupBy("r").agg(
+        (F.sum(F.col("w") * F.col("value")) / F.sum("w")).alias("rep_mean")
+    )
+    # 20-row replicate frame: global aggregation is trivially bounded
+    ci = means.agg(
+        F.expr("percentile(rep_mean, 0.025)").alias("ci_lo"),
+        F.expr("percentile(rep_mean, 0.975)").alias("ci_hi"),
+        F.stddev_samp("rep_mean").alias("boot_se"),
+    )
+    base = e.agg(
+        F.count(F.lit(1)).cast("long").alias("n"), F.avg("value").alias("mean_value")
+    )
+    return base.crossJoin(F.broadcast(ci)).select(
+        "n",
+        "mean_value",
+        "ci_lo",
+        "ci_hi",
+        "boot_se",
+        F.lit(BOOT_R).cast("int").alias("n_replicates"),
+    )

@@ -220,3 +220,14 @@ def test_cusum_properties(spark, sf_dir):
     assert len(peaks) >= 1
     peak_val = max(abs(r.cusum) for r in rows)
     assert all(abs(p.cusum) == peak_val for p in peaks)
+
+
+def test_bootstrap_ci_brackets_mean(spark, sf_dir):
+    from datapipeline_ops_spark.queries.sampling_sketch import bootstrap_mean_ci
+
+    r = bootstrap_mean_ci(spark, sf_dir).collect()[0]
+    assert r.ci_lo <= r.ci_hi
+    # the point estimate sits inside (or at worst near) the bootstrap CI
+    spread = max(r.ci_hi - r.ci_lo, 1e-9)
+    assert r.ci_lo - spread <= r.mean_value <= r.ci_hi + spread
+    assert r.boot_se >= 0.0 and r.n_replicates == 20
