@@ -33,10 +33,10 @@ def entry(spark: SparkSession) -> DataFrame:
 #     double shipped) — flipping these red -> green is the headline;
 # (b) the 32 round-4 additions with NO driver record in r01..r04 (all pass
 #     the local oracle mimic at sf0.001/0.01/0.1);
-# (c) the 19 round-5 additions (first records; all pass the mimic at all
-#     three SFs). 2+32+19 = 53 > the 50 cap, so the LAST ~3 (the latest
+# (c) the 20 round-5 additions (first records; all pass the mimic at all
+#     three SFs). 2+32+20 = 54 > the 50 cap, so the LAST ~4 (the latest
 #     round-5 additions) plus the rotation backlog wait for round 6;
-# (d) stale-r01 greens — recorded only if the cap is above 53.
+# (d) stale-r01 greens — recorded only if the cap is above 54.
 # All queries remain registered — ordering only picks the driver sample.
 _PRIORITY = [
     # (a) r04 hash-reds, fixed (DECIMAL-stabilized aggregation)
@@ -82,8 +82,11 @@ _PRIORITY = [
 # sec_to_label coalesce_fallback json_props_extract placeholders_build
 # array_index_join iou_boxes clipped_area_filter gauntlet_exactly_one
 # pipeline_cut_e2e pipeline_caption_e2e pipeline_frame_mining_e2e
-# pipeline_bg_filter_e2e threshold_filter band_filter (the r01-latest
-# backlog; round-5's window only covered 5 of them).
+# pipeline_bg_filter_e2e threshold_filter band_filter (the full r01-latest
+# backlog — round-5's 50-slot window reached none of the rotations, and the
+# last ~4 round-5 additions also need their first record:
+# ann_ivf_pq_topk seasonal_decompose_daily changepoint_cusum_daily
+# bootstrap_mean_ci).
 
 
 def _ordered_names() -> list[str]:
