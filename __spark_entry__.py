@@ -53,8 +53,9 @@ _PRIORITY = [
     "lsh_tuning_report", "twap_per_user", "info_gain_type_by_dow",
     "wow_type_delta", "new_vs_returning_daily", "gini_by_source",
     "time_to_convert_quantiles", "cumulative_users_daily",
-    # (c) round-5 additions, first driver record
-    "winnowing_fingerprints", "winnow_match_pairs", "containment_pairs",
+    # (c) round-5 additions, first driver record (png roundtrip first: it
+    # closes the r04 verdict's "real decode" gap and deserves a record)
+    "media_png_roundtrip", "winnowing_fingerprints", "winnow_match_pairs", "containment_pairs",
     "token_budget_select", "vocab_coverage_curve", "embedding_anisotropy",
     "embedding_pca_covariance", "jl_random_projection",
     "mixture_temperature_weights", "class_scatter_direction",

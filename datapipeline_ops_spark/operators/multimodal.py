@@ -80,17 +80,28 @@ def stub_decode(payload: bytes) -> tuple[int, int, int]:
 
 
 def real_image_decode(payload: bytes) -> tuple[int, int, int]:
-    """Real decoder — requires PIL, absent in this container by design."""
+    """Real decoder: PIL when present (any format), else the pure-stdlib
+    PNG codec (``functions/png.py``) for PNG payloads — so the REAL branch
+    of the decode seam runs even in this PIL-less container. Non-PNG
+    payloads without PIL raise ``NotImplementedError`` (route to the
+    dead-letter side at scale, error-as-data)."""
     try:
         import io
 
-        from PIL import Image  # noqa: F401
-    except ImportError as exc:  # pragma: no cover - env-dependent
-        raise NotImplementedError(
-            "image decode requires PIL; install pillow or use stub_decode"
-        ) from exc
-    img = Image.open(io.BytesIO(payload))  # pragma: no cover
-    return img.width, img.height, 1  # pragma: no cover
+        from PIL import Image
+
+        img = Image.open(io.BytesIO(payload))  # pragma: no cover
+        return img.width, img.height, 1  # pragma: no cover
+    except ImportError:
+        pass
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        from datapipeline_ops_spark.functions.png import decode_png_rgb
+
+        w, h, _ = decode_png_rgb(payload)
+        return w, h, 1
+    raise NotImplementedError(
+        "non-PNG image decode requires PIL; install pillow or use stub_decode"
+    )
 
 
 def attach_payload(df: DataFrame, text_col: str = "text", media_type: str = "image") -> DataFrame:

@@ -137,3 +137,91 @@ def test_s3a_profile_lands_in_hadoop_conf(spark):
     # no-credentials profile defers to the default provider chain
     bare = s3a_profile()
     assert "fs.s3a.access.key" not in bare and "fs.s3a.endpoint" not in bare
+
+
+def test_png_codec_roundtrip_and_filters():
+    import hashlib
+    import struct
+    import zlib
+
+    from datapipeline_ops_spark.functions.png import (
+        _chunk,
+        _SIG,
+        decode_png_rgb,
+        encode_png_rgb,
+    )
+
+    # roundtrip: arbitrary pixel bytes survive encode -> decode exactly
+    w, h = 7, 5
+    pix = bytes(range(w * h * 3 % 256)) * ((w * h * 3) // (w * h * 3 % 256) + 1)
+    pix = hashlib.md5(b"seed").hexdigest().encode() * 10
+    pix = pix[: w * h * 3]
+    png = encode_png_rgb(w, h, pix)
+    dw, dh, dpix = decode_png_rgb(png)
+    assert (dw, dh, dpix) == (w, h, pix)
+
+    # decoder handles every scanline filter type, not just its own output:
+    # craft a 3x2 image whose rows use Sub(1), Up(2), Average(3), Paeth(4)
+    w2, h2 = 3, 4
+    want = bytes(((x * 37 + 11) % 256) for x in range(w2 * h2 * 3))
+    stride = w2 * 3
+
+    def filt(ftype, line, prev):
+        out = bytearray()
+        for i, x in enumerate(line):
+            a = line[i - 3] if i >= 3 else 0
+            b = prev[i]
+            c = prev[i - 3] if i >= 3 else 0
+            if ftype == 1:
+                out.append((x - a) & 0xFF)
+            elif ftype == 2:
+                out.append((x - b) & 0xFF)
+            elif ftype == 3:
+                out.append((x - ((a + b) >> 1)) & 0xFF)
+            else:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                out.append((x - pred) & 0xFF)
+        return bytes(out)
+
+    rows = [want[y * stride : (y + 1) * stride] for y in range(h2)]
+    raw = b""
+    prev = bytes(stride)
+    for y, ftype in enumerate([1, 2, 3, 4]):
+        raw += bytes([ftype]) + filt(ftype, rows[y], prev)
+        prev = rows[y]
+    ihdr = struct.pack(">IIBBBBB", w2, h2, 8, 2, 0, 0, 0)
+    crafted = (
+        _SIG
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(raw))
+        + _chunk(b"IEND", b"")
+    )
+    dw2, dh2, got = decode_png_rgb(crafted)
+    assert (dw2, dh2, got) == (w2, h2, want)
+
+    # unsupported variants fail loudly (error-as-data at the caller)
+    import pytest as _pytest
+
+    bad_ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 6, 0, 0, 0)  # RGBA
+    bad = _SIG + _chunk(b"IHDR", bad_ihdr) + _chunk(b"IEND", b"")
+    with _pytest.raises(ValueError):
+        decode_png_rgb(bad)
+
+
+def test_real_image_decode_png_branch_runs_without_pil(spark):
+    """The REAL branch of the decode seam executes in this container via
+    the stdlib PNG codec — the stub is no longer the only testable path."""
+    from datapipeline_ops_spark.functions.png import encode_png_rgb
+    from datapipeline_ops_spark.operators.multimodal import (
+        decode_media,
+        real_image_decode,
+    )
+
+    png = encode_png_rgb(6, 4, bytes(6 * 4 * 3))
+    assert real_image_decode(png) == (6, 4, 1)
+
+    df = spark.createDataFrame([(1, bytearray(png))], "doc_id long, payload binary")
+    out = decode_media(df, decoder=real_image_decode).collect()
+    assert [(r.doc_id, r.width, r.height, r.n_frames) for r in out] == [(1, 6, 4, 1)]
