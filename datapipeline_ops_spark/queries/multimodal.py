@@ -165,3 +165,79 @@ def media_png_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.mapInPandas(
         run, schema="doc_id long, width int, height int, pixel_md5 string"
     )
+
+
+@query(
+    "media_png_resize",
+    oracle=f"""
+    WITH base AS MATERIALIZED (
+        SELECT doc_id,
+               CAST(4 + doc_id % 8 AS INT) AS w,
+               CAST(3 + (doc_id // 8) % 6 AS INT) AS h,
+               substr(repeat(md5(CAST(doc_id AS VARCHAR)), {_PNG_REP}), 1,
+                      CAST((4 + doc_id % 8) * (3 + (doc_id // 8) % 6) * 3 AS INT))
+                   AS pix
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(w // 2 AS INT) AS width,
+           CAST(h // 2 AS INT) AS height,
+           md5((SELECT string_agg(
+                    substr(pix, ((2 * (g.i // (w // 2))) * w
+                                 + 2 * (g.i % (w // 2))) * 3 + 1, 3),
+                    '' ORDER BY g.i)
+                FROM unnest(generate_series(0, (w // 2) * (h // 2) - 1)) AS g(i)))
+               AS pixel_md5
+    FROM base
+    """,
+)
+def media_png_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image resize, value-gated: decode each document's genuine PNG,
+    nearest-neighbor downsample to (w//2, h//2) by picking source pixel
+    (2x', 2y'), re-encode the result as a PNG and decode it AGAIN, then
+    emit the final dimensions + pixel md5. The oracle computes the exact
+    resized byte string with substring arithmetic — so the gate verifies
+    the decoder, the resample kernel, AND a second full encode/decode
+    roundtrip of the resized image, byte for byte. This is the resize
+    seam (`operators/multimodal.resize_stub`) with the stub replaced by a
+    real kernel for PNG payloads.
+
+    Scale: same mapInPandas shape as media_png_roundtrip — payloads are
+    built, transformed and reduced inside the partition; bytes never
+    shuffle."""
+    import hashlib as _hl
+    from collections.abc import Iterator as _It
+
+    import pandas as _pd
+
+    from datapipeline_ops_spark.functions.png import decode_png_rgb, encode_png_rgb
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def run(batches: "_It[_pd.DataFrame]") -> "_It[_pd.DataFrame]":
+        for pdf in batches:
+            out = {"doc_id": [], "width": [], "height": [], "pixel_md5": []}
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                w = 4 + doc_id % 8
+                h = 3 + (doc_id // 8) % 6
+                pix = (
+                    _hl.md5(str(doc_id).encode()).hexdigest() * _PNG_REP
+                )[: w * h * 3].encode()
+                dw, dh, dpix = decode_png_rgb(encode_png_rgb(w, h, pix))
+                w2, h2 = dw // 2, dh // 2
+                resized = b"".join(
+                    dpix[((2 * yp) * dw + 2 * xp) * 3 : ((2 * yp) * dw + 2 * xp) * 3 + 3]
+                    for yp in range(h2)
+                    for xp in range(w2)
+                )
+                rw, rh, rpix = decode_png_rgb(encode_png_rgb(w2, h2, resized))
+                out["doc_id"].append(doc_id)
+                out["width"].append(rw)
+                out["height"].append(rh)
+                out["pixel_md5"].append(_hl.md5(rpix).hexdigest())
+            yield _pd.DataFrame(out)
+
+    return d.mapInPandas(
+        run, schema="doc_id long, width int, height int, pixel_md5 string"
+    )
