@@ -55,7 +55,8 @@ _PRIORITY = [
     "time_to_convert_quantiles", "cumulative_users_daily",
     # (c) round-5 additions, first driver record (png roundtrip first: it
     # closes the r04 verdict's "real decode" gap and deserves a record)
-    "media_png_roundtrip", "media_png_resize", "winnowing_fingerprints", "winnow_match_pairs", "containment_pairs",
+    "media_png_roundtrip", "media_png_resize", "media_wav_probe",
+    "winnowing_fingerprints", "winnow_match_pairs", "containment_pairs",
     "token_budget_select", "vocab_coverage_curve", "embedding_anisotropy",
     "embedding_pca_covariance", "jl_random_projection",
     "mixture_temperature_weights", "class_scatter_direction",

@@ -241,3 +241,82 @@ def media_png_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.mapInPandas(
         run, schema="doc_id long, width int, height int, pixel_md5 string"
     )
+
+
+# ---------------------------------------------------------------------------
+# REAL WAV probe (RIFF container parse + exact sample statistics)
+# ---------------------------------------------------------------------------
+
+_WAV_REP = 6  # repeat the 32-char md5 hex to cover max 2*n sample bytes
+
+
+@query(
+    "media_wav_probe",
+    oracle=f"""
+    WITH base AS MATERIALIZED (
+        SELECT doc_id,
+               CAST(8000 + (doc_id % 3) * 4000 AS INT) AS sample_rate,
+               CAST(40 + doc_id % 50 AS BIGINT) AS n_samples,
+               repeat(md5(CAST(doc_id AS VARCHAR)), {_WAV_REP}) AS hx
+        FROM documents
+    )
+    SELECT doc_id, sample_rate, n_samples,
+           n_samples * 1000 // sample_rate AS duration_ms,
+           (SELECT CAST(sum(
+                (ascii(substr(hx, 2 * g.i + 1, 1))
+                 + 256 * ascii(substr(hx, 2 * g.i + 2, 1)))
+                * (ascii(substr(hx, 2 * g.i + 1, 1))
+                   + 256 * ascii(substr(hx, 2 * g.i + 2, 1)))) AS BIGINT)
+            FROM unnest(generate_series(0, n_samples - 1)) AS g(i)) AS sum_sq
+    FROM base
+    """,
+)
+def media_wav_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio probe, value-gated (the audio analog of the reference's
+    ffprobe-based VideoProbeOp/VideoInfoOp, ``common/video/
+    video_probe_op.py``): per document, synthesize a deterministic mono
+    16-bit PCM WAV (samples = little-endian pairs of md5-hex bytes keyed
+    by doc_id), then PARSE the RIFF container back — magic check, chunk
+    walk, fmt extraction, sample decode (``functions/wav.py``) — and emit
+    the probed sample rate, sample count, integer duration, and the exact
+    sum of squared samples. The oracle reconstructs every value with
+    character arithmetic and never touches the container, so a single
+    wrong byte in encode -> chunk walk -> PCM decode goes gate-red; all
+    outputs are exact integers (no float tolerance anywhere).
+
+    Scale: one mapInPandas pass; audio bytes are built, parsed and reduced
+    inside the partition and never shuffle."""
+    import hashlib as _hl
+    from collections.abc import Iterator as _It
+
+    import pandas as _pd
+
+    from datapipeline_ops_spark.functions.wav import decode_wav_pcm16, encode_wav_pcm16
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def run(batches: "_It[_pd.DataFrame]") -> "_It[_pd.DataFrame]":
+        for pdf in batches:
+            out = {
+                "doc_id": [], "sample_rate": [], "n_samples": [],
+                "duration_ms": [], "sum_sq": [],
+            }
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                rate = 8000 + (doc_id % 3) * 4000
+                n = 40 + doc_id % 50
+                hx = (_hl.md5(str(doc_id).encode()).hexdigest() * _WAV_REP).encode()
+                samples = [hx[2 * i] + 256 * hx[2 * i + 1] for i in range(n)]
+                prate, psamples = decode_wav_pcm16(encode_wav_pcm16(rate, samples))
+                out["doc_id"].append(doc_id)
+                out["sample_rate"].append(prate)
+                out["n_samples"].append(len(psamples))
+                out["duration_ms"].append(len(psamples) * 1000 // prate)
+                out["sum_sq"].append(sum(s * s for s in psamples))
+            yield _pd.DataFrame(out)
+
+    return d.mapInPandas(
+        run,
+        schema="doc_id long, sample_rate int, n_samples long, "
+        "duration_ms long, sum_sq long",
+    )

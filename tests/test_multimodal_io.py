@@ -225,3 +225,32 @@ def test_real_image_decode_png_branch_runs_without_pil(spark):
     df = spark.createDataFrame([(1, bytearray(png))], "doc_id long, payload binary")
     out = decode_media(df, decoder=real_image_decode).collect()
     assert [(r.doc_id, r.width, r.height, r.n_frames) for r in out] == [(1, 6, 4, 1)]
+
+
+def test_wav_codec_roundtrip_and_chunk_walk():
+    import struct
+
+    import pytest as _pytest
+
+    from datapipeline_ops_spark.functions.wav import decode_wav_pcm16, encode_wav_pcm16
+
+    samples = [0, 1, -1, 32767, -32768, 1234, -4321]
+    wav = encode_wav_pcm16(16000, samples)
+    rate, got = decode_wav_pcm16(wav)
+    assert rate == 16000 and got == samples
+
+    # parser walks past extra chunks (LIST/INFO) before data
+    extra = b"LIST" + struct.pack("<I", 4) + b"INFO"
+    patched = wav[:12] + extra + wav[12:]
+    patched = b"RIFF" + struct.pack("<I", len(patched) - 8) + patched[8:]
+    rate2, got2 = decode_wav_pcm16(patched)
+    assert rate2 == 16000 and got2 == samples
+
+    # stereo / non-PCM fail loudly
+    fmt = struct.pack("<HHIIHH", 1, 2, 8000, 32000, 4, 16)
+    bad = (
+        b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt)) + b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    )
+    with _pytest.raises(ValueError):
+        decode_wav_pcm16(bad)
