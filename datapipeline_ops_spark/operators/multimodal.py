@@ -15,11 +15,16 @@ The Spark-native design supports both layouts:
   that don't touch the payload never read it (column pruning does the work).
 
 Decoders are pluggable at the same seam where the reference injects GPU
-models (``person_detect_op.py:26-33``): the default is a deterministic
-md5-derived stub (this container has no image/audio libs — the real decoder
-raises ``NotImplementedError`` until PIL/av are present), so the *plumbing*
-— schema, batch iteration, partitioning — is fully testable and every
-derived value reproduces in the DuckDB oracle.
+models (``person_detect_op.py:26-33``). Three tiers exist here:
+- a deterministic md5-derived stub (any payload; oracle-mirrored),
+- a REAL stdlib path — PNG decode/resize and WAV probe via
+  ``functions/png.py`` / ``functions/wav.py`` (no PIL needed; exercised
+  and value-gated by media_png_roundtrip / media_png_resize /
+  media_wav_probe),
+- PIL/av for arbitrary formats when installed (the ``media`` extra);
+  ``real_image_decode`` prefers PIL and falls back to the PNG codec.
+So the plumbing AND a real decode chain are testable in this container,
+and every derived value reproduces in the DuckDB oracle.
 """
 
 from __future__ import annotations

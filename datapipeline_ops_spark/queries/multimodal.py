@@ -1,12 +1,15 @@
 """Multimodal-column queries: binary payload manifest, Arrow-batched stub
 decode, resize plumbing, and frame-sample planning.
 
-The payloads are utf-8 bytes of ``documents.text`` — a deterministic test
-stand-in for image/video bytes (the container has no media libs; the real
-decoder is a drop-in at the operator's decoder seam). What IS real here:
-BinaryType columns, typed metadata structs, ``mapInPandas`` batch iteration,
-and the metadata-driven frame-sample explode. All derived values reproduce
-in DuckDB via md5 arithmetic, so even the UDF path is value-checked.
+The stub queries carry utf-8 bytes of ``documents.text`` as deterministic
+payload stand-ins; the ``media_png_*`` / ``media_wav_probe`` queries carry
+GENUINE containers (stdlib PNG / RIFF codecs in ``functions/png.py`` and
+``functions/wav.py``) and decode them for real — dimensions, pixels and
+PCM samples are value-gated against oracles that never touch the bytes.
+Also real throughout: BinaryType columns, typed metadata structs,
+``mapInPandas`` batch iteration, and the metadata-driven frame-sample
+explode. All derived values reproduce in DuckDB, so even the UDF paths
+are value-checked.
 """
 
 from __future__ import annotations
