@@ -76,6 +76,7 @@ HEADLINE = [
     "class_scatter_direction",     # factored power iteration
     "vocab_coverage_curve",        # token counts + TakeOrdered vocab cap
     "pq_code_assign",              # broadcast-codebook product quantization
+    "media_png_roundtrip",         # real PNG decode inside Arrow batches
 ]
 
 
