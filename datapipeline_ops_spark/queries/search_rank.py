@@ -259,3 +259,74 @@ def _ann_recall_oracle() -> str:
 
 
 QUERIES["ann_recall_eval"].oracle = _ann_recall_oracle()
+
+
+@query(
+    "ann_ivfpq_recall_eval",
+    oracle=None,  # composed from the registered retrieval oracles below
+)
+def ann_ivfpq_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of the IVF-PQ path (coarse cells + asymmetric-distance
+    shortlist + exact rerank) against brute-force ground truth — the
+    acceptance gate that prices what PQ compression costs in answer
+    quality next to plain IVF's `ann_recall_eval`. Same constant-size
+    evaluation shape: both join inputs are (queries x k)-row top-k result
+    tables regardless of corpus scale.
+
+    Reading the numbers on THIS corpus: the synthetic embeddings are
+    near-isotropic (see `embedding_anisotropy` / the 0.99 covariance
+    eigengap), so single-cell IVF recall is structurally low (~0.1-0.24)
+    and the 2-bit/4-entry PQ shortlist sits below it — which is precisely
+    the regime this gate exists to expose before an index ships. On
+    clustered production embeddings the same gate reads 0.9+; the query
+    measures the index-vs-data fit, it does not assert a threshold."""
+    gt = QUERIES["cosine_topk_bruteforce"].fn(spark, sf_dir).select(
+        "query_id", "vec_id"
+    )
+    ap = QUERIES["ann_ivf_pq_topk"].fn(spark, sf_dir).select(
+        "query_id", F.col("vec_id").alias("ap_vec_id")
+    )
+    hits = (
+        gt.join(
+            ap,
+            (gt["query_id"] == ap["query_id"]) & (gt["vec_id"] == ap["ap_vec_id"]),
+            "left",
+        )
+        .select(gt["query_id"], F.col("ap_vec_id").isNotNull().cast("int").alias("hit"))
+        .groupBy("query_id")
+        .agg(
+            F.sum("hit").cast("long").alias("n_hits"),
+            F.count(F.lit(1)).cast("long").alias("k"),
+        )
+        .withColumn(
+            "recall", F.col("n_hits").cast("double") / F.col("k").cast("double")
+        )
+    )
+    return hits.withColumn(
+        "mean_recall", F.avg("recall").over(Window.partitionBy())
+    )
+
+
+def _ann_ivfpq_recall_oracle() -> str:
+    gt_sql = QUERIES["cosine_topk_bruteforce"].oracle
+    ap_sql = QUERIES["ann_ivf_pq_topk"].oracle
+    return f"""
+    WITH gt AS MATERIALIZED (SELECT query_id, vec_id FROM ({gt_sql})),
+    ap AS MATERIALIZED (SELECT query_id, vec_id FROM ({ap_sql})),
+    hits AS (
+        SELECT gt.query_id,
+               CAST(sum(CASE WHEN ap.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_hits,
+               count(*) AS k
+        FROM gt LEFT JOIN ap
+          ON ap.query_id = gt.query_id AND ap.vec_id = gt.vec_id
+        GROUP BY gt.query_id
+    )
+    SELECT query_id, n_hits, k,
+           CAST(n_hits AS DOUBLE) / CAST(k AS DOUBLE) AS recall,
+           avg(CAST(n_hits AS DOUBLE) / CAST(k AS DOUBLE)) OVER () AS mean_recall
+    FROM hits
+    """
+
+
+QUERIES["ann_ivfpq_recall_eval"].oracle = _ann_ivfpq_recall_oracle()
