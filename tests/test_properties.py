@@ -213,3 +213,32 @@ def test_pq_code_pack_roundtrip(codes):
         [codes],
     ).fetchone()[0]
     assert sql_packed == packed
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.integers(min_value=1, max_value=12),
+    st.integers(min_value=1, max_value=10),
+    st.binary(min_size=0, max_size=12 * 10 * 3),
+)
+def test_png_codec_roundtrips_arbitrary_pixels(w, h, seed_bytes):
+    """encode -> decode is the identity for ANY pixel buffer (the codec may
+    not normalize, clamp, or reorder bytes)."""
+    from datapipeline_ops_spark.functions.png import decode_png_rgb, encode_png_rgb
+
+    need = w * h * 3
+    pix = (seed_bytes * (need // max(len(seed_bytes), 1) + 1))[:need] if seed_bytes else bytes(need)
+    png = encode_png_rgb(w, h, pix)
+    assert decode_png_rgb(png) == (w, h, pix)
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(st.integers(min_value=-32768, max_value=32767), min_size=0, max_size=64),
+       st.sampled_from([8000, 12000, 16000, 44100]))
+def test_wav_codec_roundtrips_arbitrary_samples(samples, rate):
+    """encode -> decode preserves every sample exactly, including the int16
+    extremes, at any sample rate."""
+    from datapipeline_ops_spark.functions.wav import decode_wav_pcm16, encode_wav_pcm16
+
+    got_rate, got = decode_wav_pcm16(encode_wav_pcm16(rate, samples))
+    assert got_rate == rate and got == samples
