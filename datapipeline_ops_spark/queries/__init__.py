@@ -29,6 +29,7 @@ from datapipeline_ops_spark.queries import (  # noqa: F401
     temporal_queries,
     textstats,
     udtf_queries,
+    web_curation,
     windows_extra,
 )
 

@@ -231,3 +231,23 @@ def test_bootstrap_ci_brackets_mean(spark, sf_dir):
     spread = max(r.ci_hi - r.ci_lo, 1e-9)
     assert r.ci_lo - spread <= r.mean_value <= r.ci_hi + spread
     assert r.boot_se >= 0.0 and r.n_replicates == 20
+
+
+def test_html_extract_recovers_content_exactly(spark, sf_dir):
+    from datapipeline_ops_spark.queries.web_curation import html_text_extract
+
+    rows = html_text_extract(spark, sf_dir).collect()
+    assert len(rows) > 0
+    assert all(r.matches_expected for r in rows)
+
+
+def test_url_canonical_collapses_spellings(spark, sf_dir):
+    from datapipeline_ops_spark.queries.web_curation import url_canonical_dedup
+
+    rows = url_canonical_dedup(spark, sf_dir).collect()
+    for r in rows:
+        u = r.canonical_url
+        assert u == u.lower()
+        assert "#" not in u and "utm_" not in u and ":443" not in u
+        assert not u.endswith("?") and not u.endswith("&")
+        assert r.n_dups >= 1 and r.keeper_doc_id >= 0

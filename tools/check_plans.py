@@ -890,6 +890,25 @@ def _(qs, spark):
     assert n_smj <= 1, f"ADC phase leaked into shuffle joins: {n_smj}"
 
 
+@check("html_text_extract: pure narrow regex chain, zero exchanges")
+def _(qs, spark):
+    plan = plan_of(qs["html_text_extract"](spark, SF_DIR))
+    assert "Exchange" not in plan, "extraction must be a map-only stage"
+    assert "pythonUDF" not in plan and "ArrowEvalPython" not in plan
+    cols = read_schema_cols(plan, "documents")
+    assert cols == {"doc_id", "source", "text"}, cols
+
+
+@check("url_canonical_dedup: one partial-aggregated rollup")
+def _(qs, spark):
+    plan = plan_of(qs["url_canonical_dedup"](spark, SF_DIR))
+    assert "partial_count" in plan or "partial_min" in plan
+    n_exchange = len(re.findall(r"^\(\d+\) Exchange", plan, re.M))
+    assert n_exchange == 1, f"{n_exchange} exchanges"
+    cols = read_schema_cols(plan, "documents")
+    assert cols == {"doc_id", "source"}, cols
+
+
 @check("kmv_set_ops_audit: one distinct shuffle, bottom-k windows partitioned")
 def _(qs, spark):
     plan = plan_of(qs["kmv_set_ops_audit"](spark, SF_DIR))
