@@ -323,3 +323,65 @@ def media_wav_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema="doc_id long, sample_rate int, n_samples long, "
         "duration_ms long, sum_sq long",
     )
+
+
+@query(
+    "media_type_sniff",
+    oracle="""
+    SELECT doc_id,
+           CASE doc_id % 3 WHEN 0 THEN 'image/png'
+                           WHEN 1 THEN 'audio/wav'
+                           ELSE 'text/plain' END AS sniffed_type,
+           doc_id % 3 <> 2 AS is_binary
+    FROM documents
+    """,
+)
+def media_type_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-type sniffing by magic bytes — the ingest gate that routes
+    each payload to the right decoder (and malformed ones to the dead
+    letter side) BEFORE any decode is attempted. The batch carries a mixed
+    corpus of real containers: genuine PNGs (``functions/png.py``),
+    genuine RIFF/WAVE files (``functions/wav.py``), and UTF-8 text; the
+    sniffer inspects ONLY the leading bytes (PNG signature / RIFF+WAVE
+    fourCCs / printable fallback) and the oracle predicts every label from
+    the construction rule — a mislabeling anywhere goes gate-red.
+
+    Scale: one mapInPandas pass, payloads never shuffle; at ingest scale
+    sniffing is a prefix read, never a full decode."""
+    from collections.abc import Iterator as _It
+
+    import pandas as _pd
+
+    from datapipeline_ops_spark.functions.png import encode_png_rgb
+    from datapipeline_ops_spark.functions.wav import encode_wav_pcm16
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def sniff(payload: bytes) -> str:
+        if payload[:8] == b"\x89PNG\r\n\x1a\n":
+            return "image/png"
+        if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+            return "audio/wav"
+        return "text/plain"
+
+    def run(batches: "_It[_pd.DataFrame]") -> "_It[_pd.DataFrame]":
+        for pdf in batches:
+            out = {"doc_id": [], "sniffed_type": [], "is_binary": []}
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                doc_id = int(doc_id)
+                kind = doc_id % 3
+                if kind == 0:
+                    payload = encode_png_rgb(2, 2, bytes(12))
+                elif kind == 1:
+                    payload = encode_wav_pcm16(8000, [0, 1, -1])
+                else:
+                    payload = str(text).encode("utf-8")
+                t = sniff(payload)
+                out["doc_id"].append(doc_id)
+                out["sniffed_type"].append(t)
+                out["is_binary"].append(t != "text/plain")
+            yield _pd.DataFrame(out)
+
+    return d.mapInPandas(
+        run, schema="doc_id long, sniffed_type string, is_binary boolean"
+    )

@@ -192,3 +192,58 @@ def url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("doc_id").cast("long").alias("keeper_doc_id"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Crawl politeness scheduling (per-host rate buckets)
+# ---------------------------------------------------------------------------
+
+CRAWL_RATE = 8  # fetches per host per time slot
+
+
+@query(
+    "crawl_schedule_plan",
+    oracle=f"""
+    WITH ranked AS (
+        SELECT source AS host, doc_id,
+               row_number() OVER (PARTITION BY source ORDER BY doc_id) - 1 AS rk
+        FROM documents
+    ),
+    slotted AS (
+        SELECT host, doc_id, rk // {CRAWL_RATE} AS slot
+        FROM ranked
+    )
+    SELECT host,
+           CAST(count(*) AS BIGINT) AS n_fetches,
+           CAST(max(slot) + 1 AS BIGINT) AS n_slots,
+           CAST(count(*) - (max(slot)) * {CRAWL_RATE} AS BIGINT) AS last_slot_fill
+    FROM slotted GROUP BY host
+    """,
+)
+def crawl_schedule_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Politeness scheduling for a crawl frontier: per host, assign fetches
+    to time slots of at most {CRAWL_RATE} requests (deterministic doc_id
+    order), and report the slot count — the host with max(n_slots) is the
+    crawl's makespan, the number every frontier planner sizes its worker
+    pool against. Rate limits are per-HOST, so the plan is one
+    source-partitioned ranking window (no global coordination — exactly
+    how a distributed fetcher shards politeness state).
+
+    One exchange on host; the slot assignment is integer arithmetic on
+    the rank, so every value is exact cross-engine."""
+    d = load_table(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("source").orderBy("doc_id")
+    slotted = d.select(
+        F.col("source").alias("host"),
+        "doc_id",
+        ((F.row_number().over(w) - 1) / CRAWL_RATE).cast("long").alias("slot"),
+    )
+    return slotted.groupBy("host").agg(
+        F.count(F.lit(1)).cast("long").alias("n_fetches"),
+        (F.max("slot") + 1).cast("long").alias("n_slots"),
+        (F.count(F.lit(1)) - F.max("slot") * CRAWL_RATE).cast("long").alias(
+            "last_slot_fill"
+        ),
+    )
