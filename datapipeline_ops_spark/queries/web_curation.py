@@ -247,3 +247,95 @@ def crawl_schedule_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             "last_slot_fill"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# WARC ingest: stream-parse concatenated crawl records
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "warc_record_extract",
+    oracle=f"""
+    WITH page AS (
+        SELECT doc_id,
+               'https://' || source || '.example.com/doc/'
+                   || CAST(doc_id AS VARCHAR) AS uri,
+               {_HTML_SQL} AS html
+        FROM documents
+    )
+    SELECT doc_id, uri AS target_uri,
+           CAST(length(html) AS BIGINT) AS content_length,
+           md5(html) AS payload_md5,
+           TRUE AS framing_ok
+    FROM page
+    """,
+)
+def warc_record_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC ingest, value-gated: each partition serializes its documents'
+    synthetic HTML pages into ONE concatenated WARC/1.0 byte stream — the
+    shape crawl data actually arrives in — then stream-parses it back by
+    Content-Length framing (``functions/warc.py``) and emits each record's
+    target URI, payload length and payload md5. The oracle predicts every
+    value from the page construction, so a framing bug (the classic: a
+    payload containing header-like bytes desyncing the stream — these
+    payloads DO contain angle brackets and CRLF-free header lookalikes)
+    mismatches immediately. ``framing_ok`` additionally asserts the parser
+    consumed exactly the records that were written, in order.
+
+    Scale: mapInPandas per partition; the WARC bytes are built, parsed and
+    reduced in place — at crawl scale this is the record-iterator stage
+    over multi-GB WARC files, with one parser instance per partition."""
+    import hashlib as _hl
+    from collections.abc import Iterator as _It
+
+    import pandas as _pd
+
+    from datapipeline_ops_spark.functions.warc import (
+        parse_warc_stream,
+        write_warc_record,
+    )
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "source", "text")
+
+    def run(batches: "_It[_pd.DataFrame]") -> "_It[_pd.DataFrame]":
+        for pdf in batches:
+            uris, payloads = [], []
+            for doc_id, source, text in zip(
+                pdf["doc_id"], pdf["source"], pdf["text"]
+            ):
+                doc_id = int(doc_id)
+                uri = f"https://{source}.example.com/doc/{doc_id}"
+                html = (
+                    f"<html><head><title>{source}</title>"
+                    "<style>body{margin:0}</style></head>"
+                    f"<body><h1>Doc {doc_id}</h1><p>{text}</p>"
+                    "<script>var a=1;</script></body></html>"
+                ).encode()
+                uris.append(uri)
+                payloads.append(html)
+            stream = b"".join(
+                write_warc_record(u, p, record_id=f"<urn:uuid:{i}>")
+                for i, (u, p) in enumerate(zip(uris, payloads))
+            )
+            records = parse_warc_stream(stream)
+            ok = len(records) == len(uris)
+            out = {
+                "doc_id": [], "target_uri": [], "content_length": [],
+                "payload_md5": [], "framing_ok": [],
+            }
+            for i, (doc_id, rec) in enumerate(zip(pdf["doc_id"], records)):
+                out["doc_id"].append(int(doc_id))
+                out["target_uri"].append(rec["headers"]["WARC-Target-URI"])
+                out["content_length"].append(len(rec["payload"]))
+                out["payload_md5"].append(_hl.md5(rec["payload"]).hexdigest())
+                out["framing_ok"].append(
+                    ok and rec["headers"]["WARC-Target-URI"] == uris[i]
+                )
+            yield _pd.DataFrame(out)
+
+    return d.mapInPandas(
+        run,
+        schema="doc_id long, target_uri string, content_length long, "
+        "payload_md5 string, framing_ok boolean",
+    )

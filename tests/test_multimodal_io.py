@@ -254,3 +254,33 @@ def test_wav_codec_roundtrip_and_chunk_walk():
     )
     with _pytest.raises(ValueError):
         decode_wav_pcm16(bad)
+
+
+def test_warc_stream_framing():
+    import pytest as _pytest
+
+    from datapipeline_ops_spark.functions.warc import (
+        parse_warc_stream,
+        write_warc_record,
+    )
+
+    # adversarial payload: contains a header-lookalike — Content-Length
+    # framing must carry the parser straight over it
+    evil = b"WARC/1.0\r\nWARC-Type: response\r\n\r\nfake"
+    stream = (
+        write_warc_record("https://a/1", evil)
+        + write_warc_record("https://a/2", b"")
+        + write_warc_record("https://a/3", b"\r\n\r\n\r\n")
+    )
+    recs = parse_warc_stream(stream)
+    assert [r["headers"]["WARC-Target-URI"] for r in recs] == [
+        "https://a/1", "https://a/2", "https://a/3",
+    ]
+    assert recs[0]["payload"] == evil and recs[1]["payload"] == b""
+    assert recs[2]["payload"] == b"\r\n\r\n\r\n"
+
+    # truncated payload / missing separator fail loudly
+    with _pytest.raises(ValueError):
+        parse_warc_stream(stream[:-6])
+    with _pytest.raises(ValueError):
+        parse_warc_stream(b"NOTWARC\r\n\r\n")
