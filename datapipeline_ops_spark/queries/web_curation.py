@@ -339,3 +339,137 @@ def warc_record_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema="doc_id long, target_uri string, content_length long, "
         "payload_md5 string, framing_ok boolean",
     )
+
+
+# ---------------------------------------------------------------------------
+# Crawl-to-corpus e2e: the web-side funnel composed end to end
+# ---------------------------------------------------------------------------
+
+_E2E_MIN_TOKENS = 10
+
+
+@query(
+    "crawl_to_corpus_e2e",
+    oracle=f"""
+    WITH page AS (
+        SELECT doc_id, source,
+               {_URL_SQL} AS url,
+               {_HTML_SQL} AS html
+        FROM documents
+    ),
+    ext AS (
+        SELECT doc_id, source, url,
+               trim(regexp_replace(
+                   regexp_replace(
+                       regexp_replace(
+                           regexp_replace(
+                               regexp_replace(html,
+                                   '<script[^>]*>.*?</script>', ' ', 'g'),
+                               '<style[^>]*>.*?</style>', ' ', 'g'),
+                           '<title[^>]*>.*?</title>', ' ', 'g'),
+                       '<[^>]*>', ' ', 'g'),
+                   ' +', ' ', 'g')) AS extracted
+        FROM page
+    ),
+    gated AS (
+        SELECT *, len(regexp_split_to_array(extracted, '\\s+')) AS n_tok
+        FROM ext
+        WHERE len(regexp_split_to_array(extracted, '\\s+')) >= {_E2E_MIN_TOKENS}
+    ),
+    canon AS (
+        SELECT *,
+               regexp_replace(
+                   regexp_replace(
+                       regexp_replace(
+                           lower(regexp_replace(url, '#.*$', '')),
+                           '(utm_[a-z]+|ref)=[^&]*&?', '', 'g'),
+                       '[?&]+$', ''),
+                   ':443/', '/') AS curl
+        FROM gated
+    ),
+    keep AS (
+        SELECT * FROM (
+            SELECT *, row_number() OVER (PARTITION BY curl ORDER BY doc_id) AS rn
+            FROM canon
+        ) WHERE rn = 1
+    )
+    SELECT source, CAST(count(*) AS BIGINT) AS n_pages,
+           CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+           CAST(min(doc_id) AS BIGINT) AS first_doc
+    FROM keep GROUP BY source
+    """,
+)
+def crawl_to_corpus_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The web-side corpus funnel as ONE composed Catalyst plan — the
+    stages that run BEFORE `pretrain_data_e2e`'s text-side funnel:
+    synthesize crawl pages (URL + HTML) -> strip boilerplate -> token
+    quality gate -> URL canonicalization dedup (keeper per canonical
+    page) -> per-source page/token rollup. Third flagship next to
+    `corpus_curation_e2e` (near-dup story) and `pretrain_data_e2e`
+    (decontaminate/split story); together the three are the full
+    crawl -> training-corpus build.
+
+    Funnel discipline as in the other flagships: the extraction and gate
+    are map-only; the only exchanges are the canonical-URL keeper window
+    and the final per-source rollup — both on compact keys, both strictly
+    after the row count has been shrunk."""
+    d = load_table(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://WWW."),
+        F.col("source"),
+        F.lit(".Example.COM:443/p/"),
+        (F.col("doc_id") % 97).cast("string"),
+        F.lit("?utm_source=feed&ref="),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit("&utm_campaign=x#frag"),
+        F.col("doc_id").cast("string"),
+    )
+    html = F.concat(
+        F.lit("<html><head><title>"),
+        F.col("source"),
+        F.lit("</title><style>body{margin:0}</style></head><body><h1>Doc "),
+        F.col("doc_id").cast("string"),
+        F.lit("</h1><p>"),
+        F.col("text"),
+        F.lit("</p><script>var a=1;</script></body></html>"),
+    )
+    ext = html
+    for pat in (
+        r"<script[^>]*>.*?</script>",
+        r"<style[^>]*>.*?</style>",
+        r"<title[^>]*>.*?</title>",
+        r"<[^>]*>",
+    ):
+        ext = F.regexp_replace(ext, pat, " ")
+    ext = F.trim(F.regexp_replace(ext, " +", " "))
+    curl = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.lower(F.regexp_replace(url, r"#.*$", "")),
+                r"(utm_[a-z]+|ref)=[^&]*&?",
+                "",
+            ),
+            r"[?&]+$",
+            "",
+        ),
+        ":443/",
+        "/",
+    )
+    gated = (
+        d.select(
+            "doc_id",
+            "source",
+            curl.alias("curl"),
+            F.size(F.split(ext, r"\s+")).alias("n_tok"),
+        )
+        .filter(F.col("n_tok") >= _E2E_MIN_TOKENS)
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("curl").orderBy("doc_id")
+    keep = gated.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    return keep.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pages"),
+        F.sum("n_tok").cast("long").alias("total_tokens"),
+        F.min("doc_id").cast("long").alias("first_doc"),
+    )

@@ -909,6 +909,20 @@ def _(qs, spark):
     assert cols == {"doc_id", "source"}, cols
 
 
+@check("crawl_to_corpus_e2e: map-only funnel until keeper window + rollup")
+def _(qs, spark):
+    plan = plan_of(qs["crawl_to_corpus_e2e"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan and "SortMergeJoin" not in plan
+    assert "pythonUDF" not in plan and "ArrowEvalPython" not in plan, (
+        "extraction/gate must be JVM expressions"
+    )
+    # exactly two exchanges: the canonical-URL window and the rollup
+    n_exchange = len(re.findall(r"^\(\d+\) Exchange", plan, re.M))
+    assert n_exchange == 2, f"{n_exchange} exchanges"
+    cols = read_schema_cols(plan, "documents")
+    assert cols == {"doc_id", "source", "text"}, cols
+
+
 @check("kmv_set_ops_audit: one distinct shuffle, bottom-k windows partitioned")
 def _(qs, spark):
     plan = plan_of(qs["kmv_set_ops_audit"](spark, SF_DIR))
