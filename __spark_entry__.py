@@ -33,10 +33,11 @@ def entry(spark: SparkSession) -> DataFrame:
 #     double shipped) — flipping these red -> green is the headline;
 # (b) the 32 round-4 additions with NO driver record in r01..r04 (all pass
 #     the local oracle mimic at sf0.001/0.01/0.1);
-# (c) the 24 round-5 additions (first records; all pass the mimic at all
-#     three SFs). 2+32+24 = 58 > the 50 cap, so the LAST ~8 (the latest
-#     round-5 additions) plus the rotation backlog wait for round 6;
-# (d) stale-r01 greens — recorded only if the cap is above 58.
+# (c) the round-5 additions (first records; all pass the mimic at all
+#     three SFs). 2+32+(c) exceeds the 50 cap, so the tail of (c) (the
+#     latest round-5 additions) plus the rotation backlog wait for round 6
+#     — the ROUND-6 plan comment below lists them;
+# (d) stale-r01 greens — recorded only if the cap rises.
 # All queries remain registered — ordering only picks the driver sample.
 _PRIORITY = [
     # (a) r04 hash-reds, fixed (DECIMAL-stabilized aggregation)
@@ -88,10 +89,12 @@ _PRIORITY = [
 # pipeline_cut_e2e pipeline_caption_e2e pipeline_frame_mining_e2e
 # pipeline_bg_filter_e2e threshold_filter band_filter (the full r01-latest
 # backlog — round-5's 50-slot window reached none of the rotations, and the
-# last ~8 round-5 additions also need their first record:
-# pq_code_assign pareto_frontier_docs kmv_set_ops_audit ann_ivf_pq_topk
+# round-5 additions past the 50-slot cap also need their first record:
+# pareto_frontier_docs kmv_set_ops_audit ann_ivf_pq_topk
 # seasonal_decompose_daily changepoint_cusum_daily bootstrap_mean_ci
-# ann_ivfpq_recall_eval).
+# ann_ivfpq_recall_eval html_text_extract url_canonical_dedup
+# crawl_schedule_plan media_type_sniff warc_record_extract
+# crawl_to_corpus_e2e).
 
 
 def _ordered_names() -> list[str]:

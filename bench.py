@@ -77,6 +77,7 @@ HEADLINE = [
     "vocab_coverage_curve",        # token counts + TakeOrdered vocab cap
     "pq_code_assign",              # broadcast-codebook product quantization
     "media_png_roundtrip",         # real PNG decode inside Arrow batches
+    "crawl_to_corpus_e2e",         # web-side funnel: extract -> gate -> URL dedup
 ]
 
 
