@@ -473,3 +473,107 @@ def crawl_to_corpus_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_tok").cast("long").alias("total_tokens"),
         F.min("doc_id").cast("long").alias("first_doc"),
     )
+
+
+# ---------------------------------------------------------------------------
+# robots.txt rule application (longest-prefix-match, allow wins ties)
+# ---------------------------------------------------------------------------
+
+# deterministic per-host rule set:
+#   '/'     -> allow   (default)
+#   '/p/'   -> disallow on every third host (by the digits in its name)
+#   '/p/1'  -> allow   (exception overriding the /p/ disallow)
+_ROBOTS_RULES_SQL = """
+    rules AS MATERIALIZED (
+        SELECT source AS host, r.prefix, r.allow,
+               length(r.prefix) AS plen
+        FROM (SELECT DISTINCT source FROM documents),
+             (VALUES ('/', TRUE), ('/p/', FALSE), ('/p/1', TRUE))
+                 AS r(prefix, allow)
+        WHERE r.prefix <> '/p/'
+           OR CAST(regexp_extract(source, '([0-9]+)', 1) AS BIGINT) % 3 = 0
+    )
+"""
+
+
+@query(
+    "robots_rules_apply",
+    oracle=f"""
+    WITH {_ROBOTS_RULES_SQL},
+    urls AS (
+        SELECT doc_id, source AS host,
+               '/p/' || CAST(doc_id % 97 AS VARCHAR) AS path
+        FROM documents
+    ),
+    matched AS (
+        SELECT u.doc_id, u.host, u.path, r.prefix, r.allow,
+               row_number() OVER (PARTITION BY u.doc_id
+                                  ORDER BY r.plen DESC,
+                                           CASE WHEN r.allow THEN 0 ELSE 1 END)
+                   AS rn
+        FROM urls u JOIN rules r
+          ON u.host = r.host AND starts_with(u.path, r.prefix)
+    )
+    SELECT doc_id, host, path, prefix AS matched_prefix, allow AS allowed
+    FROM matched WHERE rn = 1
+    """,
+)
+def robots_rules_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """robots.txt evaluation with the modern (Google/RFC 9309) semantics:
+    the LONGEST matching rule prefix decides, and allow wins a length tie.
+    Every third host disallows '/p/' but carves out '/p/1' — so the same
+    path is fetchable on one host and not its neighbor, and paths under
+    '/p/1' survive the disallow via the longer exception. This is the
+    fetch gate between the crawl frontier (`crawl_schedule_plan`) and the
+    WARC writer.
+
+    Plan shape: the rule table is |hosts| x |rules| rows — broadcast; the
+    prefix match is a broadcast theta-join (starts_with), and the winner
+    is one row_number window per URL over <= |rules| candidates. URLs
+    never shuffle for the match; only the per-doc argmax window exchanges
+    compact rows."""
+    d = load_table(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    hosts = d.select(F.col("source").alias("host")).distinct()
+    rules = (
+        hosts.select(
+            "host",
+            F.explode(
+                F.array(
+                    F.struct(F.lit("/").alias("prefix"), F.lit(True).alias("allow")),
+                    F.struct(F.lit("/p/").alias("prefix"), F.lit(False).alias("allow")),
+                    F.struct(F.lit("/p/1").alias("prefix"), F.lit(True).alias("allow")),
+                )
+            ).alias("r"),
+        )
+        .select("host", "r.prefix", "r.allow", F.length("r.prefix").alias("plen"))
+        .filter(
+            (F.col("prefix") != "/p/")
+            | (F.regexp_extract("host", r"(\d+)", 1).cast("long") % 3 == 0)
+        )
+    )
+    urls = d.select(
+        "doc_id",
+        F.col("source").alias("host"),
+        F.concat(F.lit("/p/"), (F.col("doc_id") % 97).cast("string")).alias("path"),
+    )
+    matched = urls.join(
+        F.broadcast(rules),
+        (urls["host"] == rules["host"])
+        & F.col("path").startswith(F.col("prefix")),
+    ).select(urls["host"].alias("host"), "doc_id", "path", "prefix", "allow", "plen")
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("plen"), F.when(F.col("allow"), 0).otherwise(1)
+    )
+    return (
+        matched.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "doc_id",
+            "host",
+            "path",
+            F.col("prefix").alias("matched_prefix"),
+            F.col("allow").alias("allowed"),
+        )
+    )

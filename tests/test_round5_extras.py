@@ -251,3 +251,23 @@ def test_url_canonical_collapses_spellings(spark, sf_dir):
         assert "#" not in u and "utm_" not in u and ":443" not in u
         assert not u.endswith("?") and not u.endswith("&")
         assert r.n_dups >= 1 and r.keeper_doc_id >= 0
+
+
+def test_robots_longest_prefix_and_allow_tiebreak(spark, sf_dir):
+    import re as _re
+
+    from datapipeline_ops_spark.queries.web_curation import robots_rules_apply
+
+    rows = robots_rules_apply(spark, sf_dir).collect()
+    assert len(rows) > 0
+    for r in rows:
+        n = int(_re.search(r"(\d+)", r.host).group(1))
+        tail = r.path[len("/p/"):]
+        if n % 3 != 0:
+            # host has no /p/ disallow: default allow matches
+            assert r.allowed and r.matched_prefix == "/"
+        elif tail.startswith("1"):
+            # the longer /p/1 exception overrides the /p/ disallow
+            assert r.allowed and r.matched_prefix == "/p/1"
+        else:
+            assert not r.allowed and r.matched_prefix == "/p/"
