@@ -264,8 +264,10 @@ def test_robots_longest_prefix_and_allow_tiebreak(spark, sf_dir):
         n = int(_re.search(r"(\d+)", r.host).group(1))
         tail = r.path[len("/p/"):]
         if n % 3 != 0:
-            # host has no /p/ disallow: default allow matches
-            assert r.allowed and r.matched_prefix == "/"
+            # host has no /p/ disallow: allowed either via the default rule
+            # or the (still-present) longer /p/1 allow rule
+            assert r.allowed
+            assert r.matched_prefix == ("/p/1" if tail.startswith("1") else "/")
         elif tail.startswith("1"):
             # the longer /p/1 exception overrides the /p/ disallow
             assert r.allowed and r.matched_prefix == "/p/1"
