@@ -67,7 +67,7 @@ _PRIORITY = [
     "bootstrap_mean_ci", "ann_ivfpq_recall_eval",
     "html_text_extract", "url_canonical_dedup", "crawl_schedule_plan",
     "media_type_sniff", "warc_record_extract", "crawl_to_corpus_e2e",
-    "robots_rules_apply",
+    "robots_rules_apply", "media_png_frame_extract",
     # (d) stale-r01 rotation (latest record r01)
     "label_centroids", "monthly_revenue_trend", "fuzzy_name_pairs",
     "monthly_spine_gap_fill", "dedup_exact", "minhash_signatures",

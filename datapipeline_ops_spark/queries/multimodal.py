@@ -385,3 +385,90 @@ def media_type_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.mapInPandas(
         run, schema="doc_id long, sniffed_type string, is_binary boolean"
     )
+
+
+# ---------------------------------------------------------------------------
+# REAL frame extraction: sprite-sheet PNG -> per-frame pixel buffers
+# ---------------------------------------------------------------------------
+
+_FRAME_W = 4   # frame width in pixels
+_FRAME_H = 3   # frame height
+_SPRITE_REP = 5  # md5-hex repeats covering the widest sprite (4 frames)
+
+
+@query(
+    "media_png_frame_extract",
+    oracle=f"""
+    WITH base AS MATERIALIZED (
+        SELECT doc_id,
+               CAST(1 + doc_id % 4 AS INT) AS n_frames,
+               substr(repeat(md5(CAST(doc_id AS VARCHAR)), {_SPRITE_REP}), 1,
+                      CAST((1 + doc_id % 4) * {_FRAME_W} * {_FRAME_H} * 3 AS INT))
+                   AS pix
+        FROM base_docs
+    ),
+    frames AS (
+        SELECT doc_id, n_frames, g.f AS frame_idx,
+               (SELECT string_agg(
+                    substr(pix, (y.y * (n_frames * {_FRAME_W})
+                                 + g.f * {_FRAME_W}) * 3 + 1,
+                           {_FRAME_W} * 3), '' ORDER BY y.y)
+                FROM unnest(generate_series(0, {_FRAME_H} - 1)) AS y(y)) AS fpix
+        FROM base, unnest(generate_series(0, n_frames - 1)) AS g(f)
+    )
+    SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx,
+           CAST(n_frames AS INT) AS n_frames,
+           md5(fpix) AS frame_md5
+    FROM frames
+    """.replace("base_docs", "documents"),
+)
+def media_png_frame_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL frame extraction (the reference's DecordReaderOp analog,
+    ``common/video/decord_reader_op.py:43-48`` — read frames out of a
+    container): each document gets a genuine sprite-sheet PNG holding
+    1 + doc_id % 4 frames side by side; the UDF decodes the PNG
+    (``functions/png.py``) and slices out each frame's pixel block, and
+    the oracle reconstructs every frame buffer with substring arithmetic
+    — frame indexing, stride math, and the codec are all value-gated per
+    frame.
+
+    Scale: mapInPandas; sprites are built, decoded and reduced to
+    (frame_idx, md5) in place. Row count amplifies n_frames x AFTER the
+    reduction, so the shuffle-facing output is (id, idx, hash) rows —
+    the same frames-never-shuffle rule as every other media query."""
+    import hashlib as _hl
+    from collections.abc import Iterator as _It
+
+    import pandas as _pd
+
+    from datapipeline_ops_spark.functions.png import decode_png_rgb, encode_png_rgb
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def run(batches: "_It[_pd.DataFrame]") -> "_It[_pd.DataFrame]":
+        for pdf in batches:
+            out = {"doc_id": [], "frame_idx": [], "n_frames": [], "frame_md5": []}
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                n = 1 + doc_id % 4
+                w = n * _FRAME_W
+                pix = (
+                    _hl.md5(str(doc_id).encode()).hexdigest() * _SPRITE_REP
+                )[: w * _FRAME_H * 3].encode()
+                dw, dh, dpix = decode_png_rgb(encode_png_rgb(w, _FRAME_H, pix))
+                for f in range(n):
+                    fpix = b"".join(
+                        dpix[(y * dw + f * _FRAME_W) * 3 : (y * dw + f * _FRAME_W) * 3
+                             + _FRAME_W * 3]
+                        for y in range(dh)
+                    )
+                    out["doc_id"].append(doc_id)
+                    out["frame_idx"].append(f)
+                    out["n_frames"].append(n)
+                    out["frame_md5"].append(_hl.md5(fpix).hexdigest())
+            yield _pd.DataFrame(out)
+
+    return d.mapInPandas(
+        run,
+        schema="doc_id long, frame_idx int, n_frames int, frame_md5 string",
+    )
