@@ -26,76 +26,51 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver gate records a capped prefix of queries() in registration order
-# (r01..r04 each recorded exactly 50), so ordering controls which queries get
-# a driver record. Round-5 ordering fills the 50-slot window with:
-# (a) the 2 r04 hash-reds, fixed this round (round(agg(double)) half-boundary
-#     divergence — now summed in DECIMAL, associative in both engines, raw
-#     double shipped) — flipping these red -> green is the headline;
-# (b) the 32 round-4 additions with NO driver record in r01..r04 (all pass
-#     the local oracle mimic at sf0.001/0.01/0.1);
-# (c) the round-5 additions (first records; all pass the mimic at all
-#     three SFs). 2+32+(c) exceeds the 50 cap, so the tail of (c) (the
-#     latest round-5 additions) plus the rotation backlog wait for round 6
-#     — the ROUND-6 plan comment below lists them;
-# (d) stale-r01 greens — recorded only if the cap rises.
+# (r01..r05 each recorded exactly 50), so ordering controls which queries get
+# a driver record. Round-6 ordering fills the 50-slot window with:
+# (a) the 16 round-5 additions that overflowed the round-5 window (no driver
+#     record yet; all pass the local oracle mimic at sf0.001/0.01/0.1);
+# (b) 34 of the 42 queries whose only driver record is r01 — the rotation
+#     backlog the r5 verdict asked for. The 8 cheapest scalar-shape queries
+#     (path_roundtrip fraction_parse sec_to_label coalesce_fallback
+#     json_props_extract placeholders_build threshold_filter band_filter)
+#     are deferred to round 7 — they are single-expression projections whose
+#     r01 greens are the least likely to have drifted.
+# Round-6 NEW queries land after the 50-cap (first records in round 7),
+# exactly as the round-5 wave did — registration keeps them mimic-gated.
 # All queries remain registered — ordering only picks the driver sample.
 _PRIORITY = [
-    # (a) r04 hash-reds, fixed (DECIMAL-stabilized aggregation)
-    "group_avg", "revenue_by_region_year",
-    # (b) round-4 additions, first driver record
-    "ks_drift_binned", "psi_stability_report", "chi2_type_by_dow",
-    "gopher_quality_flags", "dead_letter_split", "auc_binned_report",
-    "mmr_diverse_topk", "salted_skew_join", "bfs_reach_3hop", "bm25_topk",
-    "inverted_index_postings", "ann_recall_eval", "heavy_hitters_verified",
-    "column_correlation_matrix", "entropy_by_source", "js_divergence_sources",
-    "minhash_estimate_audit", "ngram_novelty_rate", "stream_psi_drift",
-    "embedding_centroid_drift", "curriculum_length_buckets",
-    "k_anonymity_audit", "user_event_type_map", "decimal_exact_totals",
-    "lsh_tuning_report", "twap_per_user", "info_gain_type_by_dow",
-    "wow_type_delta", "new_vs_returning_daily", "gini_by_source",
-    "time_to_convert_quantiles", "cumulative_users_daily",
-    # (c) round-5 additions, first driver record (png roundtrip first: it
-    # closes the r04 verdict's "real decode" gap and deserves a record)
-    "media_png_roundtrip", "media_png_resize", "media_wav_probe",
-    "winnowing_fingerprints", "winnow_match_pairs", "containment_pairs",
-    "token_budget_select", "vocab_coverage_curve", "embedding_anisotropy",
-    "embedding_pca_covariance", "jl_random_projection",
-    "mixture_temperature_weights", "class_scatter_direction",
-    "ntile_price_quartiles", "bloom_dedup_admission", "count_min_freq_audit",
-    "pq_code_assign", "pareto_frontier_docs", "kmv_set_ops_audit",
-    "ann_ivf_pq_topk", "seasonal_decompose_daily", "changepoint_cusum_daily",
-    "bootstrap_mean_ci", "ann_ivfpq_recall_eval",
+    # (a) round-5 additions, first driver record (web-curation wave,
+    # IVF-PQ pair, sketches, time-series monitors, frame extraction)
     "html_text_extract", "url_canonical_dedup", "crawl_schedule_plan",
     "media_type_sniff", "warc_record_extract", "crawl_to_corpus_e2e",
     "robots_rules_apply", "media_png_frame_extract",
-    # (d) stale-r01 rotation (latest record r01)
+    "pq_code_assign", "pareto_frontier_docs", "kmv_set_ops_audit",
+    "ann_ivf_pq_topk", "ann_ivfpq_recall_eval",
+    "seasonal_decompose_daily", "changepoint_cusum_daily",
+    "bootstrap_mean_ci",
+    # (b) stale-r01 rotation (latest record r01; 34 slots)
+    "dedup_exact", "minhash_signatures", "ngram_jaccard_pairs",
+    "simhash_fingerprints", "simhash_near_pairs",
     "label_centroids", "monthly_revenue_trend", "fuzzy_name_pairs",
-    "monthly_spine_gap_fill", "dedup_exact", "minhash_signatures",
-    "ngram_jaccard_pairs", "simhash_fingerprints", "simhash_near_pairs",
+    "monthly_spine_gap_fill",
     "eval_rmse_report", "eval_angular_error", "eval_dataset_means",
     "udf_quality_gate", "udf_detect_count_filter",
-    "udf_pair_similarity_band", "csv_roundtrip",
+    "udf_pair_similarity_band",
+    "csv_roundtrip", "jsonl_roundtrip", "jsonl_records",
+    "media_manifest", "media_decode_stub", "media_resize_stub",
+    "media_frame_sample", "segment_plan", "segment_summary",
+    "frame_sample_ref", "frame_sample_scan",
+    "array_index_join", "iou_boxes", "clipped_area_filter",
+    "gauntlet_exactly_one",
+    "pipeline_cut_e2e", "pipeline_caption_e2e",
+    "pipeline_frame_mining_e2e", "pipeline_bg_filter_e2e",
 ]
-# ROUND-6 ORDERING PLAN (apply after the round-5 gate runs): head the window
-# with any round-5 reds + round-6 additions lacking records, then continue
-# the stale-r01 rotation — next up: minhash_signatures ngram_jaccard_pairs
-# simhash_fingerprints simhash_near_pairs eval_rmse_report
-# eval_angular_error eval_dataset_means udf_quality_gate
-# udf_detect_count_filter udf_pair_similarity_band csv_roundtrip
-# jsonl_roundtrip jsonl_records media_manifest media_decode_stub
-# media_resize_stub media_frame_sample segment_plan segment_summary
-# frame_sample_ref frame_sample_scan path_roundtrip fraction_parse
+# ROUND-7 ORDERING PLAN (apply after the round-6 gate runs): head the window
+# with any round-6 reds, then the round-6 additions lacking records, then
+# the 8 deferred r01-latest scalar queries (path_roundtrip fraction_parse
 # sec_to_label coalesce_fallback json_props_extract placeholders_build
-# array_index_join iou_boxes clipped_area_filter gauntlet_exactly_one
-# pipeline_cut_e2e pipeline_caption_e2e pipeline_frame_mining_e2e
-# pipeline_bg_filter_e2e threshold_filter band_filter (the full r01-latest
-# backlog — round-5's 50-slot window reached none of the rotations, and the
-# round-5 additions past the 50-slot cap also need their first record:
-# pareto_frontier_docs kmv_set_ops_audit ann_ivf_pq_topk
-# seasonal_decompose_daily changepoint_cusum_daily bootstrap_mean_ci
-# ann_ivfpq_recall_eval html_text_extract url_canonical_dedup
-# crawl_schedule_plan media_type_sniff warc_record_extract
-# crawl_to_corpus_e2e).
+# threshold_filter band_filter), then rotate the oldest r02-latest records.
 
 
 def _ordered_names() -> list[str]:
