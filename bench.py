@@ -362,7 +362,7 @@ def main() -> int:
     # keep trimming optional blocks until the line fits the tail window;
     # "queries" is contract-required and goes last-resort only
     for drop in ("vs_prev", "embedding_lsh_scaled", "dedup_lsh_scaled",
-                 "failed", "queries"):
+                 "winnow_scaled", "failed", "queries"):
         if len(line) <= 1900:
             break
         compact.pop(drop, None)

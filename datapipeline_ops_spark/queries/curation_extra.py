@@ -1113,7 +1113,12 @@ def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 WINNOW_W = 4
 # fingerprint hash reduced to 38 bits so (hash << 22) | position packs into
 # one BIGINT: min() over the packed value is the winnowing tie-break
-# "smallest hash, then leftmost position", exact in both engines
+# "smallest hash, then leftmost position", exact in both engines.
+# INVARIANT: a document may have at most 2^22 - 1 (~4.19M) shingle
+# positions — beyond that, pos would bleed into the hash bits and corrupt
+# the tie-break. Both engines raise (not corrupt) on overflow; a corpus
+# with multi-million-token concatenated documents must split them (or
+# widen _WIN_POS_BITS) before winnowing.
 _WIN_HASH_MOD = 1 << 38
 _WIN_POS_BITS = 22
 WINNOW_MAX_DF = 64     # posting-list cap for the match join (boilerplate guard)
@@ -1128,7 +1133,10 @@ def _winnow_sel_cte() -> str:
     ex AS (
         SELECT doc_id, len(sh) AS m, g.pos AS pos,
                (('0x' || substr(md5(sh[g.pos]), 1, 15))::BIGINT % {_WIN_HASH_MOD})
-                   * {1 << _WIN_POS_BITS} + g.pos AS enc
+                   * {1 << _WIN_POS_BITS}
+                   + CASE WHEN g.pos < {1 << _WIN_POS_BITS} THEN g.pos
+                          ELSE error('winnowing: document exceeds 2^22 shingle positions')
+                     END AS enc
         FROM sh, unnest(generate_series(1, len(sh))) AS g(pos)
     ),
     win AS (
@@ -1179,7 +1187,14 @@ def winnow_fingerprints_of(d: DataFrame) -> DataFrame:
         (F.col("pos0") + 1).alias("pos"),
         (
             (hash64(F.col("s")) % _WIN_HASH_MOD) * (1 << _WIN_POS_BITS)
-            + F.col("pos0") + 1
+            + F.when(
+                F.col("pos0") + 1 < F.lit(1 << _WIN_POS_BITS),
+                F.col("pos0") + 1,
+            ).otherwise(
+                F.raise_error(
+                    F.lit("winnowing: document exceeds 2^22 shingle positions")
+                )
+            )
         ).alias("enc"),
     )
     w = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, WINNOW_W - 1)

@@ -782,7 +782,9 @@ def kmv_set_ops_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 BOOT_R = 20          # bootstrap replicates
-_BOOT_SEED0 = 900    # per-replicate hash seeds 900..919
+# per-replicate uniforms come from ONE unseeded md5 hash of the string
+# event_id || '_' || r (replicate id concatenated into the hash input) —
+# identical in the engine and the oracle, no seed table involved
 # Poisson(1) inverse-CDF thresholds (k = 0..5; else 6): the classic
 # Poisson-bootstrap approximation of multinomial resampling — each row
 # contributes an independent Poisson(1) weight per replicate, so ONE scan

@@ -137,8 +137,8 @@ _URL_SQL = (
                        regexp_replace(
                            lower(regexp_replace(u.url, '#.*$', '')),
                            '(utm_[a-z]+|ref)=[^&]*&?', '', 'g'),
-                       '[?&]+$', ''),
-                   ':443/', '/') AS curl
+                       '[?&]+$', '', 'g'),
+                   '^(https?://[^/]*):443/', '\\1/', 'g') AS curl
         FROM u
     )
     SELECT curl AS canonical_url,
@@ -181,8 +181,8 @@ def url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             r"[?&]+$",
             "",
         ),
-        ":443/",
-        "/",
+        r"^(https?://[^/]*):443/",
+        "$1/",
     )
     return (
         d.select("doc_id", curl.alias("canonical_url"))
@@ -383,8 +383,8 @@ _E2E_MIN_TOKENS = 10
                        regexp_replace(
                            lower(regexp_replace(url, '#.*$', '')),
                            '(utm_[a-z]+|ref)=[^&]*&?', '', 'g'),
-                       '[?&]+$', ''),
-                   ':443/', '/') AS curl
+                       '[?&]+$', '', 'g'),
+                   '^(https?://[^/]*):443/', '\\1/', 'g') AS curl
         FROM gated
     ),
     keep AS (
@@ -452,8 +452,8 @@ def crawl_to_corpus_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
             r"[?&]+$",
             "",
         ),
-        ":443/",
-        "/",
+        r"^(https?://[^/]*):443/",
+        "$1/",
     )
     gated = (
         d.select(
@@ -491,7 +491,8 @@ _ROBOTS_RULES_SQL = """
              (VALUES ('/', TRUE), ('/p/', FALSE), ('/p/1', TRUE))
                  AS r(prefix, allow)
         WHERE r.prefix <> '/p/'
-           OR CAST(regexp_extract(source, '([0-9]+)', 1) AS BIGINT) % 3 = 0
+           OR TRY_CAST(NULLIF(regexp_extract(source, '([0-9]+)', 1), '')
+                       AS BIGINT) % 3 = 0
     )
 """
 
