@@ -625,12 +625,16 @@ def ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     in RAM: the scan phase reads 2-bit codes, full vectors surface only for
     {IVFPQ_SHORTLIST} rows per query.
 
-    Determinism: the ADC sum aggregates the per-subspace lookups in
-    EXPLICIT m order (sorted struct array folded left-to-right; DuckDB
-    `list_sum(list(d ORDER BY m))`) so candidate ordering — and therefore
-    the shortlist and final ranks — match the oracle exactly. Plan shape:
-    the distance table ({PQ_M * PQ_K} rows/query) and code table join
-    broadcast; ADC shuffles only (query_id, vec_id, 8 doubles)."""
+    Determinism: the ADC sum adds the per-subspace lookups in EXPLICIT m
+    order (an unrolled left-to-right fold; DuckDB `list_sum(list(d ORDER
+    BY m))`) so candidate ordering — and therefore the shortlist and final
+    ranks — match the oracle exactly. Plan shape: the corpus codes are
+    packed {PQ_M} x 2-bit into ONE BIGINT per vector (the `pq_code_assign`
+    pack) and reach candidates via a plain equi-join on vec_id — nothing
+    corpus-sized is ever broadcast (the r5 design audit's fix); the only
+    broadcast frames are the per-query {PQ_M * PQ_K}-entry distance tables
+    and the query-id list, both bounded by query count. ADC itself is
+    per-row codegen: 8 shift/mask lookups into the broadcast table."""
     from datapipeline_ops_spark.queries.similarity import (
         IVF_CENTROIDS,
         N_QUERIES,
@@ -660,7 +664,18 @@ def ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ex = _pq_subspaces(v)
     cb = _pq_codebook(ex)
-    codes = _pq_best(ex, cb).select("vec_id", "m", F.col("k").alias("code"))
+    # ONE row per corpus vector: the PQ_M 2-bit codes packed into a BIGINT
+    # (same pack as pq_code_assign). Candidates reach their codes via a
+    # plain equi-join — never a broadcast of a corpus-derived frame.
+    packed = (
+        _pq_best(ex, cb)
+        .groupBy("vec_id")
+        .agg(
+            F.sum(F.expr("k * shiftleft(1L, CAST(2 * (m - 1) AS INT))"))
+            .cast("long")
+            .alias("pq_code")
+        )
+    )
 
     qdiff = F.zip_with("sub", "csub", lambda x, c: x - c)
     qd = (
@@ -675,31 +690,29 @@ def ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = assign.join(F.broadcast(q), assign["cid"] == q["qcid"]).filter(
         F.col("vec_id") != F.col("query_id")
     ).select("query_id", "vec_id")
-    # ADC: 8 lookups per candidate, folded in explicit m order so the sum
-    # is bit-identical to the oracle's list_sum(list(d ORDER BY m))
-    qd2 = qd.select(
-        F.col("query_id").alias("q_qid"),
-        F.col("m").alias("q_m"),
-        F.col("k").alias("q_k"),
-        "d",
+    # Per-query flat distance table: dt[(m-1)*PQ_K + k] = d, PQ_M*PQ_K
+    # entries — bounded by query count, the ONLY broadcast in the ADC join.
+    qtab = qd.groupBy("query_id").agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("m", "k", "d"))),
+            lambda s: s["d"],
+        ).alias("dt")
     )
+    # ADC: 8 shift/mask lookups per candidate, added in explicit m order
+    # (unrolled left-to-right fold) so the sum is bit-identical to the
+    # oracle's list_sum(list(d ORDER BY m))
+    adc_expr = F.lit(0.0)
+    for m in range(1, PQ_M + 1):
+        code_m = F.shiftright(F.col("pq_code"), 2 * (m - 1)).bitwiseAND(
+            F.lit(PQ_K - 1)
+        )
+        adc_expr = adc_expr + F.element_at(
+            F.col("dt"), ((m - 1) * PQ_K + code_m + 1).cast("int")
+        )
     adc = (
-        cand.join(F.broadcast(codes), "vec_id")
-        .join(
-            F.broadcast(qd2),
-            (F.col("query_id") == F.col("q_qid"))
-            & (F.col("m") == F.col("q_m"))
-            & (F.col("code") == F.col("q_k")),
-        )
-        .select("query_id", "vec_id", "m", "d")
-        .groupBy("query_id", "vec_id")
-        .agg(
-            F.aggregate(
-                F.sort_array(F.collect_list(F.struct("m", "d"))),
-                F.lit(0.0),
-                lambda acc, s: acc + s["d"],
-            ).alias("adc")
-        )
+        cand.join(packed, "vec_id")
+        .join(F.broadcast(qtab), "query_id")
+        .select("query_id", "vec_id", adc_expr.alias("adc"))
     )
     w_short = Window.partitionBy("query_id").orderBy("adc", "vec_id")
     short = (

@@ -880,14 +880,16 @@ def _(qs, spark):
     assert "codegen id" in plan, "projection must stay in whole-stage codegen"
 
 
-@check("ann_ivf_pq_topk: codes/tables broadcast, full vectors only at rerank")
+@check("ann_ivf_pq_topk: query tables broadcast, full vectors only at rerank")
 def _(qs, spark):
     plan = plan_of(qs["ann_ivf_pq_topk"](spark, SF_DIR))
     assert "CartesianProduct" not in plan
-    assert "BroadcastHashJoin" in plan, "qd/codes/query frames must broadcast"
-    # the ADC phase must not sort-merge the corpus against itself
+    assert "BroadcastHashJoin" in plan, "qtab/query frames must broadcast"
+    # the ADC phase must not sort-merge the corpus against ITSELF: the only
+    # shuffle equi-joins are candidates->packed-codes and shortlist->vectors,
+    # both keyed on vec_id and bounded by the candidate/shortlist row count
     n_smj = plan.count("SortMergeJoin")
-    assert n_smj <= 1, f"ADC phase leaked into shuffle joins: {n_smj}"
+    assert n_smj <= 2, f"ADC phase leaked into extra shuffle joins: {n_smj}"
 
 
 @check("html_text_extract: pure narrow regex chain, zero exchanges")
@@ -984,6 +986,30 @@ def _(qs, spark):
     assert "partial_count" in plan or "partial_sum" in plan
     cols = read_schema_cols(plan, "documents")
     assert cols == {"source", "text"}, cols
+
+
+@check("ann_ivf_pq_topk: corpus code table rides shuffle, never broadcast")
+def _(qs, spark):
+    # the r5 design audit: the packed PQ-code frame is one row per CORPUS
+    # vector — broadcasting it is a hard stop at 1e9+ vectors. With
+    # auto-broadcast off, the only legal broadcasts are the query-bounded
+    # frames (centroids, codebook, query list, distance tables, query
+    # vectors); the code-table join AND the exact-rerank vector join must
+    # both be shuffle equi-joins on vec_id. A regression to
+    # broadcast(codes) collapses this count to 1.
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = plan_of(qs["ann_ivf_pq_topk"](spark, SF_DIR))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    n_shuffle_joins = len(
+        re.findall(r"^\(\d+\) (?:SortMergeJoin|ShuffledHashJoin)", plan, re.M)
+    )
+    assert n_shuffle_joins == 2, (
+        f"expected 2 shuffle equi-joins (packed codes + rerank), saw "
+        f"{n_shuffle_joins} — a corpus-derived frame is being broadcast"
+    )
 
 
 def main() -> int:
