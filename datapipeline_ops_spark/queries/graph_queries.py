@@ -146,15 +146,62 @@ def pagerank_purchase_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 COPURCHASE_MIN_ORDERS = 2
+# Baskets with more than this many distinct items are dropped BEFORE pair
+# generation: a k-item basket emits k·(k-1)/2 pairs, so one 10k-item
+# bot/aggregator order would contribute 50M rows to the pair stage. TPC-H
+# orders carry <= 7 lineitems, so the cap never fires on this schema (the
+# oracle mirrors it); it exists to bound the explosion by construction.
+TRIANGLE_MAX_BASKET = 64
+
+
+def copurchase_edges(li: DataFrame) -> DataFrame:
+    """(pa, pb) oriented co-purchase edges (pa < pb) with >= the support
+    floor, from a (l_orderkey, l_partkey) frame. Pair generation is
+    ARRAY-SIDE per order: ONE groupBy shuffle of lineitem instead of a
+    self-join that scans and shuffles the table twice — the same
+    bucket-collect pattern the LSH candidate stage uses. Baskets wider
+    than {TRIANGLE_MAX_BASKET} items are dropped BEFORE the pair explode,
+    bounding the k^2/2 explosion by construction."""
+    per_order = (
+        li.groupBy("l_orderkey")
+        .agg(F.collect_list("l_partkey").alias("ps"))
+        .filter(F.size("ps") <= TRIANGLE_MAX_BASKET)
+    )
+    pairs = per_order.select(
+        F.explode(
+            F.filter(
+                F.flatten(
+                    F.transform(
+                        "ps",
+                        lambda a: F.transform(
+                            "ps", lambda b: F.struct(a.alias("pa"), b.alias("pb"))
+                        ),
+                    )
+                ),
+                lambda s: s.pa < s.pb,
+            )
+        ).alias("p")
+    ).select("p.pa", "p.pb")
+    return (
+        pairs.groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .filter(F.col("n_orders") >= COPURCHASE_MIN_ORDERS)
+        .select("pa", "pb")
+    )
 
 
 @query(
     "triangle_copurchase_stats",
     oracle=f"""
-    WITH pairs AS (
+    WITH ok_orders AS (
+        SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+        HAVING count(*) <= {TRIANGLE_MAX_BASKET}
+    ),
+    pairs AS (
         SELECT a.l_partkey AS pa, b.l_partkey AS pb
         FROM lineitem a JOIN lineitem b
           ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        JOIN ok_orders ok ON ok.l_orderkey = a.l_orderkey
         GROUP BY 1, 2 HAVING count(*) >= {COPURCHASE_MIN_ORDERS}
     ),
     deg AS (
@@ -184,41 +231,16 @@ def triangle_copurchase_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     3·triangles/wedges — the graph-structure profile behind community
     detection and recommendation quality checks.
 
-    Scale shape: the pair stage is an equi-join on l_orderkey (items per
-    order is bounded, so pairs-per-order is bounded); the >= 2-order
+    Scale shape: the pair stage is an equi-join on l_orderkey, with
+    baskets wider than {TRIANGLE_MAX_BASKET} items dropped first so
+    pairs-per-order is bounded BY CONSTRUCTION (k^2/2 growth); the >= 2-order
     support filter prunes the edge set by ~30× BEFORE the cubic stage, and
     triangle enumeration is two shuffle equi-joins on oriented edges
     (a<b<c canonical form counts each triangle exactly once). Wedge counts
     are a degree aggregation — no join. This is the standard distributed
     triangle algorithm (node-iterator on oriented edges)."""
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    # pair generation is ARRAY-SIDE per order (items-per-order is bounded, so
-    # the member array is tiny): ONE groupBy shuffle of lineitem instead of a
-    # self-join that scans and shuffles the table twice — the same
-    # bucket-collect pattern the LSH candidate stage uses
-    per_order = li.groupBy("l_orderkey").agg(F.collect_list("l_partkey").alias("ps"))
-    pairs = per_order.select(
-        F.explode(
-            F.filter(
-                F.flatten(
-                    F.transform(
-                        "ps",
-                        lambda a: F.transform(
-                            "ps", lambda b: F.struct(a.alias("pa"), b.alias("pb"))
-                        ),
-                    )
-                ),
-                lambda s: s.pa < s.pb,
-            )
-        ).alias("p")
-    ).select("p.pa", "p.pb")
-    edges = (
-        pairs.groupBy("pa", "pb")
-        .agg(F.count(F.lit(1)).alias("n_orders"))
-        .filter(F.col("n_orders") >= COPURCHASE_MIN_ORDERS)
-        .select("pa", "pb")
-        .persist()
-    )
+    edges = copurchase_edges(li).persist()
     try:
         deg = (
             edges.select(F.col("pa").alias("node"))
