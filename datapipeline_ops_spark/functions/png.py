@@ -22,6 +22,8 @@ from __future__ import annotations
 import struct
 import zlib
 
+import numpy as np
+
 _SIG = b"\x89PNG\r\n\x1a\n"
 
 
@@ -53,12 +55,11 @@ def encode_png_rgb(width: int, height: int, pixels: bytes) -> bytes:
     )
 
 
-def _paeth(a: int, b: int, c: int) -> int:
+def _paeth_vec(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
+    """Paeth predictor over int16 channel vectors (one pixel at a time)."""
     p = a + b - c
-    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
-    if pa <= pb and pa <= pc:
-        return a
-    return b if pb <= pc else c
+    pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+    return np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c))
 
 
 def decode_png_rgb(payload: bytes) -> tuple[int, int, bytes]:
@@ -95,30 +96,51 @@ def decode_png_rgb(payload: bytes) -> tuple[int, int, bytes]:
     stride = width * 3
     if len(raw) != height * (stride + 1):
         raise ValueError("scanline data size mismatch")
-    out = bytearray(height * stride)
-    prev = bytes(stride)
+    # Numpy defilter (the decode hot loop at media scale): filter bytes and
+    # scanlines in one reshaped view; Up is a whole-row uint8 wrap-add, Sub
+    # is a per-channel cumulative sum mod 256, and Average/Paeth — whose
+    # left-neighbor dependency forces a walk along x — run per-pixel with
+    # the 3 channels vectorized in int16.
+    arr = np.frombuffer(raw, dtype=np.uint8).reshape(height, stride + 1)
+    ftypes = arr[:, 0]
+    if ftypes.max(initial=0) > 4:
+        raise ValueError(f"bad filter type {int(ftypes.max())}")
+    data = arr[:, 1:]
+    if not ftypes.any():  # all filter-0 rows (our own encoder): zero work
+        return width, height, data.tobytes()
+    out = np.empty((height, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
     for y in range(height):
-        ftype = raw[y * (stride + 1)]
-        line = bytearray(raw[y * (stride + 1) + 1 : (y + 1) * (stride + 1)])
+        ftype = int(ftypes[y])
+        line = data[y]
         if ftype == 0:
-            pass
-        elif ftype == 1:  # Sub
-            for i in range(3, stride):
-                line[i] = (line[i] + line[i - 3]) & 0xFF
-        elif ftype == 2:  # Up
-            for i in range(stride):
-                line[i] = (line[i] + prev[i]) & 0xFF
+            cur = line.copy()
+        elif ftype == 1:  # Sub: out[i] = line[i] + out[i-3] == channel cumsum
+            cur = (
+                line.reshape(width, 3).astype(np.int64).cumsum(axis=0) % 256
+            ).astype(np.uint8).reshape(stride)
+        elif ftype == 2:  # Up: uint8 addition wraps mod 256
+            cur = line + prev
         elif ftype == 3:  # Average
-            for i in range(stride):
-                a = line[i - 3] if i >= 3 else 0
-                line[i] = (line[i] + ((a + prev[i]) >> 1)) & 0xFF
-        elif ftype == 4:  # Paeth
-            for i in range(stride):
-                a = line[i - 3] if i >= 3 else 0
-                c = prev[i - 3] if i >= 3 else 0
-                line[i] = (line[i] + _paeth(a, prev[i], c)) & 0xFF
-        else:
-            raise ValueError(f"bad filter type {ftype}")
-        out[y * stride : (y + 1) * stride] = line
-        prev = bytes(line)
-    return width, height, bytes(out)
+            px = line.reshape(width, 3).astype(np.int16)
+            pv = prev.reshape(width, 3).astype(np.int16)
+            row = np.empty((width, 3), dtype=np.int16)
+            left = np.zeros(3, dtype=np.int16)
+            for x in range(width):
+                left = (px[x] + ((left + pv[x]) >> 1)) & 0xFF
+                row[x] = left
+            cur = row.astype(np.uint8).reshape(stride)
+        else:  # Paeth
+            px = line.reshape(width, 3).astype(np.int16)
+            pv = prev.reshape(width, 3).astype(np.int16)
+            row = np.empty((width, 3), dtype=np.int16)
+            left = np.zeros(3, dtype=np.int16)
+            ul = np.zeros(3, dtype=np.int16)
+            for x in range(width):
+                left = (px[x] + _paeth_vec(left, pv[x], ul)) & 0xFF
+                ul = pv[x]
+                row[x] = left
+            cur = row.astype(np.uint8).reshape(stride)
+        out[y] = cur
+        prev = cur
+    return width, height, out.tobytes()
