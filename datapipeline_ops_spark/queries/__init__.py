@@ -13,6 +13,7 @@ from datapipeline_ops_spark.queries import (  # noqa: F401
     inference_queries,
     io_queries,
     layout_queries,
+    lm_quality,
     multimodal,
     pipeline_analogs,
     pipelines_e2e,

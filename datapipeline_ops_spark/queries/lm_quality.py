@@ -1,0 +1,355 @@
+"""Language-model-driven data quality: n-gram LM perplexity scoring, BPE
+tokenizer training statistics, a fixed-weight quality classifier, and the
+dataset-card rollup.
+
+These are the curation stages between raw dedup and training: CCNet-style
+perplexity filtering (score every document against a corpus LM; route
+high-perplexity text out), the pair-counting step at the heart of BPE
+tokenizer training, the "small classifier gates the corpus" pattern, and
+the datasheet a curated corpus ships with. The reference has no text
+surface (``common/text/`` is an empty stub — ``Text_README.md:1-3``);
+this module is part of the beyond-reference training-data suite.
+
+Cross-engine rules as everywhere: tokenize on ``\\s+`` in both engines,
+integer-exact features, float aggregates shipped raw (the gate hasher
+rounds to 6 significant figures), division always DOUBLE/DOUBLE.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from datapipeline_ops_spark.core.registry import query
+from datapipeline_ops_spark.functions.text import tokens
+from datapipeline_ops_spark.tables import load_table
+
+# ---------------------------------------------------------------------------
+# Bigram LM perplexity (CCNet-style quality filter)
+# ---------------------------------------------------------------------------
+
+LM_ADD_K = 0.5      # add-k smoothing constant
+PPL_GATE = 30.0     # docs above this perplexity are flagged for routing
+
+
+@query(
+    "bigram_lm_perplexity",
+    oracle=f"""
+    WITH tok AS MATERIALIZED (
+        SELECT doc_id, regexp_split_to_array(text, '\\s+') AS t FROM documents
+    ),
+    bg AS MATERIALIZED (
+        SELECT doc_id, t[g.i] || ' ' || t[g.i + 1] AS bg
+        FROM tok, unnest(generate_series(1, len(t) - 1)) AS g(i)
+        WHERE len(t) >= 2
+    ),
+    lm2 AS MATERIALIZED (SELECT bg, count(*) AS c2 FROM bg GROUP BY bg),
+    lm1 AS MATERIALIZED (
+        SELECT split_part(bg, ' ', 1) AS w1, CAST(sum(c2) AS BIGINT) AS c1
+        FROM lm2 GROUP BY 1
+    ),
+    v AS (
+        SELECT count(DISTINCT w) AS vocab
+        FROM (SELECT unnest(t) AS w FROM tok)
+    ),
+    db AS (SELECT doc_id, bg, count(*) AS cnt FROM bg GROUP BY doc_id, bg),
+    j AS (
+        SELECT db.doc_id, db.cnt,
+               ln((lm2.c2 + {LM_ADD_K}) / (lm1.c1 + {LM_ADD_K} * v.vocab)) AS lp
+        FROM db
+        JOIN lm2 USING (bg)
+        JOIN lm1 ON lm1.w1 = split_part(db.bg, ' ', 1)
+        CROSS JOIN v
+    )
+    SELECT doc_id,
+           CAST(sum(cnt) AS BIGINT) AS n_bigrams,
+           -sum(cnt * lp) / CAST(sum(cnt) AS DOUBLE) AS xent,
+           exp(-sum(cnt * lp) / CAST(sum(cnt) AS DOUBLE)) AS ppl,
+           exp(-sum(cnt * lp) / CAST(sum(cnt) AS DOUBLE)) > {PPL_GATE}
+               AS high_ppl
+    FROM j GROUP BY doc_id
+    """,
+)
+def bigram_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity filter: train an add-{LM_ADD_K} smoothed
+    bigram LM on the corpus itself (one pass), then score every document
+    by cross-entropy under that LM — `ppl = exp(xent)` — and flag the
+    high-perplexity tail. This is the classic "does this text look like
+    the corpus?" quality gate (CCNet uses a KenLM 5-gram; the statistics
+    pipeline is identical at order 2).
+
+    Scale shape: the LM is NEVER broadcast — document bigrams reach the
+    bigram table via a shuffle equi-join on the bigram string and the
+    context table via a join on its first token, both vocabulary²-bounded
+    aggregates; only the 1-row vocabulary size rides broadcast. Tokens
+    are materialized through the doc_id repartition before the
+    per-position pair build (the O(len) shingling rule from
+    functions/text.py)."""
+    d = load_table(spark, sf_dir, "documents")
+    n = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    spread = d.select(
+        "doc_id", tokens(F.col("text")).alias("t")
+    ).repartition(n, F.col("doc_id"))
+    bg = (
+        spread.filter(F.size("t") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("t") - 1),
+                    lambda i: F.concat_ws(
+                        " ",
+                        F.element_at(F.col("t"), i),
+                        F.element_at(F.col("t"), i + 1),
+                    ),
+                )
+            ).alias("bg"),
+        )
+    )
+    lm2 = bg.groupBy("bg").agg(F.count(F.lit(1)).alias("c2"))
+    lm1 = (
+        lm2.select(F.substring_index("bg", " ", 1).alias("w1"), "c2")
+        .groupBy("w1")
+        .agg(F.sum("c2").cast("long").alias("c1"))
+    )
+    vrow = spread.select(F.explode("t").alias("w")).agg(
+        F.countDistinct("w").alias("vocab")
+    )
+    db = bg.groupBy("doc_id", "bg").agg(F.count(F.lit(1)).alias("cnt"))
+    lp = F.log(
+        (F.col("c2") + F.lit(LM_ADD_K))
+        / (F.col("c1") + F.lit(LM_ADD_K) * F.col("vocab"))
+    )
+    j = (
+        db.join(lm2, "bg")
+        .withColumn("w1", F.substring_index("bg", " ", 1))
+        .join(lm1, "w1")
+        .crossJoin(F.broadcast(vrow))
+        .select("doc_id", "cnt", lp.alias("lp"))
+    )
+    xent = -F.sum(F.col("cnt") * F.col("lp")) / F.sum("cnt").cast("double")
+    return j.groupBy("doc_id").agg(
+        F.sum("cnt").cast("long").alias("n_bigrams"),
+        xent.alias("xent"),
+        F.exp(xent).alias("ppl"),
+        (F.exp(xent) > PPL_GATE).alias("high_ppl"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# BPE tokenizer training: the pair-counting step
+# ---------------------------------------------------------------------------
+
+BPE_TOP_PAIRS = 20
+
+
+@query(
+    "bpe_merge_step",
+    oracle=f"""
+    WITH tokc AS MATERIALIZED (
+        SELECT w AS token, count(*) AS n
+        FROM (SELECT unnest(regexp_split_to_array(text, '\\s+')) AS w
+              FROM documents)
+        GROUP BY 1
+    ),
+    pairs AS (
+        SELECT substr(token, g.i, 2) AS pair, CAST(sum(n) AS BIGINT) AS freq
+        FROM tokc, unnest(generate_series(1, length(token) - 1)) AS g(i)
+        WHERE length(token) >= 2
+        GROUP BY 1
+    ),
+    ranked AS (
+        SELECT pair, freq,
+               CAST(row_number() OVER (ORDER BY freq DESC, pair) AS INT) AS rank
+        FROM pairs
+    )
+    SELECT pair, freq, rank FROM ranked WHERE rank <= {BPE_TOP_PAIRS}
+    """,
+)
+def bpe_merge_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One BPE-training merge step: count every adjacent character pair
+    across the corpus weighted by token frequency and rank the top
+    {BPE_TOP_PAIRS} merge candidates — the inner loop of byte-pair
+    encoding tokenizer training (Sennrich et al.), where the argmax pair
+    becomes the next merge rule.
+
+    Scale shape: the expensive explode runs over the AGGREGATED token
+    vocabulary (token, count), not the corpus — one corpus-wide shuffle
+    produces the vocab, then pair work is vocab-bounded. The final
+    ranking window runs over the alphabet²-bounded pair table (a few
+    hundred rows at any corpus size), not a fact table."""
+    d = load_table(spark, sf_dir, "documents")
+    tokc = (
+        d.select(F.explode(tokens(F.col("text"))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    pairs = (
+        tokc.filter(F.length("token") >= 2)
+        .select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.length("token") - 1),
+                    lambda i: F.substring(F.col("token"), i, F.lit(2)),
+                )
+            ).alias("pair"),
+            "n",
+        )
+        .groupBy("pair")
+        .agg(F.sum("n").cast("long").alias("freq"))
+    )
+    w = Window.orderBy(F.desc("freq"), F.asc("pair"))
+    return (
+        pairs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= BPE_TOP_PAIRS)
+        .select("pair", "freq", "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Fixed-weight quality classifier (the "small model gates the corpus" stage)
+# ---------------------------------------------------------------------------
+
+# Stand-in logistic-regression weights over interpretable features — in
+# production these come from a trained fastText/logreg quality model; the
+# Spark plumbing (feature build, score, gate) is identical.
+_QC_B = -5.5
+_QC_W_NTOK = 0.02       # longer docs score higher
+_QC_W_MEANLEN = 0.8     # longer tokens score higher
+_QC_W_STOP = 2.0        # some stopword mass = natural language
+_QC_W_TTR = 1.5         # type/token ratio = lexical diversity
+
+
+@query(
+    "quality_classifier_score",
+    oracle=f"""
+    WITH feats AS (
+        SELECT doc_id,
+               len(t) AS n_tok,
+               CAST(list_sum(list_transform(t, x -> length(x))) AS DOUBLE)
+                   / CAST(len(t) AS DOUBLE) AS mean_tok_len,
+               CAST(len(list_filter(t, x -> x IN ('the', 'a'))) AS DOUBLE)
+                   / CAST(len(t) AS DOUBLE) AS stop_ratio,
+               CAST(len(list_distinct(t)) AS DOUBLE)
+                   / CAST(len(t) AS DOUBLE) AS type_token_ratio
+        FROM (SELECT doc_id, regexp_split_to_array(text, '\\s+') AS t
+              FROM documents)
+        WHERE len(t) >= 1
+    ),
+    z AS (
+        SELECT *,
+               {_QC_B} + {_QC_W_NTOK} * n_tok + {_QC_W_MEANLEN} * mean_tok_len
+                   + {_QC_W_STOP} * stop_ratio + {_QC_W_TTR} * type_token_ratio
+                   AS logit
+        FROM feats
+    )
+    SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok, mean_tok_len, stop_ratio,
+           type_token_ratio, 1.0 / (1.0 + exp(-logit)) AS score,
+           logit >= 0.0 AS passes
+    FROM z
+    """,
+)
+def quality_classifier_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality gate: engineered per-document features (token
+    count, mean token length, stopword ratio, type/token ratio) scored by
+    a fixed-weight logistic regression — the shape of the fastText /
+    logreg quality classifiers that gate web corpora (the weights here
+    are documented stand-ins; swap in trained ones). `passes` is decided
+    on the logit (exact rational arithmetic over integer-derived
+    features), so the gate is deterministic even though `score` crosses a
+    transcendental.
+
+    Scale: pure per-row projection — zero shuffles, zero UDFs, one
+    whole-stage-codegen stage over the scan."""
+    d = load_table(spark, sf_dir, "documents")
+    t = tokens(F.col("text"))
+    feats = d.select(
+        "doc_id",
+        F.size(t).alias("n_tok"),
+        (
+            F.aggregate(t, F.lit(0), lambda a, x: a + F.length(x)).cast("double")
+            / F.size(t).cast("double")
+        ).alias("mean_tok_len"),
+        (
+            F.size(F.filter(t, lambda x: (x == "the") | (x == "a"))).cast("double")
+            / F.size(t).cast("double")
+        ).alias("stop_ratio"),
+        (
+            F.size(F.array_distinct(t)).cast("double") / F.size(t).cast("double")
+        ).alias("type_token_ratio"),
+    ).filter(F.col("n_tok") >= 1)
+    logit = (
+        F.lit(_QC_B)
+        + F.lit(_QC_W_NTOK) * F.col("n_tok")
+        + F.lit(_QC_W_MEANLEN) * F.col("mean_tok_len")
+        + F.lit(_QC_W_STOP) * F.col("stop_ratio")
+        + F.lit(_QC_W_TTR) * F.col("type_token_ratio")
+    )
+    return feats.select(
+        "doc_id",
+        F.col("n_tok").cast("long").alias("n_tok"),
+        "mean_tok_len",
+        "stop_ratio",
+        "type_token_ratio",
+        (F.lit(1.0) / (F.lit(1.0) + F.exp(-logit))).alias("score"),
+        (logit >= 0.0).alias("passes"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Dataset card (the datasheet a curated corpus ships with)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dataset_card_report",
+    oracle="""
+    SELECT coalesce(source, 'TOTAL') AS source,
+           count(*) AS n_docs,
+           CAST(sum(len(regexp_split_to_array(text, '\\s+'))) AS BIGINT)
+               AS total_tokens,
+           count(DISTINCT md5(text)) AS n_unique_texts,
+           CAST(count(*) - count(DISTINCT md5(text)) AS DOUBLE)
+               / CAST(count(*) AS DOUBLE) AS exact_dup_rate,
+           CAST(sum(len(regexp_split_to_array(text, '\\s+'))) AS DOUBLE)
+               / CAST(count(*) AS DOUBLE) AS mean_tokens,
+           count(DISTINCT lang) AS n_langs
+    FROM documents
+    GROUP BY ROLLUP(source)
+    """,
+)
+def dataset_card_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset card / datasheet rollup: per-source AND corpus-total rows
+    (ROLLUP) of document count, token volume, exact-duplicate rate
+    (content-hash distinct), mean document length, and language spread —
+    the summary table a curated training corpus publishes alongside the
+    data (Datasheets for Datasets, Gebru et al.).
+
+    Scale: one ROLLUP aggregation with partial (map-side) combine; the
+    distinct counts shuffle md5/lang keys, never text. mean_tokens is an
+    exact-integer sum divided once — bit-identical across engines."""
+    d = load_table(spark, sf_dir, "documents")
+    ntok = F.size(tokens(F.col("text")))
+    return (
+        d.select("source", "lang", F.md5(F.col("text").cast("binary")).alias("h"),
+                 ntok.alias("ntok"))
+        .rollup("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("ntok").cast("long").alias("total_tokens"),
+            F.countDistinct("h").alias("n_unique_texts"),
+            (
+                (F.count(F.lit(1)) - F.countDistinct("h")).cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("exact_dup_rate"),
+            (
+                F.sum("ntok").cast("double") / F.count(F.lit(1)).cast("double")
+            ).alias("mean_tokens"),
+            F.countDistinct("lang").alias("n_langs"),
+        )
+        .select(
+            F.coalesce(F.col("source"), F.lit("TOTAL")).alias("source"),
+            "n_docs", "total_tokens", "n_unique_texts", "exact_dup_rate",
+            "mean_tokens", "n_langs",
+        )
+    )

@@ -70,6 +70,11 @@ DEFAULT_QUERIES = [
     "html_text_extract",      # map-only regex extraction
     "crawl_to_corpus_e2e",    # web-side funnel e2e
     "warc_record_extract",    # WARC stream parse in Arrow batches
+    "robots_rules_apply",     # broadcast theta-join + bounded argmax window
+    "media_type_sniff",       # binary magic-byte dispatch, map-only
+    "seasonal_decompose_daily",  # STL-lite windows over the day spine
+    "changepoint_cusum_daily",   # exact-integer CUSUM over daily aggs
+    "media_png_frame_extract",   # sprite-sheet decode + stride slicing
 ]
 
 
