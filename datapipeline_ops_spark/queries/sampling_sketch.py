@@ -884,3 +884,221 @@ def bootstrap_mean_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         "boot_se",
         F.lit(BOOT_R).cast("int").alias("n_replicates"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Leakage-free train/test split (cluster-aware assignment + leak audit)
+# ---------------------------------------------------------------------------
+
+_SPLITLF_SEED = 23
+_SPLITLF_TRAIN_PCT = 8  # hash % 10 < 8 -> train (80/20)
+
+
+@query(
+    "train_test_split_leakfree",
+    oracle=f"""
+    WITH a AS MATERIALIZED (
+        SELECT doc_id, md5(text) AS ck,
+               CASE WHEN {sql_hash64("md5(text)", _SPLITLF_SEED)} % 10
+                         < {_SPLITLF_TRAIN_PCT}
+                    THEN 'train' ELSE 'test' END AS split
+        FROM documents
+    ),
+    leak AS (
+        SELECT CAST(coalesce(sum(CASE WHEN nsp > 1 THEN 1 ELSE 0 END), 0)
+                    AS BIGINT) AS leaked_clusters
+        FROM (SELECT ck, count(DISTINCT split) AS nsp FROM a GROUP BY ck)
+    )
+    SELECT split, count(*) AS n_docs,
+           count(DISTINCT ck) AS n_clusters,
+           (SELECT leaked_clusters FROM leak) AS leaked_clusters
+    FROM a GROUP BY split
+    """,
+)
+def train_test_split_leakfree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-free train/test split: assign by seeded hash of the CONTENT
+    key (md5 of the text) instead of the row id, so exact duplicates can
+    never straddle the boundary — the eval-contamination failure mode of
+    naive row-hash splits (`dataset_split_assign` splits by doc_id and
+    would leak every duplicated document). `leaked_clusters` re-derives
+    the guarantee from the assignment itself (clusters seen in >1 split)
+    rather than trusting the construction — the audit a 100 TB split job
+    publishes next to the datasheet. In production the content key widens
+    to the near-dup cluster id from the LSH stage (`corpus_curation_e2e`);
+    the assignment and audit shapes are identical.
+
+    Scale: one shuffle on the content hash for the audit, one partial-
+    aggregated rollup for the counts; the 1-row leak total rides
+    broadcast."""
+    d = load_table(spark, sf_dir, "documents")
+    a = d.select(
+        "doc_id", F.md5(F.col("text").cast("binary")).alias("ck")
+    ).withColumn(
+        "split",
+        F.when(
+            hash64(F.col("ck"), _SPLITLF_SEED) % 10 < _SPLITLF_TRAIN_PCT, "train"
+        ).otherwise("test"),
+    )
+    leak = (
+        a.groupBy("ck")
+        .agg(F.countDistinct("split").alias("nsp"))
+        .agg(
+            F.coalesce(
+                F.sum(F.when(F.col("nsp") > 1, 1).otherwise(0)), F.lit(0)
+            )
+            .cast("long")
+            .alias("leaked_clusters")
+        )
+    )
+    return (
+        a.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("ck").alias("n_clusters"),
+        )
+        .crossJoin(F.broadcast(leak))
+        .select("split", "n_docs", "n_clusters", "leaked_clusters")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Hand-rolled HyperLogLog (cross-engine-exact registers and estimate)
+# ---------------------------------------------------------------------------
+
+_HLLX_M = 64          # 2^6 registers
+_HLLX_ALPHA = 0.709   # standard alpha_m for m = 64
+_HLLX_TOL = 0.35      # |rel err| gate; sigma = 1.04/sqrt(64) = 13%
+
+
+@query(
+    "hll_register_sketch",
+    oracle=f"""
+    WITH h AS MATERIALIZED (
+        SELECT {sql_hash64("user_id")} AS h FROM events
+    ),
+    r AS (
+        SELECT h & {_HLLX_M - 1} AS bucket,
+               max(CASE WHEN (h >> 6) = 0 THEN 55
+                        ELSE CAST(round(log2((h >> 6) & (-(h >> 6)))) AS INT) + 1
+                   END) AS reg
+        FROM h GROUP BY 1
+    ),
+    spine AS (SELECT g.b AS bucket FROM unnest(generate_series(0, {_HLLX_M - 1})) AS g(b)),
+    regs AS (
+        SELECT spine.bucket, coalesce(r.reg, 0) AS reg
+        FROM spine LEFT JOIN r USING (bucket)
+    ),
+    agg AS (SELECT sum(pow(2.0, -reg)) AS raw FROM regs),
+    x AS (SELECT count(DISTINCT user_id) AS exact_users FROM events)
+    SELECT CAST({_HLLX_M} AS INT) AS m,
+           exact_users,
+           {_HLLX_ALPHA} * {_HLLX_M} * {_HLLX_M} / raw AS hll_estimate,
+           ({_HLLX_ALPHA} * {_HLLX_M} * {_HLLX_M} / raw - exact_users)
+               / CAST(exact_users AS DOUBLE) AS rel_err,
+           abs(({_HLLX_ALPHA} * {_HLLX_M} * {_HLLX_M} / raw - exact_users)
+               / CAST(exact_users AS DOUBLE)) <= {_HLLX_TOL} AS within_tol
+    FROM agg CROSS JOIN x
+    """,
+)
+def hll_register_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog built from scratch with cross-engine-exact values — the
+    register-level complement to `approx_distinct_users` (whose engine HLL++
+    can only be boolean-audited): bucket = low 6 hash bits, rho = 1 +
+    trailing-zero count of the remaining 54 bits (an equally-uniform HLL
+    flavor that stays in exact integer arithmetic — round(log2(w & -w)) is
+    exact because w & -w is a power of two), registers = per-bucket max.
+    The estimate alpha·m²/Σ2^-reg is a 64-term sum of dyadic rationals —
+    exact in IEEE double regardless of order — so the oracle matches the
+    ESTIMATE itself, not just a tolerance flag.
+
+    Scale: the register build is one partial-aggregated shuffle of
+    (bucket, rho) pairs — 64 groups, mergeable map-side, the textbook
+    one-pass distinct sketch; the exact count is paid here only because
+    this is the audit query."""
+    e = load_table(spark, sf_dir, "events")
+    h = hash64(F.col("user_id"))
+    w = F.shiftright(h, 6)
+    rho = F.when(w == 0, F.lit(55)).otherwise(
+        F.round(F.log2(w.bitwiseAND(-w))).cast("int") + 1
+    )
+    regs = (
+        e.select(h.bitwiseAND(F.lit(_HLLX_M - 1)).alias("bucket"), rho.alias("rho"))
+        .groupBy("bucket")
+        .agg(F.max("rho").alias("reg"))
+    )
+    spine = spark.range(_HLLX_M).select(F.col("id").alias("bucket"))
+    full = spine.join(regs, "bucket", "left").select(
+        F.coalesce(F.col("reg"), F.lit(0)).alias("reg")
+    )
+    agg = full.agg(F.sum(F.pow(F.lit(2.0), -F.col("reg"))).alias("raw"))
+    exact = e.agg(F.countDistinct("user_id").alias("exact_users"))
+    est = F.lit(_HLLX_ALPHA) * _HLLX_M * _HLLX_M / F.col("raw")
+    rel = (est - F.col("exact_users")) / F.col("exact_users").cast("double")
+    return (
+        agg.crossJoin(F.broadcast(exact))
+        .select(
+            F.lit(_HLLX_M).cast("int").alias("m"),
+            "exact_users",
+            est.alias("hll_estimate"),
+            rel.alias("rel_err"),
+            (F.abs(rel) <= _HLLX_TOL).alias("within_tol"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Weighted sampling without replacement (A-ES / exponential-sort keys)
+# ---------------------------------------------------------------------------
+
+_AES_SEED = 31
+_AES_K = 3
+_AES_U_MOD = 1_000_000
+
+
+@query(
+    "weighted_sample_aes",
+    oracle=f"""
+    WITH keyed AS (
+        SELECT source, doc_id, n_chars,
+               ln(({sql_hash64("doc_id", _AES_SEED)} % {_AES_U_MOD} + 1)
+                  / {float(_AES_U_MOD + 1)})
+                   / CAST(n_chars AS DOUBLE) AS es_key
+        FROM documents WHERE n_chars > 0
+    )
+    SELECT source, doc_id, n_chars, es_key,
+           CAST(rn AS INT) AS rank
+    FROM (
+        SELECT *, row_number() OVER (PARTITION BY source
+                                     ORDER BY es_key DESC, doc_id) AS rn
+        FROM keyed
+    ) WHERE rn <= {_AES_K}
+    """,
+)
+def weighted_sample_aes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement, A-ES (Efraimidis–Spirakis):
+    each row draws a deterministic uniform u from a seeded hash and is
+    ranked by ln(u)/w — the monotone-equivalent of the classic u^(1/w)
+    key — so the top-{_AES_K} per source is an exact weighted sample
+    (here weight = document length; heavier docs proportionally likelier).
+    Reproducible across runs, engines, and scales, unlike rand()-based
+    sampling; u is shifted to (0, 1] so ln never sees zero.
+
+    Scale: one shuffle on source + a per-stratum window; for heavy strata
+    the window swaps for a bounded per-partition top-K exactly as
+    `stratified_sample_per_source` documents."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    u = (hash64(F.col("doc_id"), _AES_SEED) % _AES_U_MOD + 1) / F.lit(
+        float(_AES_U_MOD + 1)
+    )
+    keyed = d.select(
+        "source",
+        "doc_id",
+        "n_chars",
+        (F.log(u) / F.col("n_chars").cast("double")).alias("es_key"),
+    )
+    w = Window.partitionBy("source").orderBy(F.desc("es_key"), F.asc("doc_id"))
+    return (
+        keyed.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _AES_K)
+        .select("source", "doc_id", "n_chars", "es_key", "rank")
+    )
