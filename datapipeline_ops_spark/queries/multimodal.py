@@ -472,3 +472,111 @@ def media_png_frame_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         run,
         schema="doc_id long, frame_idx int, n_frames int, frame_md5 string",
     )
+
+
+# ---------------------------------------------------------------------------
+# REAL audio silence segmentation (decode + run-length VAD)
+# ---------------------------------------------------------------------------
+
+_SIL_THRESH = 20000  # sample magnitude below this is "silent"
+_SIL_MIN_RUN = 3     # runs this long or longer count as segments
+
+
+@query(
+    "audio_silence_segments",
+    oracle=f"""
+    WITH base AS MATERIALIZED (
+        SELECT doc_id,
+               CAST(40 + doc_id % 50 AS BIGINT) AS n_samples,
+               repeat(md5(CAST(doc_id AS VARCHAR)), {_WAV_REP}) AS hx
+        FROM documents
+    ),
+    s AS MATERIALIZED (
+        SELECT doc_id, g.i AS i,
+               ascii(substr(hx, 2 * g.i + 1, 1))
+                   + 256 * ascii(substr(hx, 2 * g.i + 2, 1)) AS v
+        FROM base, unnest(generate_series(0, n_samples - 1)) AS g(i)
+    ),
+    sil AS (
+        SELECT doc_id, i,
+               i - row_number() OVER (PARTITION BY doc_id ORDER BY i) AS grp
+        FROM s WHERE v < {_SIL_THRESH}
+    ),
+    runs AS (SELECT doc_id, count(*) AS run_len FROM sil GROUP BY doc_id, grp),
+    agg AS (
+        SELECT doc_id,
+               CAST(sum(run_len) AS BIGINT) AS n_silent,
+               CAST(sum(CASE WHEN run_len >= {_SIL_MIN_RUN} THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_segments,
+               CAST(max(run_len) AS BIGINT) AS longest_run
+        FROM runs GROUP BY doc_id
+    )
+    SELECT b.doc_id, b.n_samples,
+           CAST(coalesce(a.n_silent, 0) AS BIGINT) AS n_silent,
+           CAST(coalesce(a.n_segments, 0) AS BIGINT) AS n_segments,
+           CAST(coalesce(a.longest_run, 0) AS BIGINT) AS longest_run
+    FROM base b LEFT JOIN agg a USING (doc_id)
+    """,
+)
+def audio_silence_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio activity segmentation — the audio analog of the
+    reference's SceneSegmenterOp (``common/video/scene_segmenter_op.py``)
+    and the VAD pre-chunking stage of a speech-data pipeline: per
+    document, synthesize the same deterministic PCM WAV as
+    `media_wav_probe`, round-trip it through the RIFF codec
+    (``functions/wav.py``), threshold the DECODED samples, and extract
+    silence runs with numpy run-length encoding — reporting silent-sample
+    count, the number of segments of length >= {_SIL_MIN_RUN}, and the
+    longest run. The oracle recomputes every value with character
+    arithmetic and gaps-and-islands SQL, never touching the container, so
+    the encode -> chunk walk -> decode -> RLE chain is value-gated end to
+    end in exact integers.
+
+    Scale: one mapInPandas pass; audio bytes never shuffle — only the
+    5-integer summary row leaves the partition."""
+    import hashlib as _hl
+    from collections.abc import Iterator as _It
+
+    import numpy as _np
+    import pandas as _pd
+
+    from datapipeline_ops_spark.functions.wav import (
+        decode_wav_pcm16,
+        encode_wav_pcm16,
+    )
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def run(batches: "_It[_pd.DataFrame]") -> "_It[_pd.DataFrame]":
+        for pdf in batches:
+            out = {
+                "doc_id": [], "n_samples": [], "n_silent": [],
+                "n_segments": [], "longest_run": [],
+            }
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                rate = 8000 + (doc_id % 3) * 4000
+                n = 40 + doc_id % 50
+                hx = (_hl.md5(str(doc_id).encode()).hexdigest() * _WAV_REP).encode()
+                samples = [hx[2 * i] + 256 * hx[2 * i + 1] for i in range(n)]
+                _, decoded = decode_wav_pcm16(encode_wav_pcm16(rate, samples))
+                arr = _np.asarray(decoded, dtype=_np.int32)
+                silent = (arr < _SIL_THRESH).astype(_np.int8)
+                edges = _np.flatnonzero(
+                    _np.diff(_np.concatenate(([0], silent, [0])))
+                )
+                run_lens = edges[1::2] - edges[0::2]
+                out["doc_id"].append(doc_id)
+                out["n_samples"].append(len(decoded))
+                out["n_silent"].append(int(silent.sum()))
+                out["n_segments"].append(int((run_lens >= _SIL_MIN_RUN).sum()))
+                out["longest_run"].append(
+                    int(run_lens.max()) if run_lens.size else 0
+                )
+            yield _pd.DataFrame(out)
+
+    return d.mapInPandas(
+        run,
+        schema="doc_id long, n_samples long, n_silent long, "
+        "n_segments long, longest_run long",
+    )
