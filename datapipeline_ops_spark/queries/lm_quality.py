@@ -353,3 +353,196 @@ def dataset_card_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             "mean_tokens", "n_langs",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Sequence packing (concat-and-chunk: the batch-building op of pretraining)
+# ---------------------------------------------------------------------------
+
+PACK_SEQ_LEN = 512  # tokens per packed training sequence
+
+
+@query(
+    "sequence_packing_plan",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, len(regexp_split_to_array(text, '\\s+')) AS n_tok
+        FROM documents
+    ),
+    c AS (
+        SELECT doc_id, n_tok,
+               CAST(coalesce(sum(n_tok) OVER (ORDER BY doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                    AS BIGINT) AS cum_before
+        FROM t
+    )
+    SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok, cum_before,
+           CAST(cum_before // {PACK_SEQ_LEN} AS BIGINT) AS seq_id,
+           CAST(cum_before % {PACK_SEQ_LEN} AS BIGINT) AS offset_in_seq,
+           (cum_before % {PACK_SEQ_LEN}) + n_tok > {PACK_SEQ_LEN}
+               AS spans_boundary,
+           CAST((cum_before + n_tok - 1) // {PACK_SEQ_LEN}
+                - cum_before // {PACK_SEQ_LEN} + 1 AS BIGINT) AS n_seqs_spanned
+    FROM c
+    """,
+)
+def sequence_packing_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing — THE batch-building op of LLM
+    pretraining: documents are concatenated in a deterministic order and
+    sliced into fixed {PACK_SEQ_LEN}-token training sequences; each doc's
+    placement (sequence id, offset, whether it spans a boundary, how many
+    sequences it touches) is a pure function of the exclusive prefix sum
+    of token counts.
+
+    The prefix sum is computed WITHOUT a global-sort window (the same
+    scheme as `ntile_price_quartiles`): one `repartitionByRange` on
+    doc_id, a per-partition cumulative window, and a broadcast 32-row
+    per-partition offset table — one range exchange total regardless of
+    corpus size, versus the single-task WindowExec a naive
+    `ORDER BY doc_id` window would force. The persist barrier pins the
+    range partitioner's sampled boundaries so pid assignment is computed
+    once."""
+    from datapipeline_ops_spark.operators.dedup import persist_barrier
+
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select("doc_id", F.size(tokens(F.col("text"))).alias("n_tok"))
+    ranked = persist_barrier(
+        t.repartitionByRange(32, "doc_id").withColumn(
+            "_pid", F.spark_partition_id()
+        ),
+        "seqpack_ranked",
+    )
+    part_sums = ranked.groupBy("_pid").agg(F.sum("n_tok").alias("_s"))
+    w_off = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = part_sums.select(
+        "_pid", F.coalesce(F.sum("_s").over(w_off), F.lit(0)).alias("_off")
+    )
+    w_pid = Window.partitionBy("_pid").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    c = (
+        ranked.join(F.broadcast(offsets), "_pid")
+        .withColumn(
+            "cum_before",
+            (F.coalesce(F.sum("n_tok").over(w_pid), F.lit(0)) + F.col("_off"))
+            .cast("long"),
+        )
+    )
+    return c.select(
+        "doc_id",
+        F.col("n_tok").cast("long").alias("n_tok"),
+        "cum_before",
+        F.expr(f"cum_before div {PACK_SEQ_LEN}").cast("long").alias("seq_id"),
+        (F.col("cum_before") % PACK_SEQ_LEN).cast("long").alias("offset_in_seq"),
+        (
+            (F.col("cum_before") % PACK_SEQ_LEN) + F.col("n_tok") > PACK_SEQ_LEN
+        ).alias("spans_boundary"),
+        (
+            F.expr(f"(cum_before + n_tok - 1) div {PACK_SEQ_LEN}")
+            - F.expr(f"cum_before div {PACK_SEQ_LEN}")
+            + 1
+        ).cast("long").alias("n_seqs_spanned"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Boilerplate line removal (RefinedWeb-style frequency-based line dedup)
+# ---------------------------------------------------------------------------
+
+BOILER_FRAC = 0.06   # a line in >= 6% of a source's docs is boilerplate
+_LINE_W = 2          # tokens per "line" (non-overlapping chunks)
+
+
+@query(
+    "boilerplate_line_removal",
+    oracle=f"""
+    WITH tok AS MATERIALIZED (
+        SELECT doc_id, source, regexp_split_to_array(text, '\\s+') AS t
+        FROM documents
+    ),
+    lines AS MATERIALIZED (
+        SELECT doc_id, source,
+               t[{_LINE_W} * g.j + 1] || ' ' || t[{_LINE_W} * g.j + 2] AS line
+        FROM tok, unnest(generate_series(0, len(t) // {_LINE_W} - 1)) AS g(j)
+        WHERE len(t) >= {_LINE_W}
+    ),
+    df AS MATERIALIZED (
+        SELECT source, line, count(DISTINCT doc_id) AS df
+        FROM lines GROUP BY source, line
+    ),
+    nd AS (
+        SELECT source, count(DISTINCT doc_id) AS n_docs FROM lines GROUP BY source
+    )
+    SELECT l.doc_id,
+           count(*) AS n_lines,
+           CAST(sum(CASE WHEN df.df >= {BOILER_FRAC} * nd.n_docs
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler,
+           CAST(count(*) - sum(CASE WHEN df.df >= {BOILER_FRAC} * nd.n_docs
+                                    THEN 1 ELSE 0 END) AS DOUBLE)
+               / CAST(count(*) AS DOUBLE) AS kept_ratio
+    FROM lines l
+    JOIN df ON df.source = l.source AND df.line = l.line
+    JOIN nd ON nd.source = l.source
+    GROUP BY l.doc_id
+    """,
+)
+def boilerplate_line_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequency-based boilerplate line removal (the RefinedWeb / CCNet
+    line-dedup stage): a "line" (here a {_LINE_W}-token chunk — stand-in
+    for newline-split lines, which the synthetic corpus lacks) that
+    appears in >= {BOILER_FRAC:.0%} of its source's documents is
+    navigation/footer boilerplate and is stripped; the query reports each
+    document's line count, boilerplate count, and kept ratio — the
+    per-doc deltas a curation run logs before/after.
+
+    Scale shape: line document-frequencies are a (source, line) partial
+    aggregate; lines rejoin their df via a shuffle equi-join on the
+    compact (source, line) key — the df table is never broadcast (it is
+    vocabulary-scaled); only the per-source doc-count table (bounded by
+    source cardinality) would be broadcast-eligible. Tokens materialize
+    through the repartition before per-position chunking (the O(len)
+    rule)."""
+    d = load_table(spark, sf_dir, "documents")
+    n = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    spread = d.select(
+        "doc_id", "source", tokens(F.col("text")).alias("t")
+    ).repartition(n, F.col("doc_id"))
+    lines = (
+        spread.filter(F.size("t") >= _LINE_W)
+        .select(
+            "doc_id",
+            "source",
+            F.explode(
+                F.transform(
+                    F.sequence(
+                        F.lit(0), F.floor(F.size("t") / _LINE_W).cast("int") - 1
+                    ),
+                    lambda j: F.concat_ws(
+                        " ",
+                        F.element_at(F.col("t"), j * _LINE_W + 1),
+                        F.element_at(F.col("t"), j * _LINE_W + 2),
+                    ),
+                )
+            ).alias("line"),
+        )
+    )
+    df = lines.groupBy("source", "line").agg(
+        F.countDistinct("doc_id").alias("df")
+    )
+    nd = lines.groupBy("source").agg(F.countDistinct("doc_id").alias("n_docs"))
+    boiler = F.when(
+        F.col("df") >= F.lit(BOILER_FRAC) * F.col("n_docs"), 1
+    ).otherwise(0)
+    return (
+        lines.join(df, ["source", "line"])
+        .join(F.broadcast(nd), "source")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(boiler).cast("long").alias("n_boiler"),
+            (
+                (F.count(F.lit(1)) - F.sum(boiler)).cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("kept_ratio"),
+        )
+    )
