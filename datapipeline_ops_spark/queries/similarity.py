@@ -707,3 +707,111 @@ def embedding_anisotropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.any_value("dim").alias("dim"),
         F.sum(F.col("m") * F.col("m")).alias("anisotropy"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Matryoshka truncation eval (recall cost of prefix-dimension embeddings)
+# ---------------------------------------------------------------------------
+
+MRL_DIM = 16  # retrieval on the first 16 of 64 dims
+
+
+@query(
+    "mrl_truncation_eval",
+    oracle=f"""
+    WITH {_V_CTE},
+    tv AS (SELECT vec_id, vec[1:{MRL_DIM}] AS tvec FROM v),
+    gt AS MATERIALIZED (
+        SELECT query_id, vec_id FROM (
+            SELECT a.vec_id AS query_id, b.vec_id AS vec_id,
+                   row_number() OVER (PARTITION BY a.vec_id
+                                      ORDER BY {_COS_AB} DESC, b.vec_id) AS rn
+            FROM v a JOIN v b ON b.vec_id <> a.vec_id
+            WHERE a.vec_id < {N_QUERIES}
+        ) WHERE rn <= {TOP_K}
+    ),
+    ap AS MATERIALIZED (
+        SELECT query_id, vec_id FROM (
+            SELECT a.vec_id AS query_id, b.vec_id AS vec_id,
+                   row_number() OVER (PARTITION BY a.vec_id
+                                      ORDER BY {sql_cosine("a.tvec", "b.tvec")} DESC,
+                                               b.vec_id) AS rn
+            FROM tv a JOIN tv b ON b.vec_id <> a.vec_id
+            WHERE a.vec_id < {N_QUERIES}
+        ) WHERE rn <= {TOP_K}
+    ),
+    hits AS (
+        SELECT gt.query_id,
+               CAST(sum(CASE WHEN ap.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_hits,
+               count(*) AS k
+        FROM gt LEFT JOIN ap
+          ON ap.query_id = gt.query_id AND ap.vec_id = gt.vec_id
+        GROUP BY gt.query_id
+    )
+    SELECT query_id, n_hits, k,
+           CAST(n_hits AS DOUBLE) / CAST(k AS DOUBLE) AS recall,
+           avg(CAST(n_hits AS DOUBLE) / CAST(k AS DOUBLE)) OVER () AS mean_recall
+    FROM hits
+    """,
+)
+def mrl_truncation_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-representation truncation eval: recall@{TOP_K} of
+    brute-force retrieval on the first {MRL_DIM} of {EMB_DIM} dims against
+    full-dimension ground truth — the acceptance gate for serving
+    prefix-truncated embeddings (MRL, Kusupati et al.), which cut index
+    memory and distance cost {EMB_DIM // MRL_DIM}x when the recall holds.
+    Same constant-size evaluation shape as `ann_recall_eval`: both join
+    inputs are (queries x k)-row top-k tables regardless of corpus scale.
+    On THIS corpus the embeddings are near-isotropic (no energy
+    concentration in the prefix — see `embedding_pca_covariance`), so
+    truncation recall is structurally low; on MRL-trained production
+    embeddings the same gate reads near 1.0. The gate measures the
+    embedding-vs-serving fit, it does not assert a threshold."""
+    v = _vectors(spark, sf_dir)
+    tv = v.select(
+        "vec_id", F.slice("vec", 1, MRL_DIM).alias("tvec")
+    ).withColumn("tnrm", norm(F.col("tvec")))
+
+    def _topk(frame: DataFrame, vec_col: str, nrm_col: str) -> DataFrame:
+        q = frame.filter(F.col("vec_id") < N_QUERIES).select(
+            F.col("vec_id").alias("query_id"),
+            F.col(vec_col).alias("qv"),
+            F.col(nrm_col).alias("qn"),
+        )
+        scored = frame.join(
+            F.broadcast(q), F.col("vec_id") != F.col("query_id")
+        ).withColumn(
+            "cos",
+            dot(F.col("qv"), F.col(vec_col)) / (F.col("qn") * F.col(nrm_col)),
+        )
+        w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+        return (
+            scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= TOP_K)
+            .select("query_id", "vec_id")
+        )
+
+    gt = _topk(v, "vec", "nrm")
+    ap = _topk(tv, "tvec", "tnrm").select(
+        "query_id", F.col("vec_id").alias("ap_vec_id")
+    )
+    hits = (
+        gt.join(
+            ap,
+            (gt["query_id"] == ap["query_id"]) & (gt["vec_id"] == ap["ap_vec_id"]),
+            "left",
+        )
+        .select(gt["query_id"], F.col("ap_vec_id").isNotNull().cast("int").alias("hit"))
+        .groupBy("query_id")
+        .agg(
+            F.sum("hit").cast("long").alias("n_hits"),
+            F.count(F.lit(1)).cast("long").alias("k"),
+        )
+        .withColumn(
+            "recall", F.col("n_hits").cast("double") / F.col("k").cast("double")
+        )
+    )
+    return hits.withColumn(
+        "mean_recall", F.avg("recall").over(Window.partitionBy())
+    )
