@@ -580,3 +580,116 @@ def audio_silence_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema="doc_id long, n_samples long, n_silent long, "
         "n_segments long, longest_run long",
     )
+
+
+# ---------------------------------------------------------------------------
+# REAL scene-cut detection: decoded frames -> inter-frame pixel delta
+# ---------------------------------------------------------------------------
+
+_CUT_SAD = 850  # sum-of-absolute-differences above this = scene cut
+
+
+@query(
+    "video_scene_cut_detect",
+    oracle=f"""
+    WITH base AS MATERIALIZED (
+        SELECT doc_id,
+               CAST(1 + doc_id % 4 AS INT) AS n_frames,
+               substr(repeat(md5(CAST(doc_id AS VARCHAR)), {_SPRITE_REP}), 1,
+                      CAST((1 + doc_id % 4) * {_FRAME_W} * {_FRAME_H} * 3 AS INT))
+                   AS pix
+        FROM documents
+    ),
+    frames AS MATERIALIZED (
+        SELECT doc_id, n_frames, g.f AS frame_idx,
+               (SELECT string_agg(
+                    substr(pix, (y.y * (n_frames * {_FRAME_W})
+                                 + g.f * {_FRAME_W}) * 3 + 1,
+                           {_FRAME_W} * 3), '' ORDER BY y.y)
+                FROM unnest(generate_series(0, {_FRAME_H} - 1)) AS y(y)) AS fpix
+        FROM base, unnest(generate_series(0, n_frames - 1)) AS g(f)
+    ),
+    sads AS (
+        SELECT a.doc_id,
+               (SELECT CAST(sum(abs(ascii(substr(a.fpix, p.p, 1))
+                                    - ascii(substr(b.fpix, p.p, 1)))) AS BIGINT)
+                FROM unnest(generate_series(1, {_FRAME_W * _FRAME_H * 3}))
+                    AS p(p)) AS sad
+        FROM frames a
+        JOIN frames b ON b.doc_id = a.doc_id
+                     AND b.frame_idx = a.frame_idx + 1
+    ),
+    agg AS (
+        SELECT doc_id,
+               CAST(sum(CASE WHEN sad > {_CUT_SAD} THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_cuts,
+               CAST(max(sad) AS BIGINT) AS max_sad
+        FROM sads GROUP BY doc_id
+    )
+    SELECT b.doc_id, b.n_frames,
+           CAST(coalesce(a.n_cuts, 0) AS BIGINT) AS n_cuts,
+           CAST(coalesce(a.n_cuts, 0) + 1 AS BIGINT) AS n_scenes,
+           CAST(coalesce(a.max_sad, 0) AS BIGINT) AS max_sad
+    FROM (SELECT DISTINCT doc_id, n_frames FROM base) b
+    LEFT JOIN agg a USING (doc_id)
+    """,
+)
+def video_scene_cut_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL pixel-level scene-cut detection — the reference's
+    SceneSegmenterOp (``common/video/scene_segmenter_op.py``) run on
+    actual decoded frames instead of metadata: each document's
+    sprite-sheet PNG (same synthesis as `media_png_frame_extract`) is
+    decoded through ``functions/png.py``, consecutive frames are compared
+    by sum-of-absolute-differences over every RGB byte, and transitions
+    above {_CUT_SAD} are cuts — the classic pixel-delta shot-boundary
+    detector. The oracle recomputes every SAD with substring/ascii
+    arithmetic, so codec, frame slicing, and the delta math are all
+    value-gated in exact integers.
+
+    Scale: mapInPandas; frames live and die inside the partition — only
+    the per-video (n_cuts, n_scenes, max_sad) summary ever shuffles,
+    exactly the frames-never-shuffle rule."""
+    import hashlib as _hl
+    from collections.abc import Iterator as _It
+
+    import numpy as _np
+    import pandas as _pd
+
+    from datapipeline_ops_spark.functions.png import decode_png_rgb, encode_png_rgb
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def run(batches: "_It[_pd.DataFrame]") -> "_It[_pd.DataFrame]":
+        for pdf in batches:
+            out = {"doc_id": [], "n_frames": [], "n_cuts": [], "n_scenes": [],
+                   "max_sad": []}
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                n = 1 + doc_id % 4
+                w = n * _FRAME_W
+                pix = (
+                    _hl.md5(str(doc_id).encode()).hexdigest() * _SPRITE_REP
+                )[: w * _FRAME_H * 3].encode()
+                dw, dh, dpix = decode_png_rgb(encode_png_rgb(w, _FRAME_H, pix))
+                arr = _np.frombuffer(dpix, dtype=_np.uint8).reshape(dh, dw, 3)
+                # frame f = columns [f*W, (f+1)*W) — int16 before the diff
+                fr = [
+                    arr[:, f * _FRAME_W : (f + 1) * _FRAME_W, :].astype(_np.int16)
+                    for f in range(n)
+                ]
+                sads = [
+                    int(_np.abs(fr[f + 1] - fr[f]).sum()) for f in range(n - 1)
+                ]
+                cuts = sum(1 for s in sads if s > _CUT_SAD)
+                out["doc_id"].append(doc_id)
+                out["n_frames"].append(n)
+                out["n_cuts"].append(cuts)
+                out["n_scenes"].append(cuts + 1)
+                out["max_sad"].append(max(sads) if sads else 0)
+            yield _pd.DataFrame(out)
+
+    return d.mapInPandas(
+        run,
+        schema="doc_id long, n_frames int, n_cuts long, n_scenes long, "
+        "max_sad long",
+    )
