@@ -1012,6 +1012,55 @@ def _(qs, spark):
     )
 
 
+@check("bigram_lm_perplexity: LM tables ride shuffle joins, only vocab row broadcast")
+def _(qs, spark):
+    # the bigram/context LM tables are vocabulary-scaled (corpus-derived):
+    # they must reach document bigrams via shuffle equi-joins, never a
+    # broadcast; the only broadcast-extent node is the 1-row vocab total.
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = plan_of(qs["bigram_lm_perplexity"](spark, SF_DIR))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert "CartesianProduct" not in plan
+    n_smj = len(re.findall(r"^\(\d+\) (?:SortMergeJoin|ShuffledHashJoin)", plan, re.M))
+    assert n_smj == 2, f"LM joins must shuffle (bigram + context), saw {n_smj}"
+    cols = read_schema_cols(plan, "documents")
+    assert cols == {"doc_id", "text"}, cols
+
+
+@check("sequence_packing_plan: range-partitioned prefix sum, no global fact window")
+def _(qs, spark):
+    plan = plan_of(qs["sequence_packing_plan"](spark, SF_DIR))
+    assert "rangepartitioning" in plan.lower(), "expected a range exchange"
+    # the fact-side cumulative window must be partitioned by _pid; only the
+    # 32-row per-partition offset window may be unpartitioned
+    for block in plan.split("\n\n"):
+        if "Window" in block and "n_tok" in block and "sum" in block:
+            assert "_pid" in block, f"fact window not partitioned: {block[:300]}"
+
+
+@check("boilerplate_line_removal: line-df table rides shuffle, dims broadcast")
+def _(qs, spark):
+    # the (source, line) document-frequency table is vocabulary-scaled — no
+    # explicit hint may force it broadcast (at tiny SF the optimizer
+    # broadcasts it on its own, which is fine; with auto-broadcast off the
+    # join must degrade to a shuffle equi-join); the per-source doc-count
+    # table (source-cardinality-bounded) stays hint-broadcast.
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = plan_of(qs["boilerplate_line_removal"](spark, SF_DIR))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert "CartesianProduct" not in plan
+    n_smj = len(re.findall(r"^\(\d+\) (?:SortMergeJoin|ShuffledHashJoin)", plan, re.M))
+    assert n_smj >= 1, "df join must be a shuffle equi-join"
+    cols = read_schema_cols(plan, "documents")
+    assert "lang" not in cols and "n_chars" not in cols, cols
+
+
 def main() -> int:
     import __spark_entry__ as entry_mod
     from datapipeline_ops_spark.session import get_spark
