@@ -78,6 +78,11 @@ HEADLINE = [
     "pq_code_assign",              # broadcast-codebook product quantization
     "media_png_roundtrip",         # real PNG decode inside Arrow batches
     "crawl_to_corpus_e2e",         # web-side funnel: extract -> gate -> URL dedup
+    # round-6 additions
+    "bigram_lm_perplexity",        # corpus LM build + shuffle-joined doc scoring
+    "sequence_packing_plan",       # distributed prefix-sum concat-and-chunk
+    "boilerplate_line_removal",    # per-source line-df join
+    "video_scene_cut_detect",      # real decode + SAD shot boundaries
 ]
 
 
