@@ -356,6 +356,13 @@ def main() -> int:
     except OSError:
         pass
     compact = dict(payload)
+    # compact line carries 2-decimal timings (3-decimal precision lives in
+    # BENCH_FULL.json) — at 54 headline queries the saved chars keep the
+    # whole contract map inside the driver's 2000-char stdout window
+    if "queries" in compact:
+        compact["queries"] = {
+            k: round(v, 2) for k, v in compact["queries"].items()
+        }
     if "vs_prev" in compact:
         vp = dict(compact["vs_prev"])
         ratios = vp.pop("ratio_per_query", {})
