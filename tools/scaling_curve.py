@@ -75,6 +75,13 @@ DEFAULT_QUERIES = [
     "seasonal_decompose_daily",  # STL-lite windows over the day spine
     "changepoint_cusum_daily",   # exact-integer CUSUM over daily aggs
     "media_png_frame_extract",   # sprite-sheet decode + stride slicing
+    # round-6 families
+    "bigram_lm_perplexity",      # corpus LM shuffle-joined doc scoring
+    "sequence_packing_plan",     # distributed prefix-sum chunking
+    "boilerplate_line_removal",  # per-source line-df join
+    "hll_register_sketch",       # 64-register exact HLL
+    "audio_silence_segments",    # WAV decode + RLE VAD
+    "video_scene_cut_detect",    # frame decode + SAD cuts
 ]
 
 
