@@ -693,3 +693,141 @@ def video_scene_cut_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema="doc_id long, n_frames int, n_cuts long, n_scenes long, "
         "max_sad long",
     )
+
+
+# ---------------------------------------------------------------------------
+# Heterogeneous media curation e2e (sniff -> decode -> gate -> rollup)
+# ---------------------------------------------------------------------------
+
+_MEDIA_E2E_MIN_TOKENS = 20
+
+
+@query(
+    "media_curation_e2e",
+    oracle=f"""
+    WITH d AS MATERIALIZED (
+        SELECT doc_id, source, text, CAST(doc_id % 3 AS INT) AS media_kind
+        FROM documents
+    ),
+    png AS (
+        SELECT doc_id, source, media_kind,
+               (SELECT CAST(sum(ascii(substr(pix, p.p, 1))) AS BIGINT)
+                FROM unnest(generate_series(1, length(pix))) AS p(p)) AS metric,
+               (1 + doc_id % 4) >= 2 AS keep
+        FROM (SELECT doc_id, source, media_kind,
+                     substr(repeat(md5(CAST(doc_id AS VARCHAR)), {_SPRITE_REP}),
+                            1, CAST((1 + doc_id % 4)
+                                    * {_FRAME_W} * {_FRAME_H} * 3 AS INT)) AS pix
+              FROM d WHERE media_kind = 0)
+    ),
+    wav AS (
+        SELECT doc_id, source, media_kind,
+               (SELECT CAST(sum(CASE WHEN
+                        ascii(substr(hx, 2 * g.i + 1, 1))
+                        + 256 * ascii(substr(hx, 2 * g.i + 2, 1)) < {_SIL_THRESH}
+                    THEN 1 ELSE 0 END) AS BIGINT)
+                FROM unnest(generate_series(0, n - 1)) AS g(i)) AS metric,
+               (SELECT sum(CASE WHEN
+                        ascii(substr(hx, 2 * g.i + 1, 1))
+                        + 256 * ascii(substr(hx, 2 * g.i + 2, 1)) < {_SIL_THRESH}
+                    THEN 1 ELSE 0 END) * 2
+                FROM unnest(generate_series(0, n - 1)) AS g(i)) < n AS keep
+        FROM (SELECT doc_id, source, media_kind,
+                     CAST(40 + doc_id % 50 AS BIGINT) AS n,
+                     repeat(md5(CAST(doc_id AS VARCHAR)), {_WAV_REP}) AS hx
+              FROM d WHERE media_kind = 1)
+    ),
+    txt AS (
+        SELECT doc_id, source, media_kind,
+               CAST(len(regexp_split_to_array(text, '\\s+')) AS BIGINT) AS metric,
+               len(regexp_split_to_array(text, '\\s+'))
+                   >= {_MEDIA_E2E_MIN_TOKENS} AS keep
+        FROM d WHERE media_kind = 2
+    ),
+    u AS (SELECT * FROM png UNION ALL SELECT * FROM wav
+          UNION ALL SELECT * FROM txt)
+    SELECT source, media_kind,
+           count(*) AS n_docs,
+           CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+           CAST(sum(metric) AS BIGINT) AS metric_sum
+    FROM u GROUP BY source, media_kind
+    """,
+)
+def media_curation_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heterogeneous media curation end to end — the reference's actual
+    pipeline shape (mixed media in, per-modality decode + gate, one
+    rollup out; ``pipeline/`` drivers in the reference) run with REAL
+    codecs in one composed plan: each document synthesizes a payload by
+    modality (doc_id % 3 — sprite-sheet PNG / PCM WAV / UTF-8 text),
+    decodes it through the genuine stdlib codec path (``functions/png.py``
+    / ``wav.py``), applies the modality's quality gate (multi-frame check,
+    non-silent check, token floor), and the survivors roll up per
+    (source, modality). The oracle recomputes every pixel-byte sum,
+    silent-sample count, and token count with character arithmetic — the
+    whole decode-and-gate funnel is value-gated in exact integers.
+
+    Scale: ONE mapInPandas pass (payloads never shuffle — only the
+    5-column per-doc summary leaves the partition) followed by one
+    partial-aggregated rollup on the compact (source, kind) key."""
+    import hashlib as _hl
+    import re as _re
+    from collections.abc import Iterator as _It
+
+    import numpy as _np
+    import pandas as _pd
+
+    from datapipeline_ops_spark.functions.png import decode_png_rgb, encode_png_rgb
+    from datapipeline_ops_spark.functions.wav import (
+        decode_wav_pcm16,
+        encode_wav_pcm16,
+    )
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "source", "text")
+
+    def run(batches: "_It[_pd.DataFrame]") -> "_It[_pd.DataFrame]":
+        for pdf in batches:
+            out = {"doc_id": [], "source": [], "media_kind": [],
+                   "metric": [], "keep": []}
+            for doc_id, src, text in zip(pdf["doc_id"], pdf["source"], pdf["text"]):
+                doc_id = int(doc_id)
+                kind = doc_id % 3
+                if kind == 0:
+                    n = 1 + doc_id % 4
+                    w = n * _FRAME_W
+                    pix = (
+                        _hl.md5(str(doc_id).encode()).hexdigest() * _SPRITE_REP
+                    )[: w * _FRAME_H * 3].encode()
+                    _, _, dpix = decode_png_rgb(encode_png_rgb(w, _FRAME_H, pix))
+                    metric = int(_np.frombuffer(dpix, dtype=_np.uint8)
+                                 .astype(_np.int64).sum())
+                    keep = n >= 2
+                elif kind == 1:
+                    rate = 8000 + (doc_id % 3) * 4000
+                    n = 40 + doc_id % 50
+                    hx = (_hl.md5(str(doc_id).encode()).hexdigest()
+                          * _WAV_REP).encode()
+                    samples = [hx[2 * i] + 256 * hx[2 * i + 1] for i in range(n)]
+                    _, decoded = decode_wav_pcm16(encode_wav_pcm16(rate, samples))
+                    arr = _np.asarray(decoded, dtype=_np.int32)
+                    metric = int((arr < _SIL_THRESH).sum())
+                    keep = metric * 2 < len(decoded)
+                else:
+                    metric = len(_re.split(r"\s+", str(text)))
+                    keep = metric >= _MEDIA_E2E_MIN_TOKENS
+                out["doc_id"].append(doc_id)
+                out["source"].append(str(src))
+                out["media_kind"].append(kind)
+                out["metric"].append(metric)
+                out["keep"].append(bool(keep))
+            yield _pd.DataFrame(out)
+
+    per_doc = d.mapInPandas(
+        run,
+        schema="doc_id long, source string, media_kind int, "
+        "metric long, keep boolean",
+    )
+    return per_doc.groupBy("source", "media_kind").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.when(F.col("keep"), 1).otherwise(0)).cast("long").alias("n_keep"),
+        F.sum("metric").cast("long").alias("metric_sum"),
+    )

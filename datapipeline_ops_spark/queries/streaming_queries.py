@@ -427,3 +427,41 @@ def stream_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return terms.groupBy("window_start").agg(
         F.sum(term).alias("psi"), (F.sum(term) > 0.2).alias("drift")
     )
+
+
+@query(
+    "stream_dedup_within_watermark",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n_events,
+           count(DISTINCT event_id) AS n_unique,
+           round(sum(value), 4) AS total_value
+    FROM events GROUP BY event_type
+    """,
+)
+def stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exactly-once dedup: the event stream unioned with itself
+    (every record delivered twice — the at-least-once delivery failure
+    mode) is deduplicated by ``dropDuplicatesWithinWatermark`` on
+    event_id, the Spark 3.5+ operator whose state store evicts keys once
+    the watermark passes them — bounded state, unlike plain
+    ``dropDuplicates`` whose key set grows forever. Drained with
+    availableNow, the result must equal the ORIGINAL stream exactly: the
+    oracle aggregates the batch table, so any duplicate that survives (or
+    any legitimate row the state eviction drops) flips the per-type
+    counts red.
+
+    At 100 TB: watermark-scoped dedup state is THE ingestion-time dedup —
+    per-key state lives only `watermark` long, so state size tracks the
+    late-data horizon, not stream history."""
+    s = events_stream(spark, sf_dir)
+    dup = s.unionAll(s)
+    dedup = dup.withWatermark("ts", "1 hour").dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+    out = run_stream_to_table(dedup, output_mode="append")
+    return out.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("event_id").alias("n_unique"),
+        F.round(F.sum("value"), 4).alias("total_value"),
+    )
