@@ -546,3 +546,83 @@ def boilerplate_line_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("kept_ratio"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# RAG chunking plan (sliding windows with overlap, content-addressed)
+# ---------------------------------------------------------------------------
+
+CHUNK_N = 32        # tokens per retrieval chunk
+CHUNK_OVERLAP = 8   # tokens shared between consecutive chunks
+_CHUNK_STRIDE = CHUNK_N - CHUNK_OVERLAP
+
+
+@query(
+    "rag_chunk_plan",
+    oracle=f"""
+    WITH tok AS MATERIALIZED (
+        SELECT doc_id, regexp_split_to_array(text, '\\s+') AS t,
+               len(regexp_split_to_array(text, '\\s+')) AS m
+        FROM documents
+    ),
+    nc AS (
+        SELECT doc_id, t, m,
+               CASE WHEN m <= {CHUNK_N} THEN 1
+                    ELSE 1 + (m - {CHUNK_N} + {_CHUNK_STRIDE} - 1)
+                             // {_CHUNK_STRIDE}
+               END AS n_chunks
+        FROM tok
+    )
+    SELECT doc_id,
+           CAST(g.j AS INT) AS chunk_idx,
+           CAST(g.j * {_CHUNK_STRIDE} AS BIGINT) AS start_tok,
+           CAST(least(g.j * {_CHUNK_STRIDE} + {CHUNK_N}, m)
+                - g.j * {_CHUNK_STRIDE} AS BIGINT) AS chunk_len,
+           md5(array_to_string(
+               t[g.j * {_CHUNK_STRIDE} + 1 :
+                 least(g.j * {_CHUNK_STRIDE} + {CHUNK_N}, m)],
+               ' ')) AS chunk_md5
+    FROM nc, unnest(generate_series(0, n_chunks - 1)) AS g(j)
+    """,
+)
+def rag_chunk_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG-prep chunking: slide a {CHUNK_N}-token window with
+    {CHUNK_OVERLAP}-token overlap across each document and emit
+    content-addressed chunks (position, length, md5 of the joined
+    tokens) — the table a retrieval index ingests, with the md5 doubling
+    as the chunk-level dedup key downstream. The final chunk is the
+    remainder; short docs yield exactly one chunk. Chunk text itself is
+    value-gated through the md5 so a one-token slicing error anywhere
+    goes gate-red.
+
+    Scale: tokens materialize through the doc_id repartition (the O(len)
+    rule), then each chunk is an O({CHUNK_N}) slice — no window function,
+    no shuffle beyond the spread; output rows are (id, idx, 2 ints, hash),
+    never chunk text."""
+    d = load_table(spark, sf_dir, "documents")
+    n = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    spread = d.select(
+        "doc_id", tokens(F.col("text")).alias("t")
+    ).repartition(n, F.col("doc_id"))
+    m = F.size("t")
+    n_chunks = F.when(m <= CHUNK_N, F.lit(1)).otherwise(
+        F.lit(1)
+        + F.floor((m - CHUNK_N + _CHUNK_STRIDE - 1) / _CHUNK_STRIDE).cast("int")
+    )
+    ex = spread.select(
+        "doc_id",
+        "t",
+        m.alias("m"),
+        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_idx"),
+    )
+    start = F.col("chunk_idx") * _CHUNK_STRIDE
+    clen = F.least(start + CHUNK_N, F.col("m")) - start
+    return ex.select(
+        "doc_id",
+        F.col("chunk_idx").cast("int").alias("chunk_idx"),
+        start.cast("long").alias("start_tok"),
+        clen.cast("long").alias("chunk_len"),
+        F.md5(
+            F.concat_ws(" ", F.slice(F.col("t"), start + 1, clen)).cast("binary")
+        ).alias("chunk_md5"),
+    )

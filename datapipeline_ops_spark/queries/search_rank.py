@@ -330,3 +330,107 @@ def _ann_ivfpq_recall_oracle() -> str:
 
 
 QUERIES["ann_ivfpq_recall_eval"].oracle = _ann_ivfpq_recall_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Hybrid retrieval fusion (BM25 + dense, reciprocal-rank fusion)
+# ---------------------------------------------------------------------------
+
+RRF_K = 60       # the standard RRF dampening constant (Cormack et al.)
+RRF_TOPK = 10
+
+
+def _rrf_oracle() -> str:
+    from datapipeline_ops_spark.queries.similarity import _COS_AB, _V_CTE
+
+    bm25_sql = QUERIES["bm25_topk"].oracle
+    return f"""
+    WITH {_V_CTE},
+    b AS MATERIALIZED (
+        SELECT doc_id,
+               row_number() OVER (ORDER BY score DESC, doc_id) AS r
+        FROM ({bm25_sql})
+    ),
+    c AS MATERIALIZED (
+        SELECT doc_id, r FROM (
+            SELECT b.vec_id AS doc_id,
+                   row_number() OVER (ORDER BY {_COS_AB} DESC, b.vec_id) AS r
+            FROM v a JOIN v b ON b.vec_id <> a.vec_id
+            WHERE a.vec_id = 0
+        ) WHERE r <= {RRF_TOPK}
+    ),
+    f AS (
+        SELECT coalesce(b.doc_id, c.doc_id) AS doc_id,
+               coalesce(1.0 / ({RRF_K} + b.r), 0)
+                   + coalesce(1.0 / ({RRF_K} + c.r), 0) AS rrf_score,
+               b.doc_id IS NOT NULL AS in_bm25,
+               c.doc_id IS NOT NULL AS in_dense
+        FROM b FULL OUTER JOIN c ON c.doc_id = b.doc_id
+    )
+    SELECT doc_id, rrf_score, in_bm25, in_dense, fused_rank FROM (
+        SELECT *, CAST(row_number() OVER (ORDER BY rrf_score DESC, doc_id)
+                       AS INT) AS fused_rank
+        FROM f
+    ) WHERE fused_rank <= {RRF_TOPK}
+    """
+
+
+@query("hybrid_rrf_fusion", oracle=None)  # composed below from bm25 oracle
+def hybrid_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval with reciprocal-rank fusion — the modern search
+    stack's default: a sparse ranking (the registered BM25 keyword run)
+    and a dense ranking (exact cosine from query vector 0 over the
+    aligned embedding corpus) merge by RRF, score = sum of
+    1/({RRF_K}+rank) over the lists containing the doc. Rank-based fusion
+    needs no score calibration between retrievers — the reason RRF beats
+    score interpolation in production hybrid search. The arithmetic is
+    exact rational division of small integers, so the fused scores and
+    ordering are bit-identical cross-engine.
+
+    Scale: both retriever outputs are top-k tables (constant size at any
+    corpus scale); the fusion join and final ranking run on <= 2k rows."""
+    from datapipeline_ops_spark.functions.vectors import dot
+    from datapipeline_ops_spark.queries.similarity import _vectors
+
+    bm25 = QUERIES["bm25_topk"].fn(spark, sf_dir)
+    w_b = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    b = bm25.select("doc_id", F.row_number().over(w_b).alias("r_b"))
+
+    v = _vectors(spark, sf_dir)
+    q = v.filter(F.col("vec_id") == 0).select(
+        F.col("vec").alias("qvec"), F.col("nrm").alias("qnrm")
+    )
+    w_c = Window.orderBy(F.desc("cos"), F.asc("doc_id"))
+    c = (
+        v.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            (dot(F.col("qvec"), F.col("vec")) / (F.col("qnrm") * F.col("nrm"))
+             ).alias("cos"),
+        )
+        .withColumn("r_c", F.row_number().over(w_c))
+        .filter(F.col("r_c") <= RRF_TOPK)
+        .select("doc_id", "r_c")
+    )
+    f = (
+        b.join(c, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            (
+                F.coalesce(F.lit(1.0) / (RRF_K + F.col("r_b")), F.lit(0.0))
+                + F.coalesce(F.lit(1.0) / (RRF_K + F.col("r_c")), F.lit(0.0))
+            ).alias("rrf_score"),
+            F.col("r_b").isNotNull().alias("in_bm25"),
+            F.col("r_c").isNotNull().alias("in_dense"),
+        )
+    )
+    w_f = Window.orderBy(F.desc("rrf_score"), F.asc("doc_id"))
+    return (
+        f.withColumn("fused_rank", F.row_number().over(w_f))
+        .filter(F.col("fused_rank") <= RRF_TOPK)
+        .select("doc_id", "rrf_score", "in_bm25", "in_dense", "fused_rank")
+    )
+
+
+QUERIES["hybrid_rrf_fusion"].oracle = _rrf_oracle()
