@@ -67,13 +67,13 @@ _PRIORITY = [
     "pipeline_frame_mining_e2e", "pipeline_bg_filter_e2e",
 ]
 # ROUND-7 ORDERING PLAN (apply after the round-6 gate runs): head the window
-# with any round-6 reds, then the 16 round-6 additions lacking records
+# with any round-6 reds, then the 17 round-6 additions lacking records
 # (bigram_lm_perplexity bpe_merge_step quality_classifier_score
 # dataset_card_report train_test_split_leakfree hll_register_sketch
 # weighted_sample_aes audio_silence_segments sequence_packing_plan
 # boilerplate_line_removal mrl_truncation_eval video_scene_cut_detect
 # stream_dedup_within_watermark media_curation_e2e hybrid_rrf_fusion
-# rag_chunk_plan),
+# rag_chunk_plan bloom_pruned_join),
 # then the 8 deferred r01-latest scalar queries (path_roundtrip
 # fraction_parse sec_to_label coalesce_fallback json_props_extract
 # placeholders_build threshold_filter band_filter), then rotate the oldest
