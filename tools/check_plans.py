@@ -1061,6 +1061,46 @@ def _(qs, spark):
     assert "lang" not in cols and "n_chars" not in cols, cols
 
 
+@check("bloom_pruned_join: map-side probe, one shuffle join of survivors")
+def _(qs, spark):
+    # the runtime-filter contract: the lineitem probe must be entirely
+    # map-side (the bitmap rides a 1-row broadcast map; no explode-shuffle
+    # of the fact table), so the ONLY shuffle equi-join is survivors->keys
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = plan_of(qs["bloom_pruned_join"](spark, SF_DIR))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert "CartesianProduct" not in plan
+    n_smj = len(re.findall(r"^\(\d+\) (?:SortMergeJoin|ShuffledHashJoin)", plan, re.M))
+    assert n_smj == 1, f"probe leaked into extra shuffle joins: {n_smj}"
+    cols = read_schema_cols(plan, "lineitem")
+    assert cols == {"l_orderkey", "l_extendedprice", "l_discount"}, cols
+
+
+@check("rag_chunk_plan: one spread exchange, no joins, no chunk text in output")
+def _(qs, spark):
+    df = qs["rag_chunk_plan"](spark, SF_DIR)
+    plan = plan_of(df)
+    n_ex = len(re.findall(r"Exchange hashpartitioning", plan))
+    assert n_ex <= 1, f"chunking must be map-only after the spread: {n_ex}"
+    assert "Join" not in plan
+    assert "chunk_md5" in df.columns and "chunk_text" not in df.columns
+
+
+@check("media_curation_e2e: one Arrow pass, payloads never shuffle")
+def _(qs, spark):
+    plan = plan_of(qs["media_curation_e2e"](spark, SF_DIR))
+    # formatted explain names the node once in the tree and once in the
+    # detail section — assert presence, and that there is only ONE distinct
+    # Arrow stage id
+    ids = set(re.findall(r"^\((\d+)\) MapInPandas", plan, re.M))
+    assert len(ids) == 1, f"expected exactly one Arrow stage, saw {ids}"
+    n_ex = len(re.findall(r"Exchange hashpartitioning", plan))
+    assert n_ex <= 1, f"media bytes must not shuffle: {n_ex} exchanges"
+
+
 def main() -> int:
     import __spark_entry__ as entry_mod
     from datapipeline_ops_spark.session import get_spark
