@@ -242,3 +242,61 @@ def test_wav_codec_roundtrips_arbitrary_samples(samples, rate):
 
     got_rate, got = decode_wav_pcm16(encode_wav_pcm16(rate, samples))
     assert got_rate == rate and got == samples
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.integers(min_value=1, max_value=9),
+    st.integers(min_value=1, max_value=7),
+    st.binary(min_size=1, max_size=9 * 7 * 3),
+    st.lists(st.integers(min_value=0, max_value=4), min_size=7, max_size=7),
+)
+def test_png_defilter_recovers_any_filter_sequence(w, h, seed_bytes, ftypes):
+    """The numpy defilter must invert EVERY per-row filter choice: craft an
+    IDAT with a slow reference filterer (the pre-vectorization per-byte
+    logic) over arbitrary pixels and arbitrary per-scanline filter types —
+    decode must recover the exact pixel buffer."""
+    import struct
+    import zlib
+
+    from datapipeline_ops_spark.functions.png import _chunk, _SIG, decode_png_rgb
+
+    need = w * h * 3
+    pix = (seed_bytes * (need // len(seed_bytes) + 1))[:need]
+    stride = w * 3
+
+    def paeth(a, b, c):
+        p = a + b - c
+        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+        return a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+
+    def filt(ftype, line, prev):
+        out = bytearray()
+        for i, x in enumerate(line):
+            a = line[i - 3] if i >= 3 else 0
+            b = prev[i]
+            c = prev[i - 3] if i >= 3 else 0
+            if ftype == 0:
+                out.append(x)
+            elif ftype == 1:
+                out.append((x - a) & 0xFF)
+            elif ftype == 2:
+                out.append((x - b) & 0xFF)
+            elif ftype == 3:
+                out.append((x - ((a + b) >> 1)) & 0xFF)
+            else:
+                out.append((x - paeth(a, b, c)) & 0xFF)
+        return bytes(out)
+
+    raw = b""
+    prev = bytes(stride)
+    for y in range(h):
+        row = pix[y * stride : (y + 1) * stride]
+        raw += bytes([ftypes[y % len(ftypes)]]) + filt(ftypes[y % len(ftypes)], row, prev)
+        prev = row
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    crafted = (
+        _SIG + _chunk(b"IHDR", ihdr) + _chunk(b"IDAT", zlib.compress(raw))
+        + _chunk(b"IEND", b"")
+    )
+    assert decode_png_rgb(crafted) == (w, h, pix)
