@@ -709,3 +709,105 @@ def cumulative_users_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("day", F.coalesce(F.col("n_new"), F.lit(0)).cast("long").alias("n_new"))
         .withColumn("users_to_date", F.sum("n_new").over(w).cast("long"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Entity resolution end to end (block -> verify -> cluster -> canonicalize)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "entity_resolution_e2e",
+    oracle="""
+    WITH RECURSIVE nm AS MATERIALIZED (
+        SELECT p_name, split_part(p_name, ' ', 2) AS noun,
+               min(p_partkey) AS name_key, count(*) AS n_rows
+        FROM part GROUP BY 1, 2
+    ),
+    pairs AS MATERIALIZED (
+        SELECT a.name_key AS s, b.name_key AS d
+        FROM nm a JOIN nm b ON a.noun = b.noun AND a.name_key < b.name_key
+        WHERE levenshtein(a.p_name, b.p_name) <= 2
+    ),
+    edges AS MATERIALIZED (SELECT s, d FROM pairs UNION SELECT d, s FROM pairs),
+    nodes AS (SELECT DISTINCT s AS k FROM edges),
+    reach AS (
+        SELECT k, k AS label FROM nodes
+        UNION
+        SELECT e.d AS k, r.label FROM reach r JOIN edges e ON e.s = r.k
+    ),
+    cl AS MATERIALIZED (SELECT k, min(label) AS cluster_id FROM reach GROUP BY k),
+    agg AS (
+        SELECT cl.cluster_id, CAST(sum(m.n_rows) AS BIGINT) AS n_members
+        FROM cl JOIN nm m ON m.name_key = cl.k
+        GROUP BY cl.cluster_id
+    )
+    SELECT agg.cluster_id, agg.n_members, c.p_name AS canonical_name
+    FROM agg JOIN nm c ON c.name_key = agg.cluster_id
+    """,
+)
+def entity_resolution_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution end to end — the master-data pipeline in one
+    composed plan: collapse raw rows to DISTINCT entity keys first (the
+    name string, with min(p_partkey) as its stable numeric key and a kept
+    row count), block on a cheap key (the name's noun token), verify
+    candidates with Levenshtein <= 2, resolve transitive matches into
+    entities via connected components (adaptive union-find /
+    pointer-jumping, `operators/dedup.py`), and emit one canonical record
+    per entity (the smallest member key's name — a survivorship rule) with
+    the total number of RAW rows it absorbs. The oracle replays the whole
+    chain including exact graph reachability as a recursive CTE, so
+    dedupe, blocking, verification, clustering AND canonical pick are
+    value-gated together. Singletons (names with no fuzzy match) are not
+    multi-source entities and are excluded by construction.
+
+    Scale: the distinct-first step is THE load-bearing design at 100 TB —
+    pairwise verification runs on |distinct names| per block (a few
+    hundred strings here; bounded by the entity vocabulary, not the fact
+    table), never on raw rows, and raw-row volume re-enters only as a
+    pre-aggregated count summed per cluster. A naive raw-row Levenshtein
+    self-join on this very schema is ~2.4M comparisons at sf0.1 and grows
+    quadratically; the distinct-name graph is ~100 nodes at any SF. CC
+    runs on the tiny name graph; the canonical join keys on cluster_id."""
+    from datapipeline_ops_spark.operators.dedup import connected_components
+    from datapipeline_ops_spark.tables import load_table as _lt
+
+    names = (
+        _lt(spark, sf_dir, "part")
+        .select(
+            "p_partkey",
+            "p_name",
+            F.split(F.col("p_name"), " ").getItem(1).alias("noun"),
+        )
+        .groupBy("p_name", "noun")
+        .agg(
+            F.min("p_partkey").alias("name_key"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+    a = names.select(
+        F.col("name_key").alias("key_a"), F.col("p_name").alias("name_a"), "noun"
+    )
+    b = names.select(
+        F.col("name_key").alias("key_b"), F.col("p_name").alias("name_b"), "noun"
+    )
+    pairs = (
+        a.join(b, "noun")
+        .filter(
+            (F.col("key_a") < F.col("key_b"))
+            & (F.levenshtein("name_a", "name_b") <= 2)
+        )
+        .select("key_a", "key_b")
+    )
+    cc = connected_components(pairs, "key_a", "key_b")
+    canon = names.select(
+        F.col("name_key").alias("cluster_id"),
+        F.col("p_name").alias("canonical_name"),
+    )
+    return (
+        cc.join(names.select("name_key", "n_rows"), cc["node"] == F.col("name_key"))
+        .groupBy(F.col("label").alias("cluster_id"))
+        .agg(F.sum("n_rows").cast("long").alias("n_members"))
+        .join(canon, "cluster_id")
+        .select("cluster_id", "n_members", "canonical_name")
+    )
