@@ -74,10 +74,14 @@ _PRIORITY = [
 # boilerplate_line_removal mrl_truncation_eval video_scene_cut_detect
 # stream_dedup_within_watermark media_curation_e2e hybrid_rrf_fusion
 # rag_chunk_plan bloom_pruned_join),
+# then the 9 round-6 late-wave additions (entity_resolution_e2e
+# spell_correct_symdel embedding_hamming_ann feature_hash_vectors
+# dp_noisy_histogram ams_f2_sketch node_jaccard_similarity
+# flesch_readability rare_category_collapse),
 # then the 8 deferred r01-latest scalar queries (path_roundtrip
 # fraction_parse sec_to_label coalesce_fallback json_props_extract
 # placeholders_build threshold_filter band_filter), then rotate the oldest
-# r02-latest records with the remaining ~30 slots.
+# r02-latest records with the remaining slots.
 
 
 def _ordered_names() -> list[str]:

@@ -14,6 +14,7 @@ from datapipeline_ops_spark.queries import (  # noqa: F401
     io_queries,
     layout_queries,
     lm_quality,
+    mlops_extra,
     multimodal,
     pipeline_analogs,
     pipelines_e2e,
