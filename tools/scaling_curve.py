@@ -82,6 +82,13 @@ DEFAULT_QUERIES = [
     "hll_register_sketch",       # 64-register exact HLL
     "audio_silence_segments",    # WAV decode + RLE VAD
     "video_scene_cut_detect",    # frame decode + SAD cuts
+    # round-6 late wave
+    "entity_resolution_e2e",     # distinct-first block/verify/CC/canonical
+    "spell_correct_symdel",      # deletion-key blocking equi-join
+    "embedding_hamming_ann",     # packed-code Hamming shortlist + rerank
+    "feature_hash_vectors",      # stateless signed-hash featurization
+    "ams_f2_sketch",             # distinct-first sign-sum moment sketch
+    "node_jaccard_similarity",   # wedge join + TakeOrdered top-k
 ]
 
 
