@@ -24,6 +24,18 @@ prediction, readability, and dimensional encoding.
   bit-identical across engines.
 - ``rare_category_collapse``: long-tail categorical collapse to OTHER at
   a 90% cumulative-coverage floor, with integer-only threshold math.
+- ``copurchase_pmi_scores``: PPMI association mining over the co-purchase
+  graph (the item2vec / SGNS objective's exact counterpart).
+- ``calibration_ece_report``: reliability bins + expected calibration
+  error with an integer-numerator ECE (exact cross-engine).
+- ``gdpr_delete_cascade``: right-to-be-forgotten delete propagation
+  across the customer -> orders -> lineitem FK chain with purge audit.
+- ``triplet_mining_hard_negatives``: label-aware contrastive mining —
+  hardest in-batch positive and negative per anchor, margin violations.
+- ``lsh_pair_recall_eval``: candidate-recall audit of the MinHash-LSH
+  near-dup path against the exact inverted-index Jaccard ground truth.
+- ``tokenizer_fertility_by_lang``: tokens-per-word fertility and
+  chars-per-token by language — the multilingual tokenizer-quality table.
 
 Reference parity: extends the text/quality surface beyond the reference's
 empty ``common/text/`` and ``common/filter/`` stubs; the hashing seam is
@@ -717,3 +729,529 @@ def rare_category_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("long").alias("n_source_categories"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# copurchase_pmi_scores
+# ---------------------------------------------------------------------------
+
+_PMI_TOP = 100
+_PMI_MIN_ORDERS = 2
+_PMI_MAX_BASKET = 64
+
+
+@query(
+    "copurchase_pmi_scores",
+    oracle=f"""
+    WITH ok_orders AS (
+        SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+        HAVING count(*) <= {_PMI_MAX_BASKET}
+    ),
+    pairs AS MATERIALIZED (
+        SELECT a.l_partkey AS pa, b.l_partkey AS pb,
+               CAST(count(*) AS BIGINT) AS n_ab
+        FROM lineitem a JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        JOIN ok_orders ok ON ok.l_orderkey = a.l_orderkey
+        GROUP BY 1, 2 HAVING count(*) >= {_PMI_MIN_ORDERS}
+    ),
+    marg AS MATERIALIZED (
+        SELECT node, CAST(sum(n_ab) AS BIGINT) AS n_node FROM (
+            SELECT pa AS node, n_ab FROM pairs
+            UNION ALL SELECT pb, n_ab FROM pairs
+        ) GROUP BY node
+    ),
+    tot AS (SELECT CAST(sum(n_ab) AS BIGINT) AS t FROM pairs)
+    SELECT pa, pb, n_ab, pmi FROM (
+        SELECT p.pa, p.pb, p.n_ab,
+               ln(CAST(p.n_ab AS DOUBLE) * CAST(tot.t AS DOUBLE)
+                  / (CAST(ma.n_node AS DOUBLE) * CAST(mb.n_node AS DOUBLE))) AS pmi
+        FROM pairs p
+        JOIN marg ma ON ma.node = p.pa
+        JOIN marg mb ON mb.node = p.pb
+        CROSS JOIN tot
+    ) ORDER BY n_ab DESC, pa, pb LIMIT {_PMI_TOP}
+    """,
+)
+def copurchase_pmi_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pointwise mutual information over co-purchase pairs —
+    ln(p(a,b) / (p(a) p(b))) with probabilities from pair-occurrence
+    marginals — the association score behind item2vec-style embeddings
+    (SGNS factorizes the shifted PMI matrix; Levy & Goldberg 2014) and
+    "customers also bought" ranking. Reported for the top-{_PMI_TOP}
+    pairs by support (support ordering is integer-deterministic; PMI
+    itself rides along as a value).
+
+    Scale: pair counts come from the basket-capped array-side explode
+    (one lineitem shuffle); marginals and the total are aggregations of
+    the PAIR table, not the fact table; the ranking is TakeOrdered. The
+    PMI argument is built from integer counts in one fixed op order, so
+    the only engine-sensitive op is ln itself (hash-normalized)."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    per_order = (
+        li.groupBy("l_orderkey")
+        .agg(F.collect_list("l_partkey").alias("ps"))
+        .filter(F.size("ps") <= _PMI_MAX_BASKET)
+    )
+    raw_pairs = per_order.select(
+        F.explode(
+            F.filter(
+                F.flatten(
+                    F.transform(
+                        "ps",
+                        lambda a: F.transform(
+                            "ps", lambda b: F.struct(a.alias("pa"), b.alias("pb"))
+                        ),
+                    )
+                ),
+                lambda s: s.pa < s.pb,
+            )
+        ).alias("p")
+    ).select("p.pa", "p.pb")
+    pairs = (
+        raw_pairs.groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_ab"))
+        .filter(F.col("n_ab") >= _PMI_MIN_ORDERS)
+        .persist()
+    )
+    try:
+        marg = (
+            pairs.select(F.col("pa").alias("node"), "n_ab")
+            .unionAll(pairs.select(F.col("pb").alias("node"), "n_ab"))
+            .groupBy("node")
+            .agg(F.sum("n_ab").cast("long").alias("n_node"))
+        )
+        tot = pairs.agg(F.sum("n_ab").cast("long").alias("t"))
+        pmi = F.log(
+            F.col("n_ab").cast("double")
+            * F.col("t").cast("double")
+            / (F.col("n_a").cast("double") * F.col("n_b").cast("double"))
+        )
+        out = (
+            pairs.join(
+                marg.select(F.col("node").alias("pa"), F.col("n_node").alias("n_a")),
+                "pa",
+            )
+            .join(
+                marg.select(F.col("node").alias("pb"), F.col("n_node").alias("n_b")),
+                "pb",
+            )
+            .crossJoin(F.broadcast(tot))
+            .select("pa", "pb", "n_ab", pmi.alias("pmi"))
+            .orderBy(F.desc("n_ab"), F.asc("pa"), F.asc("pb"))
+            .limit(_PMI_TOP)
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        pairs.unpersist()
+
+
+# ---------------------------------------------------------------------------
+# calibration_ece_report
+# ---------------------------------------------------------------------------
+
+_ECE_SEED = 31
+_ECE_MOD = 1_000_000
+_ECE_BIN_DIV = 100_000  # 10 bins
+_ECE_LABEL_CHARS = 500
+
+
+@query(
+    "calibration_ece_report",
+    oracle=f"""
+    WITH scored AS (
+        SELECT {sql_hash64("doc_id", _ECE_SEED)} % {_ECE_MOD} AS conf_k,
+               CASE WHEN n_chars >= {_ECE_LABEL_CHARS} THEN 1 ELSE 0 END AS y
+        FROM documents
+    ),
+    bins AS (
+        SELECT conf_k // {_ECE_BIN_DIV} AS bin,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(y) AS BIGINT) AS n_pos,
+               CAST(sum(conf_k) AS BIGINT) AS sum_k
+        FROM scored GROUP BY 1
+    )
+    SELECT bin, n, n_pos,
+           CAST(sum_k AS DOUBLE) / (CAST(n AS DOUBLE) * {_ECE_MOD}.0) AS conf,
+           CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE) AS acc,
+           CAST(abs(sum_k - n_pos * {_ECE_MOD}) AS DOUBLE)
+               / ({_ECE_MOD}.0 * CAST(n AS DOUBLE)) AS gap,
+           CAST(sum(abs(sum_k - n_pos * {_ECE_MOD})) OVER () AS DOUBLE)
+               / ({_ECE_MOD}.0 * CAST(sum(n) OVER () AS DOUBLE)) AS ece
+    FROM bins
+    """,
+)
+def calibration_ece_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram + expected calibration error for a stub
+    classifier (md5-uniform confidence, length-derived label — the seam
+    where a real model's scores plug in). Per bin: mean confidence, empirical
+    accuracy, |gap|; ECE = sum_bins (n_b/N)·|conf_b - acc_b|.
+
+    The numeric trick that makes this EXACT cross-engine: confidences are
+    integers k/1e6, so bin mean-confidence, accuracy, the per-bin gap AND
+    the ECE all reduce to ratios with INTEGER numerators —
+    |sum_k - n_pos·1e6| per bin — summed as integers before one final
+    float division. No float accumulation anywhere, so no engine-order
+    sensitivity (the same discipline as the HLL dyadic sums).
+
+    Scale: one partial-agg pass to 10 bin rows; the ECE window runs over
+    the 10-row aggregate."""
+    scored = load_table(spark, sf_dir, "documents").select(
+        (hash64(F.col("doc_id"), _ECE_SEED) % _ECE_MOD).alias("conf_k"),
+        F.when(F.col("n_chars") >= _ECE_LABEL_CHARS, 1).otherwise(0).alias("y"),
+    )
+    bins = scored.groupBy(
+        (F.col("conf_k") / _ECE_BIN_DIV).cast("long").alias("bin")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("y").cast("long").alias("n_pos"),
+        F.sum("conf_k").cast("long").alias("sum_k"),
+    )
+    w = Window.partitionBy()
+    num = F.abs(F.col("sum_k") - F.col("n_pos") * _ECE_MOD)
+    return bins.select(
+        "bin",
+        "n",
+        "n_pos",
+        (F.col("sum_k").cast("double") / (F.col("n").cast("double") * float(_ECE_MOD))).alias("conf"),
+        (F.col("n_pos").cast("double") / F.col("n").cast("double")).alias("acc"),
+        (num.cast("double") / (float(_ECE_MOD) * F.col("n").cast("double"))).alias("gap"),
+        (
+            F.sum(num).over(w).cast("double")
+            / (float(_ECE_MOD) * F.sum("n").over(w).cast("double"))
+        ).alias("ece"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# gdpr_delete_cascade
+# ---------------------------------------------------------------------------
+
+_GDPR_MOD = 97
+
+
+@query(
+    "gdpr_delete_cascade",
+    oracle=f"""
+    WITH del_cust AS MATERIALIZED (
+        SELECT c_custkey FROM customer WHERE c_custkey % {_GDPR_MOD} = 0
+    ),
+    del_orders AS MATERIALIZED (
+        SELECT o_orderkey FROM orders
+        WHERE o_custkey IN (SELECT c_custkey FROM del_cust)
+    ),
+    del_li AS (
+        SELECT count(*) AS n FROM lineitem
+        WHERE l_orderkey IN (SELECT o_orderkey FROM del_orders)
+    )
+    SELECT 'customer' AS table_name,
+           CAST((SELECT count(*) FROM del_cust) AS BIGINT) AS n_purged,
+           CAST((SELECT count(*) FROM customer) -
+                (SELECT count(*) FROM del_cust) AS BIGINT) AS n_retained
+    UNION ALL
+    SELECT 'orders',
+           CAST((SELECT count(*) FROM del_orders) AS BIGINT),
+           CAST((SELECT count(*) FROM orders) -
+                (SELECT count(*) FROM del_orders) AS BIGINT)
+    UNION ALL
+    SELECT 'lineitem',
+           CAST((SELECT n FROM del_li) AS BIGINT),
+           CAST((SELECT count(*) FROM lineitem) - (SELECT n FROM del_li) AS BIGINT)
+    """,
+)
+def gdpr_delete_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten delete propagation: a deletion request list
+    (every {_GDPR_MOD}th customer — the seam where real DSAR requests
+    arrive) cascades across the FK chain customer -> orders -> lineitem,
+    and the audit reports purged vs retained row counts per table — the
+    numbers a privacy officer signs off before the actual rewrite job.
+
+    Scale: each cascade level is a semi-join on the FK — purged orders by
+    o_custkey, purged lineitems by l_orderkey — the same shape an actual
+    DELETE ... WHERE EXISTS compiles to; counts are partial aggregates.
+    The request list is fact-derived (1/{_GDPR_MOD} of customers), so the
+    semi-joins shuffle on their keys rather than assuming a broadcastable
+    request set — at 100 TB a year of accumulated DSARs is itself big."""
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey")
+    del_cust = cust.filter(F.col("c_custkey") % _GDPR_MOD == 0)
+    del_orders = orders.join(
+        del_cust, orders["o_custkey"] == del_cust["c_custkey"], "left_semi"
+    ).select("o_orderkey")
+    del_li = li.join(
+        del_orders, li["l_orderkey"] == del_orders["o_orderkey"], "left_semi"
+    )
+
+    def _audit(name: str, total: DataFrame, purged: DataFrame) -> DataFrame:
+        t = total.agg(F.count(F.lit(1)).alias("n_total"))
+        p = purged.agg(F.count(F.lit(1)).alias("n_purged"))
+        return t.crossJoin(p).select(
+            F.lit(name).alias("table_name"),
+            F.col("n_purged").cast("long").alias("n_purged"),
+            (F.col("n_total") - F.col("n_purged")).cast("long").alias("n_retained"),
+        )
+
+    return (
+        _audit("customer", cust, del_cust)
+        .unionAll(_audit("orders", orders, del_orders))
+        .unionAll(_audit("lineitem", li, del_li))
+    )
+
+
+# ---------------------------------------------------------------------------
+# triplet_mining_hard_negatives
+# ---------------------------------------------------------------------------
+
+_TRIP_QUERY_MOD = 50
+_TRIP_MARGIN = 0.05
+
+
+@query(
+    "triplet_mining_hard_negatives",
+    oracle=f"""
+    WITH v AS MATERIALIZED (
+        SELECT vec_id, label,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+        FROM embeddings
+    ),
+    scored AS MATERIALIZED (
+        SELECT q.vec_id AS query_id, q.label AS qlabel,
+               c.vec_id AS vec_id, c.label AS label,
+               {sql_cosine("q.vec", "c.vec")} AS cos
+        FROM v q JOIN v c ON c.vec_id <> q.vec_id
+        WHERE q.vec_id % {_TRIP_QUERY_MOD} = 0
+    ),
+    pos AS (
+        SELECT query_id, vec_id AS pos_id, cos AS cos_pos FROM (
+            SELECT query_id, vec_id, cos,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY cos ASC, vec_id) AS rn
+            FROM scored WHERE label = qlabel
+        ) WHERE rn = 1
+    ),
+    neg AS (
+        SELECT query_id, vec_id AS neg_id, cos AS cos_neg FROM (
+            SELECT query_id, vec_id, cos,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY cos DESC, vec_id) AS rn
+            FROM scored WHERE label <> qlabel
+        ) WHERE rn = 1
+    )
+    SELECT p.query_id, p.pos_id, p.cos_pos, n.neg_id, n.cos_neg,
+           n.cos_neg - p.cos_pos AS margin,
+           (n.cos_neg - p.cos_pos > -{_TRIP_MARGIN}) AS violates
+    FROM pos p JOIN neg n ON n.query_id = p.query_id
+    """,
+)
+def triplet_mining_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive triplet mining: for each anchor, the HARDEST positive
+    (same label, lowest cosine — the pair the model most needs to pull
+    together) and the HARDEST negative (different label, highest cosine —
+    the pair it most needs to push apart), plus the margin and a
+    violation flag (negative closer than positive minus margin) — the
+    batch-construction step of triplet/InfoNCE training and the standard
+    mining strategy (FaceNet, Schroff et al. 2015).
+
+    Scale: one broadcast of the anchor batch streams past the corpus
+    once; both argmins ride the SAME scan via two windows over the scored
+    frame, so mining cost is one corpus pass per batch regardless of
+    label count. Cosines are bit-identical cross-engine, so the
+    float-derived margin and boolean flag compare exactly."""
+    v = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", as_double(F.col("embedding")).alias("vec")
+    )
+    q = v.filter(F.col("vec_id") % _TRIP_QUERY_MOD == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("qlabel"),
+        F.col("vec").alias("qvec"),
+    )
+    scored = (
+        v.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+        .withColumn(
+            "cos",
+            dot(F.col("qvec"), F.col("vec"))
+            / (norm(F.col("qvec")) * norm(F.col("vec"))),
+        )
+        .select("query_id", "qlabel", "vec_id", "label", "cos")
+    )
+    w_pos = Window.partitionBy("query_id").orderBy(F.asc("cos"), F.asc("vec_id"))
+    w_neg = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("vec_id"))
+    pos = (
+        scored.filter(F.col("label") == F.col("qlabel"))
+        .withColumn("rn", F.row_number().over(w_pos))
+        .filter(F.col("rn") == 1)
+        .select("query_id", F.col("vec_id").alias("pos_id"), F.col("cos").alias("cos_pos"))
+    )
+    neg = (
+        scored.filter(F.col("label") != F.col("qlabel"))
+        .withColumn("rn", F.row_number().over(w_neg))
+        .filter(F.col("rn") == 1)
+        .select("query_id", F.col("vec_id").alias("neg_id"), F.col("cos").alias("cos_neg"))
+    )
+    return pos.join(neg, "query_id").select(
+        "query_id",
+        "pos_id",
+        "cos_pos",
+        "neg_id",
+        "cos_neg",
+        (F.col("cos_neg") - F.col("cos_pos")).alias("margin"),
+        (F.col("cos_neg") - F.col("cos_pos") > -_TRIP_MARGIN).alias("violates"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# tokenizer_fertility_by_lang
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "tokenizer_fertility_by_lang",
+    oracle="""
+    WITH per_doc AS (
+        SELECT lang,
+               len(regexp_extract_all(text, '[a-z0-9]+')) AS n_words,
+               len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))
+                   AS n_bpe,
+               n_chars
+        FROM documents
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_words) AS BIGINT) AS sum_words,
+           CAST(sum(n_bpe) AS BIGINT) AS sum_bpe_tokens,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+           CAST(sum(n_bpe) AS DOUBLE) / CAST(sum(n_words) AS DOUBLE) AS fertility,
+           CAST(sum(n_chars) AS DOUBLE) / CAST(sum(n_bpe) AS DOUBLE)
+               AS chars_per_token
+    FROM per_doc GROUP BY lang
+    """,
+)
+def tokenizer_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility by language: BPE-ish tokens per whitespace word
+    (fertility — the standard multilingual tokenizer-quality metric; a
+    language with fertility 2x pays 2x the sequence length for the same
+    content) and chars per token (compression), from corpus-level integer
+    sums. Uses the repo's BPE-ish regex convention (letters | digits |
+    single punctuation) against [a-z0-9]+ words.
+
+    Scale: two regexp_count projections + one partial aggregation to
+    |languages| rows; ratios are fixed-order divisions of integer sums —
+    bit-identical cross-engine."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "lang",
+        F.regexp_count(F.col("text"), F.lit(r"[a-z0-9]+")).alias("n_words"),
+        F.regexp_count(
+            F.col("text"), F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]")
+        ).alias("n_bpe"),
+        "n_chars",
+    )
+    agg = d.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_words").cast("long").alias("sum_words"),
+        F.sum("n_bpe").cast("long").alias("sum_bpe_tokens"),
+        F.sum("n_chars").cast("long").alias("sum_chars"),
+    )
+    return agg.select(
+        "lang",
+        "n_docs",
+        "sum_words",
+        "sum_bpe_tokens",
+        "sum_chars",
+        (
+            F.col("sum_bpe_tokens").cast("double")
+            / F.col("sum_words").cast("double")
+        ).alias("fertility"),
+        (
+            F.col("sum_chars").cast("double")
+            / F.col("sum_bpe_tokens").cast("double")
+        ).alias("chars_per_token"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# lsh_pair_recall_eval — composed from the registered dedup oracles
+# ---------------------------------------------------------------------------
+
+from datapipeline_ops_spark.core.registry import QUERIES  # noqa: E402
+
+
+@query(
+    "lsh_pair_recall_eval",
+    oracle=None,  # composed from the registered dedup oracles below
+)
+def lsh_pair_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate-recall audit of the MinHash-LSH near-dup path against the
+    exact inverted-index Jaccard ground truth at the same threshold — the
+    acceptance gate for the banding parameters (bands x rows fix the
+    s-curve; this measures what the curve actually delivered). Also
+    surfaces the asymmetry the two pipelines are ALLOWED to have: the
+    exact path df-caps boilerplate posting lists (pairs sharing only
+    ultra-common shingles don't pair), while LSH verification is uncapped
+    — so both only-sides are reported, not assumed empty.
+
+    Scale: composes the two registered pipelines and full-outer-joins
+    their PAIR outputs (already threshold-filtered, tiny relative to the
+    corpus); counts are one aggregation. Ratios are integer divisions."""
+    truth = QUERIES["ngram_jaccard_pairs"].fn(spark, sf_dir).select(
+        "doc_a", "doc_b", F.lit(1).alias("in_exact")
+    )
+    cand = QUERIES["minhash_lsh_pairs"].fn(spark, sf_dir).select(
+        "doc_a", "doc_b", F.lit(1).alias("in_lsh")
+    )
+    both = truth.join(cand, ["doc_a", "doc_b"], "full_outer")
+    agg = both.agg(
+        F.sum(F.coalesce("in_exact", F.lit(0))).cast("long").alias("n_exact"),
+        F.sum(F.coalesce("in_lsh", F.lit(0))).cast("long").alias("n_lsh"),
+        F.sum(
+            F.when(
+                F.col("in_exact").isNotNull() & F.col("in_lsh").isNotNull(), 1
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_both"),
+    )
+    return agg.select(
+        "n_exact",
+        "n_lsh",
+        "n_both",
+        (F.col("n_both").cast("double") / F.col("n_exact").cast("double")).alias(
+            "recall_vs_exact"
+        ),
+        (
+            F.col("n_both").cast("double")
+            / (F.col("n_exact") + F.col("n_lsh") - F.col("n_both")).cast("double")
+        ).alias("pair_set_jaccard"),
+    )
+
+
+def _lsh_recall_oracle() -> str:
+    truth_sql = QUERIES["ngram_jaccard_pairs"].oracle
+    cand_sql = QUERIES["minhash_lsh_pairs"].oracle
+    return f"""
+    WITH truth AS MATERIALIZED (SELECT doc_a, doc_b FROM ({truth_sql})),
+    cand AS MATERIALIZED (SELECT doc_a, doc_b FROM ({cand_sql})),
+    j AS (
+        SELECT coalesce(t.doc_a, c.doc_a) AS doc_a,
+               coalesce(t.doc_b, c.doc_b) AS doc_b,
+               (t.doc_a IS NOT NULL) AS in_exact,
+               (c.doc_a IS NOT NULL) AS in_lsh
+        FROM truth t FULL OUTER JOIN cand c
+          ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b
+    ),
+    agg AS (
+        SELECT CAST(sum(CASE WHEN in_exact THEN 1 ELSE 0 END) AS BIGINT) AS n_exact,
+               CAST(sum(CASE WHEN in_lsh THEN 1 ELSE 0 END) AS BIGINT) AS n_lsh,
+               CAST(sum(CASE WHEN in_exact AND in_lsh THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_both
+        FROM j
+    )
+    SELECT n_exact, n_lsh, n_both,
+           CAST(n_both AS DOUBLE) / CAST(n_exact AS DOUBLE) AS recall_vs_exact,
+           CAST(n_both AS DOUBLE) / CAST(n_exact + n_lsh - n_both AS DOUBLE)
+               AS pair_set_jaccard
+    FROM agg
+    """
+
+
+QUERIES["lsh_pair_recall_eval"].oracle = _lsh_recall_oracle()
