@@ -1152,6 +1152,38 @@ def _(qs, spark):
     assert win and agg, "expected window over hash aggregate"
 
 
+@check("gdpr_delete_cascade: cascade levels are semi-joins on the FK")
+def _(qs, spark):
+    plan = plan_of(qs["gdpr_delete_cascade"](spark, SF_DIR))
+    n_semi = len(re.findall(r"LeftSemi", plan))
+    assert n_semi >= 3, f"expected >=3 semi-joins (orders, lineitem x2 levels): {n_semi}"
+    assert "CartesianProduct" not in plan
+    cols = read_schema_cols(plan, "lineitem")
+    assert cols == {"l_orderkey"}, f"lineitem scan should read only the FK: {cols}"
+
+
+@check("triplet_mining_hard_negatives: one anchor-batch NLJ, windows share the scan")
+def _(qs, spark):
+    plan = plan_of(qs["triplet_mining_hard_negatives"](spark, SF_DIR))
+    n_nlj = len(re.findall(r"^\(\d+\) BroadcastNestedLoopJoin", plan, re.M))
+    # pos/neg branches each reference the scored frame; exchange reuse may
+    # keep it at 1 — but never more than 2 corpus passes
+    assert 1 <= n_nlj <= 2, f"anchor scan NLJ count out of range: {n_nlj}"
+    assert "CartesianProduct" not in plan
+
+
+@check("copurchase_pmi_scores / calibration / fertility: pruned scans, TakeOrdered ranking")
+def _(qs, spark):
+    # PMI builds behind localCheckpoint (persist-barriered pair table), so
+    # assert on the cheap decorated frames instead
+    plan = plan_of(qs["calibration_ece_report"](spark, SF_DIR))
+    assert read_schema_cols(plan, "documents") == {"doc_id", "n_chars"}
+    assert "partial" in plan.lower()
+    plan = plan_of(qs["tokenizer_fertility_by_lang"](spark, SF_DIR))
+    assert read_schema_cols(plan, "documents") == {"lang", "text", "n_chars"}
+    assert "partial" in plan.lower()
+
+
 @check("ams_f2_sketch: distinct-first, pruned events scan, no cartesian")
 def _(qs, spark):
     plan = plan_of(qs["ams_f2_sketch"](spark, SF_DIR))
