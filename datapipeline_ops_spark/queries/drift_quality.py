@@ -555,3 +555,126 @@ def info_gain_type_by_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
             ((F.col("h") - F.col("hc")) / F.col("h")).alias("info_gain_ratio"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# wasserstein_drift_binned
+# ---------------------------------------------------------------------------
+
+W1_BINS = 64
+
+
+@query(
+    "wasserstein_drift_binned",
+    oracle=f"""
+    WITH ext AS MATERIALIZED (
+        SELECT min(value) AS vmin, max(value) AS vmax,
+               CAST(sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS tot_a,
+               CAST(sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tot_b
+        FROM events
+    ),
+    binned AS (
+        SELECT {_sql_bin('e.value', 'x.vmin', 'x.vmax', W1_BINS)} AS bin,
+               CAST(sum(CASE WHEN e.user_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS cnt_a,
+               CAST(sum(CASE WHEN e.user_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS cnt_b
+        FROM events e CROSS JOIN ext x
+        GROUP BY 1
+    ),
+    spine AS (
+        SELECT g.bin FROM ext, LATERAL unnest(generate_series(0, {W1_BINS - 1})) AS g(bin)
+    ),
+    cdf AS (
+        SELECT sum(coalesce(b.cnt_a, 0)) OVER w AS cum_a,
+               sum(coalesce(b.cnt_b, 0)) OVER w AS cum_b
+        FROM spine s LEFT JOIN binned b ON b.bin = s.bin
+        WINDOW w AS (ORDER BY s.bin ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ),
+    num AS (
+        SELECT CAST(sum(abs(cum_a * x.tot_b - cum_b * x.tot_a)) AS BIGINT) AS sum_abs
+        FROM cdf CROSS JOIN ext x
+    )
+    SELECT x.tot_a AS n_a, x.tot_b AS n_b,
+           CAST(n.sum_abs AS DOUBLE) * (x.vmax - x.vmin) / {W1_BINS}.0
+               / (CAST(x.tot_a AS DOUBLE) * CAST(x.tot_b AS DOUBLE)) AS w1_distance,
+           CAST(n.sum_abs AS DOUBLE) / {W1_BINS}.0
+               / (CAST(x.tot_a AS DOUBLE) * CAST(x.tot_b AS DOUBLE)) AS w1_normalized
+    FROM num n CROSS JOIN ext x
+    """,
+)
+def wasserstein_drift_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Earth-mover (Wasserstein-1) drift between the even-user and odd-user
+    halves of ``events.value`` over a {W1_BINS}-bin fixed-width sketch —
+    the drift metric that, unlike KS (max gap), weights HOW FAR mass
+    moved: W1 = integral |CDF_a - CDF_b|, here the bin-width-weighted sum
+    over the full bin spine (empty bins included — their CDF gap still
+    contributes, which group-by alone would silently drop).
+
+    Exactness: the CDF gap per bin is |cum_a·n_b - cum_b·n_a| / (n_a·n_b)
+    — an INTEGER numerator, summed as integers across bins before one
+    final float division (the calibration_ece_report discipline), so the
+    statistic is bit-identical cross-engine despite being a sum of 64
+    float-looking terms.
+
+    Scale: identical shape to ks_drift_binned — one partial-agg shuffle
+    of <= {W1_BINS} rows after a single fact scan; the spine join and
+    window run on the bounded bin table."""
+    e = load_table(spark, sf_dir, "events")
+    ext = e.agg(
+        F.min("value").alias("vmin"),
+        F.max("value").alias("vmax"),
+        F.sum(F.when(F.col("user_id") % 2 == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("tot_a"),
+        F.sum(F.when(F.col("user_id") % 2 == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("tot_b"),
+    )
+    binned = (
+        e.crossJoin(F.broadcast(ext))
+        .withColumn(
+            "bin", _bin_expr(F.col("value"), F.col("vmin"), F.col("vmax"), W1_BINS)
+        )
+        .groupBy("bin")
+        .agg(
+            F.sum(F.when(F.col("user_id") % 2 == 0, 1).otherwise(0))
+            .cast("long")
+            .alias("cnt_a"),
+            F.sum(F.when(F.col("user_id") % 2 == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("cnt_b"),
+        )
+    )
+    spine = ext.select(
+        F.explode(F.sequence(F.lit(0), F.lit(W1_BINS - 1))).alias("bin")
+    )
+    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cdf = (
+        spine.join(binned, "bin", "left")
+        .select(
+            "bin",
+            F.coalesce("cnt_a", F.lit(0)).alias("cnt_a"),
+            F.coalesce("cnt_b", F.lit(0)).alias("cnt_b"),
+        )
+        .withColumn("cum_a", F.sum("cnt_a").over(w))
+        .withColumn("cum_b", F.sum("cnt_b").over(w))
+    )
+    num = cdf.crossJoin(F.broadcast(ext)).agg(
+        F.sum(F.abs(F.col("cum_a") * F.col("tot_b") - F.col("cum_b") * F.col("tot_a")))
+        .cast("long")
+        .alias("sum_abs")
+    )
+    return num.crossJoin(F.broadcast(ext)).select(
+        F.col("tot_a").alias("n_a"),
+        F.col("tot_b").alias("n_b"),
+        (
+            F.col("sum_abs").cast("double")
+            * (F.col("vmax") - F.col("vmin"))
+            / float(W1_BINS)
+            / (F.col("tot_a").cast("double") * F.col("tot_b").cast("double"))
+        ).alias("w1_distance"),
+        (
+            F.col("sum_abs").cast("double")
+            / float(W1_BINS)
+            / (F.col("tot_a").cast("double") * F.col("tot_b").cast("double"))
+        ).alias("w1_normalized"),
+    )

@@ -387,3 +387,78 @@ def gini_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         (2.0 * F.sum(F.col("i") * F.col("x")).cast("double") / (nd * sxd)
          - (nd + 1.0) / nd).alias("gini"),
     )
+
+
+# ---------------------------------------------------------------------------
+# join_skew_diagnosis
+# ---------------------------------------------------------------------------
+
+_SKEW_TOP = 20
+
+
+@query(
+    "join_skew_diagnosis",
+    oracle=f"""
+    WITH freq AS MATERIALIZED (
+        SELECT l_partkey, CAST(count(*) AS BIGINT) AS f
+        FROM lineitem GROUP BY l_partkey
+    ),
+    tot AS (
+        SELECT CAST(sum(f * f) AS BIGINT) AS join_size,
+               CAST(count(*) AS BIGINT) AS n_keys,
+               CAST(sum(f) AS BIGINT) AS n_rows
+        FROM freq
+    )
+    SELECT l_partkey, f,
+           CAST(f * f AS BIGINT) AS pair_contrib,
+           CAST(f * f AS DOUBLE) / CAST(t.join_size AS DOUBLE) AS contrib_share,
+           CAST((f * t.n_keys + t.n_rows - 1) // t.n_rows AS BIGINT)
+               AS recommended_salt
+    FROM freq CROSS JOIN tot t
+    ORDER BY f DESC, l_partkey LIMIT {_SKEW_TOP}
+    """,
+)
+def join_skew_diagnosis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-skew pre-flight: per join key (l_partkey), its frequency, its
+    contribution f² to the self-join size (the quantity AQE's skew-join
+    split and our salted_skew_join exist to tame), its share of the total,
+    and a recommended salt factor ceil(f / mean_f) — the number a pipeline
+    author plugs into the salting operator BEFORE launching the 100 TB
+    join instead of discovering the straggler at hour three.
+
+    Exactness: everything derives from integer frequencies — f², the
+    Σf² join size, and the salt factor via integer ceiling division
+    (f·n_keys + n_rows - 1) // n_rows; the share is one int/int division.
+
+    Scale: one partial-agg frequency pass, a 1-row total broadcast, and a
+    TakeOrdered top-{_SKEW_TOP}; the diagnosis never materializes the
+    join it predicts."""
+    freq = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).cast("long").alias("f"))
+    )
+    tot = freq.agg(
+        F.sum(F.col("f") * F.col("f")).cast("long").alias("join_size"),
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+        F.sum("f").cast("long").alias("n_rows"),
+    )
+    return (
+        freq.crossJoin(F.broadcast(tot))
+        .select(
+            "l_partkey",
+            "f",
+            (F.col("f") * F.col("f")).cast("long").alias("pair_contrib"),
+            (
+                (F.col("f") * F.col("f")).cast("double")
+                / F.col("join_size").cast("double")
+            ).alias("contrib_share"),
+            F.floor(
+                (F.col("f") * F.col("n_keys") + F.col("n_rows") - 1) / F.col("n_rows")
+            )
+            .cast("long")
+            .alias("recommended_salt"),
+        )
+        .orderBy(F.desc("f"), F.asc("l_partkey"))
+        .limit(_SKEW_TOP)
+    )

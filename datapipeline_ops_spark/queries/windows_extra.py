@@ -385,3 +385,188 @@ def changepoint_cusum_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cusum",
         (F.abs(F.col("cusum")) == F.col("peak")).alias("is_changepoint"),
     )
+
+
+# ---------------------------------------------------------------------------
+# theil_sen_daily_trend
+# ---------------------------------------------------------------------------
+
+_TS_FROM = "2001-04-01"  # last ~4 months of the order history
+
+
+@query(
+    "theil_sen_daily_trend",
+    oracle=f"""
+    WITH daily AS MATERIALIZED (
+        SELECT CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS day,
+               CAST(count(*) AS BIGINT) AS cnt
+        FROM orders WHERE o_orderdate >= TIMESTAMP '{_TS_FROM}'
+        GROUP BY 1
+    ),
+    slopes AS MATERIALIZED (
+        SELECT CAST(b.cnt - a.cnt AS DOUBLE) / CAST(b.day - a.day AS DOUBLE)
+                   AS slope,
+               a.day AS di, b.day AS dj
+        FROM daily a JOIN daily b ON b.day > a.day
+    ),
+    ranked AS (
+        SELECT slope, row_number() OVER (ORDER BY slope, di, dj) AS rn,
+               count(*) OVER () AS n
+        FROM slopes
+    ),
+    med AS (
+        SELECT avg(slope) AS ts_slope FROM ranked
+        WHERE rn = (n + 1) // 2 OR rn = n // 2 + 1
+    ),
+    ols AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_days,
+               CAST(count(*) * sum(day * cnt) - sum(day) * sum(cnt) AS BIGINT)
+                   AS num,
+               CAST(count(*) * sum(day * day) - sum(day) * sum(day) AS BIGINT)
+                   AS den
+        FROM daily
+    )
+    SELECT o.n_days,
+           CAST(o.n_days * (o.n_days - 1) / 2 AS BIGINT) AS n_pairs,
+           m.ts_slope,
+           CAST(o.num AS DOUBLE) / CAST(o.den AS DOUBLE) AS ols_slope
+    FROM ols o CROSS JOIN med m
+    """,
+)
+def theil_sen_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil–Sen robust trend estimate of the daily order rate (median of
+    all pairwise slopes) next to the OLS slope — the monitor that doesn't
+    move when one day is an outage or a bot spike, which is exactly when
+    the OLS line lies. Runs over the last ~4 months of history.
+
+    Exactness: pairwise slopes are single divisions of integer deltas
+    (bit-identical), the median picks by a fully deterministic
+    (slope, day_i, day_j) order — even-count medians average TWO doubles,
+    a single commutative add — and the OLS slope is one division of
+    integer sums (day·count products stay integral). Nothing accumulates
+    in float.
+
+    Scale: the pair stage is O(days²) over the DAILY AGGREGATE (~120
+    rows -> ~7k pairs), never the fact table — the same
+    aggregate-then-quadratic discipline as the bounded-spine monitors;
+    the fact scan is one partial-agg count with the date filter pushed
+    to parquet."""
+    daily = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit(_TS_FROM).cast("timestamp"))
+        .groupBy(
+            F.datediff(
+                F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date")
+            )
+            .cast("long")
+            .alias("day")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .persist()
+    )
+    try:
+        a = daily.select(F.col("day").alias("di"), F.col("cnt").alias("ci"))
+        b = daily.select(F.col("day").alias("dj"), F.col("cnt").alias("cj"))
+        slopes = a.join(b, F.col("dj") > F.col("di")).select(
+            (
+                (F.col("cj") - F.col("ci")).cast("double")
+                / (F.col("dj") - F.col("di")).cast("double")
+            ).alias("slope"),
+            "di",
+            "dj",
+        )
+        w = Window.orderBy("slope", "di", "dj")
+        ranked = slopes.select(
+            "slope",
+            F.row_number().over(w).alias("rn"),
+            F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+        )
+        lo = F.floor((F.col("n") + 1) / 2).cast("long")
+        hi = F.floor(F.col("n") / 2).cast("long") + 1
+        med = (
+            ranked.filter((F.col("rn") == lo) | (F.col("rn") == hi))
+            .agg(F.avg("slope").alias("ts_slope"))
+        )
+        ols = daily.agg(
+            F.count(F.lit(1)).cast("long").alias("n_days"),
+            (
+                F.count(F.lit(1)) * F.sum(F.col("day") * F.col("cnt"))
+                - F.sum("day") * F.sum("cnt")
+            )
+            .cast("long")
+            .alias("num"),
+            (
+                F.count(F.lit(1)) * F.sum(F.col("day") * F.col("day"))
+                - F.sum("day") * F.sum("day")
+            )
+            .cast("long")
+            .alias("den"),
+        )
+        out = ols.crossJoin(med).select(
+            "n_days",
+            (F.col("n_days") * (F.col("n_days") - 1) / 2).cast("long").alias("n_pairs"),
+            "ts_slope",
+            (F.col("num").cast("double") / F.col("den").cast("double")).alias(
+                "ols_slope"
+            ),
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        daily.unpersist()
+
+
+# ---------------------------------------------------------------------------
+# freshness_sla_report
+# ---------------------------------------------------------------------------
+
+_SLA_SECONDS = 1800
+
+
+@query(
+    "freshness_sla_report",
+    oracle=f"""
+    WITH per_type AS (
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+               CAST(max(epoch_us(ts)) AS BIGINT) AS max_ts_us
+        FROM events GROUP BY event_type
+    )
+    SELECT event_type, n_events, max_ts_us,
+           CAST(max(max_ts_us) OVER () - max_ts_us AS BIGINT) AS lag_us,
+           CAST((max(max_ts_us) OVER () - max_ts_us) // 1000000 AS BIGINT)
+               AS lag_seconds,
+           ((max(max_ts_us) OVER () - max_ts_us) // 1000000 > {_SLA_SECONDS})
+               AS stale
+    FROM per_type
+    """,
+)
+def freshness_sla_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-freshness SLA monitor: per event stream (event_type), the lag
+    between its newest record and the newest record anywhere in the table,
+    with a staleness verdict at {_SLA_SECONDS} s — the first page of any
+    ingest dashboard, and the gate that blocks a training snapshot from
+    shipping with a silently stalled upstream.
+
+    Scale: one partial-agg max/count per stream key (map-side combined),
+    then a window over the |streams|-row aggregate for the global
+    high-water mark; all lag arithmetic is integer microseconds
+    (``unix_micros`` <-> ``epoch_us`` — the repo's epoch convention), so
+    the verdict boolean is exact cross-engine."""
+    per_type = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.max(F.unix_micros("ts")).cast("long").alias("max_ts_us"),
+        )
+    )
+    w = Window.partitionBy()
+    lag_us = F.max("max_ts_us").over(w) - F.col("max_ts_us")
+    lag_s = F.floor(lag_us / 1_000_000).cast("long")
+    return per_type.select(
+        "event_type",
+        "n_events",
+        "max_ts_us",
+        lag_us.cast("long").alias("lag_us"),
+        lag_s.alias("lag_seconds"),
+        (lag_s > _SLA_SECONDS).alias("stale"),
+    )
