@@ -15,6 +15,8 @@ import os
 import re
 import sys
 
+import pyspark.sql.functions as F
+
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 SF_DIR = "/root/testdata/sf0.01"
@@ -1182,6 +1184,45 @@ def _(qs, spark):
     plan = plan_of(qs["tokenizer_fertility_by_lang"](spark, SF_DIR))
     assert read_schema_cols(plan, "documents") == {"lang", "text", "n_chars"}
     assert "partial" in plan.lower()
+
+
+@check("wasserstein_drift_binned: one fact scan per branch, bounded bin-spine window")
+def _(qs, spark):
+    plan = plan_of(qs["wasserstein_drift_binned"](spark, SF_DIR))
+    cols = read_schema_cols(plan, "events")
+    assert cols == {"user_id", "value"}, f"scan should read user_id+value: {cols}"
+    # the CDF window must be over the bin spine (single-partition exchange of
+    # <= W1_BINS rows), never a fact-table sort: every Sort node in the plan
+    # sorts by `bin`
+    sorts = re.findall(r"^\(\d+\) Sort \[(.*?)\]", plan, re.M)
+    assert all("bin" in s for s in sorts), f"unexpected non-bin sort: {sorts}"
+
+
+@check("theil_sen_daily_trend / freshness_sla_report: aggregate-then-quadratic/window")
+def _(qs, spark):
+    plan = plan_of(qs["freshness_sla_report"](spark, SF_DIR))
+    assert read_schema_cols(plan, "events") == {"event_type", "ts"}
+    assert "partial" in plan.lower(), "no map-side partial aggregation"
+    # theil_sen builds behind localCheckpoint (persisted daily aggregate);
+    # assert the date filter is pushed on the cheap daily probe instead
+    from datapipeline_ops_spark.tables import load_table as _lt
+
+    daily = (
+        _lt(spark, "/root/testdata/sf0.01", "orders")
+        .filter(F.col("o_orderdate") >= F.lit("2001-04-01").cast("timestamp"))
+        .groupBy("o_orderdate")
+        .count()
+    )
+    pf = pushed_filters(plan_of(daily), "orders")
+    assert "GreaterThanOrEqual" in pf, f"date filter not pushed: {pf!r}"
+
+
+@check("join_skew_diagnosis: frequency pass + 1-row broadcast + TakeOrdered")
+def _(qs, spark):
+    plan = plan_of(qs["join_skew_diagnosis"](spark, SF_DIR))
+    assert read_schema_cols(plan, "lineitem") == {"l_partkey"}
+    assert "TakeOrderedAndProject" in plan, "top-k must be TakeOrdered, not global sort"
+    assert "CartesianProduct" not in plan
 
 
 @check("ams_f2_sketch: distinct-first, pruned events scan, no cartesian")
