@@ -89,6 +89,12 @@ DEFAULT_QUERIES = [
     "feature_hash_vectors",      # stateless signed-hash featurization
     "ams_f2_sketch",             # distinct-first sign-sum moment sketch
     "node_jaccard_similarity",   # wedge join + TakeOrdered top-k
+    "copurchase_pmi_scores",     # pair-marginal PMI + TakeOrdered
+    "gdpr_delete_cascade",       # FK-chain semi-join purge audit
+    "triplet_mining_hard_negatives",  # anchor-batch NLJ + dual windows
+    "wasserstein_drift_binned",  # bin-sketch CDF distance
+    "theil_sen_daily_trend",     # day-spine pairwise median slope
+    "join_skew_diagnosis",       # frequency pass + salt recommendation
 ]
 
 
