@@ -429,7 +429,8 @@ _TS_FROM = "2001-04-01"  # last ~4 months of the order history
     SELECT o.n_days,
            CAST(o.n_days * (o.n_days - 1) / 2 AS BIGINT) AS n_pairs,
            m.ts_slope,
-           CAST(o.num AS DOUBLE) / CAST(o.den AS DOUBLE) AS ols_slope
+           CASE WHEN o.den = 0 THEN NULL
+                ELSE CAST(o.num AS DOUBLE) / CAST(o.den AS DOUBLE) END AS ols_slope
     FROM ols o CROSS JOIN med m
     """,
 )
@@ -506,9 +507,10 @@ def theil_sen_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_days",
             (F.col("n_days") * (F.col("n_days") - 1) / 2).cast("long").alias("n_pairs"),
             "ts_slope",
-            (F.col("num").cast("double") / F.col("den").cast("double")).alias(
-                "ols_slope"
-            ),
+            F.when(
+                F.col("den") != 0,
+                F.col("num").cast("double") / F.col("den").cast("double"),
+            ).alias("ols_slope"),
         )
         return out.localCheckpoint(eager=True)
     finally:
