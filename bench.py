@@ -83,9 +83,11 @@ HEADLINE = [
     "sequence_packing_plan",       # distributed prefix-sum concat-and-chunk
     "boilerplate_line_removal",    # per-source line-df join
     "video_scene_cut_detect",      # real decode + SAD shot boundaries
-    # round-6 late wave
-    "spell_correct_symdel",        # deletion-key blocking equi-join
-    "embedding_hamming_ann",       # packed-code Hamming shortlist + rerank
+    # NOTE: round-6 late-wave queries (spell_correct_symdel,
+    # embedding_hamming_ann, ...) are deliberately NOT in the headline set:
+    # 54 queries x ~28 chars is the most the driver's 2000-char stdout
+    # window fits WITH the vs_prev and scaled10x blocks intact. Their
+    # wall-clock curves live in SCALING.md instead.
 ]
 
 
@@ -359,6 +361,11 @@ def main() -> int:
     except OSError:
         pass
     compact = dict(payload)
+    # per-run protocol fields live in BENCH_FULL.json; the driver line only
+    # needs the contract keys + timings (every byte counts against the
+    # 2000-char stdout window)
+    compact.pop("runs_per_query", None)
+    compact.pop("aggregation", None)
     # compact line carries 2-decimal timings (3-decimal precision lives in
     # BENCH_FULL.json) — at 54 headline queries the saved chars keep the
     # whole contract map inside the driver's 2000-char stdout window
@@ -383,13 +390,23 @@ def main() -> int:
         ratios = vp.pop("ratio_per_query", {})
         if ratios:
             worst = sorted(ratios.items(), key=lambda kv: -kv[1])[:3]
-            vp["worst3"] = {k: v for k, v in worst}
+            vp["worst3"] = {k: round(v, 2) for k, v in worst}
+        # stdout carries abbreviated keys (full names in BENCH_FULL.json):
+        # n_shared / now_s / prev_s = shared-subset query count and totals
+        vp = {
+            "prev_round": vp.get("prev_round"),
+            "n_shared": vp.get("shared_queries"),
+            "now_s": round(vp.get("shared_total_now", 0.0), 2),
+            "prev_s": round(vp.get("shared_total_prev", 0.0), 2),
+            "worst3": vp.get("worst3", {}),
+        }
         compact["vs_prev"] = vp
     line = json.dumps(compact, separators=(",", ":"))
-    # keep trimming optional blocks until the line fits the tail window;
+    # keep trimming optional blocks until the line fits the tail window
+    # (driver records the LAST 2000 stdout chars; 1980 leaves newline slack);
     # "queries" is contract-required and goes last-resort only
-    for drop in ("vs_prev", "scaled10x", "failed", "queries"):
-        if len(line) <= 1900:
+    for drop in ("scaled10x", "vs_prev", "failed", "queries"):
+        if len(line) <= 1980:
             break
         compact.pop(drop, None)
         line = json.dumps(compact, separators=(",", ":"))

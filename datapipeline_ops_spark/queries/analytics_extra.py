@@ -811,3 +811,156 @@ def entity_resolution_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(canon, "cluster_id")
         .select("cluster_id", "n_members", "canonical_name")
     )
+
+
+# ---------------------------------------------------------------------------
+# conversion_ab_ztest
+# ---------------------------------------------------------------------------
+
+_AB_Z_CRIT = 1.96
+# conversion = a user's purchase total exceeds this floor, in integer CENTS
+# (exact cross-engine; a float-sum threshold would be order-sensitive at the
+# boundary). ~50 currency units splits the synthetic cohort away from 0/100%.
+_AB_VALUE_FLOOR = 5000
+
+
+@query(
+    "conversion_ab_ztest",
+    oracle=f"""
+    WITH per_user AS MATERIALIZED (
+        SELECT user_id, user_id % 2 AS grp,
+               max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS clicked,
+               CASE WHEN sum(CASE WHEN event_type = 'purchase'
+                                  THEN CAST(round(value * 100) AS BIGINT)
+                                  ELSE 0 END) > {_AB_VALUE_FLOOR}
+                    THEN 1 ELSE 0 END AS converted
+        FROM events GROUP BY 1, 2
+    ),
+    g AS (
+        SELECT CAST(sum(CASE WHEN grp = 0 AND clicked = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+               CAST(sum(CASE WHEN grp = 0 AND clicked = 1 AND converted = 1 THEN 1 ELSE 0 END) AS BIGINT) AS x_a,
+               CAST(sum(CASE WHEN grp = 1 AND clicked = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+               CAST(sum(CASE WHEN grp = 1 AND clicked = 1 AND converted = 1 THEN 1 ELSE 0 END) AS BIGINT) AS x_b
+        FROM per_user
+    ),
+    p AS (
+        SELECT n_a, x_a, n_b, x_b,
+               CAST(x_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS p_a,
+               CAST(x_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS p_b,
+               CAST(x_a + x_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE) AS p_pool,
+               (n_a > 0 AND n_b > 0 AND x_a + x_b > 0
+                AND x_a + x_b < n_a + n_b) AS ok
+        FROM g
+    )
+    SELECT n_a, x_a, n_b, x_b,
+           CASE WHEN n_a > 0 THEN p_a END AS p_a,
+           CASE WHEN n_b > 0 THEN p_b END AS p_b,
+           CASE WHEN ok THEN
+               (p_a - p_b) / sqrt(p_pool * (1 - p_pool)
+                   * (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE)))
+           END AS z,
+           CASE WHEN ok THEN
+               abs((p_a - p_b) / sqrt(p_pool * (1 - p_pool)
+                   * (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE))))
+                   > {_AB_Z_CRIT}
+           END AS significant
+    FROM p
+    """,
+)
+def conversion_ab_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test on click->purchase conversion between the
+    even-user and odd-user cohorts (the A/B assignment seam): pooled
+    standard error, z statistic, and the alpha=0.05 two-sided verdict —
+    the experiment readout that decides whether a pipeline change
+    actually moved conversion or just wiggled it.
+
+    Exactness: cohort sizes and conversions are integers from one
+    per-user collapse (max-flag aggregation, no distinct explosion); all
+    probabilities and the z statistic derive from those four integers in
+    one fixed op order — bit-identical cross-engine, so even the
+    significance BOOLEAN is exact.
+
+    Scale: one shuffle on user_id to collapse events to per-user flags
+    (partial max map-side), then a single 4-counter aggregate; the test
+    itself is O(1)."""
+    per_user = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id", (F.col("user_id") % 2).alias("grp"))
+        .agg(
+            F.max(F.when(F.col("event_type") == "click", 1).otherwise(0)).alias(
+                "clicked"
+            ),
+            F.when(
+                F.sum(
+                    F.when(
+                        F.col("event_type") == "purchase",
+                        F.round(F.col("value") * 100).cast("long"),
+                    ).otherwise(F.lit(0).cast("long"))
+                )
+                > _AB_VALUE_FLOOR,
+                1,
+            )
+            .otherwise(0)
+            .alias("converted"),
+        )
+    )
+    g = per_user.agg(
+        F.sum(F.when((F.col("grp") == 0) & (F.col("clicked") == 1), 1).otherwise(0))
+        .cast("long")
+        .alias("n_a"),
+        F.sum(
+            F.when(
+                (F.col("grp") == 0) & (F.col("clicked") == 1) & (F.col("converted") == 1),
+                1,
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("x_a"),
+        F.sum(F.when((F.col("grp") == 1) & (F.col("clicked") == 1), 1).otherwise(0))
+        .cast("long")
+        .alias("n_b"),
+        F.sum(
+            F.when(
+                (F.col("grp") == 1) & (F.col("clicked") == 1) & (F.col("converted") == 1),
+                1,
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("x_b"),
+    )
+    p_a = F.col("x_a").cast("double") / F.col("n_a").cast("double")
+    p_b = F.col("x_b").cast("double") / F.col("n_b").cast("double")
+    p_pool = (F.col("x_a") + F.col("x_b")).cast("double") / (
+        F.col("n_a") + F.col("n_b")
+    ).cast("double")
+    # guard the degenerate cohorts (empty group, all-convert, none-convert):
+    # the z denominator is 0 there and ANSI mode raises — mirror the
+    # oracle's CASE, which short-circuits per row in both engines
+    ok = (
+        (F.col("n_a") > 0)
+        & (F.col("n_b") > 0)
+        & (F.col("x_a") + F.col("x_b") > 0)
+        & (F.col("x_a") + F.col("x_b") < F.col("n_a") + F.col("n_b"))
+    )
+    z = F.when(
+        ok,
+        (p_a - p_b)
+        / F.sqrt(
+            p_pool
+            * (1 - p_pool)
+            * (
+                F.lit(1.0) / F.col("n_a").cast("double")
+                + F.lit(1.0) / F.col("n_b").cast("double")
+            )
+        ),
+    )
+    return g.select(
+        "n_a",
+        "x_a",
+        "n_b",
+        "x_b",
+        F.when(F.col("n_a") > 0, p_a).alias("p_a"),
+        F.when(F.col("n_b") > 0, p_b).alias("p_b"),
+        z.alias("z"),
+        F.when(ok, F.abs(z) > _AB_Z_CRIT).alias("significant"),
+    )

@@ -901,3 +901,59 @@ def lsh_tuning_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("precision"),
         (F.col("n_verified").cast("double") / F.col("n_true").cast("double")).alias("recall"),
     )
+
+
+# ---------------------------------------------------------------------------
+# dedup_rate_curve — duplication grows with corpus size; measure the curve
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dedup_rate_curve",
+    oracle=f"""
+    WITH d AS MATERIALIZED (
+        SELECT doc_id, {sql_hash64('text')} AS h FROM documents
+    ),
+    mx AS (SELECT max(doc_id) AS max_id FROM d),
+    pref AS (
+        SELECT g.k, d.h
+        FROM d CROSS JOIN mx, LATERAL unnest(generate_series(1, 4)) AS g(k)
+        WHERE d.doc_id * 4 <= mx.max_id * g.k
+    )
+    SELECT k AS quartile_prefix,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT h) AS BIGINT) AS n_distinct,
+           CAST(count(*) - count(DISTINCT h) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+               AS dup_rate
+    FROM pref GROUP BY k
+    """,
+)
+def dedup_rate_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-duplicate rate as a function of corpus prefix size (25/50/75/
+    100% by doc_id): the growth curve that answers 'how much will dedup
+    save at 10x the data?' — duplication compounds superlinearly as a
+    corpus grows (every new doc can collide with everything before it),
+    so the marginal dup rate of the LAST quartile, not today's average,
+    is what sizes the dedup stage of the next crawl.
+
+    Scale: one scan hashes each doc once (md5 convention); the 4x prefix
+    expansion replicates only the 8-byte hash, not the text, and each
+    prefix is one distinct-count aggregate. The prefix predicate is
+    integer cross-multiplication against a 1-row broadcast max."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.conv(F.substring(F.md5(F.col("text")), 1, 15), 16, 10).cast("long").alias("h")
+    )
+    mx = d.agg(F.max("doc_id").alias("max_id"))
+    pref = (
+        d.crossJoin(F.broadcast(mx))
+        .select("doc_id", "h", "max_id", F.explode(F.sequence(F.lit(1), F.lit(4))).alias("k"))
+        .filter(F.col("doc_id") * 4 <= F.col("max_id") * F.col("k"))
+    )
+    return pref.groupBy(F.col("k").alias("quartile_prefix")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.count_distinct("h").cast("long").alias("n_distinct"),
+        (
+            (F.count(F.lit(1)) - F.count_distinct("h")).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("dup_rate"),
+    )

@@ -1279,3 +1279,92 @@ def bloom_pruned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("prune_ratio"),
         "revenue",
     )
+
+
+# ---------------------------------------------------------------------------
+# hll_mergeability_audit — the distributed-correctness proof for the sketch
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "hll_mergeability_audit",
+    oracle=f"""
+    WITH h AS MATERIALIZED (
+        SELECT {sql_hash64("user_id")} AS h, user_id % 2 AS grp FROM events
+    ),
+    rho AS MATERIALIZED (
+        SELECT h & {_HLLX_M - 1} AS bucket, grp,
+               CASE WHEN (h >> 6) = 0 THEN 55
+                    ELSE CAST(round(log2((h >> 6) & (-(h >> 6)))) AS INT) + 1
+               END AS rho
+        FROM h
+    ),
+    regs AS (
+        SELECT bucket,
+               max(CASE WHEN grp = 0 THEN rho END) AS reg_a,
+               max(CASE WHEN grp = 1 THEN rho END) AS reg_b,
+               max(rho) AS reg_all
+        FROM rho GROUP BY bucket
+    ),
+    audit AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_buckets_seen,
+               CAST(sum(CASE WHEN greatest(coalesce(reg_a, 0), coalesce(reg_b, 0))
+                                  <> reg_all THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_mismatch
+        FROM regs
+    )
+    SELECT CAST({_HLLX_M} AS INT) AS m, n_buckets_seen, n_mismatch,
+           (n_mismatch = 0) AS merge_exact
+    FROM audit
+    """,
+)
+def hll_mergeability_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The property that makes HLL distributable, PROVEN on data: registers
+    built independently on two disjoint shards (even/odd users) and merged
+    by per-bucket max must equal the registers built over the whole table
+    — max is the sketch's commutative monoid, so shard-then-merge is
+    exact, which is precisely why the register build can partial-aggregate
+    map-side and why per-partition sketches can union across a cluster
+    (or across days in an incremental rollup) with zero error.
+
+    Exactness: registers are integers; the audit compares integers.
+
+    Scale: ONE fact scan computes all three register sets via conditional
+    max aggregation (no self-union, no second pass); the audit runs on
+    the {_HLLX_M}-row register table."""
+    e = load_table(spark, sf_dir, "events")
+    h = hash64(F.col("user_id"))
+    w = F.shiftright(h, 6)
+    rho = F.when(w == 0, F.lit(55)).otherwise(
+        F.round(F.log2(w.bitwiseAND(-w))).cast("int") + 1
+    )
+    rows = e.select(
+        h.bitwiseAND(F.lit(_HLLX_M - 1)).alias("bucket"),
+        (F.col("user_id") % 2).alias("grp"),
+        rho.alias("rho"),
+    )
+    regs = rows.groupBy("bucket").agg(
+        F.max(F.when(F.col("grp") == 0, F.col("rho"))).alias("reg_a"),
+        F.max(F.when(F.col("grp") == 1, F.col("rho"))).alias("reg_b"),
+        F.max("rho").alias("reg_all"),
+    )
+    audit = regs.agg(
+        F.count(F.lit(1)).cast("long").alias("n_buckets_seen"),
+        F.sum(
+            F.when(
+                F.greatest(
+                    F.coalesce("reg_a", F.lit(0)), F.coalesce("reg_b", F.lit(0))
+                )
+                != F.col("reg_all"),
+                1,
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_mismatch"),
+    )
+    return audit.select(
+        F.lit(_HLLX_M).cast("int").alias("m"),
+        "n_buckets_seen",
+        "n_mismatch",
+        (F.col("n_mismatch") == 0).alias("merge_exact"),
+    )

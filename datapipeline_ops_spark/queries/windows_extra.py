@@ -572,3 +572,88 @@ def freshness_sla_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         lag_s.alias("lag_seconds"),
         (lag_s > _SLA_SECONDS).alias("stale"),
     )
+
+
+# ---------------------------------------------------------------------------
+# seasonal_naive_backtest
+# ---------------------------------------------------------------------------
+
+_SNB_FROM = "2001-05-01"
+
+
+@query(
+    "seasonal_naive_backtest",
+    oracle=f"""
+    WITH daily AS MATERIALIZED (
+        SELECT CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS day,
+               CAST(count(*) AS BIGINT) AS cnt
+        FROM orders WHERE o_orderdate >= TIMESTAMP '{_SNB_FROM}'
+        GROUP BY 1
+    ),
+    lagged AS (
+        SELECT day, cnt,
+               lag(cnt, 1) OVER (ORDER BY day) AS l1,
+               lag(cnt, 7) OVER (ORDER BY day) AS l7
+        FROM daily
+    ),
+    scored AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_days_scored,
+               CAST(sum(abs(cnt - l1)) AS BIGINT) AS ae_naive,
+               CAST(sum(abs(cnt - l7)) AS BIGINT) AS ae_snaive
+        FROM lagged WHERE l7 IS NOT NULL
+    )
+    SELECT n_days_scored,
+           CAST(ae_naive AS DOUBLE) / CAST(n_days_scored AS DOUBLE) AS mae_naive,
+           CAST(ae_snaive AS DOUBLE) / CAST(n_days_scored AS DOUBLE) AS mae_snaive,
+           (ae_snaive < ae_naive) AS snaive_better
+    FROM scored
+    """,
+)
+def seasonal_naive_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecast-baseline backtest on the daily order rate: MAE of the naive
+    forecast (yesterday's value) vs the seasonal-naive forecast (same
+    weekday last week) over the recent history — the sanity floor every
+    capacity-planning or anomaly-threshold model must beat before it ships
+    (a model that loses to seasonal-naive is worse than no model).
+
+    Exactness: absolute errors are integer count deltas summed as
+    integers; each MAE is one final int/int division; the verdict compares
+    integers — nothing accumulates in float.
+
+    Scale: the backtest runs entirely on the daily aggregate (bounded day
+    spine) behind one partial-agg fact scan with the date filter pushed
+    to parquet; the lag window orders the ~90-row spine."""
+    daily = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit(_SNB_FROM).cast("timestamp"))
+        .groupBy(
+            F.datediff(
+                F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date")
+            )
+            .cast("long")
+            .alias("day")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    w = Window.orderBy("day")
+    lagged = daily.select(
+        "day",
+        "cnt",
+        F.lag("cnt", 1).over(w).alias("l1"),
+        F.lag("cnt", 7).over(w).alias("l7"),
+    )
+    scored = lagged.filter(F.col("l7").isNotNull()).agg(
+        F.count(F.lit(1)).cast("long").alias("n_days_scored"),
+        F.sum(F.abs(F.col("cnt") - F.col("l1"))).cast("long").alias("ae_naive"),
+        F.sum(F.abs(F.col("cnt") - F.col("l7"))).cast("long").alias("ae_snaive"),
+    )
+    return scored.select(
+        "n_days_scored",
+        (
+            F.col("ae_naive").cast("double") / F.col("n_days_scored").cast("double")
+        ).alias("mae_naive"),
+        (
+            F.col("ae_snaive").cast("double") / F.col("n_days_scored").cast("double")
+        ).alias("mae_snaive"),
+        (F.col("ae_snaive") < F.col("ae_naive")).alias("snaive_better"),
+    )
