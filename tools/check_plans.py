@@ -1225,6 +1225,40 @@ def _(qs, spark):
     assert "CartesianProduct" not in plan
 
 
+@check("seasonal_naive_backtest / conversion_ab_ztest: pushed filters, pruned scans")
+def _(qs, spark):
+    plan = plan_of(qs["seasonal_naive_backtest"](spark, SF_DIR))
+    assert read_schema_cols(plan, "orders") == {"o_orderdate"}
+    pf = pushed_filters(plan, "orders")
+    assert "GreaterThanOrEqual" in pf, f"date filter not pushed: {pf!r}"
+    plan = plan_of(qs["conversion_ab_ztest"](spark, SF_DIR))
+    assert read_schema_cols(plan, "events") == {"user_id", "event_type", "value"}
+    assert "partial" in plan.lower()
+    assert "Join" not in plan, "the per-user collapse needs no join"
+
+
+@check("hll_mergeability_audit: ONE fact scan builds all three register sets")
+def _(qs, spark):
+    plan = plan_of(qs["hll_mergeability_audit"](spark, SF_DIR))
+    n_scans = len(re.findall(r"^\(\d+\) Scan parquet", plan, re.M))
+    assert n_scans == 1, f"conditional-max must not re-scan: {n_scans} scans"
+    assert read_schema_cols(plan, "events") == {"user_id"}
+    assert "Join" not in plan
+
+
+@check("dedup_rate_curve: one text-hash scan + 1-row max probe, pruned schemas")
+def _(qs, spark):
+    plan = plan_of(qs["dedup_rate_curve"](spark, SF_DIR))
+    # two scans are the intended shape: the 1-row max(doc_id) probe (reads
+    # doc_id only) and the single hash pass (doc_id + text) — text must
+    # appear in exactly ONE scan schema, i.e. each doc is md5'd once
+    schemas = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+    with_text = [s for s in schemas if "text" in s]
+    assert len(schemas) == 2, f"expected max-probe + hash scan: {schemas}"
+    assert len(with_text) == 1, f"text must be scanned exactly once: {schemas}"
+    assert "CartesianProduct" not in plan
+
+
 @check("ams_f2_sketch: distinct-first, pruned events scan, no cartesian")
 def _(qs, spark):
     plan = plan_of(qs["ams_f2_sketch"](spark, SF_DIR))
