@@ -820,8 +820,9 @@ def entity_resolution_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
 _AB_Z_CRIT = 1.96
 # conversion = a user's purchase total exceeds this floor, in integer CENTS
 # (exact cross-engine; a float-sum threshold would be order-sensitive at the
-# boundary). ~50 currency units splits the synthetic cohort away from 0/100%.
-_AB_VALUE_FLOOR = 5000
+# boundary). ~600 currency units sits at the per-user purchase-total median,
+# splitting the synthetic cohort away from 0/100% at every SF.
+_AB_VALUE_FLOOR = 60000
 
 
 @query(
@@ -963,4 +964,236 @@ def conversion_ab_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("n_b") > 0, p_b).alias("p_b"),
         z.alias("z"),
         F.when(ok, F.abs(z) > _AB_Z_CRIT).alias("significant"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# markov_next_event_accuracy
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "markov_next_event_accuracy",
+    oracle="""
+    WITH s AS MATERIALIZED (
+        SELECT event_type AS cur,
+               lead(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY epoch_us(ts), event_id) AS nxt
+        FROM events
+    ),
+    trans AS MATERIALIZED (
+        SELECT cur, nxt, CAST(count(*) AS BIGINT) AS n
+        FROM s WHERE nxt IS NOT NULL GROUP BY 1, 2
+    ),
+    pred AS (
+        SELECT cur, nxt AS predicted_next FROM (
+            SELECT cur, nxt,
+                   row_number() OVER (PARTITION BY cur ORDER BY n DESC, nxt) AS rn
+            FROM trans
+        ) WHERE rn = 1
+    )
+    SELECT t.cur AS event_type, p.predicted_next,
+           CAST(sum(t.n) AS BIGINT) AS n_transitions,
+           CAST(sum(CASE WHEN t.nxt = p.predicted_next THEN t.n ELSE 0 END)
+                AS BIGINT) AS n_hits,
+           CAST(sum(CASE WHEN t.nxt = p.predicted_next THEN t.n ELSE 0 END)
+                AS DOUBLE) / CAST(sum(t.n) AS DOUBLE) AS accuracy
+    FROM trans t JOIN pred p ON p.cur = t.cur
+    GROUP BY 1, 2
+    """,
+)
+def markov_next_event_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov next-event prediction, evaluated in-sample: the
+    transition matrix from per-user event sequences (lead over the
+    user-time order), the argmax next-state per current state (tie-break
+    lexicographic), and the accuracy that prediction achieves — the
+    baseline every sequence model (session-based recommender, next-action
+    predictor) must beat, and the eval harness it must beat it ON.
+
+    Exactness: transitions and hits are integer counts; accuracy is one
+    int/int division per state.
+
+    Scale: one shuffle on user_id for the lead window (raw-event window,
+    partitioned by user — bounded per-partition state), then all work runs
+    on the |states|² transition matrix; the argmax is a window over that
+    tiny frame and the eval join is states-sized."""
+    w = Window.partitionBy("user_id").orderBy(F.unix_micros("ts"), F.asc("event_id"))
+    s = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            F.col("event_type").alias("cur"),
+            F.lead("event_type").over(w).alias("nxt"),
+        )
+        .filter(F.col("nxt").isNotNull())
+    )
+    trans = s.groupBy("cur", "nxt").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    w_pred = Window.partitionBy("cur").orderBy(F.desc("n"), F.asc("nxt"))
+    pred = (
+        trans.withColumn("rn", F.row_number().over(w_pred))
+        .filter(F.col("rn") == 1)
+        .select("cur", F.col("nxt").alias("predicted_next"))
+    )
+    return (
+        trans.join(pred, "cur")
+        .groupBy(F.col("cur").alias("event_type"), "predicted_next")
+        .agg(
+            F.sum("n").cast("long").alias("n_transitions"),
+            F.sum(F.when(F.col("nxt") == F.col("predicted_next"), F.col("n")).otherwise(0))
+            .cast("long")
+            .alias("n_hits"),
+        )
+        .withColumn(
+            "accuracy",
+            F.col("n_hits").cast("double") / F.col("n_transitions").cast("double"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# power_sample_size_calc
+# ---------------------------------------------------------------------------
+
+_PW_Z_ALPHA = 1.959963984540054  # two-sided alpha = 0.05
+_PW_Z_BETA = 0.8416212335729143  # power = 0.80
+
+
+@query(
+    "power_sample_size_calc",
+    oracle=f"""
+    WITH per_user AS MATERIALIZED (
+        SELECT user_id, user_id % 2 AS grp,
+               max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS clicked,
+               CASE WHEN sum(CASE WHEN event_type = 'purchase'
+                                  THEN CAST(round(value * 100) AS BIGINT)
+                                  ELSE 0 END) > {_AB_VALUE_FLOOR}
+                    THEN 1 ELSE 0 END AS converted
+        FROM events GROUP BY 1, 2
+    ),
+    g AS (
+        SELECT CAST(sum(CASE WHEN grp = 0 AND clicked = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+               CAST(sum(CASE WHEN grp = 0 AND clicked = 1 AND converted = 1 THEN 1 ELSE 0 END) AS BIGINT) AS x_a,
+               CAST(sum(CASE WHEN grp = 1 AND clicked = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+               CAST(sum(CASE WHEN grp = 1 AND clicked = 1 AND converted = 1 THEN 1 ELSE 0 END) AS BIGINT) AS x_b
+        FROM per_user
+    ),
+    p AS (
+        SELECT n_a, x_a, n_b, x_b,
+               CAST(x_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS p_a,
+               CAST(x_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS p_b,
+               CAST(x_a + x_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE) AS p_pool,
+               (n_a > 0 AND n_b > 0 AND x_a > 0 AND x_b > 0
+                AND x_a < n_a AND x_b < n_b
+                AND CAST(x_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+                    <> CAST(x_b AS DOUBLE) / CAST(n_b AS DOUBLE)) AS ok
+        FROM g
+    )
+    SELECT n_a, n_b,
+           CASE WHEN n_a > 0 THEN p_a END AS p_a,
+           CASE WHEN n_b > 0 THEN p_b END AS p_b,
+           CASE WHEN ok THEN abs(p_a - p_b) END AS mde,
+           CASE WHEN ok THEN
+               CAST(ceil(
+                   ({_PW_Z_ALPHA} * sqrt(2 * p_pool * (1 - p_pool))
+                    + {_PW_Z_BETA} * sqrt(p_a * (1 - p_a) + p_b * (1 - p_b)))
+                   * ({_PW_Z_ALPHA} * sqrt(2 * p_pool * (1 - p_pool))
+                      + {_PW_Z_BETA} * sqrt(p_a * (1 - p_a) + p_b * (1 - p_b)))
+                   / ((p_a - p_b) * (p_a - p_b))) AS BIGINT)
+           END AS n_per_arm,
+           CASE WHEN ok THEN
+               least(n_a, n_b) >= CAST(ceil(
+                   ({_PW_Z_ALPHA} * sqrt(2 * p_pool * (1 - p_pool))
+                    + {_PW_Z_BETA} * sqrt(p_a * (1 - p_a) + p_b * (1 - p_b)))
+                   * ({_PW_Z_ALPHA} * sqrt(2 * p_pool * (1 - p_pool))
+                      + {_PW_Z_BETA} * sqrt(p_a * (1 - p_a) + p_b * (1 - p_b)))
+                   / ((p_a - p_b) * (p_a - p_b))) AS BIGINT)
+           END AS powered
+    FROM p
+    """,
+)
+def power_sample_size_calc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Experiment power analysis on the observed conversion cohorts (the
+    design-side companion to conversion_ab_ztest): treating the observed
+    |p_a - p_b| as the minimum detectable effect, the required sample size
+    per arm for 80% power at two-sided alpha=0.05 —
+    n = (z_a·sqrt(2·p̄(1-p̄)) + z_b·sqrt(p_a(1-p_a)+p_b(1-p_b)))² / (p_a-p_b)²
+    — and whether the CURRENT cohorts already clear it. This is the 'how
+    long must the experiment run' number, computed where the data lives
+    instead of in a spreadsheet.
+
+    Exactness: all inputs are the same four cohort integers as the z-test,
+    pushed through one fixed float op order (z constants are literals);
+    guarded NULL on degenerate cohorts, mirroring the oracle's CASE.
+
+    Scale: identical to the z-test — one per-user collapse, then O(1)."""
+    per_user = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id", (F.col("user_id") % 2).alias("grp"))
+        .agg(
+            F.max(F.when(F.col("event_type") == "click", 1).otherwise(0)).alias(
+                "clicked"
+            ),
+            F.when(
+                F.sum(
+                    F.when(
+                        F.col("event_type") == "purchase",
+                        F.round(F.col("value") * 100).cast("long"),
+                    ).otherwise(F.lit(0).cast("long"))
+                )
+                > _AB_VALUE_FLOOR,
+                1,
+            )
+            .otherwise(0)
+            .alias("converted"),
+        )
+    )
+    g = per_user.agg(
+        F.sum(F.when((F.col("grp") == 0) & (F.col("clicked") == 1), 1).otherwise(0))
+        .cast("long")
+        .alias("n_a"),
+        F.sum(
+            F.when(
+                (F.col("grp") == 0) & (F.col("clicked") == 1) & (F.col("converted") == 1),
+                1,
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("x_a"),
+        F.sum(F.when((F.col("grp") == 1) & (F.col("clicked") == 1), 1).otherwise(0))
+        .cast("long")
+        .alias("n_b"),
+        F.sum(
+            F.when(
+                (F.col("grp") == 1) & (F.col("clicked") == 1) & (F.col("converted") == 1),
+                1,
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("x_b"),
+    )
+    p_a = F.col("x_a").cast("double") / F.col("n_a").cast("double")
+    p_b = F.col("x_b").cast("double") / F.col("n_b").cast("double")
+    p_pool = (F.col("x_a") + F.col("x_b")).cast("double") / (
+        F.col("n_a") + F.col("n_b")
+    ).cast("double")
+    ok = (
+        (F.col("n_a") > 0)
+        & (F.col("n_b") > 0)
+        & (F.col("x_a") > 0)
+        & (F.col("x_b") > 0)
+        & (F.col("x_a") < F.col("n_a"))
+        & (F.col("x_b") < F.col("n_b"))
+        & (p_a != p_b)
+    )
+    se_term = F.lit(_PW_Z_ALPHA) * F.sqrt(
+        F.lit(2.0) * p_pool * (1 - p_pool)
+    ) + F.lit(_PW_Z_BETA) * F.sqrt(p_a * (1 - p_a) + p_b * (1 - p_b))
+    n_req = F.ceil(se_term * se_term / ((p_a - p_b) * (p_a - p_b))).cast("long")
+    return g.select(
+        "n_a",
+        "n_b",
+        F.when(F.col("n_a") > 0, p_a).alias("p_a"),
+        F.when(F.col("n_b") > 0, p_b).alias("p_b"),
+        F.when(ok, F.abs(p_a - p_b)).alias("mde"),
+        F.when(ok, n_req).alias("n_per_arm"),
+        F.when(ok, F.least("n_a", "n_b") >= n_req).alias("powered"),
     )
