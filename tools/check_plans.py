@@ -1259,6 +1259,21 @@ def _(qs, spark):
     assert "CartesianProduct" not in plan
 
 
+@check("markov_next_event_accuracy / power_sample_size_calc: user-window + states-sized tail")
+def _(qs, spark):
+    plan = plan_of(qs["markov_next_event_accuracy"](spark, SF_DIR))
+    assert read_schema_cols(plan, "events") == {"user_id", "event_type", "ts", "event_id"}
+    # the lead window must partition by user_id (never an unpartitioned
+    # fact-table window); everything after the transition aggregate is
+    # states-sized
+    assert re.search(r"windowspecdefinition\(user_id", plan), (
+        "lead window not user-partitioned"
+    )
+    plan = plan_of(qs["power_sample_size_calc"](spark, SF_DIR))
+    assert read_schema_cols(plan, "events") == {"user_id", "event_type", "value"}
+    assert "Join" not in plan and "partial" in plan.lower()
+
+
 @check("ams_f2_sketch: distinct-first, pruned events scan, no cartesian")
 def _(qs, spark):
     plan = plan_of(qs["ams_f2_sketch"](spark, SF_DIR))
