@@ -95,6 +95,11 @@ DEFAULT_QUERIES = [
     "wasserstein_drift_binned",  # bin-sketch CDF distance
     "theil_sen_daily_trend",     # day-spine pairwise median slope
     "join_skew_diagnosis",       # frequency pass + salt recommendation
+    "seasonal_naive_backtest",   # day-spine lag backtest
+    "conversion_ab_ztest",       # per-user collapse + O(1) test
+    "hll_mergeability_audit",    # conditional-max registers, one scan
+    "dedup_rate_curve",          # prefix-expanded distinct counts
+    "markov_next_event_accuracy",  # user-window transitions + argmax
 ]
 
 
