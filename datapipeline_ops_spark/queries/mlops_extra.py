@@ -569,10 +569,29 @@ def node_jaccard_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("pa").alias("node"), F.col("pb").alias("nbr")
         ).unionAll(edges.select(F.col("pb").alias("node"), F.col("pa").alias("nbr")))
         deg = adj.groupBy("node").agg(F.count(F.lit(1)).cast("long").alias("d"))
-        x = adj.select(F.col("node").alias("a"), "nbr")
-        y = adj.select(F.col("node").alias("b"), F.col("nbr").alias("nbr2"))
+        # wedge enumeration ARRAY-SIDE (the copurchase/LSH bucket-collect
+        # pattern): one groupBy on the shared neighbor replaces a self-join
+        # that would shuffle adj twice; pair output is identical (no cap —
+        # the support-2 edge filter already bounds hub degree here)
+        per_nbr = adj.groupBy("nbr").agg(F.collect_list("node").alias("ns"))
         common = (
-            x.join(y, (F.col("nbr") == F.col("nbr2")) & (F.col("a") < F.col("b")))
+            per_nbr.select(
+                F.explode(
+                    F.filter(
+                        F.flatten(
+                            F.transform(
+                                "ns",
+                                lambda a: F.transform(
+                                    "ns",
+                                    lambda b: F.struct(a.alias("a"), b.alias("b")),
+                                ),
+                            )
+                        ),
+                        lambda s: s.a < s.b,
+                    )
+                ).alias("p")
+            )
+            .select("p.a", "p.b")
             .groupBy("a", "b")
             .agg(F.count(F.lit(1)).cast("long").alias("n_common"))
         )
