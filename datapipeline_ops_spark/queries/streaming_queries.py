@@ -23,6 +23,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 from datapipeline_ops_spark.core.registry import query
+from datapipeline_ops_spark.functions.hashing import sql_hash64
 from datapipeline_ops_spark.streaming.ops import (
     _STREAM_CACHE_ROOT,
     events_stream,
@@ -465,3 +466,46 @@ def stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame
         F.countDistinct("event_id").alias("n_unique"),
         F.round(F.sum("value"), 4).alias("total_value"),
     )
+
+
+@query(
+    "stream_hll_registers",
+    oracle=f"""
+    WITH h AS (
+        SELECT {sql_hash64("user_id")} AS h FROM events
+    )
+    SELECT h & 63 AS bucket,
+           max(CASE WHEN (h >> 6) = 0 THEN 55
+                    ELSE CAST(round(log2((h >> 6) & (-(h >> 6)))) AS INT) + 1
+               END) AS reg
+    FROM h GROUP BY 1
+    """,
+)
+def stream_hll_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming HyperLogLog: the 64 distinct-count registers maintained as
+    a STREAMING aggregate (groupBy bucket, max rho) over the event stream —
+    the canonical unbounded-cardinality monitor. Because max is the HLL
+    merge monoid (proven on data by hll_mergeability_audit), the drained
+    streaming state is bit-identical to the batch registers NO MATTER how
+    the source slices micro-batches — which is exactly what the batch
+    oracle asserts. State is 64 rows forever; complete-mode emission is
+    constant-size.
+
+    At 100 TB/day: this replaces count(DISTINCT) dashboards — the state
+    store holds 64 integers instead of the user-id set, and the same
+    registers union across streams/days by max."""
+    from datapipeline_ops_spark.functions.hashing import hash64
+
+    s = events_stream(spark, sf_dir)
+    h = hash64(F.col("user_id"))
+    w = F.shiftright(h, 6)
+    rho = F.when(w == 0, F.lit(55)).otherwise(
+        F.round(F.log2(w.bitwiseAND(-w))).cast("int") + 1
+    )
+    regs = (
+        s.select(h.bitwiseAND(F.lit(63)).alias("bucket"), rho.alias("rho"))
+        .groupBy("bucket")
+        .agg(F.max("rho").alias("reg"))
+    )
+    out = run_stream_to_table(regs, output_mode="complete")
+    return out.select("bucket", "reg")
