@@ -1274,6 +1274,19 @@ def _(qs, spark):
     assert "Join" not in plan and "partial" in plan.lower()
 
 
+@check("hilbert_vs_zorder_locality: one scan, codegen bit-walk, bounded agg")
+def _(qs, spark):
+    plan = plan_of(qs["hilbert_vs_zorder_locality"](spark, SF_DIR))
+    n_scans = len(re.findall(r"^\(\d+\) Scan parquet", plan, re.M))
+    assert n_scans == 2, f"expected extent probe + code scan: {n_scans}"
+    assert read_schema_cols(plan, "orders") == {"o_totalprice", "o_custkey"}
+    # the 8-stage Hilbert walk must stay inside projections — no exchange
+    # until the (curve, bucket) aggregate (plus its final rollup)
+    n_ex = len(re.findall(r"Exchange hashpartitioning", plan))
+    assert n_ex <= 2, f"bit-walk must not shuffle: {n_ex} exchanges"
+    assert "CartesianProduct" not in plan
+
+
 @check("ams_f2_sketch: distinct-first, pruned events scan, no cartesian")
 def _(qs, spark):
     plan = plan_of(qs["ams_f2_sketch"](spark, SF_DIR))

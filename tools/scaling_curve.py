@@ -100,6 +100,8 @@ DEFAULT_QUERIES = [
     "hll_mergeability_audit",    # conditional-max registers, one scan
     "dedup_rate_curve",          # prefix-expanded distinct counts
     "markov_next_event_accuracy",  # user-window transitions + argmax
+    "hilbert_vs_zorder_locality",  # chained bit-walk + segment bbox audit
+    "stream_hll_registers",        # streaming 64-row sketch state
 ]
 
 
