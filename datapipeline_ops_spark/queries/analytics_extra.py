@@ -1197,3 +1197,174 @@ def power_sample_size_calc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(ok, n_req).alias("n_per_arm"),
         F.when(ok, F.least("n_a", "n_b") >= n_req).alias("powered"),
     )
+
+
+# ---------------------------------------------------------------------------
+# event_trigram_funnels
+# ---------------------------------------------------------------------------
+
+_TRI_TOP = 20
+
+
+@query(
+    "event_trigram_funnels",
+    oracle=f"""
+    WITH s AS MATERIALIZED (
+        SELECT event_type AS a, epoch_us(ts) AS t,
+               lead(event_type) OVER w AS b, lead(epoch_us(ts)) OVER w AS tb,
+               lead(event_type, 2) OVER w AS c, lead(epoch_us(ts), 2) OVER w AS tc
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+    )
+    SELECT a || '->' || b || '->' || c AS path,
+           CAST(count(*) AS BIGINT) AS n_paths
+    FROM s
+    WHERE c IS NOT NULL AND tb - t <= {SESSION_GAP_US}
+          AND tc - tb <= {SESSION_GAP_US}
+    GROUP BY 1
+    ORDER BY n_paths DESC, path LIMIT {_TRI_TOP}
+    """,
+)
+def event_trigram_funnels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{_TRI_TOP} three-step user journeys (event-type trigrams with
+    both hops inside the 30-minute session gap) — the funnel-discovery
+    view one step deeper than event_bigram_paths: where bigrams say what
+    follows a click, trigrams say which PATHS dominate (the Sankey diagram
+    feed, and the sequences a next-action model trains on).
+
+    Scale: one shuffle on user_id serves both leads (same window spec);
+    counting collapses to |types|^3 paths map-side; the ranking is
+    TakeOrdered over that bounded path table."""
+    w = Window.partitionBy("user_id").orderBy(F.unix_micros("ts"), F.asc("event_id"))
+    t = F.unix_micros("ts")
+    s = load_table(spark, sf_dir, "events").select(
+        F.col("event_type").alias("a"),
+        t.alias("t"),
+        F.lead("event_type").over(w).alias("b"),
+        F.lead(t).over(w).alias("tb"),
+        F.lead("event_type", 2).over(w).alias("c"),
+        F.lead(t, 2).over(w).alias("tc"),
+    )
+    return (
+        s.filter(
+            F.col("c").isNotNull()
+            & (F.col("tb") - F.col("t") <= SESSION_GAP_US)
+            & (F.col("tc") - F.col("tb") <= SESSION_GAP_US)
+        )
+        .groupBy(
+            F.concat_ws("->", "a", "b", "c").alias("path")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_paths"))
+        .orderBy(F.desc("n_paths"), F.asc("path"))
+        .limit(_TRI_TOP)
+    )
+
+
+# ---------------------------------------------------------------------------
+# daily_anomaly_mad
+# ---------------------------------------------------------------------------
+
+_MAD_K = 1.4826  # consistency constant: MAD * 1.4826 ~ sigma for normal data
+_MAD_THRESH = 3.0
+
+
+@query(
+    "daily_anomaly_mad",
+    oracle=f"""
+    WITH daily AS MATERIALIZED (
+        SELECT event_type, CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+               CAST(count(*) AS BIGINT) AS n
+        FROM events GROUP BY 1, 2
+    ),
+    ranked AS MATERIALIZED (
+        SELECT event_type, day, n,
+               row_number() OVER (PARTITION BY event_type ORDER BY n, day) AS rn,
+               count(*) OVER (PARTITION BY event_type) AS m
+        FROM daily
+    ),
+    med AS MATERIALIZED (
+        SELECT event_type, avg(n) AS med FROM ranked
+        WHERE rn = (m + 1) // 2 OR rn = m // 2 + 1
+        GROUP BY event_type
+    ),
+    dev AS MATERIALIZED (
+        SELECT d.event_type, d.day, d.n, m.med, abs(d.n - m.med) AS ad,
+               row_number() OVER (PARTITION BY d.event_type
+                                  ORDER BY abs(d.n - m.med), d.day) AS rn,
+               count(*) OVER (PARTITION BY d.event_type) AS m2
+        FROM daily d JOIN med m ON m.event_type = d.event_type
+    ),
+    mad AS MATERIALIZED (
+        SELECT event_type, avg(ad) AS mad FROM dev
+        WHERE rn = (m2 + 1) // 2 OR rn = m2 // 2 + 1
+        GROUP BY event_type
+    )
+    SELECT d.event_type, d.day, d.n, d.med, m.mad,
+           CASE WHEN m.mad > 0
+                THEN (d.n - d.med) / ({_MAD_K} * m.mad) END AS robust_z,
+           CASE WHEN m.mad > 0
+                THEN abs((d.n - d.med) / ({_MAD_K} * m.mad)) > {_MAD_THRESH}
+           END AS anomalous
+    FROM (SELECT DISTINCT event_type, day, n, med, ad FROM dev) d
+    JOIN mad m ON m.event_type = d.event_type
+    """,
+)
+def daily_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust volume-anomaly monitor: daily counts per stream scored by
+    MEDIAN and MAD instead of mean/stddev (daily_anomaly_zscore's twin) —
+    the estimator that still flags the right day when the baseline window
+    itself contains the outage, because one broken day shifts a mean but
+    not a median. robust_z = (n - median) / (1.4826 * MAD), flagged at
+    |z| > {_MAD_THRESH}.
+
+    Exactness: both medians come from explicit rank selection over integer
+    counts (even case averages two values — one commutative add), so med
+    and MAD are exact dyadic values; the z division is one fixed-order op;
+    mad == 0 degrades to NULL identically in both engines.
+
+    Scale: everything after the daily partial-agg rollup runs on the
+    |streams| x |days| matrix; the rank windows partition by stream."""
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(
+            "event_type",
+            (F.unix_micros("ts") / F.lit(86_400_000_000)).cast("long").alias("day"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+
+    def _median(df: DataFrame, val: str, extra_order: str, out: str) -> DataFrame:
+        w_r = Window.partitionBy("event_type").orderBy(F.asc(val), F.asc(extra_order))
+        w_c = Window.partitionBy("event_type")
+        r = df.withColumn("rn", F.row_number().over(w_r)).withColumn(
+            "m", F.count(F.lit(1)).over(w_c)
+        )
+        lo = F.floor((F.col("m") + 1) / 2).cast("long")
+        hi = F.floor(F.col("m") / 2).cast("long") + 1
+        return (
+            r.filter((F.col("rn") == lo) | (F.col("rn") == hi))
+            .groupBy("event_type")
+            .agg(F.avg(val).alias(out))
+        )
+
+    med = _median(daily, "n", "day", "med")
+    dev = daily.join(med, "event_type").withColumn(
+        "ad", F.abs(F.col("n") - F.col("med"))
+    )
+    mad = _median(dev, "ad", "day", "mad")
+    rz = F.when(
+        F.col("mad") > 0,
+        (F.col("n") - F.col("med")) / (F.lit(_MAD_K) * F.col("mad")),
+    )
+    return (
+        dev.join(mad, "event_type")
+        .select(
+            "event_type",
+            "day",
+            "n",
+            "med",
+            "mad",
+            rz.alias("robust_z"),
+            F.when(F.col("mad") > 0, F.abs(rz) > _MAD_THRESH).alias("anomalous"),
+        )
+    )

@@ -21,6 +21,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
 from datapipeline_ops_spark.core.registry import query
+from datapipeline_ops_spark.functions.hashing import hash64, sql_hash64
 from datapipeline_ops_spark.functions.text import tokens
 from datapipeline_ops_spark.tables import load_table
 
@@ -625,4 +626,98 @@ def rag_chunk_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(
             F.concat_ws(" ", F.slice(F.col("t"), start + 1, clen)).cast("binary")
         ).alias("chunk_md5"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# pass_at_k_eval — the pass@k estimator over per-task attempt grids
+# ---------------------------------------------------------------------------
+
+_PAK_N = 10  # attempts per task
+_PAK_SEED = 17
+
+
+@query(
+    "pass_at_k_eval",
+    oracle=f"""
+    WITH tasks AS MATERIALIZED (
+        SELECT source AS task,
+               200 + {sql_hash64("source")} % 600 AS p_mille
+        FROM documents GROUP BY source
+    ),
+    attempts AS (
+        SELECT task,
+               CASE WHEN {sql_hash64("task || '|' || CAST(g.j AS VARCHAR)", _PAK_SEED)}
+                         % 1000 < p_mille
+                    THEN 1 ELSE 0 END AS s
+        FROM tasks, LATERAL unnest(generate_series(0, {_PAK_N - 1})) AS g(j)
+    ),
+    per_task AS (
+        SELECT task, CAST(count(*) AS BIGINT) AS n_attempts,
+               CAST(sum(s) AS BIGINT) AS n_success
+        FROM attempts GROUP BY task
+    )
+    SELECT task, n_attempts, n_success,
+           CAST(n_success AS DOUBLE) / CAST(n_attempts AS DOUBLE) AS pass_at_1,
+           1 - (CAST(n_attempts - n_success AS DOUBLE) / CAST(n_attempts AS DOUBLE))
+             * (CAST(n_attempts - n_success - 1 AS DOUBLE) / CAST(n_attempts - 1 AS DOUBLE))
+             * (CAST(n_attempts - n_success - 2 AS DOUBLE) / CAST(n_attempts - 2 AS DOUBLE))
+             * (CAST(n_attempts - n_success - 3 AS DOUBLE) / CAST(n_attempts - 3 AS DOUBLE))
+             * (CAST(n_attempts - n_success - 4 AS DOUBLE) / CAST(n_attempts - 4 AS DOUBLE))
+               AS pass_at_5
+    FROM per_task
+    """,
+)
+def pass_at_k_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The unbiased pass@k estimator (Chen et al. 2021, Codex):
+    pass@k = 1 - C(n-c, k)/C(n, k) over an n={_PAK_N}-attempt grid per
+    task — THE metric of code/reasoning evals, computed where eval logs
+    land instead of in a notebook. Tasks are the document sources;
+    per-attempt pass/fail comes from the md5 stub-scorer seam (integer
+    per-mille compare against a per-task difficulty — swap in real grader
+    output) so the whole grid is deterministic. k=5 expands the binomial
+    ratio to the fixed product Π(n-c-i)/(n-i): when c > n-k a zero factor
+    collapses it to 0 (pass@k = 1) exactly, and every factor is a ratio
+    of integers in literal order — bit-identical cross-engine.
+
+    Scale: attempts explode is |tasks| x n (bounded by the task set, not
+    the corpus); one partial aggregation; the estimator is a projection."""
+    tasks = (
+        load_table(spark, sf_dir, "documents")
+        .select(F.col("source").alias("task"))
+        .distinct()
+        .select("task", (F.lit(200) + hash64(F.col("task")) % 600).alias("p_mille"))
+    )
+    attempts = tasks.select(
+        "task",
+        "p_mille",
+        F.explode(F.sequence(F.lit(0), F.lit(_PAK_N - 1))).alias("j"),
+    ).select(
+        "task",
+        F.when(
+            hash64(
+                F.concat(F.col("task"), F.lit("|"), F.col("j").cast("string")),
+                _PAK_SEED,
+            )
+            % 1000
+            < F.col("p_mille"),
+            1,
+        )
+        .otherwise(0)
+        .alias("s"),
+    )
+    per_task = attempts.groupBy("task").agg(
+        F.count(F.lit(1)).cast("long").alias("n_attempts"),
+        F.sum("s").cast("long").alias("n_success"),
+    )
+    n, c = F.col("n_attempts"), F.col("n_success")
+    prod = F.lit(1.0)
+    for i in range(5):
+        prod = prod * ((n - c - i).cast("double") / (n - i).cast("double"))
+    return per_task.select(
+        "task",
+        "n_attempts",
+        "n_success",
+        (c.cast("double") / n.cast("double")).alias("pass_at_1"),
+        (F.lit(1) - prod).alias("pass_at_5"),
     )
