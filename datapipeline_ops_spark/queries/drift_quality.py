@@ -678,3 +678,113 @@ def wasserstein_drift_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.col("tot_a").cast("double") * F.col("tot_b").cast("double"))
         ).alias("w1_normalized"),
     )
+
+
+# ---------------------------------------------------------------------------
+# quality_gate_correlation
+# ---------------------------------------------------------------------------
+
+_QGC_CHARS = 500
+_QGC_TOKENS = 80
+
+
+@query(
+    "quality_gate_correlation",
+    oracle=f"""
+    WITH flags AS MATERIALIZED (
+        SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS g1,
+               CASE WHEN n_chars >= {_QGC_CHARS} THEN 1 ELSE 0 END AS g2,
+               CASE WHEN len(regexp_extract_all(text, '[a-z0-9]+')) >= {_QGC_TOKENS}
+                    THEN 1 ELSE 0 END AS g3
+        FROM documents
+    ),
+    c AS (
+        SELECT
+          CAST(sum(g1 * g2) AS BIGINT) AS a_11,
+          CAST(sum(g1 * (1 - g2)) AS BIGINT) AS a_10,
+          CAST(sum((1 - g1) * g2) AS BIGINT) AS a_01,
+          CAST(sum((1 - g1) * (1 - g2)) AS BIGINT) AS a_00,
+          CAST(sum(g1 * g3) AS BIGINT) AS b_11,
+          CAST(sum(g1 * (1 - g3)) AS BIGINT) AS b_10,
+          CAST(sum((1 - g1) * g3) AS BIGINT) AS b_01,
+          CAST(sum((1 - g1) * (1 - g3)) AS BIGINT) AS b_00,
+          CAST(sum(g2 * g3) AS BIGINT) AS c_11,
+          CAST(sum(g2 * (1 - g3)) AS BIGINT) AS c_10,
+          CAST(sum((1 - g2) * g3) AS BIGINT) AS c_01,
+          CAST(sum((1 - g2) * (1 - g3)) AS BIGINT) AS c_00
+        FROM flags
+    ),
+    rows_out AS (
+        SELECT 'lang_x_len' AS gate_pair, a_11 AS n11, a_10 AS n10, a_01 AS n01, a_00 AS n00 FROM c
+        UNION ALL
+        SELECT 'lang_x_tokens', b_11, b_10, b_01, b_00 FROM c
+        UNION ALL
+        SELECT 'len_x_tokens', c_11, c_10, c_01, c_00 FROM c
+    )
+    SELECT gate_pair, n11, n10, n01, n00,
+           CASE WHEN (n11 + n10) > 0 AND (n01 + n00) > 0
+                 AND (n11 + n01) > 0 AND (n10 + n00) > 0
+                THEN CAST(n11 * n00 - n10 * n01 AS DOUBLE)
+                     / sqrt(CAST((n11 + n10) * (n01 + n00) AS DOUBLE)
+                            * CAST((n11 + n01) * (n10 + n00) AS DOUBLE))
+           END AS phi
+    FROM rows_out
+    """,
+)
+def quality_gate_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise phi correlation between three curation gates (lang==en,
+    length floor, token-count floor) from their 2x2 contingency tables —
+    the redundancy audit of a quality-filter stack: two gates with phi
+    near 1 are one gate paid for twice (drop one), phi near 0 means each
+    removes different documents (keep both). The question every
+    multi-gate curation funnel should answer before burning a corpus pass
+    per gate.
+
+    Exactness: all four cells of every contingency table are integer sums
+    from ONE scan (12 conditional counters, map-side combined); phi's
+    numerator is integer arithmetic and the denominator one sqrt of an
+    integer product — fixed op order, bit-identical; degenerate margins
+    degrade to NULL identically.
+
+    Scale: one fact scan -> a 1-row aggregate -> three constant rows."""
+    flags = load_table(spark, sf_dir, "documents").select(
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("g1"),
+        F.when(F.col("n_chars") >= _QGC_CHARS, 1).otherwise(0).alias("g2"),
+        F.when(
+            F.regexp_count(F.col("text"), F.lit(r"[a-z0-9]+")) >= _QGC_TOKENS, 1
+        )
+        .otherwise(0)
+        .alias("g3"),
+    )
+    aggs = []
+    for tag, x, y in (("a", "g1", "g2"), ("b", "g1", "g3"), ("c", "g2", "g3")):
+        gx, gy = F.col(x), F.col(y)
+        aggs += [
+            F.sum(gx * gy).cast("long").alias(f"{tag}_11"),
+            F.sum(gx * (1 - gy)).cast("long").alias(f"{tag}_10"),
+            F.sum((1 - gx) * gy).cast("long").alias(f"{tag}_01"),
+            F.sum((1 - gx) * (1 - gy)).cast("long").alias(f"{tag}_00"),
+        ]
+    c = flags.agg(*aggs)
+    rows_out = c.select(
+        F.expr(
+            "stack(3, "
+            "'lang_x_len', a_11, a_10, a_01, a_00, "
+            "'lang_x_tokens', b_11, b_10, b_01, b_00, "
+            "'len_x_tokens', c_11, c_10, c_01, c_00"
+            ") AS (gate_pair, n11, n10, n01, n00)"
+        )
+    )
+    n11, n10, n01, n00 = (F.col(c_) for c_ in ("n11", "n10", "n01", "n00"))
+    ok = (
+        ((n11 + n10) > 0) & ((n01 + n00) > 0) & ((n11 + n01) > 0) & ((n10 + n00) > 0)
+    )
+    phi = F.when(
+        ok,
+        (n11 * n00 - n10 * n01).cast("double")
+        / F.sqrt(
+            ((n11 + n10) * (n01 + n00)).cast("double")
+            * ((n11 + n01) * (n10 + n00)).cast("double")
+        ),
+    )
+    return rows_out.select("gate_pair", "n11", "n10", "n01", "n00", phi.alias("phi"))

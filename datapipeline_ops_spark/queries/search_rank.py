@@ -23,6 +23,8 @@ Scale design:
 
 from __future__ import annotations
 
+import math
+
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
@@ -434,3 +436,95 @@ def hybrid_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["hybrid_rrf_fusion"].oracle = _rrf_oracle()
+
+
+# ---------------------------------------------------------------------------
+# ann_ndcg_eval — graded ranking quality of the IVF path vs exact cosine
+# ---------------------------------------------------------------------------
+
+_NDCG_K = 5
+# 1/log2(rank+1) discount weights and the ideal DCG, precomputed in Python
+# and embedded as LITERALS in both engines — log2(3) etc. computed engine-
+# side could differ in the last ulp; a shared literal cannot.
+_NDCG_W = [1.0 / math.log2(i + 1) for i in range(1, _NDCG_K + 1)]
+_NDCG_IDEAL = sum((_NDCG_K + 1 - j) * _NDCG_W[j - 1] for j in range(1, _NDCG_K + 1))
+
+
+@query(
+    "ann_ndcg_eval",
+    oracle=None,  # composed from the registered retrieval oracles below
+)
+def ann_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NDCG@{_NDCG_K} of the IVF ANN ranking against exact-cosine ground
+    truth with GRADED relevance (rel of a doc = {_NDCG_K}+1 minus its exact
+    rank; docs outside the exact top-{_NDCG_K} score 0) — the ranking-
+    quality complement to ann_recall_eval's set-overlap: recall can't see
+    that the approximate index returned the right docs in the wrong order,
+    NDCG can.
+
+    Exactness: relevance grades are integers, each discount weight and the
+    ideal DCG are Python-precomputed literals shared by both engines, and
+    per-query DCG is a literal-order weighted sum of {_NDCG_K} terms — no
+    engine-ordered float accumulation (the rank-slot extraction is a
+    conditional max per slot).
+
+    Scale: both inputs are top-k result tables (queries x k rows); the
+    whole evaluation is constant-sized."""
+    gt = QUERIES["cosine_topk_bruteforce"].fn(spark, sf_dir).select(
+        "query_id",
+        "vec_id",
+        (F.lit(_NDCG_K + 1) - F.col("rank")).alias("rel"),
+    )
+    ap = QUERIES["ann_ivf_topk"].fn(spark, sf_dir).select(
+        "query_id", "vec_id", "rank"
+    )
+    j = ap.join(gt, ["query_id", "vec_id"], "left").select(
+        "query_id", "rank", F.coalesce("rel", F.lit(0)).alias("rel")
+    )
+    slots = [
+        F.max(F.when(F.col("rank") == i, F.col("rel"))).alias(f"r{i}")
+        for i in range(1, _NDCG_K + 1)
+    ]
+    g = j.groupBy("query_id").agg(*slots)
+    dcg = F.lit(0.0)
+    for i in range(1, _NDCG_K + 1):
+        dcg = dcg + F.coalesce(F.col(f"r{i}"), F.lit(0)).cast("double") * F.lit(
+            _NDCG_W[i - 1]
+        )
+    out = g.select(
+        "query_id", (dcg / F.lit(_NDCG_IDEAL)).alias("ndcg")
+    )
+    return out.withColumn(
+        "mean_ndcg", F.avg("ndcg").over(Window.partitionBy())
+    )
+
+
+def _ann_ndcg_oracle() -> str:
+    gt_sql = QUERIES["cosine_topk_bruteforce"].oracle
+    ap_sql = QUERIES["ann_ivf_topk"].oracle
+    slot_cols = ", ".join(
+        f"max(CASE WHEN rank = {i} THEN rel END) AS r{i}"
+        for i in range(1, _NDCG_K + 1)
+    )
+    dcg = " + ".join(
+        f"CAST(coalesce(r{i}, 0) AS DOUBLE) * {_NDCG_W[i - 1]!r}"
+        for i in range(1, _NDCG_K + 1)
+    )
+    return f"""
+    WITH gt AS MATERIALIZED (
+        SELECT query_id, vec_id, {_NDCG_K} + 1 - rank AS rel FROM ({gt_sql})
+    ),
+    ap AS MATERIALIZED (SELECT query_id, vec_id, rank FROM ({ap_sql})),
+    j AS (
+        SELECT ap.query_id, ap.rank, coalesce(gt.rel, 0) AS rel
+        FROM ap LEFT JOIN gt
+          ON gt.query_id = ap.query_id AND gt.vec_id = ap.vec_id
+    ),
+    slots AS (SELECT query_id, {slot_cols} FROM j GROUP BY query_id)
+    SELECT query_id, ({dcg}) / {_NDCG_IDEAL!r} AS ndcg,
+           avg(({dcg}) / {_NDCG_IDEAL!r}) OVER () AS mean_ndcg
+    FROM slots
+    """
+
+
+QUERIES["ann_ndcg_eval"].oracle = _ann_ndcg_oracle()
