@@ -1287,6 +1287,37 @@ def _(qs, spark):
     assert "CartesianProduct" not in plan
 
 
+@check("event_trigram_funnels: one user-window serves both leads, TakeOrdered tail")
+def _(qs, spark):
+    plan = plan_of(qs["event_trigram_funnels"](spark, SF_DIR))
+    n_win = len(re.findall(r"^\(\d+\) Window", plan, re.M))
+    assert n_win == 1, f"both leads must share one window: {n_win}"
+    assert "TakeOrderedAndProject" in plan
+    assert read_schema_cols(plan, "events") == {"user_id", "event_type", "ts", "event_id"}
+
+
+@check("pass_at_k_eval / quality_gate_correlation: task-bounded explode / one-scan counters")
+def _(qs, spark):
+    plan = plan_of(qs["pass_at_k_eval"](spark, SF_DIR))
+    assert read_schema_cols(plan, "documents") == {"source"}
+    # the attempts explode runs ABOVE the distinct task collapse — Generate
+    # over an aggregate, never over the corpus scan
+    assert "Generate" in plan and "HashAggregate" in plan
+    plan = plan_of(qs["quality_gate_correlation"](spark, SF_DIR))
+    n_scans = len(re.findall(r"^\(\d+\) Scan parquet", plan, re.M))
+    assert n_scans == 1, f"12 counters must share one scan: {n_scans}"
+    assert "Join" not in plan
+
+
+@check("daily_anomaly_mad: rank windows partition by stream over the daily aggregate")
+def _(qs, spark):
+    plan = plan_of(qs["daily_anomaly_mad"](spark, SF_DIR))
+    specs = re.findall(r"windowspecdefinition\((\w+)", plan)
+    assert specs and all(s == "event_type" for s in specs), (
+        f"all windows must partition by event_type: {set(specs)}"
+    )
+
+
 @check("ams_f2_sketch: distinct-first, pruned events scan, no cartesian")
 def _(qs, spark):
     plan = plan_of(qs["ams_f2_sketch"](spark, SF_DIR))
