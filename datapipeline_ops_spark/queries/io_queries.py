@@ -15,7 +15,7 @@ import os
 import re
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from datapipeline_ops_spark.core.registry import query
 from datapipeline_ops_spark.sources.io import read_csv, read_jsonl, write_csv, write_jsonl
@@ -410,4 +410,180 @@ def schema_evolution_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum(F.coalesce(F.col("o_totalprice"), F.lit(0.0))), 4).alias(
             "total_known"
         ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# provenance_hash_rollup — Merkle manifest of the corpus, per source
+# ---------------------------------------------------------------------------
+
+_PROV_SHARDS = 16
+
+
+@query(
+    "provenance_hash_rollup",
+    oracle=f"""
+    WITH doc_h AS MATERIALIZED (
+        SELECT source, doc_id % {_PROV_SHARDS} AS shard, md5(text) AS h
+        FROM documents
+    ),
+    shard_h AS MATERIALIZED (
+        SELECT source, shard,
+               md5(string_agg(h, '' ORDER BY h)) AS shard_md5,
+               CAST(count(*) AS BIGINT) AS n_docs
+        FROM doc_h GROUP BY source, shard
+    )
+    SELECT source,
+           CAST(sum(n_docs) AS BIGINT) AS n_docs,
+           CAST(count(*) AS BIGINT) AS n_shards,
+           md5(string_agg(shard_md5, '' ORDER BY shard_md5)) AS manifest_md5
+    FROM shard_h GROUP BY source
+    """,
+)
+def provenance_hash_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merkle-style provenance manifest: every document hashes to md5(text),
+    {_PROV_SHARDS} shard digests per source roll up the SORTED doc hashes,
+    and one source digest rolls up the sorted shard digests — the content-
+    addressed fingerprint that answers 'is tonight's corpus build byte-
+    identical to last night's, and if not, WHICH source/shard changed?'
+    without diffing a single row. Two manifest rows differ iff any
+    underlying document changed (modulo md5) — the audit trail data-
+    lineage tooling (and dataset cards) should publish.
+
+    Scale: the two-level tree is the point — each collect is bounded
+    (docs within one (source, shard), then {_PROV_SHARDS} digests per
+    source), so no group ever aggregates an unbounded string list; at
+    bigger corpora, add levels (page -> file -> partition), same shape.
+    Sorting inside each node makes the digest order-canonical, so the
+    manifest is invariant to partitioning/shuffle order — the property
+    that makes it usable as an equality gate between builds."""
+    doc_h = load_table(spark, sf_dir, "documents").select(
+        "source",
+        (F.col("doc_id") % _PROV_SHARDS).alias("shard"),
+        F.md5("text").alias("h"),
+    )
+    shard_h = doc_h.groupBy("source", "shard").agg(
+        F.md5(F.concat_ws("", F.sort_array(F.collect_list("h")))).alias("shard_md5"),
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+    )
+    return shard_h.groupBy("source").agg(
+        F.sum("n_docs").cast("long").alias("n_docs"),
+        F.count(F.lit(1)).cast("long").alias("n_shards"),
+        F.md5(F.concat_ws("", F.sort_array(F.collect_list("shard_md5")))).alias(
+            "manifest_md5"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# encoding_advisor — which parquet encoding fits each column?
+# ---------------------------------------------------------------------------
+
+_ENC_BLOCK = 4096  # rows per "page": RLE runs reset at page boundaries
+_ENC_DICT_NDV = 1024
+_ENC_RLE_RUN = 4.0
+
+
+@query(
+    "encoding_advisor",
+    oracle=f"""
+    WITH src AS MATERIALIZED (
+        SELECT o_orderkey // {_ENC_BLOCK} AS blk, o_orderkey,
+               o_orderstatus, o_orderpriority
+        FROM orders
+    ),
+    runs AS (
+        SELECT 'o_orderstatus' AS column_name,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(count(DISTINCT o_orderstatus) AS BIGINT) AS ndv,
+               CAST(sum(CASE WHEN prev IS NULL OR prev <> o_orderstatus
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_runs
+        FROM (
+            SELECT blk, o_orderstatus,
+                   lag(o_orderstatus) OVER (PARTITION BY blk ORDER BY o_orderkey)
+                       AS prev
+            FROM src
+        )
+        UNION ALL
+        SELECT 'o_orderpriority',
+               CAST(count(*) AS BIGINT),
+               CAST(count(DISTINCT o_orderpriority) AS BIGINT),
+               CAST(sum(CASE WHEN prev IS NULL OR prev <> o_orderpriority
+                             THEN 1 ELSE 0 END) AS BIGINT)
+        FROM (
+            SELECT blk, o_orderpriority,
+                   lag(o_orderpriority) OVER (PARTITION BY blk ORDER BY o_orderkey)
+                       AS prev
+            FROM src
+        )
+    )
+    SELECT column_name, n_rows, ndv, n_runs,
+           CAST(n_rows AS DOUBLE) / CAST(n_runs AS DOUBLE) AS avg_run_len,
+           CASE
+             WHEN ndv <= {_ENC_DICT_NDV}
+                  AND CAST(n_rows AS DOUBLE) / CAST(n_runs AS DOUBLE)
+                      >= {_ENC_RLE_RUN}
+                 THEN 'DICT+RLE'
+             WHEN ndv <= {_ENC_DICT_NDV} THEN 'DICT'
+             ELSE 'PLAIN'
+           END AS recommendation
+    FROM runs
+    """,
+)
+def encoding_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Storage-encoding advisor: per candidate column, the distinct count,
+    the number of value RUNS within {_ENC_BLOCK}-row pages (runs reset at
+    page boundaries, exactly like parquet's RLE), the average run length,
+    and a DICT / DICT+RLE / PLAIN recommendation — the write-side analysis
+    that decides whether re-sorting before write is worth it (a column
+    with ndv=3 but avg_run=1 wants a sort; after sorting its runs collapse
+    and the same table scans 10x cheaper).
+
+    Exactness: runs and NDV are integers; avg_run_len is one int/int
+    division; the recommendation CASE compares those exact values.
+
+    Scale: the lag window partitions by PAGE BLOCK (o_orderkey div
+    {_ENC_BLOCK}) — thousands of independent 4k-row partitions, never a
+    global sort; at 100 TB this is embarrassingly parallel per page."""
+    src = load_table(spark, sf_dir, "orders").select(
+        (F.col("o_orderkey") / _ENC_BLOCK).cast("long").alias("blk"),
+        "o_orderkey",
+        "o_orderstatus",
+        "o_orderpriority",
+    )
+
+    def stats(col: str) -> DataFrame:
+        w = Window.partitionBy("blk").orderBy("o_orderkey")
+        lagged = src.select("blk", "o_orderkey", col).withColumn(
+            "prev", F.lag(col).over(w)
+        )
+        return lagged.agg(
+            F.lit(col).alias("column_name"),
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.count_distinct(F.col(col)).cast("long").alias("ndv"),
+            F.sum(
+                F.when(
+                    F.col("prev").isNull() | (F.col("prev") != F.col(col)), 1
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_runs"),
+        )
+
+    runs = stats("o_orderstatus").unionAll(stats("o_orderpriority"))
+    avg_run = F.col("n_rows").cast("double") / F.col("n_runs").cast("double")
+    rec = (
+        F.when(
+            (F.col("ndv") <= _ENC_DICT_NDV) & (avg_run >= _ENC_RLE_RUN), "DICT+RLE"
+        )
+        .when(F.col("ndv") <= _ENC_DICT_NDV, "DICT")
+        .otherwise("PLAIN")
+    )
+    return runs.select(
+        "column_name",
+        "n_rows",
+        "ndv",
+        "n_runs",
+        avg_run.alias("avg_run_len"),
+        rec.alias("recommendation"),
     )
