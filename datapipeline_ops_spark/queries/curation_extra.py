@@ -1396,3 +1396,73 @@ def token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cum_tokens") <= TOKEN_BUDGET_PER_SOURCE)
         .select("doc_id", "source", "n_tokens", "cum_tokens")
     )
+
+
+# ---------------------------------------------------------------------------
+# prefix_sharing_stats — KV-cache prefix reuse analysis
+# ---------------------------------------------------------------------------
+
+_PFX_TOKENS = 8
+
+
+@query(
+    "prefix_sharing_stats",
+    oracle=f"""
+    WITH pfx AS MATERIALIZED (
+        SELECT md5(array_to_string(
+                   regexp_split_to_array(trim(text), '\\s+')[1:{_PFX_TOKENS}],
+                   ' ')) AS prefix_md5
+        FROM documents
+        WHERE len(regexp_split_to_array(trim(text), '\\s+')) >= {_PFX_TOKENS}
+    ),
+    grp AS (
+        SELECT prefix_md5, CAST(count(*) AS BIGINT) AS n_docs
+        FROM pfx GROUP BY prefix_md5
+        HAVING count(*) >= 2
+    )
+    SELECT prefix_md5, n_docs,
+           CAST((n_docs - 1) * {_PFX_TOKENS} AS BIGINT) AS tokens_saved,
+           CAST(sum((n_docs - 1) * {_PFX_TOKENS}) OVER () AS BIGINT)
+               AS total_tokens_saved
+    FROM grp
+    """,
+)
+def prefix_sharing_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared-prefix analysis for KV-cache planning: documents whose first
+    {_PFX_TOKENS} tokens are identical can share one prefill in an
+    inference server with prefix caching (vLLM-style) — this query finds
+    every shared-prefix group and the prefill tokens it saves, the
+    capacity-planning number behind 'how much does prompt dedup buy us'.
+    The same statistic read the other way is a TEMPLATE DETECTOR: large
+    groups are boilerplate prompts/documents a curation pass may want to
+    collapse.
+
+    Scale: the prefix key is an md5 of a BOUNDED token slice (never the
+    whole text) computed in one projection; one partial-agg groupBy on
+    the 16-byte key; the savings window runs over the (small) multi-doc
+    group table only.
+
+    Exactness: token slicing is the repo's whitespace convention, savings
+    are integer arithmetic, and the group filter is a HAVING on counts."""
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    pfx = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.size(toks) >= _PFX_TOKENS)
+        .select(
+            F.md5(F.concat_ws(" ", F.slice(toks, 1, _PFX_TOKENS))).alias("prefix_md5")
+        )
+    )
+    grp = (
+        pfx.groupBy("prefix_md5")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+        .filter(F.col("n_docs") >= 2)
+    )
+    return grp.select(
+        "prefix_md5",
+        "n_docs",
+        ((F.col("n_docs") - 1) * _PFX_TOKENS).cast("long").alias("tokens_saved"),
+        F.sum((F.col("n_docs") - 1) * _PFX_TOKENS)
+        .over(Window.partitionBy())
+        .cast("long")
+        .alias("total_tokens_saved"),
+    )

@@ -29,7 +29,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
 from datapipeline_ops_spark.core.registry import query
-from datapipeline_ops_spark.functions.hashing import hash_unit, sql_hash_unit
+from datapipeline_ops_spark.functions.hashing import hash_unit, sql_hash64, sql_hash_unit
 from datapipeline_ops_spark.tables import load_table
 
 KS_BINS = 2048
@@ -788,3 +788,95 @@ def quality_gate_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return rows_out.select("gate_pair", "n11", "n10", "n01", "n00", phi.alias("phi"))
+
+
+# ---------------------------------------------------------------------------
+# annotator_kappa
+# ---------------------------------------------------------------------------
+
+_KAP_THRESH = 650
+_KAP_NOISE = 300
+
+
+@query(
+    "annotator_kappa",
+    oracle=f"""
+    WITH labels AS MATERIALIZED (
+        SELECT CASE WHEN {sql_hash64("doc_id", 43)} % 1000
+                         + {sql_hash64("doc_id", 47)} % {_KAP_NOISE}
+                         > {_KAP_THRESH} THEN 1 ELSE 0 END AS a1,
+               CASE WHEN {sql_hash64("doc_id", 43)} % 1000
+                         + {sql_hash64("doc_id", 48)} % {_KAP_NOISE}
+                         > {_KAP_THRESH} THEN 1 ELSE 0 END AS a2
+        FROM documents
+    ),
+    c AS (
+        SELECT CAST(sum(a1 * a2) AS BIGINT) AS n11,
+               CAST(sum(a1 * (1 - a2)) AS BIGINT) AS n10,
+               CAST(sum((1 - a1) * a2) AS BIGINT) AS n01,
+               CAST(sum((1 - a1) * (1 - a2)) AS BIGINT) AS n00
+        FROM labels
+    )
+    SELECT n11, n10, n01, n00,
+           CAST(n11 + n00 AS DOUBLE) / CAST(n11 + n10 + n01 + n00 AS DOUBLE) AS po,
+           (CAST((n11 + n10) * (n11 + n01) AS DOUBLE)
+            + CAST((n01 + n00) * (n10 + n00) AS DOUBLE))
+               / (CAST(n11 + n10 + n01 + n00 AS DOUBLE)
+                  * CAST(n11 + n10 + n01 + n00 AS DOUBLE)) AS pe,
+           CASE WHEN (CAST((n11 + n10) * (n11 + n01) AS DOUBLE)
+                      + CAST((n01 + n00) * (n10 + n00) AS DOUBLE))
+                         / (CAST(n11 + n10 + n01 + n00 AS DOUBLE)
+                            * CAST(n11 + n10 + n01 + n00 AS DOUBLE)) <> 1.0
+                THEN (CAST(n11 + n00 AS DOUBLE)
+                          / CAST(n11 + n10 + n01 + n00 AS DOUBLE)
+                      - (CAST((n11 + n10) * (n11 + n01) AS DOUBLE)
+                         + CAST((n01 + n00) * (n10 + n00) AS DOUBLE))
+                            / (CAST(n11 + n10 + n01 + n00 AS DOUBLE)
+                               * CAST(n11 + n10 + n01 + n00 AS DOUBLE)))
+                     / (1.0 - (CAST((n11 + n10) * (n11 + n01) AS DOUBLE)
+                               + CAST((n01 + n00) * (n10 + n00) AS DOUBLE))
+                                  / (CAST(n11 + n10 + n01 + n00 AS DOUBLE)
+                                     * CAST(n11 + n10 + n01 + n00 AS DOUBLE)))
+           END AS kappa
+    FROM c
+    """,
+)
+def annotator_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa between two annotators — chance-corrected agreement,
+    the QA gate for labeled training data (raw percent agreement lies
+    when the label distribution is skewed; kappa doesn't). The two
+    annotators are hash-stub raters sharing a latent per-document signal
+    plus independent noise (the seam where real rater tables plug in), so
+    agreement is genuinely above chance and the statistic is exercised
+    away from its degenerate points.
+
+    Exactness: the 2x2 agreement table is integer sums from one scan;
+    observed and expected agreement and kappa are fixed-order ratios of
+    those four integers; pe == 1 degrades to NULL identically.
+
+    Scale: one scan, a 1-row aggregate, O(1) arithmetic."""
+    from datapipeline_ops_spark.functions.hashing import hash64
+
+    latent = hash64(F.col("doc_id"), 43) % 1000
+    a1 = F.when(latent + hash64(F.col("doc_id"), 47) % _KAP_NOISE > _KAP_THRESH, 1).otherwise(0)
+    a2 = F.when(latent + hash64(F.col("doc_id"), 48) % _KAP_NOISE > _KAP_THRESH, 1).otherwise(0)
+    labels = load_table(spark, sf_dir, "documents").select(
+        a1.alias("a1"), a2.alias("a2")
+    )
+    c = labels.agg(
+        F.sum(F.col("a1") * F.col("a2")).cast("long").alias("n11"),
+        F.sum(F.col("a1") * (1 - F.col("a2"))).cast("long").alias("n10"),
+        F.sum((1 - F.col("a1")) * F.col("a2")).cast("long").alias("n01"),
+        F.sum((1 - F.col("a1")) * (1 - F.col("a2"))).cast("long").alias("n00"),
+    )
+    n11, n10, n01, n00 = (F.col(x) for x in ("n11", "n10", "n01", "n00"))
+    tot = (n11 + n10 + n01 + n00).cast("double")
+    po = (n11 + n00).cast("double") / tot
+    pe = (
+        ((n11 + n10) * (n11 + n01)).cast("double")
+        + ((n01 + n00) * (n10 + n00)).cast("double")
+    ) / (tot * tot)
+    kappa = F.when(pe != 1.0, (po - pe) / (F.lit(1.0) - pe))
+    return c.select(
+        "n11", "n10", "n01", "n00", po.alias("po"), pe.alias("pe"), kappa.alias("kappa")
+    )
