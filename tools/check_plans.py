@@ -1318,6 +1318,30 @@ def _(qs, spark):
     )
 
 
+@check("provenance_hash_rollup / encoding_advisor: bounded collects, page-blocked windows")
+def _(qs, spark):
+    plan = plan_of(qs["provenance_hash_rollup"](spark, SF_DIR))
+    assert read_schema_cols(plan, "documents") == {"doc_id", "source", "text"}
+    # two-level Merkle tree = exactly two aggregates, no join, no window
+    assert "Join" not in plan and "Window" not in plan
+    plan = plan_of(qs["encoding_advisor"](spark, SF_DIR))
+    specs = re.findall(r"windowspecdefinition\((\w+)", plan)
+    assert specs and all(s == "blk" for s in specs), (
+        f"run-count windows must partition by page block: {set(specs)}"
+    )
+
+
+@check("annotator_kappa / prefix_sharing_stats: one-scan contingency / bounded-slice key")
+def _(qs, spark):
+    plan = plan_of(qs["annotator_kappa"](spark, SF_DIR))
+    n_scans = len(re.findall(r"^\(\d+\) Scan parquet", plan, re.M))
+    assert n_scans == 1 and "Join" not in plan
+    assert read_schema_cols(plan, "documents") == {"doc_id"}
+    plan = plan_of(qs["prefix_sharing_stats"](spark, SF_DIR))
+    assert read_schema_cols(plan, "documents") == {"text"}
+    assert "partial" in plan.lower()
+
+
 @check("ams_f2_sketch: distinct-first, pruned events scan, no cartesian")
 def _(qs, spark):
     plan = plan_of(qs["ams_f2_sketch"](spark, SF_DIR))
