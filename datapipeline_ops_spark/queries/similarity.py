@@ -815,3 +815,57 @@ def mrl_truncation_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hits.withColumn(
         "mean_recall", F.avg("recall").over(Window.partitionBy())
     )
+
+
+# ---------------------------------------------------------------------------
+# embedding_norm_audit
+# ---------------------------------------------------------------------------
+
+_NORM_EPS = 1e-12
+
+
+@query(
+    "embedding_norm_audit",
+    oracle=f"""
+    WITH {_V_CTE},
+    n2 AS MATERIALIZED (
+        SELECT vec_id, {sql_dot("v.vec", "v.vec")} AS norm2 FROM v
+    ),
+    deg AS (
+        SELECT CAST(sum(CASE WHEN norm2 < {_NORM_EPS} THEN 1 ELSE 0 END) AS BIGINT)
+            AS n_degenerate
+        FROM n2
+    )
+    SELECT CAST(floor(norm2) AS BIGINT) AS norm2_band,
+           CAST(count(*) AS BIGINT) AS n_vectors,
+           d.n_degenerate
+    FROM n2 CROSS JOIN deg d
+    GROUP BY 1, d.n_degenerate
+    """,
+)
+def embedding_norm_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding health check: the histogram of squared L2 norms (unit-width
+    bands) plus a count of degenerate (near-zero) vectors — the first
+    thing to look at when retrieval quality drops: all-zero vectors from a
+    failed encoder batch, un-normalized vectors mixed into a normalized
+    index, or fp16 underflow all show up here before any downstream metric
+    moves. Norm² is the exact left-to-right dot accumulation (bit-identical
+    cross-engine), and integer banding makes the histogram hash-stable.
+
+    Scale: one projection per vector (no pairs, no index), one
+    partial-agg histogram; the degenerate count is a 1-row broadcast."""
+    v = _vectors(spark, sf_dir)
+    n2 = v.select("vec_id", dot(F.col("vec"), F.col("vec")).alias("norm2"))
+    deg = n2.agg(
+        F.sum(F.when(F.col("norm2") < _NORM_EPS, 1).otherwise(0))
+        .cast("long")
+        .alias("n_degenerate")
+    )
+    return (
+        n2.crossJoin(F.broadcast(deg))
+        .groupBy(
+            F.floor("norm2").cast("long").alias("norm2_band"), "n_degenerate"
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_vectors"))
+        .select("norm2_band", "n_vectors", "n_degenerate")
+    )

@@ -856,3 +856,65 @@ def vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("coverage"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# context_window_fit_report
+# ---------------------------------------------------------------------------
+
+_CTX_WINDOWS = (512, 2048, 8192)
+
+
+@query(
+    "context_window_fit_report",
+    oracle=f"""
+    WITH t AS MATERIALIZED (
+        SELECT source,
+               CAST(len(regexp_extract_all(text,
+                        '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS n_tok
+        FROM documents
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+           CAST(sum(CASE WHEN n_tok <= {_CTX_WINDOWS[0]} THEN 1 ELSE 0 END) AS BIGINT) AS n_fit_512,
+           CAST(sum(CASE WHEN n_tok <= {_CTX_WINDOWS[1]} THEN 1 ELSE 0 END) AS BIGINT) AS n_fit_2048,
+           CAST(sum(CASE WHEN n_tok <= {_CTX_WINDOWS[2]} THEN 1 ELSE 0 END) AS BIGINT) AS n_fit_8192,
+           CAST(sum(greatest(n_tok - {_CTX_WINDOWS[0]}, 0)) AS BIGINT) AS trunc_loss_512,
+           CAST(sum(greatest(n_tok - {_CTX_WINDOWS[1]}, 0)) AS BIGINT) AS trunc_loss_2048,
+           CAST(sum(greatest(n_tok - {_CTX_WINDOWS[2]}, 0)) AS BIGINT) AS trunc_loss_8192
+    FROM t GROUP BY source
+    """,
+)
+def context_window_fit_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window fit: per source, how many documents fit whole into a
+    512 / 2048 / 8192-token window (BPE-ish token convention) and how many
+    tokens a hard truncation at each size would discard — the table that
+    picks between truncation, chunking (rag_chunk_plan) and packing
+    (sequence_packing_plan) per source, and sizes the loss of the cheap
+    option. One scan, one partial aggregation, all integers."""
+    t = load_table(spark, sf_dir, "documents").select(
+        "source",
+        F.regexp_count(
+            F.col("text"), F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]")
+        )
+        .cast("long")
+        .alias("n_tok"),
+    )
+    aggs = [
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tok").cast("long").alias("total_tokens"),
+    ]
+    for wsize in _CTX_WINDOWS:
+        aggs.append(
+            F.sum(F.when(F.col("n_tok") <= wsize, 1).otherwise(0))
+            .cast("long")
+            .alias(f"n_fit_{wsize}")
+        )
+    for wsize in _CTX_WINDOWS:
+        aggs.append(
+            F.sum(F.greatest(F.col("n_tok") - wsize, F.lit(0)))
+            .cast("long")
+            .alias(f"trunc_loss_{wsize}")
+        )
+    return t.groupBy("source").agg(*aggs)
