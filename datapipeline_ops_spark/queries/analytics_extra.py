@@ -1368,3 +1368,102 @@ def daily_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("mad") > 0, F.abs(rz) > _MAD_THRESH).alias("anomalous"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# simpsons_paradox_check
+# ---------------------------------------------------------------------------
+
+_SPX_PRICE = 250_000
+
+
+@query(
+    "simpsons_paradox_check",
+    oracle=f"""
+    WITH j AS MATERIALIZED (
+        SELECT c.c_mktsegment AS segment,
+               CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END AS treat,
+               CASE WHEN o.o_totalprice > {_SPX_PRICE} THEN 1 ELSE 0 END AS y
+        FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    ),
+    seg AS MATERIALIZED (
+        SELECT segment,
+               CAST(sum(treat) AS BIGINT) AS n_t,
+               CAST(sum(treat * y) AS BIGINT) AS x_t,
+               CAST(sum(1 - treat) AS BIGINT) AS n_c,
+               CAST(sum((1 - treat) * y) AS BIGINT) AS x_c
+        FROM j GROUP BY segment
+    ),
+    pooled AS (
+        SELECT CAST(sum(n_t) AS BIGINT) AS n_t, CAST(sum(x_t) AS BIGINT) AS x_t,
+               CAST(sum(n_c) AS BIGINT) AS n_c, CAST(sum(x_c) AS BIGINT) AS x_c
+        FROM seg
+    )
+    SELECT s.segment, s.n_t, s.x_t, s.n_c, s.x_c,
+           CAST(s.x_t AS DOUBLE) / CAST(s.n_t AS DOUBLE)
+             - CAST(s.x_c AS DOUBLE) / CAST(s.n_c AS DOUBLE) AS seg_effect,
+           CAST(p.x_t AS DOUBLE) / CAST(p.n_t AS DOUBLE)
+             - CAST(p.x_c AS DOUBLE) / CAST(p.n_c AS DOUBLE) AS pooled_effect,
+           (s.x_t * s.n_c > s.x_c * s.n_t) <> (p.x_t * p.n_c > p.x_c * p.n_t)
+               AS sign_flip
+    FROM seg s CROSS JOIN pooled p
+    """,
+)
+def simpsons_paradox_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simpson's-paradox screen: the treatment effect (urgent-priority ->
+    high-value-order rate) per customer segment next to the POOLED effect,
+    with a sign-flip flag per segment — the aggregation trap every
+    segmented metrics report should test for before anyone acts on the
+    pooled number. The sign comparison is integer CROSS-MULTIPLICATION
+    (x_t·n_c vs x_c·n_t), so the flip verdict is exact even when the
+    effects are tiny; the effect sizes ride along as fixed-order ratios.
+
+    Scale: one fact-dim equi-join (customer broadcast-eligible), one
+    partial-agg collapse to |segments| rows, and a 1-row pooled rollup
+    crossed back — nothing after the join exceeds the segment count."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.when(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1)
+        .otherwise(0)
+        .alias("treat"),
+        F.when(F.col("o_totalprice") > _SPX_PRICE, 1).otherwise(0).alias("y"),
+    )
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", F.col("c_mktsegment").alias("segment")
+    )
+    j = o.join(c, o["o_custkey"] == c["c_custkey"]).select("segment", "treat", "y")
+    seg = j.groupBy("segment").agg(
+        F.sum("treat").cast("long").alias("n_t"),
+        F.sum(F.col("treat") * F.col("y")).cast("long").alias("x_t"),
+        F.sum(1 - F.col("treat")).cast("long").alias("n_c"),
+        F.sum((1 - F.col("treat")) * F.col("y")).cast("long").alias("x_c"),
+    )
+    pooled = seg.agg(
+        F.sum("n_t").cast("long").alias("p_n_t"),
+        F.sum("x_t").cast("long").alias("p_x_t"),
+        F.sum("n_c").cast("long").alias("p_n_c"),
+        F.sum("x_c").cast("long").alias("p_x_c"),
+    )
+    seg_eff = F.col("x_t").cast("double") / F.col("n_t").cast("double") - F.col(
+        "x_c"
+    ).cast("double") / F.col("n_c").cast("double")
+    pool_eff = F.col("p_x_t").cast("double") / F.col("p_n_t").cast("double") - F.col(
+        "p_x_c"
+    ).cast("double") / F.col("p_n_c").cast("double")
+    flip = (F.col("x_t") * F.col("n_c") > F.col("x_c") * F.col("n_t")) != (
+        F.col("p_x_t") * F.col("p_n_c") > F.col("p_x_c") * F.col("p_n_t")
+    )
+    return (
+        seg.crossJoin(F.broadcast(pooled))
+        .select(
+            "segment",
+            "n_t",
+            "x_t",
+            "n_c",
+            "x_c",
+            seg_eff.alias("seg_effect"),
+            pool_eff.alias("pooled_effect"),
+            flip.alias("sign_flip"),
+        )
+    )
