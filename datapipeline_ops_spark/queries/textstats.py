@@ -918,3 +918,81 @@ def context_window_fit_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias(f"trunc_loss_{wsize}")
         )
     return t.groupBy("source").agg(*aggs)
+
+
+# ---------------------------------------------------------------------------
+# source_vocab_jaccard_matrix
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "source_vocab_jaccard_matrix",
+    oracle=f"""
+    WITH st AS MATERIALIZED (
+        SELECT DISTINCT source, t.tok
+        FROM documents,
+             LATERAL unnest(regexp_split_to_array(text, '\\s+')) AS t(tok)
+        WHERE t.tok <> ''
+    ),
+    sizes AS MATERIALIZED (
+        SELECT source, CAST(count(*) AS BIGINT) AS vocab FROM st GROUP BY source
+    ),
+    inter AS (
+        SELECT a.source AS src_a, b.source AS src_b,
+               CAST(count(*) AS BIGINT) AS n_common
+        FROM st a JOIN st b ON a.tok = b.tok AND a.source < b.source
+        GROUP BY 1, 2
+    )
+    SELECT i.src_a, i.src_b, i.n_common, sa.vocab AS vocab_a, sb.vocab AS vocab_b,
+           CAST(i.n_common AS DOUBLE)
+               / CAST(sa.vocab + sb.vocab - i.n_common AS DOUBLE) AS jaccard
+    FROM inter i
+    JOIN sizes sa ON sa.source = i.src_a
+    JOIN sizes sb ON sb.source = i.src_b
+    """,
+)
+def source_vocab_jaccard_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise vocabulary Jaccard between SOURCES — the corpus-level
+    similarity matrix that informs mixture design (two sources with
+    near-identical vocabularies contribute redundant coverage; upweight
+    the outlier instead) and flags accidental source duplication upstream.
+    Same inverted-index shape as the document-level near-dup ops, lifted
+    one aggregation level: the DISTINCT-FIRST collapse to (source, token)
+    bounds everything by |sources| x |vocabulary| regardless of corpus
+    row count, and the pair join meets on the token (posting lists of at
+    most |sources| entries — no df cap needed at this level).
+
+    Exactness: intersections and vocab sizes are integers;
+    Jaccard by inclusion-exclusion is one int/int division."""
+    st = (
+        load_table(spark, sf_dir, "documents")
+        .select("source", F.explode(F.split(F.col("text"), r"\s+")).alias("tok"))
+        .filter(F.col("tok") != "")
+        .distinct()
+    )
+    from datapipeline_ops_spark.operators.dedup import persist_barrier
+
+    st = persist_barrier(st, "source_vocab")
+    sizes = st.groupBy("source").agg(F.count(F.lit(1)).cast("long").alias("vocab"))
+    a = st.select(F.col("source").alias("src_a"), "tok")
+    b = st.select(F.col("source").alias("src_b"), F.col("tok").alias("tok2"))
+    inter = (
+        a.join(b, (F.col("tok") == F.col("tok2")) & (F.col("src_a") < F.col("src_b")))
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_common"))
+    )
+    return (
+        inter.join(sizes.select(F.col("source").alias("src_a"), F.col("vocab").alias("vocab_a")), "src_a")
+        .join(sizes.select(F.col("source").alias("src_b"), F.col("vocab").alias("vocab_b")), "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            "n_common",
+            "vocab_a",
+            "vocab_b",
+            (
+                F.col("n_common").cast("double")
+                / (F.col("vocab_a") + F.col("vocab_b") - F.col("n_common")).cast("double")
+            ).alias("jaccard"),
+        )
+    )
