@@ -1342,6 +1342,36 @@ def _(qs, spark):
     assert "partial" in plan.lower()
 
 
+@check("dedup_token_savings / context_window_fit: hash-key join / single-agg scans")
+def _(qs, spark):
+    plan = plan_of(qs["dedup_token_savings"](spark, SF_DIR))
+    # two scans (keeper branch reads a NARROWER schema than the attribution
+    # branch) — both must stay pruned to the three referenced columns
+    schemas = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+    cols = {c.split(":")[0] for s in schemas for c in s.split(",") if c}
+    assert cols == {"doc_id", "source", "text"}, f"unpruned scan: {schemas}"
+    assert "partial" in plan.lower()
+    plan = plan_of(qs["context_window_fit_report"](spark, SF_DIR))
+    assert read_schema_cols(plan, "documents") == {"source", "text"}
+    assert "Join" not in plan and "partial" in plan.lower()
+
+
+@check("simpsons_paradox_check: dim join + segment rollup; source_vocab: distinct-first")
+def _(qs, spark):
+    plan = plan_of(qs["simpsons_paradox_check"](spark, SF_DIR))
+    assert read_schema_cols(plan, "orders") == {
+        "o_custkey", "o_orderpriority", "o_totalprice",
+    }
+    assert "CartesianProduct" not in plan
+    plan = plan_of(qs["source_vocab_jaccard_matrix"](spark, SF_DIR))
+    # the pair join must read the persisted DISTINCT (source, token) index,
+    # not re-explode the corpus per side
+    assert "InMemoryTableScan" in plan, "distinct index not barriered"
+    assert read_schema_cols(plan, "documents") in ({"source", "text"}, set()), (
+        "scan should read source+text only"
+    )
+
+
 @check("ams_f2_sketch: distinct-first, pruned events scan, no cartesian")
 def _(qs, spark):
     plan = plan_of(qs["ams_f2_sketch"](spark, SF_DIR))
