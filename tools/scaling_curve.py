@@ -102,6 +102,18 @@ DEFAULT_QUERIES = [
     "markov_next_event_accuracy",  # user-window transitions + argmax
     "hilbert_vs_zorder_locality",  # chained bit-walk + segment bbox audit
     "stream_hll_registers",        # streaming 64-row sketch state
+    "pass_at_k_eval",              # task-bounded attempt grid
+    "event_trigram_funnels",       # shared-window dual lead + TakeOrdered
+    "daily_anomaly_mad",           # rank-selected medians per stream
+    "provenance_hash_rollup",      # two-level Merkle manifest
+    "encoding_advisor",            # page-blocked run counting
+    "annotator_kappa",             # one-scan agreement table
+    "prefix_sharing_stats",        # bounded-slice md5 grouping
+    "embedding_norm_audit",        # per-vector projection histogram
+    "dedup_token_savings",         # hash-key keeper attribution join
+    "context_window_fit_report",   # single-agg token-fit counters
+    "simpsons_paradox_check",      # dim join + segment rollup
+    "source_vocab_jaccard_matrix", # distinct-first source-level index
 ]
 
 
