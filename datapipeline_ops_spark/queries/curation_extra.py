@@ -1466,3 +1466,157 @@ def prefix_sharing_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("total_tokens_saved"),
     )
+
+
+# ---------------------------------------------------------------------------
+# blocklist_filter_report
+# ---------------------------------------------------------------------------
+
+# stand-in lexicon (the seam where a real safety blocklist plugs in): the
+# flag logic, broadcast shape and reporting are the production mechanism.
+_BLOCKLIST = ("merge", "drop", "leak")
+
+
+@query(
+    "blocklist_filter_report",
+    oracle=f"""
+    WITH toks AS MATERIALIZED (
+        SELECT doc_id, source, t.tok
+        FROM documents,
+             LATERAL unnest(regexp_split_to_array(text, '\\s+')) AS t(tok)
+        WHERE t.tok <> ''
+    ),
+    hits AS MATERIALIZED (
+        SELECT doc_id, source,
+               CAST(count(*) AS BIGINT) AS n_hits,
+               CAST(count(DISTINCT tok) AS BIGINT) AS n_distinct_terms
+        FROM toks
+        WHERE tok IN ({", ".join(f"'{w}'" for w in _BLOCKLIST)})
+        GROUP BY doc_id, source
+    ),
+    per_doc AS (
+        SELECT d.source,
+               CASE WHEN h.doc_id IS NOT NULL THEN 1 ELSE 0 END AS flagged,
+               coalesce(h.n_hits, 0) AS n_hits
+        FROM documents d LEFT JOIN hits h ON h.doc_id = d.doc_id
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(flagged) AS BIGINT) AS n_flagged,
+           CAST(sum(n_hits) AS BIGINT) AS total_hits,
+           CAST(sum(flagged) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS flag_rate
+    FROM per_doc GROUP BY source
+    """,
+)
+def blocklist_filter_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexicon-based safety gate + prevalence report: documents containing
+    any blocklisted term are flagged, and the report gives per-source flag
+    rates and hit volumes — the shape of every wordlist safety filter
+    (and of its monitoring dashboard, which is what catches a source whose
+    flag rate jumps 10x after an upstream change). The term list here is a
+    neutral stand-in; the mechanism — term filter INSIDE the token
+    explode, per-doc collapse, source rollup — is the production one.
+
+    Scale: the IN-list filter is applied inside the explode so only
+    blocklisted tokens are ever aggregated (the bm25 discipline); the
+    per-doc hit table is then far smaller than the corpus and the
+    attribution join keys on doc_id. A 100k-term real blocklist becomes a
+    broadcast join against the token stream — same plan shape."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", "source", F.explode(F.split(F.col("text"), r"\s+")).alias("tok")
+    ).filter(F.col("tok") != "")
+    hits = (
+        toks.filter(F.col("tok").isin(*_BLOCKLIST))
+        .groupBy("doc_id", "source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_hits"),
+            F.count_distinct("tok").cast("long").alias("n_distinct_terms"),
+        )
+    )
+    per_doc = d.select("doc_id", "source").join(
+        hits.select("doc_id", "n_hits"), "doc_id", "left"
+    )
+    return per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.when(F.col("n_hits").isNotNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_flagged"),
+        F.sum(F.coalesce("n_hits", F.lit(0))).cast("long").alias("total_hits"),
+        (
+            F.sum(F.when(F.col("n_hits").isNotNull(), 1).otherwise(0)).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("flag_rate"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# qi_uniqueness_report
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "qi_uniqueness_report",
+    oracle="""
+    WITH c AS MATERIALIZED (
+        SELECT c_nationkey AS nation, c_mktsegment AS seg,
+               CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_band
+        FROM customer
+    ),
+    u1 AS (
+        SELECT 'nation_x_seg' AS qi_set,
+               CAST(count(*) AS BIGINT) AS n_combos,
+               CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique,
+               CAST(sum(n) AS BIGINT) AS n_rows
+        FROM (SELECT nation, seg, count(*) AS n FROM c GROUP BY 1, 2)
+        UNION ALL
+        SELECT 'nation_x_band', count(*),
+               CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT), CAST(sum(n) AS BIGINT)
+        FROM (SELECT nation, bal_band, count(*) AS n FROM c GROUP BY 1, 2)
+        UNION ALL
+        SELECT 'nation_x_seg_x_band', count(*),
+               CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT), CAST(sum(n) AS BIGINT)
+        FROM (SELECT nation, seg, bal_band, count(*) AS n FROM c GROUP BY 1, 2, 3)
+    )
+    SELECT qi_set, n_combos, n_unique, n_rows,
+           CAST(n_unique AS DOUBLE) / CAST(n_rows AS DOUBLE) AS reident_risk
+    FROM u1
+    """,
+)
+def qi_uniqueness_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quasi-identifier uniqueness: for three progressively finer QI sets
+    over customers (nation x segment, nation x balance band, and all
+    three), how many attribute combinations exist, how many identify
+    EXACTLY ONE person, and the re-identification risk (uniquely
+    identified rows / all rows) — the Sweeney-style analysis that decides
+    which columns must be generalized before release, one level deeper
+    than k_anonymity_audit's single fixed QI set: it shows WHICH added
+    column blows up the risk.
+
+    Scale: each QI set is one partial-agg groupBy on bounded keys; the
+    three reports union constant-size aggregates. All counts integer; the
+    risk is one int/int division."""
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nation"),
+        F.col("c_mktsegment").alias("seg"),
+        F.floor(F.col("c_acctbal") / 1000).cast("long").alias("bal_band"),
+    )
+
+    def report(name: str, keys: list[str]) -> DataFrame:
+        g = c.groupBy(*keys).agg(F.count(F.lit(1)).alias("n"))
+        return g.agg(
+            F.lit(name).alias("qi_set"),
+            F.count(F.lit(1)).cast("long").alias("n_combos"),
+            F.sum(F.when(F.col("n") == 1, 1).otherwise(0)).cast("long").alias("n_unique"),
+            F.sum("n").cast("long").alias("n_rows"),
+        )
+
+    u = (
+        report("nation_x_seg", ["nation", "seg"])
+        .unionAll(report("nation_x_band", ["nation", "bal_band"]))
+        .unionAll(report("nation_x_seg_x_band", ["nation", "seg", "bal_band"]))
+    )
+    return u.withColumn(
+        "reident_risk",
+        F.col("n_unique").cast("double") / F.col("n_rows").cast("double"),
+    )
