@@ -94,7 +94,7 @@ _PRIORITY = [
 # fraction_parse sec_to_label coalesce_fallback json_props_extract
 # placeholders_build threshold_filter band_filter), then rotate the oldest
 # r02-latest records with the remaining slots.
-# NOTE: 17 + 41 first-records exceed the 50-slot window — round 7 records
+# NOTE: 17 + 43 first-records exceed the 50-slot window — round 7 records
 # the first 50 in the order above; the overflow heads the round-8 window
 # (every unrecorded query stays mimic-gated at all three SFs meanwhile).
 

@@ -1372,6 +1372,20 @@ def _(qs, spark):
     )
 
 
+@check("blocklist_filter_report / qi_uniqueness_report: filter-inside-explode / bounded rollups")
+def _(qs, spark):
+    plan = plan_of(qs["blocklist_filter_report"](spark, SF_DIR))
+    # the IN-list must prune inside/below the explode: the aggregate after
+    # Generate only ever sees blocklisted tokens
+    assert "Generate" in plan and "partial" in plan.lower()
+    assert "CartesianProduct" not in plan
+    plan = plan_of(qs["qi_uniqueness_report"](spark, SF_DIR))
+    assert read_schema_cols(plan, "customer") == {
+        "c_nationkey", "c_mktsegment", "c_acctbal",
+    }
+    assert "Join" not in plan
+
+
 @check("ams_f2_sketch: distinct-first, pruned events scan, no cartesian")
 def _(qs, spark):
     plan = plan_of(qs["ams_f2_sketch"](spark, SF_DIR))
