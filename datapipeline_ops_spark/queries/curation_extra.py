@@ -1620,3 +1620,95 @@ def qi_uniqueness_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         "reident_risk",
         F.col("n_unique").cast("double") / F.col("n_rows").cast("double"),
     )
+
+
+# ---------------------------------------------------------------------------
+# funnel_order_cost_report — why cheap-first ordering wins, quantified
+# ---------------------------------------------------------------------------
+
+_FOC_CHARS = 300
+
+
+@query(
+    "funnel_order_cost_report",
+    oracle=f"""
+    WITH d AS MATERIALIZED (
+        SELECT doc_id, md5(text) AS h,
+               CASE WHEN n_chars >= {_FOC_CHARS} THEN 1 ELSE 0 END AS pass_gate
+        FROM documents
+    ),
+    keep AS MATERIALIZED (SELECT h, min(doc_id) AS keeper FROM d GROUP BY h),
+    stats AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_input,
+               CAST(sum(pass_gate) AS BIGINT) AS n_gated,
+               CAST(count(DISTINCT CASE WHEN pass_gate = 1 THEN h END) AS BIGINT)
+                   AS n_gate_first_out,
+               CAST(count(DISTINCT h) AS BIGINT) AS n_keepers
+        FROM d
+    ),
+    dedup_first AS (
+        SELECT CAST(sum(CASE WHEN d.doc_id = k.keeper AND d.pass_gate = 1
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_dedup_first_out
+        FROM d JOIN keep k ON k.h = d.h
+    )
+    SELECT 'gate_then_dedup' AS plan_order, s.n_input,
+           s.n_gated AS rows_into_dedup, s.n_gate_first_out AS n_output
+    FROM stats s
+    UNION ALL
+    SELECT 'dedup_then_gate', s.n_input,
+           s.n_input AS rows_into_dedup, df.n_dedup_first_out
+    FROM stats s CROSS JOIN dedup_first df
+    """,
+)
+def funnel_order_cost_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The cheap-first funnel argument, quantified: the same two stages —
+    a content-determined quality gate (n_chars floor, so every exact
+    duplicate shares its gate verdict) and exact dedup — composed in both
+    orders. Output row counts are the SAME either way (the stages commute
+    on content-determined predicates), but the rows ENTERING the dedup
+    shuffle differ: gate-first pays the shuffle only for gated survivors
+    — the measured version of the flagship funnel's design rule ('run
+    map-only gates before anything that exchanges data').
+
+    Scale: one scan computes hash + gate flag; both orderings are then
+    aggregations of that frame, so the report itself costs one dedup-
+    shaped shuffle. Integer counts throughout."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.md5("text").alias("h"),
+        F.when(F.col("n_chars") >= _FOC_CHARS, 1).otherwise(0).alias("pass_gate"),
+    ).persist()
+    try:
+        keep = d.groupBy("h").agg(F.min("doc_id").alias("keeper"))
+        stats = d.agg(
+            F.count(F.lit(1)).cast("long").alias("n_input"),
+            F.sum("pass_gate").cast("long").alias("n_gated"),
+            F.count_distinct(F.when(F.col("pass_gate") == 1, F.col("h")))
+            .cast("long")
+            .alias("n_gate_first_out"),
+        )
+        dedup_first = (
+            d.join(keep, "h")
+            .agg(
+                F.sum(
+                    F.when(
+                        (F.col("doc_id") == F.col("keeper")) & (F.col("pass_gate") == 1),
+                        1,
+                    ).otherwise(0)
+                )
+                .cast("long")
+                .alias("n_dedup_first_out")
+            )
+        )
+        both = stats.crossJoin(F.broadcast(dedup_first))
+        out = both.select(
+            F.expr(
+                "stack(2, "
+                "'gate_then_dedup', n_input, n_gated, n_gate_first_out, "
+                "'dedup_then_gate', n_input, n_input, n_dedup_first_out"
+                ") AS (plan_order, n_input, rows_into_dedup, n_output)"
+            )
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        d.unpersist()

@@ -17,7 +17,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
-from datapipeline_ops_spark.core.registry import query
+from datapipeline_ops_spark.core.registry import QUERIES, query
 from datapipeline_ops_spark.functions.hashing import sql_hash64
 from datapipeline_ops_spark.operators.dedup import (
     LSH_BANDS,
@@ -1024,3 +1024,101 @@ def dedup_token_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("tokens_saved").cast("double") / F.col("total_tokens").cast("double"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# cc_consistency_audit — clustering is closed over the pairs that built it
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "cc_consistency_audit",
+    oracle=None,  # composed from the registered minhash oracle below
+)
+def cc_consistency_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The near-dup clustering invariant, PROVEN on data: every verified
+    LSH pair must land inside one connected component (label(a) ==
+    label(b) for all edges) — the property that makes 'keep one doc per
+    cluster' a valid dedup policy; a single violation would mean the
+    pointer-jumping CC left a cluster silently split (exactly the failure
+    its max_iters guard exists to prevent). Alongside the zero-violation
+    count: component census stats (nodes, clusters, largest component).
+
+    Scale: re-runs the registered pair pipeline once, CC on the (tiny)
+    pair graph, and one join of the pair list against the label table —
+    all bounded by near-dup volume, not corpus size."""
+    from datapipeline_ops_spark.operators.dedup import connected_components
+
+    pairs = QUERIES["minhash_lsh_pairs"].fn(spark, sf_dir).select("doc_a", "doc_b")
+    pairs = pairs.persist()
+    try:
+        cc = connected_components(pairs, "doc_a", "doc_b").persist()
+        try:
+            la = cc.select(F.col("node").alias("doc_a"), F.col("label").alias("lab_a"))
+            lb = cc.select(F.col("node").alias("doc_b"), F.col("label").alias("lab_b"))
+            viol = (
+                pairs.join(la, "doc_a")
+                .join(lb, "doc_b")
+                .agg(
+                    F.count(F.lit(1)).cast("long").alias("n_pairs"),
+                    F.sum(F.when(F.col("lab_a") != F.col("lab_b"), 1).otherwise(0))
+                    .cast("long")
+                    .alias("n_violations"),
+                )
+            )
+            census = cc.groupBy("label").agg(F.count(F.lit(1)).alias("sz")).agg(
+                F.count(F.lit(1)).cast("long").alias("n_clusters"),
+                F.sum("sz").cast("long").alias("n_nodes"),
+                F.max("sz").cast("long").alias("largest_cluster"),
+            )
+            out = viol.crossJoin(F.broadcast(census)).select(
+                "n_pairs",
+                "n_nodes",
+                "n_clusters",
+                "largest_cluster",
+                "n_violations",
+                (F.col("n_violations") == 0).alias("closed_under_pairs"),
+            )
+            return out.localCheckpoint(eager=True)
+        finally:
+            cc.unpersist()
+    finally:
+        pairs.unpersist()
+
+
+def _cc_consistency_oracle() -> str:
+    pairs_sql = QUERIES["minhash_lsh_pairs"].oracle
+    return f"""
+    WITH RECURSIVE p AS MATERIALIZED (
+        SELECT doc_a, doc_b FROM ({pairs_sql})
+    ),
+    edges AS MATERIALIZED (
+        SELECT doc_a AS s, doc_b AS d FROM p
+        UNION SELECT doc_b, doc_a FROM p
+    ),
+    nodes AS (SELECT DISTINCT s AS k FROM edges),
+    reach AS (
+        SELECT k, k AS label FROM nodes
+        UNION
+        SELECT e.d AS k, r.label FROM reach r JOIN edges e ON e.s = r.k
+    ),
+    cl AS MATERIALIZED (SELECT k, min(label) AS label FROM reach GROUP BY k),
+    viol AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+               CAST(sum(CASE WHEN a.label <> b.label THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_violations
+        FROM p JOIN cl a ON a.k = p.doc_a JOIN cl b ON b.k = p.doc_b
+    ),
+    census AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_clusters,
+               CAST(sum(sz) AS BIGINT) AS n_nodes,
+               CAST(max(sz) AS BIGINT) AS largest_cluster
+        FROM (SELECT label, count(*) AS sz FROM cl GROUP BY label)
+    )
+    SELECT v.n_pairs, c.n_nodes, c.n_clusters, c.largest_cluster,
+           v.n_violations, (v.n_violations = 0) AS closed_under_pairs
+    FROM viol v CROSS JOIN census c
+    """
+
+
+QUERIES["cc_consistency_audit"].oracle = _cc_consistency_oracle()
