@@ -1122,3 +1122,79 @@ def _cc_consistency_oracle() -> str:
 
 
 QUERIES["cc_consistency_audit"].oracle = _cc_consistency_oracle()
+
+
+# ---------------------------------------------------------------------------
+# shuffled_dup_detect — duplicates that exact hashing cannot see
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "shuffled_dup_detect",
+    oracle="""
+    WITH k AS MATERIALIZED (
+        SELECT source, md5(text) AS h_exact,
+               md5(array_to_string(list_sort(
+                   regexp_split_to_array(trim(text), '\\s+')), ' ')) AS h_bag
+        FROM documents
+    ),
+    eg AS MATERIALIZED (
+        SELECT h_exact, count(*) AS n FROM k GROUP BY h_exact
+    ),
+    bg AS MATERIALIZED (
+        SELECT h_bag, count(*) AS n FROM k GROUP BY h_bag
+    )
+    SELECT k.source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN eg.n > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_exact_dup_docs,
+           CAST(sum(CASE WHEN bg.n > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_bag_dup_docs,
+           CAST(sum(CASE WHEN bg.n > 1 AND eg.n = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_permuted_only
+    FROM k JOIN eg ON eg.h_exact = k.h_exact JOIN bg ON bg.h_bag = k.h_bag
+    GROUP BY k.source
+    """,
+)
+def shuffled_dup_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Permuted-duplicate detector: documents whose SORTED token multiset
+    collides (bag-of-words fingerprint) but whose raw text does not — the
+    template/spam pattern exact dedup is blind to (same words, reshuffled
+    order) and shingle-based near-dup only catches probabilistically.
+    Reported per source: exact-dup docs, bag-dup docs, and the PERMUTED-
+    ONLY gap between them — when that gap is large, the corpus needs the
+    bag fingerprint as a second dedup key, not just md5(text).
+
+    Scale: both fingerprints are one projection (the sort is per-document
+    over its own tokens, O(len log len) map-side — never a shuffle); each
+    group table aggregates a 16-byte key; the attribution joins key on
+    those hashes. Integer counts throughout."""
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    k = load_table(spark, sf_dir, "documents").select(
+        "source",
+        F.md5("text").alias("h_exact"),
+        F.md5(F.concat_ws(" ", F.sort_array(toks))).alias("h_bag"),
+    ).persist()
+    try:
+        eg = k.groupBy("h_exact").agg(F.count(F.lit(1)).alias("ne"))
+        bg = k.groupBy("h_bag").agg(F.count(F.lit(1)).alias("nb"))
+        out = (
+            k.join(eg, "h_exact")
+            .join(bg, "h_bag")
+            .groupBy("source")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_docs"),
+                F.sum(F.when(F.col("ne") > 1, 1).otherwise(0))
+                .cast("long")
+                .alias("n_exact_dup_docs"),
+                F.sum(F.when(F.col("nb") > 1, 1).otherwise(0))
+                .cast("long")
+                .alias("n_bag_dup_docs"),
+                F.sum(F.when((F.col("nb") > 1) & (F.col("ne") == 1), 1).otherwise(0))
+                .cast("long")
+                .alias("n_permuted_only"),
+            )
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        k.unpersist()

@@ -29,6 +29,8 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
 from datapipeline_ops_spark.core.registry import QUERIES, query
+from datapipeline_ops_spark.functions.hashing import hash64, sql_hash64
+from datapipeline_ops_spark.tables import load_table
 
 BM25_K1 = 1.2
 BM25_B = 0.75
@@ -528,3 +530,165 @@ def _ann_ndcg_oracle() -> str:
 
 
 QUERIES["ann_ndcg_eval"].oracle = _ann_ndcg_oracle()
+
+
+# ---------------------------------------------------------------------------
+# bradley_terry_strengths — preference-data fitting (2 MM iterations)
+# ---------------------------------------------------------------------------
+
+_BT_MATCHES = 5
+_BT_SEED = 23
+_BT_LAT_MOD = 400
+
+
+@query(
+    "bradley_terry_strengths",
+    oracle=f"""
+    WITH arms AS MATERIALIZED (
+        SELECT source, {sql_hash64("source")} % {_BT_LAT_MOD} AS lat
+        FROM documents GROUP BY source
+    ),
+    pairs AS MATERIALIZED (
+        SELECT a.source AS si, b.source AS sj, a.lat AS li, b.lat AS lj,
+               greatest(50, least(950, 500 + (a.lat - b.lat) // 2)) AS thr
+        FROM arms a JOIN arms b ON a.source < b.source
+    ),
+    matches AS MATERIALIZED (
+        SELECT si, sj,
+               CASE WHEN {sql_hash64("si || '|' || sj || '|' || CAST(g.m AS VARCHAR)", _BT_SEED)}
+                         % 1000 < thr THEN 1 ELSE 0 END AS i_wins
+        FROM pairs, LATERAL unnest(generate_series(0, {_BT_MATCHES - 1})) AS g(m)
+    ),
+    w AS MATERIALIZED (
+        SELECT source, CAST(sum(win) AS BIGINT) AS wins,
+               CAST(count(*) AS BIGINT) AS n_matches
+        FROM (
+            SELECT si AS source, i_wins AS win FROM matches
+            UNION ALL SELECT sj, 1 - i_wins FROM matches
+        ) GROUP BY source
+    ),
+    opp AS MATERIALIZED (
+        SELECT i.source AS si, i.wins AS wi, i.n_matches AS ni,
+               array_agg({{'sj': j.source, 'wj': j.wins, 'nj': j.n_matches}}
+                         ORDER BY j.source) AS js
+        FROM w i JOIN w j ON j.source <> i.source
+        GROUP BY i.source, i.wins, i.n_matches
+    ),
+    fit AS (
+        SELECT si AS source, wi AS wins, ni AS n_matches,
+               CAST(wi AS DOUBLE)
+                   / list_sum(list_transform(js, x ->
+                       {_BT_MATCHES}.0 / (2.0 * wi / ni + 2.0 * x.wj / x.nj)))
+                   AS strength
+        FROM opp
+    )
+    SELECT f.source, a.lat AS latent, f.wins, f.n_matches, f.strength,
+           CAST(row_number() OVER (ORDER BY f.strength DESC, f.source) AS INT)
+               AS rank
+    FROM fit f JOIN arms a ON a.source = f.source
+    """,
+)
+def bradley_terry_strengths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bradley–Terry strength fitting from pairwise preferences — the model
+    under RLHF reward-data aggregation, chatbot-arena rankings, and any
+    'which output do you prefer' pipeline. Arms are the corpus sources; a
+    deterministic match grid ({_BT_MATCHES} per pair, md5-stub outcomes
+    biased by a latent per-arm strength — the seam where real human
+    preference labels land) feeds two unrolled MM iterations
+    (s_i <- W_i / Σ_j n_ij/(s_i+s_j); Hunter 2004). With s⁰ = 1 the first
+    iteration is exactly 2·W_i/N_i, so the second — the emitted fit — is
+    a ratio whose denominator is an ORDERED left-to-right fold over
+    opponents (array_agg ORDER BY / sort_array + aggregate, the sql_dot
+    discipline), making the float bit-identical cross-engine; the rank
+    therefore ties out exactly.
+
+    Scale: |arms|² match grid (bounded by the arm vocabulary, not the
+    corpus), one win rollup, and an |arms|-row fold — preference fitting
+    is cheap; the expensive part at 100 TB is the upstream label join,
+    which is the same distinct-first collapse every eval here uses."""
+    arms = (
+        load_table(spark, sf_dir, "documents")
+        .select("source")
+        .distinct()
+        .select("source", (hash64(F.col("source")) % _BT_LAT_MOD).alias("lat"))
+    )
+    a = arms.select(F.col("source").alias("si"), F.col("lat").alias("li"))
+    b = arms.select(F.col("source").alias("sj"), F.col("lat").alias("lj"))
+    pairs = a.join(b, F.col("si") < F.col("sj")).select(
+        "si",
+        "sj",
+        F.greatest(
+            F.lit(50),
+            F.least(
+                F.lit(950),
+                F.lit(500) + F.floor((F.col("li") - F.col("lj")) / 2).cast("long"),
+            ),
+        ).alias("thr"),
+    )
+    matches = pairs.select(
+        "si",
+        "sj",
+        "thr",
+        F.explode(F.sequence(F.lit(0), F.lit(_BT_MATCHES - 1))).alias("m"),
+    ).select(
+        "si",
+        "sj",
+        F.when(
+            hash64(
+                F.concat_ws("|", "si", "sj", F.col("m").cast("string")), _BT_SEED
+            )
+            % 1000
+            < F.col("thr"),
+            1,
+        )
+        .otherwise(0)
+        .alias("i_wins"),
+    )
+    w = (
+        matches.select(F.col("si").alias("source"), F.col("i_wins").alias("win"))
+        .unionAll(
+            matches.select(F.col("sj").alias("source"), (1 - F.col("i_wins")).alias("win"))
+        )
+        .groupBy("source")
+        .agg(
+            F.sum("win").cast("long").alias("wins"),
+            F.count(F.lit(1)).cast("long").alias("n_matches"),
+        )
+    )
+    wi = w.select(
+        F.col("source").alias("si"), F.col("wins").alias("wi"), F.col("n_matches").alias("ni")
+    )
+    wj = w.select(
+        F.col("source").alias("sj"), F.col("wins").alias("wj"), F.col("n_matches").alias("nj")
+    )
+    opp = (
+        wi.join(wj, F.col("sj") != F.col("si"))
+        .groupBy("si", "wi", "ni")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("sj"), F.col("wj"), F.col("nj")))
+            ).alias("js")
+        )
+    )
+    den = F.aggregate(
+        F.col("js"),
+        F.lit(0.0),
+        lambda acc, x: acc
+        + F.lit(float(_BT_MATCHES))
+        / (
+            F.lit(2.0) * F.col("wi") / F.col("ni")
+            + F.lit(2.0) * x["wj"] / x["nj"]
+        ),
+    )
+    fit = opp.select(
+        F.col("si").alias("source"),
+        F.col("wi").alias("wins"),
+        F.col("ni").alias("n_matches"),
+        (F.col("wi").cast("double") / den).alias("strength"),
+    )
+    rk = Window.orderBy(F.desc("strength"), F.asc("source"))
+    return (
+        fit.join(arms.select("source", F.col("lat").alias("latent")), "source")
+        .withColumn("rank", F.row_number().over(rk).cast("int"))
+        .select("source", "latent", "wins", "n_matches", "strength", "rank")
+    )
