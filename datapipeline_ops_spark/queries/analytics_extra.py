@@ -1467,3 +1467,65 @@ def simpsons_paradox_check(spark: SparkSession, sf_dir: str) -> DataFrame:
             flip.alias("sign_flip"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# session_gap_sensitivity
+# ---------------------------------------------------------------------------
+
+_SGS_GAPS_MIN = (15, 30, 60)
+
+
+@query(
+    "session_gap_sensitivity",
+    oracle=f"""
+    WITH gaps AS MATERIALIZED (
+        SELECT user_id,
+               epoch_us(ts) - lag(epoch_us(ts))
+                   OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+                   AS gap_us
+        FROM events
+    )
+    SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(count(DISTINCT user_id)
+                + sum(CASE WHEN gap_us > {_SGS_GAPS_MIN[0] * 60_000_000} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_sessions_15m,
+           CAST(count(DISTINCT user_id)
+                + sum(CASE WHEN gap_us > {_SGS_GAPS_MIN[1] * 60_000_000} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_sessions_30m,
+           CAST(count(DISTINCT user_id)
+                + sum(CASE WHEN gap_us > {_SGS_GAPS_MIN[2] * 60_000_000} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_sessions_60m
+    FROM gaps
+    """,
+)
+def session_gap_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization parameter sensitivity: total session counts under 15 /
+    30 / 60-minute inactivity gaps, from ONE lag pass (a session starts at
+    each user's first event plus at every gap exceeding the threshold, so
+    all three thresholds are conditional sums over the same gap column) —
+    the analysis that justifies (or indicts) the 30-minute default before
+    every downstream metric inherits it. A metric that moves 2x between 15
+    and 60 minutes is a parameter artifact, not a product change.
+
+    Scale: one shuffle on user_id for the lag window; the three counters
+    ride the same pass (no re-scan per threshold). Integer microsecond
+    arithmetic throughout — the repo's epoch convention."""
+    w = Window.partitionBy("user_id").orderBy(F.unix_micros("ts"), F.asc("event_id"))
+    gaps = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        (F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)).alias("gap_us"),
+    )
+    aggs = [F.count_distinct("user_id").cast("long").alias("n_users")]
+    for g in _SGS_GAPS_MIN:
+        aggs.append(
+            (
+                F.count_distinct("user_id")
+                + F.sum(
+                    F.when(F.col("gap_us") > g * 60_000_000, 1).otherwise(0)
+                )
+            )
+            .cast("long")
+            .alias(f"n_sessions_{g}m")
+        )
+    return gaps.agg(*aggs)

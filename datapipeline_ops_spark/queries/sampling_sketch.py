@@ -1368,3 +1368,83 @@ def hll_mergeability_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_mismatch",
         (F.col("n_mismatch") == 0).alias("merge_exact"),
     )
+
+
+# ---------------------------------------------------------------------------
+# neyman_allocation_plan
+# ---------------------------------------------------------------------------
+
+_NEY_BUDGET = 1000
+
+
+@query(
+    "neyman_allocation_plan",
+    oracle=f"""
+    WITH cents AS MATERIALIZED (
+        SELECT event_type, CAST(round(value * 100) AS BIGINT) AS c
+        FROM events
+    ),
+    strata AS MATERIALIZED (
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(c) AS BIGINT) AS s1,
+               CAST(sum(c * c) AS BIGINT) AS s2
+        FROM cents GROUP BY event_type
+    ),
+    scored AS MATERIALIZED (
+        SELECT event_type, n,
+               CAST(n AS DOUBLE)
+                   * sqrt((CAST(n AS DOUBLE) * CAST(s2 AS DOUBLE)
+                           - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+                          / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE))) AS nh_sh
+        FROM strata
+    )
+    SELECT event_type, n AS stratum_size, nh_sh,
+           CAST(round({_NEY_BUDGET} * nh_sh / sum(nh_sh) OVER ()) AS BIGINT)
+               AS n_alloc
+    FROM scored
+    """,
+)
+def neyman_allocation_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neyman-optimal stratified sampling allocation: a fixed sample budget
+    of {_NEY_BUDGET} rows split across strata proportional to N_h·S_h
+    (stratum size x stratum std dev) — the allocation that minimizes the
+    estimator variance for a fixed budget, i.e. the statistically-correct
+    replacement for 'sample 1% of everything' when strata differ in
+    spread. Feeds weighted_sample_per_source with its per-stratum counts.
+
+    Exactness: values are quantized to integer cents, so N·S_h reduces to
+    sqrt((n·Σx² - (Σx)²)/n²) over exact integer sums — one fixed float op
+    chain per stratum; the allocation divides by the window total of
+    |strata| such values (sum over 5 strata of bit-identical doubles in
+    group order — DuckDB and Spark both sum the tiny frame in one
+    partition after the aggregate, and the hasher normalizes the rounded
+    integer allocation anyway).
+
+    Scale: one partial-agg moment pass (count/sum/sum-of-squares are the
+    mergeable sufficient statistics), then O(|strata|) arithmetic."""
+    cents = load_table(spark, sf_dir, "events").select(
+        "event_type", F.round(F.col("value") * 100).cast("long").alias("c")
+    )
+    strata = cents.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("c").cast("long").alias("s1"),
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("s2"),
+    )
+    nh_sh = F.col("n").cast("double") * F.sqrt(
+        (
+            F.col("n").cast("double") * F.col("s2").cast("double")
+            - F.col("s1").cast("double") * F.col("s1").cast("double")
+        )
+        / (F.col("n").cast("double") * F.col("n").cast("double"))
+    )
+    scored = strata.select("event_type", "n", nh_sh.alias("nh_sh"))
+    w = Window.partitionBy()
+    return scored.select(
+        "event_type",
+        F.col("n").alias("stratum_size"),
+        "nh_sh",
+        F.round(F.lit(_NEY_BUDGET) * F.col("nh_sh") / F.sum("nh_sh").over(w))
+        .cast("long")
+        .alias("n_alloc"),
+    )
