@@ -447,9 +447,29 @@ def kcore_2_peeling(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = copurchase_edges(li).persist()
     frames = [edges]
     stats_rows = []
+
+    def _stats(f):
+        # ONE action per round: exploding both endpoints makes edge and
+        # node counts the same aggregate (rows/2 edges, distinct nodes)
+        row = (
+            f.select(F.explode(F.array("pa", "pb")).alias("node"))
+            .agg(
+                (F.count(F.lit(1)) / 2).cast("long").alias("n_edges"),
+                F.count_distinct("node").cast("long").alias("n_nodes"),
+            )
+            .collect()[0]
+        )
+        return row["n_edges"], row["n_nodes"]
+
     try:
         cur = edges
-        for _ in range(_KCORE_ROUNDS):
+        stats_rows.append((0, *_stats(edges)))
+        for r in range(1, _KCORE_ROUNDS + 1):
+            if len(stats_rows) >= 2 and stats_rows[-1][1] == stats_rows[-2][1]:
+                # fixpoint reached: peeling is the identity from here, so the
+                # remaining rounds replicate the last stats with zero jobs
+                stats_rows.append((r, stats_rows[-1][1], stats_rows[-1][2]))
+                continue
             deg = (
                 cur.select(F.col("pa").alias("node"))
                 .unionAll(cur.select(F.col("pb").alias("node")))
@@ -466,15 +486,7 @@ def kcore_2_peeling(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             frames.append(nxt)
             cur = nxt
-        for r, f in enumerate(frames):
-            n_edges = f.count()
-            n_nodes = (
-                f.select(F.col("pa").alias("node"))
-                .unionAll(f.select(F.col("pb").alias("node")))
-                .distinct()
-                .count()
-            )
-            stats_rows.append((r, n_edges, n_nodes))
+            stats_rows.append((r, *_stats(nxt)))
         converged = stats_rows[-1][1] == stats_rows[-2][1]
         out = spark.createDataFrame(
             [(r, e, n, converged) for r, e, n in stats_rows],

@@ -114,6 +114,15 @@ DEFAULT_QUERIES = [
     "context_window_fit_report",   # single-agg token-fit counters
     "simpsons_paradox_check",      # dim join + segment rollup
     "source_vocab_jaccard_matrix", # distinct-first source-level index
+    "blocklist_filter_report",     # filter-inside-explode lexicon gate
+    "qi_uniqueness_report",        # bounded QI rollups
+    "cc_consistency_audit",        # pair pipeline + CC closure join
+    "funnel_order_cost_report",    # one cached scan, both orderings
+    "kcore_2_peeling",             # iterative degree-filter rounds
+    "shuffled_dup_detect",         # per-doc token sort fingerprints
+    "bradley_terry_strengths",     # arms-bounded match grid + ordered fold
+    "neyman_allocation_plan",      # moment pass + O(strata) arithmetic
+    "session_gap_sensitivity",     # one lag window, three thresholds
 ]
 
 
