@@ -614,7 +614,7 @@ def bradley_terry_strengths(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     a = arms.select(F.col("source").alias("si"), F.col("lat").alias("li"))
     b = arms.select(F.col("source").alias("sj"), F.col("lat").alias("lj"))
-    pairs = a.join(b, F.col("si") < F.col("sj")).select(
+    pairs = a.join(F.broadcast(b), F.col("si") < F.col("sj")).select(
         "si",
         "sj",
         F.greatest(
@@ -662,7 +662,7 @@ def bradley_terry_strengths(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("source").alias("sj"), F.col("wins").alias("wj"), F.col("n_matches").alias("nj")
     )
     opp = (
-        wi.join(wj, F.col("sj") != F.col("si"))
+        wi.join(F.broadcast(wj), F.col("sj") != F.col("si"))
         .groupBy("si", "wi", "ni")
         .agg(
             F.array_sort(

@@ -1386,6 +1386,20 @@ def _(qs, spark):
     assert "Join" not in plan
 
 
+@check("bradley_terry / neyman / session_gap: arm-bounded grid, moment pass, one window")
+def _(qs, spark):
+    plan = plan_of(qs["bradley_terry_strengths"](spark, SF_DIR))
+    assert read_schema_cols(plan, "documents") == {"source"}
+    assert "CartesianProduct" not in plan
+    plan = plan_of(qs["neyman_allocation_plan"](spark, SF_DIR))
+    assert read_schema_cols(plan, "events") == {"event_type", "value"}
+    assert "Join" not in plan and "partial" in plan.lower()
+    plan = plan_of(qs["session_gap_sensitivity"](spark, SF_DIR))
+    specs = re.findall(r"windowspecdefinition\((\w+)", plan)
+    assert specs and all(s == "user_id" for s in specs), f"windows: {set(specs)}"
+    assert read_schema_cols(plan, "events") == {"user_id", "ts", "event_id"}
+
+
 @check("ams_f2_sketch: distinct-first, pruned events scan, no cartesian")
 def _(qs, spark):
     plan = plan_of(qs["ams_f2_sketch"](spark, SF_DIR))
