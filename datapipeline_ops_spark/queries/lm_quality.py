@@ -721,3 +721,75 @@ def pass_at_k_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         (c.cast("double") / n.cast("double")).alias("pass_at_1"),
         (F.lit(1) - prod).alias("pass_at_5"),
     )
+
+
+# ---------------------------------------------------------------------------
+# good_turing_smoothing
+# ---------------------------------------------------------------------------
+
+_GT_MAX_R = 10
+
+
+@query(
+    "good_turing_smoothing",
+    oracle=f"""
+    WITH toks AS MATERIALIZED (
+        SELECT t.tok FROM documents,
+             LATERAL unnest(regexp_split_to_array(text, '\\s+')) AS t(tok)
+        WHERE t.tok <> ''
+    ),
+    freq AS MATERIALIZED (
+        SELECT tok, CAST(count(*) AS BIGINT) AS r FROM toks GROUP BY tok
+    ),
+    coc AS MATERIALIZED (
+        SELECT r, CAST(count(*) AS BIGINT) AS n_r FROM freq
+        WHERE r <= {_GT_MAX_R + 1} GROUP BY r
+    )
+    SELECT a.r, a.n_r,
+           CASE WHEN b.n_r IS NOT NULL
+                THEN CAST((a.r + 1) * b.n_r AS DOUBLE) / CAST(a.n_r AS DOUBLE)
+           END AS r_star
+    FROM coc a LEFT JOIN coc b ON b.r = a.r + 1
+    WHERE a.r <= {_GT_MAX_R}
+    """,
+)
+def good_turing_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Good–Turing frequency smoothing over the unigram counts: the
+    count-of-counts table N_r and the adjusted count r* = (r+1)·N_{r+1}/N_r
+    for r <= {_GT_MAX_R} — the classical discounting that reassigns mass
+    to unseen events (the backbone of Katz backoff, and the estimator
+    behind 'how much probability should the LM reserve for words it has
+    never seen': N_1/N). Rows where N_{r+1} = 0 emit NULL r* (the regime
+    where Good–Turing hands off to regression smoothing), identically in
+    both engines.
+
+    Scale: token counts partial-aggregate; count-of-counts aggregates the
+    FREQUENCY TABLE (vocabulary-sized, not corpus-sized) with the r-cap
+    pushed into that aggregation; the adjustment is a self-join on the
+    {_GT_MAX_R + 1}-row count-of-counts table. r* is one fixed-order
+    integer ratio — exact cross-engine."""
+    toks = (
+        load_table(spark, sf_dir, "documents")
+        .select(F.explode(F.split(F.col("text"), r"\s+")).alias("tok"))
+        .filter(F.col("tok") != "")
+    )
+    freq = toks.groupBy("tok").agg(F.count(F.lit(1)).cast("long").alias("r"))
+    coc = (
+        freq.filter(F.col("r") <= _GT_MAX_R + 1)
+        .groupBy("r")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_r"))
+    )
+    nxt = coc.select((F.col("r") - 1).alias("r"), F.col("n_r").alias("n_r1"))
+    return (
+        coc.filter(F.col("r") <= _GT_MAX_R)
+        .join(nxt, "r", "left")
+        .select(
+            "r",
+            "n_r",
+            F.when(
+                F.col("n_r1").isNotNull(),
+                ((F.col("r") + 1) * F.col("n_r1")).cast("double")
+                / F.col("n_r").cast("double"),
+            ).alias("r_star"),
+        )
+    )
