@@ -30,6 +30,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 
 from datapipeline_ops_spark.core.registry import QUERIES, query
 from datapipeline_ops_spark.functions.hashing import hash64, sql_hash64
+from datapipeline_ops_spark.functions.vectors import as_double
 from datapipeline_ops_spark.tables import load_table
 
 BM25_K1 = 1.2
@@ -692,3 +693,104 @@ def bradley_terry_strengths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rank", F.row_number().over(rk).cast("int"))
         .select("source", "latent", "wins", "n_matches", "strength", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# colbert_maxsim_topk — late-interaction (multi-vector) retrieval
+# ---------------------------------------------------------------------------
+
+_CB_SUB = 4          # token vectors per item (64-dim sliced into 4 x 16)
+_CB_SUBDIM = 16
+_CB_QUERY_MOD = 50
+_CB_TOP = 5
+
+
+def _cb_slices(col: str) -> list[str]:
+    return [
+        f"list_transform({col}[{i * _CB_SUBDIM + 1}:{(i + 1) * _CB_SUBDIM}], x -> CAST(x AS DOUBLE))"
+        for i in range(_CB_SUB)
+    ]
+
+
+@query(
+    "colbert_maxsim_topk",
+    oracle=None,  # assembled below (needs the cosine helper per slice pair)
+)
+def colbert_maxsim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late-interaction (ColBERT-style) retrieval: each item is a BAG of
+    {_CB_SUB} token vectors (the 64-dim embedding sliced into {_CB_SUB} x
+    {_CB_SUBDIM} — the seam where real per-token embeddings land), and
+    relevance is MaxSim: sum over query tokens of the best-matching item
+    token cosine. This is the retrieval family between single-vector ANN
+    (loses token-level matching) and cross-encoders (can't pre-index) —
+    worth having as its own operator because its plan shape differs: the
+    scan evaluates {_CB_SUB}x{_CB_SUB} small cosines per pair instead of
+    one big one.
+
+    Exactness: every sub-cosine is the ordered-fold dot (bit-identical
+    cross-engine); per query token the best item token is greatest() of
+    {_CB_SUB} such values; MaxSim is their literal-order sum — no
+    engine-ordered accumulation anywhere; ties in the final ranking break
+    on vec_id.
+
+    Scale: the query batch broadcasts once (one corpus pass); at index
+    scale the same MaxSim runs over an ANN-pruned candidate set (compose
+    with ann_ivf_topk) — the standard ColBERT serving topology."""
+    v = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double(F.col("embedding")).alias("vec")
+    )
+    def slices(col, prefix):
+        return [
+            F.slice(F.col(col), i * _CB_SUBDIM + 1, _CB_SUBDIM).alias(f"{prefix}{i}")
+            for i in range(_CB_SUB)
+        ]
+
+    items = v.select("vec_id", *slices("vec", "d"))
+    q = v.filter(F.col("vec_id") % _CB_QUERY_MOD == 0).select(
+        F.col("vec_id").alias("query_id"), *slices("vec", "q")
+    )
+    joined = items.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+    from datapipeline_ops_spark.functions.vectors import cosine
+
+    maxsim = None
+    for i in range(_CB_SUB):
+        best = F.greatest(
+            *[cosine(F.col(f"q{i}"), F.col(f"d{j}")) for j in range(_CB_SUB)]
+        )
+        maxsim = best if maxsim is None else maxsim + best
+    w = Window.partitionBy("query_id").orderBy(F.desc("maxsim"), F.asc("vec_id"))
+    return (
+        joined.withColumn("maxsim", maxsim)
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= _CB_TOP)
+        .select("query_id", "vec_id", F.round("maxsim", 6).alias("maxsim"), "rank")
+    )
+
+
+def _colbert_oracle() -> str:
+    from datapipeline_ops_spark.functions.vectors import sql_cosine
+
+    qs = _cb_slices("q.embedding")
+    ds = _cb_slices("c.embedding")
+    best_terms = []
+    for i in range(_CB_SUB):
+        cos_ij = [sql_cosine(qs[i], ds[j]) for j in range(_CB_SUB)]
+        best_terms.append("greatest(" + ", ".join(cos_ij) + ")")
+    maxsim = " + ".join(best_terms)
+    return f"""
+    WITH scored AS MATERIALIZED (
+        SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+               {maxsim} AS maxsim
+        FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+        WHERE q.vec_id % {_CB_QUERY_MOD} = 0
+    )
+    SELECT query_id, vec_id, round(maxsim, 6) AS maxsim, CAST(rn AS INT) AS rank
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY maxsim DESC, vec_id
+        ) AS rn FROM scored
+    ) WHERE rn <= {_CB_TOP}
+    """
+
+
+QUERIES["colbert_maxsim_topk"].oracle = _colbert_oracle()
