@@ -1400,6 +1400,17 @@ def _(qs, spark):
     assert read_schema_cols(plan, "events") == {"user_id", "ts", "event_id"}
 
 
+@check("good_turing / colbert: vocab-sized tail, single broadcast MaxSim scan")
+def _(qs, spark):
+    plan = plan_of(qs["good_turing_smoothing"](spark, SF_DIR))
+    assert read_schema_cols(plan, "documents") == {"text"}
+    assert "partial" in plan.lower()
+    plan = plan_of(qs["colbert_maxsim_topk"](spark, SF_DIR))
+    n_nlj = len(re.findall(r"^\(\d+\) BroadcastNestedLoopJoin", plan, re.M))
+    assert n_nlj == 1, f"MaxSim must be ONE broadcast corpus pass: {n_nlj}"
+    assert "CartesianProduct" not in plan
+
+
 @check("ams_f2_sketch: distinct-first, pruned events scan, no cartesian")
 def _(qs, spark):
     plan = plan_of(qs["ams_f2_sketch"](spark, SF_DIR))
