@@ -123,6 +123,8 @@ DEFAULT_QUERIES = [
     "bradley_terry_strengths",     # arms-bounded match grid + ordered fold
     "neyman_allocation_plan",      # moment pass + O(strata) arithmetic
     "session_gap_sensitivity",     # one lag window, three thresholds
+    "good_turing_smoothing",       # count-of-counts over the freq table
+    "colbert_maxsim_topk",         # multi-vector MaxSim broadcast scan
 ]
 
 
