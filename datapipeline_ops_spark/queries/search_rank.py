@@ -745,17 +745,34 @@ def colbert_maxsim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             for i in range(_CB_SUB)
         ]
 
-    items = v.select("vec_id", *slices("vec", "d"))
-    q = v.filter(F.col("vec_id") % _CB_QUERY_MOD == 0).select(
-        F.col("vec_id").alias("query_id"), *slices("vec", "q")
+    from datapipeline_ops_spark.functions.vectors import dot, norm
+
+    # per-slice norms are computed ONCE per side in the scan projection
+    # (the _vectors discipline): each candidate pair then costs 16 dots and
+    # 16 divisions instead of re-walking 32 norm folds per pair — values
+    # are bit-identical (same IEEE ops in the same order), oracle unchanged
+    def with_norms(df, prefix):
+        return df.select(
+            "*", *[norm(F.col(f"{prefix}{i}")).alias(f"{prefix}n{i}") for i in range(_CB_SUB)]
+        )
+
+    items = with_norms(v.select("vec_id", *slices("vec", "d")), "d")
+    q = with_norms(
+        v.filter(F.col("vec_id") % _CB_QUERY_MOD == 0).select(
+            F.col("vec_id").alias("query_id"), *slices("vec", "q")
+        ),
+        "q",
     )
     joined = items.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
-    from datapipeline_ops_spark.functions.vectors import cosine
 
     maxsim = None
     for i in range(_CB_SUB):
         best = F.greatest(
-            *[cosine(F.col(f"q{i}"), F.col(f"d{j}")) for j in range(_CB_SUB)]
+            *[
+                dot(F.col(f"q{i}"), F.col(f"d{j}"))
+                / (F.col(f"qn{i}") * F.col(f"dn{j}"))
+                for j in range(_CB_SUB)
+            ]
         )
         maxsim = best if maxsim is None else maxsim + best
     w = Window.partitionBy("query_id").orderBy(F.desc("maxsim"), F.asc("vec_id"))
