@@ -1015,3 +1015,173 @@ def decimal_exact_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("total_price"),
         F.count(F.lit(1)).alias("n_orders"),
     )
+
+
+# ---------------------------------------------------------------------------
+# supplier_return_wilson — rank by proportion the statistically sound way
+# ---------------------------------------------------------------------------
+
+_WIL_Z = 1.959963984540054  # 95% two-sided
+_WIL_TOP = 25
+_WIL_MIN_N = 20
+
+
+@query(
+    "supplier_return_wilson",
+    oracle=f"""
+    WITH s AS MATERIALIZED (
+        SELECT l_suppkey,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_returned
+        FROM lineitem GROUP BY l_suppkey
+        HAVING count(*) >= {_WIL_MIN_N}
+    ),
+    sc AS (
+        SELECT l_suppkey, n, n_returned,
+               CAST(n_returned AS DOUBLE) / CAST(n AS DOUBLE) AS p_hat,
+               (CAST(n_returned AS DOUBLE) / CAST(n AS DOUBLE)
+                + {_WIL_Z} * {_WIL_Z} / (2.0 * CAST(n AS DOUBLE))
+                - {_WIL_Z} * sqrt(
+                    (CAST(n_returned AS DOUBLE) / CAST(n AS DOUBLE)
+                     * (1.0 - CAST(n_returned AS DOUBLE) / CAST(n AS DOUBLE))
+                     + {_WIL_Z} * {_WIL_Z} / (4.0 * CAST(n AS DOUBLE)))
+                    / CAST(n AS DOUBLE)))
+               / (1.0 + {_WIL_Z} * {_WIL_Z} / CAST(n AS DOUBLE)) AS wilson_lcb
+        FROM s
+    )
+    SELECT l_suppkey, n, n_returned, p_hat, wilson_lcb
+    FROM sc ORDER BY wilson_lcb DESC, l_suppkey LIMIT {_WIL_TOP}
+    """,
+)
+def supplier_return_wilson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suppliers ranked by the WILSON LOWER CONFIDENCE BOUND of their
+    return rate (not the raw rate): a supplier with 3/3 returns must not
+    outrank one with 80/100 — the small-n shrinkage every proportion
+    leaderboard needs (the same estimator behind comment-ranking and
+    defect-rate triage). Raw p̂ rides along so the shrinkage is visible.
+
+    Exactness: counts are integers; the Wilson bound is one fixed-order
+    float expression per supplier with the z constant embedded as the same
+    literal in both engines; ranking ties break on the key.
+
+    Scale: one partial-agg pass over lineitem grouped by supplier, a
+    projection, and a TakeOrdered top-{_WIL_TOP} — leaderboards never sort
+    globally."""
+    s = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_suppkey")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.when(F.col("l_returnflag") == "R", 1).otherwise(0))
+            .cast("long")
+            .alias("n_returned"),
+        )
+        .filter(F.col("n") >= _WIL_MIN_N)
+    )
+    nn = F.col("n").cast("double")
+    p = F.col("n_returned").cast("double") / nn
+    z2 = _WIL_Z * _WIL_Z
+    lcb = (
+        p
+        + F.lit(z2) / (F.lit(2.0) * nn)
+        - F.lit(_WIL_Z)
+        * F.sqrt((p * (F.lit(1.0) - p) + F.lit(z2) / (F.lit(4.0) * nn)) / nn)
+    ) / (F.lit(1.0) + F.lit(z2) / nn)
+    return (
+        s.select("l_suppkey", "n", "n_returned", p.alias("p_hat"), lcb.alias("wilson_lcb"))
+        .orderBy(F.desc("wilson_lcb"), F.asc("l_suppkey"))
+        .limit(_WIL_TOP)
+    )
+
+
+# ---------------------------------------------------------------------------
+# discount_quantity_elasticity — does discounting move volume?
+# ---------------------------------------------------------------------------
+
+_ELA_MIN_N = 50
+
+
+@query(
+    "discount_quantity_elasticity",
+    oracle=f"""
+    WITH j AS MATERIALIZED (
+        SELECT p.p_brand,
+               CAST(round(l.l_discount * 100) AS BIGINT) AS disc_pct,
+               CAST(round(l.l_quantity) AS BIGINT) AS qty
+        FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    ),
+    m AS (
+        SELECT p_brand,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(disc_pct) AS BIGINT) AS sx,
+               CAST(sum(qty) AS BIGINT) AS sy,
+               CAST(sum(disc_pct * qty) AS BIGINT) AS sxy,
+               CAST(sum(disc_pct * disc_pct) AS BIGINT) AS sxx,
+               CAST(sum(qty * qty) AS BIGINT) AS syy
+        FROM j GROUP BY p_brand
+        HAVING count(*) >= {_ELA_MIN_N}
+    )
+    SELECT p_brand, n,
+           CASE WHEN n * sxx - sx * sx > 0 THEN
+               CAST(n * sxy - sx * sy AS DOUBLE)
+                   / CAST(n * sxx - sx * sx AS DOUBLE)
+           END AS slope_qty_per_pct,
+           CASE WHEN (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0 THEN
+               CAST(n * sxy - sx * sy AS DOUBLE)
+                   / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                          * CAST(n * syy - sy * sy AS DOUBLE))
+           END AS pearson_r
+    FROM m
+    """,
+)
+def discount_quantity_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-brand discount→quantity response: the OLS slope (extra units per
+    discount point) and Pearson correlation between discount and quantity
+    — the 'is the discount budget buying anything' readout, computed per
+    brand so one aggressive brand can't masquerade as corpus-wide
+    elasticity (the Simpson's screen's sibling).
+
+    Exactness: discounts quantize to integer PERCENT and quantities to
+    integer units, so all five regression moments are exact integer sums
+    and both statistics are fixed-order ratios; degenerate brands
+    (constant discount or constant quantity) emit NULL identically.
+
+    Scale: one fact-dim equi-join (part broadcast-eligible) and one
+    partial-agg moment pass — the sufficient-statistics pattern; nothing
+    after the rollup exceeds |brands| rows."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        F.round(F.col("l_discount") * 100).cast("long").alias("disc_pct"),
+        F.round(F.col("l_quantity")).cast("long").alias("qty"),
+    )
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    j = li.join(p, li["l_partkey"] == p["p_partkey"]).select(
+        "p_brand", "disc_pct", "qty"
+    )
+    m = (
+        j.groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("disc_pct").cast("long").alias("sx"),
+            F.sum("qty").cast("long").alias("sy"),
+            F.sum(F.col("disc_pct") * F.col("qty")).cast("long").alias("sxy"),
+            F.sum(F.col("disc_pct") * F.col("disc_pct")).cast("long").alias("sxx"),
+            F.sum(F.col("qty") * F.col("qty")).cast("long").alias("syy"),
+        )
+        .filter(F.col("n") >= _ELA_MIN_N)
+    )
+    den_x = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    den_y = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    return m.select(
+        "p_brand",
+        "n",
+        F.when(den_x > 0, num.cast("double") / den_x.cast("double")).alias(
+            "slope_qty_per_pct"
+        ),
+        F.when(
+            (den_x > 0) & (den_y > 0),
+            num.cast("double") / F.sqrt(den_x.cast("double") * den_y.cast("double")),
+        ).alias("pearson_r"),
+    )
