@@ -1411,6 +1411,18 @@ def _(qs, spark):
     assert "CartesianProduct" not in plan
 
 
+@check("supplier_wilson / elasticity: moment pass + TakeOrdered / dim join rollup")
+def _(qs, spark):
+    plan = plan_of(qs["supplier_return_wilson"](spark, SF_DIR))
+    assert read_schema_cols(plan, "lineitem") == {"l_suppkey", "l_returnflag"}
+    assert "TakeOrderedAndProject" in plan
+    plan = plan_of(qs["discount_quantity_elasticity"](spark, SF_DIR))
+    assert read_schema_cols(plan, "lineitem") == {
+        "l_partkey", "l_discount", "l_quantity",
+    }
+    assert "partial" in plan.lower() and "CartesianProduct" not in plan
+
+
 @check("ams_f2_sketch: distinct-first, pruned events scan, no cartesian")
 def _(qs, spark):
     plan = plan_of(qs["ams_f2_sketch"](spark, SF_DIR))

@@ -125,6 +125,8 @@ DEFAULT_QUERIES = [
     "session_gap_sensitivity",     # one lag window, three thresholds
     "good_turing_smoothing",       # count-of-counts over the freq table
     "colbert_maxsim_topk",         # multi-vector MaxSim broadcast scan
+    "supplier_return_wilson",      # proportion leaderboard moment pass
+    "discount_quantity_elasticity",  # dim join + regression moments
 ]
 
 
