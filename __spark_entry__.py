@@ -74,7 +74,7 @@ _PRIORITY = [
 # boilerplate_line_removal mrl_truncation_eval video_scene_cut_detect
 # stream_dedup_within_watermark media_curation_e2e hybrid_rrf_fusion
 # rag_chunk_plan bloom_pruned_join),
-# then the 54 round-6 late-wave additions (entity_resolution_e2e
+# then the 56 round-6 late-wave additions (entity_resolution_e2e
 # spell_correct_symdel embedding_hamming_ann feature_hash_vectors
 # dp_noisy_histogram ams_f2_sketch node_jaccard_similarity
 # flesch_readability rare_category_collapse copurchase_pmi_scores
@@ -93,12 +93,13 @@ _PRIORITY = [
 # kcore_2_peeling shuffled_dup_detect bradley_terry_strengths
 # neyman_allocation_plan session_gap_sensitivity good_turing_smoothing
 # colbert_maxsim_topk supplier_return_wilson
-# discount_quantity_elasticity),
+# discount_quantity_elasticity trade_flow_matrix
+# small_quantity_order_revenue),
 # then the 8 deferred r01-latest scalar queries (path_roundtrip
 # fraction_parse sec_to_label coalesce_fallback json_props_extract
 # placeholders_build threshold_filter band_filter), then rotate the oldest
 # r02-latest records with the remaining slots.
-# NOTE: 17 + 54 first-records exceed the 50-slot window — round 7 records
+# NOTE: 17 + 56 first-records exceed the 50-slot window — round 7 records
 # the first 50 in the order above; the overflow heads the round-8 window
 # (every unrecorded query stays mimic-gated at all three SFs meanwhile).
 

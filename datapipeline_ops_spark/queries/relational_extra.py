@@ -1185,3 +1185,120 @@ def discount_quantity_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
             num.cast("double") / F.sqrt(den_x.cast("double") * den_y.cast("double")),
         ).alias("pearson_r"),
     )
+
+
+# ---------------------------------------------------------------------------
+# trade_flow_matrix — TPC-H Q7's shape: who ships value to whom
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "trade_flow_matrix",
+    oracle="""
+    SELECT cn.n_name AS cust_nation, sn.n_name AS supp_nation,
+           CAST(count(*) AS BIGINT) AS n_lineitems,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM lineitem l
+    JOIN orders o    ON o.o_orderkey = l.l_orderkey
+    JOIN customer c  ON c.c_custkey = o.o_custkey
+    JOIN supplier s  ON s.s_suppkey = l.l_suppkey
+    JOIN nation cn   ON cn.n_nationkey = c.c_nationkey
+    JOIN nation sn   ON sn.n_nationkey = s.s_nationkey
+    WHERE cn.n_name <> sn.n_name
+    GROUP BY cn.n_name, sn.n_name
+    HAVING count(*) >= 5
+    """,
+)
+def trade_flow_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-nation trade-flow matrix (TPC-H Q7's shape): discounted
+    revenue flowing from each supplier nation to each DIFFERENT customer
+    nation — the five-table snowflake join that exercises the planner's
+    join-order and broadcast decisions harder than any single-dim query
+    (two independent fact→dim arms meeting at lineitem).
+
+    Plan shape: lineitem⋈orders is the one fact-fact shuffle; customer
+    joins on the shuffled side; supplier and BOTH nation aliases are
+    broadcast dims; the inequality filter lands after the dim joins where
+    both names exist. Revenue is round(sum,2) per the repo's float-agg
+    convention; the >=5 support floor keeps the matrix stable across
+    SFs."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    cn = n.select(F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation"))
+    sn = n.select(F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation"))
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(cn), c["c_nationkey"] == F.col("c_nk"))
+        .join(F.broadcast(sn), s["s_nationkey"] == F.col("s_nk"))
+        .filter(F.col("cust_nation") != F.col("supp_nation"))
+        .groupBy("cust_nation", "supp_nation")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_lineitems"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+        )
+        .filter(F.col("n_lineitems") >= 5)
+    )
+
+
+# ---------------------------------------------------------------------------
+# small_quantity_order_revenue — TPC-H Q17's correlated-aggregate shape
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "small_quantity_order_revenue",
+    oracle="""
+    WITH pa AS MATERIALIZED (
+        SELECT l_partkey, avg(l_quantity) AS avg_qty, count(*) AS n
+        FROM lineitem GROUP BY l_partkey HAVING count(*) >= 3
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_small_lineitems,
+           round(sum(l.l_extendedprice) / 7.0, 2) AS avg_yearly
+    FROM lineitem l JOIN pa ON pa.l_partkey = l.l_partkey
+    WHERE l.l_quantity < 0.2 * pa.avg_qty
+    """,
+)
+def small_quantity_order_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-quantity-order revenue (TPC-H Q17's shape): lineitems whose
+    quantity falls below 20% of THAT PART's average quantity — the
+    correlated-scalar-aggregate pattern ('compare each row to its group's
+    statistic'), decorrelated the way every engine must: compute the
+    per-part averages ONCE as an aggregate, then one equi-join back, never
+    a per-row subquery. Parts with < 3 lineitems are excluded so the
+    threshold is a real average, keeping the result stable at sf0.001.
+
+    Exactness note: the 0.2·avg threshold compares each row against a
+    float average — both engines derive avg_qty from the identical
+    integer-valued quantities with one division (count and sum are exact),
+    so the comparison boundary is bit-identical. Output keeps Q17's
+    avg_yearly normalization (sum/7.0, rounded per the float convention).
+
+    Scale: one partial-agg pass builds the per-part thresholds, one
+    shuffle equi-join on l_partkey applies them — at 100 TB the threshold
+    table is |parts|-sized and bucket-joins with the fact table."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    pa = (
+        li.groupBy("l_partkey")
+        .agg(F.avg("l_quantity").alias("avg_qty"), F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 3)
+        .select("l_partkey", "avg_qty")
+    )
+    return (
+        li.join(pa, "l_partkey")
+        .filter(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_small_lineitems"),
+            F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"),
+        )
+    )
