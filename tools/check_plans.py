@@ -1423,6 +1423,30 @@ def _(qs, spark):
     assert "partial" in plan.lower() and "CartesianProduct" not in plan
 
 
+@check("trade_flow_matrix: dims broadcast, fact chain shuffles (Q7 shape)")
+def _(qs, spark):
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = plan_of(qs["trade_flow_matrix"](spark, SF_DIR))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    n_bcast = len(re.findall(r"^\(\d+\) BroadcastExchange", plan, re.M))
+    assert n_bcast == 3, f"supplier + 2 nation arms should broadcast: {n_bcast}"
+    n_shuffle_joins = len(
+        re.findall(r"^\(\d+\) (?:SortMergeJoin|ShuffledHashJoin)", plan, re.M)
+    )
+    assert n_shuffle_joins == 2, (
+        f"orderkey+custkey joins must shuffle, saw {n_shuffle_joins}"
+    )
+    plan2 = plan_of(qs["small_quantity_order_revenue"](spark, SF_DIR))
+    # two scans (threshold branch narrower than the probe branch) — union
+    # of schemas must stay pruned to the three referenced columns
+    schemas = re.findall(r"ReadSchema: struct<([^>]*)>", plan2)
+    cols = {c.split(":")[0] for s in schemas for c in s.split(",") if c}
+    assert cols == {"l_partkey", "l_quantity", "l_extendedprice"}, schemas
+
+
 @check("ams_f2_sketch: distinct-first, pruned events scan, no cartesian")
 def _(qs, spark):
     plan = plan_of(qs["ams_f2_sketch"](spark, SF_DIR))
