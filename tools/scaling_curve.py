@@ -127,6 +127,8 @@ DEFAULT_QUERIES = [
     "colbert_maxsim_topk",         # multi-vector MaxSim broadcast scan
     "supplier_return_wilson",      # proportion leaderboard moment pass
     "discount_quantity_elasticity",  # dim join + regression moments
+    "trade_flow_matrix",           # Q7 snowflake, dual broadcast arms
+    "small_quantity_order_revenue",  # Q17 decorrelated scalar agg
 ]
 
 
