@@ -187,7 +187,7 @@ def spell_correct_symdel(spark: SparkSession, sf_dir: str) -> DataFrame:
 _HAM_BITS = 62  # < 63 so the packed code is always a non-negative BIGINT
 _HAM_SHORTLIST = 20
 _HAM_TOP_K = 3
-_HAM_QUERY_MOD = 50  # vec_id % 50 == 0 are the query vectors
+_HAM_N_QUERIES = 10  # vec_id < 10 are the query vectors — CONSTANT batch
 
 _SQL_CODE = (
     "CAST(list_sum(list_transform(generate_series(0, {b} - 1), i -> "
@@ -215,7 +215,7 @@ _SQL_CODE = (
                        ORDER BY bit_count(xor(q.code, c.code)), c.vec_id
                    ) AS srn
             FROM coded q JOIN coded c ON c.vec_id <> q.vec_id
-            WHERE q.vec_id % {_HAM_QUERY_MOD} = 0
+            WHERE q.vec_id < {_HAM_N_QUERIES}
         ) WHERE srn <= {_HAM_SHORTLIST}
     ),
     rer AS (
@@ -243,7 +243,8 @@ def embedding_hamming_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: the scan phase compares 8-byte codes, not 256-byte float
     vectors — a 32x read reduction and no floating point until the
     rerank, which touches |queries| x {_HAM_SHORTLIST} vectors only. The
-    query batch is broadcast (corpus is streamed once); at billion-vector
+    query batch is a CONSTANT {_HAM_N_QUERIES} vectors (corpus-independent
+    broadcast; corpus is streamed once); at billion-vector
     scale the same codes become the posting payload of an IVF cell scan
     (see ann_ivf_pq_topk for the cell-partitioned variant). Cosine values
     are bit-identical cross-engine (same IEEE accumulation order), so the
@@ -258,7 +259,7 @@ def embedding_hamming_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
             "acc + IF(vec[i] > 0D, shiftleft(1L, i), 0L))"
         ),
     )
-    q = coded.filter(F.col("vec_id") % _HAM_QUERY_MOD == 0).select(
+    q = coded.filter(F.col("vec_id") < _HAM_N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("code").alias("qcode"),
         F.col("vec").alias("qvec"),
@@ -1022,7 +1023,7 @@ def gdpr_delete_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
 # triplet_mining_hard_negatives
 # ---------------------------------------------------------------------------
 
-_TRIP_QUERY_MOD = 50
+_TRIP_BATCH = 10  # anchors per mining pass (one mini-batch) — CONSTANT
 _TRIP_MARGIN = 0.05
 
 
@@ -1039,7 +1040,7 @@ _TRIP_MARGIN = 0.05
                c.vec_id AS vec_id, c.label AS label,
                {sql_cosine("q.vec", "c.vec")} AS cos
         FROM v q JOIN v c ON c.vec_id <> q.vec_id
-        WHERE q.vec_id % {_TRIP_QUERY_MOD} = 0
+        WHERE q.vec_id < {_TRIP_BATCH}
     ),
     pos AS (
         SELECT query_id, vec_id AS pos_id, cos AS cos_pos FROM (
@@ -1072,15 +1073,17 @@ def triplet_mining_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame
     batch-construction step of triplet/InfoNCE training and the standard
     mining strategy (FaceNet, Schroff et al. 2015).
 
-    Scale: one broadcast of the anchor batch streams past the corpus
-    once; both argmins ride the SAME scan via two windows over the scored
+    Scale: the anchor batch is one CONSTANT-size training mini-batch
+    ({_TRIP_BATCH} anchors) whose broadcast is corpus-independent; it
+    streams past the corpus once per pass (mining the full training set
+    iterates batches, each pass identical); both argmins ride the SAME scan via two windows over the scored
     frame, so mining cost is one corpus pass per batch regardless of
     label count. Cosines are bit-identical cross-engine, so the
     float-derived margin and boolean flag compare exactly."""
     v = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", "label", as_double(F.col("embedding")).alias("vec")
     )
-    q = v.filter(F.col("vec_id") % _TRIP_QUERY_MOD == 0).select(
+    q = v.filter(F.col("vec_id") < _TRIP_BATCH).select(
         F.col("vec_id").alias("query_id"),
         F.col("label").alias("qlabel"),
         F.col("vec").alias("qvec"),

@@ -622,7 +622,10 @@ def bradley_terry_strengths(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(50),
             F.least(
                 F.lit(950),
-                F.lit(500) + F.floor((F.col("li") - F.col("lj")) / 2).cast("long"),
+                # `div` truncates toward zero, matching DuckDB's `//`
+                # (-7 div 2 = -3 in both engines; F.floor(-7/2) would be -4
+                # and shift thr by 1 for every negative odd latent delta).
+                F.lit(500) + F.expr("(li - lj) div 2").cast("long"),
             ),
         ).alias("thr"),
     )
@@ -701,7 +704,7 @@ def bradley_terry_strengths(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _CB_SUB = 4          # token vectors per item (64-dim sliced into 4 x 16)
 _CB_SUBDIM = 16
-_CB_QUERY_MOD = 50
+_CB_N_QUERIES = 10   # vec_id < 10 are the query vectors — CONSTANT batch
 _CB_TOP = 5
 
 
@@ -733,9 +736,11 @@ def colbert_maxsim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     engine-ordered accumulation anywhere; ties in the final ranking break
     on vec_id.
 
-    Scale: the query batch broadcasts once (one corpus pass); at index
-    scale the same MaxSim runs over an ANN-pruned candidate set (compose
-    with ann_ivf_topk) — the standard ColBERT serving topology."""
+    Scale: the query batch is a CONSTANT {_CB_N_QUERIES} vectors (the
+    N_QUERIES discipline of similarity.py) so the broadcast side is
+    corpus-independent — one corpus pass regardless of index size; at
+    index scale the same MaxSim runs over an ANN-pruned candidate set —
+    see colbert_maxsim_ivf_topk for that composed serving topology."""
     v = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", as_double(F.col("embedding")).alias("vec")
     )
@@ -758,7 +763,7 @@ def colbert_maxsim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     items = with_norms(v.select("vec_id", *slices("vec", "d")), "d")
     q = with_norms(
-        v.filter(F.col("vec_id") % _CB_QUERY_MOD == 0).select(
+        v.filter(F.col("vec_id") < _CB_N_QUERIES).select(
             F.col("vec_id").alias("query_id"), *slices("vec", "q")
         ),
         "q",
@@ -799,7 +804,7 @@ def _colbert_oracle() -> str:
         SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
                {maxsim} AS maxsim
         FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
-        WHERE q.vec_id % {_CB_QUERY_MOD} = 0
+        WHERE q.vec_id < {_CB_N_QUERIES}
     )
     SELECT query_id, vec_id, round(maxsim, 6) AS maxsim, CAST(rn AS INT) AS rank
     FROM (
