@@ -30,7 +30,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 
 from datapipeline_ops_spark.core.registry import QUERIES, query
 from datapipeline_ops_spark.functions.hashing import hash64, sql_hash64
-from datapipeline_ops_spark.functions.vectors import as_double
+from datapipeline_ops_spark.functions.vectors import as_double, sql_cosine
 from datapipeline_ops_spark.tables import load_table
 
 BM25_K1 = 1.2
@@ -715,6 +715,61 @@ def _cb_slices(col: str) -> list[str]:
     ]
 
 
+def _cb_slices_dbl(col: str) -> list[str]:
+    """Slices over an already-DOUBLE list column (assignment CTE output)."""
+    return [
+        f"{col}[{i * _CB_SUBDIM + 1}:{(i + 1) * _CB_SUBDIM}]"
+        for i in range(_CB_SUB)
+    ]
+
+
+def _cb_slice_cols(col: str, prefix: str) -> list:
+    return [
+        F.slice(F.col(col), i * _CB_SUBDIM + 1, _CB_SUBDIM).alias(f"{prefix}{i}")
+        for i in range(_CB_SUB)
+    ]
+
+
+def _cb_with_norms(df: DataFrame, prefix: str) -> DataFrame:
+    # per-slice norms computed ONCE per side in the scan projection (the
+    # _vectors discipline): each candidate pair then costs 16 dots and 16
+    # divisions instead of re-walking 32 norm folds per pair
+    from datapipeline_ops_spark.functions.vectors import norm
+
+    return df.select(
+        "*",
+        *[norm(F.col(f"{prefix}{i}")).alias(f"{prefix}n{i}") for i in range(_CB_SUB)],
+    )
+
+
+def _cb_maxsim_col():
+    """MaxSim = sum over query slices of greatest item-slice cosine, in
+    literal order (bit-identical cross-engine)."""
+    from datapipeline_ops_spark.functions.vectors import dot
+
+    maxsim = None
+    for i in range(_CB_SUB):
+        best = F.greatest(
+            *[
+                dot(F.col(f"q{i}"), F.col(f"d{j}"))
+                / (F.col(f"qn{i}") * F.col(f"dn{j}"))
+                for j in range(_CB_SUB)
+            ]
+        )
+        maxsim = best if maxsim is None else maxsim + best
+    return maxsim
+
+
+def _cb_sql_maxsim(qcol: str, dcol: str, dbl: bool = False) -> str:
+    sl = _cb_slices_dbl if dbl else _cb_slices
+    qs, ds = sl(qcol), sl(dcol)
+    best_terms = []
+    for i in range(_CB_SUB):
+        cos_ij = [sql_cosine(qs[i], ds[j]) for j in range(_CB_SUB)]
+        best_terms.append("greatest(" + ", ".join(cos_ij) + ")")
+    return " + ".join(best_terms)
+
+
 @query(
     "colbert_maxsim_topk",
     oracle=None,  # assembled below (needs the cosine helper per slice pair)
@@ -744,45 +799,17 @@ def colbert_maxsim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     v = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", as_double(F.col("embedding")).alias("vec")
     )
-    def slices(col, prefix):
-        return [
-            F.slice(F.col(col), i * _CB_SUBDIM + 1, _CB_SUBDIM).alias(f"{prefix}{i}")
-            for i in range(_CB_SUB)
-        ]
-
-    from datapipeline_ops_spark.functions.vectors import dot, norm
-
-    # per-slice norms are computed ONCE per side in the scan projection
-    # (the _vectors discipline): each candidate pair then costs 16 dots and
-    # 16 divisions instead of re-walking 32 norm folds per pair — values
-    # are bit-identical (same IEEE ops in the same order), oracle unchanged
-    def with_norms(df, prefix):
-        return df.select(
-            "*", *[norm(F.col(f"{prefix}{i}")).alias(f"{prefix}n{i}") for i in range(_CB_SUB)]
-        )
-
-    items = with_norms(v.select("vec_id", *slices("vec", "d")), "d")
-    q = with_norms(
+    items = _cb_with_norms(v.select("vec_id", *_cb_slice_cols("vec", "d")), "d")
+    q = _cb_with_norms(
         v.filter(F.col("vec_id") < _CB_N_QUERIES).select(
-            F.col("vec_id").alias("query_id"), *slices("vec", "q")
+            F.col("vec_id").alias("query_id"), *_cb_slice_cols("vec", "q")
         ),
         "q",
     )
     joined = items.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
-
-    maxsim = None
-    for i in range(_CB_SUB):
-        best = F.greatest(
-            *[
-                dot(F.col(f"q{i}"), F.col(f"d{j}"))
-                / (F.col(f"qn{i}") * F.col(f"dn{j}"))
-                for j in range(_CB_SUB)
-            ]
-        )
-        maxsim = best if maxsim is None else maxsim + best
     w = Window.partitionBy("query_id").orderBy(F.desc("maxsim"), F.asc("vec_id"))
     return (
-        joined.withColumn("maxsim", maxsim)
+        joined.withColumn("maxsim", _cb_maxsim_col())
         .withColumn("rank", F.row_number().over(w).cast("int"))
         .filter(F.col("rank") <= _CB_TOP)
         .select("query_id", "vec_id", F.round("maxsim", 6).alias("maxsim"), "rank")
@@ -790,15 +817,7 @@ def colbert_maxsim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _colbert_oracle() -> str:
-    from datapipeline_ops_spark.functions.vectors import sql_cosine
-
-    qs = _cb_slices("q.embedding")
-    ds = _cb_slices("c.embedding")
-    best_terms = []
-    for i in range(_CB_SUB):
-        cos_ij = [sql_cosine(qs[i], ds[j]) for j in range(_CB_SUB)]
-        best_terms.append("greatest(" + ", ".join(cos_ij) + ")")
-    maxsim = " + ".join(best_terms)
+    maxsim = _cb_sql_maxsim("q.embedding", "c.embedding")
     return f"""
     WITH scored AS MATERIALIZED (
         SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
@@ -816,3 +835,258 @@ def _colbert_oracle() -> str:
 
 
 QUERIES["colbert_maxsim_topk"].oracle = _colbert_oracle()
+
+
+# ---------------------------------------------------------------------------
+# colbert_maxsim_ivf_topk — the ColBERT serving topology: IVF cell shortlist
+# feeding the MaxSim rerank (no full-corpus late interaction)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "colbert_maxsim_ivf_topk",
+    oracle=None,  # assembled below (assignment CTE + sliced MaxSim)
+)
+def colbert_maxsim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ColBERT-style retrieval the way it is actually SERVED: a coarse IVF
+    quantizer (nearest of the 10 shared centroids by full-vector cosine —
+    the same assignment ann_ivf_topk builds) prunes the corpus to the
+    query's cell, and only that shortlist pays the {_CB_SUB}x{_CB_SUB}
+    MaxSim evaluation. This is the composed topology the full-corpus
+    colbert_maxsim_topk docstring points at — late interaction as a RERANK
+    stage over an ANN-pruned candidate set, never over the whole index
+    (PLAID / ColBERTv2 serving; Santhanam et al. 2022).
+
+    Exactness: centroid assignment is the registered argmax-window pattern
+    (ordered full-vector cosines, centroid-id tie-break); every sub-cosine
+    of the rerank is the ordered-fold dot; MaxSim sums in literal order —
+    all bit-identical cross-engine, rank ties break on vec_id.
+
+    Scale: the query batch is a CONSTANT {_CB_N_QUERIES} vectors and the
+    candidate set per query is |corpus|/C (one cell), so rerank cost is
+    corpus/C × queries instead of corpus × queries; at 100 TB the corpus
+    is written partitionBy(cid) and each probe is partition-pruned I/O.
+    Nothing corpus-derived is ever broadcast — the cell join is a plain
+    equi-join on cid against the constant query table."""
+    from datapipeline_ops_spark.functions.vectors import dot, norm
+    from datapipeline_ops_spark.queries.similarity import IVF_CENTROIDS
+
+    v = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double(F.col("embedding")).alias("vec")
+    )
+    vn = v.withColumn("nrm", norm(F.col("vec")))
+    cent = vn.filter(
+        (F.col("vec_id") >= IVF_CENTROIDS[0]) & (F.col("vec_id") < IVF_CENTROIDS[1])
+    ).select(
+        F.col("vec_id").alias("cid"),
+        F.col("vec").alias("cvec"),
+        F.col("nrm").alias("cnrm"),
+    )
+    w_assign = Window.partitionBy("vec_id").orderBy(F.desc("ccos"), F.asc("cid"))
+    assign = (
+        vn.join(F.broadcast(cent))
+        .withColumn(
+            "ccos", dot(F.col("vec"), F.col("cvec")) / (F.col("nrm") * F.col("cnrm"))
+        )
+        .withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "cid", "vec")
+    )
+    items = _cb_with_norms(
+        assign.select("vec_id", "cid", *_cb_slice_cols("vec", "d")), "d"
+    )
+    q = _cb_with_norms(
+        assign.filter(F.col("vec_id") < _CB_N_QUERIES).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("cid").alias("qcid"),
+            *_cb_slice_cols("vec", "q"),
+        ),
+        "q",
+    )
+    joined = items.join(
+        F.broadcast(q),
+        (F.col("cid") == F.col("qcid")) & (F.col("vec_id") != F.col("query_id")),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("maxsim"), F.asc("vec_id"))
+    return (
+        joined.withColumn("maxsim", _cb_maxsim_col())
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= _CB_TOP)
+        .select("query_id", "vec_id", F.round("maxsim", 6).alias("maxsim"), "rank")
+    )
+
+
+def _colbert_ivf_oracle() -> str:
+    from datapipeline_ops_spark.queries.similarity import IVF_CENTROIDS
+
+    maxsim = _cb_sql_maxsim("q.vec", "c.vec", dbl=True)
+    return f"""
+    WITH v AS MATERIALIZED (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+        FROM embeddings
+    ),
+    cent AS (SELECT vec_id AS cid, vec AS cvec FROM v
+             WHERE vec_id >= {IVF_CENTROIDS[0]} AND vec_id < {IVF_CENTROIDS[1]}),
+    assign AS MATERIALIZED (
+        SELECT vec_id, cid, vec FROM (
+            SELECT a.vec_id, b.cid, a.vec,
+                   row_number() OVER (
+                       PARTITION BY a.vec_id
+                       ORDER BY {sql_cosine("a.vec", "b.cvec")} DESC, b.cid
+                   ) AS rn
+            FROM v a JOIN cent b ON true
+        ) WHERE rn = 1
+    ),
+    scored AS MATERIALIZED (
+        SELECT q.vec_id AS query_id, c.vec_id AS vec_id, {maxsim} AS maxsim
+        FROM assign q JOIN assign c ON c.cid = q.cid AND c.vec_id <> q.vec_id
+        WHERE q.vec_id < {_CB_N_QUERIES}
+    )
+    SELECT query_id, vec_id, round(maxsim, 6) AS maxsim, CAST(rn AS INT) AS rank
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY query_id ORDER BY maxsim DESC, vec_id
+        ) AS rn FROM scored
+    ) WHERE rn <= {_CB_TOP}
+    """
+
+
+QUERIES["colbert_maxsim_ivf_topk"].oracle = _colbert_ivf_oracle()
+
+
+# ---------------------------------------------------------------------------
+# serving_retrieval_e2e — the full hybrid serving path composed end-to-end:
+# IVF shortlist -> MaxSim rerank (dense) + BM25 (sparse) -> RRF fusion ->
+# NDCG gate against exact late interaction
+# ---------------------------------------------------------------------------
+
+
+@query("serving_retrieval_e2e", oracle=None)  # composed below
+def serving_retrieval_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production hybrid-retrieval serving path as ONE Catalyst plan —
+    the retrieval counterpart of corpus_curation_e2e's funnel: (1) dense
+    leg = colbert_maxsim_ivf_topk (IVF cell shortlist -> MaxSim rerank) for
+    query 0; (2) sparse leg = the registered BM25 keyword run; (3) the two
+    rankings merge by reciprocal-rank fusion (score = sum 1/({RRF_K}+rank),
+    no score calibration across retrievers); (4) the fused list is GATED:
+    NDCG@{_NDCG_K} of the fused ranking against the EXACT full-corpus
+    MaxSim ranking for the same query, graded rel = {_NDCG_K}+1-exact_rank
+    — the dense-fidelity number a serving rollout watches before swapping
+    retrievers. Proves the registry's retrieval operators compose: four
+    registered query shapes chained without materialization barriers.
+
+    Exactness: ranks are integers, RRF scores exact rational sums, NDCG
+    discount weights are shared Python literals; fused ties break on
+    doc_id — bit-identical cross-engine throughout.
+
+    Scale: both retriever outputs are top-k tables (constant size at any
+    corpus scale); fusion and the gate run on <= 30 rows. The corpus cost
+    is one BM25 pass + one IVF-pruned MaxSim pass, both scale-safe."""
+    dense = (
+        QUERIES["colbert_maxsim_ivf_topk"]
+        .fn(spark, sf_dir)
+        .filter(F.col("query_id") == 0)
+        .select(F.col("vec_id").alias("doc_id"), F.col("rank").alias("r_d"))
+    )
+    bm25 = QUERIES["bm25_topk"].fn(spark, sf_dir)
+    w_b = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    sparse = bm25.select("doc_id", F.row_number().over(w_b).alias("r_b"))
+    fused = (
+        sparse.join(dense, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            (
+                F.coalesce(F.lit(1.0) / (RRF_K + F.col("r_b")), F.lit(0.0))
+                + F.coalesce(F.lit(1.0) / (RRF_K + F.col("r_d")), F.lit(0.0))
+            ).alias("rrf_score"),
+            F.col("r_b").isNotNull().alias("in_bm25"),
+            F.col("r_d").isNotNull().alias("in_dense"),
+        )
+    )
+    w_f = Window.orderBy(F.desc("rrf_score"), F.asc("doc_id"))
+    fused = (
+        fused.withColumn("fused_rank", F.row_number().over(w_f).cast("int"))
+        .filter(F.col("fused_rank") <= RRF_TOPK)
+    )
+    gt = (
+        QUERIES["colbert_maxsim_topk"]
+        .fn(spark, sf_dir)
+        .filter(F.col("query_id") == 0)
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            (F.lit(_NDCG_K + 1) - F.col("rank")).alias("rel"),
+        )
+    )
+    j = fused.join(gt, "doc_id", "left").select(
+        "fused_rank", F.coalesce("rel", F.lit(0)).alias("rel")
+    )
+    slots = [
+        F.max(F.when(F.col("fused_rank") == i, F.col("rel"))).alias(f"r{i}")
+        for i in range(1, _NDCG_K + 1)
+    ]
+    dcg = F.lit(0.0)
+    for i in range(1, _NDCG_K + 1):
+        dcg = dcg + F.coalesce(F.col(f"r{i}"), F.lit(0)).cast("double") * F.lit(
+            _NDCG_W[i - 1]
+        )
+    gate = j.agg(*slots).select(
+        (dcg / F.lit(_NDCG_IDEAL)).alias("ndcg_dense")
+    )
+    return fused.crossJoin(F.broadcast(gate)).select(
+        "doc_id", "rrf_score", "in_bm25", "in_dense", "fused_rank", "ndcg_dense"
+    )
+
+
+def _serving_oracle() -> str:
+    bm25_sql = QUERIES["bm25_topk"].oracle
+    dense_sql = QUERIES["colbert_maxsim_ivf_topk"].oracle
+    gt_sql = QUERIES["colbert_maxsim_topk"].oracle
+    slot_cols = ", ".join(
+        f"max(CASE WHEN fused_rank = {i} THEN rel END) AS r{i}"
+        for i in range(1, _NDCG_K + 1)
+    )
+    dcg = " + ".join(
+        f"CAST(coalesce(r{i}, 0) AS DOUBLE) * {_NDCG_W[i - 1]!r}"
+        for i in range(1, _NDCG_K + 1)
+    )
+    return f"""
+    WITH b AS MATERIALIZED (
+        SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS r_b
+        FROM ({bm25_sql})
+    ),
+    d AS MATERIALIZED (
+        SELECT vec_id AS doc_id, rank AS r_d FROM ({dense_sql})
+        WHERE query_id = 0
+    ),
+    f AS MATERIALIZED (
+        SELECT coalesce(b.doc_id, d.doc_id) AS doc_id,
+               coalesce(1.0 / ({RRF_K} + b.r_b), 0)
+                   + coalesce(1.0 / ({RRF_K} + d.r_d), 0) AS rrf_score,
+               b.doc_id IS NOT NULL AS in_bm25,
+               d.doc_id IS NOT NULL AS in_dense
+        FROM b FULL OUTER JOIN d ON d.doc_id = b.doc_id
+    ),
+    fused AS MATERIALIZED (
+        SELECT * FROM (
+            SELECT *, CAST(row_number() OVER (
+                ORDER BY rrf_score DESC, doc_id) AS INT) AS fused_rank
+            FROM f
+        ) WHERE fused_rank <= {RRF_TOPK}
+    ),
+    gt AS MATERIALIZED (
+        SELECT vec_id AS doc_id, {_NDCG_K} + 1 - rank AS rel FROM ({gt_sql})
+        WHERE query_id = 0
+    ),
+    slots AS (
+        SELECT {slot_cols} FROM (
+            SELECT fu.fused_rank, coalesce(gt.rel, 0) AS rel
+            FROM fused fu LEFT JOIN gt ON gt.doc_id = fu.doc_id
+        )
+    ),
+    gate AS (SELECT ({dcg}) / {_NDCG_IDEAL!r} AS ndcg_dense FROM slots)
+    SELECT doc_id, rrf_score, in_bm25, in_dense, fused_rank, ndcg_dense
+    FROM fused CROSS JOIN gate
+    """
+
+
+QUERIES["serving_retrieval_e2e"].oracle = _serving_oracle()

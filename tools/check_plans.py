@@ -1459,6 +1459,60 @@ def _(qs, spark):
     assert "Generate" in plan and "HashAggregate" in plan
 
 
+@check("colbert batches: broadcast side corpus-independent (pushed vec_id bound)")
+def _(qs, spark):
+    # The round-6 verdict's design nit: a query batch defined as a MODULUS of
+    # vec_id broadcasts |corpus|/k rows. Both MaxSim variants (and the
+    # Hamming/triplet batches) must instead push a CONSTANT vec_id upper
+    # bound into the embeddings scan — the broadcast side is then
+    # corpus-independent by construction at any index size.
+    for qname in (
+        "colbert_maxsim_topk",
+        "colbert_maxsim_ivf_topk",
+        "embedding_hamming_ann",
+        "triplet_mining_hard_negatives",
+    ):
+        plan = plan_of(qs[qname](spark, SF_DIR))
+        assert re.search(r"PushedFilters: \[[^\]]*LessThan\(vec_id,\d+\)", plan), (
+            f"{qname}: query-batch scan must push a constant vec_id bound"
+        )
+        assert "CartesianProduct" not in plan, qname
+
+
+@check("colbert_maxsim_ivf_topk: cell equi-join, rerank never full-corpus")
+def _(qs, spark):
+    # With auto-broadcast off, the ONLY broadcasts are the two explicitly
+    # constant-sized frames (10 centroids, 10 queries); the cell shortlist
+    # must reach MaxSim through a hash join keyed on cid, never a
+    # nested-loop over the whole corpus.
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = plan_of(qs["colbert_maxsim_ivf_topk"](spark, SF_DIR))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    # 3 = the 10-row centroid frame twice (items + queries leg both rebuild
+    # the assignment) + the 10-row query batch; all corpus-independent
+    n_bcast = len(re.findall(r"^\(\d+\) BroadcastExchange", plan, re.M))
+    assert n_bcast == 3, f"only centroid/query constants may broadcast: {n_bcast}"
+    # the rerank itself must ride the cid equi-join (hash), and the only
+    # nested loops are the centroid-assignment argmax over the 10-row frame
+    assert len(re.findall(r"^\(\d+\) BroadcastHashJoin", plan, re.M)) == 1
+    n_nlj = len(re.findall(r"^\(\d+\) BroadcastNestedLoopJoin", plan, re.M))
+    assert n_nlj == 2, f"nested loops beyond the 2 centroid argmaxes: {n_nlj}"
+    assert "CartesianProduct" not in plan
+
+
+@check("serving_retrieval_e2e: fusion/gate on top-k tables, one corpus MaxSim leg")
+def _(qs, spark):
+    plan = plan_of(qs["serving_retrieval_e2e"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    # dense leg must be the IVF-pruned variant: constant vec_id bound pushed
+    assert re.search(r"PushedFilters: \[[^\]]*LessThan\(vec_id,\d+\)", plan)
+    # the gate is a 1-row aggregate broadcast back onto the fused top-k
+    assert "BroadcastExchange" in plan
+
+
 def main() -> int:
     import __spark_entry__ as entry_mod
     from datapipeline_ops_spark.session import get_spark
