@@ -26,49 +26,21 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver gate records a capped prefix of queries() in registration order
-# (r01..r06 each recorded exactly 50), so ordering controls which queries get
-# a driver record. Round-7 ordering applies the plan the round-6 comment laid
-# out: there are no round-6 reds, so the window is 50 FIRST RECORDS from the
-# 73 green-but-unrecorded round-6 queries —
-# (a) the 17 early round-6 additions, in round-6 comment order;
-# (b) the 4 queries whose semantics changed THIS round (the ADVICE div fix in
-#     bradley_terry_strengths; the constant-size query batches in
-#     colbert_maxsim_topk / embedding_hamming_ann /
-#     triplet_mining_hard_negatives) — promoted out of comment order so the
-#     fixes themselves get driver records, not just mimic greens;
-# (c) the first 29 of the remaining late-wave additions, in comment order.
-# Round-7 NEW queries land after the 50-cap (first records in round 8).
-# All queries remain registered — ordering only picks the driver sample.
+# (r01..r07 each recorded exactly 50), so ordering controls which queries get
+# a driver record. Round-8 ordering applies the plan the round-7 comment laid
+# out: there are no round-7 reds, so the window is —
+# (a) the 23 late-wave round-6 overflow queries (first driver records);
+# (b) the 2 round-7 additions (colbert_maxsim_ivf_topk, serving_retrieval_e2e)
+#     — first records;
+# (c) the 8 queries whose only driver record is r01 (trivial scalars deferred
+#     since round 6) — rotation;
+# (d) 17 rotations from the oldest live cohort (r02-latest, 41 queries),
+#     most engine-coupled first per the round-7 plan, then registration order.
+# 23 + 2 + 8 + 17 = 50. Round-8 NEW queries land after the 50-cap (first
+# records in round 9). All queries remain registered — ordering only picks
+# the driver sample.
 _PRIORITY = [
-    # (a) early round-6 additions, first driver record
-    "bigram_lm_perplexity", "bpe_merge_step", "quality_classifier_score",
-    "dataset_card_report", "train_test_split_leakfree",
-    "hll_register_sketch", "weighted_sample_aes", "audio_silence_segments",
-    "sequence_packing_plan", "boilerplate_line_removal",
-    "mrl_truncation_eval", "video_scene_cut_detect",
-    "stream_dedup_within_watermark", "media_curation_e2e",
-    "hybrid_rrf_fusion", "rag_chunk_plan", "bloom_pruned_join",
-    # (b) round-7 semantic fixes, promoted for immediate driver records
-    "bradley_terry_strengths", "colbert_maxsim_topk",
-    "embedding_hamming_ann", "triplet_mining_hard_negatives",
-    # (c) late-wave round-6 additions, comment order (29 fit the window)
-    "entity_resolution_e2e", "spell_correct_symdel",
-    "feature_hash_vectors", "dp_noisy_histogram", "ams_f2_sketch",
-    "node_jaccard_similarity", "flesch_readability",
-    "rare_category_collapse", "copurchase_pmi_scores",
-    "calibration_ece_report", "gdpr_delete_cascade",
-    "lsh_pair_recall_eval", "tokenizer_fertility_by_lang",
-    "wasserstein_drift_binned", "theil_sen_daily_trend",
-    "freshness_sla_report", "join_skew_diagnosis",
-    "seasonal_naive_backtest", "conversion_ab_ztest",
-    "hll_mergeability_audit", "dedup_rate_curve",
-    "markov_next_event_accuracy", "power_sample_size_calc",
-    "hilbert_vs_zorder_locality", "stream_hll_registers",
-    "pass_at_k_eval", "event_trigram_funnels", "daily_anomaly_mad",
-    "ann_ndcg_eval",
-    # --- 50-slot window ends here ---
-    # Remaining late-wave overflow keeps priority order so the round-8
-    # window picks them up mechanically (see ROUND-8 ORDERING PLAN).
+    # (a) late-wave round-6 overflow, first driver record
     "quality_gate_correlation", "provenance_hash_rollup",
     "encoding_advisor", "annotator_kappa", "prefix_sharing_stats",
     "embedding_norm_audit", "dedup_token_savings",
@@ -80,32 +52,39 @@ _PRIORITY = [
     "good_turing_smoothing", "supplier_return_wilson",
     "discount_quantity_elasticity", "trade_flow_matrix",
     "small_quantity_order_revenue",
+    # (b) round-7 additions, first driver record
+    "colbert_maxsim_ivf_topk", "serving_retrieval_e2e",
+    # (c) r01-latest scalar rotations (deferred since round 6)
+    "path_roundtrip", "fraction_parse", "sec_to_label",
+    "coalesce_fallback", "json_props_extract", "placeholders_build",
+    "threshold_filter", "band_filter",
+    # (d) r02-latest rotations, most engine-coupled first
+    "greedy_dedup_keep", "scene_split_recursive", "orc_roundtrip",
+    "stream_running_totals", "stream_static_enrich",
+    "manifest_source_scan", "merge_upsert_apply", "snapshot_diff_cdc",
+    "incremental_dedup", "embedding_dedup_keepers",
+    "embedding_near_dup_lsh", "salted_group_agg",
+    "pagerank_purchase_graph", "grouping_sets_report",
+    "rollup_corpus_report", "cube_events_report",
+    "decontaminate_overlap",
+    # --- 50-slot window ends here ---
 ]
-# ROUND-8 ORDERING PLAN (apply after the round-7 gate runs): head the window
-# with any round-7 reds (expected none), then:
-# (1) the 23 late-wave overflow queries already listed above after the
-#     50-slot marker (quality_gate_correlation ... small_quantity_order_
-#     revenue) — first driver records;
-# (2) the 8 r01-latest scalar queries deferred since round 6
-#     (path_roundtrip fraction_parse sec_to_label coalesce_fallback
-#     json_props_extract placeholders_build threshold_filter band_filter);
-# (3) any round-7 additions (colbert_maxsim_ivf_topk, serving_retrieval_e2e,
-#     and later waves) — first records;
-# (4) fill remaining slots rotating the oldest r02-latest records (41-query
-#     cohort), most engine-coupled first: greedy_dedup_keep
-#     scene_split_recursive orc_roundtrip stream_running_totals
-#     stream_static_enrich manifest_source_scan merge_upsert_apply
-#     snapshot_diff_cdc incremental_dedup embedding_dedup_keepers
-#     embedding_near_dup_lsh salted_group_agg pagerank_purchase_graph
-#     grouping_sets_report rollup_corpus_report cube_events_report — then
-#     the rest of the r02 cohort by registration order.
-# 23 + 8 = 31 first-records/rotations fit the 50-slot window with ~19 slots
-# for (3) + (4).
+# ROUND-9 ORDERING PLAN (apply after the round-8 gate runs): head the window
+# with any round-8 reds (expected none), then:
+# (1) any round-8 additions — first driver records;
+# (2) the remaining 24 r02-latest rotations, registration order
+#     (repetition_report pii_redact domain_mixing_sample sequence_packing ...);
+# (3) fill remaining slots rotating the oldest r03-latest records
+#     (46-query cohort), registration order.
+# After round 8 every registered query has a driver record, so from round 9
+# on the window is pure first-records-for-new + oldest-cohort rotation.
 
 
 def _ordered_names() -> list[str]:
     names = list(QUERIES)
-    prio = [n for n in _PRIORITY if n in QUERIES]
+    missing = [n for n in _PRIORITY if n not in QUERIES]
+    assert not missing, f"_PRIORITY names not in QUERIES: {missing}"
+    prio = list(_PRIORITY)
     rest = [n for n in names if n not in set(prio)]
     return prio + rest
 

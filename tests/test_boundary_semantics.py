@@ -56,14 +56,14 @@ def test_bradley_terry_thr_boundary(spark):
     assert got == duck
 
 
-def test_bradley_terry_spark_matches_oracle_on_negative_odd_diffs(spark):
+def test_bradley_terry_spark_matches_oracle_on_negative_odd_diffs(spark, sf_dir):
     # End-to-end gate on the real tables: the sf0.001 latent grid contains
     # negative odd diffs (hash64 % 400 over 20 sources), so a floor/trunc
     # mismatch shifts thr by 1 for ~25% of pairs. The mimic harness hashes
     # values, so running the registered query against its oracle here pins
     # the semantics forever.
     spec = QUERIES["bradley_terry_strengths"]
-    sf = "/root/testdata/sf0.001"
+    sf = sf_dir
     got = {
         r.source: (r.wins, r.n_matches, r.rank)
         for r in spec.fn(spark, sf).collect()
@@ -116,10 +116,11 @@ def test_q17_exact_threshold_boundary(spark, tmp_path):
 
 
 def test_q17_adversarial_float_average(spark, tmp_path):
-    # avg of (1, 1, 1, 3, 7, 8.3) is a non-terminating binary fraction;
-    # one quantity (0.71) sits within one ulp-ish of 0.2*avg. Both engines
-    # compute avg as sum/count over identical doubles, so the boundary
-    # decision must agree bit-for-bit.
+    # All 9 rows share l_partkey=1, so avg_qty is the 9-row average
+    # (1+1+1+3+7+8.3+0.71+0.70999999999999996+0.711)/9 — a non-terminating
+    # binary fraction with the three probe quantities sitting within an
+    # ulp-ish of 0.2*avg. Both engines compute avg as sum/count over
+    # identical doubles, so the boundary decision must agree bit-for-bit.
     qs = [1, 1, 1, 3, 7, 8.3, 0.71, 0.70999999999999996, 0.711]
     d = _q17_micro(tmp_path, qs)
     got = small_quantity_order_revenue(spark, d).first()
