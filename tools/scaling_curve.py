@@ -129,6 +129,8 @@ DEFAULT_QUERIES = [
     "discount_quantity_elasticity",  # dim join + regression moments
     "trade_flow_matrix",           # Q7 snowflake, dual broadcast arms
     "small_quantity_order_revenue",  # Q17 decorrelated scalar agg
+    "colbert_maxsim_ivf_topk",     # IVF shortlist -> MaxSim rerank
+    "serving_retrieval_e2e",       # hybrid serving path composed e2e
 ]
 
 
