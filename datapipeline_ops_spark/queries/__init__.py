@@ -29,6 +29,7 @@ from datapipeline_ops_spark.queries import (  # noqa: F401
     stateful,
     streaming_queries,
     temporal_queries,
+    tpch_shapes,
     textstats,
     udtf_queries,
     web_curation,

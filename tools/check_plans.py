@@ -1519,6 +1519,54 @@ def _(qs, spark):
     assert "BroadcastExchange" in plan
 
 
+@check("top_revenue_suppliers: Q15 date window pushed to scan, 1-row max broadcast")
+def _(qs, spark):
+    plan = plan_of(qs["top_revenue_suppliers"](spark, SF_DIR))
+    pf = pushed_filters(plan, "lineitem")
+    assert "GreaterThanOrEqual(l_shipdate" in pf and "LessThan(l_shipdate" in pf, pf
+    assert "CartesianProduct" not in plan
+    # the scalar max joins back as a broadcast, not a shuffle of the agg
+    assert "BroadcastExchange" in plan
+
+
+@check("sole_late_supplier_report: Q21 decorrelation — no fact self-join, status pushed")
+def _(qs, spark):
+    plan = plan_of(qs["sole_late_supplier_report"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "EqualTo(o_orderstatus,F)" in pushed_filters(plan, "orders")
+    # ONE lineitem scan: the exists/not-exists pair rides the aggregated
+    # (order, supplier) frame, never a second pass over the fact
+    n_li_scans = plan.count("lineitem.parquet")
+    assert n_li_scans == 1, f"lineitem scanned {n_li_scans}x"
+
+
+@check("brand_bucket_supplier_counts: Q16 blocklist plans as broadcast anti-join")
+def _(qs, spark):
+    plan = plan_of(qs["brand_bucket_supplier_counts"](spark, SF_DIR))
+    assert re.search(r"BroadcastHashJoin .*LeftAnti", plan), "blocklist not anti-join"
+    cols = read_schema_cols(plan, "lineitem")
+    assert cols == {"l_partkey", "l_suppkey"}, cols
+
+
+@check("quantity_concentration_parts: Q11 global scalar from the agg, one fact scan")
+def _(qs, spark):
+    plan = plan_of(qs["quantity_concentration_parts"](spark, SF_DIR))
+    n_li_scans = plan.count("lineitem.parquet")
+    assert n_li_scans == 1, f"lineitem scanned {n_li_scans}x"
+    assert "CartesianProduct" not in plan  # 1-row total must broadcast
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+@check("min_cost_supplier_per_part: Q2 argmin joins pair aggs, dims broadcast")
+def _(qs, spark):
+    plan = plan_of(qs["min_cost_supplier_per_part"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    n_li_scans = plan.count("lineitem.parquet")
+    assert n_li_scans <= 2, f"lineitem scanned {n_li_scans}x"
+    cols = read_schema_cols(plan, "lineitem")
+    assert "l_shipdate" not in cols and "l_tax" not in cols, cols
+
+
 def main() -> int:
     import __spark_entry__ as entry_mod
     from datapipeline_ops_spark.session import get_spark
