@@ -9,6 +9,7 @@ from datapipeline_ops_spark.queries import (  # noqa: F401
     diversity,
     drift_quality,
     evaluation,
+    experiment_stats,
     graph_queries,
     inference_queries,
     io_queries,

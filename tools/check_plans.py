@@ -1567,6 +1567,22 @@ def _(qs, spark):
     assert "l_shipdate" not in cols and "l_tax" not in cols, cols
 
 
+@check("spearman/mann-whitney: rank spine windows are bucket-partitioned")
+def _(qs, spark):
+    # The two-level prefix-sum contract: per-VALUE running sums must be
+    # partitioned by the coarse bucket (windowspecdefinition lists _bkt as
+    # partition key); only bucket-spine cumsum windows may be unpartitioned.
+    for name in ("spearman_spend_orders", "mann_whitney_value_shift"):
+        plan = plan_of(qs[name](spark, SF_DIR))
+        specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+        assert specs, f"{name}: no window specs found"
+        for spec in specs:
+            first = spec.split(",")[0]
+            assert "_bkt" in first, (
+                f"{name}: window not bucket-led: {spec[:80]}"
+            )
+
+
 def main() -> int:
     import __spark_entry__ as entry_mod
     from datapipeline_ops_spark.session import get_spark
