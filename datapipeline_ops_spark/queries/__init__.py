@@ -3,11 +3,13 @@
 
 from datapipeline_ops_spark.queries import (  # noqa: F401
     analytics_extra,
+    corpus_lm_extra,
     curation_extra,
     decomposition,
     dedup,
     diversity,
     drift_quality,
+    elo_ratings,
     evaluation,
     experiment_stats,
     graph_queries,

@@ -1,0 +1,339 @@
+"""Corpus/LM statistics wave 3: Kneser-Ney smoothing, cross-source
+self-BLEU diversity, cross-source duplication matrix, and an l-diversity
+governance audit.
+
+Extends the LM-quality family (`lm_quality.py`: add-k bigram perplexity,
+Good-Turing) with the smoothing method modern n-gram LMs actually use
+(interpolated Kneser-Ney), and the dedup family with source-level overlap
+readouts a mixture designer needs before setting sampling weights.
+
+Exactness: all LM statistics are integer counts; the KN probability is one
+identical float expression per row (no float aggregation anywhere); overlap
+matrices are pure integers with a final rounded ratio.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from datapipeline_ops_spark.core.registry import query
+from datapipeline_ops_spark.functions.hashing import hash64, sql_hash64
+from datapipeline_ops_spark.functions.text import tokens
+from datapipeline_ops_spark.tables import load_table
+
+KN_D = 0.75  # the standard Kneser-Ney absolute discount
+
+
+def _bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, source, bg) exploded bigrams, whitespace tokenization —
+    the same tokenizer as lm_quality.py so LM families agree."""
+    d = load_table(spark, sf_dir, "documents")
+    n = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    spread = d.select("doc_id", "source", tokens(F.col("text")).alias("t")).repartition(
+        n, F.col("doc_id")
+    )
+    return spread.filter(F.size("t") >= 2).select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("t") - 1),
+                lambda i: F.concat_ws(
+                    " ",
+                    F.element_at(F.col("t"), i),
+                    F.element_at(F.col("t"), i + 1),
+                ),
+            )
+        ).alias("bg"),
+    )
+
+
+_SQL_BG = """
+    tok AS MATERIALIZED (
+        SELECT doc_id, source, regexp_split_to_array(text, '\\s+') AS t
+        FROM documents
+    ),
+    bg AS MATERIALIZED (
+        SELECT doc_id, source, t[g.i] || ' ' || t[g.i + 1] AS bg
+        FROM tok, unnest(generate_series(1, len(t) - 1)) AS g(i)
+        WHERE len(t) >= 2
+    )
+"""
+
+
+# ---------------------------------------------------------------------------
+# kneser_ney_bigram — interpolated KN smoothing over corpus bigrams
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "kneser_ney_bigram",
+    oracle=f"""
+    WITH {_SQL_BG},
+    lm2 AS MATERIALIZED (
+        SELECT bg, CAST(count(*) AS BIGINT) AS c2 FROM bg GROUP BY bg
+    ),
+    lm1 AS MATERIALIZED (
+        SELECT split_part(bg, ' ', 1) AS w1,
+               CAST(sum(c2) AS BIGINT) AS c1,
+               CAST(count(*) AS BIGINT) AS n_fwd
+        FROM lm2 GROUP BY 1
+    ),
+    cont AS MATERIALIZED (
+        SELECT split_part(bg, ' ', 2) AS w2,
+               CAST(count(*) AS BIGINT) AS n_cont
+        FROM lm2 GROUP BY 1
+    ),
+    nt AS (SELECT CAST(count(*) AS BIGINT) AS n_types FROM lm2)
+    SELECT lm2.bg, lm2.c2,
+           greatest(CAST(lm2.c2 AS DOUBLE) - {KN_D}, 0.0)
+             / CAST(lm1.c1 AS DOUBLE)
+           + ({KN_D} * CAST(lm1.n_fwd AS DOUBLE) / CAST(lm1.c1 AS DOUBLE))
+             * (CAST(cont.n_cont AS DOUBLE) / CAST(nt.n_types AS DOUBLE))
+             AS p_kn
+    FROM lm2
+    JOIN lm1  ON lm1.w1 = split_part(lm2.bg, ' ', 1)
+    JOIN cont ON cont.w2 = split_part(lm2.bg, ' ', 2)
+    CROSS JOIN nt
+    ORDER BY lm2.c2 DESC, lm2.bg
+    LIMIT 200
+    """,
+)
+def kneser_ney_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney bigram probabilities (discount D=0.75, the
+    textbook constant): ``P = max(c2-D,0)/c1 + D*N1+(w1.)/c1 * Pcont(w2)``
+    where the continuation probability ``Pcont = N1+(.w2)/|bigram types|``
+    counts CONTEXTS, not tokens — the insight that makes KN the strongest
+    n-gram smoother (Chen & Goodman 1999). Complements the add-k LM in
+    lm_quality.py (reference has no LM surface; cites CCNet-style gating).
+
+    Top-200 bigrams by (count desc, bigram) — a deterministic TakeOrdered.
+    Every statistic is an integer count; P assembles in ONE identical float
+    expression per row, so no float aggregation exists anywhere.
+
+    Scale: bigram/context/continuation tables are vocabulary-bounded
+    aggregates reached by shuffle equi-joins on their keys — the LM is
+    never broadcast (only the 1-row type count is); same topology as
+    bigram_lm_perplexity which holds beta 0.2 in SCALING.md."""
+    bg = _bigrams(spark, sf_dir)
+    lm2 = bg.groupBy("bg").agg(F.count(F.lit(1)).cast("long").alias("c2"))
+    w1 = F.substring_index(F.col("bg"), " ", 1)
+    w2 = F.substring_index(F.col("bg"), " ", -1)
+    lm1 = (
+        lm2.select(w1.alias("w1"), "c2")
+        .groupBy("w1")
+        .agg(
+            F.sum("c2").cast("long").alias("c1"),
+            F.count(F.lit(1)).cast("long").alias("n_fwd"),
+        )
+    )
+    cont = (
+        lm2.select(w2.alias("w2"))
+        .groupBy("w2")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_cont"))
+    )
+    nt = lm2.agg(F.count(F.lit(1)).cast("long").alias("n_types"))
+    p_kn = (
+        F.greatest(F.col("c2").cast("double") - F.lit(KN_D), F.lit(0.0))
+        / F.col("c1").cast("double")
+        + (F.lit(KN_D) * F.col("n_fwd").cast("double") / F.col("c1").cast("double"))
+        * (F.col("n_cont").cast("double") / F.col("n_types").cast("double"))
+    )
+    return (
+        lm2.join(lm1, w1 == lm1["w1"])
+        .join(cont, w2 == cont["w2"])
+        .join(F.broadcast(nt))
+        .select("bg", "c2", p_kn.alias("p_kn"))
+        .orderBy(F.col("c2").desc(), "bg")
+        .limit(200)
+    )
+
+
+# ---------------------------------------------------------------------------
+# cross_source_bigram_bleu — self-BLEU-style diversity between sources
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "cross_source_bigram_bleu",
+    oracle=f"""
+    WITH {_SQL_BG},
+    sb AS MATERIALIZED (
+        SELECT source, bg, CAST(count(*) AS BIGINT) AS c_s
+        FROM bg GROUP BY source, bg
+    ),
+    tot AS MATERIALIZED (
+        SELECT bg, CAST(sum(c_s) AS BIGINT) AS c_tot FROM sb GROUP BY bg
+    )
+    SELECT sb.source,
+           CAST(sum(sb.c_s) AS BIGINT) AS n_bigrams,
+           CAST(sum(least(sb.c_s, tot.c_tot - sb.c_s)) AS BIGINT) AS clipped,
+           round(CAST(sum(least(sb.c_s, tot.c_tot - sb.c_s)) AS DOUBLE)
+                 / CAST(sum(sb.c_s) AS DOUBLE), 6) AS self_bleu2
+    FROM sb JOIN tot ON tot.bg = sb.bg
+    GROUP BY sb.source
+    """,
+)
+def cross_source_bigram_bleu(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-BLEU-style diversity: for each source, the clipped bigram
+    precision of its text against the REST of the corpus —
+    ``sum(min(c_s, c_rest)) / sum(c_s)`` with ``c_rest = c_tot - c_s``.
+    High self-BLEU = the source repeats what other sources already say
+    (low marginal diversity for a mixture); the standard diversity metric
+    for generated corpora (Zhu et al. 2018), computed corpus-level.
+
+    Exact integers end to end: per-(source, bigram) counts joined to
+    per-bigram totals on the bigram key, so 'rest of corpus' needs no
+    second pass and no source x source pair join.
+
+    Scale: both tables are vocabulary-bounded aggregates; the equi-join on
+    bg shuffles agg-sized data; 20 output rows."""
+    bg = _bigrams(spark, sf_dir)
+    sb = bg.groupBy("source", "bg").agg(
+        F.count(F.lit(1)).cast("long").alias("c_s")
+    )
+    tot = sb.groupBy("bg").agg(F.sum("c_s").cast("long").alias("c_tot"))
+    clip = F.sum(F.least(F.col("c_s"), F.col("c_tot") - F.col("c_s"))).cast("long")
+    return (
+        sb.join(tot, "bg")
+        .groupBy("source")
+        .agg(
+            F.sum("c_s").cast("long").alias("n_bigrams"),
+            clip.alias("clipped"),
+            F.round(
+                clip.cast("double") / F.sum("c_s").cast("double"), 6
+            ).alias("self_bleu2"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# cross_source_duplication_matrix — shared exact-dup content across sources
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "cross_source_duplication_matrix",
+    oracle="""
+    WITH sh AS MATERIALIZED (
+        SELECT DISTINCT source,
+               md5(array_to_string(regexp_split_to_array(text, '\\s+')[1:5],
+                                   ' ')) AS h
+        FROM documents
+    ),
+    per_src AS MATERIALIZED (
+        SELECT source, CAST(count(*) AS BIGINT) AS n_distinct
+        FROM sh GROUP BY source
+    )
+    SELECT a.source AS source_a, b.source AS source_b,
+           CAST(count(*) AS BIGINT) AS n_shared,
+           round(CAST(count(*) AS DOUBLE)
+                 / CAST(pa.n_distinct + pb.n_distinct - count(*) AS DOUBLE), 6)
+             AS jaccard
+    FROM sh a
+    JOIN sh b ON b.h = a.h AND a.source < b.source
+    JOIN per_src pa ON pa.source = a.source
+    JOIN per_src pb ON pb.source = b.source
+    GROUP BY a.source, b.source, pa.n_distinct, pb.n_distinct
+    """,
+)
+def cross_source_duplication_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source exact-duplication matrix: for every source pair, how
+    many distinct content fingerprints (md5 of the first-5-token prefix —
+    the doc_fingerprint convention; exact-text dups are near-absent in the
+    corpus so raw-text keys degenerate to an empty matrix) appear in BOTH,
+    and the Jaccard overlap of their fingerprint sets. The readout a
+    mixture designer checks before weighting sources: double-counted
+    content inflates a source's apparent contribution.
+
+    Distinct-FIRST (the entity-resolution lesson): collapse to distinct
+    (source, content-hash) before any pairing, so the self-join on the
+    hash key generates at most |sources|^2 rows per duplicated hash —
+    bounded by the source vocabulary (20), never by document count.
+
+    Scale: one scan -> distinct agg; the pair join is hash-key equi-join
+    on agg-sized tables; 20x19/2 max output rows."""
+    d = load_table(spark, sf_dir, "documents")
+    sh = d.select(
+        "source",
+        F.md5(F.concat_ws(" ", F.slice(tokens(F.col("text")), 1, 5))).alias("h"),
+    ).distinct()
+    from datapipeline_ops_spark.operators.dedup import persist_barrier
+
+    sh = persist_barrier(sh, f"xsrc_dup_sh:{sf_dir}")
+    per_src = sh.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_distinct")
+    )
+    a = sh.select(F.col("source").alias("source_a"), "h")
+    b = sh.select(F.col("source").alias("source_b"), "h")
+    pa = per_src.select(
+        F.col("source").alias("source_a"), F.col("n_distinct").alias("na")
+    )
+    pb = per_src.select(
+        F.col("source").alias("source_b"), F.col("n_distinct").alias("nb")
+    )
+    shared = F.count(F.lit(1)).cast("long")
+    return (
+        a.join(b, "h")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .join(F.broadcast(pa), "source_a")
+        .join(F.broadcast(pb), "source_b")
+        .groupBy("source_a", "source_b", "na", "nb")
+        .agg(
+            shared.alias("n_shared"),
+            F.round(
+                shared.cast("double")
+                / (F.col("na") + F.col("nb") - shared).cast("double"),
+                6,
+            ).alias("jaccard"),
+        )
+        .drop("na", "nb")
+    )
+
+
+# ---------------------------------------------------------------------------
+# l_diversity_audit — distinct-sensitive-values per quasi-identifier group
+# ---------------------------------------------------------------------------
+
+L_DIVERSITY_L = 3
+
+
+@query(
+    "l_diversity_audit",
+    oracle=f"""
+    WITH quasi AS (
+        SELECT lang, source, n_chars // 500 AS len_bucket,
+               {sql_hash64("doc_id", seed=31)} % 8 AS topic
+        FROM documents
+    )
+    SELECT lang, source, CAST(len_bucket AS BIGINT) AS len_bucket,
+           CAST(count(*) AS BIGINT) AS group_size,
+           CAST(count(DISTINCT topic) AS BIGINT) AS l_distinct,
+           count(DISTINCT topic) >= {L_DIVERSITY_L} AS l_diverse
+    FROM quasi
+    GROUP BY lang, source, len_bucket
+    """,
+)
+def l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit (Machanavajjhala et al. 2007), the companion to
+    the k-anonymity audit in curation_extra.py: a quasi-identifier group
+    can be k-anonymous yet still leak if every member shares the same
+    SENSITIVE value — each group must contain >= l distinct sensitive
+    values. QI tuple (lang, source, length bucket) matches the k-anon
+    query; the sensitive attribute is the deterministic hash-stub topic
+    (the repo's injected-classifier seam).
+
+    Scale: one scan, one partial-agg'd group-by with a count-distinct —
+    group count bounded by the QI domain."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "lang",
+        "source",
+        F.expr("n_chars div 500").cast("long").alias("len_bucket"),
+        (hash64(F.col("doc_id"), seed=31) % 8).alias("topic"),
+    )
+    return d.groupBy("lang", "source", "len_bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("group_size"),
+        F.countDistinct("topic").cast("long").alias("l_distinct"),
+        (F.countDistinct("topic") >= L_DIVERSITY_L).alias("l_diverse"),
+    )

@@ -26,43 +26,9 @@ from pyspark.sql import DataFrame, SparkSession, Window
 
 from datapipeline_ops_spark.core.registry import query
 from datapipeline_ops_spark.functions.hashing import hash64, sql_hash64
+from datapipeline_ops_spark.functions.ranks import rank_spine as _rank_spine
 from datapipeline_ops_spark.tables import load_table
 
-
-
-# Two-level distributed midranks: an unpartitioned running sum over the
-# distinct-value spine works at test scale but serializes the whole spine
-# into ONE window partition — fatal when the spine is value-domain-sized
-# (per-customer spends are nearly all distinct). Instead: coarse buckets of
-# the value carry cumulative offsets (the only unpartitioned window runs
-# over the BUCKET spine, bounded by domain/2^20), and the per-value running
-# sum is windowed WITHIN its bucket. Classic distributed prefix-sum.
-_RANK_BUCKET = 1 << 20
-
-
-def _rank_spine(by_val: DataFrame, col: str, cnt: str, out: str) -> DataFrame:
-    """(value, count) -> (value, 2x-midrank) with integer midrank doubling."""
-    b = by_val.withColumn("_bkt", F.expr(f"{col} div {_RANK_BUCKET}"))
-    wb = Window.orderBy("_bkt").rowsBetween(Window.unboundedPreceding, -1)
-    offs = (
-        b.groupBy("_bkt")
-        .agg(F.sum(cnt).alias("_bc"))
-        .select("_bkt", F.coalesce(F.sum("_bc").over(wb), F.lit(0)).alias("_off"))
-    )
-    wloc = Window.partitionBy("_bkt").orderBy(col).rowsBetween(
-        Window.unboundedPreceding, 0
-    )
-    return (
-        b.join(F.broadcast(offs), "_bkt")
-        .select(
-            col,
-            (
-                2 * (F.col("_off") + F.sum(cnt).over(wloc) - F.col(cnt))
-                + F.col(cnt)
-                + 1
-            ).alias(out),
-        )
-    )
 
 
 # ---------------------------------------------------------------------------
