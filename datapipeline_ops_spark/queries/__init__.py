@@ -3,6 +3,7 @@
 
 from datapipeline_ops_spark.queries import (  # noqa: F401
     analytics_extra,
+    behavior_extra,
     corpus_lm_extra,
     curation_extra,
     decomposition,

@@ -496,3 +496,114 @@ def kcore_2_peeling(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         for f in frames:
             f.unpersist()
+
+
+# ---------------------------------------------------------------------------
+# local_clustering_coefficient — per-node triangle closure
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "local_clustering_coefficient",
+    oracle=f"""
+    WITH ok_orders AS (
+        SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+        HAVING count(*) <= {TRIANGLE_MAX_BASKET}
+    ),
+    pairs AS MATERIALIZED (
+        SELECT a.l_partkey AS pa, b.l_partkey AS pb
+        FROM lineitem a JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        JOIN ok_orders ok ON ok.l_orderkey = a.l_orderkey
+        GROUP BY 1, 2 HAVING count(*) >= {COPURCHASE_MIN_ORDERS}
+    ),
+    deg AS MATERIALIZED (
+        SELECT node, CAST(count(*) AS BIGINT) AS degree FROM (
+            SELECT pa AS node FROM pairs UNION ALL SELECT pb FROM pairs
+        ) GROUP BY node
+    ),
+    tri AS MATERIALIZED (
+        SELECT e1.pa AS a, e1.pb AS b, e2.pb AS c
+        FROM pairs e1
+        JOIN pairs e2 ON e2.pa = e1.pb
+        JOIN pairs e3 ON e3.pa = e1.pa AND e3.pb = e2.pb
+    ),
+    tn AS (
+        SELECT node, CAST(count(*) AS BIGINT) AS n_triangles FROM (
+            SELECT a AS node FROM tri
+            UNION ALL SELECT b FROM tri
+            UNION ALL SELECT c FROM tri
+        ) GROUP BY node
+    )
+    SELECT d.node, d.degree,
+           coalesce(t.n_triangles, 0) AS n_triangles,
+           round(2.0 * CAST(coalesce(t.n_triangles, 0) AS DOUBLE)
+                 / CAST(d.degree * (d.degree - 1) AS DOUBLE), 6) AS lcc
+    FROM deg d LEFT JOIN tn t ON t.node = d.node
+    WHERE d.degree >= 2
+    """,
+)
+def local_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node clustering coefficient of the co-purchase graph:
+    ``lcc(v) = 2*triangles(v) / (deg(v)*(deg(v)-1))`` — how much of each
+    part's neighborhood is itself connected, the node-level companion to
+    triangle_copurchase_stats' global census (Watts-Strogatz 1998). High
+    lcc identifies parts embedded in cohesive baskets (bundle candidates);
+    lcc 0 at high degree marks hub-like parts.
+
+    Integer triangle/degree counts; lcc is one identical integer-ratio
+    float expression; nodes below degree 2 are excluded (undefined lcc).
+
+    Scale: reuses copurchase_edges' array-side pair build (baskets capped
+    at {TRIANGLE_MAX_BASKET} BEFORE the explode) and the oriented
+    e1-e2-e3 equi-join for triangle enumeration — each triangle found
+    exactly once, credited to its three corners via a union of
+    projections, never a per-node neighborhood materialization."""
+    from datapipeline_ops_spark.operators.dedup import persist_barrier
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    edges = persist_barrier(copurchase_edges(li), f"lcc_edges:{sf_dir}")
+    deg = (
+        edges.select(F.col("pa").alias("node"))
+        .unionAll(edges.select(F.col("pb").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("degree"))
+    )
+    e1 = edges.select(F.col("pa").alias("a"), F.col("pb").alias("b"))
+    e2 = edges.select(F.col("pa").alias("b"), F.col("pb").alias("c"))
+    e3 = edges.select(F.col("pa").alias("a3"), F.col("pb").alias("c3"))
+    tri = (
+        e1.join(e2, "b")
+        .join(
+            e3,
+            (F.col("a") == F.col("a3")) & (F.col("c") == F.col("c3")),
+            "left_semi",
+        )
+    )
+    tn = (
+        tri.select(F.col("a").alias("node"))
+        .unionAll(tri.select(F.col("b").alias("node")))
+        .unionAll(tri.select(F.col("c").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+    )
+    out = (
+        deg.join(tn, "node", "left")
+        .filter(F.col("degree") >= 2)
+        .select(
+            "node",
+            "degree",
+            F.coalesce(F.col("n_triangles"), F.lit(0).cast("long")).alias(
+                "n_triangles"
+            ),
+            F.round(
+                F.lit(2.0)
+                * F.coalesce(F.col("n_triangles"), F.lit(0).cast("long")).cast(
+                    "double"
+                )
+                / (F.col("degree") * (F.col("degree") - 1)).cast("double"),
+                6,
+            ).alias("lcc"),
+        )
+    )
+    return out
