@@ -604,7 +604,7 @@ _SPRT_B = -math.log(19.0)  # accept H0
     "sprt_daily_monitor",
     oracle=f"""
     WITH daily AS (
-        SELECT {sql_hash64("user_id", seed=73)} % 2 AS variant,
+        SELECT {sql_hash64("user_id", seed=71)} % 2 AS variant,
                CAST(ts AS DATE) - DATE '1970-01-01' AS day,
                CAST(count(*) AS BIGINT) AS trials,
                CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
@@ -643,7 +643,9 @@ _SPRT_B = -math.log(19.0)  # accept H0
 def sprt_daily_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Wald's sequential probability ratio test run as a daily experiment
     monitor: per variant, the cumulative log-likelihood ratio of
-    'conversion rate is p1=0.22' vs 'p0=0.19' over rating days, with the
+    'conversion rate is p1=0.22' vs 'p0=0.19' over rating days (variant
+    assignment shares CUPED's seed-71 hash so both monitors describe the
+    SAME experiment — experiment_readout_e2e composes them), with the
     day the boundary ±log(19) (alpha=beta=0.05) was first crossed and the
     verdict. The sequential design is what lets an experiment platform
     stop early without inflating false positives.
@@ -658,7 +660,7 @@ def sprt_daily_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows regardless of fact size; the fact is consumed by one partial
     agg."""
     ev = load_table(spark, sf_dir, "events").select(
-        (hash64(F.col("user_id"), seed=73) % 2).alias("variant"),
+        (hash64(F.col("user_id"), seed=71) % 2).alias("variant"),
         F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01").cast("date"))
         .cast("long")
         .alias("day"),
@@ -694,3 +696,81 @@ def sprt_daily_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("continue"))
         .alias("decision"),
     )
+
+
+# ---------------------------------------------------------------------------
+# experiment_readout_e2e — the full A/B readout composed end-to-end
+# ---------------------------------------------------------------------------
+
+from datapipeline_ops_spark.core.registry import QUERIES  # noqa: E402
+
+
+@query("experiment_readout_e2e", oracle=None)  # composed below
+def experiment_readout_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The experiment platform's per-variant readout as ONE Catalyst plan —
+    the experimentation counterpart of serving_retrieval_e2e: (1) CUPED
+    variance-reduced adjusted means per variant (seed-71 assignment);
+    (2) the SPRT sequential monitor's decision for the SAME assignment;
+    (3) the corpus-level Mann-Whitney value-shift z as the nonparametric
+    robustness check; (4) the adjusted lift of each variant against
+    control (variant 0). Proves the experimentation operators compose:
+    three registered query shapes chained without materialization
+    barriers, exactly the readout row an experiment review looks at.
+
+    Exactness: every leg is already integer-derived; the lift subtracts
+    two identically-rounded doubles and re-rounds — bit-identical.
+
+    Scale: each leg collapses the fact to <= 2 rows before the joins;
+    composition cost is three scans of events (one per leg), each a
+    partial-agg'd single pass."""
+    cuped = QUERIES["cuped_adjusted_conversion"].fn(spark, sf_dir)
+    sprt = QUERIES["sprt_daily_monitor"].fn(spark, sf_dir).select(
+        "variant", "final_llr", "decision_day", "decision"
+    )
+    mw = QUERIES["mann_whitney_value_shift"].fn(spark, sf_dir).select(
+        F.col("z_score").alias("mw_z")
+    )
+    control = cuped.filter(F.col("variant") == 0).select(
+        F.col("adjusted_mean").alias("ctl_adj")
+    )
+    return (
+        cuped.join(sprt, "variant")
+        .join(F.broadcast(control))
+        .join(F.broadcast(mw))
+        .select(
+            "variant",
+            "n_users",
+            "mean_post",
+            "adjusted_mean",
+            "theta",
+            F.round(F.col("adjusted_mean") - F.col("ctl_adj"), 6).alias(
+                "lift_adj"
+            ),
+            "final_llr",
+            "decision_day",
+            "decision",
+            "mw_z",
+        )
+    )
+
+
+def _readout_oracle() -> str:
+    cuped_sql = QUERIES["cuped_adjusted_conversion"].oracle
+    sprt_sql = QUERIES["sprt_daily_monitor"].oracle
+    mw_sql = QUERIES["mann_whitney_value_shift"].oracle
+    return f"""
+    WITH cuped AS MATERIALIZED ({cuped_sql}),
+    sprt AS MATERIALIZED ({sprt_sql}),
+    mw AS MATERIALIZED ({mw_sql}),
+    ctl AS (SELECT adjusted_mean AS ctl_adj FROM cuped WHERE variant = 0)
+    SELECT c.variant, c.n_users, c.mean_post, c.adjusted_mean, c.theta,
+           round(c.adjusted_mean - ctl.ctl_adj, 6) AS lift_adj,
+           s.final_llr, s.decision_day, s.decision, mw.z_score AS mw_z
+    FROM cuped c
+    JOIN sprt s ON s.variant = c.variant
+    CROSS JOIN ctl
+    CROSS JOIN mw
+    """
+
+
+QUERIES["experiment_readout_e2e"].oracle = _readout_oracle()

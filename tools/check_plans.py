@@ -1583,6 +1583,21 @@ def _(qs, spark):
             )
 
 
+@check("experiment_readout_e2e: three 1-2-row legs, bounded broadcasts")
+def _(qs, spark):
+    plan = plan_of(qs["experiment_readout_e2e"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    # each leg collapses events with one partial-agg pass. Runtime scans = 3
+    # (CUPED's per-user frame is persisted and reused by its theta and
+    # control consumers), but formatted explain reprints a cached subtree's
+    # child plan at every reference, so the TEXT count is higher; bound it
+    # at the 5 printed references so a genuinely new leg still fails.
+    n_ev = plan.count("events.parquet")
+    assert n_ev <= 5, f"events subtree printed {n_ev}x"
+    # the control row and the MW z join back as broadcasts of 1-row frames
+    assert "BroadcastExchange" in plan
+
+
 def main() -> int:
     import __spark_entry__ as entry_mod
     from datapipeline_ops_spark.session import get_spark

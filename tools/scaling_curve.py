@@ -131,6 +131,33 @@ DEFAULT_QUERIES = [
     "small_quantity_order_revenue",  # Q17 decorrelated scalar agg
     "colbert_maxsim_ivf_topk",     # IVF shortlist -> MaxSim rerank
     "serving_retrieval_e2e",       # hybrid serving path composed e2e
+    # round-8 additions
+    "min_cost_supplier_per_part",  # Q2 argmin + join-back
+    "market_share_by_year",        # Q8 conditional share-of-total
+    "profit_by_nation_year",       # Q9 snowflake profit rollup
+    "quantity_concentration_parts",  # Q11 group vs global scalar
+    "top_revenue_suppliers",       # Q15 max-of-aggregate
+    "brand_bucket_supplier_counts",  # Q16 anti-join + count distinct
+    "large_order_customers_detail",  # Q18 HAVING join-back
+    "disjunctive_predicate_revenue",  # Q19 OR-of-conjunctions
+    "promo_part_recent_suppliers",  # Q20 nested semi chain
+    "sole_late_supplier_report",   # Q21 window-decorrelated exists pair
+    "mann_whitney_value_shift",    # midrank U test, bucketed spine
+    "spearman_spend_orders",       # rank correlation, bucketed spines
+    "cuped_adjusted_conversion",   # per-user covariate adjust
+    "brier_score_decomposition",   # 10-bin calibration decomposition
+    "mcnemar_model_disagreement",  # paired-model counts
+    "sprt_daily_monitor",          # cumulative llr over day spine
+    "kneser_ney_bigram",           # KN smoothing, vocab-bounded joins
+    "cross_source_bigram_bleu",    # clipped precision vs rest
+    "cross_source_duplication_matrix",  # distinct-first fingerprint pairs
+    "l_diversity_audit",           # QI-group distinct-sensitive counts
+    "elo_rating_periods",          # bounded-collect driver fold
+    "activity_streak_histogram",   # gaps & islands per user
+    "autocorrelation_daily_revenue",  # lag joins on day spine
+    "interevent_burstiness",       # per-stream lag + integer moments
+    "rfm_segmentation",            # three bucketed CDFs + code rollup
+    "local_clustering_coefficient",  # per-node triangle closure
 ]
 
 
