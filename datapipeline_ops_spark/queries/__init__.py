@@ -32,6 +32,7 @@ from datapipeline_ops_spark.queries import (  # noqa: F401
     search_rank,  # after similarity: composes its registered oracles
     stateful,
     streaming_queries,
+    survival_econ,
     temporal_queries,
     tpch_shapes,
     textstats,

@@ -1,0 +1,462 @@
+"""Survival/econometrics wave: Kaplan-Meier conversion survival (with
+censoring), the Mann-Kendall trend test, Herfindahl-Hirschman market
+concentration, and a cohort-LTV matrix.
+
+Exactness notes:
+- KM survival multiplies per-step factors as ``exp(cumsum(ln(factor)))``
+  over the ORDERED duration spine — running window aggregates accumulate
+  in frame order in both engines, and ln/exp on identical doubles is the
+  precedented cross-engine seam (bigram_lm_perplexity ships raw ln-derived
+  perplexities). Zero factors short-circuit to survival 0 via a windowed
+  min, never ln(0).
+- Mann-Kendall's S and the tie-corrected variance numerator are exact
+  integers (the pair join runs over the bounded day spine — constant size
+  at any fact scale); z is one identical float expression.
+- HHI and LTV assemble from integer unit/cent sums.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from datapipeline_ops_spark.core.registry import query
+from datapipeline_ops_spark.tables import load_table
+
+
+# ---------------------------------------------------------------------------
+# kaplan_meier_conversion — survival curve of view -> purchase with censoring
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "kaplan_meier_conversion",
+    oracle="""
+    WITH days AS (
+        SELECT user_id, event_type,
+               CAST(ts AS DATE) - DATE '1970-01-01' AS day
+        FROM events WHERE event_type IN ('view', 'purchase')
+    ),
+    starts AS (
+        SELECT user_id, min(day) AS start_day FROM days
+        WHERE event_type = 'view' GROUP BY user_id
+    ),
+    convs AS (
+        SELECT d.user_id, min(d.day) AS conv_day
+        FROM days d JOIN starts s ON s.user_id = d.user_id
+        WHERE d.event_type = 'purchase' AND d.day >= s.start_day
+        GROUP BY d.user_id
+    ),
+    horizon AS (SELECT max(day) AS end_day FROM days),
+    subj AS MATERIALIZED (
+        SELECT s.user_id,
+               CASE WHEN c.conv_day IS NOT NULL
+                    THEN c.conv_day - s.start_day
+                    ELSE h.end_day - s.start_day END AS duration,
+               CASE WHEN c.conv_day IS NOT NULL THEN 1 ELSE 0 END AS ev
+        FROM starts s LEFT JOIN convs c ON c.user_id = s.user_id
+        CROSS JOIN horizon h
+    ),
+    spine AS MATERIALIZED (
+        SELECT duration AS t,
+               CAST(sum(ev) AS BIGINT) AS d_t,
+               CAST(sum(1 - ev) AS BIGINT) AS c_t,
+               CAST(count(*) AS BIGINT) AS n_t
+        FROM subj GROUP BY duration
+    ),
+    km AS (
+        SELECT t, d_t, c_t,
+               (SELECT CAST(count(*) AS BIGINT) FROM subj) -
+               CAST(coalesce(sum(n_t) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED
+                             PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+                   AS at_risk
+        FROM spine
+    )
+    SELECT t, at_risk, d_t AS n_events, c_t AS n_censored,
+           CASE WHEN min(CAST(at_risk - d_t AS DOUBLE)
+                         / CAST(at_risk AS DOUBLE))
+                     OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW) = 0.0
+                THEN 0.0
+                ELSE exp(sum(ln(CASE WHEN at_risk - d_t > 0
+                                THEN CAST(at_risk - d_t AS DOUBLE)
+                                     / CAST(at_risk AS DOUBLE)
+                                ELSE 1.0 END))
+                         OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW))
+           END AS survival
+    FROM km
+    """,
+)
+def kaplan_meier_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival curve of view -> purchase conversion: each
+    user enters at their first view; converting users contribute an event
+    at ``conv_day - start_day``; non-converters are RIGHT-CENSORED at the
+    observation horizon — the estimator that handles 'hasn't converted
+    YET' correctly, which a naive conversion-rate query cannot
+    (Kaplan & Meier 1958). ``S(t) = prod_{u<=t} (1 - d_u/n_u)`` with the
+    at-risk set shrinking by both events and censorings.
+
+    Determinism: the product is exp(cumsum(ln(factor))) over the ordered
+    duration spine — running-frame window aggregation is order-defined in
+    both engines; an exhausted risk set short-circuits to 0 via a windowed
+    min before any ln(0).
+
+    Scale: per-user start/conversion are two partial aggs over the fact;
+    everything after lives on the <= 30-row duration spine (bounded by the
+    event calendar), where unpartitioned windows are safe."""
+    days = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("view", "purchase"))
+        .select(
+            "user_id",
+            "event_type",
+            F.datediff(
+                F.col("ts").cast("date"), F.lit("1970-01-01").cast("date")
+            ).cast("long").alias("day"),
+        )
+    )
+    starts = (
+        days.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("day").alias("start_day"))
+    )
+    convs = (
+        days.filter(F.col("event_type") == "purchase")
+        .join(starts, "user_id")
+        .filter(F.col("day") >= F.col("start_day"))
+        .groupBy("user_id")
+        .agg(F.min("day").alias("conv_day"))
+    )
+    horizon = days.agg(F.max("day").alias("end_day"))
+    subj = (
+        starts.join(convs, "user_id", "left")
+        .join(F.broadcast(horizon))
+        .select(
+            F.when(
+                F.col("conv_day").isNotNull(),
+                F.col("conv_day") - F.col("start_day"),
+            )
+            .otherwise(F.col("end_day") - F.col("start_day"))
+            .alias("duration"),
+            F.when(F.col("conv_day").isNotNull(), 1).otherwise(0).alias("ev"),
+        )
+    )
+    from datapipeline_ops_spark.operators.dedup import persist_barrier
+
+    subj = persist_barrier(subj, f"km_subj:{sf_dir}")
+    spine = subj.groupBy(F.col("duration").alias("t")).agg(
+        F.sum("ev").cast("long").alias("d_t"),
+        F.sum(1 - F.col("ev")).cast("long").alias("c_t"),
+        F.count(F.lit(1)).cast("long").alias("n_t"),
+    )
+    total = subj.agg(F.count(F.lit(1)).cast("long").alias("n_total"))
+    w_prev = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+    km = spine.join(F.broadcast(total)).select(
+        "t",
+        "d_t",
+        "c_t",
+        (
+            F.col("n_total")
+            - F.coalesce(F.sum("n_t").over(w_prev), F.lit(0)).cast("long")
+        ).alias("at_risk"),
+    )
+    factor = (F.col("at_risk") - F.col("d_t")).cast("double") / F.col(
+        "at_risk"
+    ).cast("double")
+    w_run = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    return km.select(
+        "t",
+        "at_risk",
+        F.col("d_t").alias("n_events"),
+        F.col("c_t").alias("n_censored"),
+        F.when(F.min(factor).over(w_run) == 0.0, F.lit(0.0))
+        .otherwise(
+            F.exp(
+                F.sum(
+                    F.log(F.when(factor > 0, factor).otherwise(F.lit(1.0)))
+                ).over(w_run)
+            )
+        )
+        .alias("survival"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# mann_kendall_trend — nonparametric monotone-trend test on daily revenue
+# ---------------------------------------------------------------------------
+
+_MK_UNIT = 100_000  # daily cents -> $1000 units (the ACF coarsening)
+
+
+@query(
+    "mann_kendall_trend",
+    oracle=f"""
+    WITH d AS MATERIALIZED (
+        SELECT CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS day,
+               CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT)
+                 // {_MK_UNIT} AS x
+        FROM orders GROUP BY 1
+    ),
+    s AS (
+        SELECT CAST(sum(CASE WHEN b.x > a.x THEN 1
+                             WHEN b.x < a.x THEN -1 ELSE 0 END) AS BIGINT)
+                   AS s_stat
+        FROM d a JOIN d b ON b.day > a.day
+    ),
+    ties AS (
+        SELECT CAST(coalesce(sum(c*(c-1)*(2*c+5)), 0) AS BIGINT) AS tie_term
+        FROM (SELECT CAST(count(*) AS BIGINT) AS c FROM d GROUP BY x)
+        WHERE c > 1
+    ),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS n_days FROM d)
+    SELECT n.n_days, s.s_stat,
+           CAST(n.n_days*(n.n_days-1)*(2*n.n_days+5) - t.tie_term AS BIGINT)
+               AS var18_num,
+           CASE WHEN n.n_days < 3 OR
+                     n.n_days*(n.n_days-1)*(2*n.n_days+5) - t.tie_term <= 0
+                THEN NULL
+                WHEN s.s_stat > 0 THEN round(
+                  (CAST(s.s_stat AS DOUBLE) - 1.0)
+                  / sqrt(CAST(n.n_days*(n.n_days-1)*(2*n.n_days+5)
+                              - t.tie_term AS DOUBLE) / 18.0), 6)
+                WHEN s.s_stat < 0 THEN round(
+                  (CAST(s.s_stat AS DOUBLE) + 1.0)
+                  / sqrt(CAST(n.n_days*(n.n_days-1)*(2*n.n_days+5)
+                              - t.tie_term AS DOUBLE) / 18.0), 6)
+                ELSE 0.0 END AS z_score
+    FROM s, ties t, n
+    """,
+)
+def mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall monotone-trend test on the daily revenue series:
+    ``S = sum sign(x_j - x_i)`` over all day pairs i<j, tie-corrected
+    variance ``(n(n-1)(2n+5) - sum t(t-1)(2t+5))/18``, continuity-corrected
+    z — the nonparametric companion to the Theil-Sen slope already in the
+    registry (same series, significance instead of magnitude).
+
+    S and the variance numerator are exact integers (values coarsened to
+    $1000 units like the ACF query); z is one identical float expression,
+    NULL-guarded for degenerate spines.
+
+    Scale: the pair join is day-spine x day-spine — ~2400 rows squared
+    regardless of fact size (bounded by the FIXED calendar, the same
+    contract as the Hilbert/seasonal spines); the fact contributes one
+    partial-agg pass."""
+    d = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(
+            F.datediff(
+                F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date")
+            ).cast("long").alias("day")
+        )
+        .agg(
+            F.expr(
+                f"CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT)"
+                f" div {_MK_UNIT}"
+            ).alias("x")
+        )
+    )
+    from datapipeline_ops_spark.operators.dedup import persist_barrier
+
+    d = persist_barrier(d, f"mk_daily:{sf_dir}")
+    a = d.select(F.col("day").alias("da"), F.col("x").alias("xa"))
+    b = d.select(F.col("day").alias("db"), F.col("x").alias("xb"))
+    s = (
+        a.join(b, F.col("db") > F.col("da"))
+        .agg(
+            F.sum(
+                F.when(F.col("xb") > F.col("xa"), 1)
+                .when(F.col("xb") < F.col("xa"), -1)
+                .otherwise(0)
+            )
+            .cast("long")
+            .alias("s_stat")
+        )
+    )
+    ties = (
+        d.groupBy("x")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .filter(F.col("c") > 1)
+        .agg(
+            F.coalesce(
+                F.sum(F.col("c") * (F.col("c") - 1) * (2 * F.col("c") + 5)),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("tie_term")
+        )
+    )
+    n = d.agg(F.count(F.lit(1)).cast("long").alias("n_days"))
+    var_num = (
+        F.col("n_days") * (F.col("n_days") - 1) * (2 * F.col("n_days") + 5)
+        - F.col("tie_term")
+    ).cast("long")
+    sd = F.sqrt(var_num.cast("double") / 18.0)
+    z = (
+        F.when((F.col("n_days") < 3) | (var_num <= 0), F.lit(None).cast("double"))
+        .when(F.col("s_stat") > 0, F.round((F.col("s_stat").cast("double") - 1.0) / sd, 6))
+        .when(F.col("s_stat") < 0, F.round((F.col("s_stat").cast("double") + 1.0) / sd, 6))
+        .otherwise(F.lit(0.0))
+    )
+    return (
+        s.join(F.broadcast(ties))
+        .join(F.broadcast(n))
+        .select("n_days", "s_stat", var_num.alias("var18_num"), z.alias("z_score"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# herfindahl_concentration — HHI of supplier-nation revenue per region
+# ---------------------------------------------------------------------------
+
+_HHI_UNIT = 100_000
+
+
+@query(
+    "herfindahl_concentration",
+    oracle=f"""
+    WITH nrev AS MATERIALIZED (
+        SELECT r.r_name AS region, n.n_name AS nation,
+               CAST(sum(CAST(round(l.l_extendedprice*100) AS BIGINT)
+                        * (100 - CAST(round(l.l_discount*100) AS BIGINT)))
+                    AS BIGINT) // {_HHI_UNIT} AS q
+        FROM lineitem l
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN nation n   ON n.n_nationkey = s.s_nationkey
+        JOIN region r   ON r.r_regionkey = n.n_regionkey
+        GROUP BY r.r_name, n.n_name
+    )
+    SELECT region,
+           CAST(count(*) AS BIGINT) AS n_nations,
+           round(CAST(sum(q*q) AS DOUBLE)
+                 / (CAST(sum(q) AS DOUBLE) * CAST(sum(q) AS DOUBLE)), 6)
+               AS hhi,
+           round(1.0 / CAST(count(*) AS DOUBLE), 6) AS hhi_floor
+    FROM nrev
+    WHERE q > 0
+    GROUP BY region
+    """,
+)
+def herfindahl_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl-Hirschman concentration of supplier revenue within each
+    region: ``HHI = sum(share_i^2) = sum(q_i^2) / (sum q_i)^2`` — 1/n for
+    perfectly even competition (emitted as hhi_floor), 1.0 for monopoly.
+    The share-squared trick keeps everything integer until ONE final
+    division: never compute float shares then sum them (25-term float sums
+    order-differ across engines).
+
+    Scale: one fact scan with broadcast dims, a |nations|-row aggregate,
+    5 output rows."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_suppkey",
+        (
+            F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+            * (F.lit(100) - F.round(F.col("l_discount") * 100, 0).cast("long"))
+        ).alias("units"),
+    )
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    r = load_table(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    nrev = (
+        li.join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(F.expr(f"CAST(sum(units) AS BIGINT) div {_HHI_UNIT}").alias("q"))
+    )
+    return (
+        nrev.filter(F.col("q") > 0)
+        .groupBy("region")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_nations"),
+            F.round(
+                F.sum(F.col("q") * F.col("q")).cast("double")
+                / (F.sum("q").cast("double") * F.sum("q").cast("double")),
+                6,
+            ).alias("hhi"),
+            F.round(F.lit(1.0) / F.count(F.lit(1)).cast("double"), 6).alias(
+                "hhi_floor"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# cohort_ltv_matrix — cumulative average spend by cohort year and age
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "cohort_ltv_matrix",
+    oracle="""
+    WITH first_order AS MATERIALIZED (
+        SELECT o_custkey, CAST(min(year(o_orderdate)) AS INT) AS cohort
+        FROM orders GROUP BY o_custkey
+    ),
+    cohort_size AS MATERIALIZED (
+        SELECT cohort, CAST(count(*) AS BIGINT) AS n_customers
+        FROM first_order GROUP BY cohort
+    ),
+    spend AS (
+        SELECT f.cohort,
+               CAST(year(o.o_orderdate) AS INT) - f.cohort AS age,
+               CAST(sum(CAST(round(o.o_totalprice*100) AS BIGINT)) AS BIGINT)
+                   AS cents
+        FROM orders o JOIN first_order f ON f.o_custkey = o.o_custkey
+        GROUP BY f.cohort, CAST(year(o.o_orderdate) AS INT) - f.cohort
+    )
+    SELECT s.cohort, s.age, cs.n_customers,
+           round(CAST(sum(s.cents) OVER (PARTITION BY s.cohort ORDER BY s.age
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                      AS DOUBLE)
+                 / CAST(cs.n_customers AS DOUBLE) / 100.0, 2) AS cum_ltv
+    FROM spend s JOIN cohort_size cs ON cs.cohort = s.cohort
+    """,
+)
+def cohort_ltv_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value matrix: customers cohorted by first-order
+    year; each (cohort, age) cell is the cohort's CUMULATIVE average spend
+    through that age — the LTV curve marketing reads payback periods off,
+    and the revenue companion to the registry's retention_cohorts (which
+    counts activity, not value).
+
+    Cent-exact integer sums; the cumulative window runs per cohort over
+    the <= 7-row age spine; one identical float division per cell.
+
+    Scale: first-order cohorts are a per-customer aggregate; the fact
+    joins the cohort map on custkey (shuffle equi-join) and collapses to
+    the 7x7 matrix before any window."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.year("o_orderdate").cast("int").alias("yr"),
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
+    )
+    first_order = o.groupBy("o_custkey").agg(F.min("yr").alias("cohort"))
+    from datapipeline_ops_spark.operators.dedup import persist_barrier
+
+    first_order = persist_barrier(first_order, f"ltv_cohort:{sf_dir}")
+    cohort_size = first_order.groupBy("cohort").agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers")
+    )
+    spend = (
+        o.join(first_order, "o_custkey")
+        .groupBy("cohort", (F.col("yr") - F.col("cohort")).alias("age"))
+        .agg(F.sum("cents").cast("long").alias("cents"))
+    )
+    w = Window.partitionBy("cohort").orderBy("age").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return spend.join(F.broadcast(cohort_size), "cohort").select(
+        "cohort",
+        "age",
+        "n_customers",
+        F.round(
+            F.sum("cents").over(w).cast("double")
+            / F.col("n_customers").cast("double")
+            / 100.0,
+            2,
+        ).alias("cum_ltv"),
+    )
