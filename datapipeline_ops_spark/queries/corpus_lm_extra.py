@@ -337,3 +337,185 @@ def l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("topic").cast("long").alias("l_distinct"),
         (F.countDistinct("topic") >= L_DIVERSITY_L).alias("l_diverse"),
     )
+
+
+# ---------------------------------------------------------------------------
+# span_corruption_plan — T5-style masking statistics per source
+# ---------------------------------------------------------------------------
+
+_SPAN_MASK_PCT = 15  # T5's 15% corruption rate
+_SPAN_SEED = 41
+
+
+@query(
+    "span_corruption_plan",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, source,
+               len(regexp_split_to_array(text, '\\s+')) AS n
+        FROM documents
+    ),
+    pos AS (
+        SELECT doc_id, source, n, g.p,
+               CASE WHEN {sql_hash64("doc_id || ':' || g.p", seed=_SPAN_SEED)}
+                         % 100 < {_SPAN_MASK_PCT} THEN 1 ELSE 0 END AS m,
+               CASE WHEN g.p = 1 THEN 0
+                    WHEN {sql_hash64("doc_id || ':' || (g.p - 1)",
+                                     seed=_SPAN_SEED)} % 100
+                         < {_SPAN_MASK_PCT} THEN 1 ELSE 0 END AS m_prev
+        FROM tok, unnest(generate_series(1, n)) AS g(p)
+    )
+    SELECT source,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(sum(1) AS BIGINT) AS total_tokens,
+           CAST(sum(m) AS BIGINT) AS masked_tokens,
+           CAST(sum(CASE WHEN m = 1 AND m_prev = 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_spans,
+           round(CAST(sum(m) AS DOUBLE) / CAST(sum(1) AS DOUBLE), 6)
+               AS corruption_rate,
+           CASE WHEN sum(CASE WHEN m = 1 AND m_prev = 0 THEN 1 ELSE 0 END) > 0
+                THEN round(CAST(sum(m) AS DOUBLE)
+                           / CAST(sum(CASE WHEN m = 1 AND m_prev = 0
+                                           THEN 1 ELSE 0 END) AS DOUBLE), 4)
+                ELSE NULL END AS mean_span_len
+    FROM pos
+    GROUP BY source
+    """,
+)
+def span_corruption_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5-style span-corruption masking plan: every token position draws a
+    deterministic 15% mask from the (doc, position) hash;
+    contiguous masked runs form corruption SPANS (a span starts where a
+    masked position follows an unmasked one). Per-source statistics —
+    corruption rate and mean span length — are what a pretrain-prep
+    pipeline validates before writing sentinel-token targets (Raffel et
+    al. 2020, §3.1.4). The hash seam is where a real span sampler lands.
+
+    Mask decisions depend only on (doc_id, position), so span starts need
+    no window: position p consults its own hash and position p-1's —
+    pure per-row JVM expressions after the position explode.
+
+    Scale: the explode is O(total tokens) — the same cost class as the
+    registry's shingle/bigram builds — followed by one partial-agg'd
+    rollup to 20 source rows; integer counts, two guarded final ratios."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.size(tokens(F.col("text"))).alias("n")
+    )
+    pos = d.select(
+        "doc_id",
+        "source",
+        F.explode(F.sequence(F.lit(1), F.col("n"))).alias("p"),
+    )
+    mask_of = lambda pcol: (  # noqa: E731
+        hash64(
+            F.concat(F.col("doc_id").cast("string"), F.lit(":"), pcol.cast("string")),
+            seed=_SPAN_SEED,
+        )
+        % 100
+        < _SPAN_MASK_PCT
+    ).cast("int")
+    pos = pos.select(
+        "doc_id",
+        "source",
+        mask_of(F.col("p")).alias("m"),
+        F.when(F.col("p") == 1, F.lit(0))
+        .otherwise(mask_of(F.col("p") - 1))
+        .alias("m_prev"),
+    )
+    spans = F.sum(
+        F.when((F.col("m") == 1) & (F.col("m_prev") == 0), 1).otherwise(0)
+    ).cast("long")
+    return pos.groupBy("source").agg(
+        F.countDistinct("doc_id").cast("long").alias("n_docs"),
+        F.count(F.lit(1)).cast("long").alias("total_tokens"),
+        F.sum("m").cast("long").alias("masked_tokens"),
+        spans.alias("n_spans"),
+        F.round(
+            F.sum("m").cast("double") / F.count(F.lit(1)).cast("double"), 6
+        ).alias("corruption_rate"),
+        F.when(
+            spans > 0, F.round(F.sum("m").cast("double") / spans.cast("double"), 4)
+        )
+        .otherwise(F.lit(None).cast("double"))
+        .alias("mean_span_len"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# fim_split_plan — fill-in-middle prefix/middle/suffix split statistics
+# ---------------------------------------------------------------------------
+
+_FIM_SEED_A = 43
+_FIM_SEED_B = 44
+_FIM_SEED_MODE = 45
+
+
+@query(
+    "fim_split_plan",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, source,
+               len(regexp_split_to_array(text, '\\s+')) AS n
+        FROM documents
+    ),
+    cuts AS (
+        SELECT source, n,
+           least(1 + {sql_hash64("doc_id", seed=_FIM_SEED_A)} % n,
+                 1 + {sql_hash64("doc_id", seed=_FIM_SEED_B)} % n) AS lo,
+           greatest(1 + {sql_hash64("doc_id", seed=_FIM_SEED_A)} % n,
+                    1 + {sql_hash64("doc_id", seed=_FIM_SEED_B)} % n) AS hi,
+           {sql_hash64("doc_id", seed=_FIM_SEED_MODE)} % 2 AS spm
+        FROM tok WHERE n >= 1
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n) AS BIGINT) AS total_tokens,
+           CAST(sum(lo - 1) AS BIGINT) AS prefix_tokens,
+           CAST(sum(hi - lo) AS BIGINT) AS middle_tokens,
+           CAST(sum(n - hi + 1) AS BIGINT) AS suffix_tokens,
+           CAST(sum(spm) AS BIGINT) AS n_spm,
+           round(CAST(sum(hi - lo) AS DOUBLE) / CAST(sum(n) AS DOUBLE), 6)
+               AS middle_frac
+    FROM cuts
+    GROUP BY source
+    """,
+)
+def fim_split_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fill-in-the-middle transformation plan: two deterministic hash cuts
+    split each document into prefix [1,lo) / middle [lo,hi) / suffix
+    [hi,n], plus a hash-chosen PSM-vs-SPM ordering bit — the FIM data prep
+    used by infilling-capable code models (Bavarian et al. 2022), validated here
+    as per-source split-mass statistics before any text is rewritten.
+
+    No explode at all: the cuts are O(1) arithmetic on the token COUNT,
+    so the whole plan is one documents scan and a 20-row rollup. Exact
+    integer token masses; one final rounded ratio."""
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .select(
+            "doc_id", "source", F.size(tokens(F.col("text"))).alias("n")
+        )
+        .filter(F.col("n") >= 1)
+    )
+    ca = 1 + hash64(F.col("doc_id"), seed=_FIM_SEED_A) % F.col("n")
+    cb = 1 + hash64(F.col("doc_id"), seed=_FIM_SEED_B) % F.col("n")
+    cuts = d.select(
+        "source",
+        "n",
+        F.least(ca, cb).alias("lo"),
+        F.greatest(ca, cb).alias("hi"),
+        (hash64(F.col("doc_id"), seed=_FIM_SEED_MODE) % 2).alias("spm"),
+    )
+    return cuts.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n").cast("long").alias("total_tokens"),
+        F.sum(F.col("lo") - 1).cast("long").alias("prefix_tokens"),
+        F.sum(F.col("hi") - F.col("lo")).cast("long").alias("middle_tokens"),
+        F.sum(F.col("n") - F.col("hi") + 1).cast("long").alias("suffix_tokens"),
+        F.sum("spm").cast("long").alias("n_spm"),
+        F.round(
+            F.sum(F.col("hi") - F.col("lo")).cast("double")
+            / F.sum("n").cast("double"),
+            6,
+        ).alias("middle_frac"),
+    )

@@ -1598,6 +1598,44 @@ def _(qs, spark):
     assert "BroadcastExchange" in plan
 
 
+@check("mann_kendall_trend: pair join on the bounded day spine, one fact scan")
+def _(qs, spark):
+    plan = plan_of(qs["mann_kendall_trend"](spark, SF_DIR))
+    # the barrier makes the spine an InMemoryRelation consumed three times;
+    # the orders fact itself must appear once per cached-subtree print, and
+    # the pair join must be a range join on the spine, never on the fact
+    assert "CartesianProduct" not in plan
+    cols = read_schema_cols(plan, "orders")
+    assert cols <= {"o_orderdate", "o_totalprice"}, cols
+
+
+@check("kaplan_meier_conversion: windows only on the duration spine")
+def _(qs, spark):
+    plan = plan_of(qs["kaplan_meier_conversion"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    # events scan pruned to the three referenced columns
+    cols = read_schema_cols(plan, "events")
+    assert cols <= {"user_id", "event_type", "ts"}, cols
+    # the per-user aggregates run BEFORE any window: every window sits above
+    # the spine aggregate, so no window spec partitions by user_id
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert specs and all("user_id" not in sp for sp in specs), specs[:2]
+
+
+@check("cohort_ltv_matrix: cumulative window per cohort, pruned orders scan")
+def _(qs, spark):
+    plan = plan_of(qs["cohort_ltv_matrix"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    # the cohort-map branch reads only (custkey, orderdate); the spend branch
+    # adds totalprice — regex block-matching can surface either scan first,
+    # so pin the superset bound plus totalprice's presence in SOME ReadSchema
+    cols = read_schema_cols(plan, "orders")
+    assert cols <= {"o_custkey", "o_orderdate", "o_totalprice"}, cols
+    assert "o_totalprice" in plan
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert specs and all("cohort" in sp.split(",")[0] for sp in specs), specs[:2]
+
+
 def main() -> int:
     import __spark_entry__ as entry_mod
     from datapipeline_ops_spark.session import get_spark

@@ -158,6 +158,13 @@ DEFAULT_QUERIES = [
     "interevent_burstiness",       # per-stream lag + integer moments
     "rfm_segmentation",            # three bucketed CDFs + code rollup
     "local_clustering_coefficient",  # per-node triangle closure
+    "experiment_readout_e2e",      # CUPED + SPRT + MW composed
+    "kaplan_meier_conversion",     # censored survival on duration spine
+    "mann_kendall_trend",          # day-spine pair join, integer S
+    "herfindahl_concentration",    # integer share-squared rollup
+    "cohort_ltv_matrix",           # cohort x age cumulative matrix
+    "span_corruption_plan",        # position explode + mask stats
+    "fim_split_plan",              # O(1) hash cuts per doc
 ]
 
 
