@@ -519,3 +519,97 @@ def fim_split_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("middle_frac"),
     )
+
+
+# ---------------------------------------------------------------------------
+# t_closeness_audit — TVD between group and global sensitive distributions
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "t_closeness_audit",
+    oracle=f"""
+    WITH quasi AS MATERIALIZED (
+        SELECT lang, source,
+               {sql_hash64("doc_id", seed=31)} % 8 AS topic
+        FROM documents
+    ),
+    gt AS MATERIALIZED (
+        SELECT lang, source, topic, CAST(count(*) AS BIGINT) AS c_gt
+        FROM quasi GROUP BY lang, source, topic
+    ),
+    g AS (
+        SELECT lang, source, CAST(sum(c_gt) AS BIGINT) AS n_g
+        FROM gt GROUP BY lang, source
+    ),
+    gdist AS (
+        SELECT topic, CAST(sum(c_gt) AS BIGINT) AS c_t FROM gt GROUP BY topic
+    ),
+    tot AS (SELECT CAST(sum(c_t) AS BIGINT) AS n FROM gdist)
+    SELECT g.lang, g.source, g.n_g AS group_size,
+           round(CAST(sum(abs(coalesce(gt.c_gt, 0) * tot.n
+                              - gdist.c_t * g.n_g)) AS DOUBLE)
+                 / CAST(2 * g.n_g * tot.n AS DOUBLE), 6) AS tvd,
+           5 * CAST(sum(abs(coalesce(gt.c_gt, 0) * tot.n
+                            - gdist.c_t * g.n_g)) AS BIGINT)
+               <= 2 * g.n_g * tot.n AS t_close
+    FROM g
+    CROSS JOIN gdist
+    CROSS JOIN tot
+    LEFT JOIN gt ON gt.lang = g.lang AND gt.source = g.source
+                AND gt.topic = gdist.topic
+    GROUP BY g.lang, g.source, g.n_g, tot.n
+    """,
+)
+def t_closeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness audit (Li et al. 2007) — the third rung of the
+    anonymization ladder after k-anonymity and [[l_diversity_audit]]: a
+    group can be k-anonymous AND l-diverse yet still leak if its sensitive
+    distribution DIFFERS sharply from the global one. For categorical
+    sensitive values the earth-mover distance reduces to total variation:
+    ``tvd = 0.5 * sum_t |p_group(t) - p_global(t)|``, audited per
+    (lang, source) group against t = 0.2.
+
+    The verdict is the integer cross-multiplication
+    ``5 * sum|c_gt*N - c_t*n_g| <= 2*n_g*N`` — never a float-threshold
+    comparison; the reported tvd divides the same exact integers once.
+    Missing (group, topic) cells enter as true zeros via the topic-spine
+    outer join (a group missing a topic entirely is exactly the leak
+    t-closeness exists to catch).
+
+    Scale: one scan -> (group, topic) agg bounded by QI x topic domains;
+    the global topic distribution is an 8-row broadcast."""
+    quasi = load_table(spark, sf_dir, "documents").select(
+        "lang", "source", (hash64(F.col("doc_id"), seed=31) % 8).alias("topic")
+    )
+    gt = quasi.groupBy("lang", "source", "topic").agg(
+        F.count(F.lit(1)).cast("long").alias("c_gt")
+    )
+    from datapipeline_ops_spark.operators.dedup import persist_barrier
+
+    gt = persist_barrier(gt, f"tclose_gt:{sf_dir}")
+    g = gt.groupBy("lang", "source").agg(F.sum("c_gt").cast("long").alias("n_g"))
+    glob = gt.groupBy("topic").agg(F.sum("c_gt").cast("long").alias("c_t"))
+    tot = glob.agg(F.sum("c_t").cast("long").alias("n"))
+    joined = (
+        g.join(F.broadcast(glob))
+        .join(F.broadcast(tot))
+        .join(gt, ["lang", "source", "topic"], "left")
+    )
+    dev = F.abs(
+        F.coalesce(F.col("c_gt"), F.lit(0).cast("long")) * F.col("n")
+        - F.col("c_t") * F.col("n_g")
+    )
+    return joined.groupBy("lang", "source", "n_g", "n").agg(
+        F.round(
+            F.sum(dev).cast("double")
+            / (F.lit(2) * F.col("n_g") * F.col("n")).cast("double"),
+            6,
+        ).alias("tvd"),
+        (
+            F.lit(5) * F.sum(dev).cast("long")
+            <= F.lit(2) * F.col("n_g") * F.col("n")
+        ).alias("t_close"),
+    ).select(
+        "lang", "source", F.col("n_g").alias("group_size"), "tvd", "t_close"
+    )

@@ -587,3 +587,44 @@ def encoding_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
         avg_run.alias("avg_run_len"),
         rec.alias("recommendation"),
     )
+
+
+@query(
+    "text_lines_roundtrip",
+    oracle="""
+    SELECT lang, source, count(*) AS n_docs,
+           CAST(min(doc_id) AS BIGINT) AS min_doc_id
+    FROM documents GROUP BY lang, source
+    """,
+)
+def text_lines_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents metadata -> line-oriented TEXT sink (one tab-joined record
+    per line, the log-file interchange format) -> spark.read.text source ->
+    split + typed projection -> aggregate, checked against the original
+    parquet. Completes the interchange matrix (parquet/CSV/JSONL/ORC/text).
+    Only newline-free columns ride the text format (doc_id, lang, source) —
+    free-text bodies belong in the escaped formats; that contract is the
+    point of having both.
+
+    Scale: text write/read parallelize per partition like every other
+    sink here; the aggregate is a 130-group rollup."""
+    d = load_table(spark, sf_dir, "documents").select(
+        F.concat_ws(
+            "\t", F.col("doc_id").cast("string"), F.col("lang"), F.col("source")
+        ).alias("value")
+    )
+    path = _scratch(sf_dir, "documents_text")
+    d.write.mode("overwrite").text(path)
+    back = (
+        spark.read.text(path)
+        .select(F.split(F.col("value"), "\t").alias("p"))
+        .select(
+            F.element_at(F.col("p"), 1).cast("long").alias("doc_id"),
+            F.element_at(F.col("p"), 2).alias("lang"),
+            F.element_at(F.col("p"), 3).alias("source"),
+        )
+    )
+    return back.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("doc_id").cast("long").alias("min_doc_id"),
+    )
