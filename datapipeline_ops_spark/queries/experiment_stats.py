@@ -774,3 +774,77 @@ def _readout_oracle() -> str:
 
 
 QUERIES["experiment_readout_e2e"].oracle = _readout_oracle()
+
+
+# ---------------------------------------------------------------------------
+# ab_srm_check — sample-ratio-mismatch guard (step 0 of every readout)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "ab_srm_check",
+    oracle=f"""
+    WITH v AS (
+        SELECT {sql_hash64("user_id", seed=71)} % 2 AS variant
+        FROM (SELECT DISTINCT user_id FROM events)
+    ),
+    c AS (
+        SELECT CAST(sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n0,
+               CAST(sum(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n1
+        FROM v
+    )
+    SELECT n0, n1,
+           CASE WHEN n0 + n1 > 0
+                THEN round(CAST((n0 - n1) * (n0 - n1) AS DOUBLE)
+                           / CAST(n0 + n1 AS DOUBLE), 6)
+                ELSE NULL END AS chi2,
+           CASE WHEN n0 + n1 > 0
+                THEN CAST((n0 - n1) * (n0 - n1) AS DOUBLE)
+                     / CAST(n0 + n1 AS DOUBLE) > 3.841459
+                ELSE NULL END AS srm_detected
+    FROM c
+    """,
+)
+def ab_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-ratio-mismatch check — step 0 of every A/B readout: under a
+    50/50 split the per-variant USER counts must be statistically equal;
+    ``chi2 = (n0-n1)^2/(n0+n1)`` (the 2-cell equal-expected chi-square in
+    closed form) against the 3.84 threshold. An SRM means the assignment
+    or logging pipeline is broken and every downstream metric — including
+    this module's CUPED and SPRT readouts, which share this seed-71
+    assignment — is invalid (Fabijan et al. 2019).
+
+    Distinct-first (users, not events — event-weighted counts would hide
+    per-user volume skew); integer counts, one guarded float ratio.
+
+    Scale: one distinct-user agg, 1-row output."""
+    v = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id")
+        .distinct()
+        .select((hash64(F.col("user_id"), seed=71) % 2).alias("variant"))
+    )
+    c = v.agg(
+        F.sum(F.when(F.col("variant") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n0"),
+        F.sum(F.when(F.col("variant") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n1"),
+    )
+    tot = F.col("n0") + F.col("n1")
+    chi2 = ((F.col("n0") - F.col("n1")) * (F.col("n0") - F.col("n1"))).cast(
+        "double"
+    ) / tot.cast("double")
+    return c.select(
+        "n0",
+        "n1",
+        F.when(tot > 0, F.round(chi2, 6))
+        .otherwise(F.lit(None).cast("double"))
+        .alias("chi2"),
+        F.when(tot > 0, chi2 > 3.841459)
+        .otherwise(F.lit(None).cast("boolean"))
+        .alias("srm_detected"),
+    )

@@ -740,3 +740,86 @@ def sole_late_supplier_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("numwait"))
         .filter(F.col("numwait") >= 2)
     )
+
+
+# ---------------------------------------------------------------------------
+# join_cardinality_audit — histogram-predicted vs actual join output size
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "join_cardinality_audit",
+    oracle="""
+    WITH lh AS MATERIALIZED (
+        SELECT l_orderkey AS k, CAST(count(*) AS BIGINT) AS f1
+        FROM lineitem GROUP BY l_orderkey
+    ),
+    oh AS MATERIALIZED (
+        SELECT o_orderkey AS k, CAST(count(*) AS BIGINT) AS f2
+        FROM orders GROUP BY o_orderkey
+    ),
+    pred AS (
+        SELECT CAST(sum(lh.f1 * oh.f2) AS BIGINT) AS predicted_rows,
+               CAST(count(*) AS BIGINT) AS n_shared_keys,
+               CAST(max(lh.f1 * oh.f2) AS BIGINT) AS max_key_contrib
+        FROM lh JOIN oh ON oh.k = lh.k
+    ),
+    act AS (
+        SELECT CAST(count(*) AS BIGINT) AS actual_rows
+        FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    )
+    SELECT p.predicted_rows, a.actual_rows, p.n_shared_keys,
+           p.max_key_contrib,
+           p.predicted_rows = a.actual_rows AS estimate_exact
+    FROM pred p, act a
+    """,
+)
+def join_cardinality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-cardinality estimation audit — the optimizer-statistics
+    diagnostic: per-key frequency histograms on both join sides predict
+    the equi-join output as ``sum_k f1(k)*f2(k)`` (exact when histograms
+    are exact, the upper-bound sketch when they are truncated), checked
+    against the ACTUAL join count. ``max_key_contrib`` is the skew
+    headline: the single key that would dominate a shuffle partition —
+    the number join_skew_diagnosis turns into a salt factor.
+
+    All-integer; the equality verdict is exact by construction here and
+    documents the contract a sampled-histogram estimator would be audited
+    against at scale.
+
+    Scale: two per-key aggregates (order-cardinality) + one agg-sized
+    equi-join for the prediction; the actual-count leg is the plain join
+    the audit prices."""
+    lh = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy(F.col("l_orderkey").alias("k"))
+        .agg(F.count(F.lit(1)).cast("long").alias("f1"))
+    )
+    oh = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderkey").alias("k"))
+        .agg(F.count(F.lit(1)).cast("long").alias("f2"))
+    )
+    pred = lh.join(oh, "k").agg(
+        F.sum(F.col("f1") * F.col("f2")).cast("long").alias("predicted_rows"),
+        F.count(F.lit(1)).cast("long").alias("n_shared_keys"),
+        F.max(F.col("f1") * F.col("f2")).cast("long").alias("max_key_contrib"),
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey")
+    act = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .agg(F.count(F.lit(1)).cast("long").alias("actual_rows"))
+    )
+    return (
+        pred.join(F.broadcast(act))
+        .select(
+            "predicted_rows",
+            "actual_rows",
+            "n_shared_keys",
+            "max_key_contrib",
+            (F.col("predicted_rows") == F.col("actual_rows")).alias(
+                "estimate_exact"
+            ),
+        )
+    )
