@@ -165,6 +165,10 @@ DEFAULT_QUERIES = [
     "cohort_ltv_matrix",           # cohort x age cumulative matrix
     "span_corruption_plan",        # position explode + mask stats
     "fim_split_plan",              # O(1) hash cuts per doc
+    "t_closeness_audit",           # QI-group TVD vs global, integer
+    "text_lines_roundtrip",        # text sink/source interchange
+    "ab_srm_check",                # distinct-user variant chi-square
+    "join_cardinality_audit",      # histogram-predicted join size
 ]
 
 
