@@ -460,3 +460,118 @@ def cohort_ltv_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             2,
         ).alias("cum_ltv"),
     )
+
+
+# ---------------------------------------------------------------------------
+# diff_in_diff_revenue — two-group pre/post causal contrast
+# ---------------------------------------------------------------------------
+
+_DID_CUTOVER = "1999-01-01"  # midpoint of the 1995-2001 order calendar
+
+
+@query(
+    "diff_in_diff_revenue",
+    oracle=f"""
+    WITH cells AS (
+        SELECT CASE WHEN n.n_regionkey % 2 = 0 THEN 1 ELSE 0 END AS treated,
+               CASE WHEN o.o_orderdate >= TIMESTAMP '{_DID_CUTOVER}'
+                    THEN 1 ELSE 0 END AS post,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               CAST(sum(CAST(round(o.o_totalprice*100) AS BIGINT)) AS BIGINT)
+                   AS cents
+        FROM orders o
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN nation n   ON n.n_nationkey = c.c_nationkey
+        GROUP BY 1, 2
+    ),
+    m AS (
+        SELECT treated, post, n_orders,
+               CAST(cents AS DOUBLE) / CAST(n_orders AS DOUBLE) / 100.0
+                   AS mean_order_value
+        FROM cells
+    )
+    SELECT treated, post, n_orders, round(mean_order_value, 4)
+               AS mean_order_value,
+           round((SELECT (t1.mean_order_value - t0.mean_order_value)
+                         - (c1.mean_order_value - c0.mean_order_value)
+                  FROM m t1, m t0, m c1, m c0
+                  WHERE t1.treated = 1 AND t1.post = 1
+                    AND t0.treated = 1 AND t0.post = 0
+                    AND c1.treated = 0 AND c1.post = 1
+                    AND c0.treated = 0 AND c0.post = 0), 4) AS did_estimate
+    FROM m
+    """,
+)
+def diff_in_diff_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences contrast of mean order value: 'treated'
+    customer nations (even region key — the policy-rollout seam) vs
+    control, before/after the {_DID_CUTOVER} cutover;
+    ``DiD = (T_post - T_pre) - (C_post - C_pre)`` — the workhorse causal
+    estimator when randomization isn't available, here as the 2x2 cell
+    table every DiD readout starts from, with the estimate repeated on
+    each cell row.
+
+    Cent-exact integer cell sums; cell means and the DiD contrast are
+    identical float expressions over the four 1-row cells.
+
+    Scale: one orders scan with broadcast customer-nation dims, a 4-row
+    aggregate, O(1) arithmetic."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.when(
+            F.col("o_orderdate") >= F.lit(_DID_CUTOVER).cast("timestamp"), 1
+        ).otherwise(0).alias("post"),
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
+    )
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", (F.col("n_regionkey") % 2 == 0).cast("int").alias("treated")
+    )
+    cells = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .groupBy("treated", "post")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum("cents").cast("long").alias("cents"),
+        )
+    )
+    from datapipeline_ops_spark.operators.dedup import persist_barrier
+
+    m = persist_barrier(
+        cells.select(
+            "treated",
+            "post",
+            "n_orders",
+            (
+                F.col("cents").cast("double")
+                / F.col("n_orders").cast("double")
+                / 100.0
+            ).alias("mean_order_value"),
+        ),
+        f"did_cells:{sf_dir}",
+    )
+
+    def cell(t: int, p: int, name: str) -> DataFrame:
+        return m.filter((F.col("treated") == t) & (F.col("post") == p)).select(
+            F.col("mean_order_value").alias(name)
+        )
+
+    did = (
+        cell(1, 1, "t1")
+        .join(F.broadcast(cell(1, 0, "t0")))
+        .join(F.broadcast(cell(0, 1, "c1")))
+        .join(F.broadcast(cell(0, 0, "c0")))
+        .select(
+            F.round(
+                (F.col("t1") - F.col("t0")) - (F.col("c1") - F.col("c0")), 4
+            ).alias("did_estimate")
+        )
+    )
+    return m.join(F.broadcast(did)).select(
+        "treated",
+        "post",
+        "n_orders",
+        F.round("mean_order_value", 4).alias("mean_order_value"),
+        "did_estimate",
+    )

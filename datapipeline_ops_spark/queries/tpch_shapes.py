@@ -823,3 +823,86 @@ def join_cardinality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# filter_selectivity_audit — independence-assumption estimation error
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "filter_selectivity_audit",
+    oracle="""
+    WITH s AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n1,
+               CAST(sum(CASE WHEN l_quantity >= 25 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n2,
+               CAST(sum(CASE WHEN l_discount >= 0.05 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n3,
+               CAST(sum(CASE WHEN l_returnflag = 'R' AND l_quantity >= 25
+                              AND l_discount >= 0.05 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS actual_rows
+        FROM lineitem
+    )
+    SELECT n, n1, n2, n3, actual_rows,
+           round(CAST(n1 AS DOUBLE) / CAST(n AS DOUBLE)
+                 * (CAST(n2 AS DOUBLE) / CAST(n AS DOUBLE))
+                 * (CAST(n3 AS DOUBLE) / CAST(n AS DOUBLE))
+                 * CAST(n AS DOUBLE), 2) AS predicted_rows,
+           CASE WHEN actual_rows > 0
+                THEN round(CAST(n1 AS DOUBLE) / CAST(n AS DOUBLE)
+                           * (CAST(n2 AS DOUBLE) / CAST(n AS DOUBLE))
+                           * (CAST(n3 AS DOUBLE) / CAST(n AS DOUBLE))
+                           * CAST(n AS DOUBLE)
+                           / CAST(actual_rows AS DOUBLE), 4)
+                ELSE NULL END AS independence_ratio
+    FROM s
+    """,
+)
+def filter_selectivity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Selectivity-estimation audit under the independence assumption — the
+    other half of the optimizer-statistics diagnostic pair with
+    join_cardinality_audit: per-predicate selectivities multiply into a
+    predicted conjunctive row count (exactly what a cost model without
+    multi-column statistics does), checked against the actual conjunction.
+    ``independence_ratio`` far from 1 flags correlated predicates — the
+    classic source of catastrophic plan choices.
+
+    ONE scan computes all four counts as conditional sums (never four
+    passes); integer counts, two identical float expressions.
+
+    Scale: single partial-agg'd pass, 1-row output."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p1 = F.col("l_returnflag") == "R"
+    p2 = F.col("l_quantity") >= 25
+    p3 = F.col("l_discount") >= 0.05
+    s = li.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.when(p1, 1).otherwise(0)).cast("long").alias("n1"),
+        F.sum(F.when(p2, 1).otherwise(0)).cast("long").alias("n2"),
+        F.sum(F.when(p3, 1).otherwise(0)).cast("long").alias("n3"),
+        F.sum(F.when(p1 & p2 & p3, 1).otherwise(0)).cast("long").alias("actual_rows"),
+    )
+    nd = F.col("n").cast("double")
+    pred = (
+        F.col("n1").cast("double") / nd
+        * (F.col("n2").cast("double") / nd)
+        * (F.col("n3").cast("double") / nd)
+        * nd
+    )
+    return s.select(
+        "n",
+        "n1",
+        "n2",
+        "n3",
+        "actual_rows",
+        F.round(pred, 2).alias("predicted_rows"),
+        F.when(
+            F.col("actual_rows") > 0,
+            F.round(pred / F.col("actual_rows").cast("double"), 4),
+        )
+        .otherwise(F.lit(None).cast("double"))
+        .alias("independence_ratio"),
+    )
