@@ -169,6 +169,8 @@ DEFAULT_QUERIES = [
     "text_lines_roundtrip",        # text sink/source interchange
     "ab_srm_check",                # distinct-user variant chi-square
     "join_cardinality_audit",      # histogram-predicted join size
+    "filter_selectivity_audit",    # one-scan conjunctive selectivity
+    "diff_in_diff_revenue",        # 2x2 causal contrast cells
 ]
 
 
