@@ -71,24 +71,28 @@ _PRIORITY = [
 ]
 # ROUND-9 ORDERING PLAN (apply after the round-8 gate runs): head the window
 # with any round-8 reds (expected none), then:
-# (1) the 27 round-8 additions — first driver records, in wave order:
+# (1) the 39 round-8 additions — first driver records, in wave order:
 #     min_cost_supplier_per_part market_share_by_year profit_by_nation_year
 #     quantity_concentration_parts top_revenue_suppliers
 #     brand_bucket_supplier_counts large_order_customers_detail
 #     disjunctive_predicate_revenue promo_part_recent_suppliers
-#     sole_late_supplier_report mann_whitney_value_shift
+#     sole_late_supplier_report join_cardinality_audit
+#     filter_selectivity_audit mann_whitney_value_shift
 #     spearman_spend_orders cuped_adjusted_conversion
 #     brier_score_decomposition mcnemar_model_disagreement
-#     sprt_daily_monitor kneser_ney_bigram cross_source_bigram_bleu
-#     cross_source_duplication_matrix l_diversity_audit elo_rating_periods
+#     sprt_daily_monitor experiment_readout_e2e ab_srm_check
+#     kneser_ney_bigram cross_source_bigram_bleu
+#     cross_source_duplication_matrix l_diversity_audit t_closeness_audit
+#     span_corruption_plan fim_split_plan elo_rating_periods
 #     activity_streak_histogram autocorrelation_daily_revenue
 #     interevent_burstiness rfm_segmentation local_clustering_coefficient
-#     experiment_readout_e2e
-# (2) the remaining 24 r02-latest rotations, registration order
+#     kaplan_meier_conversion mann_kendall_trend herfindahl_concentration
+#     cohort_ltv_matrix diff_in_diff_revenue text_lines_roundtrip
+# (2) 11 of the r02-latest rotations, registration order
 #     (repetition_report pii_redact domain_mixing_sample sequence_packing
-#     ...) — 27 + 23 of these fill the 50-slot window; the last r02
-#     stragglers roll to round 10's rotation tail.
-# After round 9 every registered query has a driver record, so from round 10
+#     ...) — 39 + 11 fill the 50-slot window; the other 13 r02 stragglers
+#     roll to round 10's rotation tail.
+# After rounds 9-10 every registered query has a driver record; from then
 # on the window is pure first-records-for-new + oldest-cohort rotation.
 
 
