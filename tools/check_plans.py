@@ -1636,6 +1636,34 @@ def _(qs, spark):
     assert specs and all("cohort" in sp.split(",")[0] for sp in specs), specs[:2]
 
 
+@check("t_closeness_audit: topic spine broadcast, one documents subtree")
+def _(qs, spark):
+    plan = plan_of(qs["t_closeness_audit"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    cols = read_schema_cols(plan, "documents")
+    assert cols <= {"doc_id", "lang", "source"}, cols
+    # the global topic distribution and the 1-row total ride broadcasts
+    assert plan.count("BroadcastExchange") >= 2
+
+
+@check("join_cardinality_audit: prediction rides agg-sized equi-join")
+def _(qs, spark):
+    plan = plan_of(qs["join_cardinality_audit"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    # both fact scans prune to the single join-key column
+    assert read_schema_cols(plan, "lineitem") == {"l_orderkey"}
+    assert read_schema_cols(plan, "orders") == {"o_orderkey"}
+
+
+@check("diff_in_diff_revenue: 4-cell barrier, broadcast contrast joins")
+def _(qs, spark):
+    plan = plan_of(qs["diff_in_diff_revenue"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    cols = read_schema_cols(plan, "orders")
+    assert cols <= {"o_custkey", "o_orderdate", "o_totalprice"}, cols
+    assert "BroadcastExchange" in plan
+
+
 def main() -> int:
     import __spark_entry__ as entry_mod
     from datapipeline_ops_spark.session import get_spark
