@@ -607,3 +607,132 @@ def local_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return out
+
+
+# ---------------------------------------------------------------------------
+# basket_affinity_rules — directional association rules with lift
+# ---------------------------------------------------------------------------
+
+AFFINITY_MIN_SUPPORT = 2
+AFFINITY_TOP_K = 50
+
+
+@query(
+    "basket_affinity_rules",
+    oracle=f"""
+    WITH ok_orders AS MATERIALIZED (
+        SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+        HAVING count(*) <= {TRIANGLE_MAX_BASKET}
+    ),
+    items AS MATERIALIZED (
+        SELECT DISTINCT l.l_orderkey, l.l_partkey
+        FROM lineitem l JOIN ok_orders ok ON ok.l_orderkey = l.l_orderkey
+    ),
+    n AS (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders
+          FROM items),
+    marg AS MATERIALIZED (
+        SELECT l_partkey, CAST(count(*) AS BIGINT) AS n_item
+        FROM items GROUP BY l_partkey
+    ),
+    pairs AS (
+        SELECT a.l_partkey AS antecedent, b.l_partkey AS consequent,
+               CAST(count(*) AS BIGINT) AS n_both
+        FROM items a JOIN items b
+          ON b.l_orderkey = a.l_orderkey AND b.l_partkey <> a.l_partkey
+        GROUP BY 1, 2 HAVING count(*) >= {AFFINITY_MIN_SUPPORT}
+    )
+    SELECT p.antecedent, p.consequent, p.n_both,
+           ma.n_item AS n_antecedent, mc.n_item AS n_consequent,
+           round(CAST(p.n_both AS DOUBLE) / CAST(ma.n_item AS DOUBLE), 6)
+               AS confidence,
+           round(CAST(p.n_both AS DOUBLE) * CAST(n.n_orders AS DOUBLE)
+                 / (CAST(ma.n_item AS DOUBLE) * CAST(mc.n_item AS DOUBLE)), 6)
+               AS lift
+    FROM pairs p
+    JOIN marg ma ON ma.l_partkey = p.antecedent
+    JOIN marg mc ON mc.l_partkey = p.consequent
+    CROSS JOIN n
+    ORDER BY p.n_both DESC, p.antecedent, p.consequent
+    LIMIT {AFFINITY_TOP_K}
+    """,
+)
+def basket_affinity_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directional association rules A -> B over order baskets: support
+    (co-occurrence count), confidence ``P(B|A) = n_both/n_A``, and lift
+    ``P(A,B)/(P(A)P(B))`` — the market-basket classic (Agrawal & Srikant
+    1994), complementing the symmetric PMI scores already registered
+    (confidence is DIRECTIONAL: bread->butter and butter->bread differ).
+
+    Top-{AFFINITY_TOP_K} rules ordered by INTEGER support with key
+    tiebreaks — never by float confidence/lift, whose ties would be
+    engine-order-dependent. Distinct-first per (order, part); baskets
+    capped at {TRIANGLE_MAX_BASKET} before pairing (the triangle-census
+    rule) so the per-order pair explosion is bounded by construction.
+
+    Scale: one distinct agg, one self-equi-join on orderkey inside capped
+    baskets, marginals are part-cardinality broadcasts of an aggregate."""
+    from datapipeline_ops_spark.operators.dedup import persist_barrier
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    ok = (
+        li.groupBy("l_orderkey")
+        .agg(F.count(F.lit(1)).alias("n_lines"))
+        .filter(F.col("n_lines") <= TRIANGLE_MAX_BASKET)
+        .select("l_orderkey")
+    )
+    items = persist_barrier(
+        li.join(ok, "l_orderkey", "left_semi").distinct(),
+        f"affinity_items:{sf_dir}",
+    )
+    n = items.agg(
+        F.countDistinct("l_orderkey").cast("long").alias("n_orders")
+    )
+    marg = items.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n_item")
+    )
+    a = items.select("l_orderkey", F.col("l_partkey").alias("antecedent"))
+    b = items.select(
+        F.col("l_orderkey").alias("ok_b"), F.col("l_partkey").alias("consequent")
+    )
+    pairs = (
+        a.join(
+            b,
+            (F.col("l_orderkey") == F.col("ok_b"))
+            & (F.col("antecedent") != F.col("consequent")),
+        )
+        .groupBy("antecedent", "consequent")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_both"))
+        .filter(F.col("n_both") >= AFFINITY_MIN_SUPPORT)
+    )
+    ma = marg.select(
+        F.col("l_partkey").alias("antecedent"), F.col("n_item").alias("n_antecedent")
+    )
+    mc = marg.select(
+        F.col("l_partkey").alias("consequent"), F.col("n_item").alias("n_consequent")
+    )
+    return (
+        pairs.join(F.broadcast(ma), "antecedent")
+        .join(F.broadcast(mc), "consequent")
+        .join(F.broadcast(n))
+        .select(
+            "antecedent",
+            "consequent",
+            "n_both",
+            "n_antecedent",
+            "n_consequent",
+            F.round(
+                F.col("n_both").cast("double") / F.col("n_antecedent").cast("double"),
+                6,
+            ).alias("confidence"),
+            F.round(
+                F.col("n_both").cast("double") * F.col("n_orders").cast("double")
+                / (
+                    F.col("n_antecedent").cast("double")
+                    * F.col("n_consequent").cast("double")
+                ),
+                6,
+            ).alias("lift"),
+        )
+        .orderBy(F.desc("n_both"), "antecedent", "consequent")
+        .limit(AFFINITY_TOP_K)
+    )

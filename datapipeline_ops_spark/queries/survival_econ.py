@@ -575,3 +575,99 @@ def diff_in_diff_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("mean_order_value", 4).alias("mean_order_value"),
         "did_estimate",
     )
+
+
+# ---------------------------------------------------------------------------
+# pareto_revenue_deciles — customer-concentration Lorenz table
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "pareto_revenue_deciles",
+    oracle="""
+    WITH per_cust AS MATERIALIZED (
+        SELECT o_custkey,
+               CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT)
+                   AS cents
+        FROM orders GROUP BY o_custkey
+    ),
+    nt AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                  CAST(sum(cents) AS BIGINT) AS total FROM per_cust),
+    cb AS (
+        SELECT cents, CAST(sum(c) OVER (ORDER BY cents ROWS BETWEEN UNBOUNDED
+                           PRECEDING AND CURRENT ROW) - c AS BIGINT) AS below
+        FROM (SELECT cents, count(*) AS c FROM per_cust GROUP BY cents)
+    ),
+    dec AS (
+        SELECT least(9, (10 * cb.below) // nt.n) AS decile,
+               CAST(count(*) AS BIGINT) AS n_customers,
+               CAST(sum(p.cents) AS BIGINT) AS dec_cents
+        FROM per_cust p JOIN cb ON cb.cents = p.cents CROSS JOIN nt
+        GROUP BY least(9, (10 * cb.below) // nt.n)
+    )
+    SELECT CAST(decile AS BIGINT) AS decile, n_customers,
+           round(CAST(dec_cents AS DOUBLE) / 100.0, 2) AS revenue,
+           round(CAST(sum(dec_cents) OVER (ORDER BY decile ROWS BETWEEN
+                          UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+                 / CAST((SELECT total FROM nt) AS DOUBLE), 6)
+               AS cum_revenue_share
+    FROM dec
+    """,
+)
+def pareto_revenue_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer revenue-concentration Lorenz table: customers bucketed into
+    spend deciles by the value-level CDF (``least(9, 10*|below|//n)`` —
+    deterministic under ties, the RFM quartile rule at decile granularity),
+    each decile's revenue and the cumulative Lorenz share. The '80/20'
+    readout: 1 - cum_share at decile 7 is the top-20% concentration.
+
+    Cent-exact integer sums; the only windows are the value-CDF (bucketed
+    two-level prefix sum on the Spark side) and a 10-row decile cumsum.
+
+    Scale: one orders scan -> per-customer agg; the CDF spine join is
+    value-keyed; 10 output rows."""
+    from datapipeline_ops_spark.functions.ranks import cum_before_spine
+    from datapipeline_ops_spark.operators.dedup import persist_barrier
+
+    per_cust = persist_barrier(
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long"))
+            .cast("long")
+            .alias("cents")
+        ),
+        f"pareto_per_cust:{sf_dir}",
+    )
+    nt = per_cust.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("cents").cast("long").alias("total"),
+    )
+    by_val = per_cust.groupBy("cents").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    cb = cum_before_spine(by_val, "cents", "c", "below")
+    dec = (
+        per_cust.join(cb, "cents")
+        .join(F.broadcast(nt))
+        .groupBy(
+            F.least(F.lit(9), F.expr("(10 * below) div n")).cast("long").alias(
+                "decile"
+            )
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_customers"),
+            F.sum("cents").cast("long").alias("dec_cents"),
+        )
+    )
+    w = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    return dec.join(F.broadcast(nt.select("total"))).select(
+        "decile",
+        "n_customers",
+        F.round(F.col("dec_cents").cast("double") / 100.0, 2).alias("revenue"),
+        F.round(
+            F.sum("dec_cents").over(w).cast("double")
+            / F.col("total").cast("double"),
+            6,
+        ).alias("cum_revenue_share"),
+    )

@@ -171,6 +171,8 @@ DEFAULT_QUERIES = [
     "join_cardinality_audit",      # histogram-predicted join size
     "filter_selectivity_audit",    # one-scan conjunctive selectivity
     "diff_in_diff_revenue",        # 2x2 causal contrast cells
+    "pareto_revenue_deciles",      # Lorenz deciles via CDF spine
+    "basket_affinity_rules",       # capped-basket directional rules
 ]
 
 
