@@ -568,7 +568,11 @@ def diff_in_diff_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("did_estimate")
         )
     )
-    return m.join(F.broadcast(did)).select(
+    # LEFT join on a constant-true condition: with any 2x2 cell missing the
+    # contrast frame is EMPTY and an inner cross-join would drop all cell
+    # rows, while the oracle's scalar subquery yields NULL — the left join
+    # reproduces the NULL did_estimate instead.
+    return m.join(F.broadcast(did), F.lit(True), "left").select(
         "treated",
         "post",
         "n_orders",

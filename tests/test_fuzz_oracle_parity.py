@@ -1,0 +1,328 @@
+"""Cross-engine fuzz: hypothesis-generated CONTRACT-CONFORMING micro-tables
+(2-dp money, integer quantities, whole-percent discounts, the fixed
+catalog calendar) run through registered queries AND their DuckDB oracles,
+compared with the driver gate's own normalizer (tools/check_correctness).
+
+The per-round mimic gate uses the fixed testdata; this harness moves the
+inputs — random tie patterns, missing 2x2 cells, empty date windows,
+single-day calendars — while holding the schema contract, so any
+engine-divergence that only shows on an input shape the testdata never
+produces is caught here first.
+"""
+
+import os
+import sys
+
+import duckdb
+import pytest
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+sys.path.insert(
+    0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tools")
+)
+from check_correctness import value_hash  # noqa: E402
+
+from datapipeline_ops_spark.queries import QUERIES
+
+_SETTINGS = dict(
+    max_examples=4,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+_DATES = [
+    "1995-01-01", "1995-07-15", "1996-02-01", "1996-03-31", "1998-12-31",
+    "1999-01-01", "2000-06-15", "2001-07-31",
+]
+_SHIP_OFFSETS = [0, 1, 30, 59, 60, 61, 90, 120]
+
+
+def _run_pair(spark, tmp_path, names, tables):
+    con = duckdb.connect()
+    for t in tables:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{tmp_path}/{t}.parquet'")
+    for name in names:
+        spec = QUERIES[name]
+        sdf = spec.fn(spark, str(tmp_path))
+        scols, srows = sdf.columns, [tuple(r) for r in sdf.collect()]
+        cur = con.execute(spec.oracle)
+        dcols = [d[0] for d in cur.description]
+        drows = cur.fetchall()
+        assert len(srows) == len(drows), (name, len(srows), len(drows))
+        assert sorted(scols) == sorted(dcols), (name, scols, dcols)
+        hs, hd = value_hash(scols, srows), value_hash(dcols, drows)
+        assert hs == hd, (name, sorted(srows)[:3], sorted(drows)[:3])
+
+
+def _write_dims(tmp_path):
+    con = duckdb.connect()
+    con.execute(
+        f"""COPY (SELECT i AS r_regionkey,
+                        'REGION_' || i AS r_name
+                 FROM range(3) t(i))
+            TO '{tmp_path}/region.parquet' (FORMAT PARQUET)"""
+    )
+    con.execute(
+        f"""COPY (SELECT CAST(i AS INT) AS n_nationkey,
+                        'NATION_' || i AS n_name,
+                        CAST(i % 3 AS INT) AS n_regionkey
+                 FROM range(6) t(i))
+            TO '{tmp_path}/nation.parquet' (FORMAT PARQUET)"""
+    )
+    con.execute(
+        f"""COPY (SELECT CAST(i + 1 AS BIGINT) AS s_suppkey,
+                        'Supplier#' || i AS s_name,
+                        CAST(i % 6 AS INT) AS s_nationkey,
+                        CAST(CASE WHEN i % 3 = 0 THEN -50.25
+                                  ELSE 100.50 END AS DOUBLE) AS s_acctbal
+                 FROM range(4) t(i))
+            TO '{tmp_path}/supplier.parquet' (FORMAT PARQUET)"""
+    )
+    con.execute(
+        f"""COPY (SELECT CAST(i + 1 AS BIGINT) AS c_custkey,
+                        'Customer#' || i AS c_name,
+                        CAST(i % 6 AS INT) AS c_nationkey,
+                        CAST(10.00 * i AS DOUBLE) AS c_acctbal,
+                        'SEG_' || (i % 2) AS c_mktsegment
+                 FROM range(6) t(i))
+            TO '{tmp_path}/customer.parquet' (FORMAT PARQUET)"""
+    )
+    con.execute(
+        f"""COPY (SELECT CAST(i + 1 AS BIGINT) AS p_partkey,
+                        CASE WHEN i % 2 = 0 THEN 'small ring'
+                             ELSE 'red widget' END AS p_name,
+                        'Brand#1' || (i % 3) AS p_brand,
+                        CASE WHEN i % 2 = 0 THEN 'PROMO'
+                             ELSE 'LARGE' END AS p_type,
+                        CAST(1 + i * 10 AS INT) AS p_size,
+                        CAST(900.0 + i AS DOUBLE) AS p_retailprice
+                 FROM range(5) t(i))
+            TO '{tmp_path}/part.parquet' (FORMAT PARQUET)"""
+    )
+
+
+def _copy_rows(tmp_path, table, columns, rows):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    data = {c: [r[i] for r in rows] for i, (c, _) in enumerate(columns)}
+    schema = pa.schema([(c, t) for c, t in columns])
+    pq.write_table(pa.table(data, schema=schema), f"{tmp_path}/{table}.parquet")
+
+
+_ORDER_ROW = st.tuples(
+    st.integers(min_value=1, max_value=6),          # custkey
+    st.sampled_from("POF"),                         # status
+    st.integers(min_value=10_000, max_value=50_000_000),  # total cents
+    st.sampled_from(_DATES),                        # orderdate
+    st.sampled_from(["1-URGENT", "3-MEDIUM", "5-LOW"]),
+)
+
+_LINE_ROW = st.tuples(
+    st.integers(min_value=1, max_value=5),          # partkey
+    st.integers(min_value=1, max_value=4),          # suppkey
+    st.integers(min_value=1, max_value=50),         # quantity
+    st.integers(min_value=90_182, max_value=10_499_788),  # ext cents
+    st.integers(min_value=0, max_value=10),         # discount pct
+    st.sampled_from("RNA"),                         # returnflag
+    st.sampled_from(_SHIP_OFFSETS),                 # ship offset days
+)
+
+
+@settings(**_SETTINGS)
+@given(
+    orders=st.lists(_ORDER_ROW, min_size=4, max_size=24),
+    lines=st.lists(_LINE_ROW, min_size=4, max_size=48),
+    seed=st.integers(min_value=0, max_value=10_000),
+)
+def test_fuzz_orders_lineitem_queries(spark, tmp_path_factory, orders, lines, seed):
+    import datetime
+    import pyarrow as pa
+
+    tmp_path = tmp_path_factory.mktemp("fuzz_ol")
+    _write_dims(tmp_path)
+    o_rows = []
+    for i, (ck, status, cents, d, prio) in enumerate(orders):
+        o_rows.append(
+            (
+                i + 1,
+                ck,
+                status,
+                cents / 100.0,
+                datetime.datetime.fromisoformat(d),
+                prio,
+            )
+        )
+    _copy_rows(
+        tmp_path,
+        "orders",
+        [
+            ("o_orderkey", pa.int64()),
+            ("o_custkey", pa.int64()),
+            ("o_orderstatus", pa.string()),
+            ("o_totalprice", pa.float64()),
+            ("o_orderdate", pa.timestamp("us")),
+            ("o_orderpriority", pa.string()),
+        ],
+        o_rows,
+    )
+    l_rows = []
+    for i, (pk, sk, qty, cents, disc, rf, off) in enumerate(lines):
+        okey = (i + seed) % len(o_rows) + 1
+        base = o_rows[okey - 1][4]
+        l_rows.append(
+            (
+                okey,
+                pk,
+                sk,
+                i + 1,
+                float(qty),
+                cents / 100.0,
+                disc / 100.0,
+                0.04,
+                rf,
+                "O",
+                base + datetime.timedelta(days=off),
+            )
+        )
+    _copy_rows(
+        tmp_path,
+        "lineitem",
+        [
+            ("l_orderkey", pa.int64()),
+            ("l_partkey", pa.int64()),
+            ("l_suppkey", pa.int64()),
+            ("l_linenumber", pa.int32()),
+            ("l_quantity", pa.float64()),
+            ("l_extendedprice", pa.float64()),
+            ("l_discount", pa.float64()),
+            ("l_tax", pa.float64()),
+            ("l_returnflag", pa.string()),
+            ("l_linestatus", pa.string()),
+            ("l_shipdate", pa.timestamp("us")),
+        ],
+        l_rows,
+    )
+    _run_pair(
+        spark,
+        tmp_path,
+        [
+            "min_cost_supplier_per_part",
+            "quantity_concentration_parts",
+            "top_revenue_suppliers",
+            "large_order_customers_detail",
+            "sole_late_supplier_report",
+            "market_share_by_year",
+            "herfindahl_concentration",
+            "cohort_ltv_matrix",
+            "elo_rating_periods",
+            "rfm_segmentation",
+            "pareto_revenue_deciles",
+            "mann_kendall_trend",
+            "autocorrelation_daily_revenue",
+            "diff_in_diff_revenue",
+            "spearman_spend_orders",
+            "join_cardinality_audit",
+            "filter_selectivity_audit",
+            "basket_affinity_rules",
+        ],
+        ["region", "nation", "supplier", "customer", "part", "orders", "lineitem"],
+    )
+
+
+_EVENT_ROW = st.tuples(
+    st.integers(min_value=0, max_value=29),   # day in Jan 2024
+    st.integers(min_value=0, max_value=86_399),  # second of day
+    st.integers(min_value=1, max_value=8),    # user
+    st.sampled_from(["click", "view", "purchase", "signup", "error"]),
+    st.integers(min_value=1, max_value=49_002),  # value cents
+)
+
+
+@settings(**_SETTINGS)
+@given(events=st.lists(_EVENT_ROW, min_size=6, max_size=60))
+def test_fuzz_events_queries(spark, tmp_path_factory, events):
+    import datetime
+    import pyarrow as pa
+
+    tmp_path = tmp_path_factory.mktemp("fuzz_ev")
+    rows = []
+    for i, (day, sec, user, etype, cents) in enumerate(events):
+        ts = datetime.datetime(2024, 1, 1) + datetime.timedelta(days=day, seconds=sec)
+        rows.append((i + 1, ts, user, etype, cents / 100.0, "{}"))
+    _copy_rows(
+        tmp_path,
+        "events",
+        [
+            ("event_id", pa.int64()),
+            ("ts", pa.timestamp("us")),
+            ("user_id", pa.int64()),
+            ("event_type", pa.string()),
+            ("value", pa.float64()),
+            ("props", pa.string()),
+        ],
+        rows,
+    )
+    _run_pair(
+        spark,
+        tmp_path,
+        [
+            "mann_whitney_value_shift",
+            "sprt_daily_monitor",
+            "cuped_adjusted_conversion",
+            "ab_srm_check",
+            "activity_streak_histogram",
+            "interevent_burstiness",
+            "kaplan_meier_conversion",
+        ],
+        ["events"],
+    )
+
+
+_WORDS = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta"]
+
+_DOC_ROW = st.tuples(
+    st.lists(st.sampled_from(_WORDS), min_size=1, max_size=12),
+    st.sampled_from(["en", "de"]),
+    st.sampled_from(["web", "books", "code"]),
+)
+
+
+@settings(**_SETTINGS)
+@given(docs=st.lists(_DOC_ROW, min_size=3, max_size=16))
+def test_fuzz_documents_queries(spark, tmp_path_factory, docs):
+    import pyarrow as pa
+
+    tmp_path = tmp_path_factory.mktemp("fuzz_doc")
+    rows = []
+    for i, (words, lang, source) in enumerate(docs):
+        text = " ".join(words)
+        rows.append((i + 1, text, lang, source, len(text)))
+    _copy_rows(
+        tmp_path,
+        "documents",
+        [
+            ("doc_id", pa.int64()),
+            ("text", pa.string()),
+            ("lang", pa.string()),
+            ("source", pa.string()),
+            ("n_chars", pa.int64()),
+        ],
+        rows,
+    )
+    _run_pair(
+        spark,
+        tmp_path,
+        [
+            "kneser_ney_bigram",
+            "cross_source_bigram_bleu",
+            "cross_source_duplication_matrix",
+            "l_diversity_audit",
+            "t_closeness_audit",
+            "span_corruption_plan",
+            "fim_split_plan",
+            "brier_score_decomposition",
+            "mcnemar_model_disagreement",
+        ],
+        ["documents"],
+    )
