@@ -371,8 +371,10 @@ _HIST_BINS = 20
     WITH ext AS (SELECT min(value) AS lo, max(value) AS hi FROM events
                  WHERE value IS NOT NULL),
     b AS (
-        SELECT least({_HIST_BINS - 1},
-                     CAST(floor((value - lo) * {_HIST_BINS}e0 / (hi - lo)) AS INT)) AS bin
+        SELECT CASE WHEN hi = lo THEN 0
+                    ELSE least({_HIST_BINS - 1},
+                     CAST(floor((value - lo) * {_HIST_BINS}e0 / (hi - lo)) AS INT))
+               END AS bin
         FROM events, ext WHERE value IS NOT NULL
     )
     SELECT bin,
@@ -395,11 +397,20 @@ def histogram_equi_width(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
     ext = e.agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
     nb = F.lit(float(_HIST_BINS))
+    # degenerate extent (all values identical): everything lands in bin 0 —
+    # guarded in BOTH engines; ANSI Spark raises on the 0-width division and
+    # DuckDB's NaN->INT cast would too (found by the oracle-parity fuzzer).
     binned = e.crossJoin(F.broadcast(ext)).select(
-        F.least(
-            F.lit(_HIST_BINS - 1),
-            F.floor((F.col("value") - F.col("lo")) * nb / (F.col("hi") - F.col("lo"))).cast("int"),
-        ).alias("bin"),
+        F.when(F.col("hi") == F.col("lo"), F.lit(0))
+        .otherwise(
+            F.least(
+                F.lit(_HIST_BINS - 1),
+                F.floor(
+                    (F.col("value") - F.col("lo")) * nb / (F.col("hi") - F.col("lo"))
+                ).cast("int"),
+            )
+        )
+        .alias("bin"),
         "lo",
         "hi",
     )

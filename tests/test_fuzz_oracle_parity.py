@@ -225,6 +225,19 @@ def test_fuzz_orders_lineitem_queries(spark, tmp_path_factory, orders, lines, se
             "join_cardinality_audit",
             "filter_selectivity_audit",
             "basket_affinity_rules",
+            # legacy families on the same tables
+            "pricing_summary",
+            "group_count",
+            "group_avg",
+            "returnflag_share",
+            "customer_order_histogram",
+            "orders_by_weekday",
+            "monthly_revenue_trend",
+            "top_orders",
+            "semi_join",
+            "broadcast_dim_join",
+            "trade_flow_matrix",
+            "small_quantity_order_revenue",
         ],
         ["region", "nation", "supplier", "customer", "part", "orders", "lineitem"],
     )
@@ -274,6 +287,12 @@ def test_fuzz_events_queries(spark, tmp_path_factory, events):
             "activity_streak_histogram",
             "interevent_burstiness",
             "kaplan_meier_conversion",
+            # legacy families on events
+            "sessionize_events",
+            "funnel_conversion",
+            "retention_cohorts",
+            "value_percentiles_by_type",
+            "histogram_equi_width",
         ],
         ["events"],
     )
@@ -323,6 +342,12 @@ def test_fuzz_documents_queries(spark, tmp_path_factory, docs):
             "fim_split_plan",
             "brier_score_decomposition",
             "mcnemar_model_disagreement",
+            # legacy families on documents
+            "dedup_exact",
+            "token_stats",
+            "language_id",
+            "lang_distribution",
+            "k_anonymity_audit",
         ],
         ["documents"],
     )
