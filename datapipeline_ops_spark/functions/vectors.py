@@ -6,6 +6,15 @@ DOUBLE with left-to-right accumulation in *element order*, which makes the
 values bit-identical to the DuckDB mirrors (same IEEE ops in the same order),
 so similarity thresholds and rankings agree exactly across engines.
 
+DATA CONTRACT: embedding vectors are NON-ZERO. Every cosine here divides
+by the product of norms with no zero guard — mirrored exactly in the DuckDB
+oracles — because a zero-norm "embedding" is a broken upstream encoder, not
+a similarity question; ``embedding_norm_audit`` is the registered gate that
+counts/quarantines degenerate vectors before any cosine stage runs (the
+normalize-at-ingest topology every production vector store uses). The
+oracle-parity fuzzer generates contract-conforming vectors for the same
+reason.
+
 At 100 TB scale the same expressions vectorize fine, but the win is
 structural: brute-force scoring is a broadcast nested-loop join (small query
 side), and the LSH variant (see queries/similarity.py) turns the quadratic

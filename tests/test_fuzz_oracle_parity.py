@@ -351,3 +351,55 @@ def test_fuzz_documents_queries(spark, tmp_path_factory, docs):
         ],
         ["documents"],
     )
+
+# first component >= 1: the engine-wide contract (functions/vectors.py) is
+# NON-ZERO embeddings — zero-norm vectors are quarantined upstream by
+# embedding_norm_audit, so cosine stages divide unguarded in both engines.
+_EMB_ROW = st.tuples(
+    st.tuples(
+        st.integers(min_value=1, max_value=200),
+        st.lists(
+            st.integers(min_value=-200, max_value=200),
+            min_size=63,
+            max_size=63,
+        ),
+    ).map(lambda t: [t[0]] + t[1]),
+    st.integers(min_value=0, max_value=9),
+)
+
+
+@settings(**_SETTINGS)
+@given(embs=st.lists(_EMB_ROW, min_size=12, max_size=40))
+def test_fuzz_embeddings_queries(spark, tmp_path_factory, embs):
+    import pyarrow as pa
+
+    tmp_path = tmp_path_factory.mktemp("fuzz_emb")
+    # values are k/100 floats: exact in float32, so the float64 upcast both
+    # engines perform before the ordered-fold dot products is identical
+    rows = [
+        (i, [v / 100.0 for v in vec], label)
+        for i, (vec, label) in enumerate(embs)
+    ]
+    _copy_rows(
+        tmp_path,
+        "embeddings",
+        [
+            ("vec_id", pa.int64()),
+            ("embedding", pa.list_(pa.float32())),
+            ("label", pa.int32()),
+        ],
+        rows,
+    )
+    _run_pair(
+        spark,
+        tmp_path,
+        [
+            "cosine_topk_bruteforce",
+            "embedding_norm_audit",
+            "embedding_near_dup",
+            "ann_lsh_buckets",
+            "embedding_int8_quant",
+            "label_centroids",
+        ],
+        ["embeddings"],
+    )
