@@ -14,7 +14,6 @@ import os
 import sys
 
 import duckdb
-import pytest
 from hypothesis import HealthCheck, given, settings, strategies as st
 
 sys.path.insert(
