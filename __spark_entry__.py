@@ -71,7 +71,7 @@ _PRIORITY = [
 ]
 # ROUND-9 ORDERING PLAN (apply after the round-8 gate runs): head the window
 # with any round-8 reds (expected none), then:
-# (1) the 41 round-8 additions — first driver records, in wave order:
+# (1) the 43 round-8 additions — first driver records, in wave order:
 #     min_cost_supplier_per_part market_share_by_year profit_by_nation_year
 #     quantity_concentration_parts top_revenue_suppliers
 #     brand_bucket_supplier_counts large_order_customers_detail
@@ -88,10 +88,11 @@ _PRIORITY = [
 #     interevent_burstiness rfm_segmentation local_clustering_coefficient
 #     kaplan_meier_conversion mann_kendall_trend herfindahl_concentration
 #     cohort_ltv_matrix diff_in_diff_revenue text_lines_roundtrip
-#     pareto_revenue_deciles basket_affinity_rules
-# (2) 9 of the r02-latest rotations, registration order
+#     pareto_revenue_deciles basket_affinity_rules kfold_assignment_audit
+#     class_weight_plan
+# (2) 7 of the r02-latest rotations, registration order
 #     (repetition_report pii_redact domain_mixing_sample sequence_packing
-#     ...) — 41 + 9 fill the 50-slot window; the other 15 r02 stragglers
+#     ...) — 43 + 7 fill the 50-slot window; the other 17 r02 stragglers
 #     roll to round 10's rotation tail.
 # After rounds 9-10 every registered query has a driver record; from then
 # on the window is pure first-records-for-new + oldest-cohort rotation.

@@ -613,3 +613,65 @@ def t_closeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "lang", "source", F.col("n_g").alias("group_size"), "tvd", "t_close"
     )
+
+
+# ---------------------------------------------------------------------------
+# kfold_assignment_audit — deterministic 5-fold CV split + balance audit
+# ---------------------------------------------------------------------------
+
+KFOLD_K = 5
+
+
+@query(
+    "kfold_assignment_audit",
+    oracle=f"""
+    WITH f AS (
+        SELECT source, {sql_hash64("doc_id", seed=51)} % {KFOLD_K} AS fold
+        FROM documents
+    ),
+    per AS MATERIALIZED (
+        SELECT source, fold, CAST(count(*) AS BIGINT) AS n
+        FROM f GROUP BY source, fold
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_folds_present,
+           CAST(sum(n) AS BIGINT) AS n_docs,
+           CAST(min(n) AS BIGINT) AS min_fold,
+           CAST(max(n) AS BIGINT) AS max_fold,
+           CASE WHEN min(n) > 0
+                THEN round(CAST(max(n) AS DOUBLE) / CAST(min(n) AS DOUBLE), 4)
+                ELSE NULL END AS imbalance_ratio,
+           count(*) = {KFOLD_K} AND min(n) > 0 AS usable
+    FROM per
+    GROUP BY source
+    """,
+)
+def kfold_assignment_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic k-fold cross-validation assignment (md5 hash of
+    doc_id mod {KFOLD_K} — reproducible across runs, engines, and
+    cluster sizes, unlike randomSplit) with the per-source balance audit
+    an eval pipeline runs before trusting fold metrics: folds present,
+    min/max fold size, imbalance ratio, and a usable verdict (every fold
+    non-empty). Complements dataset_split_assign (single split) and
+    train_test_split_leakfree (group-aware split).
+
+    Scale: one scan, one (source, fold) partial agg, 20-row rollup."""
+    f = load_table(spark, sf_dir, "documents").select(
+        "source", (hash64(F.col("doc_id"), seed=51) % KFOLD_K).alias("fold")
+    )
+    per = f.groupBy("source", "fold").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    return per.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_folds_present"),
+        F.sum("n").cast("long").alias("n_docs"),
+        F.min("n").cast("long").alias("min_fold"),
+        F.max("n").cast("long").alias("max_fold"),
+        F.when(
+            F.min("n") > 0,
+            F.round(F.max("n").cast("double") / F.min("n").cast("double"), 4),
+        )
+        .otherwise(F.lit(None).cast("double"))
+        .alias("imbalance_ratio"),
+        ((F.count(F.lit(1)) == KFOLD_K) & (F.min("n") > 0)).alias("usable"),
+    )

@@ -98,3 +98,59 @@ def embedding_int8_quant(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sqrt(sq_err) / F.sqrt(sq_norm), 6).alias("rel_err"),
         F.array_max(F.transform("qv", lambda x: F.abs(x))).alias("max_q"),
     )
+
+
+# ---------------------------------------------------------------------------
+# class_weight_plan — inverse-frequency balanced class weights
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "class_weight_plan",
+    oracle="""
+    WITH c AS MATERIALIZED (
+        SELECT label, CAST(count(*) AS BIGINT) AS n
+        FROM embeddings GROUP BY label
+    ),
+    t AS (SELECT CAST(sum(n) AS BIGINT) AS total,
+                 CAST(count(*) AS BIGINT) AS k FROM c)
+    SELECT c.label, c.n AS n_examples,
+           round(CAST(c.n AS DOUBLE) / CAST(t.total AS DOUBLE), 6)
+               AS class_share,
+           round(CAST(t.total AS DOUBLE)
+                 / (CAST(t.k AS DOUBLE) * CAST(c.n AS DOUBLE)), 6)
+               AS balanced_weight
+    FROM c, t
+    """,
+)
+def class_weight_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Balanced class weights for the embedding labels:
+    ``w_c = N / (K * n_c)`` (scikit-learn's 'balanced' heuristic — the
+    weight vector a trainer loads to counter label skew) plus each class's
+    share. Integer counts; two identical float expressions.
+
+    Scale: one scan, one |labels|-row aggregate, one 1-row broadcast."""
+    c = (
+        load_table(spark, sf_dir, "embeddings")
+        .groupBy("label")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    from datapipeline_ops_spark.operators.dedup import persist_barrier
+
+    c = persist_barrier(c, f"class_weights:{sf_dir}")
+    t = c.agg(
+        F.sum("n").cast("long").alias("total"),
+        F.count(F.lit(1)).cast("long").alias("k"),
+    )
+    return c.join(F.broadcast(t)).select(
+        "label",
+        F.col("n").alias("n_examples"),
+        F.round(F.col("n").cast("double") / F.col("total").cast("double"), 6).alias(
+            "class_share"
+        ),
+        F.round(
+            F.col("total").cast("double")
+            / (F.col("k").cast("double") * F.col("n").cast("double")),
+            6,
+        ).alias("balanced_weight"),
+    )

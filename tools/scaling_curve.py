@@ -173,6 +173,8 @@ DEFAULT_QUERIES = [
     "diff_in_diff_revenue",        # 2x2 causal contrast cells
     "pareto_revenue_deciles",      # Lorenz deciles via CDF spine
     "basket_affinity_rules",       # capped-basket directional rules
+    "kfold_assignment_audit",      # hash-fold balance rollup
+    "class_weight_plan",           # inverse-frequency label weights
 ]
 
 
