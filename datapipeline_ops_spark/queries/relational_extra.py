@@ -313,13 +313,40 @@ def ntile_price_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "price_stats_by_flag",
     oracle="""
-    SELECT l_returnflag,
-           round(avg(l_extendedprice), 4)         AS mean_price,
-           round(stddev_samp(l_extendedprice), 4) AS sd_price,
-           round(corr(l_quantity, l_extendedprice), 6) AS qty_price_corr,
-           count(*) AS n
-    FROM lineitem
-    GROUP BY l_returnflag
+    WITH m AS (
+        SELECT l_returnflag,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sx,
+               CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT)
+                   AS sy,
+               CAST(sum(CAST(l_quantity AS BIGINT)
+                        * CAST(round(l_extendedprice*100) AS BIGINT))
+                    AS BIGINT) AS sxy,
+               CAST(sum(CAST(l_quantity AS BIGINT)
+                        * CAST(l_quantity AS BIGINT)) AS BIGINT) AS sxx,
+               CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)
+                        * CAST(round(l_extendedprice*100) AS BIGINT))
+                    AS BIGINT) AS syy,
+               round(avg(l_extendedprice), 4)         AS mean_price,
+               round(stddev_samp(l_extendedprice), 4) AS sd_price
+        FROM lineitem
+        GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, mean_price, sd_price,
+           CASE WHEN (CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE)
+                      - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE)) > 0
+                 AND (CAST(n AS DOUBLE)*CAST(syy AS DOUBLE)
+                      - CAST(sy AS DOUBLE)*CAST(sy AS DOUBLE)) > 0
+                THEN round(
+                  (CAST(n AS DOUBLE)*CAST(sxy AS DOUBLE)
+                   - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE))
+                  / sqrt((CAST(n AS DOUBLE)*CAST(sxx AS DOUBLE)
+                          - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE))
+                         * (CAST(n AS DOUBLE)*CAST(syy AS DOUBLE)
+                            - CAST(sy AS DOUBLE)*CAST(sy AS DOUBLE))), 6)
+                ELSE NULL END AS qty_price_corr,
+           n
+    FROM m
     """,
 )
 def price_stats_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -328,13 +355,44 @@ def price_stats_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
     single-pass partial-aggregatable moments (sum, sum², sum-of-products),
     so the shuffle carries a handful of accumulators per group regardless
     of input size.
+
+    The correlation assembles from exact integer moments (quantity x
+    price-cents; corr is scale-invariant so cents == dollars) with a
+    zero-variance guard in BOTH engines — Spark's built-in corr()
+    DIVIDES BY ZERO under ANSI when a group's column is constant (found
+    by the oracle-parity fuzzer; a constant column in some group WILL
+    happen at scale). Moment headroom: Σ(price_cents²) is exact to
+    ~10^6 rows per group; beyond that accumulate as DECIMAL(38) (the
+    spearman note).
     """
-    li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        "l_extendedprice",
+        F.col("l_quantity").cast("long").alias("x"),
+        F.round(F.col("l_extendedprice") * 100, 0).cast("long").alias("y"),
+    )
+    m = li.groupBy("l_returnflag").agg(
         F.round(F.avg("l_extendedprice"), 4).alias("mean_price"),
         F.round(F.stddev_samp("l_extendedprice"), 4).alias("sd_price"),
-        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("qty_price_corr"),
-        F.count(F.lit(1)).alias("n"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("long").alias("syy"),
+    )
+    nd = F.col("n").cast("double")
+    vx = nd * F.col("sxx").cast("double") - F.col("sx").cast("double") * F.col("sx").cast("double")
+    vy = nd * F.col("syy").cast("double") - F.col("sy").cast("double") * F.col("sy").cast("double")
+    cov = nd * F.col("sxy").cast("double") - F.col("sx").cast("double") * F.col("sy").cast("double")
+    return m.select(
+        "l_returnflag",
+        "mean_price",
+        "sd_price",
+        F.when((vx > 0) & (vy > 0), F.round(cov / F.sqrt(vx * vy), 6))
+        .otherwise(F.lit(None).cast("double"))
+        .alias("qty_price_corr"),
+        "n",
     )
 
 

@@ -181,10 +181,14 @@ def time_range_rolling_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM events GROUP BY 1, 2
     )
     SELECT event_type, day, n,
-           round((n - avg(n) OVER (PARTITION BY event_type))
-                 / stddev_samp(n) OVER (PARTITION BY event_type), 4) AS z,
-           abs((n - avg(n) OVER (PARTITION BY event_type))
-               / stddev_samp(n) OVER (PARTITION BY event_type)) > 3 AS anomalous
+           CASE WHEN stddev_samp(n) OVER (PARTITION BY event_type) > 0
+                THEN round((n - avg(n) OVER (PARTITION BY event_type))
+                     / stddev_samp(n) OVER (PARTITION BY event_type), 4)
+                ELSE NULL END AS z,
+           CASE WHEN stddev_samp(n) OVER (PARTITION BY event_type) > 0
+                THEN abs((n - avg(n) OVER (PARTITION BY event_type))
+                     / stddev_samp(n) OVER (PARTITION BY event_type)) > 3
+                ELSE NULL END AS anomalous
     FROM daily
     """,
 )
@@ -204,14 +208,20 @@ def daily_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("n"))
     )
+    # Constant daily counts give stddev 0 and ANSI Spark raises on the
+    # division (single-day types give NULL stddev, which is fine) — guard
+    # to NULL in both engines (found by the oracle-parity fuzzer).
     w = Window.partitionBy("event_type")
-    z = (F.col("n") - F.avg("n").over(w)) / F.stddev_samp("n").over(w)
+    sd = F.stddev_samp("n").over(w)
+    z = (F.col("n") - F.avg("n").over(w)) / sd
     return daily.select(
         "event_type",
         "day",
         "n",
-        F.round(z, 4).alias("z"),
-        (F.abs(z) > 3).alias("anomalous"),
+        F.when(sd > 0, F.round(z, 4)).otherwise(F.lit(None).cast("double")).alias("z"),
+        F.when(sd > 0, F.abs(z) > 3)
+        .otherwise(F.lit(None).cast("boolean"))
+        .alias("anomalous"),
     )
 
 

@@ -237,6 +237,16 @@ def test_fuzz_orders_lineitem_queries(spark, tmp_path_factory, orders, lines, se
             "broadcast_dim_join",
             "trade_flow_matrix",
             "small_quantity_order_revenue",
+            "above_avg_parts",
+            "having_big_customers",
+            "distinct_agg_suppliers",
+            "promo_revenue_share",
+            "returned_revenue_by_nation",
+            "idle_big_balance_customers",
+            "priority_with_big_lineitem",
+            "brand_size_rank",
+            "price_stats_by_flag",
+            "orders_by_weekday",
         ],
         ["region", "nation", "supplier", "customer", "part", "orders", "lineitem"],
     )
@@ -292,6 +302,11 @@ def test_fuzz_events_queries(spark, tmp_path_factory, events):
             "retention_cohorts",
             "value_percentiles_by_type",
             "histogram_equi_width",
+            "new_vs_returning_daily",
+            "cumulative_users_daily",
+            "daily_anomaly_zscore",
+            "event_bigram_paths",
+            "user_event_type_map",
         ],
         ["events"],
     )
