@@ -669,7 +669,9 @@ def corpus_report_card(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(sum(n) AS BIGINT) AS n_tokens,
            count(*) AS n_distinct,
            -sum(p * ln(p)) AS entropy,
-           -sum(p * ln(p)) / ln(CAST(count(*) AS DOUBLE)) AS entropy_norm
+           CASE WHEN count(*) > 1
+                THEN -sum(p * ln(p)) / ln(CAST(count(*) AS DOUBLE))
+                ELSE NULL END AS entropy_norm
     FROM shares GROUP BY source
     """,
 )
@@ -692,14 +694,19 @@ def entropy_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         (F.col("n").cast("double") / F.sum("n").over(w).cast("double")).alias("p"),
     )
+    # a single-token vocabulary gives ln(1) = 0 in the normalizer and ANSI
+    # Spark raises on the division — NULL in both engines (fuzzer find)
     return shares.groupBy("source").agg(
         F.sum("n").cast("long").alias("n_tokens"),
         F.count(F.lit(1)).alias("n_distinct"),
         (-F.sum(F.col("p") * F.log("p"))).alias("entropy"),
-        (
+        F.when(
+            F.count(F.lit(1)) > 1,
             -F.sum(F.col("p") * F.log("p"))
-            / F.log(F.count(F.lit(1)).cast("double"))
-        ).alias("entropy_norm"),
+            / F.log(F.count(F.lit(1)).cast("double")),
+        )
+        .otherwise(F.lit(None).cast("double"))
+        .alias("entropy_norm"),
     )
 
 

@@ -362,6 +362,18 @@ def test_fuzz_documents_queries(spark, tmp_path_factory, docs):
             "language_id",
             "lang_distribution",
             "k_anonymity_audit",
+            "quality_score",
+            "gopher_quality_flags",
+            "flesch_readability",
+            "repetition_report",
+            "entropy_by_source",
+            "doc_fingerprint",
+            "minhash_signatures",
+            "simhash_fingerprints",
+            "ngram_jaccard_pairs",
+            "shuffled_dup_detect",
+            "good_turing_smoothing",
+            "bigram_lm_perplexity",
         ],
         ["documents"],
     )
