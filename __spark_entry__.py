@@ -26,76 +26,63 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver gate records a capped prefix of queries() in registration order
-# (r01..r07 each recorded exactly 50), so ordering controls which queries get
-# a driver record. Round-8 ordering applies the plan the round-7 comment laid
-# out: there are no round-7 reds, so the window is —
-# (a) the 23 late-wave round-6 overflow queries (first driver records);
-# (b) the 2 round-7 additions (colbert_maxsim_ivf_topk, serving_retrieval_e2e)
-#     — first records;
-# (c) the 8 queries whose only driver record is r01 (trivial scalars deferred
-#     since round 6) — rotation;
-# (d) 17 rotations from the oldest live cohort (r02-latest, 41 queries),
-#     most engine-coupled first per the round-7 plan, then registration order.
-# 23 + 2 + 8 + 17 = 50. Round-8 NEW queries land after the 50-cap (first
-# records in round 9). All queries remain registered — ordering only picks
-# the driver sample.
+# (r01..r08 each recorded exactly 50), so ordering controls which queries get
+# a driver record. Round-9 ordering applies the staged plan plus the r08
+# verdict's "reds first" rule:
+# (a) trade_flow_matrix — the one r08 red (hash-only, partial-sum-ordering
+#     draw on round(sum(double),2)); revenue now summed in exact integer
+#     cent-percent units (_rev_units convention) in both engines — re-record;
+# (b) the 43 round-8 additions, first driver records, in wave order
+#     (TPC-H shapes, optimizer audits, experimentation stats, corpus-LM,
+#     governance, pretrain-prep, behavior, graph, survival/econ, misc);
+# (c) 6 rotations from the oldest live cohort (r02-latest, 24 queries),
+#     registration order. 1 + 43 + 6 = 50; the other 18 r02 stragglers roll
+#     to round 10's rotation tail. All queries remain registered — ordering
+#     only picks the driver sample.
 _PRIORITY = [
-    # (a) late-wave round-6 overflow, first driver record
-    "quality_gate_correlation", "provenance_hash_rollup",
-    "encoding_advisor", "annotator_kappa", "prefix_sharing_stats",
-    "embedding_norm_audit", "dedup_token_savings",
-    "context_window_fit_report", "simpsons_paradox_check",
-    "source_vocab_jaccard_matrix", "blocklist_filter_report",
-    "qi_uniqueness_report", "cc_consistency_audit",
-    "funnel_order_cost_report", "kcore_2_peeling", "shuffled_dup_detect",
-    "neyman_allocation_plan", "session_gap_sensitivity",
-    "good_turing_smoothing", "supplier_return_wilson",
-    "discount_quantity_elasticity", "trade_flow_matrix",
-    "small_quantity_order_revenue",
-    # (b) round-7 additions, first driver record
-    "colbert_maxsim_ivf_topk", "serving_retrieval_e2e",
-    # (c) r01-latest scalar rotations (deferred since round 6)
-    "path_roundtrip", "fraction_parse", "sec_to_label",
-    "coalesce_fallback", "json_props_extract", "placeholders_build",
-    "threshold_filter", "band_filter",
-    # (d) r02-latest rotations, most engine-coupled first
-    "greedy_dedup_keep", "scene_split_recursive", "orc_roundtrip",
-    "stream_running_totals", "stream_static_enrich",
-    "manifest_source_scan", "merge_upsert_apply", "snapshot_diff_cdc",
-    "incremental_dedup", "embedding_dedup_keepers",
-    "embedding_near_dup_lsh", "salted_group_agg",
-    "pagerank_purchase_graph", "grouping_sets_report",
-    "rollup_corpus_report", "cube_events_report",
-    "decontaminate_overlap",
+    # (a) the r08 red, fixed — re-record first
+    "trade_flow_matrix",
+    # (b) round-8 additions, first driver records, wave order
+    "min_cost_supplier_per_part", "market_share_by_year",
+    "profit_by_nation_year", "quantity_concentration_parts",
+    "top_revenue_suppliers", "brand_bucket_supplier_counts",
+    "large_order_customers_detail", "disjunctive_predicate_revenue",
+    "promo_part_recent_suppliers", "sole_late_supplier_report",
+    "join_cardinality_audit", "filter_selectivity_audit",
+    "mann_whitney_value_shift", "spearman_spend_orders",
+    "cuped_adjusted_conversion", "brier_score_decomposition",
+    "mcnemar_model_disagreement", "sprt_daily_monitor",
+    "experiment_readout_e2e", "ab_srm_check",
+    "kneser_ney_bigram", "cross_source_bigram_bleu",
+    "cross_source_duplication_matrix", "l_diversity_audit",
+    "t_closeness_audit", "span_corruption_plan", "fim_split_plan",
+    "elo_rating_periods", "activity_streak_histogram",
+    "autocorrelation_daily_revenue", "interevent_burstiness",
+    "rfm_segmentation", "local_clustering_coefficient",
+    "kaplan_meier_conversion", "mann_kendall_trend",
+    "herfindahl_concentration", "cohort_ltv_matrix",
+    "diff_in_diff_revenue", "text_lines_roundtrip",
+    "pareto_revenue_deciles", "basket_affinity_rules",
+    "kfold_assignment_audit", "class_weight_plan",
+    # (c) r02-latest rotations, registration order
+    "repetition_report", "pii_redact", "domain_mixing_sample",
+    "sequence_packing", "bpe_pair_counts", "chunk_overlap_plan",
     # --- 50-slot window ends here ---
 ]
-# ROUND-9 ORDERING PLAN (apply after the round-8 gate runs): head the window
-# with any round-8 reds (expected none), then:
-# (1) the 43 round-8 additions — first driver records, in wave order:
-#     min_cost_supplier_per_part market_share_by_year profit_by_nation_year
-#     quantity_concentration_parts top_revenue_suppliers
-#     brand_bucket_supplier_counts large_order_customers_detail
-#     disjunctive_predicate_revenue promo_part_recent_suppliers
-#     sole_late_supplier_report join_cardinality_audit
-#     filter_selectivity_audit mann_whitney_value_shift
-#     spearman_spend_orders cuped_adjusted_conversion
-#     brier_score_decomposition mcnemar_model_disagreement
-#     sprt_daily_monitor experiment_readout_e2e ab_srm_check
-#     kneser_ney_bigram cross_source_bigram_bleu
-#     cross_source_duplication_matrix l_diversity_audit t_closeness_audit
-#     span_corruption_plan fim_split_plan elo_rating_periods
-#     activity_streak_histogram autocorrelation_daily_revenue
-#     interevent_burstiness rfm_segmentation local_clustering_coefficient
-#     kaplan_meier_conversion mann_kendall_trend herfindahl_concentration
-#     cohort_ltv_matrix diff_in_diff_revenue text_lines_roundtrip
-#     pareto_revenue_deciles basket_affinity_rules kfold_assignment_audit
-#     class_weight_plan
-# (2) 7 of the r02-latest rotations, registration order
-#     (repetition_report pii_redact domain_mixing_sample sequence_packing
-#     ...) — 43 + 7 fill the 50-slot window; the other 17 r02 stragglers
-#     roll to round 10's rotation tail.
-# After rounds 9-10 every registered query has a driver record; from then
-# on the window is pure first-records-for-new + oldest-cohort rotation.
+# ROUND-10 ORDERING PLAN (apply after the round-9 gate runs): head the window
+# with any round-9 reds (expected none), then:
+# (1) first driver records for any round-9 additions (e.g.
+#     pretrain_prep_e2e), in registration order;
+# (2) the 18 remaining r02-latest stragglers, registration order:
+#     cosine_topk_bruteforce embedding_near_dup ann_lsh_buckets ann_ivf_topk
+#     eval_tonemap zorder_layout variant_props_stats table_profile
+#     vocab_top_tokens winsorized_value_stats token_stats bpe_ish_token_count
+#     quality_score language_id lang_distribution doc_fingerprint
+#     tfidf_top_terms char_trigram_lm_score
+# (3) fill the remaining slots from the then-oldest cohort (r03-latest,
+#     ~46 queries), registration order — those roll across rounds 10-11.
+# After round 10 every registered query has a driver record; from then on
+# the window is pure first-records-for-new + oldest-cohort rotation.
 
 
 def _ordered_names() -> list[str]:

@@ -98,31 +98,11 @@ def _acf_oracle() -> str:
     for k in _ACF_LAGS:
         lag_sql.append(f"""
     SELECT {k} AS lag,
-           CAST((SELECT count(*) FROM d a JOIN d b ON b.day = a.day + {k})
-                AS BIGINT) AS n_pairs,
-           round((
-             CAST((SELECT sum(a.x*b.x) FROM d a JOIN d b ON b.day = a.day + {k})
-                  AS DOUBLE)
-             - (CAST((SELECT sum(x) FROM d) AS DOUBLE)
-                / CAST((SELECT count(*) FROM d) AS DOUBLE))
-               * (CAST((SELECT sum(a.x) FROM d a JOIN d b ON b.day = a.day + {k})
-                       AS DOUBLE)
-                  + CAST((SELECT sum(b.x) FROM d a JOIN d b
-                          ON b.day = a.day + {k}) AS DOUBLE))
-             + CAST((SELECT count(*) FROM d a JOIN d b ON b.day = a.day + {k})
-                    AS DOUBLE)
-               * (CAST((SELECT sum(x) FROM d) AS DOUBLE)
-                  / CAST((SELECT count(*) FROM d) AS DOUBLE))
-               * (CAST((SELECT sum(x) FROM d) AS DOUBLE)
-                  / CAST((SELECT count(*) FROM d) AS DOUBLE))
-           ) / (
-             CAST((SELECT sum(x*x) FROM d) AS DOUBLE)
-             - CAST((SELECT count(*) FROM d) AS DOUBLE)
-               * (CAST((SELECT sum(x) FROM d) AS DOUBLE)
-                  / CAST((SELECT count(*) FROM d) AS DOUBLE))
-               * (CAST((SELECT sum(x) FROM d) AS DOUBLE)
-                  / CAST((SELECT count(*) FROM d) AS DOUBLE))
-           ), 6) AS acf
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(sum(a.x*b.x) AS BIGINT) AS sxy,
+           CAST(sum(a.x) AS BIGINT) AS sh,
+           CAST(sum(b.x) AS BIGINT) AS st
+    FROM d a JOIN d b ON b.day = a.day + {k}
     """)
     return (
         f"""
@@ -131,9 +111,40 @@ def _acf_oracle() -> str:
                CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT)
                  // {_ACF_UNIT} AS x
         FROM orders GROUP BY 1
-    )
+    ),
+    t AS MATERIALIZED (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(x) AS BIGINT) AS sx,
+               CAST(sum(x*x) AS BIGINT) AS sxx
+        FROM d
+    ),
+    p AS MATERIALIZED (
     """
         + " UNION ALL ".join(lag_sql)
+        + """
+    )
+    SELECT p.lag, p.n_pairs,
+           CASE WHEN (CAST(t.sxx AS DOUBLE)
+                      - CAST(t.n AS DOUBLE)
+                        * (CAST(t.sx AS DOUBLE) / CAST(NULLIF(t.n, 0) AS DOUBLE))
+                        * (CAST(t.sx AS DOUBLE) / CAST(NULLIF(t.n, 0) AS DOUBLE))
+                     ) > 0
+                THEN round((
+                       CAST(p.sxy AS DOUBLE)
+                       - (CAST(t.sx AS DOUBLE) / CAST(NULLIF(t.n, 0) AS DOUBLE))
+                         * (CAST(p.sh AS DOUBLE) + CAST(p.st AS DOUBLE))
+                       + CAST(p.n_pairs AS DOUBLE)
+                         * (CAST(t.sx AS DOUBLE) / CAST(NULLIF(t.n, 0) AS DOUBLE))
+                         * (CAST(t.sx AS DOUBLE) / CAST(NULLIF(t.n, 0) AS DOUBLE))
+                     ) / (
+                       CAST(t.sxx AS DOUBLE)
+                       - CAST(t.n AS DOUBLE)
+                         * (CAST(t.sx AS DOUBLE) / CAST(NULLIF(t.n, 0) AS DOUBLE))
+                         * (CAST(t.sx AS DOUBLE) / CAST(NULLIF(t.n, 0) AS DOUBLE))
+                     ), 6)
+                ELSE NULL END AS acf
+    FROM p, t
+    """
     )
 
 
@@ -186,15 +197,23 @@ def autocorrelation_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame
             .select(F.lit(k).cast("int").alias("lag"), "n_pairs", "sxy", "sh", "st")
         )
         out = lagk if out is None else out.unionAll(lagk)
-    mean = F.col("sx").cast("double") / F.col("n").cast("double")
+    mean = F.col("sx").cast("double") / F.nullif(
+        F.col("n"), F.lit(0).cast("long")
+    ).cast("double")
     num = (
         F.col("sxy").cast("double")
         - mean * (F.col("sh").cast("double") + F.col("st").cast("double"))
         + F.col("n_pairs").cast("double") * mean * mean
     )
     den = F.col("sxx").cast("double") - F.col("n").cast("double") * mean * mean
+    # A constant coarsened series (all x equal) makes den exactly 0 —
+    # ANSI Spark would raise DIVIDE_BY_ZERO where DuckDB yields NULL, so
+    # both engines guard den > 0 identically (same double from same
+    # BIGINTs, so the comparison can never disagree across engines).
     return out.join(F.broadcast(tot)).select(
-        "lag", "n_pairs", F.round(num / den, 6).alias("acf")
+        "lag",
+        "n_pairs",
+        F.when(den > 0, F.round(num / den, 6)).alias("acf"),
     )
 
 

@@ -67,6 +67,8 @@ def _oracle() -> str:
         FROM lineitem l
         JOIN supplier s ON s.s_suppkey = l.l_suppkey
         JOIN nation n   ON n.n_nationkey = s.s_nationkey
+        WHERE (year(l.l_shipdate) - 1995) * 4 + quarter(l.l_shipdate) - 1
+              BETWEEN 0 AND {_N_QUARTERS - 1}
         GROUP BY n.n_name, (year(l.l_shipdate) - 1995) * 4
                            + quarter(l.l_shipdate) - 1
     ),
@@ -153,11 +155,25 @@ def elo_rating_periods(spark: SparkSession, sf_dir: str) -> DataFrame:
     Python — iterative 25-row state is driver work, exactly like the CC
     union-find step; the oracle unrolls the same 28 periods as
     MATERIALIZED CTE stages."""
-    li = load_table(spark, sf_dir, "lineitem").select(
+    # Out-of-calendar ship dates are excluded identically in both engines
+    # (the oracle's qrev CTE carries the same BETWEEN) — otherwise the
+    # driver fold would iterate a qi the oracle's 28 unrolled stages never
+    # see, silently diverging instead of failing loudly.
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(
+            "l_suppkey",
+            "l_extendedprice",
+            "l_discount",
+            (
+                (F.year("l_shipdate") - 1995) * 4 + F.quarter("l_shipdate") - 1
+            ).alias("qi"),
+        )
+        .filter(F.col("qi").between(0, _N_QUARTERS - 1))
+    )
+    li = li.select(
         "l_suppkey",
-        (
-            (F.year("l_shipdate") - 1995) * 4 + F.quarter("l_shipdate") - 1
-        ).alias("qi"),
+        "qi",
         (
             F.round(F.col("l_extendedprice") * 100, 0).cast("long")
             * (F.lit(100) - F.round(F.col("l_discount") * 100, 0).cast("long"))

@@ -228,9 +228,12 @@ def spearman_spend_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     rx = rank2(per_cust, "x", "rx2")
     ry = rank2(per_cust, "y", "ry2")
+    # rx (order-count spine) has a tiny domain — broadcast; ry is the
+    # distinct-SPEND spine (~customer cardinality), so it must travel by
+    # shuffle equi-join, never broadcast.
     m = (
         per_cust.join(F.broadcast(rx), "x")
-        .join(F.broadcast(ry), "y")
+        .join(ry, "y")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n"),
             F.sum("rx2").cast("long").alias("sx"),

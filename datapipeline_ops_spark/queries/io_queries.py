@@ -592,9 +592,13 @@ def encoding_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "text_lines_roundtrip",
     oracle="""
-    SELECT lang, source, count(*) AS n_docs,
+    SELECT coalesce(replace(lang, chr(9), ' '), '\\N') AS lang,
+           coalesce(replace(source, chr(9), ' '), '\\N') AS source,
+           count(*) AS n_docs,
            CAST(min(doc_id) AS BIGINT) AS min_doc_id
-    FROM documents GROUP BY lang, source
+    FROM documents
+    WHERE doc_id IS NOT NULL
+    GROUP BY 1, 2
     """,
 )
 def text_lines_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -604,14 +608,27 @@ def text_lines_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     parquet. Completes the interchange matrix (parquet/CSV/JSONL/ORC/text).
     Only newline-free columns ride the text format (doc_id, lang, source) —
     free-text bodies belong in the escaped formats; that contract is the
-    point of having both.
+    point of having both. The format can't carry NULL or embedded tabs, so
+    the writer ENFORCES the contract rather than trusting it: NULL
+    lang/source become the log-format sentinel ``\\N`` and embedded tabs
+    become spaces (the oracle applies the identical normalization), and
+    NULL doc_id rows are excluded in both engines — concat_ws would
+    silently drop the field and shift columns on read-back otherwise.
 
     Scale: text write/read parallelize per partition like every other
     sink here; the aggregate is a 130-group rollup."""
-    d = load_table(spark, sf_dir, "documents").select(
-        F.concat_ws(
-            "\t", F.col("doc_id").cast("string"), F.col("lang"), F.col("source")
-        ).alias("value")
+
+    def _fld(col: str) -> F.Column:
+        return F.coalesce(F.translate(F.col(col), "\t", " "), F.lit("\\N"))
+
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id").isNotNull())
+        .select(
+            F.concat_ws(
+                "\t", F.col("doc_id").cast("string"), _fld("lang"), _fld("source")
+            ).alias("value")
+        )
     )
     path = _scratch(sf_dir, "documents_text")
     d.write.mode("overwrite").text(path)

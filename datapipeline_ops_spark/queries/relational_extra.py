@@ -1255,7 +1255,9 @@ def discount_quantity_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT cn.n_name AS cust_nation, sn.n_name AS supp_nation,
            CAST(count(*) AS BIGINT) AS n_lineitems,
-           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+           round(sum(CAST(round(l.l_extendedprice*100) AS BIGINT)
+                     * (100 - CAST(round(l.l_discount*100) AS BIGINT)))
+                 / 10000.0, 2) AS revenue
     FROM lineitem l
     JOIN orders o    ON o.o_orderkey = l.l_orderkey
     JOIN customer c  ON c.c_custkey = o.o_custkey
@@ -1277,9 +1279,12 @@ def trade_flow_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan shape: lineitem⋈orders is the one fact-fact shuffle; customer
     joins on the shuffled side; supplier and BOTH nation aliases are
     broadcast dims; the inequality filter lands after the dim joins where
-    both names exist. Revenue is round(sum,2) per the repo's float-agg
-    convention; the >=5 support floor keeps the matrix stable across
-    SFs."""
+    both names exist. Revenue is summed in exact integer cent-percent
+    units (cents x (100 - whole-percent discount), the `_rev_units`
+    convention from tpch_shapes.py) so the partial-sum ordering can never
+    move a cell across a half-cent rounding boundary — the r08 driver red
+    was exactly that draw on raw double sums. Divide to dollars once at
+    the end; the >=5 support floor keeps the matrix stable across SFs."""
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
     )
@@ -1300,7 +1305,15 @@ def trade_flow_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_lineitems"),
             F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+                F.sum(
+                    F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+                    * (
+                        F.lit(100)
+                        - F.round(F.col("l_discount") * 100, 0).cast("long")
+                    )
+                )
+                / F.lit(10000.0),
+                2,
             ).alias("revenue"),
         )
         .filter(F.col("n_lineitems") >= 5)
