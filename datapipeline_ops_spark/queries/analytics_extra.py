@@ -60,13 +60,15 @@ def label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH m AS (
         SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
-               round(sum(o_totalprice), 2) AS revenue,
+               CAST(sum(CAST(round(o_totalprice*100) AS BIGINT)) AS BIGINT)
+                   AS rev_cents,
                count(*) AS n_orders
         FROM orders GROUP BY 1
     )
-    SELECT month, revenue, n_orders,
-           round(sum(revenue) OVER (ORDER BY month
-                                    ROWS UNBOUNDED PRECEDING), 2) AS cumulative_revenue
+    SELECT month, round(rev_cents / 100.0, 2) AS revenue, n_orders,
+           round(CAST(sum(rev_cents) OVER (ORDER BY month
+                                           ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                 / 100.0, 2) AS cumulative_revenue
     FROM m
     """,
 )
@@ -82,13 +84,18 @@ def monthly_revenue_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     monthly = (
         o.groupBy(F.date_trunc("month", "o_orderdate").cast("date").alias("month"))
         .agg(
-            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long")).alias(
+                "rev_cents"
+            ),
             F.count(F.lit(1)).alias("n_orders"),
         )
     )
     w = Window.orderBy("month").rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    return monthly.withColumn(
-        "cumulative_revenue", F.round(F.sum("revenue").over(w), 2)
+    return monthly.select(
+        "month",
+        F.round(F.col("rev_cents") / 100.0, 2).alias("revenue"),
+        "n_orders",
+        F.round(F.sum("rev_cents").over(w) / 100.0, 2).alias("cumulative_revenue"),
     )
 
 
@@ -152,7 +159,9 @@ def fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     actual AS (
         SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
-               count(*) AS n_orders, round(sum(o_totalprice), 2) AS revenue
+               count(*) AS n_orders,
+               round(sum(CAST(round(o_totalprice*100) AS BIGINT)) / 100.0, 2)
+                   AS revenue
         FROM orders
         WHERE o_orderpriority = '1-URGENT' AND o_totalprice > 450000
         GROUP BY 1
@@ -191,7 +200,10 @@ def monthly_spine_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(month.alias("month"))
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.round(
+                F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long")) / 100.0,
+                2,
+            ).alias("revenue"),
         )
     )
     return spine.join(actual, "month", "left").select(

@@ -57,7 +57,8 @@ def csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT p_brand, count(*) AS n_parts,
            CAST(sum(p_size) AS BIGINT) AS total_size,
-           round(sum(p_retailprice), 4) AS total_price
+           round(sum(CAST(round(p_retailprice*100) AS BIGINT)) / 100.0, 4)
+               AS total_price
     FROM part GROUP BY p_brand
     """,
 )
@@ -72,7 +73,10 @@ def jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return back.groupBy("p_brand").agg(
         F.count(F.lit(1)).alias("n_parts"),
         F.sum("p_size").cast("long").alias("total_size"),
-        F.round(F.sum("p_retailprice"), 4).alias("total_price"),
+        F.round(
+            F.sum(F.round(F.col("p_retailprice") * 100, 0).cast("long")) / 100.0,
+            4,
+        ).alias("total_price"),
     )
 
 
@@ -80,7 +84,8 @@ def jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     "orc_roundtrip",
     oracle="""
     SELECT s_nationkey, count(*) AS n_suppliers,
-           round(sum(s_acctbal), 4) AS total_acctbal
+           round(sum(CAST(round(s_acctbal*100) AS BIGINT)) / 100.0, 4)
+               AS total_acctbal
     FROM supplier GROUP BY s_nationkey
     """,
 )
@@ -95,7 +100,9 @@ def orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     back = spark.read.schema(sup.schema).orc(path)
     return back.groupBy("s_nationkey").agg(
         F.count(F.lit(1)).alias("n_suppliers"),
-        F.round(F.sum("s_acctbal"), 4).alias("total_acctbal"),
+        F.round(
+            F.sum(F.round(F.col("s_acctbal") * 100, 0).cast("long")) / 100.0, 4
+        ).alias("total_acctbal"),
     )
 
 
@@ -178,7 +185,8 @@ def manifest_source_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     "partitioned_write_prune",
     oracle="""
     SELECT o_orderpriority, count(*) AS n_orders,
-           round(sum(o_totalprice), 4) AS total
+           round(sum(CAST(round(o_totalprice*100) AS BIGINT)) / 100.0, 4)
+               AS total
     FROM orders WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
     GROUP BY o_orderpriority
     """,
@@ -205,7 +213,9 @@ def partitioned_write_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return back.groupBy("o_orderpriority").agg(
         F.count(F.lit(1)).alias("n_orders"),
-        F.round(F.sum("o_totalprice"), 4).alias("total"),
+        F.round(
+            F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long")) / 100.0, 4
+        ).alias("total"),
     )
 
 
@@ -213,7 +223,8 @@ def partitioned_write_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     "bucketed_join_copartition",
     oracle="""
     SELECT o.o_orderpriority, count(*) AS n_items,
-           round(sum(l.l_extendedprice), 4) AS revenue
+           round(sum(CAST(round(l.l_extendedprice*100) AS BIGINT)) / 100.0, 4)
+               AS revenue
     FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
     GROUP BY o.o_orderpriority
     """,
@@ -263,7 +274,10 @@ def bucketed_join_copartition(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = bo.join(bl, bl.l_orderkey == bo.o_orderkey)
     return joined.groupBy("o_orderpriority").agg(
         F.count(F.lit(1)).alias("n_items"),
-        F.round(F.sum("l_extendedprice"), 4).alias("revenue"),
+        F.round(
+            F.sum(F.round(F.col("l_extendedprice") * 100, 0).cast("long")) / 100.0,
+            4,
+        ).alias("revenue"),
     )
 
 
@@ -319,7 +333,8 @@ def manifest_stream_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dpp_partitioned_join",
     oracle="""
     SELECT o.o_orderpriority, count(*) AS n_orders,
-           round(sum(o.o_totalprice), 4) AS total
+           round(sum(CAST(round(o.o_totalprice*100) AS BIGINT)) / 100.0, 4)
+               AS total
     FROM orders o
     WHERE o.o_orderpriority IN ('1-URGENT', '2-HIGH')
     GROUP BY o.o_orderpriority
@@ -358,7 +373,9 @@ def dpp_partitioned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = fact.join(dim, fact.o_orderpriority == dim.priority)
     return joined.groupBy("o_orderpriority").agg(
         F.count(F.lit(1)).alias("n_orders"),
-        F.round(F.sum("o_totalprice"), 4).alias("total"),
+        F.round(
+            F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long")) / 100.0, 4
+        ).alias("total"),
     )
 
 
@@ -369,7 +386,8 @@ def dpp_partitioned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
            count(*) AS n,
            CAST(sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT)
                AS n_missing_price,
-           round(sum(coalesce(o_totalprice, 0)), 4) AS total_known
+           round(sum(coalesce(CAST(round(o_totalprice*100) AS BIGINT), 0))
+                 / 100.0, 4) AS total_known
     FROM (
         SELECT o_orderkey, o_orderstatus, NULL::DOUBLE AS o_totalprice
         FROM orders WHERE o_orderkey % 2 = 0
@@ -407,9 +425,16 @@ def schema_evolution_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("o_totalprice").isNull(), 1).otherwise(0))
         .cast("long")
         .alias("n_missing_price"),
-        F.round(F.sum(F.coalesce(F.col("o_totalprice"), F.lit(0.0))), 4).alias(
-            "total_known"
-        ),
+        F.round(
+            F.sum(
+                F.coalesce(
+                    F.round(F.col("o_totalprice") * 100, 0).cast("long"),
+                    F.lit(0).cast("long"),
+                )
+            )
+            / 100.0,
+            4,
+        ).alias("total_known"),
     )
 
 

@@ -32,13 +32,23 @@ from datapipeline_ops_spark.tables import load_table
     "pricing_summary",
     oracle="""
     SELECT l_returnflag, l_linestatus,
-           round(sum(l_quantity), 2)                                        AS sum_qty,
-           round(sum(l_extendedprice), 2)                                   AS sum_base_price,
-           round(sum(l_extendedprice * (1 - l_discount)), 2)                AS sum_disc_price,
-           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)  AS sum_charge,
-           round(avg(l_quantity), 4)                                        AS avg_qty,
-           round(avg(l_extendedprice), 4)                                   AS avg_price,
-           round(avg(l_discount), 4)                                        AS avg_disc,
+           round(sum(CAST(round(l_quantity*100) AS BIGINT)) / 100.0, 2)
+               AS sum_qty,
+           round(sum(CAST(round(l_extendedprice*100) AS BIGINT)) / 100.0, 2)
+               AS sum_base_price,
+           round(sum(CAST(round(l_extendedprice*100) AS BIGINT)
+                     * (100 - CAST(round(l_discount*100) AS BIGINT)))
+                 / 10000.0, 2) AS sum_disc_price,
+           round(sum(CAST(round(l_extendedprice*100) AS BIGINT)
+                     * (100 - CAST(round(l_discount*100) AS BIGINT))
+                     * (100 + CAST(round(l_tax*100) AS BIGINT)))
+                 / 1000000.0, 2) AS sum_charge,
+           round(sum(CAST(round(l_quantity*100) AS BIGINT))
+                 / (100.0 * count(*)), 4) AS avg_qty,
+           round(sum(CAST(round(l_extendedprice*100) AS BIGINT))
+                 / (100.0 * count(*)), 4) AS avg_price,
+           round(sum(CAST(round(l_discount*100) AS BIGINT))
+                 / (100.0 * count(*)), 4) AS avg_disc,
            count(*)                                                         AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '2001-09-01'
@@ -55,18 +65,31 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     before any shuffle; the date predicate pushes down to the parquet scan.
     """
     li = load_table(spark, sf_dir, "lineitem")
-    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    # All four money/quantity columns are 2-dp exact, so every sum runs in
+    # exact integer units (cents x whole-percent factors) — raw double
+    # partial sums are only conditionally reproducible across engines and
+    # task schedules (the r08 trade_flow_matrix red). BIGINT headroom:
+    # sum_charge units are dollars x 1e6, exact to ~sf1000.
+    qty_c = F.round(F.col("l_quantity") * 100, 0).cast("long")
+    price_c = F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+    disc_p = F.round(F.col("l_discount") * 100, 0).cast("long")
+    tax_p = F.round(F.col("l_tax") * 100, 0).cast("long")
+    n = F.count(F.lit(1))
     return (
         li.filter(F.col("l_shipdate") <= F.lit("2001-09-01").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
-            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
-            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.round(F.sum(qty_c) / 100.0, 2).alias("sum_qty"),
+            F.round(F.sum(price_c) / 100.0, 2).alias("sum_base_price"),
+            F.round(F.sum(price_c * (100 - disc_p)) / 10000.0, 2).alias(
+                "sum_disc_price"
+            ),
+            F.round(
+                F.sum(price_c * (100 - disc_p) * (100 + tax_p)) / 1000000.0, 2
+            ).alias("sum_charge"),
+            F.round(F.sum(qty_c) / (100.0 * n), 4).alias("avg_qty"),
+            F.round(F.sum(price_c) / (100.0 * n), 4).alias("avg_price"),
+            F.round(F.sum(disc_p) / (100.0 * n), 4).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
     )
@@ -75,7 +98,10 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "revenue_by_nation",
     oracle="""
-    SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    SELECT n_name,
+           round(sum(CAST(round(l_extendedprice*100) AS BIGINT)
+                     * (100 - CAST(round(l_discount*100) AS BIGINT)))
+                 / 10000.0, 2) AS revenue
     FROM customer
     JOIN orders   ON c_custkey = o_custkey
     JOIN lineitem ON l_orderkey = o_orderkey
@@ -124,14 +150,29 @@ def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("l_orderkey") == F.col("o_orderkey"),
         )
         .groupBy("n_name")
-        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .agg(
+            F.round(
+                F.sum(
+                    F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+                    * (
+                        F.lit(100)
+                        - F.round(F.col("l_discount") * 100, 0).cast("long")
+                    )
+                )
+                / 10000.0,
+                2,
+            ).alias("revenue")
+        )
     )
 
 
 @query(
     "top_orders",
     oracle="""
-    SELECT o_orderkey, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+    SELECT o_orderkey,
+           round(sum(CAST(round(l_extendedprice*100) AS BIGINT)
+                     * (100 - CAST(round(l_discount*100) AS BIGINT)))
+                 / 10000.0, 2) AS revenue,
            o_orderdate, o_orderpriority
     FROM orders JOIN lineitem ON l_orderkey = o_orderkey
     WHERE o_orderstatus = 'O'
@@ -152,7 +193,19 @@ def top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(o.filter(F.col("o_orderstatus") == "O"), li.l_orderkey == o.o_orderkey)
         .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .agg(
+            F.round(
+                F.sum(
+                    F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+                    * (
+                        F.lit(100)
+                        - F.round(F.col("l_discount") * 100, 0).cast("long")
+                    )
+                )
+                / 10000.0,
+                2,
+            ).alias("revenue")
+        )
         .select("o_orderkey", "revenue", "o_orderdate", "o_orderpriority")
         .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
         .limit(10)

@@ -514,10 +514,10 @@ def brand_size_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT CAST(date_trunc('month', l_shipdate) AS DATE) AS month,
            round(100.0 * sum(CASE WHEN p_type = 'PROMO'
-                                  THEN l_extendedprice * (1 - l_discount)
+                                  THEN CAST(round(l_extendedprice*100) AS BIGINT) * (100 - CAST(round(l_discount*100) AS BIGINT))
                                   ELSE 0 END)
-                 / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_share,
-           round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+                 / sum(CAST(round(l_extendedprice*100) AS BIGINT) * (100 - CAST(round(l_discount*100) AS BIGINT))), 4) AS promo_share,
+           round(sum(CAST(round(l_extendedprice*100) AS BIGINT) * (100 - CAST(round(l_discount*100) AS BIGINT))) / 10000.0, 2) AS total_revenue
     FROM lineitem JOIN part ON l_partkey = p_partkey
     GROUP BY 1
     """,
@@ -534,18 +534,21 @@ def promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     li = load_table(spark, sf_dir, "lineitem")
     p = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
-    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    rev = F.round(F.col("l_extendedprice") * 100, 0).cast("long") * (
+        F.lit(100) - F.round(F.col("l_discount") * 100, 0).cast("long")
+    )
+    zero = F.lit(0).cast("long")
     return (
         li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
         .groupBy(F.date_trunc("month", "l_shipdate").cast("date").alias("month"))
         .agg(
             F.round(
                 100.0
-                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0))
+                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(zero))
                 / F.sum(rev),
                 4,
             ).alias("promo_share"),
-            F.round(F.sum(rev), 2).alias("total_revenue"),
+            F.round(F.sum(rev) / 10000.0, 2).alias("total_revenue"),
         )
     )
 
@@ -586,12 +589,12 @@ def idle_big_balance_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT n.n_name AS nation,
            round(sum(CASE WHEN l.l_returnflag = 'R'
-                          THEN l.l_extendedprice * (1 - l.l_discount)
-                          ELSE 0 END), 2) AS returned_revenue,
+                          THEN CAST(round(l.l_extendedprice*100) AS BIGINT) * (100 - CAST(round(l.l_discount*100) AS BIGINT))
+                          ELSE 0 END) / 10000.0, 2) AS returned_revenue,
            round(100.0 * sum(CASE WHEN l.l_returnflag = 'R'
-                                  THEN l.l_extendedprice * (1 - l.l_discount)
+                                  THEN CAST(round(l.l_extendedprice*100) AS BIGINT) * (100 - CAST(round(l.l_discount*100) AS BIGINT))
                                   ELSE 0 END)
-                 / sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS returned_share,
+                 / sum(CAST(round(l.l_extendedprice*100) AS BIGINT) * (100 - CAST(round(l.l_discount*100) AS BIGINT))), 4) AS returned_share,
            count(DISTINCT c.c_custkey) AS n_customers
     FROM lineitem l
     JOIN orders o ON l.l_orderkey = o.o_orderkey
@@ -616,15 +619,17 @@ def returned_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
     n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
-    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    ret = F.when(F.col("l_returnflag") == "R", rev).otherwise(0.0)
+    rev = F.round(F.col("l_extendedprice") * 100, 0).cast("long") * (
+        F.lit(100) - F.round(F.col("l_discount") * 100, 0).cast("long")
+    )
+    ret = F.when(F.col("l_returnflag") == "R", rev).otherwise(F.lit(0).cast("long"))
     return (
         li.join(o, li["l_orderkey"] == o["o_orderkey"])
         .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
         .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
         .groupBy(F.col("n_name").alias("nation"))
         .agg(
-            F.round(F.sum(ret), 2).alias("returned_revenue"),
+            F.round(F.sum(ret) / 10000.0, 2).alias("returned_revenue"),
             F.round(100.0 * F.sum(ret) / F.sum(rev), 4).alias("returned_share"),
             F.count_distinct(F.col("c_custkey")).alias("n_customers"),
         )
@@ -975,8 +980,9 @@ def incremental_mv_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     "unpivot_order_metrics",
     oracle="""
     SELECT metric, count(*) AS n,
-           round(sum(val), 4) AS total,
-           round(avg(val), 6) AS mean
+           round(sum(CAST(round(val*100) AS BIGINT)) / 100.0, 4) AS total,
+           round(sum(CAST(round(val*100) AS BIGINT)) / (100.0 * count(*)), 6)
+               AS mean
     FROM (
         SELECT l_orderkey, metric, val FROM (
             SELECT l_orderkey,
@@ -1008,10 +1014,11 @@ def unpivot_order_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     melted = li.unpivot(
         "l_orderkey", ["quantity", "extendedprice", "discount", "tax"], "metric", "val"
     )
+    val_c = F.round(F.col("val") * 100, 0).cast("long")
     return melted.groupBy("metric").agg(
         F.count(F.lit(1)).alias("n"),
-        F.round(F.sum("val"), 4).alias("total"),
-        F.round(F.avg("val"), 6).alias("mean"),
+        F.round(F.sum(val_c) / 100.0, 4).alias("total"),
+        F.round(F.sum(val_c) / (100.0 * F.count(F.lit(1))), 6).alias("mean"),
     )
 
 
@@ -1333,7 +1340,8 @@ def trade_flow_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM lineitem GROUP BY l_partkey HAVING count(*) >= 3
     )
     SELECT CAST(count(*) AS BIGINT) AS n_small_lineitems,
-           round(sum(l.l_extendedprice) / 7.0, 2) AS avg_yearly
+           round(sum(CAST(round(l.l_extendedprice*100) AS BIGINT)) / 700.0, 2)
+               AS avg_yearly
     FROM lineitem l JOIN pa ON pa.l_partkey = l.l_partkey
     WHERE l.l_quantity < 0.2 * pa.avg_qty
     """,
@@ -1351,7 +1359,7 @@ def small_quantity_order_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     float average — both engines derive avg_qty from the identical
     integer-valued quantities with one division (count and sum are exact),
     so the comparison boundary is bit-identical. Output keeps Q17's
-    avg_yearly normalization (sum/7.0, rounded per the float convention).
+    avg_yearly normalization, summed in exact integer cents (sum/700.0).
 
     Scale: one partial-agg pass builds the per-part thresholds, one
     shuffle equi-join on l_partkey applies them — at 100 TB the threshold
@@ -1370,6 +1378,10 @@ def small_quantity_order_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_small_lineitems"),
-            F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"),
+            F.round(
+                F.sum(F.round(F.col("l_extendedprice") * 100, 0).cast("long"))
+                / 700.0,
+                2,
+            ).alias("avg_yearly"),
         )
     )

@@ -41,7 +41,8 @@ _US_H = 3_600_000_000  # one hour in microseconds
     SELECT CAST((epoch_us(ts) // {_US_H}) * 3600 AS BIGINT) AS window_start,
            event_type,
            count(*) AS n_events,
-           round(sum(value), 4) AS total_value
+           round(sum(CAST(round(value*100) AS BIGINT)) / 100.0, 4)
+               AS total_value
     FROM events
     GROUP BY 1, 2
     """,
@@ -54,7 +55,12 @@ def stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = (
         s.withWatermark("ts", "1 hour")
         .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
-        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 4).alias("total_value"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(
+                F.sum(F.round(F.col("value") * 100, 0).cast("long")) / 100.0, 4
+            ).alias("total_value"),
+        )
     )
     out = run_stream_to_table(agg, output_mode="complete")
     return out.select(
@@ -113,7 +119,8 @@ def stream_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(min(t) // 1000000 AS BIGINT) AS session_start,
            CAST(max(t) // 1000000 + 1800 AS BIGINT) AS session_end,
            count(*) AS n_events,
-           round(sum(value), 4) AS total_value
+           round(sum(CAST(round(value*100) AS BIGINT)) / 100.0, 4)
+               AS total_value
     FROM y GROUP BY user_id, sess
     """,
 )
@@ -126,7 +133,12 @@ def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = (
         s.withWatermark("ts", "1 hour")
         .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
-        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 4).alias("total_value"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(
+                F.sum(F.round(F.col("value") * 100, 0).cast("long")) / 100.0, 4
+            ).alias("total_value"),
+        )
     )
     out = run_stream_to_table(agg, output_mode="complete")
     return out.select(
@@ -159,7 +171,9 @@ def stream_dedup_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "stream_running_totals",
     oracle="""
-    SELECT user_id, count(*) AS n_events, round(sum(value), 4) AS total_value
+    SELECT user_id, count(*) AS n_events,
+           round(sum(CAST(round(value*100) AS BIGINT)) / 100.0, 4)
+               AS total_value
     FROM events GROUP BY user_id
     """,
 )
@@ -184,7 +198,8 @@ def stream_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     "stream_static_enrich",
     oracle="""
     SELECT e.event_type, c.c_mktsegment AS segment,
-           count(*) AS n, round(sum(e.value), 4) AS total
+           count(*) AS n,
+           round(sum(CAST(round(e.value*100) AS BIGINT)) / 100.0, 4) AS total
     FROM events e JOIN customer c ON c.c_custkey = e.user_id
     GROUP BY 1, 2
     """,
@@ -202,7 +217,10 @@ def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     joined = s.join(F.broadcast(dim), "user_id")
     agg = joined.groupBy("event_type", "segment").agg(
-        F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("total")
+        F.count(F.lit(1)).alias("n"),
+        F.round(
+            F.sum(F.round(F.col("value") * 100, 0).cast("long")) / 100.0, 4
+        ).alias("total"),
     )
     out = run_stream_to_table(agg, output_mode="complete")
     return out.select("event_type", "segment", "n", "total")
@@ -211,7 +229,8 @@ def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "stream_foreachbatch_sink",
     oracle="""
-    SELECT event_type, count(*) AS n, round(sum(value), 4) AS total
+    SELECT event_type, count(*) AS n,
+           round(sum(CAST(round(value*100) AS BIGINT)) / 100.0, 4) AS total
     FROM events GROUP BY event_type
     """,
 )
@@ -247,7 +266,10 @@ def stream_foreachbatch_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     run_stream_foreach_batch(s, write_batch, output_mode="append")
     out = spark.read.parquet(sink_dir)
     return out.groupBy("event_type").agg(
-        F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("total")
+        F.count(F.lit(1)).alias("n"),
+        F.round(
+            F.sum(F.round(F.col("value") * 100, 0).cast("long")) / 100.0, 4
+        ).alias("total"),
     )
 
 
@@ -436,7 +458,8 @@ def stream_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_type,
            count(*) AS n_events,
            count(DISTINCT event_id) AS n_unique,
-           round(sum(value), 4) AS total_value
+           round(sum(CAST(round(value*100) AS BIGINT)) / 100.0, 4)
+               AS total_value
     FROM events GROUP BY event_type
     """,
 )
@@ -464,7 +487,9 @@ def stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame
     return out.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_events"),
         F.countDistinct("event_id").alias("n_unique"),
-        F.round(F.sum("value"), 4).alias("total_value"),
+        F.round(
+            F.sum(F.round(F.col("value") * 100, 0).cast("long")) / 100.0, 4
+        ).alias("total_value"),
     )
 
 

@@ -73,7 +73,8 @@ def asof_click_to_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     "range_join_value_bands",
     oracle=f"""
     WITH bands(lo, hi, band) AS (VALUES {_BANDS_SQL})
-    SELECT band, count(*) AS n_events, round(sum(value), 4) AS total_value
+    SELECT band, count(*) AS n_events,
+           round(sum(CAST(round(value*100) AS BIGINT)) / 100.0, 4) AS total_value
     FROM events e JOIN bands b ON e.value >= b.lo AND e.value < b.hi
     GROUP BY band
     """,
@@ -87,7 +88,9 @@ def range_join_value_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = range_join_buckets(e, "value", bands, "lo", "hi", bucket_width=25.0)
     return joined.groupBy("band").agg(
         F.count(F.lit(1)).alias("n_events"),
-        F.round(F.sum("value"), 4).alias("total_value"),
+        F.round(
+            F.sum(F.round(F.col("value") * 100, 0).cast("long")) / 100.0, 4
+        ).alias("total_value"),
     )
 
 

@@ -89,7 +89,8 @@ def rollup_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     "cube_events_report",
     oracle="""
     SELECT event_type, CAST(user_id % 10 AS BIGINT) AS user_bucket,
-           count(*) AS n, round(sum(value), 4) AS total
+           count(*) AS n,
+           round(sum(CAST(round(value*100) AS BIGINT)) / 100.0, 4) AS total
     FROM events GROUP BY CUBE (event_type, CAST(user_id % 10 AS BIGINT))
     """,
 )
@@ -100,7 +101,10 @@ def cube_events_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_bucket", (F.col("user_id") % 10).cast("long")
     )
     return e.cube("event_type", "user_bucket").agg(
-        F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("total")
+        F.count(F.lit(1)).alias("n"),
+        F.round(
+            F.sum(F.round(F.col("value") * 100, 0).cast("long")) / 100.0, 4
+        ).alias("total"),
     )
 
 
@@ -134,7 +138,8 @@ def grouping_sets_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_id, user_id,
            CAST(epoch_us(ts) // 1000000 AS BIGINT) AS t_sec,
            count(*) OVER w AS n_in_hour,
-           round(sum(value) OVER w, 4) AS sum_in_hour
+           round(sum(CAST(round(value*100) AS BIGINT)) OVER w / 100.0, 4)
+               AS sum_in_hour
     FROM events
     WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts) // 1000000
                  RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
@@ -167,7 +172,10 @@ def time_range_rolling_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         "t_sec",
         F.count(F.lit(1)).over(w).alias("n_in_hour"),
-        F.round(F.sum("value").over(w), 4).alias("sum_in_hour"),
+        F.round(
+            F.sum(F.round(F.col("value") * 100, 0).cast("long")).over(w) / 100.0,
+            4,
+        ).alias("sum_in_hour"),
     )
 
 

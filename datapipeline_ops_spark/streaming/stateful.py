@@ -31,8 +31,11 @@ RUNNING_OUTPUT_SCHEMA = StructType(
     ]
 )
 
+# State accumulates integer CENTS, not a raw double sum — the repo's
+# exactness convention: a float fold's result depends on batch split
+# order, while the cents fold is exact for the 2-dp `value` contract.
 RUNNING_STATE_SCHEMA = StructType(
-    [StructField("n", LongType()), StructField("total", DoubleType())]
+    [StructField("n", LongType()), StructField("total_cents", LongType())]
 )
 
 
@@ -41,12 +44,14 @@ def _update_running(
 ) -> Iterator[pd.DataFrame]:
     """Fold each micro-batch into (count, sum) state; emit the running
     totals once per batch the key appears in."""
-    n, total = state.get if state.exists else (0, 0.0)
+    n, cents = state.get if state.exists else (0, 0)
     for pdf in batches:
         n += len(pdf)
-        total += float(pdf["value"].sum())
-    state.update((n, total))
-    yield pd.DataFrame({"user_id": [key[0]], "n_events": [n], "total_value": [total]})
+        cents += int((pdf["value"] * 100).round().astype("int64").sum())
+    state.update((n, cents))
+    yield pd.DataFrame(
+        {"user_id": [key[0]], "n_events": [n], "total_value": [cents / 100.0]}
+    )
 
 
 def running_totals_per_user(events: DataFrame) -> DataFrame:

@@ -246,7 +246,17 @@ def test_fuzz_orders_lineitem_queries(spark, tmp_path_factory, orders, lines, se
             "priority_with_big_lineitem",
             "brand_size_rank",
             "price_stats_by_flag",
-            "orders_by_weekday",
+            # round-9 additions: TPC-H HAVING floors + the exactness-swept
+            # legacy money aggregates (integer-cents migration)
+            "profit_by_nation_year",
+            "brand_bucket_supplier_counts",
+            "disjunctive_predicate_revenue",
+            "promo_part_recent_suppliers",
+            "revenue_by_nation",
+            "unpivot_order_metrics",
+            "salted_skew_join",
+            "monthly_spine_gap_fill",
+            "local_clustering_coefficient",
         ],
         ["region", "nation", "supplier", "customer", "part", "orders", "lineitem"],
     )
@@ -307,6 +317,11 @@ def test_fuzz_events_queries(spark, tmp_path_factory, events):
             "daily_anomaly_zscore",
             "event_bigram_paths",
             "user_event_type_map",
+            # round-9 additions: swept cents aggregates + rank-spine ties
+            "range_join_value_bands",
+            "cube_events_report",
+            "time_range_rolling_sum",
+            "experiment_readout_e2e",
         ],
         ["events"],
     )
@@ -374,6 +389,7 @@ def test_fuzz_documents_queries(spark, tmp_path_factory, docs):
             "shuffled_dup_detect",
             "good_turing_smoothing",
             "bigram_lm_perplexity",
+            "kfold_assignment_audit",
         ],
         ["documents"],
     )
@@ -426,6 +442,52 @@ def test_fuzz_embeddings_queries(spark, tmp_path_factory, embs):
             "ann_lsh_buckets",
             "embedding_int8_quant",
             "label_centroids",
+            "class_weight_plan",
         ],
         ["embeddings"],
     )
+
+
+_DIRTY_FIELD = st.one_of(
+    st.none(),
+    st.sampled_from(["web", "bo\toks", "co de", "x\ty\tz", ""]),
+)
+
+
+@settings(**_SETTINGS)
+@given(
+    docs=st.lists(
+        st.tuples(
+            st.sampled_from(_WORDS),
+            _DIRTY_FIELD,
+            _DIRTY_FIELD,
+        ),
+        min_size=2,
+        max_size=12,
+    )
+)
+def test_fuzz_text_lines_dirty_contract(spark, tmp_path_factory, docs):
+    """text_lines_roundtrip's writer-enforced contract: NULL lang/source
+    become the \\N sentinel and embedded tabs become spaces, identically
+    in the Spark writer and the DuckDB oracle — the exact inputs the
+    tab-joined text format cannot carry natively."""
+    import pyarrow as pa
+
+    tmp_path = tmp_path_factory.mktemp("fuzz_txt")
+    rows = [
+        (i + 1, w, lang, source, len(w))
+        for i, (w, lang, source) in enumerate(docs)
+    ]
+    _copy_rows(
+        tmp_path,
+        "documents",
+        [
+            ("doc_id", pa.int64()),
+            ("text", pa.string()),
+            ("lang", pa.string()),
+            ("source", pa.string()),
+            ("n_chars", pa.int64()),
+        ],
+        rows,
+    )
+    _run_pair(spark, tmp_path, ["text_lines_roundtrip"], ["documents"])
