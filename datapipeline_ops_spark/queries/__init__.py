@@ -22,6 +22,7 @@ from datapipeline_ops_spark.queries import (  # noqa: F401
     multimodal,
     pipeline_analogs,
     pipelines_e2e,
+    pretrain_e2e,  # after curation_extra/corpus_lm_extra/lm_quality: composes their constants
     profiling,
     quantization,
     relational,

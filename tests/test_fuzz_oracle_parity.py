@@ -390,6 +390,7 @@ def test_fuzz_documents_queries(spark, tmp_path_factory, docs):
             "good_turing_smoothing",
             "bigram_lm_perplexity",
             "kfold_assignment_audit",
+            "pretrain_prep_e2e",
         ],
         ["documents"],
     )

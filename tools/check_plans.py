@@ -1664,6 +1664,26 @@ def _(qs, spark):
     assert "BroadcastExchange" in plan
 
 
+@check("pretrain_prep_e2e: barriered stages, bounded scans, no global window")
+def _(qs, spark):
+    plan = plan_of(qs["pretrain_prep_e2e"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    # documents is scanned twice at runtime (shingle barrier + token counts);
+    # formatted explain reprints cached subtrees per reference, so bound the
+    # printed count rather than pinning it — a new uncached leg still fails
+    n_doc = plan.count("documents.parquet")
+    assert n_doc <= 8, f"documents subtree printed {n_doc}x"
+    cols = read_schema_cols(plan, "documents")
+    assert cols <= {"doc_id", "text", "source"}, cols
+    # per-source joins ride broadcasts; the packing prefix-sum must window
+    # within range partitions (_pid-led), with the only unpartitioned window
+    # the 32-row partition-offset spine (_pid ordering, empty partition spec
+    # prints as 'windowspecdefinition(_pid...')
+    assert "BroadcastExchange" in plan
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert specs and all(sp.split(",")[0].strip().startswith("_pid") for sp in specs), specs[:2]
+
+
 def main() -> int:
     import __spark_entry__ as entry_mod
     from datapipeline_ops_spark.session import get_spark
