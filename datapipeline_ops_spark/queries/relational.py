@@ -32,23 +32,14 @@ from datapipeline_ops_spark.tables import load_table
     "pricing_summary",
     oracle="""
     SELECT l_returnflag, l_linestatus,
-           round(sum(CAST(round(l_quantity*100) AS BIGINT)) / 100.0, 2)
-               AS sum_qty,
-           round(sum(CAST(round(l_extendedprice*100) AS BIGINT)) / 100.0, 2)
-               AS sum_base_price,
-           round(sum(CAST(round(l_extendedprice*100) AS BIGINT)
-                     * (100 - CAST(round(l_discount*100) AS BIGINT)))
-                 / 10000.0, 2) AS sum_disc_price,
-           round(sum(CAST(round(l_extendedprice*100) AS BIGINT)
-                     * (100 - CAST(round(l_discount*100) AS BIGINT))
-                     * (100 + CAST(round(l_tax*100) AS BIGINT)))
-                 / 1000000.0, 2) AS sum_charge,
-           round(sum(CAST(round(l_quantity*100) AS BIGINT))
-                 / (100.0 * count(*)), 4) AS avg_qty,
-           round(sum(CAST(round(l_extendedprice*100) AS BIGINT))
-                 / (100.0 * count(*)), 4) AS avg_price,
-           round(sum(CAST(round(l_discount*100) AS BIGINT))
-                 / (100.0 * count(*)), 4) AS avg_disc,
+           CAST(sum(CAST(round(l_quantity*100) AS BIGINT)) AS BIGINT) / 100.0 AS sum_qty,
+           CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS BIGINT) / 100.0 AS sum_base_price,
+           CAST(((sum(CAST(round(l_extendedprice*100) AS BIGINT) * (100 - CAST(round(l_discount*100) AS BIGINT)))) + 50) // 100 AS BIGINT) / 100.0 AS sum_disc_price,
+           CAST(((sum(CAST(round(l_extendedprice*100) AS BIGINT) * (100 - CAST(round(l_discount*100) AS BIGINT)) * (100 + CAST(round(l_tax*100) AS BIGINT)))) + 5000) // 10000 AS BIGINT) / 100.0
+               AS sum_charge,
+           CAST((20000 * (sum(CAST(round(l_quantity*100) AS BIGINT))) + 100 * (count(*))) // (2 * 100 * (count(*))) AS BIGINT) / 10000.0 AS avg_qty,
+           CAST((20000 * (sum(CAST(round(l_extendedprice*100) AS BIGINT))) + 100 * (count(*))) // (2 * 100 * (count(*))) AS BIGINT) / 10000.0 AS avg_price,
+           CAST((20000 * (sum(CAST(round(l_discount*100) AS BIGINT))) + 1 * (count(*))) // (2 * 1 * (count(*))) AS BIGINT) / 10000.0 AS avg_disc,
            count(*)                                                         AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '2001-09-01'
@@ -74,23 +65,28 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     price_c = F.round(F.col("l_extendedprice") * 100, 0).cast("long")
     disc_p = F.round(F.col("l_discount") * 100, 0).cast("long")
     tax_p = F.round(F.col("l_tax") * 100, 0).cast("long")
-    n = F.count(F.lit(1))
     return (
         li.filter(F.col("l_shipdate") <= F.lit("2001-09-01").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum(qty_c) / 100.0, 2).alias("sum_qty"),
-            F.round(F.sum(price_c) / 100.0, 2).alias("sum_base_price"),
-            F.round(F.sum(price_c * (100 - disc_p)) / 10000.0, 2).alias(
-                "sum_disc_price"
-            ),
-            F.round(
-                F.sum(price_c * (100 - disc_p) * (100 + tax_p)) / 1000000.0, 2
-            ).alias("sum_charge"),
-            F.round(F.sum(qty_c) / (100.0 * n), 4).alias("avg_qty"),
-            F.round(F.sum(price_c) / (100.0 * n), 4).alias("avg_price"),
-            F.round(F.sum(disc_p) / (100.0 * n), 4).alias("avg_disc"),
+            F.sum(qty_c).alias("_q"),
+            F.sum(price_c).alias("_p"),
+            F.sum(price_c * (100 - disc_p)).alias("_dp"),
+            F.sum(price_c * (100 - disc_p) * (100 + tax_p)).alias("_ch"),
+            F.sum(disc_p).alias("_d"),
             F.count(F.lit(1)).alias("count_order"),
+        )
+        .select(
+            "l_returnflag",
+            "l_linestatus",
+            (F.col("_q") / 100.0).alias("sum_qty"),
+            (F.col("_p") / 100.0).alias("sum_base_price"),
+            F.expr("(((_dp) + 50) div 100) / 100.0").alias("sum_disc_price"),
+            F.expr("(((_ch) + 5000) div 10000) / 100.0").alias("sum_charge"),
+            F.expr("((CAST(_q AS DECIMAL(38,0)) * 20000 + 100 * (count_order)) div (2 * 100 * (count_order))) / 10000.0").alias("avg_qty"),
+            F.expr("((CAST(_p AS DECIMAL(38,0)) * 20000 + 100 * (count_order)) div (2 * 100 * (count_order))) / 10000.0").alias("avg_price"),
+            F.expr("((CAST(_d AS DECIMAL(38,0)) * 20000 + 1 * (count_order)) div (2 * 1 * (count_order))) / 10000.0").alias("avg_disc"),
+            "count_order",
         )
     )
 
@@ -99,9 +95,9 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     "revenue_by_nation",
     oracle="""
     SELECT n_name,
-           round(sum(CAST(round(l_extendedprice*100) AS BIGINT)
+           CAST((sum(CAST(round(l_extendedprice*100) AS BIGINT)
                      * (100 - CAST(round(l_discount*100) AS BIGINT)))
-                 / 10000.0, 2) AS revenue
+                 + 50) // 100 AS BIGINT) / 100.0 AS revenue
     FROM customer
     JOIN orders   ON c_custkey = o_custkey
     JOIN lineitem ON l_orderkey = o_orderkey
@@ -151,18 +147,15 @@ def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("n_name")
         .agg(
-            F.round(
-                F.sum(
-                    F.round(F.col("l_extendedprice") * 100, 0).cast("long")
-                    * (
-                        F.lit(100)
-                        - F.round(F.col("l_discount") * 100, 0).cast("long")
-                    )
+            F.sum(
+                F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+                * (
+                    F.lit(100)
+                    - F.round(F.col("l_discount") * 100, 0).cast("long")
                 )
-                / 10000.0,
-                2,
-            ).alias("revenue")
+            ).alias("_u")
         )
+        .select("n_name", F.expr("((_u + 50) div 100) / 100.0").alias("revenue"))
     )
 
 
@@ -170,9 +163,9 @@ def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     "top_orders",
     oracle="""
     SELECT o_orderkey,
-           round(sum(CAST(round(l_extendedprice*100) AS BIGINT)
+           CAST((sum(CAST(round(l_extendedprice*100) AS BIGINT)
                      * (100 - CAST(round(l_discount*100) AS BIGINT)))
-                 / 10000.0, 2) AS revenue,
+                 + 50) // 100 AS BIGINT) / 100.0 AS revenue,
            o_orderdate, o_orderpriority
     FROM orders JOIN lineitem ON l_orderkey = o_orderkey
     WHERE o_orderstatus = 'O'
@@ -194,19 +187,20 @@ def top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(o.filter(F.col("o_orderstatus") == "O"), li.l_orderkey == o.o_orderkey)
         .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
         .agg(
-            F.round(
-                F.sum(
-                    F.round(F.col("l_extendedprice") * 100, 0).cast("long")
-                    * (
-                        F.lit(100)
-                        - F.round(F.col("l_discount") * 100, 0).cast("long")
-                    )
+            F.sum(
+                F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+                * (
+                    F.lit(100)
+                    - F.round(F.col("l_discount") * 100, 0).cast("long")
                 )
-                / 10000.0,
-                2,
-            ).alias("revenue")
+            ).alias("_u")
         )
-        .select("o_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .select(
+            "o_orderkey",
+            F.expr("((_u + 50) div 100) / 100.0").alias("revenue"),
+            "o_orderdate",
+            "o_orderpriority",
+        )
         .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
         .limit(10)
     )
@@ -542,24 +536,35 @@ def distinct_agg_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "having_big_customers",
     oracle="""
-    SELECT o_custkey, count(*) AS n_orders, round(sum(o_totalprice), 2) AS total_spend
+    SELECT o_custkey, count(*) AS n_orders,
+           round(sum(CAST(round(o_totalprice*100) AS BIGINT)) / 100.0, 2)
+               AS total_spend
     FROM orders GROUP BY o_custkey
-    HAVING count(*) >= 15 AND sum(o_totalprice) > 1000000
+    HAVING count(*) >= 15
+       AND sum(CAST(round(o_totalprice*100) AS BIGINT)) > 100000000
     """,
 )
 def having_big_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Post-aggregation HAVING predicate: the filter runs on aggregated
     rows (can't push below the agg), everything else pushes/prunes as
-    usual."""
+    usual. The HAVING floor compares exact integer CENTS — a float-summed
+    spend sitting on the $1,000,000 boundary would make group MEMBERSHIP a
+    partial-sum-ordering draw, a worse failure mode than a rounded value."""
     o = load_table(spark, sf_dir, "orders")
     return (
         o.groupBy("o_custkey")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            F.sum("o_totalprice").alias("_spend"),
+            F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long")).alias(
+                "_cents"
+            ),
         )
-        .filter((F.col("n_orders") >= 15) & (F.col("_spend") > 1000000))
-        .select("o_custkey", "n_orders", F.round("_spend", 2).alias("total_spend"))
+        .filter((F.col("n_orders") >= 15) & (F.col("_cents") > 100_000_000))
+        .select(
+            "o_custkey",
+            "n_orders",
+            F.round(F.col("_cents") / 100.0, 2).alias("total_spend"),
+        )
     )
 
 
@@ -568,20 +573,29 @@ def having_big_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT p_partkey, p_retailprice
     FROM part
-    WHERE p_retailprice > (SELECT avg(p_retailprice) FROM part) * 1.04
+    WHERE CAST(round(p_retailprice*100) AS BIGINT) * 100
+          * (SELECT count(*) FROM part)
+          > 104 * (SELECT sum(CAST(round(p_retailprice*100) AS BIGINT))
+                   FROM part)
     """,
 )
 def above_avg_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scalar-subquery predicate (price > 1.04x corpus average): Spark plans
     the subquery as an independent stage whose single-row result feeds the
-    main scan's filter — two passes, no self-join."""
+    main scan's filter — two passes, no self-join. The comparison is the
+    integer cross-multiplication ``cents*100*n > 104*sum_cents`` (exactly
+    ``price > 1.04 x avg``): a float average would make boundary-part
+    MEMBERSHIP depend on partial-sum order."""
     register = load_table(spark, sf_dir, "part")
     register.createOrReplaceTempView("part_v")
     return register.sparkSession.sql(
         """
         SELECT p_partkey, p_retailprice
         FROM part_v
-        WHERE p_retailprice > (SELECT avg(p_retailprice) FROM part_v) * 1.04
+        WHERE CAST(round(p_retailprice*100) AS BIGINT) * 100
+              * (SELECT count(*) FROM part_v)
+              > 104 * (SELECT sum(CAST(round(p_retailprice*100) AS BIGINT))
+                       FROM part_v)
         """
     )
 

@@ -517,7 +517,7 @@ def brand_size_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
                                   THEN CAST(round(l_extendedprice*100) AS BIGINT) * (100 - CAST(round(l_discount*100) AS BIGINT))
                                   ELSE 0 END)
                  / sum(CAST(round(l_extendedprice*100) AS BIGINT) * (100 - CAST(round(l_discount*100) AS BIGINT))), 4) AS promo_share,
-           round(sum(CAST(round(l_extendedprice*100) AS BIGINT) * (100 - CAST(round(l_discount*100) AS BIGINT))) / 10000.0, 2) AS total_revenue
+           CAST((sum(CAST(round(l_extendedprice*100) AS BIGINT) * (100 - CAST(round(l_discount*100) AS BIGINT))) + 50) // 100 AS BIGINT) / 100.0 AS total_revenue
     FROM lineitem JOIN part ON l_partkey = p_partkey
     GROUP BY 1
     """,
@@ -548,8 +548,10 @@ def promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / F.sum(rev),
                 4,
             ).alias("promo_share"),
-            F.round(F.sum(rev) / 10000.0, 2).alias("total_revenue"),
+            F.sum(rev).alias("_u"),
         )
+        .withColumn("total_revenue", F.expr("((_u + 50) div 100) / 100.0"))
+        .drop("_u")
     )
 
 
@@ -558,7 +560,10 @@ def promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT c_custkey, c_name, round(c_acctbal, 2) AS acctbal
     FROM customer
-    WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
+    WHERE CAST(round(c_acctbal*100) AS BIGINT)
+          * (SELECT count(*) FROM customer WHERE c_acctbal > 0)
+          > (SELECT sum(CAST(round(c_acctbal*100) AS BIGINT))
+             FROM customer WHERE c_acctbal > 0)
       AND NOT EXISTS (SELECT 1 FROM orders
                       WHERE o_custkey = c_custkey AND o_orderstatus = 'O')
     """,
@@ -578,8 +583,19 @@ def idle_big_balance_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("o_orderstatus") == "O")
         .select("o_custkey")
     )
-    avg_bal = c.filter(F.col("c_acctbal") > 0).agg(F.avg("c_acctbal").alias("avg_bal"))
-    rich = c.join(F.broadcast(avg_bal)).filter(F.col("c_acctbal") > F.col("avg_bal"))
+    # Integer cross-multiplication (cents * n_pos > sum_pos_cents) == the
+    # ``bal > avg`` predicate, without a float average deciding boundary
+    # MEMBERSHIP by partial-sum order.
+    avg_bal = c.filter(F.col("c_acctbal") > 0).agg(
+        F.count(F.lit(1)).cast("long").alias("n_pos"),
+        F.sum(F.round(F.col("c_acctbal") * 100, 0).cast("long")).alias(
+            "sum_pos_cents"
+        ),
+    )
+    rich = c.join(F.broadcast(avg_bal)).filter(
+        F.round(F.col("c_acctbal") * 100, 0).cast("long") * F.col("n_pos")
+        > F.col("sum_pos_cents")
+    )
     idle = rich.join(o, rich["c_custkey"] == o["o_custkey"], "left_anti")
     return idle.select("c_custkey", "c_name", F.round("c_acctbal", 2).alias("acctbal"))
 
@@ -588,9 +604,10 @@ def idle_big_balance_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     "returned_revenue_by_nation",
     oracle="""
     SELECT n.n_name AS nation,
-           round(sum(CASE WHEN l.l_returnflag = 'R'
+           CAST((sum(CASE WHEN l.l_returnflag = 'R'
                           THEN CAST(round(l.l_extendedprice*100) AS BIGINT) * (100 - CAST(round(l.l_discount*100) AS BIGINT))
-                          ELSE 0 END) / 10000.0, 2) AS returned_revenue,
+                          ELSE 0 END) + 50) // 100 AS BIGINT) / 100.0
+               AS returned_revenue,
            round(100.0 * sum(CASE WHEN l.l_returnflag = 'R'
                                   THEN CAST(round(l.l_extendedprice*100) AS BIGINT) * (100 - CAST(round(l.l_discount*100) AS BIGINT))
                                   ELSE 0 END)
@@ -629,9 +646,15 @@ def returned_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
         .groupBy(F.col("n_name").alias("nation"))
         .agg(
-            F.round(F.sum(ret) / 10000.0, 2).alias("returned_revenue"),
+            F.sum(ret).alias("_ru"),
             F.round(100.0 * F.sum(ret) / F.sum(rev), 4).alias("returned_share"),
             F.count_distinct(F.col("c_custkey")).alias("n_customers"),
+        )
+        .select(
+            "nation",
+            F.expr("((_ru + 50) div 100) / 100.0").alias("returned_revenue"),
+            "returned_share",
+            "n_customers",
         )
     )
 
@@ -980,9 +1003,11 @@ def incremental_mv_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     "unpivot_order_metrics",
     oracle="""
     SELECT metric, count(*) AS n,
-           round(sum(CAST(round(val*100) AS BIGINT)) / 100.0, 4) AS total,
-           round(sum(CAST(round(val*100) AS BIGINT)) / (100.0 * count(*)), 6)
-               AS mean
+           CAST(sum(CAST(round(val*100) AS BIGINT)) AS BIGINT) / 100.0
+               AS total,
+           CAST((2000000 * sum(CAST(round(val*100) AS BIGINT))
+                 + 100 * count(*))
+                // (2 * 100 * count(*)) AS BIGINT) / 1000000.0 AS mean
     FROM (
         SELECT l_orderkey, metric, val FROM (
             SELECT l_orderkey,
@@ -1015,10 +1040,21 @@ def unpivot_order_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_orderkey", ["quantity", "extendedprice", "discount", "tax"], "metric", "val"
     )
     val_c = F.round(F.col("val") * 100, 0).cast("long")
-    return melted.groupBy("metric").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.round(F.sum(val_c) / 100.0, 4).alias("total"),
-        F.round(F.sum(val_c) / (100.0 * F.count(F.lit(1))), 6).alias("mean"),
+    return (
+        melted.groupBy("metric")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(val_c).alias("_c"),
+        )
+        .select(
+            "metric",
+            "n",
+            (F.col("_c") / 100.0).alias("total"),
+            F.expr(
+                "((CAST(_c AS DECIMAL(38,0)) * 2000000 + 100 * n)"
+                " div (2 * 100 * n)) / 1000000.0"
+            ).alias("mean"),
+        )
     )
 
 
@@ -1262,9 +1298,9 @@ def discount_quantity_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT cn.n_name AS cust_nation, sn.n_name AS supp_nation,
            CAST(count(*) AS BIGINT) AS n_lineitems,
-           round(sum(CAST(round(l.l_extendedprice*100) AS BIGINT)
+           CAST((sum(CAST(round(l.l_extendedprice*100) AS BIGINT)
                      * (100 - CAST(round(l.l_discount*100) AS BIGINT)))
-                 / 10000.0, 2) AS revenue
+                 + 50) // 100 AS BIGINT) / 100.0 AS revenue
     FROM lineitem l
     JOIN orders o    ON o.o_orderkey = l.l_orderkey
     JOIN customer c  ON c.c_custkey = o.o_custkey
@@ -1311,19 +1347,17 @@ def trade_flow_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cust_nation", "supp_nation")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_lineitems"),
-            F.round(
-                F.sum(
-                    F.round(F.col("l_extendedprice") * 100, 0).cast("long")
-                    * (
-                        F.lit(100)
-                        - F.round(F.col("l_discount") * 100, 0).cast("long")
-                    )
+            F.sum(
+                F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+                * (
+                    F.lit(100)
+                    - F.round(F.col("l_discount") * 100, 0).cast("long")
                 )
-                / F.lit(10000.0),
-                2,
-            ).alias("revenue"),
+            ).alias("_u"),
         )
         .filter(F.col("n_lineitems") >= 5)
+        .withColumn("revenue", F.expr("((_u + 50) div 100) / 100.0"))
+        .drop("_u")
     )
 
 

@@ -93,9 +93,9 @@ def retry_cut_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     "salted_skew_join",
     oracle="""
     SELECT o_orderpriority,
-           round(sum(CAST(round(l_extendedprice*100) AS BIGINT)
+           CAST((sum(CAST(round(l_extendedprice*100) AS BIGINT)
                      * (100 - CAST(round(l_discount*100) AS BIGINT)))
-                 / 10000.0, 2) AS revenue,
+                 + 50) // 100 AS BIGINT) / 100.0 AS revenue,
            count(*) AS n_items
     FROM orders JOIN lineitem ON l_orderkey = o_orderkey
     GROUP BY o_orderpriority
@@ -130,16 +130,23 @@ def salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         build,
         (F.col("l_orderkey") == F.col("o_orderkey")) & (probe["_salt"] == build["_salt"]),
     )
-    return joined.groupBy("o_orderpriority").agg(
-        F.round(
+    return (
+        joined.groupBy("o_orderpriority")
+        .agg(
             F.sum(
                 F.round(F.col("l_extendedprice") * 100, 0).cast("long")
-                * (F.lit(100) - F.round(F.col("l_discount") * 100, 0).cast("long"))
-            )
-            / 10000.0,
-            2,
-        ).alias("revenue"),
-        F.count(F.lit(1)).alias("n_items"),
+                * (
+                    F.lit(100)
+                    - F.round(F.col("l_discount") * 100, 0).cast("long")
+                )
+            ).alias("_u"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .select(
+            "o_orderpriority",
+            F.expr("((_u + 50) div 100) / 100.0").alias("revenue"),
+            "n_items",
+        )
     )
 
 

@@ -409,10 +409,10 @@ def herfindahl_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY f.cohort, CAST(year(o.o_orderdate) AS INT) - f.cohort
     )
     SELECT s.cohort, s.age, cs.n_customers,
-           round(CAST(sum(s.cents) OVER (PARTITION BY s.cohort ORDER BY s.age
-                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                      AS DOUBLE)
-                 / CAST(cs.n_customers AS DOUBLE) / 100.0, 2) AS cum_ltv
+           CAST((2 * sum(s.cents) OVER (PARTITION BY s.cohort ORDER BY s.age
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 + cs.n_customers) // (2 * cs.n_customers) AS BIGINT)
+               / 100.0 AS cum_ltv
     FROM spend s JOIN cohort_size cs ON cs.cohort = s.cohort
     """,
 )
@@ -424,7 +424,12 @@ def cohort_ltv_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts activity, not value).
 
     Cent-exact integer sums; the cumulative window runs per cohort over
-    the <= 7-row age spine; one identical float division per cell.
+    the <= 7-row age spine. The per-customer average is rounded to whole
+    CENTS in integer arithmetic — half-up via ``(2c + n) div (2n)`` — then
+    divided by 100 once: ``round(double, 2)`` is NOT cross-engine-safe on
+    .xx5 values (Spark rounds the shortest decimal representation, DuckDB
+    the binary value; the fuzzer caught cum_ltv diverging on exactly such
+    a cell).
 
     Scale: first-order cohorts are a per-customer aggregate; the fact
     joins the cohort map on custkey (shuffle equi-join) and collapses to
@@ -449,16 +454,18 @@ def cohort_ltv_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("cohort").orderBy("age").rowsBetween(
         Window.unboundedPreceding, 0
     )
-    return spend.join(F.broadcast(cohort_size), "cohort").select(
-        "cohort",
-        "age",
-        "n_customers",
-        F.round(
-            F.sum("cents").over(w).cast("double")
-            / F.col("n_customers").cast("double")
-            / 100.0,
-            2,
-        ).alias("cum_ltv"),
+    return (
+        spend.join(F.broadcast(cohort_size), "cohort")
+        .withColumn("cum_cents", F.sum("cents").over(w))
+        .select(
+            "cohort",
+            "age",
+            "n_customers",
+            (
+                F.expr("(2 * cum_cents + n_customers) div (2 * n_customers)")
+                / 100.0
+            ).alias("cum_ltv"),
+        )
     )
 
 

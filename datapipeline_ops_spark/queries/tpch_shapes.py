@@ -148,7 +148,8 @@ def min_cost_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(CAST(sum(CASE WHEN sn.n_regionkey = cn.n_regionkey
                                THEN {_SQL_REV_UNITS} ELSE 0 END) AS DOUBLE)
                  / CAST(sum({_SQL_REV_UNITS}) AS DOUBLE), 6) AS intra_share,
-           round(CAST(sum({_SQL_REV_UNITS}) AS DOUBLE) / 10000.0, 2) AS revenue
+           CAST((sum({_SQL_REV_UNITS}) + 50) // 100 AS BIGINT) / 100.0
+               AS revenue
     FROM lineitem l
     JOIN orders o   ON o.o_orderkey = l.l_orderkey
     JOIN customer c ON c.c_custkey = o.o_custkey
@@ -201,8 +202,10 @@ def market_share_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(
                 intra.cast("double") / total.cast("double"), 6
             ).alias("intra_share"),
-            F.round(total.cast("double") / 10000.0, 2).alias("revenue"),
+            total.alias("_u"),
         )
+        .withColumn("revenue", F.expr("((_u + 50) div 100) / 100.0"))
+        .drop("_u")
     )
 
 
@@ -220,10 +223,19 @@ def market_share_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
                     - CAST(l.l_quantity AS BIGINT)
                       * CAST(round(p.p_retailprice*100) AS BIGINT) * 60
                ) AS BIGINT) AS profit_units,
-           round(CAST(sum({_SQL_REV_UNITS}
-                    - CAST(l.l_quantity AS BIGINT)
-                      * CAST(round(p.p_retailprice*100) AS BIGINT) * 60
-               ) AS DOUBLE) / 10000.0, 2) AS profit
+           CASE WHEN sum({_SQL_REV_UNITS}
+                         - CAST(l.l_quantity AS BIGINT)
+                           * CAST(round(p.p_retailprice*100) AS BIGINT) * 60
+                        ) >= 0
+                THEN CAST((sum({_SQL_REV_UNITS}
+                         - CAST(l.l_quantity AS BIGINT)
+                           * CAST(round(p.p_retailprice*100) AS BIGINT) * 60
+                        ) + 50) // 100 AS BIGINT) / 100.0
+                ELSE -(CAST((-sum({_SQL_REV_UNITS}
+                         - CAST(l.l_quantity AS BIGINT)
+                           * CAST(round(p.p_retailprice*100) AS BIGINT) * 60
+                        ) + 50) // 100 AS BIGINT) / 100.0)
+                END AS profit
     FROM lineitem l
     JOIN part p     ON p.p_partkey = l.l_partkey
     JOIN supplier s ON s.s_suppkey = l.l_suppkey
@@ -264,9 +276,14 @@ def profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
         .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"])
         .groupBy(F.col("n_name").alias("supp_nation"), "ship_year")
-        .agg(
-            profit.cast("long").alias("profit_units"),
-            F.round(profit.cast("double") / 10000.0, 2).alias("profit"),
+        .agg(profit.cast("long").alias("profit_units"))
+        .withColumn(
+            "profit",
+            F.expr(
+                "CASE WHEN profit_units >= 0"
+                " THEN ((profit_units + 50) div 100) / 100.0"
+                " ELSE -(((-profit_units + 50) div 100) / 100.0) END"
+            ),
         )
     )
 
@@ -356,7 +373,7 @@ def quantity_concentration_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY l_suppkey
     )
     SELECT s.s_suppkey, s.s_name, r.rev_units,
-           round(CAST(r.rev_units AS DOUBLE) / 10000.0, 2) AS total_revenue
+           CAST((r.rev_units + 50) // 100 AS BIGINT) / 100.0 AS total_revenue
     FROM rev r
     JOIN (SELECT max(rev_units) AS mx FROM rev) m ON r.rev_units = m.mx
     JOIN supplier s ON s.s_suppkey = r.l_suppkey
@@ -392,7 +409,7 @@ def top_revenue_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             "s_suppkey",
             "s_name",
             "rev_units",
-            F.round(F.col("rev_units").cast("double") / 10000.0, 2).alias(
+            F.expr("((rev_units + 50) div 100) / 100.0").alias(
                 "total_revenue"
             ),
         )
@@ -517,7 +534,8 @@ def large_order_customers_detail(spark: SparkSession, sf_dir: str) -> DataFrame:
     "disjunctive_predicate_revenue",
     oracle=f"""
     SELECT CAST(count(*) AS BIGINT) AS n_lineitems,
-           round(CAST(sum({_SQL_REV_UNITS}) AS DOUBLE) / 10000.0, 2) AS revenue
+           CAST((sum({_SQL_REV_UNITS}) + 50) // 100 AS BIGINT) / 100.0
+               AS revenue
     FROM lineitem l
     JOIN part p ON p.p_partkey = l.l_partkey
     WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 5
@@ -565,8 +583,10 @@ def disjunctive_predicate_revenue(spark: SparkSession, sf_dir: str) -> DataFrame
         .filter(cond)
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_lineitems"),
-            F.round(F.sum("units").cast("double") / 10000.0, 2).alias("revenue"),
+            F.sum("units").alias("_u"),
         )
+        .withColumn("revenue", F.expr("((_u + 50) div 100) / 100.0"))
+        .drop("_u")
     )
 
 
