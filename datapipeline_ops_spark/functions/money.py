@@ -1,0 +1,68 @@
+"""Exact cross-engine rounding of integer money units to decimal dollars.
+
+``round(double, 2)`` is NOT cross-engine-safe when the true rational has
+more than 2 decimal places: Spark rounds the SHORTEST DECIMAL
+representation of the double (BigDecimal.valueOf -> HALF_UP) while
+C-engine round() operates on the binary value, so a cell landing on a
+half-cent boundary (units ≡ 50 mod 100 — about 1% of uniformly
+distributed sums) diverges. The fuzzer caught exactly this on
+cohort_ltv_matrix (cum spend / 2 customers with odd cents).
+
+The safe form rounds in INTEGER space first — half-up via
+``(x + d/2) div d`` — and divides the resulting exact integer once at the
+end: both engines then convert the SAME integer to double and divide by a
+power of ten, which is deterministic.
+
+Helpers below emit matched Spark SQL expression strings and DuckDB SQL so
+the two sides can never drift. They apply to NON-NEGATIVE sums (prices,
+revenues); half-up for negatives would need floor adjustment.
+"""
+
+from __future__ import annotations
+
+
+def spark_units_to_dollars(units_expr: str, scale: int) -> str:
+    """Spark SQL: round(units/scale, 2) in exact integer arithmetic.
+
+    `scale` = units per dollar (10^4 for cent-percent units, 10^6 for
+    cent-percent-percent charge units, 10^2 for plain cents).
+    """
+    d = scale // 100  # units per cent
+    if d == 1:
+        return f"({units_expr}) / 100.0"
+    return f"((({units_expr}) + {d // 2}) div {d}) / 100.0"
+
+
+def sql_units_to_dollars(units_expr: str, scale: int) -> str:
+    """DuckDB SQL equivalent of :func:`spark_units_to_dollars`."""
+    d = scale // 100
+    if d == 1:
+        return f"CAST(({units_expr}) AS BIGINT) / 100.0"
+    return f"CAST((({units_expr}) + {d // 2}) // {d} AS BIGINT) / 100.0"
+
+
+def spark_avg_units(sum_expr: str, n_expr: str, per: int, dp: int) -> str:
+    """Spark SQL: round(sum/(per*n), dp) half-up in exact integers.
+
+    round(k/(per*n), dp) == ((2*10^dp*k + per*n) div (2*per*n)) / 10^dp.
+    The numerator is widened to DECIMAL(38,0) so 2*10^dp*k cannot overflow
+    BIGINT at large scale (DuckDB widens sums to HUGEINT natively); the
+    `div` result is back in BIGINT range because it is the mean scaled by
+    10^dp.
+    """
+    out = 10**dp
+    return (
+        f"((CAST({sum_expr} AS DECIMAL(38,0)) * {2 * out}"
+        f" + {per} * ({n_expr}))"
+        f" div (2 * {per} * ({n_expr}))) / {float(out)}"
+    )
+
+
+def sql_avg_units(sum_expr: str, n_expr: str, per: int, dp: int) -> str:
+    """DuckDB SQL equivalent of :func:`spark_avg_units` (sums are already
+    HUGEINT in DuckDB, so no explicit widening is needed)."""
+    out = 10**dp
+    return (
+        f"CAST(({2 * out} * ({sum_expr}) + {per} * ({n_expr}))"
+        f" // (2 * {per} * ({n_expr})) AS BIGINT) / {float(out)}"
+    )
