@@ -1424,10 +1424,14 @@ _SPX_PRICE = 250_000
         FROM seg
     )
     SELECT s.segment, s.n_t, s.x_t, s.n_c, s.x_c,
-           CAST(s.x_t AS DOUBLE) / CAST(s.n_t AS DOUBLE)
-             - CAST(s.x_c AS DOUBLE) / CAST(s.n_c AS DOUBLE) AS seg_effect,
-           CAST(p.x_t AS DOUBLE) / CAST(p.n_t AS DOUBLE)
-             - CAST(p.x_c AS DOUBLE) / CAST(p.n_c AS DOUBLE) AS pooled_effect,
+           CASE WHEN s.n_t > 0 AND s.n_c > 0
+                THEN CAST(s.x_t AS DOUBLE) / CAST(s.n_t AS DOUBLE)
+                     - CAST(s.x_c AS DOUBLE) / CAST(s.n_c AS DOUBLE)
+                ELSE NULL END AS seg_effect,
+           CASE WHEN p.n_t > 0 AND p.n_c > 0
+                THEN CAST(p.x_t AS DOUBLE) / CAST(p.n_t AS DOUBLE)
+                     - CAST(p.x_c AS DOUBLE) / CAST(p.n_c AS DOUBLE)
+                ELSE NULL END AS pooled_effect,
            (s.x_t * s.n_c > s.x_c * s.n_t) <> (p.x_t * p.n_c > p.x_c * p.n_t)
                AS sign_flip
     FROM seg s CROSS JOIN pooled p
@@ -1468,12 +1472,20 @@ def simpsons_paradox_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_c").cast("long").alias("p_n_c"),
         F.sum("x_c").cast("long").alias("p_x_c"),
     )
-    seg_eff = F.col("x_t").cast("double") / F.col("n_t").cast("double") - F.col(
-        "x_c"
-    ).cast("double") / F.col("n_c").cast("double")
-    pool_eff = F.col("p_x_t").cast("double") / F.col("p_n_t").cast("double") - F.col(
-        "p_x_c"
-    ).cast("double") / F.col("p_n_c").cast("double")
+    # a one-sided segment (no treated or no control orders) zeroes a rate
+    # denominator — ANSI Spark raises where DuckDB doesn't; NULL-guard the
+    # EFFECTS in both engines (caught by the oracle-parity fuzzer, round 9).
+    # The integer cross-multiplied sign_flip needs no guard.
+    seg_eff = F.when(
+        (F.col("n_t") > 0) & (F.col("n_c") > 0),
+        F.col("x_t").cast("double") / F.col("n_t").cast("double")
+        - F.col("x_c").cast("double") / F.col("n_c").cast("double"),
+    )
+    pool_eff = F.when(
+        (F.col("p_n_t") > 0) & (F.col("p_n_c") > 0),
+        F.col("p_x_t").cast("double") / F.col("p_n_t").cast("double")
+        - F.col("p_x_c").cast("double") / F.col("p_n_c").cast("double"),
+    )
     flip = (F.col("x_t") * F.col("n_c") > F.col("x_c") * F.col("n_t")) != (
         F.col("p_x_t") * F.col("p_n_c") > F.col("p_x_c") * F.col("p_n_t")
     )

@@ -40,17 +40,30 @@ DLQ_RATE = 0.1
 
 
 def _bin_expr(value: F.Column, vmin: F.Column, vmax: F.Column, nbins: int) -> F.Column:
-    """Fixed-width bin id in [0, nbins): identical arithmetic to _sql_bin."""
+    """Fixed-width bin id in [0, nbins): identical arithmetic to _sql_bin.
+
+    Degenerate extent (all values identical, vmax == vmin) maps every row
+    to bin 0 in BOTH engines — ANSI Spark would raise DIVIDE_BY_ZERO on
+    the unguarded width division (oracle-parity fuzzer, round 9; same
+    class as the round-8 histogram_equi_width fix)."""
     return F.least(
-        F.floor(((value - vmin) / (vmax - vmin)) * F.lit(float(nbins))).cast("long"),
+        F.when(
+            vmax > vmin,
+            F.floor(((value - vmin) / (vmax - vmin)) * F.lit(float(nbins))).cast(
+                "long"
+            ),
+        )
+        .otherwise(F.lit(0))
+        .cast("long"),
         F.lit(nbins - 1),
     )
 
 
 def _sql_bin(value: str, vmin: str, vmax: str, nbins: int) -> str:
     return (
-        f"LEAST(CAST(FLOOR((({value} - {vmin}) / ({vmax} - {vmin})) * {float(nbins)}) "
-        f"AS BIGINT), {nbins - 1})"
+        f"LEAST(CAST(CASE WHEN {vmax} > {vmin} "
+        f"THEN FLOOR((({value} - {vmin}) / ({vmax} - {vmin})) * {float(nbins)}) "
+        f"ELSE 0 END AS BIGINT), {nbins - 1})"
     )
 
 
@@ -71,8 +84,12 @@ def _sql_bin(value: str, vmin: str, vmax: str, nbins: int) -> str:
         GROUP BY 1
     ),
     cdf AS (
-        SELECT CAST(sum(cnt_a) OVER w AS DOUBLE) / CAST(x.tot_a AS DOUBLE) AS cdf_a,
-               CAST(sum(cnt_b) OVER w AS DOUBLE) / CAST(x.tot_b AS DOUBLE) AS cdf_b,
+        SELECT CASE WHEN x.tot_a > 0
+                    THEN CAST(sum(cnt_a) OVER w AS DOUBLE)
+                         / CAST(x.tot_a AS DOUBLE) ELSE NULL END AS cdf_a,
+               CASE WHEN x.tot_b > 0
+                    THEN CAST(sum(cnt_b) OVER w AS DOUBLE)
+                         / CAST(x.tot_b AS DOUBLE) ELSE NULL END AS cdf_b,
                x.tot_a, x.tot_b
         FROM binned CROSS JOIN ext x
         WINDOW w AS (ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
@@ -80,11 +97,16 @@ def _sql_bin(value: str, vmin: str, vmax: str, nbins: int) -> str:
     SELECT max(abs(cdf_a - cdf_b)) AS ks_stat,
            CAST(any_value(tot_a) AS BIGINT) AS n_a,
            CAST(any_value(tot_b) AS BIGINT) AS n_b,
-           {KS_ALPHA_C} * sqrt(CAST(any_value(tot_a) + any_value(tot_b) AS DOUBLE)
-                / CAST(any_value(tot_a) * any_value(tot_b) AS DOUBLE)) AS ks_crit,
-           max(abs(cdf_a - cdf_b)) > {KS_ALPHA_C}
-               * sqrt(CAST(any_value(tot_a) + any_value(tot_b) AS DOUBLE)
-                      / CAST(any_value(tot_a) * any_value(tot_b) AS DOUBLE)) AS drift
+           CASE WHEN any_value(tot_a) * any_value(tot_b) > 0
+                THEN {KS_ALPHA_C}
+                     * sqrt(CAST(any_value(tot_a) + any_value(tot_b) AS DOUBLE)
+                            / CAST(any_value(tot_a) * any_value(tot_b) AS DOUBLE))
+                ELSE NULL END AS ks_crit,
+           CASE WHEN any_value(tot_a) * any_value(tot_b) > 0
+                THEN max(abs(cdf_a - cdf_b)) > {KS_ALPHA_C}
+                     * sqrt(CAST(any_value(tot_a) + any_value(tot_b) AS DOUBLE)
+                            / CAST(any_value(tot_a) * any_value(tot_b) AS DOUBLE))
+                ELSE NULL END AS drift
     FROM cdf
     """,
 )
@@ -111,13 +133,23 @@ def ks_drift_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(F.col("user_id") % 2 == 1, 1).otherwise(0)).alias("cnt_b"),
         )
     )
+    # one user-parity half can be EMPTY (all-even or all-odd user ids):
+    # ANSI Spark raises on the CDF and critical-value divisions where
+    # DuckDB doesn't — NULL-guard both engines (oracle-parity fuzzer, r9)
     w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, Window.currentRow)
     cdf = binned.crossJoin(F.broadcast(ext)).select(
-        (F.sum("cnt_a").over(w).cast("double") / F.col("tot_a").cast("double")).alias("cdf_a"),
-        (F.sum("cnt_b").over(w).cast("double") / F.col("tot_b").cast("double")).alias("cdf_b"),
+        F.when(
+            F.col("tot_a") > 0,
+            F.sum("cnt_a").over(w).cast("double") / F.col("tot_a").cast("double"),
+        ).alias("cdf_a"),
+        F.when(
+            F.col("tot_b") > 0,
+            F.sum("cnt_b").over(w).cast("double") / F.col("tot_b").cast("double"),
+        ).alias("cdf_b"),
         "tot_a",
         "tot_b",
     )
+    both = F.any_value("tot_a") * F.any_value("tot_b") > 0
     crit = F.lit(KS_ALPHA_C) * F.sqrt(
         (F.any_value("tot_a") + F.any_value("tot_b")).cast("double")
         / (F.any_value("tot_a") * F.any_value("tot_b")).cast("double")
@@ -126,8 +158,10 @@ def ks_drift_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(F.abs(F.col("cdf_a") - F.col("cdf_b"))).alias("ks_stat"),
         F.any_value("tot_a").cast("long").alias("n_a"),
         F.any_value("tot_b").cast("long").alias("n_b"),
-        crit.alias("ks_crit"),
-        (F.max(F.abs(F.col("cdf_a") - F.col("cdf_b"))) > crit).alias("drift"),
+        F.when(both, crit).alias("ks_crit"),
+        F.when(both, F.max(F.abs(F.col("cdf_a") - F.col("cdf_b"))) > crit).alias(
+            "drift"
+        ),
     )
 
 
@@ -149,8 +183,14 @@ def ks_drift_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     probs AS (
         SELECT bin, CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
-               GREATEST(CAST(n_a AS DOUBLE) / CAST(sum(n_a) OVER () AS DOUBLE), {PSI_EPS}) AS pa,
-               GREATEST(CAST(n_b AS DOUBLE) / CAST(sum(n_b) OVER () AS DOUBLE), {PSI_EPS}) AS pb
+               CASE WHEN sum(n_a) OVER () > 0
+                    THEN GREATEST(CAST(n_a AS DOUBLE)
+                                  / CAST(sum(n_a) OVER () AS DOUBLE), {PSI_EPS})
+                    ELSE {PSI_EPS} END AS pa,
+               CASE WHEN sum(n_b) OVER () > 0
+                    THEN GREATEST(CAST(n_b AS DOUBLE)
+                                  / CAST(sum(n_b) OVER () AS DOUBLE), {PSI_EPS})
+                    ELSE {PSI_EPS} END AS pb
         FROM cells
     )
     SELECT bin, n_a, n_b, pa, pb,
@@ -184,19 +224,32 @@ def psi_stability_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("bin")
         .agg(F.sum("in_a").alias("n_a"), F.sum(1 - F.col("in_a")).alias("n_b"))
     )
+    # all events on one side of the midpoint (e.g. a single distinct
+    # timestamp) zeroes a half's total — epsilon-floor that side in BOTH
+    # engines instead of dividing by zero (oracle-parity fuzzer, r9)
     wall = Window.partitionBy()
     probs = cells.select(
         "bin",
         F.col("n_a").cast("long").alias("n_a"),
         F.col("n_b").cast("long").alias("n_b"),
-        F.greatest(
-            F.col("n_a").cast("double") / F.sum("n_a").over(wall).cast("double"),
-            F.lit(PSI_EPS),
-        ).alias("pa"),
-        F.greatest(
-            F.col("n_b").cast("double") / F.sum("n_b").over(wall).cast("double"),
-            F.lit(PSI_EPS),
-        ).alias("pb"),
+        F.when(
+            F.sum("n_a").over(wall) > 0,
+            F.greatest(
+                F.col("n_a").cast("double") / F.sum("n_a").over(wall).cast("double"),
+                F.lit(PSI_EPS),
+            ),
+        )
+        .otherwise(F.lit(PSI_EPS))
+        .alias("pa"),
+        F.when(
+            F.sum("n_b").over(wall) > 0,
+            F.greatest(
+                F.col("n_b").cast("double") / F.sum("n_b").over(wall).cast("double"),
+                F.lit(PSI_EPS),
+            ),
+        )
+        .otherwise(F.lit(PSI_EPS))
+        .alias("pb"),
     )
     term = (F.col("pa") - F.col("pb")) * F.log(F.col("pa") / F.col("pb"))
     return probs.select(
@@ -409,12 +462,14 @@ AUC_LABEL_CHARS = 300  # label: long doc (n_chars >= this)
     tot AS (SELECT CAST(sum(n_pos) AS DOUBLE) AS p, CAST(sum(n_neg) AS DOUBLE) AS n
             FROM cum)
     SELECT CAST(t.p AS BIGINT) AS n_pos, CAST(t.n AS BIGINT) AS n_neg,
-           sum(CAST(c.n_pos AS DOUBLE)
-               * (CAST(c.neg_below AS DOUBLE) + 0.5 * CAST(c.n_neg AS DOUBLE)))
-               / (t.p * t.n) AS auc,
-           2.0 * (sum(CAST(c.n_pos AS DOUBLE)
-               * (CAST(c.neg_below AS DOUBLE) + 0.5 * CAST(c.n_neg AS DOUBLE)))
-               / (t.p * t.n)) - 1.0 AS gini
+           CASE WHEN t.p * t.n > 0
+                THEN sum(CAST(c.n_pos AS DOUBLE)
+                    * (CAST(c.neg_below AS DOUBLE) + 0.5 * CAST(c.n_neg AS DOUBLE)))
+                    / (t.p * t.n) ELSE NULL END AS auc,
+           CASE WHEN t.p * t.n > 0
+                THEN 2.0 * (sum(CAST(c.n_pos AS DOUBLE)
+                    * (CAST(c.neg_below AS DOUBLE) + 0.5 * CAST(c.n_neg AS DOUBLE)))
+                    / (t.p * t.n)) - 1.0 ELSE NULL END AS gini
     FROM cum c CROSS JOIN tot t
     GROUP BY t.p, t.n
     """,
@@ -461,12 +516,19 @@ def auc_binned_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     staged = cum.select(
         "n_pos", "n_neg", contrib.alias("contrib"), tot_p.alias("p"), tot_n.alias("n")
     )
-    return staged.groupBy("p", "n").agg(
-        F.any_value("p").cast("long").alias("n_pos"),
-        F.any_value("n").cast("long").alias("n_neg"),
-        (F.sum("contrib") / (F.any_value("p") * F.any_value("n"))).alias("auc"),
-        (2.0 * F.sum("contrib") / (F.any_value("p") * F.any_value("n")) - 1.0).alias("gini"),
-    ).drop("p", "n")
+    # a single-class corpus (no positives or no negatives) zeroes P*N —
+    # NULL-guard both engines (oracle-parity fuzzer, r9)
+    pn = F.any_value("p") * F.any_value("n")
+    return (
+        staged.groupBy("p", "n")
+        .agg(
+            F.any_value("p").cast("long").alias("n_pos"),
+            F.any_value("n").cast("long").alias("n_neg"),
+            F.when(pn > 0, F.sum("contrib") / pn).alias("auc"),
+            F.when(pn > 0, 2.0 * F.sum("contrib") / pn - 1.0).alias("gini"),
+        )
+        .drop("p", "n")
+    )
 
 
 @query(
@@ -498,7 +560,8 @@ def auc_binned_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM perdow CROSS JOIN tot t GROUP BY t.nt
     )
     SELECT a.h AS h_type, b.h AS h_type_given_dow, a.h - b.h AS info_gain,
-           (a.h - b.h) / a.h AS info_gain_ratio
+           CASE WHEN a.h > 0 THEN (a.h - b.h) / a.h ELSE NULL END
+               AS info_gain_ratio
     FROM h_type a CROSS JOIN h_cond b
     """,
 )
@@ -552,7 +615,12 @@ def info_gain_type_by_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("h").alias("h_type"),
             F.col("hc").alias("h_type_given_dow"),
             (F.col("h") - F.col("hc")).alias("info_gain"),
-            ((F.col("h") - F.col("hc")) / F.col("h")).alias("info_gain_ratio"),
+            # a single event type gives H(type) = 0 — ANSI Spark raises on
+            # the ratio where DuckDB would; NULL-guard both engines
+            # (caught by the oracle-parity fuzzer, round 9)
+            F.when(
+                F.col("h") > 0, (F.col("h") - F.col("hc")) / F.col("h")
+            ).alias("info_gain_ratio"),
         )
     )
 
@@ -594,10 +662,14 @@ W1_BINS = 64
         FROM cdf CROSS JOIN ext x
     )
     SELECT x.tot_a AS n_a, x.tot_b AS n_b,
-           CAST(n.sum_abs AS DOUBLE) * (x.vmax - x.vmin) / {W1_BINS}.0
-               / (CAST(x.tot_a AS DOUBLE) * CAST(x.tot_b AS DOUBLE)) AS w1_distance,
-           CAST(n.sum_abs AS DOUBLE) / {W1_BINS}.0
-               / (CAST(x.tot_a AS DOUBLE) * CAST(x.tot_b AS DOUBLE)) AS w1_normalized
+           CASE WHEN x.tot_a * x.tot_b > 0
+                THEN CAST(n.sum_abs AS DOUBLE) * (x.vmax - x.vmin) / {W1_BINS}.0
+                     / (CAST(x.tot_a AS DOUBLE) * CAST(x.tot_b AS DOUBLE))
+                ELSE NULL END AS w1_distance,
+           CASE WHEN x.tot_a * x.tot_b > 0
+                THEN CAST(n.sum_abs AS DOUBLE) / {W1_BINS}.0
+                     / (CAST(x.tot_a AS DOUBLE) * CAST(x.tot_b AS DOUBLE))
+                ELSE NULL END AS w1_normalized
     FROM num n CROSS JOIN ext x
     """,
 )
@@ -663,19 +735,24 @@ def wasserstein_drift_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("sum_abs")
     )
+    # one empty user-parity half zeroes n_a*n_b — NULL-guard both engines
+    # (oracle-parity fuzzer, r9)
+    ab = F.col("tot_a") * F.col("tot_b") > 0
     return num.crossJoin(F.broadcast(ext)).select(
         F.col("tot_a").alias("n_a"),
         F.col("tot_b").alias("n_b"),
-        (
+        F.when(
+            ab,
             F.col("sum_abs").cast("double")
             * (F.col("vmax") - F.col("vmin"))
             / float(W1_BINS)
-            / (F.col("tot_a").cast("double") * F.col("tot_b").cast("double"))
+            / (F.col("tot_a").cast("double") * F.col("tot_b").cast("double")),
         ).alias("w1_distance"),
-        (
+        F.when(
+            ab,
             F.col("sum_abs").cast("double")
             / float(W1_BINS)
-            / (F.col("tot_a").cast("double") * F.col("tot_b").cast("double"))
+            / (F.col("tot_a").cast("double") * F.col("tot_b").cast("double")),
         ).alias("w1_normalized"),
     )
 

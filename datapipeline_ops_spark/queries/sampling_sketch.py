@@ -1400,8 +1400,10 @@ _NEY_BUDGET = 1000
         FROM strata
     )
     SELECT event_type, n AS stratum_size, nh_sh,
-           CAST(round({_NEY_BUDGET} * nh_sh / sum(nh_sh) OVER ()) AS BIGINT)
-               AS n_alloc
+           CASE WHEN sum(nh_sh) OVER () > 0
+                THEN CAST(round({_NEY_BUDGET} * nh_sh / sum(nh_sh) OVER ())
+                          AS BIGINT)
+                ELSE NULL END AS n_alloc
     FROM scored
     """,
 )
@@ -1440,11 +1442,16 @@ def neyman_allocation_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     scored = strata.select("event_type", "n", nh_sh.alias("nh_sh"))
     w = Window.partitionBy()
+    # every stratum constant -> every S_h = 0 -> the allocation denominator
+    # is 0: ANSI Spark raises where DuckDB yields NaN — NULL-guard both
+    # engines (oracle-parity fuzzer, round 9)
+    tot = F.sum("nh_sh").over(w)
     return scored.select(
         "event_type",
         F.col("n").alias("stratum_size"),
         "nh_sh",
-        F.round(F.lit(_NEY_BUDGET) * F.col("nh_sh") / F.sum("nh_sh").over(w))
-        .cast("long")
-        .alias("n_alloc"),
+        F.when(
+            tot > 0,
+            F.round(F.lit(_NEY_BUDGET) * F.col("nh_sh") / tot).cast("long"),
+        ).alias("n_alloc"),
     )

@@ -301,8 +301,11 @@ def pit_state_at_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT user_id,
            count(*) AS n_intervals,
-           sum(value * CAST(nxt - t AS DOUBLE)) / sum(CAST(nxt - t AS DOUBLE))
-               AS twap
+           CASE WHEN sum(nxt - t) > 0
+                THEN CAST(sum(CAST(round(value*100) AS BIGINT) * (nxt - t))
+                          AS DOUBLE)
+                     / (100.0 * CAST(sum(nxt - t) AS DOUBLE))
+                ELSE NULL END AS twap
     FROM seq WHERE nxt IS NOT NULL
     GROUP BY user_id
     """,
@@ -322,8 +325,25 @@ def twap_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_micros("ts").alias("t"),
         F.lead(F.unix_micros("ts")).over(w).alias("nxt"),
     ).filter(F.col("nxt").isNotNull())
-    dt = (F.col("nxt") - F.col("t")).cast("double")
-    return seq.groupBy("user_id").agg(
-        F.count(F.lit(1)).alias("n_intervals"),
-        (F.sum(F.col("value") * dt) / F.sum(dt)).alias("twap"),
+    # exact integer cents x microseconds keeps the weighted sum
+    # order-independent; a user whose events all share one timestamp has
+    # total duration 0 — ANSI Spark raises on the division where DuckDB
+    # doesn't, so NULL-guard both engines (oracle-parity fuzzer, round 9)
+    dt = F.col("nxt") - F.col("t")
+    cents = F.round(F.col("value") * 100, 0).cast("long")
+    return (
+        seq.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_intervals"),
+            F.sum(cents * dt).alias("_w"),
+            F.sum(dt).alias("_d"),
+        )
+        .select(
+            "user_id",
+            "n_intervals",
+            F.when(
+                F.col("_d") > 0,
+                F.col("_w").cast("double") / (100.0 * F.col("_d").cast("double")),
+            ).alias("twap"),
+        )
     )

@@ -621,8 +621,12 @@ _SNB_FROM = "2001-05-01"
         FROM lagged WHERE l7 IS NOT NULL
     )
     SELECT n_days_scored,
-           CAST(ae_naive AS DOUBLE) / CAST(n_days_scored AS DOUBLE) AS mae_naive,
-           CAST(ae_snaive AS DOUBLE) / CAST(n_days_scored AS DOUBLE) AS mae_snaive,
+           CASE WHEN n_days_scored > 0
+                THEN CAST(ae_naive AS DOUBLE) / CAST(n_days_scored AS DOUBLE)
+                ELSE NULL END AS mae_naive,
+           CASE WHEN n_days_scored > 0
+                THEN CAST(ae_snaive AS DOUBLE) / CAST(n_days_scored AS DOUBLE)
+                ELSE NULL END AS mae_snaive,
            (ae_snaive < ae_naive) AS snaive_better
     FROM scored
     """,
@@ -665,13 +669,17 @@ def seasonal_naive_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.abs(F.col("cnt") - F.col("l1"))).cast("long").alias("ae_naive"),
         F.sum(F.abs(F.col("cnt") - F.col("l7"))).cast("long").alias("ae_snaive"),
     )
+    # a series shorter than the 7-day season scores zero days — ANSI Spark
+    # raises on the 0-divisor MAE where DuckDB doesn't; NULL-guard both
+    # engines (oracle-parity fuzzer, round 9)
+    nd = F.col("n_days_scored")
     return scored.select(
         "n_days_scored",
-        (
-            F.col("ae_naive").cast("double") / F.col("n_days_scored").cast("double")
+        F.when(
+            nd > 0, F.col("ae_naive").cast("double") / nd.cast("double")
         ).alias("mae_naive"),
-        (
-            F.col("ae_snaive").cast("double") / F.col("n_days_scored").cast("double")
+        F.when(
+            nd > 0, F.col("ae_snaive").cast("double") / nd.cast("double")
         ).alias("mae_snaive"),
         (F.col("ae_snaive") < F.col("ae_naive")).alias("snaive_better"),
     )

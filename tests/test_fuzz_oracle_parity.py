@@ -257,6 +257,16 @@ def test_fuzz_orders_lineitem_queries(spark, tmp_path_factory, orders, lines, se
             "salted_skew_join",
             "monthly_spine_gap_fill",
             "local_clustering_coefficient",
+            # round-9 wave 2: unfuzzed families with normalizers/thresholds
+            "theil_sen_daily_trend",
+            "seasonal_naive_backtest",
+            "simpsons_paradox_check",
+            "supplier_return_wilson",
+            "discount_quantity_elasticity",
+            "benford_price_check",
+            "join_skew_diagnosis",
+            "copurchase_pmi_scores",
+            "qi_uniqueness_report",
         ],
         ["region", "nation", "supplier", "customer", "part", "orders", "lineitem"],
     )
@@ -322,6 +332,19 @@ def test_fuzz_events_queries(spark, tmp_path_factory, events):
             "cube_events_report",
             "time_range_rolling_sum",
             "experiment_readout_e2e",
+            # round-9 wave 2
+            "wow_type_delta",
+            "conversion_ab_ztest",
+            "markov_next_event_accuracy",
+            "power_sample_size_calc",
+            "chi2_type_by_dow",
+            "info_gain_type_by_dow",
+            "twap_per_user",
+            "changepoint_cusum_daily",
+            "multi_touch_attribution",
+            "winsorized_value_stats",
+            "neyman_allocation_plan",
+            "ks_drift_binned",
         ],
         ["events"],
     )
@@ -391,6 +414,27 @@ def test_fuzz_documents_queries(spark, tmp_path_factory, docs):
             "bigram_lm_perplexity",
             "kfold_assignment_audit",
             "pretrain_prep_e2e",
+            # round-9 wave 2
+            "ngram_novelty_rate",
+            "dedup_rate_curve",
+            "dedup_token_savings",
+            "decontaminate_overlap",
+            "mixture_temperature_weights",
+            "exact_substring_spans",
+            "containment_pairs",
+            "boilerplate_line_removal",
+            "tokenizer_fertility_by_lang",
+            "tfidf_top_terms",
+            "char_trigram_lm_score",
+            "zipf_slope_fit",
+            "oov_rate_report",
+            "js_divergence_sources",
+            "vocab_coverage_curve",
+            "bm25_topk",
+            "dataset_card_report",
+            "calibration_ece_report",
+            "bradley_terry_strengths",
+            "quality_gate_correlation",
         ],
         ["documents"],
     )
@@ -444,6 +488,10 @@ def test_fuzz_embeddings_queries(spark, tmp_path_factory, embs):
             "embedding_int8_quant",
             "label_centroids",
             "class_weight_plan",
+            # round-9 wave 2
+            "embedding_centroid_drift",
+            "jl_random_projection",
+            "mrl_truncation_eval",
         ],
         ["embeddings"],
     )
