@@ -28,9 +28,12 @@ def spark_units_to_dollars(units_expr: str, scale: int) -> str:
     cent-percent-percent charge units, 10^2 for plain cents).
     """
     d = scale // 100  # units per cent
+    # CAST to DOUBLE before the decimal literal: Spark SQL parses 100.0 as
+    # DECIMAL(4,1), and BIGINT/DECIMAL division yields DECIMAL output —
+    # the gate normalizes it, but the published schema should stay DOUBLE
     if d == 1:
-        return f"({units_expr}) / 100.0"
-    return f"((({units_expr}) + {d // 2}) div {d}) / 100.0"
+        return f"CAST({units_expr} AS DOUBLE) / 100.0"
+    return f"CAST((({units_expr}) + {d // 2}) div {d} AS DOUBLE) / 100.0"
 
 
 def sql_units_to_dollars(units_expr: str, scale: int) -> str:
@@ -52,9 +55,9 @@ def spark_avg_units(sum_expr: str, n_expr: str, per: int, dp: int) -> str:
     """
     out = 10**dp
     return (
-        f"((CAST({sum_expr} AS DECIMAL(38,0)) * {2 * out}"
+        f"CAST((CAST({sum_expr} AS DECIMAL(38,0)) * {2 * out}"
         f" + {per} * ({n_expr}))"
-        f" div (2 * {per} * ({n_expr}))) / {float(out)}"
+        f" div (2 * {per} * ({n_expr})) AS DOUBLE) / {float(out)}"
     )
 
 

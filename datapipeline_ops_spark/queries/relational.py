@@ -81,11 +81,11 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             "l_linestatus",
             (F.col("_q") / 100.0).alias("sum_qty"),
             (F.col("_p") / 100.0).alias("sum_base_price"),
-            F.expr("(((_dp) + 50) div 100) / 100.0").alias("sum_disc_price"),
-            F.expr("(((_ch) + 5000) div 10000) / 100.0").alias("sum_charge"),
-            F.expr("((CAST(_q AS DECIMAL(38,0)) * 20000 + 100 * (count_order)) div (2 * 100 * (count_order))) / 10000.0").alias("avg_qty"),
-            F.expr("((CAST(_p AS DECIMAL(38,0)) * 20000 + 100 * (count_order)) div (2 * 100 * (count_order))) / 10000.0").alias("avg_price"),
-            F.expr("((CAST(_d AS DECIMAL(38,0)) * 20000 + 1 * (count_order)) div (2 * 1 * (count_order))) / 10000.0").alias("avg_disc"),
+            F.expr("CAST(((_dp) + 50) div 100 AS DOUBLE) / 100.0").alias("sum_disc_price"),
+            F.expr("CAST(((_ch) + 5000) div 10000 AS DOUBLE) / 100.0").alias("sum_charge"),
+            F.expr("CAST((CAST(_q AS DECIMAL(38,0)) * 20000 + 100 * (count_order)) div (2 * 100 * (count_order)) AS DOUBLE) / 10000.0").alias("avg_qty"),
+            F.expr("CAST((CAST(_p AS DECIMAL(38,0)) * 20000 + 100 * (count_order)) div (2 * 100 * (count_order)) AS DOUBLE) / 10000.0").alias("avg_price"),
+            F.expr("CAST((CAST(_d AS DECIMAL(38,0)) * 20000 + 1 * (count_order)) div (2 * 1 * (count_order)) AS DOUBLE) / 10000.0").alias("avg_disc"),
             "count_order",
         )
     )
@@ -155,7 +155,7 @@ def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             ).alias("_u")
         )
-        .select("n_name", F.expr("((_u + 50) div 100) / 100.0").alias("revenue"))
+        .select("n_name", F.expr("CAST((_u + 50) div 100 AS DOUBLE) / 100.0").alias("revenue"))
     )
 
 
@@ -197,7 +197,7 @@ def top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(
             "o_orderkey",
-            F.expr("((_u + 50) div 100) / 100.0").alias("revenue"),
+            F.expr("CAST((_u + 50) div 100 AS DOUBLE) / 100.0").alias("revenue"),
             "o_orderdate",
             "o_orderpriority",
         )

@@ -550,7 +550,7 @@ def promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("promo_share"),
             F.sum(rev).alias("_u"),
         )
-        .withColumn("total_revenue", F.expr("((_u + 50) div 100) / 100.0"))
+        .withColumn("total_revenue", F.expr("CAST((_u + 50) div 100 AS DOUBLE) / 100.0"))
         .drop("_u")
     )
 
@@ -652,7 +652,7 @@ def returned_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(
             "nation",
-            F.expr("((_ru + 50) div 100) / 100.0").alias("returned_revenue"),
+            F.expr("CAST((_ru + 50) div 100 AS DOUBLE) / 100.0").alias("returned_revenue"),
             "returned_share",
             "n_customers",
         )
@@ -1051,8 +1051,8 @@ def unpivot_order_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n",
             (F.col("_c") / 100.0).alias("total"),
             F.expr(
-                "((CAST(_c AS DECIMAL(38,0)) * 2000000 + 100 * n)"
-                " div (2 * 100 * n)) / 1000000.0"
+                "CAST((CAST(_c AS DECIMAL(38,0)) * 2000000 + 100 * n)"
+                " div (2 * 100 * n) AS DOUBLE) / 1000000.0"
             ).alias("mean"),
         )
     )
@@ -1356,7 +1356,7 @@ def trade_flow_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("_u"),
         )
         .filter(F.col("n_lineitems") >= 5)
-        .withColumn("revenue", F.expr("((_u + 50) div 100) / 100.0"))
+        .withColumn("revenue", F.expr("CAST((_u + 50) div 100 AS DOUBLE) / 100.0"))
         .drop("_u")
     )
 

@@ -144,7 +144,7 @@ def salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(
             "o_orderpriority",
-            F.expr("((_u + 50) div 100) / 100.0").alias("revenue"),
+            F.expr("CAST((_u + 50) div 100 AS DOUBLE) / 100.0").alias("revenue"),
             "n_items",
         )
     )

@@ -204,7 +204,7 @@ def market_share_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("intra_share"),
             total.alias("_u"),
         )
-        .withColumn("revenue", F.expr("((_u + 50) div 100) / 100.0"))
+        .withColumn("revenue", F.expr("CAST((_u + 50) div 100 AS DOUBLE) / 100.0"))
         .drop("_u")
     )
 
@@ -281,8 +281,9 @@ def profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
             "profit",
             F.expr(
                 "CASE WHEN profit_units >= 0"
-                " THEN ((profit_units + 50) div 100) / 100.0"
-                " ELSE -(((-profit_units + 50) div 100) / 100.0) END"
+                " THEN CAST((profit_units + 50) div 100 AS DOUBLE) / 100.0"
+                " ELSE -(CAST((-profit_units + 50) div 100 AS DOUBLE) / 100.0)"
+                " END"
             ),
         )
     )
@@ -409,7 +410,7 @@ def top_revenue_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             "s_suppkey",
             "s_name",
             "rev_units",
-            F.expr("((rev_units + 50) div 100) / 100.0").alias(
+            F.expr("CAST((rev_units + 50) div 100 AS DOUBLE) / 100.0").alias(
                 "total_revenue"
             ),
         )
@@ -585,7 +586,7 @@ def disjunctive_predicate_revenue(spark: SparkSession, sf_dir: str) -> DataFrame
             F.count(F.lit(1)).cast("long").alias("n_lineitems"),
             F.sum("units").alias("_u"),
         )
-        .withColumn("revenue", F.expr("((_u + 50) div 100) / 100.0"))
+        .withColumn("revenue", F.expr("CAST((_u + 50) div 100 AS DOUBLE) / 100.0"))
         .drop("_u")
     )
 

@@ -47,8 +47,19 @@ def test_salted_skew_join_matches_plain_join(spark, sf_dir):
         for r in o.join(li, F.col("l_orderkey") == F.col("o_orderkey"))
         .groupBy("o_orderpriority")
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            F.sum(
+                F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+                * (
+                    F.lit(100)
+                    - F.round(F.col("l_discount") * 100, 0).cast("long")
+                )
+            ).alias("_u"),
             F.count(F.lit(1)).alias("n_items"),
+        )
+        .select(
+            "o_orderpriority",
+            F.expr("CAST((_u + 50) div 100 AS DOUBLE) / 100.0").alias("revenue"),
+            "n_items",
         )
         .collect()
     }
