@@ -56,8 +56,8 @@ def spark_avg_units(sum_expr: str, n_expr: str, per: int, dp: int) -> str:
     out = 10**dp
     return (
         f"CAST((CAST({sum_expr} AS DECIMAL(38,0)) * {2 * out}"
-        f" + {per} * ({n_expr}))"
-        f" div (2 * {per} * ({n_expr})) AS DOUBLE) / {float(out)}"
+        f" + {per} * CAST({n_expr} AS BIGINT))"
+        f" div (2 * {per} * CAST({n_expr} AS BIGINT)) AS DOUBLE) / {float(out)}"
     )
 
 
@@ -66,6 +66,7 @@ def sql_avg_units(sum_expr: str, n_expr: str, per: int, dp: int) -> str:
     HUGEINT in DuckDB, so no explicit widening is needed)."""
     out = 10**dp
     return (
-        f"CAST(({2 * out} * ({sum_expr}) + {per} * ({n_expr}))"
-        f" // (2 * {per} * ({n_expr})) AS BIGINT) / {float(out)}"
+        f"CAST(({2 * out} * CAST({sum_expr} AS HUGEINT)"
+        f" + {per} * CAST({n_expr} AS BIGINT))"
+        f" // (2 * {per} * CAST({n_expr} AS BIGINT)) AS BIGINT) / {float(out)}"
     )
