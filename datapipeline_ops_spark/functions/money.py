@@ -14,8 +14,12 @@ end: both engines then convert the SAME integer to double and divide by a
 power of ten, which is deterministic.
 
 Helpers below emit matched Spark SQL expression strings and DuckDB SQL so
-the two sides can never drift. They apply to NON-NEGATIVE sums (prices,
-revenues); half-up for negatives would need floor adjustment.
+the two sides can never drift. The emitted expressions are SIGN-SYMMETRIC
+(half-away-from-zero via a CASE, matching profit_by_nation_year's
+convention): Spark's ``div`` truncates toward zero while DuckDB's ``//``
+floors, so a bare ``(x + d/2) div d`` agrees across engines only for
+non-negative x — the CASE removes that footgun for refund/net-revenue
+style sums that can go negative.
 """
 
 from __future__ import annotations
@@ -33,7 +37,12 @@ def spark_units_to_dollars(units_expr: str, scale: int) -> str:
     # the gate normalizes it, but the published schema should stay DOUBLE
     if d == 1:
         return f"CAST({units_expr} AS DOUBLE) / 100.0"
-    return f"CAST((({units_expr}) + {d // 2}) div {d} AS DOUBLE) / 100.0"
+    u = f"({units_expr})"
+    return (
+        f"(CASE WHEN {u} >= 0"
+        f" THEN CAST(({u} + {d // 2}) div {d} AS DOUBLE)"
+        f" ELSE -CAST((-{u} + {d // 2}) div {d} AS DOUBLE) END) / 100.0"
+    )
 
 
 def sql_units_to_dollars(units_expr: str, scale: int) -> str:
@@ -41,7 +50,12 @@ def sql_units_to_dollars(units_expr: str, scale: int) -> str:
     d = scale // 100
     if d == 1:
         return f"CAST(({units_expr}) AS BIGINT) / 100.0"
-    return f"CAST((({units_expr}) + {d // 2}) // {d} AS BIGINT) / 100.0"
+    u = f"({units_expr})"
+    return (
+        f"(CASE WHEN {u} >= 0"
+        f" THEN CAST(({u} + {d // 2}) // {d} AS BIGINT)"
+        f" ELSE -CAST((-{u} + {d // 2}) // {d} AS BIGINT) END) / 100.0"
+    )
 
 
 def spark_avg_units(sum_expr: str, n_expr: str, per: int, dp: int) -> str:
@@ -54,10 +68,14 @@ def spark_avg_units(sum_expr: str, n_expr: str, per: int, dp: int) -> str:
     10^dp.
     """
     out = 10**dp
+    k = f"CAST({sum_expr} AS DECIMAL(38,0))"
+    den = f"(2 * {per} * CAST({n_expr} AS BIGINT))"
     return (
-        f"CAST((CAST({sum_expr} AS DECIMAL(38,0)) * {2 * out}"
-        f" + {per} * CAST({n_expr} AS BIGINT))"
-        f" div (2 * {per} * CAST({n_expr} AS BIGINT)) AS DOUBLE) / {float(out)}"
+        f"(CASE WHEN {k} >= 0"
+        f" THEN CAST(({k} * {2 * out} + {per} * CAST({n_expr} AS BIGINT))"
+        f" div {den} AS DOUBLE)"
+        f" ELSE -CAST((-{k} * {2 * out} + {per} * CAST({n_expr} AS BIGINT))"
+        f" div {den} AS DOUBLE) END) / {float(out)}"
     )
 
 
@@ -65,8 +83,12 @@ def sql_avg_units(sum_expr: str, n_expr: str, per: int, dp: int) -> str:
     """DuckDB SQL equivalent of :func:`spark_avg_units` (sums are already
     HUGEINT in DuckDB, so no explicit widening is needed)."""
     out = 10**dp
+    k = f"CAST({sum_expr} AS HUGEINT)"
+    den = f"(2 * {per} * CAST({n_expr} AS BIGINT))"
     return (
-        f"CAST(({2 * out} * CAST({sum_expr} AS HUGEINT)"
-        f" + {per} * CAST({n_expr} AS BIGINT))"
-        f" // (2 * {per} * CAST({n_expr} AS BIGINT)) AS BIGINT) / {float(out)}"
+        f"(CASE WHEN {k} >= 0"
+        f" THEN CAST(({2 * out} * {k} + {per} * CAST({n_expr} AS BIGINT))"
+        f" // {den} AS BIGINT)"
+        f" ELSE -CAST(({2 * out} * -{k} + {per} * CAST({n_expr} AS BIGINT))"
+        f" // {den} AS BIGINT) END) / {float(out)}"
     )

@@ -64,9 +64,15 @@ def plan_segments(
 
 def summarize_segments(planned: DataFrame, key_col: str) -> DataFrame:
     """Per-input summary (``cut_ruidi.py:146-156``: file → #segments, status)."""
+    # durations are 2-dp exact (grid length or a 2-dp tail), so the rollup
+    # runs in exact integer centiseconds — round(sum(double), 2) is the
+    # partition-order / shortest-decimal divergence class (functions/money.py)
     return planned.groupBy(key_col).agg(
         F.count(F.lit(1)).alias("n_segments"),
-        F.round(F.sum("duration"), 2).alias("planned_duration"),
+        (
+            F.sum(F.round(F.col("duration") * 100, 0).cast("long")).cast("double")
+            / 100.0
+        ).alias("planned_duration"),
     )
 
 

@@ -491,12 +491,19 @@ _ATTR_WINDOW_US = 30 * 60 * 1_000_000
         FROM clicks c JOIN purchases p
           ON p.user_id = c.user_id
          AND c.t <= p.t AND c.t > p.t - {_ATTR_WINDOW_US}
+    ),
+    grouped AS (
+        SELECT click_id, n_touches AS k, count(*) AS cnt,
+               sum(CAST(round(value*100) AS BIGINT)) AS cents
+        FROM touches GROUP BY 1, 2
     )
     SELECT click_id,
-           count(*) AS n_purchases,
-           round(sum(1e0 / n_touches), 6) AS credit,
-           round(sum(value / n_touches), 4) AS attributed_value
-    FROM touches GROUP BY click_id
+           CAST(sum(cnt) AS BIGINT) AS n_purchases,
+           list_sum(list(CAST(cnt AS DOUBLE) / CAST(k AS DOUBLE)
+                         ORDER BY k)) AS credit,
+           list_sum(list(CAST(cents AS DOUBLE) / CAST(100 * k AS DOUBLE)
+                         ORDER BY k)) AS attributed_value
+    FROM grouped GROUP BY click_id
     """,
 )
 def multi_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -531,10 +538,38 @@ def multi_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.partitionBy("purchase_id")
     credited = touches.withColumn("n_touches", F.count(F.lit(1)).over(w))
-    return credited.groupBy("click_id").agg(
-        F.count(F.lit(1)).alias("n_purchases"),
-        F.round(F.sum(1.0 / F.col("n_touches")), 6).alias("credit"),
-        F.round(F.sum(F.col("value") / F.col("n_touches")), 4).alias("attributed_value"),
+    # Exactness: double partial sums of 1/k and value/k are
+    # partition-order-dependent (the trade_flow_matrix divergence class).
+    # Instead aggregate EXACT integers per (click, k) — count and value
+    # cents — then fold the few distinct-k terms left-to-right in sorted
+    # order, the same bit-identical accumulation convention as
+    # functions/vectors.py; both engines ship the identical raw double.
+    grouped = credited.groupBy("click_id", "n_touches").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias("cents"),
+    )
+    per_click = grouped.groupBy("click_id").agg(
+        F.sum("cnt").cast("long").alias("n_purchases"),
+        F.sort_array(
+            F.collect_list(
+                F.struct(F.col("n_touches").alias("k"), "cnt", "cents")
+            )
+        ).alias("arr"),
+    )
+    return per_click.select(
+        "click_id",
+        "n_purchases",
+        F.aggregate(
+            "arr",
+            F.lit(0.0),
+            lambda a, x: a + x["cnt"].cast("double") / x["k"].cast("double"),
+        ).alias("credit"),
+        F.aggregate(
+            "arr",
+            F.lit(0.0),
+            lambda a, x: a
+            + x["cents"].cast("double") / (F.lit(100) * x["k"]).cast("double"),
+        ).alias("attributed_value"),
     )
 
 

@@ -84,7 +84,9 @@ def segment_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     "segment_summary",
     oracle=_SEGMENT_CTE
     + """
-    SELECT o_orderkey, count(*) AS n_segments, round(sum(duration), 2) AS planned_duration
+    SELECT o_orderkey, count(*) AS n_segments,
+           CAST(sum(CAST(round(duration*100) AS BIGINT)) AS BIGINT) / 100.0
+               AS planned_duration
     FROM seg GROUP BY o_orderkey
     """,
 )

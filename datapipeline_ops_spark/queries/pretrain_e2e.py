@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 
 from datapipeline_ops_spark.core.registry import query
 from datapipeline_ops_spark.functions.hashing import hash64, sql_hash64
+from datapipeline_ops_spark.functions.money import spark_avg_units, sql_avg_units
 from datapipeline_ops_spark.functions.text import tokens
 from datapipeline_ops_spark.operators.dedup import persist_barrier, with_shingle_hashes
 from datapipeline_ops_spark.queries.curation_extra import _BENCH_MOD, CONTAMINATION_TAU
@@ -121,8 +122,8 @@ def _oracle() -> str:
     SELECT base.source, base.n_docs, base.total_tokens,
            coalesce(removed.n_docs_removed, 0) AS n_docs_removed,
            spanstats.masked_tokens, spanstats.n_spans,
-           round(CAST(spanstats.masked_tokens AS DOUBLE)
-                 / CAST(base.total_tokens AS DOUBLE), 6) AS corruption_rate,
+           {sql_avg_units('spanstats.masked_tokens', 'base.total_tokens', 1, 6)}
+               AS corruption_rate,
            fim.middle_tokens, fim.n_spm,
            packagg.n_boundary_docs
     FROM base
@@ -291,10 +292,11 @@ def pretrain_prep_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             "masked_tokens",
             "n_spans",
-            F.round(
-                F.col("masked_tokens").cast("double")
-                / F.col("total_tokens").cast("double"),
-                6,
+            # round(masked/total, 6) half-up in integer space — round(double,
+            # 6) on a ratio of exact integers is the shortest-decimal
+            # cross-engine divergence class (functions/money.py).
+            F.expr(
+                spark_avg_units("masked_tokens", "total_tokens", 1, 6)
             ).alias("corruption_rate"),
             "middle_tokens",
             "n_spm",

@@ -39,7 +39,7 @@ from datapipeline_ops_spark.tables import load_table
                AS sum_charge,
            CAST((20000 * (sum(CAST(round(l_quantity*100) AS BIGINT))) + 100 * (count(*))) // (2 * 100 * (count(*))) AS BIGINT) / 10000.0 AS avg_qty,
            CAST((20000 * (sum(CAST(round(l_extendedprice*100) AS BIGINT))) + 100 * (count(*))) // (2 * 100 * (count(*))) AS BIGINT) / 10000.0 AS avg_price,
-           CAST((20000 * (sum(CAST(round(l_discount*100) AS BIGINT))) + 1 * (count(*))) // (2 * 1 * (count(*))) AS BIGINT) / 10000.0 AS avg_disc,
+           CAST((20000 * (sum(CAST(round(l_discount*100) AS BIGINT))) + 100 * (count(*))) // (2 * 100 * (count(*))) AS BIGINT) / 10000.0 AS avg_disc,
            count(*)                                                         AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '2001-09-01'
@@ -85,7 +85,7 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("CAST(((_ch) + 5000) div 10000 AS DOUBLE) / 100.0").alias("sum_charge"),
             F.expr("CAST((CAST(_q AS DECIMAL(38,0)) * 20000 + 100 * (count_order)) div (2 * 100 * (count_order)) AS DOUBLE) / 10000.0").alias("avg_qty"),
             F.expr("CAST((CAST(_p AS DECIMAL(38,0)) * 20000 + 100 * (count_order)) div (2 * 100 * (count_order)) AS DOUBLE) / 10000.0").alias("avg_price"),
-            F.expr("CAST((CAST(_d AS DECIMAL(38,0)) * 20000 + 1 * (count_order)) div (2 * 1 * (count_order)) AS DOUBLE) / 10000.0").alias("avg_disc"),
+            F.expr("CAST((CAST(_d AS DECIMAL(38,0)) * 20000 + 100 * (count_order)) div (2 * 100 * (count_order)) AS DOUBLE) / 10000.0").alias("avg_disc"),
             "count_order",
         )
     )

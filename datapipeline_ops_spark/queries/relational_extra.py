@@ -960,7 +960,8 @@ _MV_CUTOVER_DAY = 19745  # events on/after this epoch-day are "new arrivals"
     SELECT event_type,
            CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
            count(*) AS n_events,
-           round(sum(value), 4) AS total_value
+           CAST(sum(CAST(round(value*100) AS BIGINT)) AS BIGINT) / 100.0
+               AS total_value
     FROM events GROUP BY 1, 2
     """,
 )
@@ -984,8 +985,13 @@ def incremental_mv_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.unix_micros("ts") / F.lit(86_400_000_000)).cast("long").alias("day"),
         "value",
     )
+    # value is 2-dp money: sum exact integer cents through BOTH rollup
+    # levels (self-decomposable AND partition-order-independent — double
+    # partial sums are not), divide once at the end (2 dp <= the published
+    # 4 dp, so no rounding step is needed at all).
     daily = lambda df: df.groupBy("event_type", "day").agg(
-        F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("sv")
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias("sv"),
     )
     base_mv = daily(e.filter(F.col("day") < _MV_CUTOVER_DAY))      # the stored MV
     delta_mv = daily(e.filter(F.col("day") >= _MV_CUTOVER_DAY))    # new slice only
@@ -995,7 +1001,10 @@ def incremental_mv_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("n_events").alias("n_events"), F.sum("sv").alias("sv"))
     )
     return merged.select(
-        "event_type", "day", "n_events", F.round("sv", 4).alias("total_value")
+        "event_type",
+        "day",
+        "n_events",
+        (F.col("sv").cast("double") / 100.0).alias("total_value"),
     )
 
 
@@ -1374,8 +1383,8 @@ def trade_flow_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM lineitem GROUP BY l_partkey HAVING count(*) >= 3
     )
     SELECT CAST(count(*) AS BIGINT) AS n_small_lineitems,
-           round(sum(CAST(round(l.l_extendedprice*100) AS BIGINT)) / 700.0, 2)
-               AS avg_yearly
+           CAST((2 * sum(CAST(round(l.l_extendedprice*100) AS BIGINT)) + 7)
+                // 14 AS BIGINT) / 100.0 AS avg_yearly
     FROM lineitem l JOIN pa ON pa.l_partkey = l.l_partkey
     WHERE l.l_quantity < 0.2 * pa.avg_qty
     """,
@@ -1393,7 +1402,7 @@ def small_quantity_order_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     float average — both engines derive avg_qty from the identical
     integer-valued quantities with one division (count and sum are exact),
     so the comparison boundary is bit-identical. Output keeps Q17's
-    avg_yearly normalization, summed in exact integer cents (sum/700.0).
+    avg_yearly normalization, summed and rounded in exact integer cents.
 
     Scale: one partial-agg pass builds the per-part thresholds, one
     shuffle equi-join on l_partkey applies them — at 100 TB the threshold
@@ -1412,10 +1421,18 @@ def small_quantity_order_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_small_lineitems"),
-            F.round(
-                F.sum(F.round(F.col("l_extendedprice") * 100, 0).cast("long"))
-                / 700.0,
-                2,
+            F.sum(
+                F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+            ).alias("_cents"),
+        )
+        # avg_yearly = round(sum_cents/700, 2) computed half-up in integer
+        # space — round(double, 2) is the shortest-decimal divergence class
+        # (functions/money.py) even though the exact rational can't land on
+        # a half boundary (2k/7 odd is impossible).
+        .select(
+            "n_small_lineitems",
+            F.expr(
+                "CAST((2 * _cents + 7) div 14 AS DOUBLE) / 100.0"
             ).alias("avg_yearly"),
         )
     )

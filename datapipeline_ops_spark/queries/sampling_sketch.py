@@ -59,7 +59,9 @@ def stratified_sample_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
            count(*) FILTER (event_type = 'purchase') AS purchase,
            count(*) FILTER (event_type = 'signup')   AS signup,
            count(*) FILTER (event_type = 'view')     AS view,
-           round(sum(value) FILTER (event_type = 'purchase'), 2) AS purchase_value
+           CAST(sum(CAST(round(value*100) AS BIGINT))
+                FILTER (event_type = 'purchase') AS BIGINT) / 100.0
+               AS purchase_value
     FROM events GROUP BY user_id
     """,
 )
@@ -81,11 +83,20 @@ def events_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pivot leaves NULL for absent (user, type) combos; the oracle's FILTER
     # counts yield 0 — coalesce to match, and add the purchase-value rollup
     # via a conditional agg in the same scan.
+    # value is 2-dp money — sum exact integer cents (round(sum(double), 2)
+    # is the partition-order divergence class, functions/money.py); the
+    # empty-FILTER NULL passes through the cents sum and the division.
     purchase_val = (
         e.groupBy("user_id")
         .agg(
-            F.round(
-                F.sum(F.when(F.col("event_type") == "purchase", F.col("value"))), 2
+            (
+                F.sum(
+                    F.when(
+                        F.col("event_type") == "purchase",
+                        F.round(F.col("value") * 100, 0).cast("long"),
+                    )
+                ).cast("double")
+                / 100.0
             ).alias("purchase_value")
         )
     )

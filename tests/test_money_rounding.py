@@ -26,12 +26,15 @@ from datapipeline_ops_spark.functions.money import (
 
 
 def _py_round_half_up(num: int, den: int) -> Fraction:
-    """round(num/den) to the nearest integer, halves up (num, den > 0)."""
+    """round(num/den) to the nearest integer, halves AWAY FROM ZERO
+    (den > 0; num may be negative — the helpers' sign-symmetric CASE)."""
+    if num < 0:
+        return -Fraction((2 * -num + den) // (2 * den))
     return Fraction((2 * num + den) // (2 * den))
 
 
 @settings(max_examples=200, deadline=None)
-@given(units=st.integers(min_value=0, max_value=10**17))
+@given(units=st.integers(min_value=-(10**17), max_value=10**17))
 def test_units_to_dollars_matches_reference(units):
     con = duckdb.connect()
     got = con.execute(
@@ -43,7 +46,7 @@ def test_units_to_dollars_matches_reference(units):
 
 @settings(max_examples=200, deadline=None)
 @given(
-    k=st.integers(min_value=0, max_value=10**15),
+    k=st.integers(min_value=-(10**15), max_value=10**15),
     n=st.integers(min_value=1, max_value=10**9),
 )
 def test_avg_units_matches_reference(k, n):
@@ -56,7 +59,13 @@ def test_avg_units_matches_reference(k, n):
 def test_spark_and_duckdb_agree(spark):
     """Same expressions evaluated by BOTH engines over a value grid that
     includes the half-cent boundaries round(double,2) used to lose."""
-    rows = [(u,) for u in [0, 50, 150, 12_345_550, 10**15 + 50, 999_999_999_950]]
+    rows = [
+        (u,)
+        for u in [
+            0, 50, 150, 12_345_550, 10**15 + 50, 999_999_999_950,
+            -50, -150, -12_345_550, -(10**15) - 50,
+        ]
+    ]
     df = spark.createDataFrame(rows, "u long")
     s_vals = [
         r[0]
@@ -78,7 +87,11 @@ def test_spark_and_duckdb_agree(spark):
 
 
 def test_spark_avg_units_agrees(spark):
-    rows = [(k, n) for k in (0, 1, 3, 10**13 + 7) for n in (1, 2, 3, 7, 10**6)]
+    rows = [
+        (k, n)
+        for k in (0, 1, 3, 10**13 + 7, -1, -3, -(10**13) - 7)
+        for n in (1, 2, 3, 7, 10**6)
+    ]
     df = spark.createDataFrame(rows, "k long, n long")
     s_vals = [
         r[0] for r in df.selectExpr(spark_avg_units("k", "n", 100, 4)).collect()

@@ -31,6 +31,11 @@ def test_pricing_summary(spark, sf_dir):
     for r in rows:
         assert r.sum_disc_price <= r.sum_base_price  # discount can only reduce
         assert r.count_order > 0
+        # semantic pin (round-9 ADVICE): avg_disc is a discount FRACTION —
+        # the whole-percent sum must be normalized by per=100, not per=1
+        # (which published ~5.0 while staying cross-engine green)
+        assert 0.0 <= r.avg_disc <= 0.11
+        assert 0.0 <= r.avg_qty <= 55.0
 
 
 def test_threshold_filter(spark, sf_dir):
