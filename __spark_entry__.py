@@ -26,63 +26,58 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver gate records a capped prefix of queries() in registration order
-# (r01..r08 each recorded exactly 50), so ordering controls which queries get
-# a driver record. Round-9 ordering applies the staged plan plus the r08
-# verdict's "reds first" rule:
-# (a) trade_flow_matrix — the one r08 red (hash-only, partial-sum-ordering
-#     draw on round(sum(double),2)); revenue now summed in exact integer
-#     cent-percent units (_rev_units convention) in both engines — re-record;
-# (b) the 43 round-8 additions, first driver records, in wave order
-#     (TPC-H shapes, optimizer audits, experimentation stats, corpus-LM,
-#     governance, pretrain-prep, behavior, graph, survival/econ, misc);
-# (c) 6 rotations from the oldest live cohort (r02-latest, 24 queries),
-#     registration order. 1 + 43 + 6 = 50; the other 18 r02 stragglers roll
-#     to round 10's rotation tail. All queries remain registered — ordering
-#     only picks the driver sample.
+# (r01..r09 each recorded exactly 50), so ordering controls which queries get
+# a driver record. Round-10 ordering applies the staged plan (round-9 gate
+# came back 50/50 green, so no reds to head the window):
+# (a) pretrain_prep_e2e — the round-9 addition and the registry's only
+#     driver-unrecorded query — first record;
+# (b) the 18 remaining r02-latest stragglers, registration order (their
+#     last driver record is round 2; the fuzzer covers most of them but a
+#     fresh record closes the ≤8-round cadence loop);
+# (c) 31 rotations from the then-oldest cohort (r03-latest, 46 queries),
+#     registration order. 1 + 18 + 31 = 50; the other 15 r03 queries roll
+#     to round 11. After this round EVERY registered query has a driver
+#     record. All queries remain registered — ordering only picks the
+#     driver sample.
 _PRIORITY = [
-    # (a) the r08 red, fixed — re-record first
-    "trade_flow_matrix",
-    # (b) round-8 additions, first driver records, wave order
-    "min_cost_supplier_per_part", "market_share_by_year",
-    "profit_by_nation_year", "quantity_concentration_parts",
-    "top_revenue_suppliers", "brand_bucket_supplier_counts",
-    "large_order_customers_detail", "disjunctive_predicate_revenue",
-    "promo_part_recent_suppliers", "sole_late_supplier_report",
-    "join_cardinality_audit", "filter_selectivity_audit",
-    "mann_whitney_value_shift", "spearman_spend_orders",
-    "cuped_adjusted_conversion", "brier_score_decomposition",
-    "mcnemar_model_disagreement", "sprt_daily_monitor",
-    "experiment_readout_e2e", "ab_srm_check",
-    "kneser_ney_bigram", "cross_source_bigram_bleu",
-    "cross_source_duplication_matrix", "l_diversity_audit",
-    "t_closeness_audit", "span_corruption_plan", "fim_split_plan",
-    "elo_rating_periods", "activity_streak_histogram",
-    "autocorrelation_daily_revenue", "interevent_burstiness",
-    "rfm_segmentation", "local_clustering_coefficient",
-    "kaplan_meier_conversion", "mann_kendall_trend",
-    "herfindahl_concentration", "cohort_ltv_matrix",
-    "diff_in_diff_revenue", "text_lines_roundtrip",
-    "pareto_revenue_deciles", "basket_affinity_rules",
-    "kfold_assignment_audit", "class_weight_plan",
-    # (c) r02-latest rotations, registration order
-    "repetition_report", "pii_redact", "domain_mixing_sample",
-    "sequence_packing", "bpe_pair_counts", "chunk_overlap_plan",
+    # (a) round-9 addition, first driver record
+    "pretrain_prep_e2e",
+    # (b) r02-latest stragglers, registration order
+    "cosine_topk_bruteforce", "embedding_near_dup", "ann_lsh_buckets",
+    "ann_ivf_topk", "eval_tonemap", "zorder_layout", "variant_props_stats",
+    "table_profile", "vocab_top_tokens", "winsorized_value_stats",
+    "token_stats", "bpe_ish_token_count", "quality_score", "language_id",
+    "lang_distribution", "doc_fingerprint", "tfidf_top_terms",
+    "char_trigram_lm_score",
+    # (c) r03-latest rotations, registration order
+    "funnel_conversion", "event_bigram_paths", "retention_cohorts",
+    "histogram_equi_width", "multi_touch_attribution",
+    "neardup_cluster_sizes", "semantic_dedup_keepers",
+    "weighted_sample_per_source", "ann_rerank_l2", "kmeans_refine_step",
+    "triangle_copurchase_stats", "partitioned_write_prune",
+    "bucketed_join_copartition", "manifest_stream_scan",
+    "dpp_partitioned_join", "schema_evolution_merge", "pretrain_data_e2e",
+    "benford_price_check", "expectations_report", "bin_argmax",
+    "semi_join", "sessionize_events", "incremental_mv_refresh",
+    "unpivot_order_metrics", "dataset_split_assign", "split_leakage_audit",
+    "cogroup_click_purchase_stats", "stream_tumbling_counts",
+    "stream_sliding_counts", "stream_session_windows", "stream_dedup_count",
     # --- 50-slot window ends here ---
 ]
-# ROUND-10 ORDERING PLAN (apply after the round-9 gate runs): head the window
-# with any round-9 reds (expected none), then:
-# (1) first driver records for any round-9 additions (e.g.
-#     pretrain_prep_e2e), in registration order;
-# (2) the 18 remaining r02-latest stragglers, registration order:
-#     cosine_topk_bruteforce embedding_near_dup ann_lsh_buckets ann_ivf_topk
-#     eval_tonemap zorder_layout variant_props_stats table_profile
-#     vocab_top_tokens winsorized_value_stats token_stats bpe_ish_token_count
-#     quality_score language_id lang_distribution doc_fingerprint
-#     tfidf_top_terms char_trigram_lm_score
-# (3) fill the remaining slots from the then-oldest cohort (r03-latest,
-#     ~46 queries), registration order — those roll across rounds 10-11.
-# After round 10 every registered query has a driver record; from then on
-# the window is pure first-records-for-new + oldest-cohort rotation.
+# ROUND-11 ORDERING PLAN (apply after the round-10 gate runs): head the
+# window with any round-10 reds (expected none), then:
+# (1) first driver records for any round-10 additions, registration order;
+# (2) the 15 remaining r03-latest stragglers, registration order:
+#     stream_foreachbatch_sink stream_stream_click_purchase
+#     asof_click_to_purchase scd2_user_state ohlc_time_bars
+#     pit_state_at_order zipf_slope_fit lang_confusion_matrix
+#     text_normalize_stats corpus_report_card lead_lag_deltas
+#     rolling_window_avg time_range_rolling_sum daily_anomaly_zscore
+#     percent_rank_features
+# (3) fill the remaining slots from the then-oldest cohort (r04-latest,
+#     47 queries), registration order.
+# From round 11 on the window is pure first-records-for-new +
+# oldest-cohort rotation on a ≤8-round cadence.
 
 
 def _ordered_names() -> list[str]:
