@@ -282,32 +282,31 @@ def class_scatter_direction(spark: SparkSession, sf_dir: str) -> DataFrame:
     per = ex.groupBy("label", "i").agg(
         F.sum("x").alias("s"), F.count(F.lit(1)).alias("n_l")
     )
-    tot = v.agg(F.count(F.lit(1)).cast("double").alias("n"))
-    mu = (
-        per.groupBy("i")
-        .agg(F.sum("s").alias("ts"))
-        .crossJoin(F.broadcast(tot))
-        .select("i", (F.col("ts") / F.col("n")).alias("mu"))
-    )
-    d = (
-        per.crossJoin(F.broadcast(tot))
-        .join(F.broadcast(mu), "i")
-        .select(
-            "label",
-            "i",
-            (F.col("s") / F.col("n_l").cast("double") - F.col("mu")).alias("d"),
-            (F.col("n_l").cast("double") / F.col("n")).alias("w"),
-        )
-    )
 
-    # bounded collect: n_labels * EMB_DIM rows, a property of the schema
-    factor: dict[int, dict[int, float]] = {}
-    weight: dict[int, float] = {}
-    for r in d.collect():
-        factor.setdefault(r.label, {})[r.i] = r.d
-        weight[r.label] = r.w
-    labels = sorted(factor)
+    # ONE distributed job: the corpus reduces to the schema-bounded
+    # (n_labels x d) sum/count factor under map-side combine and is
+    # collected; the grand mean, centering, and weights are a few hundred
+    # driver-side flops on that factor — the former broadcast-join chain
+    # (tot -> mu -> d) cost three extra tiny stages whose scheduler
+    # overhead dominated the sub-second runtime (the r9 bench regression).
+    sums: dict[int, dict[int, float]] = {}
+    n_label: dict[int, int] = {}
+    for r in per.collect():
+        sums.setdefault(r.label, {})[r.i] = r.s
+        n_label[r.label] = r.n_l
+    labels = sorted(sums)
     dims = range(1, EMB_DIM + 1)
+    n = float(sum(n_label.values()))
+    # per-dimension grand mean, matching the oracle's sum-of-sums / n
+    # accumulation in label order
+    mu_d = {
+        i: sum(sums[lab][i] for lab in labels) / n for i in dims
+    }
+    factor = {
+        lab: {i: sums[lab][i] / float(n_label[lab]) - mu_d[i] for i in dims}
+        for lab in labels
+    }
+    weight = {lab: float(n_label[lab]) / n for lab in labels}
 
     x = {i: 1.0 for i in dims}
     nm = 0.0
