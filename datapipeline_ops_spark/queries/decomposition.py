@@ -62,7 +62,9 @@ JL_K = 8      # projection target dimensionality
         FROM v, unnest(generate_series(1, {EMB_DIM})) AS g(i)
     ),
     mu AS MATERIALIZED (
-        SELECT i, sum(x) / (SELECT nd FROM st) AS m FROM ex GROUP BY i
+        SELECT i, sum(x) / (SELECT nd FROM st) AS m,
+               min(x) < max(x) AS live
+        FROM ex GROUP BY i
     ),
     sp AS (
         SELECT gi.i AS i, gj.j AS j, sum(vec[gi.i] * vec[gj.j]) AS sp
@@ -76,9 +78,17 @@ JL_K = 8      # projection target dimensionality
         SELECT sp.i, sp.j, sp.sp / (SELECT nd FROM st) - mi.m * mj.m AS cov
         FROM sp JOIN mu mi ON sp.i = mi.i JOIN mu mj ON sp.j = mj.i
     ),
-    var AS MATERIALIZED (SELECT i, cov AS v FROM cov WHERE i = j)
+    var AS MATERIALIZED (
+        SELECT cov.i, cov.cov AS v, mu.live AS live
+        FROM cov JOIN mu ON cov.i = mu.i WHERE cov.i = cov.j
+    )
+    -- constant dimension (min = max, an EXACT order-independent test) has
+    -- undefined correlation: NULL in both engines instead of /0 (ANSI
+    -- Spark) or sqrt(-eps) (DuckDB) — oracle-parity fuzzer, round 10
     SELECT CAST(c.i AS INT) AS dim_i, CAST(c.j AS INT) AS dim_j,
-           c.cov AS cov, c.cov / sqrt(vi.v * vj.v) AS corr
+           c.cov AS cov,
+           CASE WHEN vi.live AND vj.live
+                THEN c.cov / sqrt(vi.v * vj.v) ELSE NULL END AS corr
     FROM cov c JOIN var vi ON c.i = vi.i JOIN var vj ON c.j = vj.i
     """,
 )
@@ -116,7 +126,10 @@ def embedding_pca_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     mu = (
         ex.crossJoin(F.broadcast(stats))
         .groupBy("i")
-        .agg((F.sum("x") / F.any_value(nd)).alias("m"))
+        .agg(
+            (F.sum("x") / F.any_value(nd)).alias("m"),
+            (F.min("x") < F.max("x")).alias("live"),
+        )
     )
 
     # upper-triangle cross products: FLAT double array (positionally
@@ -166,20 +179,28 @@ def embedding_pca_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("i", "j", (F.col("sp") / nd - F.col("mi") * F.col("mj")).alias("cov"))
     )
-    var = cov.filter(F.col("i") == F.col("j")).select(
-        F.col("i").alias("vi"), F.col("cov").alias("v")
+    var = (
+        cov.filter(F.col("i") == F.col("j"))
+        .join(F.broadcast(mu.select("i", "live")), "i")
+        .select(F.col("i").alias("vi"), F.col("cov").alias("v"), "live")
     )
     return (
         cov.join(F.broadcast(var), cov["i"] == var["vi"])
         .drop("vi")
         .withColumnRenamed("v", "v_i")
+        .withColumnRenamed("live", "live_i")
         .join(F.broadcast(var), cov["j"] == var["vi"])
         .drop("vi")
         .select(
             F.col("i").cast("int").alias("dim_i"),
             F.col("j").cast("int").alias("dim_j"),
             "cov",
-            (F.col("cov") / F.sqrt(F.col("v_i") * F.col("v"))).alias("corr"),
+            # constant dim => undefined corr => NULL (matches the oracle's
+            # CASE; ANSI /0 + sqrt(-eps) guard — fuzzer, round 10)
+            F.when(
+                F.col("live_i") & F.col("live"),
+                F.col("cov") / F.sqrt(F.col("v_i") * F.col("v")),
+            ).alias("corr"),
         )
     )
 
@@ -248,6 +269,7 @@ def _scatter_oracle() -> str:
            (SELECT nm FROM n{POWER_ITERS}) / (SELECT trace FROM tr)
                AS scatter_share
     FROM ranked WHERE rnk <= {TOP_LOADINGS}
+      AND coalesce((SELECT nm FROM n{POWER_ITERS}), 0) > 0
     """)
     return "".join(parts)
 
@@ -319,6 +341,16 @@ def class_scatter_direction(spark: SparkSession, sf_dir: str) -> DataFrame:
             for i in dims
         }
         nm = math.sqrt(sum(y[i] * y[i] for i in dims))
+        if nm == 0.0:
+            # Zero between-class scatter (single label, or centroids all at
+            # the grand mean): no separating direction exists — emit ZERO
+            # rows, matching the oracle's `nm > 0` filter (its divisions
+            # propagate NULL, never crash). Oracle-parity fuzzer, round 10.
+            return spark.createDataFrame(
+                [],
+                "rank int, dim int, loading double, lambda1 double, "
+                "scatter_share double",
+            )
         x = {i: y[i] / nm for i in dims}
 
     trace = sum(

@@ -70,14 +70,20 @@ _N_MASK = EMB_DIM * 3 // 4  # 48 masked elements
     metrics AS (
         SELECT pair_id,
                sqrt(list_sum(list_transform({_MASK_SQL}, i -> (a[i] - b[i]) * (a[i] - b[i]))) / {_N_MASK}) AS rmse,
-               list_sum(list_transform({_MASK_SQL}, i -> a[i] * b[i]))
-                 / list_sum(list_transform({_MASK_SQL}, i -> b[i] * b[i])) AS alpha
+               -- all-zero masked gt => alpha undefined => NULL (a sum of
+               -- squares is 0 iff every term is 0, so the guard is exact
+               -- and order-independent in both engines)
+               CASE WHEN list_sum(list_transform({_MASK_SQL}, i -> b[i] * b[i])) > 0
+                    THEN list_sum(list_transform({_MASK_SQL}, i -> a[i] * b[i]))
+                         / list_sum(list_transform({_MASK_SQL}, i -> b[i] * b[i]))
+                    ELSE NULL END AS alpha
         FROM pairs
     ),
     si AS (
         SELECT m.pair_id, m.rmse, m.alpha,
+               CASE WHEN m.alpha IS NULL THEN NULL ELSE
                sqrt(list_sum(list_transform({_MASK_SQL},
-                    i -> (p.a[i] - m.alpha * p.b[i]) * (p.a[i] - m.alpha * p.b[i]))) / {_N_MASK}) AS si_rmse
+                    i -> (p.a[i] - m.alpha * p.b[i]) * (p.a[i] - m.alpha * p.b[i]))) / {_N_MASK}) END AS si_rmse
         FROM metrics m JOIN pairs p ON p.pair_id = m.pair_id
     )
     SELECT pair_id, round(rmse, 6) AS rmse, round(si_rmse, 6) AS si_rmse,
@@ -93,8 +99,13 @@ def eval_rmse_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     rmse = F.sqrt(
         _sum_over_mask(lambda i: (F.element_at(a, i) - F.element_at(b, i)) ** 2) / _N_MASK
     )
-    alpha = _sum_over_mask(lambda i: F.element_at(a, i) * F.element_at(b, i)) / _sum_over_mask(
-        lambda i: F.element_at(b, i) * F.element_at(b, i)
+    # all-zero masked gt => alpha undefined => NULL (exact guard: a sum of
+    # squares is 0 iff every term is 0); si_rmse inherits the NULL through
+    # the arithmetic, matching the oracle's explicit CASE
+    sbb = _sum_over_mask(lambda i: F.element_at(b, i) * F.element_at(b, i))
+    alpha = F.when(
+        sbb > 0,
+        _sum_over_mask(lambda i: F.element_at(a, i) * F.element_at(b, i)) / sbb,
     )
     with_alpha = p.withColumn("rmse", rmse).withColumn("alpha", alpha)
     si = F.sqrt(
@@ -116,11 +127,15 @@ def eval_rmse_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH {_PAIRS_CTE}
     SELECT pair_id,
-           round(degrees(acos(least(1.0, greatest(-1.0,
+           -- all-zero masked side => angle undefined => NULL (exact guard:
+           -- sum of squares is 0 iff every term is 0, both engines agree)
+           CASE WHEN list_sum(list_transform({_MASK_SQL}, i -> a[i] * a[i])) > 0
+                 AND list_sum(list_transform({_MASK_SQL}, i -> b[i] * b[i])) > 0
+           THEN round(degrees(acos(least(1.0, greatest(-1.0,
                list_sum(list_transform({_MASK_SQL}, i -> a[i] * b[i]))
                / (sqrt(list_sum(list_transform({_MASK_SQL}, i -> a[i] * a[i])))
                   * sqrt(list_sum(list_transform({_MASK_SQL}, i -> b[i] * b[i])))))))), 6)
-               AS angular_deg
+           ELSE NULL END AS angular_deg
     FROM pairs
     """,
 )
@@ -130,11 +145,18 @@ def eval_angular_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = _pairs(spark, sf_dir)
     a, b = F.col("a"), F.col("b")
     dot = _sum_over_mask(lambda i: F.element_at(a, i) * F.element_at(b, i))
-    na = F.sqrt(_sum_over_mask(lambda i: F.element_at(a, i) ** 2))
-    nb = F.sqrt(_sum_over_mask(lambda i: F.element_at(b, i) ** 2))
-    cosang = F.least(F.lit(1.0), F.greatest(F.lit(-1.0), dot / (na * nb)))
+    saa = _sum_over_mask(lambda i: F.element_at(a, i) ** 2)
+    sbb = _sum_over_mask(lambda i: F.element_at(b, i) ** 2)
+    cosang = F.least(
+        F.lit(1.0), F.greatest(F.lit(-1.0), dot / (F.sqrt(saa) * F.sqrt(sbb)))
+    )
+    # all-zero masked side => angle undefined => NULL (exact guard, matches
+    # the oracle's CASE; ANSI /0 otherwise — fuzzer, round 10)
     return p.select(
-        "pair_id", F.round(F.degrees(F.acos(cosang)), 6).alias("angular_deg")
+        "pair_id",
+        F.when(
+            (saa > 0) & (sbb > 0), F.round(F.degrees(F.acos(cosang)), 6)
+        ).alias("angular_deg"),
     )
 
 

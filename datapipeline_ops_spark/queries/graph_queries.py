@@ -215,13 +215,19 @@ def copurchase_edges(li: DataFrame) -> DataFrame:
         JOIN pairs e2 ON e2.pa = e1.pb
         JOIN pairs e3 ON e3.pa = e1.pa AND e3.pb = e2.pb
     ),
-    w AS (SELECT sum(d * (d - 1) / 2) AS n_wedges, count(*) AS n_nodes FROM deg)
+    w AS (SELECT sum(d * (d - 1) // 2) AS n_wedges, count(*) AS n_nodes FROM deg)
     SELECT (SELECT count(*) FROM pairs) AS n_edges,
            (SELECT n_nodes FROM w) AS n_nodes,
            CAST((SELECT n_wedges FROM w) AS BIGINT) AS n_wedges,
            (SELECT n_triangles FROM tri) AS n_triangles,
-           round(3e0 * (SELECT n_triangles FROM tri) / (SELECT n_wedges FROM w), 6)
-               AS clustering_coeff
+           -- integer half-up 6dp of 3*tri/wedges; NULL when no wedges exist
+           -- (all-degree-1 graph) so ANSI Spark and DuckDB agree by value
+           CASE WHEN (SELECT n_wedges FROM w) > 0 THEN
+               CAST((CAST((SELECT n_triangles FROM tri) AS HUGEINT) * 6000000
+                     + (SELECT n_wedges FROM w))
+                    // (CAST((SELECT n_wedges FROM w) AS HUGEINT) * 2) AS DOUBLE)
+               / 1e6
+           ELSE NULL END AS clustering_coeff
     """,
 )
 def triangle_copurchase_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -249,7 +255,7 @@ def triangle_copurchase_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("d"))
         )
         wedge_row = deg.agg(
-            F.sum(F.col("d") * (F.col("d") - 1) / 2).cast("long").alias("n_wedges"),
+            F.sum(F.expr("d * (d - 1) div 2")).alias("n_wedges"),
             F.count(F.lit(1)).alias("n_nodes"),
         )
         e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
@@ -270,8 +276,15 @@ def triangle_copurchase_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "n_nodes",
                 "n_wedges",
                 "n_triangles",
-                F.round(
-                    3.0 * F.col("n_triangles") / F.col("n_wedges"), 6
+                # integer half-up 6dp; NULL when no wedges (ANSI /0 guard),
+                # matching the oracle's CASE — fuzzer-caught, round 10
+                F.when(
+                    F.col("n_wedges") > 0,
+                    F.expr(
+                        "CAST((CAST(n_triangles AS DECIMAL(38,0)) * 6000000"
+                        " + n_wedges) div (CAST(n_wedges AS DECIMAL(38,0)) * 2)"
+                        " AS DOUBLE) / 1e6"
+                    ),
                 ).alias("clustering_coeff"),
             )
         )

@@ -53,8 +53,13 @@ def _sql_morton2(x: str, y: str, bits: int = ZBITS) -> str:
     return "(" + " + ".join(terms) + ")"
 
 
+# Degenerate extent (all values identical, hi == lo) quantizes every row to
+# 0 in BOTH engines — ANSI Spark would raise DIVIDE_BY_ZERO on the unguarded
+# width division (oracle-parity fuzzer, round 10; same class as _bin_expr).
 _Q = (
-    "least({m} - 1, CAST(floor(({c} - lo_{k}) * ({m} - 0e0) / (hi_{k} - lo_{k})) AS INT))"
+    "least({m} - 1, CAST(CASE WHEN hi_{k} > lo_{k} "
+    "THEN floor(({c} - lo_{k}) * ({m} - 0e0) / (hi_{k} - lo_{k})) "
+    "ELSE 0 END AS INT))"
 )
 
 
@@ -97,8 +102,11 @@ def zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     m = 2**ZBITS
 
     def quant(c: str, k: str) -> Column:
+        # hi == lo (degenerate extent) => 0, matching _Q / _bin_expr.
         lo, hi = F.col(f"lo_{k}"), F.col(f"hi_{k}")
-        raw = F.floor((F.col(c) - lo) * (m - 0.0) / (hi - lo))
+        raw = F.when(
+            hi > lo, F.floor((F.col(c) - lo) * (m - 0.0) / (hi - lo))
+        ).otherwise(F.lit(0))
         return F.least(F.lit(m - 1), raw.cast("int"))
 
     q = o.crossJoin(F.broadcast(ext)).select(
@@ -312,8 +320,11 @@ def hilbert_vs_zorder_locality(spark: SparkSession, sf_dir: str) -> DataFrame:
     m = 2**ZBITS
 
     def quant(c: str, k: str) -> Column:
+        # hi == lo (degenerate extent) => 0, matching _Q / _bin_expr.
         lo, hi = F.col(f"lo_{k}"), F.col(f"hi_{k}")
-        raw = F.floor((F.col(c) - lo) * (m - 0.0) / (hi - lo))
+        raw = F.when(
+            hi > lo, F.floor((F.col(c) - lo) * (m - 0.0) / (hi - lo))
+        ).otherwise(F.lit(0))
         return F.least(F.lit(m - 1), raw.cast("int"))
 
     q = o.crossJoin(F.broadcast(ext)).select(

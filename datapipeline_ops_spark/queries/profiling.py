@@ -253,31 +253,46 @@ def expectations_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 _CORR_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
 
 
+# Integer unit scale per column under the data contract (integer
+# quantities, 2-dp money, whole-percent discount/tax): moments over these
+# units are EXACT (HUGEINT / DECIMAL(38,0) sums), so the zero-variance test
+# is exact, Cauchy-Schwarz guarantees a non-negative variance term, and the
+# final double arithmetic runs on identical integers in both engines —
+# correlation is scale-invariant so the units cancel.
+_CORR_SCALE = {"l_quantity": 1, "l_extendedprice": 100, "l_discount": 100, "l_tax": 100}
+
+
 def _corr_oracle() -> str:
+    units = ", ".join(
+        f"CAST(round({c} * {s}) AS HUGEINT) AS u_{c}" for c, s in _CORR_SCALE.items()
+    )
     sums = ["count(*) AS n"]
     for c in _CORR_COLS:
-        sums.append(f"sum(CAST({c} AS DOUBLE)) AS s_{c}")
-        sums.append(f"sum(CAST({c} AS DOUBLE) * CAST({c} AS DOUBLE)) AS ss_{c}")
+        sums.append(f"sum(u_{c}) AS s_{c}")
+        sums.append(f"sum(u_{c} * u_{c}) AS ss_{c}")
     pairs = [
         (x, y)
         for i, x in enumerate(_CORR_COLS)
         for y in _CORR_COLS[i + 1 :]
     ]
     for x, y in pairs:
-        sums.append(f"sum(CAST({x} AS DOUBLE) * CAST({y} AS DOUBLE)) AS sp_{x}_{y}")
+        sums.append(f"sum(u_{x} * u_{y}) AS sp_{x}_{y}")
     selects = []
     for x, y in pairs:
         corr = (
-            f"(CAST(n AS DOUBLE) * sp_{x}_{y} - s_{x} * s_{y}) / "
-            f"(sqrt(CAST(n AS DOUBLE) * ss_{x} - s_{x} * s_{x}) * "
-            f"sqrt(CAST(n AS DOUBLE) * ss_{y} - s_{y} * s_{y}))"
+            f"CASE WHEN n * ss_{x} = s_{x} * s_{x} OR n * ss_{y} = s_{y} * s_{y} "
+            f"THEN NULL ELSE "
+            f"CAST(n * sp_{x}_{y} - s_{x} * s_{y} AS DOUBLE) / "
+            f"(sqrt(CAST(n * ss_{x} - s_{x} * s_{x} AS DOUBLE)) * "
+            f"sqrt(CAST(n * ss_{y} - s_{y} * s_{y} AS DOUBLE))) END"
         )
         selects.append(
             f"SELECT '{x}' AS col_x, '{y}' AS col_y, CAST(n AS BIGINT) AS n, "
             f"{corr} AS corr FROM agg"
         )
     return (
-        "WITH agg AS (SELECT " + ", ".join(sums) + " FROM lineitem)\n    "
+        f"WITH units AS (SELECT {units} FROM lineitem),\n"
+        "    agg AS (SELECT " + ", ".join(sums) + " FROM units)\n    "
         + "\n    UNION ALL ".join(selects)
     )
 
@@ -293,11 +308,18 @@ def column_correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     the schema-drift guard ("did discount stop tracking price?") priced at
     one partial-aggregated scan."""
     li = load_table(spark, sf_dir, "lineitem")
+    units = li.select(
+        *[
+            F.round(F.col(c) * F.lit(s)).cast("long").alias(f"u_{c}")
+            for c, s in _CORR_SCALE.items()
+        ]
+    )
+    dec = "decimal(38,0)"
     aggs = [F.count(F.lit(1)).alias("n")]
     for c in _CORR_COLS:
-        cd = F.col(c).cast("double")
-        aggs.append(F.sum(cd).alias(f"s_{c}"))
-        aggs.append(F.sum(cd * cd).alias(f"ss_{c}"))
+        u = F.col(f"u_{c}")
+        aggs.append(F.sum(u.cast(dec)).alias(f"s_{c}"))
+        aggs.append(F.sum((u * u).cast(dec)).alias(f"ss_{c}"))
     pairs = [
         (x, y)
         for i, x in enumerate(_CORR_COLS)
@@ -305,15 +327,21 @@ def column_correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     for x, y in pairs:
         aggs.append(
-            F.sum(F.col(x).cast("double") * F.col(y).cast("double")).alias(f"sp_{x}_{y}")
+            F.sum((F.col(f"u_{x}") * F.col(f"u_{y}")).cast(dec)).alias(f"sp_{x}_{y}")
         )
-    m = li.agg(*aggs)
-    nd = F.col("n").cast("double")
+    m = units.agg(*aggs)
+    ndec = F.col("n").cast(dec)
     rows = []
+    var = {
+        c: ndec * F.col(f"ss_{c}") - F.col(f"s_{c}") * F.col(f"s_{c}")
+        for c in _CORR_COLS
+    }
     for x, y in pairs:
-        corr = (nd * F.col(f"sp_{x}_{y}") - F.col(f"s_{x}") * F.col(f"s_{y}")) / (
-            F.sqrt(nd * F.col(f"ss_{x}") - F.col(f"s_{x}") * F.col(f"s_{x}"))
-            * F.sqrt(nd * F.col(f"ss_{y}") - F.col(f"s_{y}") * F.col(f"s_{y}"))
+        num = ndec * F.col(f"sp_{x}_{y}") - F.col(f"s_{x}") * F.col(f"s_{y}")
+        corr = F.when(
+            (var[x] > 0) & (var[y] > 0),
+            num.cast("double")
+            / (F.sqrt(var[x].cast("double")) * F.sqrt(var[y].cast("double"))),
         )
         rows.append(
             F.struct(

@@ -749,10 +749,17 @@ def _cb_maxsim_col():
 
     maxsim = None
     for i in range(_CB_SUB):
+        # a zero-norm SLICE (legal even for a non-zero vector) has no
+        # cosine: NULL, exactly what DuckDB's 0/0 produces — both engines'
+        # greatest() then skip NULLs, and an all-NULL row sums to NULL.
+        # ANSI Spark would raise DIVIDE_BY_ZERO instead (fuzzer, round 10).
         best = F.greatest(
             *[
-                dot(F.col(f"q{i}"), F.col(f"d{j}"))
-                / (F.col(f"qn{i}") * F.col(f"dn{j}"))
+                F.when(
+                    (F.col(f"qn{i}") > 0) & (F.col(f"dn{j}") > 0),
+                    dot(F.col(f"q{i}"), F.col(f"d{j}"))
+                    / (F.col(f"qn{i}") * F.col(f"dn{j}")),
+                )
                 for j in range(_CB_SUB)
             ]
         )

@@ -128,17 +128,10 @@ _LINE_ROW = st.tuples(
 )
 
 
-@settings(**_SETTINGS)
-@given(
-    orders=st.lists(_ORDER_ROW, min_size=4, max_size=24),
-    lines=st.lists(_LINE_ROW, min_size=4, max_size=48),
-    seed=st.integers(min_value=0, max_value=10_000),
-)
-def test_fuzz_orders_lineitem_queries(spark, tmp_path_factory, orders, lines, seed):
+def _write_orders_lineitem(tmp_path, orders, lines, seed):
     import datetime
     import pyarrow as pa
 
-    tmp_path = tmp_path_factory.mktemp("fuzz_ol")
     _write_dims(tmp_path)
     o_rows = []
     for i, (ck, status, cents, d, prio) in enumerate(orders):
@@ -202,74 +195,160 @@ def test_fuzz_orders_lineitem_queries(spark, tmp_path_factory, orders, lines, se
         ],
         l_rows,
     )
-    _run_pair(
-        spark,
-        tmp_path,
-        [
-            "min_cost_supplier_per_part",
-            "quantity_concentration_parts",
-            "top_revenue_suppliers",
-            "large_order_customers_detail",
-            "sole_late_supplier_report",
-            "market_share_by_year",
-            "herfindahl_concentration",
-            "cohort_ltv_matrix",
-            "elo_rating_periods",
-            "rfm_segmentation",
-            "pareto_revenue_deciles",
-            "mann_kendall_trend",
-            "autocorrelation_daily_revenue",
-            "diff_in_diff_revenue",
-            "spearman_spend_orders",
-            "join_cardinality_audit",
-            "filter_selectivity_audit",
-            "basket_affinity_rules",
-            # legacy families on the same tables
-            "pricing_summary",
-            "group_count",
-            "group_avg",
-            "returnflag_share",
-            "customer_order_histogram",
-            "orders_by_weekday",
-            "monthly_revenue_trend",
-            "top_orders",
-            "semi_join",
-            "broadcast_dim_join",
-            "trade_flow_matrix",
-            "small_quantity_order_revenue",
-            "above_avg_parts",
-            "having_big_customers",
-            "distinct_agg_suppliers",
-            "promo_revenue_share",
-            "returned_revenue_by_nation",
-            "idle_big_balance_customers",
-            "priority_with_big_lineitem",
-            "brand_size_rank",
-            "price_stats_by_flag",
-            # round-9 additions: TPC-H HAVING floors + the exactness-swept
-            # legacy money aggregates (integer-cents migration)
-            "profit_by_nation_year",
-            "brand_bucket_supplier_counts",
-            "disjunctive_predicate_revenue",
-            "promo_part_recent_suppliers",
-            "revenue_by_nation",
-            "unpivot_order_metrics",
-            "salted_skew_join",
-            "monthly_spine_gap_fill",
-            "local_clustering_coefficient",
-            # round-9 wave 2: unfuzzed families with normalizers/thresholds
-            "theil_sen_daily_trend",
-            "seasonal_naive_backtest",
-            "simpsons_paradox_check",
-            "supplier_return_wilson",
-            "discount_quantity_elasticity",
-            "benford_price_check",
-            "join_skew_diagnosis",
-            "copurchase_pmi_scores",
-            "qi_uniqueness_report",
-        ],
-        ["region", "nation", "supplier", "customer", "part", "orders", "lineitem"],
-    )
+
+_OL_TABLES = ["region", "nation", "supplier", "customer", "part", "orders", "lineitem"]
+
+# The orders/lineitem families are split into bounded groups: a single test
+# function over the full list exceeds the harness timeout (4 hypothesis
+# examples x ~90 query pairs), and -x granularity per group localizes any
+# divergence to ~25 families.
+_OL_GROUP_A = [
+    "min_cost_supplier_per_part",
+    "quantity_concentration_parts",
+    "top_revenue_suppliers",
+    "large_order_customers_detail",
+    "sole_late_supplier_report",
+    "market_share_by_year",
+    "herfindahl_concentration",
+    "cohort_ltv_matrix",
+    "elo_rating_periods",
+    "rfm_segmentation",
+    "pareto_revenue_deciles",
+    "mann_kendall_trend",
+    "autocorrelation_daily_revenue",
+    "diff_in_diff_revenue",
+    "spearman_spend_orders",
+    "join_cardinality_audit",
+    "filter_selectivity_audit",
+    "basket_affinity_rules",
+    # legacy families on the same tables
+    "pricing_summary",
+    "group_count",
+    "group_avg",
+    "returnflag_share",
+    "customer_order_histogram",
+]
+
+_OL_GROUP_B = [
+    "orders_by_weekday",
+    "monthly_revenue_trend",
+    "top_orders",
+    "semi_join",
+    "broadcast_dim_join",
+    "trade_flow_matrix",
+    "small_quantity_order_revenue",
+    "above_avg_parts",
+    "having_big_customers",
+    "distinct_agg_suppliers",
+    "promo_revenue_share",
+    "returned_revenue_by_nation",
+    "idle_big_balance_customers",
+    "priority_with_big_lineitem",
+    "brand_size_rank",
+    "price_stats_by_flag",
+    # round-9 additions: TPC-H HAVING floors + the exactness-swept
+    # legacy money aggregates (integer-cents migration)
+    "profit_by_nation_year",
+    "brand_bucket_supplier_counts",
+    "disjunctive_predicate_revenue",
+    "promo_part_recent_suppliers",
+    "revenue_by_nation",
+    "unpivot_order_metrics",
+    "salted_skew_join",
+]
+
+_OL_GROUP_C = [
+    "monthly_spine_gap_fill",
+    "local_clustering_coefficient",
+    # round-9 wave 2: unfuzzed families with normalizers/thresholds
+    "theil_sen_daily_trend",
+    "seasonal_naive_backtest",
+    "simpsons_paradox_check",
+    "supplier_return_wilson",
+    "discount_quantity_elasticity",
+    "benford_price_check",
+    "join_skew_diagnosis",
+    "copurchase_pmi_scores",
+    "qi_uniqueness_report",
+    # round-10 wave 3a: the r02/r03 rotation cohorts land on fuzz-hardened
+    # code — relational exactness + CDC/window families
+    "revenue_by_region_year",
+    "decimal_exact_totals",
+    "salted_group_agg",
+    "ntile_price_quartiles",
+    "overlapping_order_windows",
+    "snapshot_diff_cdc",
+    "merge_upsert_apply",
+    "copurchase_part_pairs",
+    "threshold_filter",
+    "band_filter",
+    "multi_predicate_filter",
+    "count_in_range_filter",
+]
+
+_OL_GROUP_D = [
+    # round-10 wave 3b: never-fuzzed window/segment/graph/profile families
+    # on the same micro-catalog
+    "running_best_max_by",
+    "bin_argmax",
+    "topk_per_group",
+    "anti_join_idempotency",
+    "segment_plan",
+    "segment_summary",
+    "frame_sample_ref",
+    "frame_sample_scan",
+    "retry_cut_status",
+    "set_ops_segments",
+    "fuzzy_name_pairs",
+    "pagerank_purchase_graph",
+    "triangle_copurchase_stats",
+    "bfs_reach_3hop",
+    "kcore_2_peeling",
+    "table_profile",
+    "expectations_report",
+    "column_correlation_matrix",
+    "zorder_layout",
+    "rare_category_collapse",
+    "node_jaccard_similarity",
+]
+
+_OL_GIVEN = dict(
+    orders=st.lists(_ORDER_ROW, min_size=4, max_size=24),
+    lines=st.lists(_LINE_ROW, min_size=4, max_size=48),
+    seed=st.integers(min_value=0, max_value=10_000),
+)
+
+
+@settings(**_SETTINGS)
+@given(**_OL_GIVEN)
+def test_fuzz_ol_group_a(spark, tmp_path_factory, orders, lines, seed):
+    tmp_path = tmp_path_factory.mktemp("fuzz_ol")
+    _write_orders_lineitem(tmp_path, orders, lines, seed)
+    _run_pair(spark, tmp_path, _OL_GROUP_A, _OL_TABLES)
+
+
+@settings(**_SETTINGS)
+@given(**_OL_GIVEN)
+def test_fuzz_ol_group_b(spark, tmp_path_factory, orders, lines, seed):
+    tmp_path = tmp_path_factory.mktemp("fuzz_ol")
+    _write_orders_lineitem(tmp_path, orders, lines, seed)
+    _run_pair(spark, tmp_path, _OL_GROUP_B, _OL_TABLES)
+
+
+@settings(**_SETTINGS)
+@given(**_OL_GIVEN)
+def test_fuzz_ol_group_c(spark, tmp_path_factory, orders, lines, seed):
+    tmp_path = tmp_path_factory.mktemp("fuzz_ol")
+    _write_orders_lineitem(tmp_path, orders, lines, seed)
+    _run_pair(spark, tmp_path, _OL_GROUP_C, _OL_TABLES)
+
+
+@settings(**_SETTINGS)
+@given(**_OL_GIVEN)
+def test_fuzz_ol_group_d(spark, tmp_path_factory, orders, lines, seed):
+    tmp_path = tmp_path_factory.mktemp("fuzz_ol")
+    _write_orders_lineitem(tmp_path, orders, lines, seed)
+    _run_pair(spark, tmp_path, _OL_GROUP_D, _OL_TABLES)
 
 
 _EVENT_ROW = st.tuples(
@@ -345,6 +424,66 @@ def test_fuzz_events_queries(spark, tmp_path_factory, events):
             "winsorized_value_stats",
             "neyman_allocation_plan",
             "ks_drift_binned",
+        ],
+        ["events"],
+    )
+
+
+_EVENT_PROPS_ROW = st.tuples(
+    _EVENT_ROW,
+    # props variant: None -> NULL, 0 -> "{}", k>0 -> {"k": k}
+    st.one_of(st.none(), st.integers(min_value=0, max_value=120)),
+)
+
+
+@settings(**_SETTINGS)
+@given(events=st.lists(_EVENT_PROPS_ROW, min_size=6, max_size=60))
+def test_fuzz_events_wave4(spark, tmp_path_factory, events):
+    """Round-10 wave 4c: never-fuzzed events families — JSON props
+    extraction, the freshly integer-migrated MV/pivot aggregates, as-of /
+    SCD2 temporal joins, and the window/feature family."""
+    import datetime
+    import pyarrow as pa
+
+    tmp_path = tmp_path_factory.mktemp("fuzz_ev4")
+    rows = []
+    for i, ((day, sec, user, etype, cents), k) in enumerate(events):
+        ts = datetime.datetime(2024, 1, 1) + datetime.timedelta(days=day, seconds=sec)
+        props = None if k is None else ("{}" if k == 0 else '{"k": %d}' % k)
+        rows.append((i + 1, ts, user, etype, cents / 100.0, props))
+    _copy_rows(
+        tmp_path,
+        "events",
+        [
+            ("event_id", pa.int64()),
+            ("ts", pa.timestamp("us")),
+            ("user_id", pa.int64()),
+            ("event_type", pa.string()),
+            ("value", pa.float64()),
+            ("props", pa.string()),
+        ],
+        rows,
+    )
+    _run_pair(
+        spark,
+        tmp_path,
+        [
+            "json_props_extract",
+            "variant_props_stats",
+            "null_guard_filter",
+            "incremental_mv_refresh",
+            "events_type_pivot",
+            "asof_click_to_purchase",
+            "scd2_user_state",
+            "ohlc_time_bars",
+            "lead_lag_deltas",
+            "rolling_window_avg",
+            "percent_rank_features",
+            "partition_skew_report",
+            "daily_anomaly_mad",
+            "time_to_convert_quantiles",
+            "dead_letter_split",
+            "freshness_sla_report",
         ],
         ["events"],
     )
@@ -439,6 +578,55 @@ def test_fuzz_documents_queries(spark, tmp_path_factory, docs):
         ["documents"],
     )
 
+
+@settings(**_SETTINGS)
+@given(docs=st.lists(_DOC_ROW, min_size=3, max_size=16))
+def test_fuzz_documents_wave4(spark, tmp_path_factory, docs):
+    """Round-10 wave 4d: never-fuzzed token-stats / sampling / curriculum
+    families on the documents micro-table."""
+    import pyarrow as pa
+
+    tmp_path = tmp_path_factory.mktemp("fuzz_doc4")
+    rows = []
+    for i, (words, lang, source) in enumerate(docs):
+        text = " ".join(words)
+        rows.append((i + 1, text, lang, source, len(text)))
+    _copy_rows(
+        tmp_path,
+        "documents",
+        [
+            ("doc_id", pa.int64()),
+            ("text", pa.string()),
+            ("lang", pa.string()),
+            ("source", pa.string()),
+            ("n_chars", pa.int64()),
+        ],
+        rows,
+    )
+    _run_pair(
+        spark,
+        tmp_path,
+        [
+            "vocab_top_tokens",
+            "gini_by_source",
+            "bpe_ish_token_count",
+            "text_normalize_stats",
+            "inverted_index_postings",
+            "lang_confusion_matrix",
+            "deterministic_sample",
+            "stratified_sample_per_source",
+            "dataset_split_assign",
+            "split_leakage_audit",
+            "compaction_plan",
+            "token_budget_select",
+            "curriculum_length_buckets",
+            "prefix_sharing_stats",
+            "chunk_overlap_plan",
+            "bpe_pair_counts",
+        ],
+        ["documents"],
+    )
+
 # first component >= 1: the engine-wide contract (functions/vectors.py) is
 # NON-ZERO embeddings — zero-norm vectors are quarantined upstream by
 # embedding_norm_audit, so cosine stages divide unguarded in both engines.
@@ -458,25 +646,8 @@ _EMB_ROW = st.tuples(
 @settings(**_SETTINGS)
 @given(embs=st.lists(_EMB_ROW, min_size=12, max_size=40))
 def test_fuzz_embeddings_queries(spark, tmp_path_factory, embs):
-    import pyarrow as pa
-
     tmp_path = tmp_path_factory.mktemp("fuzz_emb")
-    # values are k/100 floats: exact in float32, so the float64 upcast both
-    # engines perform before the ordered-fold dot products is identical
-    rows = [
-        (i, [v / 100.0 for v in vec], label)
-        for i, (vec, label) in enumerate(embs)
-    ]
-    _copy_rows(
-        tmp_path,
-        "embeddings",
-        [
-            ("vec_id", pa.int64()),
-            ("embedding", pa.list_(pa.float32())),
-            ("label", pa.int32()),
-        ],
-        rows,
-    )
+    _write_embeddings(tmp_path, embs)
     _run_pair(
         spark,
         tmp_path,
@@ -494,6 +665,100 @@ def test_fuzz_embeddings_queries(spark, tmp_path_factory, embs):
             "mrl_truncation_eval",
         ],
         ["embeddings"],
+    )
+
+
+def _write_embeddings(tmp_path, embs):
+    import pyarrow as pa
+
+    # values are k/100 floats: exact in float32, so the float64 upcast both
+    # engines perform before the ordered-fold dot products is identical
+    rows = [
+        (i, [v / 100.0 for v in vec], label)
+        for i, (vec, label) in enumerate(embs)
+    ]
+    _copy_rows(
+        tmp_path,
+        "embeddings",
+        [
+            ("vec_id", pa.int64()),
+            ("embedding", pa.list_(pa.float32())),
+            ("label", pa.int32()),
+        ],
+        rows,
+    )
+
+
+@settings(**_SETTINGS)
+@given(embs=st.lists(_EMB_ROW, min_size=12, max_size=40))
+def test_fuzz_embeddings_wave4(spark, tmp_path_factory, embs):
+    """Round-10 wave 4a: the never-fuzzed decomposition / quantization /
+    diversity / ANN families on the same micro-embedding strategy."""
+    tmp_path = tmp_path_factory.mktemp("fuzz_emb4")
+    _write_embeddings(tmp_path, embs)
+    _run_pair(
+        spark,
+        tmp_path,
+        [
+            "embedding_pca_covariance",
+            "class_scatter_direction",
+            "pq_code_assign",
+            "embedding_anisotropy",
+            "mmr_diverse_topk",
+            "embedding_hamming_ann",
+            "triplet_mining_hard_negatives",
+            "udf_pair_similarity_band",
+            "ann_ivf_topk",
+            "ann_rerank_l2",
+        ],
+        ["embeddings"],
+    )
+
+
+@settings(**_SETTINGS)
+@given(embs=st.lists(_EMB_ROW, min_size=12, max_size=40))
+def test_fuzz_eval_serving_wave4(spark, tmp_path_factory, embs):
+    """Round-10 wave 4b: retrieval-evaluation and serving families — the
+    r02/r03 rotation cohort lands on fuzz-hardened code. The hybrid /
+    serving / LSH-recall families also read documents (BM25 lexical leg),
+    so a small deterministic corpus rides along with the fuzzed vectors."""
+    import pyarrow as pa
+
+    tmp_path = tmp_path_factory.mktemp("fuzz_eval4")
+    _write_embeddings(tmp_path, embs)
+    doc_rows = [
+        (i + 1, " ".join(_WORDS[(i + j) % len(_WORDS)] for j in range(1 + i % 5)),
+         ["en", "de"][i % 2], ["web", "books", "code"][i % 3])
+        for i in range(12)
+    ]
+    _copy_rows(
+        tmp_path,
+        "documents",
+        [
+            ("doc_id", pa.int64()),
+            ("text", pa.string()),
+            ("lang", pa.string()),
+            ("source", pa.string()),
+            ("n_chars", pa.int64()),
+        ],
+        [(d, t, lg, s, len(t)) for d, t, lg, s in doc_rows],
+    )
+    _run_pair(
+        spark,
+        tmp_path,
+        [
+            "eval_rmse_report",
+            "eval_angular_error",
+            "eval_dataset_means",
+            "eval_tonemap",
+            "ann_recall_eval",
+            "ann_ndcg_eval",
+            "hybrid_rrf_fusion",
+            "lsh_pair_recall_eval",
+            "ann_ivfpq_recall_eval",
+            "serving_retrieval_e2e",
+        ],
+        ["embeddings", "documents"],
     )
 
 
