@@ -66,7 +66,9 @@ _PRIORITY = [
 ]
 # ROUND-11 ORDERING PLAN (apply after the round-10 gate runs): head the
 # window with any round-10 reds (expected none), then:
-# (1) first driver records for any round-10 additions, registration order;
+# (1) first driver records for the round-10 additions, registration order:
+#     dedup_manifest_reconcile tokenizer_roundtrip_audit
+#     serving_eval_gate_e2e (plus any later round-10 additions);
 # (2) the 15 remaining r03-latest stragglers, registration order:
 #     stream_foreachbatch_sink stream_stream_click_purchase
 #     asof_click_to_purchase scd2_user_state ohlc_time_bars

@@ -566,6 +566,121 @@ def incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "dedup_manifest_reconcile",
+    oracle=f"""
+    WITH manifest AS (
+        SELECT DISTINCT md5(text) AS h FROM documents
+        WHERE doc_id % {_BATCH_MOD} <> 0
+    ),
+    incoming AS (
+        SELECT doc_id, source, md5(text) AS h FROM documents
+        WHERE doc_id % {_BATCH_MOD} = 0
+    ),
+    flagged AS (
+        SELECT i.doc_id, i.source, i.h,
+               CASE WHEN m.h IS NOT NULL THEN 1 ELSE 0 END AS known
+        FROM incoming i LEFT JOIN manifest m ON i.h = m.h
+    ),
+    keepers AS (
+        SELECT h, min(doc_id) AS keeper_id FROM flagged
+        WHERE known = 0 GROUP BY h
+    ),
+    classed AS (
+        SELECT f.source, f.known,
+               CASE WHEN f.known = 0 AND f.doc_id = k.keeper_id
+                    THEN 1 ELSE 0 END AS admitted
+        FROM flagged f LEFT JOIN keepers k ON f.h = k.h
+    ),
+    per AS (
+        SELECT source,
+               count(*) AS n_incoming,
+               CAST(sum(known) AS BIGINT) AS n_known_dup,
+               CAST(sum(admitted) AS BIGINT) AS n_admitted,
+               CAST(sum(CASE WHEN known = 0 AND admitted = 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_batch_dup_extra
+        FROM classed GROUP BY source
+    )
+    SELECT source, n_incoming, n_known_dup, n_batch_dup_extra, n_admitted,
+           (SELECT count(*) FROM manifest) AS manifest_before,
+           CAST((SELECT count(*) FROM manifest)
+               + sum(n_admitted) OVER () AS BIGINT) AS manifest_after
+    FROM per
+    """,
+)
+def dedup_manifest_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-round dedup-manifest reconciliation — the day-N state story
+    behind ``incremental_dedup``: the stored hash manifest of every prior
+    round (here: the non-batch corpus' distinct md5 set) meets an incoming
+    batch, and every incoming doc is classified as a KNOWN duplicate (hash
+    already in the manifest), a WITHIN-BATCH duplicate (new hash, but not
+    the min-doc_id first writer), or ADMITTED (the new hash's keeper, which
+    production appends to the manifest). The per-source readout plus the
+    manifest-size roll-forward (before -> after) is the ingest-ledger
+    artifact an operator reconciles across rounds — admitted counts must
+    equal the manifest growth or state has been lost.
+
+    Scale shape: everything is an equi-join or group-by on the md5 key —
+    manifest semi-join, within-batch keeper group-by, low-cardinality
+    source rollup; the manifest is never broadcast (at 100 TB it is a
+    hash-bucketed table) and no pair generation exists at all."""
+    docs = load_table(spark, sf_dir, "documents")
+    is_batch = F.col("doc_id") % _BATCH_MOD == 0
+    h = F.md5(F.col("text").cast("binary")).alias("h")
+    manifest = docs.filter(~is_batch).select(h).distinct()
+    incoming = docs.filter(is_batch).select("doc_id", "source", h)
+    flagged = incoming.join(
+        manifest.withColumn("known_flag", F.lit(1)), "h", "left"
+    ).select(
+        "doc_id",
+        "source",
+        "h",
+        F.coalesce("known_flag", F.lit(0)).alias("known"),
+    )
+    keepers = (
+        flagged.filter(F.col("known") == 0)
+        .groupBy("h")
+        .agg(F.min("doc_id").alias("keeper_id"))
+    )
+    classed = flagged.join(keepers, "h", "left").select(
+        "source",
+        "known",
+        F.when(
+            (F.col("known") == 0) & (F.col("doc_id") == F.col("keeper_id")), 1
+        )
+        .otherwise(0)
+        .alias("admitted"),
+    )
+    per = classed.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_incoming"),
+        F.sum("known").cast("long").alias("n_known_dup"),
+        F.sum(
+            F.when((F.col("known") == 0) & (F.col("admitted") == 0), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_batch_dup_extra"),
+        F.sum("admitted").cast("long").alias("n_admitted"),
+    )
+    before = manifest.agg(F.count(F.lit(1)).alias("manifest_before"))
+    w = Window.partitionBy()
+    return (
+        per.crossJoin(F.broadcast(before))
+        .withColumn(
+            "manifest_after",
+            F.col("manifest_before") + F.sum("n_admitted").over(w),
+        )
+        .select(
+            "source",
+            "n_incoming",
+            "n_known_dup",
+            "n_batch_dup_extra",
+            "n_admitted",
+            "manifest_before",
+            "manifest_after",
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Tokenizer prep: BPE pair statistics + context-window chunking with overlap
 # ---------------------------------------------------------------------------

@@ -1097,3 +1097,132 @@ def _serving_oracle() -> str:
 
 
 QUERIES["serving_retrieval_e2e"].oracle = _serving_oracle()
+
+
+# ---------------------------------------------------------------------------
+# serving_eval_gate_e2e — offline quality gate for the compressed ANN path
+# ---------------------------------------------------------------------------
+
+_GATE_RECALL_PCT = 60  # per-query gate: recall@k >= 0.60 (exact integer test)
+_GATE_NDCG = 0.6       # per-query gate: NDCG@k >= 0.6 (shared-literal doubles)
+
+
+@query("serving_eval_gate_e2e", oracle=None)  # composed below
+def serving_eval_gate_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Offline serving-quality gate as ONE composed plan — the eval-side
+    counterpart of serving_retrieval_e2e: the compressed production index
+    path (ann_ivf_pq_topk: IVF cells -> PQ ADC shortlist -> exact rerank)
+    is scored per query against exact brute-force cosine ground truth on
+    BOTH set overlap (recall@k) and rank quality (NDCG@k, graded rel),
+    each thresholded into a per-query pass flag, then rolled up into the
+    pass-rate + all-pass verdict a rollout pipeline blocks on. Recall gates
+    compare in INTEGER space (n_hits * 100 >= {_GATE_RECALL_PCT} * k) and
+    the NDCG gate compares doubles both engines derive from integer rels
+    and shared Python-literal weights — bit-identical, so the boolean
+    verdict can never straddle engines.
+
+    Scale: both retrieval outputs are constant top-k tables (queries x k);
+    the gate itself is a {N_QUERIES}-row rollup. The corpus cost is the
+    IVF-PQ pass plus the brute-force pass — the latter is the ground-truth
+    oracle a production gate runs on a SAMPLED query set, which is exactly
+    what the constant query batch models."""
+    gt = QUERIES["cosine_topk_bruteforce"].fn(spark, sf_dir).select(
+        "query_id",
+        "vec_id",
+        (F.lit(_NDCG_K + 1) - F.col("rank")).alias("rel"),
+    )
+    ap = QUERIES["ann_ivf_pq_topk"].fn(spark, sf_dir).select(
+        "query_id", "vec_id", "rank"
+    )
+    j = ap.join(gt, ["query_id", "vec_id"], "left").select(
+        "query_id",
+        "rank",
+        F.coalesce("rel", F.lit(0)).alias("rel"),
+        (F.col("rel").isNotNull()).cast("int").alias("hit"),
+    )
+    slots = [
+        F.max(F.when(F.col("rank") == i, F.col("rel"))).alias(f"r{i}")
+        for i in range(1, _NDCG_K + 1)
+    ]
+    g = j.groupBy("query_id").agg(
+        F.sum("hit").cast("long").alias("n_hits"),
+        F.count(F.lit(1)).cast("long").alias("k"),
+        *slots,
+    )
+    dcg = F.lit(0.0)
+    for i in range(1, _NDCG_K + 1):
+        dcg = dcg + F.coalesce(F.col(f"r{i}"), F.lit(0)).cast("double") * F.lit(
+            _NDCG_W[i - 1]
+        )
+    scored = g.select(
+        "query_id",
+        "n_hits",
+        "k",
+        (F.col("n_hits").cast("double") / F.col("k").cast("double")).alias("recall"),
+        (dcg / F.lit(_NDCG_IDEAL)).alias("ndcg"),
+        (
+            (F.col("n_hits") * 100 >= F.lit(_GATE_RECALL_PCT) * F.col("k"))
+            & (dcg / F.lit(_NDCG_IDEAL) >= F.lit(_GATE_NDCG))
+        ).alias("passed"),
+    )
+    w = Window.partitionBy()
+    return scored.select(
+        "query_id",
+        "n_hits",
+        "k",
+        "recall",
+        "ndcg",
+        "passed",
+        F.sum(F.col("passed").cast("long")).over(w).alias("n_pass"),
+        F.count(F.lit(1)).over(w).alias("n_queries"),
+        F.min(F.col("passed").cast("int")).over(w).cast("boolean").alias("gate_ok"),
+    )
+
+
+def _serving_eval_gate_oracle() -> str:
+    gt_sql = QUERIES["cosine_topk_bruteforce"].oracle
+    ap_sql = QUERIES["ann_ivf_pq_topk"].oracle
+    slot_cols = ", ".join(
+        f"max(CASE WHEN rank = {i} THEN rel END) AS r{i}"
+        for i in range(1, _NDCG_K + 1)
+    )
+    dcg = " + ".join(
+        f"CAST(coalesce(r{i}, 0) AS DOUBLE) * {_NDCG_W[i - 1]!r}"
+        for i in range(1, _NDCG_K + 1)
+    )
+    return f"""
+    WITH gt AS MATERIALIZED (
+        SELECT query_id, vec_id, {_NDCG_K} + 1 - rank AS rel FROM ({gt_sql})
+    ),
+    ap AS MATERIALIZED (SELECT query_id, vec_id, rank FROM ({ap_sql})),
+    j AS (
+        SELECT ap.query_id, ap.rank, coalesce(gt.rel, 0) AS rel,
+               CASE WHEN gt.rel IS NOT NULL THEN 1 ELSE 0 END AS hit
+        FROM ap LEFT JOIN gt
+          ON gt.query_id = ap.query_id AND gt.vec_id = ap.vec_id
+    ),
+    g AS (
+        SELECT query_id,
+               CAST(sum(hit) AS BIGINT) AS n_hits,
+               count(*) AS k, {slot_cols}
+        FROM j GROUP BY query_id
+    ),
+    scored AS (
+        SELECT query_id, n_hits, k,
+               CAST(n_hits AS DOUBLE) / CAST(k AS DOUBLE) AS recall,
+               ({dcg}) / {_NDCG_IDEAL!r} AS ndcg,
+               (n_hits * 100 >= {_GATE_RECALL_PCT} * k)
+                   AND (({dcg}) / {_NDCG_IDEAL!r} >= {_GATE_NDCG!r}) AS passed
+        FROM g
+    )
+    SELECT query_id, n_hits, k, recall, ndcg, passed,
+           CAST(sum(CASE WHEN passed THEN 1 ELSE 0 END) OVER () AS BIGINT)
+               AS n_pass,
+           count(*) OVER () AS n_queries,
+           CAST(min(CASE WHEN passed THEN 1 ELSE 0 END) OVER () AS BOOLEAN)
+               AS gate_ok
+    FROM scored
+    """
+
+
+QUERIES["serving_eval_gate_e2e"].oracle = _serving_eval_gate_oracle()

@@ -14,7 +14,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
-from datapipeline_ops_spark.core.registry import query
+from datapipeline_ops_spark.core.registry import QUERIES, query
 from datapipeline_ops_spark.functions.text import sql_shingles, sql_tokens, tokens
 from datapipeline_ops_spark.tables import load_table
 
@@ -1003,3 +1003,108 @@ def source_vocab_jaccard_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jaccard"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# tokenizer_roundtrip_audit — encode->decode fidelity per language
+# ---------------------------------------------------------------------------
+
+_RT_PAT = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+@query(
+    "tokenizer_roundtrip_audit",
+    oracle=None,  # composed below (shares the rate arithmetic with Spark)
+)
+def tokenizer_roundtrip_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer round-trip fidelity per language: encode every document
+    with the BPE-ish pre-tokenizer (the ``bpe_ish_token_count`` regex —
+    letter runs / digit runs / single punctuation, whitespace DROPPED),
+    decode by single-space joining, and compare against the
+    whitespace-normalized original. A document round-trips exactly iff its
+    spacing is single-space word separation with no punctuation adjacency
+    — precisely the information a lossless tokenizer must carry and a
+    lossy one silently destroys, which corrupts spans, FIM splits, and
+    exact-substring decontamination downstream.
+
+    Per language: doc counts, exact-round-trip counts and rate (integer
+    half-up 6dp — functions/money.py convention), characters in vs
+    decoded, and the worst per-doc character loss.
+
+    Scale shape: two JVM regex projections and one partial-aggregated
+    group-by on the low-cardinality lang key; nothing shuffles but the
+    per-lang partial rows."""
+    from datapipeline_ops_spark.functions.money import spark_avg_units
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.regexp_extract_all(F.col("text"), F.lit(_RT_PAT), 0)
+    decoded = F.array_join(toks, " ")
+    norm = F.regexp_replace(
+        F.regexp_replace(F.col("text"), F.lit(r"^\s+|\s+$"), F.lit("")),
+        F.lit(r"\s+"),
+        F.lit(" "),
+    )
+    per = d.select(
+        "lang",
+        (decoded == norm).cast("int").alias("exact"),
+        F.length("text").cast("long").alias("chars_in"),
+        F.length(decoded).cast("long").alias("chars_decoded"),
+        (F.length(norm) - F.length(decoded)).cast("long").alias("char_delta"),
+    )
+    g = per.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("exact").cast("long").alias("n_exact"),
+        F.sum("chars_in").cast("long").alias("sum_chars_in"),
+        F.sum("chars_decoded").cast("long").alias("sum_chars_decoded"),
+        F.max(F.abs(F.col("char_delta"))).cast("long").alias("max_char_delta"),
+    )
+    return g.select(
+        "lang",
+        "n_docs",
+        "n_exact",
+        F.expr(spark_avg_units("n_exact * 1000000", "n_docs", 1000000, 6)).alias(
+            "exact_rate"
+        ),
+        "sum_chars_in",
+        "sum_chars_decoded",
+        "max_char_delta",
+    )
+
+
+def _tokenizer_roundtrip_oracle() -> str:
+    from datapipeline_ops_spark.functions.money import sql_avg_units
+
+    rate = sql_avg_units("n_exact * 1000000", "n_docs", 1000000, 6)
+    return f"""
+    WITH per AS (
+        SELECT lang,
+               CASE WHEN array_to_string(
+                        regexp_extract_all(text, '{_RT_PAT}'), ' ')
+                    = regexp_replace(
+                        regexp_replace(text, '^\\s+|\\s+$', '', 'g'),
+                        '\\s+', ' ', 'g')
+                    THEN 1 ELSE 0 END AS exact,
+               len(text) AS chars_in,
+               len(array_to_string(regexp_extract_all(text, '{_RT_PAT}'), ' '))
+                   AS chars_decoded,
+               len(regexp_replace(regexp_replace(text, '^\\s+|\\s+$', '', 'g'),
+                                  '\\s+', ' ', 'g'))
+                   - len(array_to_string(regexp_extract_all(text, '{_RT_PAT}'), ' '))
+                   AS char_delta
+        FROM documents
+    ),
+    g AS (
+        SELECT lang, count(*) AS n_docs,
+               CAST(sum(exact) AS BIGINT) AS n_exact,
+               CAST(sum(chars_in) AS BIGINT) AS sum_chars_in,
+               CAST(sum(chars_decoded) AS BIGINT) AS sum_chars_decoded,
+               CAST(max(abs(char_delta)) AS BIGINT) AS max_char_delta
+        FROM per GROUP BY lang
+    )
+    SELECT lang, n_docs, n_exact, {rate} AS exact_rate,
+           sum_chars_in, sum_chars_decoded, max_char_delta
+    FROM g
+    """
+
+
+QUERIES["tokenizer_roundtrip_audit"].oracle = _tokenizer_roundtrip_oracle()

@@ -623,6 +623,9 @@ def test_fuzz_documents_wave4(spark, tmp_path_factory, docs):
             "prefix_sharing_stats",
             "chunk_overlap_plan",
             "bpe_pair_counts",
+            # round-10 capability wave
+            "tokenizer_roundtrip_audit",
+            "dedup_manifest_reconcile",
         ],
         ["documents"],
     )
@@ -757,6 +760,8 @@ def test_fuzz_eval_serving_wave4(spark, tmp_path_factory, embs):
             "lsh_pair_recall_eval",
             "ann_ivfpq_recall_eval",
             "serving_retrieval_e2e",
+            # round-10 capability wave
+            "serving_eval_gate_e2e",
         ],
         ["embeddings", "documents"],
     )

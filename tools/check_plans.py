@@ -1684,6 +1684,44 @@ def _(qs, spark):
     assert specs and all(sp.split(",")[0].strip().startswith("_pid") for sp in specs), specs[:2]
 
 
+@check("tokenizer_roundtrip_audit: one pruned scan, lang-key rollup, no window")
+def _(qs, spark):
+    plan = plan_of(qs["tokenizer_roundtrip_audit"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    cols = read_schema_cols(plan, "documents")
+    assert cols <= {"text", "lang"}, cols
+    assert "windowspecdefinition" not in plan
+    # the only exchange is the low-cardinality lang rollup
+    n_ex = plan.count("Exchange hashpartitioning")
+    assert n_ex <= 1, f"{n_ex} hash exchanges"
+
+
+@check("dedup_manifest_reconcile: md5 equi-joins only, pruned scans")
+def _(qs, spark):
+    plan = plan_of(qs["dedup_manifest_reconcile"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    cols = read_schema_cols(plan, "documents")
+    assert cols <= {"doc_id", "text", "source"}, cols
+    # manifest lookups and keeper resolution are hash-keyed equi-joins; the
+    # only nested-loop is the broadcast of the 1-row manifest count
+    assert "BroadcastNestedLoopJoin" not in plan or "BroadcastExchange" in plan
+    # the global roll-forward window runs on per-source rows (bounded by the
+    # source vocabulary), never on per-doc rows
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert len(specs) <= 4, specs[:2]
+
+
+@check("serving_eval_gate_e2e: composed top-k tables, no cartesian blowup")
+def _(qs, spark):
+    plan = plan_of(qs["serving_eval_gate_e2e"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    cols = read_schema_cols(plan, "embeddings")
+    assert cols <= {"vec_id", "embedding"}, cols
+    # both retrieval legs end in constant top-k tables; the gate windows
+    # over the N_QUERIES-row result only
+    assert "BroadcastExchange" in plan
+
+
 def main() -> int:
     import __spark_entry__ as entry_mod
     from datapipeline_ops_spark.session import get_spark
