@@ -260,7 +260,8 @@ _MIX_SEED = 1337
     oracle=f"""
     WITH w AS (
         SELECT doc_id, source,
-               (CAST(regexp_extract(source, '([0-9]+)', 1) AS BIGINT) % 4 + 1) / 4.0
+               (TRY_CAST(NULLIF(regexp_extract(source, '([0-9]+)', 1), '')
+                         AS BIGINT) % 4 + 1) / 4.0
                    AS weight
         FROM documents
     )
@@ -278,7 +279,10 @@ def domain_mixing_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     Pure scan+filter — no shuffle, no RNG state; with source-partitioned
     input the weight lookup partition-prunes."""
     d = load_table(spark, sf_dir, "documents")
-    weight = (F.regexp_extract("source", r"(\d+)", 1).cast("long") % 4 + 1) / 4.0
+    # try_cast mirrors the oracle's TRY_CAST(NULLIF(...)): a source with no
+    # digit yields a NULL weight, so the doc is excluded from the mixture
+    # (its domain has no config entry) instead of raising an ANSI cast error
+    weight = (F.regexp_extract("source", r"(\d+)", 1).try_cast("long") % 4 + 1) / 4.0
     return (
         d.withColumn("weight", weight)
         .filter(hash_unit(F.col("doc_id"), seed=_MIX_SEED) < F.col("weight"))

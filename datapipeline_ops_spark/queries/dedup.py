@@ -804,7 +804,9 @@ def _lsh_tuning_oracle() -> str:
            CASE WHEN n_candidates = 0 THEN 0.0
                 ELSE CAST(n_verified AS DOUBLE) / CAST(n_candidates AS DOUBLE)
            END AS precision,
-           CAST(n_verified AS DOUBLE) / CAST(t.n_true AS DOUBLE) AS recall
+           CASE WHEN t.n_true = 0 THEN NULL
+                ELSE CAST(n_verified AS DOUBLE) / CAST(t.n_true AS DOUBLE)
+           END AS recall
     FROM configs CROSS JOIN truth t""")
     return "".join(parts)
 
@@ -899,7 +901,12 @@ def lsh_tuning_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("n_candidates") == 0, F.lit(0.0))
         .otherwise(F.col("n_verified").cast("double") / F.col("n_candidates").cast("double"))
         .alias("precision"),
-        (F.col("n_verified").cast("double") / F.col("n_true").cast("double")).alias("recall"),
+        # no true pairs -> recall undefined (NULL), matching the oracle's
+        # explicit CASE; ANSI Spark would otherwise raise DIVIDE_BY_ZERO on
+        # a duplicate-free corpus (wave-5 fuzz catch)
+        F.when(F.col("n_true") == 0, F.lit(None).cast("double"))
+        .otherwise(F.col("n_verified").cast("double") / F.col("n_true").cast("double"))
+        .alias("recall"),
     )
 
 

@@ -180,11 +180,14 @@ def quantile_sketch_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle value-matches) PLUS a rank-error gate on the approx_percentile
     sketch. The sketch's output value is engine-specific, so — like the HLL
     gate in approx_distinct_users — the checkable claim is folded into
-    booleans: the empirical CDF evaluated AT the sketch's answer must sit
-    within eps of the target probability (eps = 1% sketch rank error +
-    2/n group discretization; value-distance would be the wrong test
-    because in a sparse tail the nearest sample can be far from the
-    interpolated exact quantile while still being rank-perfect).
+    booleans via the two-sided rank test — P(value < q) <= p + eps AND
+    P(value <= q) >= p - eps (eps = 1% sketch rank error + 2/n group
+    discretization). Two-sided because ties make the one-sided
+    |CDF(<=q) - p| <= eps form wrong: at a point mass (all values equal —
+    wave-5 fuzz catch) CDF(<=q) is 1.0 at every quantile even though any
+    answer inside the mass is rank-perfect. Value-distance would also be
+    the wrong test: in a sparse tail the nearest sample can be far from
+    the interpolated exact quantile while still being rank-perfect.
 
     At 100 TB the sketch is THE quantile path: one pass, fixed-size
     mergeable state per group, no sort — versus exact percentile's
@@ -210,9 +213,15 @@ def quantile_sketch_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         *[
             F.avg(
                 F.when(F.col("value") <= F.element_at("approx_q", i + 1), 1.0).otherwise(0.0)
-            ).alias(f"cdf_{i}")
+            ).alias(f"cdf_le_{i}")
             for i in range(len(probs))
-        ]
+        ],
+        *[
+            F.avg(
+                F.when(F.col("value") < F.element_at("approx_q", i + 1), 1.0).otherwise(0.0)
+            ).alias(f"cdf_lt_{i}")
+            for i in range(len(probs))
+        ],
     )
     eps = F.lit(0.01) + F.lit(2.0) / F.col("n_events")
     out = agg.join(cdf, "event_type").select(
@@ -223,7 +232,10 @@ def quantile_sketch_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             for i, p in enumerate(probs)
         ],
         *[
-            (F.abs(F.col(f"cdf_{i}") - F.lit(p)) <= eps).alias(f"rank_ok_p{int(p * 100)}")
+            (
+                (F.col(f"cdf_lt_{i}") <= F.lit(p) + eps)
+                & (F.col(f"cdf_le_{i}") >= F.lit(p) - eps)
+            ).alias(f"rank_ok_p{int(p * 100)}")
             for i, p in enumerate(probs)
         ],
     )
@@ -823,16 +835,19 @@ def _pois_case_sql(u: str) -> str:
     WITH reps AS MATERIALIZED (
         SELECT g.r AS r,
                {_pois_case_sql(f"({sql_hash64('event_id || :_: || g.r')} % 1000000) / 1000000.0".replace(":_:", "'_'"))} AS w,
-               value
+               CAST(round(value * 100) AS BIGINT) AS cents
         FROM (SELECT event_id, value FROM events WHERE value IS NOT NULL),
              unnest(generate_series(1, {BOOT_R})) AS g(r)
     ),
     means AS MATERIALIZED (
-        SELECT r, sum(w * value) / sum(w) AS rep_mean
+        SELECT r, CAST(sum(w * cents) AS DOUBLE)
+                      / (100.0 * CAST(sum(w) AS DOUBLE)) AS rep_mean
         FROM reps WHERE w > 0 GROUP BY r
     ),
     base AS (
-        SELECT CAST(count(*) AS BIGINT) AS n, avg(value) AS mean_value
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE)
+                   / (100.0 * CAST(count(*) AS DOUBLE)) AS mean_value
         FROM events WHERE value IS NOT NULL
     )
     SELECT b.n, b.mean_value,
@@ -855,9 +870,13 @@ def bootstrap_mean_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     one scan with a 7-branch CASE per (row, replicate).
 
     Determinism: weights are exact integers from md5 thresholds, so both
-    engines build identical replicates; replicate means are true float
-    aggregations (raw, 6-sig-fig gated), and the interpolated CI
-    quantiles inherit their tiny drift — well inside the gate floor."""
+    engines build identical replicates; each replicate mean is ONE double
+    division of exact integer sufficient statistics (weighted cents /
+    weighted count) — bit-identical across engines, so a constant-value
+    corpus yields exactly-equal replicate means and an exactly-zero
+    bootstrap SE on both sides (the float `sum(w*value)/sum(w)` form left
+    engine-specific e-19 cancellation noise in stddev_samp — wave-5 fuzz
+    catch). The interpolated CI quantiles then act on identical doubles."""
     e = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
     u = hash_unit(
         F.concat(F.col("event_id").cast("string"), F.lit("_"), F.col("r").cast("string"))
@@ -869,14 +888,17 @@ def bootstrap_mean_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     reps = (
         e.select(
             "event_id",
-            "value",
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
             F.explode(F.sequence(F.lit(1), F.lit(BOOT_R))).alias("r"),
         )
         .withColumn("w", pois)
         .filter(F.col("w") > 0)
     )
     means = reps.groupBy("r").agg(
-        (F.sum(F.col("w") * F.col("value")) / F.sum("w")).alias("rep_mean")
+        (
+            F.sum(F.col("w") * F.col("cents")).cast("double")
+            / (F.lit(100.0) * F.sum("w").cast("double"))
+        ).alias("rep_mean")
     )
     # 20-row replicate frame: global aggregation is trivially bounded
     ci = means.agg(
@@ -885,7 +907,11 @@ def bootstrap_mean_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.stddev_samp("rep_mean").alias("boot_se"),
     )
     base = e.agg(
-        F.count(F.lit(1)).cast("long").alias("n"), F.avg("value").alias("mean_value")
+        F.count(F.lit(1)).cast("long").alias("n"),
+        (
+            F.sum(F.round(F.col("value") * 100).cast("long")).cast("double")
+            / (F.lit(100.0) * F.count(F.lit(1)).cast("double"))
+        ).alias("mean_value"),
     )
     return base.crossJoin(F.broadcast(ci)).select(
         "n",

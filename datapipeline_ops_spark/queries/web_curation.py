@@ -550,8 +550,11 @@ def robots_rules_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("host", "r.prefix", "r.allow", F.length("r.prefix").alias("plen"))
         .filter(
+            # try_cast mirrors the oracle's TRY_CAST(NULLIF(...)): a host
+            # with no digit yields NULL (rule dropped), not an ANSI cast
+            # error — the fuzzer's digitless sources hit this path
             (F.col("prefix") != "/p/")
-            | (F.regexp_extract("host", r"(\d+)", 1).cast("long") % 3 == 0)
+            | (F.regexp_extract("host", r"(\d+)", 1).try_cast("long") % 3 == 0)
         )
     )
     urls = d.select(

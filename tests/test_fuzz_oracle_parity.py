@@ -810,3 +810,390 @@ def test_fuzz_text_lines_dirty_contract(spark, tmp_path_factory, docs):
         rows,
     )
     _run_pair(spark, tmp_path, ["text_lines_roundtrip"], ["documents"])
+
+
+# ---------------------------------------------------------------------------
+# Wave 5 (round 10): every remaining batch family — only the 11 streaming
+# drains stay outside the fuzz net (stateful checkpoint actions; the driver
+# gate covers them). The wave-5 documents strategy mixes digit-bearing and
+# digit-free sources: robots_rules_apply / domain_mixing_sample key their
+# rule tables off the source's embedded number, and the digit-free path is
+# exactly where the ANSI-cast crash this wave caught used to live. Tokens
+# include markup / emails / digits so the HTML, PII, and tokenizer regexes
+# see non-trivial matches, not just [a-z]+ words.
+# ---------------------------------------------------------------------------
+
+_W5_TOKENS = _WORDS + [
+    "alpha3", "x9y", "<p>hi</p>", "<b>Z</b>", "a@b.com", "tel:555-0100",
+    "HTTP://Ex.COM/A?b=1", "omega", "42",
+]
+
+_W5_DOC_ROW = st.tuples(
+    st.lists(st.sampled_from(_W5_TOKENS), min_size=1, max_size=14),
+    st.sampled_from(["en", "de"]),
+    st.sampled_from(["web", "src3", "src12", "code"]),
+)
+
+
+def _write_w5_docs(tmp_path, docs):
+    import pyarrow as pa
+
+    rows = []
+    for i, (words, lang, source) in enumerate(docs):
+        text = " ".join(words)
+        rows.append((i + 1, text, lang, source, len(text)))
+    _copy_rows(
+        tmp_path,
+        "documents",
+        [
+            ("doc_id", pa.int64()),
+            ("text", pa.string()),
+            ("lang", pa.string()),
+            ("source", pa.string()),
+            ("n_chars", pa.int64()),
+        ],
+        rows,
+    )
+
+
+@settings(**_SETTINGS)
+@given(docs=st.lists(_W5_DOC_ROW, min_size=3, max_size=16))
+def test_fuzz_documents_wave5_dedup(spark, tmp_path_factory, docs):
+    """Wave 5a: the fingerprint/near-dup/admission families."""
+    tmp_path = tmp_path_factory.mktemp("fuzz_doc5a")
+    _write_w5_docs(tmp_path, docs)
+    _run_pair(
+        spark,
+        tmp_path,
+        [
+            "dedup_exact_keepers",
+            "minhash_lsh_pairs",
+            "minhash_estimate_audit",
+            "simhash_near_pairs",
+            "neardup_clusters",
+            "neardup_cluster_sizes",
+            "winnowing_fingerprints",
+            "winnow_match_pairs",
+            "incremental_dedup",
+            "bloom_dedup_admission",
+            "url_canonical_dedup",
+            "cc_consistency_audit",
+            "spell_correct_symdel",
+            "sentence_split_udtf",
+        ],
+        ["documents"],
+    )
+
+
+@settings(**_SETTINGS)
+@given(docs=st.lists(_W5_DOC_ROW, min_size=3, max_size=16))
+def test_fuzz_documents_wave5_web(spark, tmp_path_factory, docs):
+    """Wave 5b: web-curation gates and the corpus report/e2e compositions."""
+    tmp_path = tmp_path_factory.mktemp("fuzz_doc5b")
+    _write_w5_docs(tmp_path, docs)
+    _run_pair(
+        spark,
+        tmp_path,
+        [
+            "html_text_extract",
+            "pii_redact",
+            "quality_classifier_score",
+            "blocklist_filter_report",
+            "robots_rules_apply",
+            "warc_record_extract",
+            "crawl_schedule_plan",
+            "crawl_to_corpus_e2e",
+            "corpus_curation_e2e",
+            "pretrain_data_e2e",
+            "corpus_report_card",
+            "rollup_corpus_report",
+            "grouping_sets_report",
+        ],
+        ["documents"],
+    )
+
+
+@settings(**_SETTINGS)
+@given(docs=st.lists(_W5_DOC_ROW, min_size=3, max_size=16))
+def test_fuzz_documents_wave5_select(spark, tmp_path_factory, docs):
+    """Wave 5c: pretrain packing/selection/sampling and label-eval families."""
+    tmp_path = tmp_path_factory.mktemp("fuzz_doc5c")
+    _write_w5_docs(tmp_path, docs)
+    _run_pair(
+        spark,
+        tmp_path,
+        [
+            "rag_chunk_plan",
+            "context_window_fit_report",
+            "sequence_packing",
+            "sequence_packing_plan",
+            "bpe_merge_step",
+            "source_vocab_jaccard_matrix",
+            "pareto_frontier_docs",
+            "domain_mixing_sample",
+            "dsir_importance_weights",
+            "feature_hash_vectors",
+            "train_test_split_leakfree",
+            "provenance_hash_rollup",
+            "dp_noisy_histogram",
+            "annotator_kappa",
+            "auc_binned_report",
+            "weighted_sample_aes",
+            "weighted_sample_per_source",
+            "funnel_order_cost_report",
+            "pass_at_k_eval",
+            "heavy_hitters_verified",
+            "lsh_tuning_report",
+        ],
+        ["documents"],
+    )
+
+
+@settings(**_SETTINGS)
+@given(docs=st.lists(_W5_DOC_ROW, min_size=3, max_size=16))
+def test_fuzz_documents_wave5_media(spark, tmp_path_factory, docs):
+    """Wave 5d: the media/binary plumbing — PNG/WAV codecs, frame sampling,
+    decode stubs, manifests, UDF gates, and the media e2e compositions all
+    synthesize their binary columns deterministically from the fuzzed doc
+    rows, so the whole Arrow-batch path moves with the corpus."""
+    tmp_path = tmp_path_factory.mktemp("fuzz_doc5d")
+    _write_w5_docs(tmp_path, docs)
+    _run_pair(
+        spark,
+        tmp_path,
+        [
+            "media_type_sniff",
+            "media_png_roundtrip",
+            "media_wav_probe",
+            "media_manifest",
+            "media_decode_stub",
+            "media_frame_sample",
+            "media_resize_stub",
+            "media_png_resize",
+            "media_png_frame_extract",
+            "media_curation_e2e",
+            "audio_silence_segments",
+            "video_scene_cut_detect",
+            "jsonl_records",
+            "manifest_source_scan",
+            "manifest_stream_scan",
+            "udf_quality_gate",
+            "udf_detect_count_filter",
+            "placeholders_build",
+            "pipeline_caption_e2e",
+        ],
+        ["documents"],
+    )
+
+
+@settings(**_SETTINGS)
+@given(embs=st.lists(_EMB_ROW, min_size=12, max_size=40))
+def test_fuzz_embeddings_wave5(spark, tmp_path_factory, embs):
+    """Wave 5e: the remaining vector families — semantic dedup keepers,
+    k-means refinement, ColBERT MaxSim serving, and compressed-index ANN."""
+    tmp_path = tmp_path_factory.mktemp("fuzz_emb5")
+    _write_embeddings(tmp_path, embs)
+    _run_pair(
+        spark,
+        tmp_path,
+        [
+            "embedding_near_dup_lsh",
+            "embedding_dedup_keepers",
+            "semantic_dedup_keepers",
+            "kmeans_refine_step",
+            "colbert_maxsim_topk",
+            "colbert_maxsim_ivf_topk",
+            "ann_ivf_pq_topk",
+        ],
+        ["embeddings"],
+    )
+
+
+@settings(**_SETTINGS)
+@given(events=st.lists(_EVENT_ROW, min_size=6, max_size=60))
+def test_fuzz_events_wave5(spark, tmp_path_factory, events):
+    """Wave 5f: the sketch-audit families (KMV/CMS/HLL/AMS/q-digest),
+    distribution drift, burst/sensitivity diagnostics, and the per-user
+    cogroup/greedy applyInPandas operators."""
+    import datetime
+    import pyarrow as pa
+
+    tmp_path = tmp_path_factory.mktemp("fuzz_ev5")
+    rows = []
+    for i, (day, sec, user, etype, cents) in enumerate(events):
+        ts = datetime.datetime(2024, 1, 1) + datetime.timedelta(days=day, seconds=sec)
+        rows.append((i + 1, ts, user, etype, cents / 100.0, "{}"))
+    _copy_rows(
+        tmp_path,
+        "events",
+        [
+            ("event_id", pa.int64()),
+            ("ts", pa.timestamp("us")),
+            ("user_id", pa.int64()),
+            ("event_type", pa.string()),
+            ("value", pa.float64()),
+            ("props", pa.string()),
+        ],
+        rows,
+    )
+    _run_pair(
+        spark,
+        tmp_path,
+        [
+            "ams_f2_sketch",
+            "approx_distinct_users",
+            "bootstrap_mean_ci",
+            "count_min_freq_audit",
+            "event_trigram_funnels",
+            "hll_mergeability_audit",
+            "hll_register_sketch",
+            "psi_stability_report",
+            "quantile_sketch_audit",
+            "seasonal_decompose_daily",
+            "session_gap_sensitivity",
+            "wasserstein_drift_binned",
+            "cogroup_click_purchase_stats",
+            "greedy_dedup_keep",
+            "kmv_set_ops_audit",
+        ],
+        ["events"],
+    )
+
+
+@settings(**_SETTINGS)
+@given(**_OL_GIVEN)
+def test_fuzz_ol_wave5_layout(spark, tmp_path_factory, orders, lines, seed):
+    """Wave 5g: physical-layout/IO families on the order tables — bloom
+    pruning, bucketed/DPP joins, partitioned writes, schema evolution,
+    round-trip sinks, and the path/label scalar surfaces."""
+    tmp_path = tmp_path_factory.mktemp("fuzz_ol5g")
+    _write_orders_lineitem(tmp_path, orders, lines, seed)
+    _run_pair(
+        spark,
+        tmp_path,
+        [
+            "bloom_pruned_join",
+            "bucketed_join_copartition",
+            "dpp_partitioned_join",
+            "partitioned_write_prune",
+            "schema_evolution_merge",
+            "encoding_advisor",
+            "csv_roundtrip",
+            "jsonl_roundtrip",
+            "orc_roundtrip",
+            "path_roundtrip",
+            "sec_to_label",
+            "fraction_parse",
+            "coalesce_fallback",
+            "similarity_argmax",
+        ],
+        _OL_TABLES,
+    )
+
+
+@settings(**_SETTINGS)
+@given(**_OL_GIVEN)
+def test_fuzz_ol_wave5_pipeline(spark, tmp_path_factory, orders, lines, seed):
+    """Wave 5h: the reference-pipeline analog families on the order tables
+    (box filters, segment recursion, gauntlets, placeholder joins) plus the
+    multi-table integrity/deletion audits and the point-in-time join (a
+    small deterministic events table rides along for it)."""
+    import datetime
+    import pyarrow as pa
+
+    tmp_path = tmp_path_factory.mktemp("fuzz_ol5h")
+    _write_orders_lineitem(tmp_path, orders, lines, seed)
+    ev_rows = []
+    for i in range(18):
+        ts = datetime.datetime(1995, 1, 1) + datetime.timedelta(
+            days=(i * 53) % 2400, seconds=(i * 977) % 86_400
+        )
+        ev_rows.append(
+            (i + 1, ts, 1 + i % 6, ["click", "view", "purchase"][i % 3],
+             ((i * 137) % 5_000) / 100.0, "{}")
+        )
+    _copy_rows(
+        tmp_path,
+        "events",
+        [
+            ("event_id", pa.int64()),
+            ("ts", pa.timestamp("us")),
+            ("user_id", pa.int64()),
+            ("event_type", pa.string()),
+            ("value", pa.float64()),
+            ("props", pa.string()),
+        ],
+        ev_rows,
+    )
+    _run_pair(
+        spark,
+        tmp_path,
+        [
+            "scene_split_recursive",
+            "gauntlet_exactly_one",
+            "iou_boxes",
+            "clipped_area_filter",
+            "array_index_join",
+            "gdpr_delete_cascade",
+            "fk_integrity_report",
+            "entity_resolution_e2e",
+            "pipeline_cut_e2e",
+            "pipeline_frame_mining_e2e",
+            "pipeline_bg_filter_e2e",
+            "pit_state_at_order",
+            "hilbert_vs_zorder_locality",
+        ],
+        _OL_TABLES + ["events"],
+    )
+
+
+@settings(**_SETTINGS)
+@given(events=st.lists(_EVENT_ROW, min_size=6, max_size=60))
+def test_fuzz_streaming_wave5(spark, tmp_path_factory, events):
+    """Wave 5i: the Structured Streaming drains — tumbling/sliding/session
+    windows, watermark dedup, stateful running totals, stream-static and
+    stream-stream joins, the foreachBatch sink, and the HLL/PSI streaming
+    sketches. Each builder drains its file stream with availableNow
+    against the fuzzed events and must land on the same table the batch
+    oracle computes; this closes the fuzz net over the FULL registry (the
+    dims ride along for the stream-static enrich)."""
+    import datetime
+    import pyarrow as pa
+
+    tmp_path = tmp_path_factory.mktemp("fuzz_st5")
+    _write_dims(tmp_path)
+    rows = []
+    for i, (day, sec, user, etype, cents) in enumerate(events):
+        ts = datetime.datetime(2024, 1, 1) + datetime.timedelta(days=day, seconds=sec)
+        rows.append((i + 1, ts, user, etype, cents / 100.0, "{}"))
+    _copy_rows(
+        tmp_path,
+        "events",
+        [
+            ("event_id", pa.int64()),
+            ("ts", pa.timestamp("us")),
+            ("user_id", pa.int64()),
+            ("event_type", pa.string()),
+            ("value", pa.float64()),
+            ("props", pa.string()),
+        ],
+        rows,
+    )
+    _run_pair(
+        spark,
+        tmp_path,
+        [
+            "stream_tumbling_counts",
+            "stream_sliding_counts",
+            "stream_session_windows",
+            "stream_dedup_count",
+            "stream_running_totals",
+            "stream_static_enrich",
+            "stream_foreachbatch_sink",
+            "stream_stream_click_purchase",
+            "stream_psi_drift",
+            "stream_dedup_within_watermark",
+            "stream_hll_registers",
+        ],
+        ["events", "customer"],
+    )
