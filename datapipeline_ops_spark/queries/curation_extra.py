@@ -1831,3 +1831,102 @@ def funnel_order_cost_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out.localCheckpoint(eager=True)
     finally:
         d.unpersist()
+
+
+# ---------------------------------------------------------------------------
+# mixture_realized_audit — derive -> apply -> audit the mixture in ONE plan
+# ---------------------------------------------------------------------------
+
+_MIXA_SEED = 2024
+
+
+@query(
+    "mixture_realized_audit",
+    oracle=f"""
+    WITH t AS (
+        SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(len({sql_tokens("text")})) AS BIGINT) AS n_tokens
+        FROM documents GROUP BY source
+    ),
+    w AS MATERIALIZED (
+        SELECT source, n_docs, n_tokens,
+               sqrt(CAST(n_tokens AS DOUBLE)) AS sq
+        FROM t
+    ),
+    tot AS (SELECT sum(sq) AS tot_sq FROM w),
+    p AS MATERIALIZED (
+        SELECT source, n_docs, n_tokens, sq / t.tot_sq AS weight
+        FROM w CROSS JOIN tot t
+    ),
+    s AS (
+        SELECT d.source, CAST(count(*) AS BIGINT) AS n_sampled
+        FROM documents d JOIN p ON d.source = p.source
+        WHERE {sql_hash_unit("doc_id", seed=_MIXA_SEED)} < p.weight
+        GROUP BY d.source
+    )
+    SELECT p.source, p.n_docs, p.n_tokens, p.weight,
+           coalesce(s.n_sampled, 0) AS n_sampled,
+           CAST(coalesce(s.n_sampled, 0) AS DOUBLE)
+               / CAST(p.n_docs AS DOUBLE) AS realized_frac,
+           abs(CAST(coalesce(s.n_sampled, 0) AS DOUBLE)
+                   / CAST(p.n_docs AS DOUBLE) - p.weight)
+               <= 4.0 * sqrt(p.weight * (1.0 - p.weight)
+                                 / CAST(p.n_docs AS DOUBLE))
+                  + 1.0 / CAST(p.n_docs AS DOUBLE) AS within_tol
+    FROM p LEFT JOIN s ON p.source = s.source
+    """,
+)
+def mixture_realized_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture derive -> apply -> audit, composed in one plan: the
+    temperature-scaled per-source weight (n_tokens^0.5 / total, the
+    ``mixture_temperature_weights`` recipe) is derived from the corpus,
+    APPLIED as a deterministic hash downsample (the
+    ``domain_mixing_sample`` mechanism, so reruns pick identical rows),
+    and the realized per-source document fraction is audited against the
+    planned weight under a 4-sigma binomial tolerance (+1/n
+    discretization floor) — the closed-loop check that the sampling stage
+    actually delivers the mixture the plan promised, which silently
+    breaks when weights are computed on one corpus snapshot and applied
+    to another.
+
+    Cross-engine exactness: weights are one sqrt + one division of exact
+    integer token counts (bit-identical), the hash gate admits identical
+    doc_ids on both engines, so every published double and the tolerance
+    boolean derive from identical integers.
+
+    Scale: two partial-aggregated scans (token totals; sampled counts)
+    joined on the low-cardinality source key; the weight table is
+    |sources| rows and broadcast into the sampling filter — no per-doc
+    shuffle anywhere."""
+    d = load_table(spark, sf_dir, "documents")
+    t = d.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.size(tokens(F.col("text")))).cast("long").alias("n_tokens"),
+    )
+    w = t.withColumn("sq", F.sqrt(F.col("n_tokens").cast("double")))
+    tot = w.agg(F.sum("sq").alias("tot_sq"))
+    p = w.crossJoin(F.broadcast(tot)).select(
+        "source", "n_docs", "n_tokens", (F.col("sq") / F.col("tot_sq")).alias("weight")
+    )
+    s = (
+        d.select("doc_id", "source")
+        .join(F.broadcast(p.select("source", "weight")), "source")
+        .filter(hash_unit(F.col("doc_id"), seed=_MIXA_SEED) < F.col("weight"))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_sampled"))
+    )
+    realized = F.coalesce(F.col("n_sampled"), F.lit(0)).cast("double") / F.col(
+        "n_docs"
+    ).cast("double")
+    tol = 4.0 * F.sqrt(
+        F.col("weight") * (F.lit(1.0) - F.col("weight")) / F.col("n_docs").cast("double")
+    ) + F.lit(1.0) / F.col("n_docs").cast("double")
+    return p.join(s, "source", "left").select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        "weight",
+        F.coalesce(F.col("n_sampled"), F.lit(0)).alias("n_sampled"),
+        realized.alias("realized_frac"),
+        (F.abs(realized - F.col("weight")) <= tol).alias("within_tol"),
+    )

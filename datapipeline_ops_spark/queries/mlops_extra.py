@@ -1277,3 +1277,110 @@ def _lsh_recall_oracle() -> str:
 
 
 QUERIES["lsh_pair_recall_eval"].oracle = _lsh_recall_oracle()
+
+
+# ---------------------------------------------------------------------------
+# preference_pair_margins — best-of-n -> (chosen, rejected) DPO-pair prep
+# ---------------------------------------------------------------------------
+
+
+def _pref_pair_oracle() -> str:
+    from datapipeline_ops_spark.functions.money import sql_avg_units
+
+    avg_margin = sql_avg_units("sum(chosen_cents - rejected_cents)", "count(*)", 100, 4)
+    return f"""
+    WITH c AS (
+        SELECT event_id, user_id, event_type,
+               CAST(round(value * 100) AS BIGINT) AS cents
+        FROM events WHERE value IS NOT NULL
+    ),
+    r AS (
+        SELECT user_id, event_type, cents,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY cents DESC, event_id ASC) AS rn_hi,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY cents ASC, event_id ASC) AS rn_lo,
+               count(*) OVER (PARTITION BY user_id) AS n_events
+        FROM c
+    ),
+    p AS (
+        SELECT user_id,
+               max(CASE WHEN rn_hi = 1 THEN event_type END) AS chosen_type,
+               max(CASE WHEN rn_hi = 1 THEN cents END) AS chosen_cents,
+               max(CASE WHEN rn_lo = 1 THEN event_type END) AS rejected_type,
+               max(CASE WHEN rn_lo = 1 THEN cents END) AS rejected_cents,
+               max(n_events) AS n_events
+        FROM r GROUP BY user_id
+    )
+    SELECT chosen_type, rejected_type,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           {avg_margin} AS avg_margin,
+           CAST(max(chosen_cents - rejected_cents) AS DOUBLE) / 100.0
+               AS max_margin
+    FROM p
+    WHERE n_events >= 2 AND chosen_cents > rejected_cents
+    GROUP BY chosen_type, rejected_type
+    """
+
+
+@query("preference_pair_margins", oracle=_pref_pair_oracle())
+def preference_pair_margins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Best-of-n preference-pair extraction — the prep step UPSTREAM of the
+    repo's preference fitters (``bradley_terry_strengths``, Elo): each
+    user's scored candidate set (events as reward-scored generations for
+    one prompt) yields one (chosen, rejected) pair — the top- and
+    bottom-scored candidates under a fully deterministic order (cents
+    DESC/ASC, event_id tie-break), dropping prompts with fewer than two
+    candidates or a zero margin (no training signal). The rollup per
+    (chosen_type, rejected_type) — pair counts and exact-cents margin
+    stats — is the dataset card a DPO/RLHF run is gated on: it shows
+    which variant beats which, how often, and by how much.
+
+    Exactness: margins are integer cents; the mean is the integer half-up
+    4dp form (functions/money.py) and the max one exact division, so
+    every published value derives from identical integers on both engines.
+
+    Scale: both row_numbers and the per-prompt collapse share ONE
+    exchange on user_id (candidate sets are bounded per prompt); the
+    final rollup is |types|^2 rows. No pair explosion — the pair is
+    argmax/argmin per group, never a cross join."""
+    from datapipeline_ops_spark.functions.money import spark_avg_units
+
+    e = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    c = e.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    w_hi = Window.partitionBy("user_id").orderBy(F.desc("cents"), F.asc("event_id"))
+    w_lo = Window.partitionBy("user_id").orderBy(F.asc("cents"), F.asc("event_id"))
+    r = c.select(
+        "user_id",
+        "event_type",
+        "cents",
+        F.row_number().over(w_hi).alias("rn_hi"),
+        F.row_number().over(w_lo).alias("rn_lo"),
+    )
+    p = r.groupBy("user_id").agg(
+        F.max(F.when(F.col("rn_hi") == 1, F.col("event_type"))).alias("chosen_type"),
+        F.max(F.when(F.col("rn_hi") == 1, F.col("cents"))).alias("chosen_cents"),
+        F.max(F.when(F.col("rn_lo") == 1, F.col("event_type"))).alias("rejected_type"),
+        F.max(F.when(F.col("rn_lo") == 1, F.col("cents"))).alias("rejected_cents"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    pairs = p.filter(
+        (F.col("n_events") >= 2) & (F.col("chosen_cents") > F.col("rejected_cents"))
+    )
+    g = pairs.groupBy("chosen_type", "rejected_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum(F.col("chosen_cents") - F.col("rejected_cents")).alias("_mc"),
+        F.max(F.col("chosen_cents") - F.col("rejected_cents")).alias("_mx"),
+    )
+    return g.select(
+        "chosen_type",
+        "rejected_type",
+        "n_pairs",
+        F.expr(spark_avg_units("_mc", "n_pairs", 100, 4)).alias("avg_margin"),
+        (F.col("_mx").cast("double") / 100.0).alias("max_margin"),
+    )

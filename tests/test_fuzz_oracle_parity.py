@@ -944,6 +944,7 @@ def test_fuzz_documents_wave5_select(spark, tmp_path_factory, docs):
             "pass_at_k_eval",
             "heavy_hitters_verified",
             "lsh_tuning_report",
+            "mixture_realized_audit",
         ],
         ["documents"],
     )
@@ -1055,6 +1056,7 @@ def test_fuzz_events_wave5(spark, tmp_path_factory, events):
             "cogroup_click_purchase_stats",
             "greedy_dedup_keep",
             "kmv_set_ops_audit",
+            "preference_pair_margins",
         ],
         ["events"],
     )

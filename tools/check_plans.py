@@ -1684,6 +1684,32 @@ def _(qs, spark):
     assert specs and all(sp.split(",")[0].strip().startswith("_pid") for sp in specs), specs[:2]
 
 
+@check("mixture_realized_audit: source-key rollups, broadcast weight table")
+def _(qs, spark):
+    plan = plan_of(qs["mixture_realized_audit"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    cols = read_schema_cols(plan, "documents")
+    assert cols <= {"doc_id", "text", "source"}, cols
+    # the |sources|-row weight table rides a broadcast into the sampling
+    # filter; per-doc rows never hash-exchange (only source rollups do)
+    assert "BroadcastExchange" in plan
+    assert "windowspecdefinition" not in plan
+
+
+@check("preference_pair_margins: one user_id exchange feeds both windows")
+def _(qs, spark):
+    plan = plan_of(qs["preference_pair_margins"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    cols = read_schema_cols(plan, "events")
+    assert cols <= {"event_id", "user_id", "event_type", "value"}, cols
+    # both row_numbers and the per-prompt collapse share the user_id
+    # partitioning; the only other exchange is the |types|^2 rollup
+    specs = re.findall(r"windowspecdefinition\(user_id[^)]*\)", plan)
+    assert len(specs) >= 2, "expected both per-user windows"
+    n_ex = plan.count("Exchange hashpartitioning")
+    assert n_ex <= 2, f"{n_ex} hash exchanges"
+
+
 @check("tokenizer_roundtrip_audit: one pruned scan, lang-key rollup, no window")
 def _(qs, spark):
     plan = plan_of(qs["tokenizer_roundtrip_audit"](spark, SF_DIR))
