@@ -68,7 +68,8 @@ _PRIORITY = [
 # window with any round-10 reds (expected none), then:
 # (1) first driver records for the round-10 additions, registration order:
 #     dedup_manifest_reconcile tokenizer_roundtrip_audit
-#     serving_eval_gate_e2e preference_pair_margins mixture_realized_audit;
+#     serving_eval_gate_e2e preference_pair_margins mixture_realized_audit
+#     neardup_split_leakage;
 # (2) the 15 remaining r03-latest stragglers, registration order:
 #     stream_foreachbatch_sink stream_stream_click_purchase
 #     asof_click_to_purchase scd2_user_state ohlc_time_bars

@@ -13,7 +13,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
-from datapipeline_ops_spark.core.registry import query
+from datapipeline_ops_spark.core.registry import QUERIES, query
 from datapipeline_ops_spark.functions.hashing import hash64, hash_unit, sql_hash64, sql_hash_unit
 from datapipeline_ops_spark.tables import load_table
 
@@ -1492,3 +1492,101 @@ def neyman_allocation_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.lit(_NEY_BUDGET) * F.col("nh_sh") / tot).cast("long"),
         ).alias("n_alloc"),
     )
+
+
+# ---------------------------------------------------------------------------
+# neardup_split_leakage — SOFT leakage across train/val/test splits
+# ---------------------------------------------------------------------------
+
+
+def _neardup_split_leakage_oracle() -> str:
+    from datapipeline_ops_spark.queries.dedup import _pairs_cte
+
+    def split_case(col: str) -> str:
+        u = sql_hash_unit(col, SPLIT_SEED)
+        return (
+            f"CASE WHEN {u} < {SPLIT_TRAIN} THEN 'train'"
+            f" WHEN {u} < {SPLIT_VAL} THEN 'val' ELSE 'test' END"
+        )
+
+    return (
+        "WITH "
+        + _pairs_cte()
+        + f""",
+    labeled AS (
+        SELECT doc_a, doc_b,
+               {split_case("doc_a")} AS sa,
+               {split_case("doc_b")} AS sb
+        FROM pairs
+    ),
+    crossed AS MATERIALIZED (
+        SELECT least(sa, sb) AS split_a, greatest(sa, sb) AS split_b,
+               doc_a, doc_b
+        FROM labeled WHERE sa <> sb
+    ),
+    long AS (
+        SELECT split_a, split_b, doc_a AS doc FROM crossed
+        UNION ALL
+        SELECT split_a, split_b, doc_b FROM crossed
+    )
+    SELECT c.split_a, c.split_b,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           (SELECT count(DISTINCT doc) FROM long l
+            WHERE l.split_a = c.split_a AND l.split_b = c.split_b)
+               AS n_leaked_docs
+    FROM crossed c GROUP BY c.split_a, c.split_b
+    """
+    )
+
+
+@query("neardup_split_leakage", oracle=None)  # assigned below
+def neardup_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SOFT train/val/test leakage: near-duplicate pairs (MinHash-LSH
+    candidates verified at Jaccard >= 0.5 — the ``neardup_clusters``
+    machinery) whose two documents land in DIFFERENT hash splits. This is
+    the leakage ``split_leakage_audit`` structurally misses: that audit
+    groups by exact md5(text), so a test document that is a lightly
+    edited or shuffled copy of a training document sails through while
+    still inflating eval scores. Per unordered split pair: the cross-pair
+    count and the number of distinct documents touched by any such pair.
+
+    Scale: identical to the near-dup path (bucketed LSH, bucket cap, no
+    all-pairs stage); the split label is a deterministic hash of doc_id,
+    so the cross-split predicate prunes candidates BEFORE the Jaccard
+    verify via ``pair_filter`` — no extra scan, join, or broadcast is
+    added to the dedup pipeline it rides."""
+    from datapipeline_ops_spark.operators.dedup import with_shingle_hashes
+    from datapipeline_ops_spark.queries.dedup import _lsh_verified_pairs
+
+    def split_col(c):
+        u = hash_unit(c, SPLIT_SEED)
+        return (
+            F.when(u < SPLIT_TRAIN, "train")
+            .when(u < SPLIT_VAL, "val")
+            .otherwise("test")
+        )
+
+    d = with_shingle_hashes(load_table(spark, sf_dir, "documents"), "doc_id")
+    cross = split_col(F.col("doc_a")) != split_col(F.col("doc_b"))
+    pairs = _lsh_verified_pairs(d, pair_filter=cross)
+    crossed = pairs.select(
+        F.least(split_col(F.col("doc_a")), split_col(F.col("doc_b"))).alias("split_a"),
+        F.greatest(split_col(F.col("doc_a")), split_col(F.col("doc_b"))).alias("split_b"),
+        "doc_a",
+        "doc_b",
+    )
+    docs_long = crossed.select("split_a", "split_b", F.col("doc_a").alias("doc")).unionAll(
+        crossed.select("split_a", "split_b", F.col("doc_b").alias("doc"))
+    )
+    leaked = docs_long.groupBy("split_a", "split_b").agg(
+        F.count_distinct("doc").alias("n_leaked_docs")
+    )
+    return (
+        crossed.groupBy("split_a", "split_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+        .join(leaked, ["split_a", "split_b"])
+        .select("split_a", "split_b", "n_pairs", "n_leaked_docs")
+    )
+
+
+QUERIES["neardup_split_leakage"].oracle = _neardup_split_leakage_oracle()

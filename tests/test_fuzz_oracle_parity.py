@@ -878,6 +878,7 @@ def test_fuzz_documents_wave5_dedup(spark, tmp_path_factory, docs):
             "bloom_dedup_admission",
             "url_canonical_dedup",
             "cc_consistency_audit",
+            "neardup_split_leakage",
             "spell_correct_symdel",
             "sentence_split_udtf",
         ],

@@ -1684,6 +1684,18 @@ def _(qs, spark):
     assert specs and all(sp.split(",")[0].strip().startswith("_pid") for sp in specs), specs[:2]
 
 
+@check("neardup_split_leakage: rides the capped LSH path, no all-pairs")
+def _(qs, spark):
+    plan = plan_of(qs["neardup_split_leakage"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    cols = read_schema_cols(plan, "documents")
+    assert cols <= {"doc_id", "text"}, cols
+    # pair generation is the bucket-grouped LSH stage, never an uncapped
+    # cross stage; the InMemory barrier from with_shingle_hashes is present
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "InMemoryTableScan" in plan
+
+
 @check("mixture_realized_audit: source-key rollups, broadcast weight table")
 def _(qs, spark):
     plan = plan_of(qs["mixture_realized_audit"](spark, SF_DIR))
