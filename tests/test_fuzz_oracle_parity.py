@@ -23,8 +23,12 @@ from check_correctness import value_hash  # noqa: E402
 
 from datapipeline_ops_spark.queries import QUERIES
 
+# Soak knob: the per-round suite runs 4 examples per family group; a deep
+# soak (SPARK_GRAFT_FUZZ_EXAMPLES=25 python -m pytest tests/test_fuzz_...)
+# re-rolls every group with fresh inputs — any divergence it finds is one
+# the driver gate would never see.
 _SETTINGS = dict(
-    max_examples=4,
+    max_examples=int(os.environ.get("SPARK_GRAFT_FUZZ_EXAMPLES", "4")),
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
