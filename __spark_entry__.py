@@ -26,61 +26,46 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver gate records a capped prefix of queries() in registration order
-# (r01..r09 each recorded exactly 50), so ordering controls which queries get
-# a driver record. Round-10 ordering applies the staged plan (round-9 gate
+# (r01..r10 each recorded exactly 50), so ordering controls which queries get
+# a driver record. Round-11 ordering applies the staged plan (round-10 gate
 # came back 50/50 green, so no reds to head the window):
-# (a) pretrain_prep_e2e — the round-9 addition and the registry's only
-#     driver-unrecorded query — first record;
-# (b) the 18 remaining r02-latest stragglers, registration order (their
-#     last driver record is round 2; the fuzzer covers most of them but a
-#     fresh record closes the ≤8-round cadence loop);
-# (c) 31 rotations from the then-oldest cohort (r03-latest, 46 queries),
-#     registration order. 1 + 18 + 31 = 50; the other 15 r03 queries roll
-#     to round 11. After this round EVERY registered query has a driver
-#     record. All queries remain registered — ordering only picks the
-#     driver sample.
+# (a) first driver records for the 6 round-10 additions, registration
+#     order (judge-verified PASS against the oracle in round 10);
+# (b) the 15 remaining r03-latest stragglers, registration order — after
+#     these the r03 cohort is fully rotated;
+# (c) round-11 additions, registration order — first records in the same
+#     round they were written;
+# (d) fill from the then-oldest cohort (r04-latest, 47 queries),
+#     registration order; the rest roll to round 12. All queries remain
+#     registered — ordering only picks the driver sample.
 _PRIORITY = [
-    # (a) round-9 addition, first driver record
-    "pretrain_prep_e2e",
-    # (b) r02-latest stragglers, registration order
-    "cosine_topk_bruteforce", "embedding_near_dup", "ann_lsh_buckets",
-    "ann_ivf_topk", "eval_tonemap", "zorder_layout", "variant_props_stats",
-    "table_profile", "vocab_top_tokens", "winsorized_value_stats",
-    "token_stats", "bpe_ish_token_count", "quality_score", "language_id",
-    "lang_distribution", "doc_fingerprint", "tfidf_top_terms",
-    "char_trigram_lm_score",
-    # (c) r03-latest rotations, registration order
-    "funnel_conversion", "event_bigram_paths", "retention_cohorts",
-    "histogram_equi_width", "multi_touch_attribution",
-    "neardup_cluster_sizes", "semantic_dedup_keepers",
-    "weighted_sample_per_source", "ann_rerank_l2", "kmeans_refine_step",
-    "triangle_copurchase_stats", "partitioned_write_prune",
-    "bucketed_join_copartition", "manifest_stream_scan",
-    "dpp_partitioned_join", "schema_evolution_merge", "pretrain_data_e2e",
-    "benford_price_check", "expectations_report", "bin_argmax",
-    "semi_join", "sessionize_events", "incremental_mv_refresh",
-    "unpivot_order_metrics", "dataset_split_assign", "split_leakage_audit",
-    "cogroup_click_purchase_stats", "stream_tumbling_counts",
-    "stream_sliding_counts", "stream_session_windows", "stream_dedup_count",
+    # (a) round-10 additions, first driver records
+    "dedup_manifest_reconcile", "tokenizer_roundtrip_audit",
+    "serving_eval_gate_e2e", "preference_pair_margins",
+    "mixture_realized_audit", "neardup_split_leakage",
+    # (b) r03-latest stragglers, registration order
+    "stream_foreachbatch_sink", "stream_stream_click_purchase",
+    "asof_click_to_purchase", "scd2_user_state", "ohlc_time_bars",
+    "pit_state_at_order", "zipf_slope_fit", "lang_confusion_matrix",
+    "text_normalize_stats", "corpus_report_card", "lead_lag_deltas",
+    "rolling_window_avg", "time_range_rolling_sum", "daily_anomaly_zscore",
+    "percent_rank_features",
+    # (c) round-11 additions, first driver records
+    # (inserted here as they land; r04 fill below trims to keep the
+    #  window at 50)
+    # (d) r04-latest rotations, registration order
+    "partition_skew_report", "dedup_exact_keepers", "minhash_lsh_pairs",
+    "neardup_clusters", "corpus_curation_e2e", "exact_substring_spans",
+    "dsir_importance_weights", "compaction_plan", "similarity_argmax",
+    "embedding_int8_quant", "pricing_summary", "revenue_by_nation",
+    "top_orders", "multi_predicate_filter", "count_in_range_filter",
+    "null_guard_filter", "group_count", "running_best_max_by",
+    "topk_per_group", "anti_join_idempotency", "broadcast_dim_join",
+    "distinct_agg_suppliers", "having_big_customers", "above_avg_parts",
+    "customer_order_histogram", "priority_with_big_lineitem",
+    "returnflag_share", "deterministic_sample", "value_percentiles_by_type",
     # --- 50-slot window ends here ---
 ]
-# ROUND-11 ORDERING PLAN (apply after the round-10 gate runs): head the
-# window with any round-10 reds (expected none), then:
-# (1) first driver records for the round-10 additions, registration order:
-#     dedup_manifest_reconcile tokenizer_roundtrip_audit
-#     serving_eval_gate_e2e preference_pair_margins mixture_realized_audit
-#     neardup_split_leakage;
-# (2) the 15 remaining r03-latest stragglers, registration order:
-#     stream_foreachbatch_sink stream_stream_click_purchase
-#     asof_click_to_purchase scd2_user_state ohlc_time_bars
-#     pit_state_at_order zipf_slope_fit lang_confusion_matrix
-#     text_normalize_stats corpus_report_card lead_lag_deltas
-#     rolling_window_avg time_range_rolling_sum daily_anomaly_zscore
-#     percent_rank_features
-# (3) fill the remaining slots from the then-oldest cohort (r04-latest,
-#     47 queries), registration order.
-# From round 11 on the window is pure first-records-for-new +
-# oldest-cohort rotation on a ≤8-round cadence.
 
 
 def _ordered_names() -> list[str]:
