@@ -20,6 +20,40 @@ convention): Spark's ``div`` truncates toward zero while DuckDB's ``//``
 floors, so a bare ``(x + d/2) div d`` agrees across engines only for
 non-negative x — the CASE removes that footgun for refund/net-revenue
 style sums that can go negative.
+
+PINNED ``round(double, N)`` EXCEPTIONS — the raw-double convention
+------------------------------------------------------------------
+The integer-space rule above applies to EXACT-DECIMAL data (money,
+quantities, percents). A second class of outputs is genuinely irrational
+and CANNOT be made exact; for these the registry keeps engine-side
+``round(x, N)`` with the SAME N and the SAME IEEE op order on both
+engines, and relies on the gate's 6-sig-fig normalization. A shortest-
+decimal half-boundary needs the true value to sit within one double ULP
+of a 10^-N half-grid point — vanishingly unlikely for irrational values
+(vs ~1% for cent sums). This inventory is the complete, deliberate list;
+sweeps should not re-litigate members of these families:
+
+- **stddev / variance / covariance / correlation** (``sqrt`` of a mean of
+  squares): price_stats_by_flag, winsorized_value_stats, corr-style
+  queries in relational_extra/behavior_extra/experiment_stats.
+- **log-domain scores** (``ln``/``log2``/entropy/perplexity):
+  char_trigram_lm_score, zipf_slope_fit, entropy/burstiness families in
+  textstats/behavior_extra.  (NOT an exception: ``round(log2(w & -w))``
+  in the HLL register path — w&-w is a power of two, log2 is exactly an
+  integer, the round is exact by construction.)
+- **eval-suite error metrics** (RMSE / si-RMSE / angular error / tonemap
+  means): evaluation.py — means of sqrt/acos terms.
+- **means of already-irrational per-row doubles** (avg of token-length
+  ratios, avg log-probs, cosine scores): textstats/similarity/search_rank
+  — the per-row terms are bit-identical across engines (vectors.py dot /
+  identical expressions), so the sum is bit-identical and one final
+  round agrees.
+
+Membership test for a NEW query: if the rounded value is a ratio of exact
+integers (money cents, counts, whole percents), use the helpers below —
+no exceptions. Only a value passed through sqrt/log/exp/acos or an
+irrational constant may use engine-side round, and then both engines must
+compute it with identical op order.
 """
 
 from __future__ import annotations

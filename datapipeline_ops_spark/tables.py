@@ -13,6 +13,7 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
 
 TABLE_NAMES = (
     "region",
@@ -34,6 +35,32 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
+# Parquet schema inference launches a 1-task Spark job per spark.read.parquet
+# call (ParquetFileFormat.inferSchema reads a footer sample cluster-side).
+# Catalog tables are immutable per (path, mtime), so cache the inferred
+# StructType and hand it back via .schema(...) on every later load — a query
+# touching 5 tables otherwise pays 5 serialized scheduler round-trips
+# (~400 ms at local[32]) before its first real stage. On a 1000-executor
+# cluster the same jobs ride the full scheduler path, so the cache matters
+# there too. Keyed by (path, mtime) and, for events, the nanosAsLong conf the
+# schema depends on.
+_SCHEMA_CACHE: dict[tuple[str, float, str], StructType] = {}
+
+
+def _cached_read(spark: SparkSession, path: str, conf_key: str = "") -> DataFrame:
+    try:
+        mtime = os.path.getmtime(path)
+    except OSError:
+        return spark.read.parquet(path)  # missing/odd layout: let Spark error
+    key = (path, mtime, conf_key)
+    schema = _SCHEMA_CACHE.get(key)
+    if schema is None:
+        df = spark.read.parquet(path)
+        _SCHEMA_CACHE[key] = df.schema
+        return df
+    return spark.read.schema(schema).parquet(path)
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown table {name!r}; known: {TABLE_NAMES}")
@@ -50,9 +77,9 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         #     instant equals DuckDB's epoch interpretation of the naive value.
         #   - timestamp[us] with tz: already TimestampType; pass through.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(table_path(sf_dir, name))
+        df = _cached_read(spark, table_path(sf_dir, name), "nanosAsLong")
         return _normalize_event_ts(df)
-    return spark.read.parquet(table_path(sf_dir, name))
+    return _cached_read(spark, table_path(sf_dir, name))
 
 
 def _normalize_event_ts(df: DataFrame, col: str = "ts") -> DataFrame:

@@ -8,6 +8,13 @@ inputs — random tie patterns, missing 2x2 cells, empty date windows,
 single-day calendars — while holding the schema contract, so any
 engine-divergence that only shows on an input shape the testdata never
 produces is caught here first.
+
+Rounding contract: exact-decimal outputs must use the integer-space
+helpers in ``functions/money.py``; a divergence on a ``round(double, N)``
+column is NOT a finding if the query is in money.py's PINNED-EXCEPTIONS
+inventory (genuinely irrational families — stddev/log/RMSE/irrational
+means) AND both engines share the op order — re-read that docstring
+before filing one.
 """
 
 import os

@@ -15,6 +15,17 @@ misleading column name; both are worth failing on. Known-intentional
 exceptions are pinned in EXCLUDE with a justification — a new violation
 means a new bug or a newly misleading name.
 
+Beyond single-column ranges, CROSS-COLUMN invariants catch the next bug
+class up: per row, ``min_x <= avg_x <= max_x`` (shared stem), percentile
+families ordered by quantile (``p50_v <= p90_v``), confidence bounds
+``*_lo <= *_hi``, plus per-query pinned chains (e.g. pricing_summary's
+``sum_disc_price <= sum_base_price <= sum_charge``) that no column name
+alone implies.
+
+This tool is part of the pre-record gate: run it together with
+``tools/check_plans.py`` and ``tools/check_correctness.py`` before staging
+driver records — a clean parity gate does NOT imply a clean invariant run.
+
 Usage: python tools/check_invariants.py [query ...]
 """
 
@@ -64,6 +75,97 @@ RULES = [
     ),
 ]
 
+# --- cross-column invariants -------------------------------------------
+
+# Role tokens recognised at either end of a column name; stems must match
+# exactly for columns to be compared (avg_qty pairs with min_qty/max_qty,
+# never with max_price).
+_ROLE_RX = re.compile(
+    r"^(?P<pre>min|max|avg|mean|med|median|p\d{1,3})_(?P<stem_a>.+)$"
+    r"|^(?P<stem_b>.+)_(?P<suf>min|max|avg|mean|med|median|p\d{1,3})$"
+)
+
+# Ordering rank inside a stem family: min <= p* (by quantile) <= max, with
+# the central tendencies pinned between min and max only (avg vs median vs
+# p50 are NOT mutually ordered).
+_CENTRAL = {"avg", "mean", "med", "median"}
+
+
+def _stem_roles(cols: list[str]) -> dict[str, dict[str, str]]:
+    """Map stem -> {role: column} for columns named with min/max/avg/p* roles."""
+    out: dict[str, dict[str, str]] = {}
+    for c in cols:
+        m = _ROLE_RX.match(c)
+        if not m:
+            continue
+        role = (m.group("pre") or m.group("suf")).lower()
+        stem = m.group("stem_a") or m.group("stem_b")
+        out.setdefault(stem, {})[role] = c
+    return {s: r for s, r in out.items() if len(r) >= 2}
+
+
+def _comparable(v) -> bool:
+    return v is not None and not isinstance(v, bool) and isinstance(v, (int, float)) and not (
+        isinstance(v, float) and math.isnan(v)
+    )
+
+
+def _cross_violations(d: dict, roles: dict[str, dict[str, str]]) -> list[tuple[str, str]]:
+    """Per-row cross-column checks; returns (rule, detail) violations."""
+    bad: list[tuple[str, str]] = []
+    for stem, rc in roles.items():
+        vals = {r: d[c] for r, c in rc.items() if _comparable(d.get(c))}
+        lo = vals.get("min")
+        hi = vals.get("max")
+        if lo is not None and hi is not None and lo > hi:
+            bad.append(("min_le_max", f"{rc['min']}={lo} > {rc['max']}={hi}"))
+        for r, v in vals.items():
+            if r in _CENTRAL or r.startswith("p"):
+                if lo is not None and v < lo:
+                    bad.append(("min_le_mid", f"{rc[r]}={v} < {rc['min']}={lo}"))
+                if hi is not None and v > hi:
+                    bad.append(("mid_le_max", f"{rc[r]}={v} > {rc['max']}={hi}"))
+        # percentile family ordered by quantile
+        ps = sorted(
+            ((int(r[1:]), rc[r]) for r in vals if r.startswith("p")),
+            key=lambda t: t[0],
+        )
+        for (qa, ca), (qb, cb) in zip(ps, ps[1:]):
+            if d[ca] > d[cb]:
+                bad.append(("pctl_order", f"{ca}={d[ca]} > {cb}={d[cb]}"))
+    # confidence/interval bounds: stem_lo <= stem_hi (also lower/upper)
+    for c in d:
+        for lo_suf, hi_suf in (("_lo", "_hi"), ("_lower", "_upper")):
+            if c.endswith(lo_suf):
+                other = c[: -len(lo_suf)] + hi_suf
+                if other in d and _comparable(d[c]) and _comparable(d[other]) and d[c] > d[other]:
+                    bad.append(("lo_le_hi", f"{c}={d[c]} > {other}={d[other]}"))
+    return bad
+
+
+# Per-query pinned cross-column chains the generic name rules cannot see.
+# Each entry: list of (label, lambda row_dict -> bool-or-None); None = skip
+# (e.g. NULL inputs).
+def _chain(*cols):
+    def chk(d):
+        vs = [d.get(c) for c in cols]
+        if any(not _comparable(v) for v in vs):
+            return None
+        return all(a <= b for a, b in zip(vs, vs[1:]))
+
+    return chk
+
+
+QUERY_CROSS = {
+    # TPC-H Q1: discount in [0,1] => disc_price <= base; tax >= 0 =>
+    # disc_price <= charge (the avg_disc 100x bug would have flunked the
+    # unit_01 rule; this chain would catch a sibling bug in the sums).
+    "pricing_summary": [
+        ("disc<=base", _chain("sum_disc_price", "sum_base_price")),
+        ("disc<=charge", _chain("sum_disc_price", "sum_charge")),
+    ],
+}
+
 # (query, column): why the name-implied domain does not apply.
 EXCLUDE = {
     ("media_wav_probe", "sample_rate"): "Hz, not a fraction",
@@ -103,7 +205,15 @@ def main() -> int:
                 if rx.search(c):
                     hits[c] = (rn, chk)
                     break
-        n_cols_checked += len(hits)
+        roles = _stem_roles([c for c in df.columns if (name, c) not in EXCLUDE])
+        cross_cols = {c for rc in roles.values() for c in rc.values()}
+        cross_cols |= {
+            c
+            for c in df.columns
+            if c.endswith(("_lo", "_hi", "_lower", "_upper")) and (name, c) not in EXCLUDE
+        }
+        pins = QUERY_CROSS.get(name, [])
+        n_cols_checked += len(hits) + len(cross_cols - set(hits))
         for r in rows:
             d = r.asDict()
             bad = False
@@ -115,6 +225,14 @@ def main() -> int:
                     continue
                 if not chk(v):
                     violations.append((name, c, rn, v))
+                    bad = True
+            for rn, detail in _cross_violations(d, roles):
+                violations.append((name, detail.split("=")[0], rn, detail))
+                bad = True
+            for label, chk in pins:
+                ok = chk(d)
+                if ok is False:
+                    violations.append((name, label, "query_pin", {k: d[k] for k in list(d)[:6]}))
                     bad = True
             if bad:
                 break  # one failing row per query is enough signal
