@@ -50,10 +50,12 @@ _PRIORITY = [
     "text_normalize_stats", "corpus_report_card", "lead_lag_deltas",
     "rolling_window_avg", "time_range_rolling_sum", "daily_anomaly_zscore",
     "percent_rank_features",
-    # (c) round-11 additions, first driver records
-    # (inserted here as they land; r04 fill below trims to keep the
-    #  window at 50)
-    # (d) r04-latest rotations, registration order
+    # (c) round-11 additions, registration order — first records in the
+    #     same round they were written
+    "contamination_decay_audit", "tokenizer_swap_impact",
+    "int8_serving_parity",
+    # (d) r04-latest rotations, registration order (trimmed to keep the
+    #     window at 50; the rest roll to round 12)
     "partition_skew_report", "dedup_exact_keepers", "minhash_lsh_pairs",
     "neardup_clusters", "corpus_curation_e2e", "exact_substring_spans",
     "dsir_importance_weights", "compaction_plan", "similarity_argmax",
@@ -63,7 +65,6 @@ _PRIORITY = [
     "topk_per_group", "anti_join_idempotency", "broadcast_dim_join",
     "distinct_agg_suppliers", "having_big_customers", "above_avg_parts",
     "customer_order_histogram", "priority_with_big_lineitem",
-    "returnflag_share", "deterministic_sample", "value_percentiles_by_type",
     # --- 50-slot window ends here ---
 ]
 

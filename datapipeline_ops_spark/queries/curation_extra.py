@@ -1930,3 +1930,277 @@ def mixture_realized_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         realized.alias("realized_frac"),
         (F.abs(realized - F.col("weight")) <= tol).alias("within_tol"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Contamination decay across ingest rounds — the day-N eval-integrity ledger
+# ---------------------------------------------------------------------------
+
+# Ingest rounds simulated by doc_id residue; in production this is the
+# manifest's ingest-batch column (dedup_manifest_reconcile's roll-forward).
+_DECAY_ROUNDS = 5
+
+
+@query(
+    "contamination_decay_audit",
+    oracle="WITH "
+    + _hs_cte()
+    + f""",
+    bench AS (SELECT DISTINCT unnest(hs) AS s FROM hsv
+              WHERE doc_id % {_BENCH_MOD} = 0),
+    ex AS (SELECT doc_id, unnest(hs) AS s FROM hsv
+           WHERE doc_id % {_BENCH_MOD} <> 0),
+    m AS (
+        SELECT ex.doc_id, count(bench.s) AS n_matched
+        FROM ex LEFT JOIN bench ON ex.s = bench.s
+        GROUP BY ex.doc_id
+    ),
+    perdoc AS (
+        SELECT m.doc_id % {_DECAY_ROUNDS} AS round_id,
+               m.n_matched, len(hsv.hs) AS n_ngrams,
+               CASE WHEN m.n_matched * 1.0 / len(hsv.hs)
+                         >= {CONTAMINATION_TAU} THEN 1 ELSE 0 END AS flagged
+        FROM m JOIN hsv ON m.doc_id = hsv.doc_id
+    ),
+    per AS (
+        SELECT round_id,
+               count(*) AS n_docs,
+               CAST(sum(flagged) AS BIGINT) AS n_flagged,
+               CAST(sum(CASE WHEN flagged = 0 THEN n_matched ELSE 0 END)
+                    AS BIGINT) AS kept_matched,
+               CAST(sum(CASE WHEN flagged = 0 THEN n_ngrams ELSE 0 END)
+                    AS BIGINT) AS kept_ngrams
+        FROM perdoc GROUP BY round_id
+    ),
+    cum0 AS (
+        SELECT round_id, n_docs, n_flagged,
+               CAST(n_flagged AS DOUBLE) / CAST(n_docs AS DOUBLE) AS flag_rate,
+               CAST(kept_matched AS DOUBLE) / CAST(kept_ngrams AS DOUBLE)
+                   AS residual_rate,
+               CAST(sum(n_docs) OVER w AS BIGINT) AS cum_docs,
+               CAST(sum(n_flagged) OVER w AS BIGINT) AS cum_flagged
+        FROM per
+        WINDOW w AS (ORDER BY round_id ROWS UNBOUNDED PRECEDING)
+    ),
+    cum AS (
+        SELECT *, lag(cum_flagged) OVER o AS prev_flagged,
+               lag(cum_docs) OVER o AS prev_docs
+        FROM cum0 WINDOW o AS (ORDER BY round_id)
+    )
+    SELECT round_id, n_docs, n_flagged, flag_rate, residual_rate,
+           cum_docs, cum_flagged,
+           CAST(cum_flagged AS DOUBLE) / CAST(cum_docs AS DOUBLE)
+               AS cum_flag_rate,
+           CASE WHEN prev_docs IS NULL THEN NULL
+                ELSE cum_flagged * prev_docs <= prev_flagged * cum_docs
+           END AS decay_ok
+    FROM cum
+    """,
+)
+def contamination_decay_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contamination-decay ledger across ingest rounds — the day-N
+    eval-integrity story composing :func:`decontaminate_overlap`'s n-gram
+    benchmark-overlap pass with :func:`dedup_manifest_reconcile`'s
+    round-ledger shape: each ingest round (doc_id residue here; the
+    manifest's batch column in production) reports how many of its docs hit
+    the benchmark above tau (flag_rate), the residual n-gram overlap among
+    the docs it ADMITS (residual_rate — the leakage decontamination does
+    NOT remove), and the cumulative flag rate with an exact
+    cross-multiplication monotonicity verdict (``decay_ok``: the running
+    contamination rate must not grow round-over-round, else a source is
+    re-introducing eval data and the operator must quarantine it).
+
+    Scale shape: the benchmark shingle-hash set broadcasts (eval suites are
+    MBs against a 100 TB corpus); per-doc match counting partial-aggregates
+    map-side; the round rollup is {_DECAY_ROUNDS} rows and the cumulative
+    window runs on that constant-size table. The rate comparison is integer
+    cross-multiplication, so the boolean can never straddle engines."""
+    d = with_shingle_hashes(load_table(spark, sf_dir, "documents"), "doc_id")
+    bench = (
+        d.filter(F.col("doc_id") % _BENCH_MOD == 0)
+        .select(F.explode("hs").alias("s"))
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    corpus = d.filter(F.col("doc_id") % _BENCH_MOD != 0)
+    matched = (
+        corpus.select("doc_id", F.explode("hs").alias("s"))
+        .join(F.broadcast(bench), "s", "left")
+        .groupBy("doc_id")
+        .agg(F.count("hit").alias("n_matched"))
+    )
+    perdoc = matched.join(
+        corpus.select("doc_id", F.size("hs").alias("n_ngrams")), "doc_id"
+    ).select(
+        (F.col("doc_id") % _DECAY_ROUNDS).alias("round_id"),
+        "n_matched",
+        "n_ngrams",
+        F.when(
+            F.col("n_matched") / F.col("n_ngrams") >= CONTAMINATION_TAU, 1
+        )
+        .otherwise(0)
+        .alias("flagged"),
+    )
+    kept = F.col("flagged") == 0
+    per = perdoc.groupBy("round_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("flagged").cast("long").alias("n_flagged"),
+        F.sum(F.when(kept, F.col("n_matched")).otherwise(0))
+        .cast("long")
+        .alias("kept_matched"),
+        F.sum(F.when(kept, F.col("n_ngrams")).otherwise(0))
+        .cast("long")
+        .alias("kept_ngrams"),
+    )
+    w = Window.orderBy("round_id").rowsBetween(Window.unboundedPreceding, 0)
+    o = Window.orderBy("round_id")
+    cum = per.select(
+        "round_id",
+        "n_docs",
+        "n_flagged",
+        (F.col("n_flagged").cast("double") / F.col("n_docs").cast("double")).alias(
+            "flag_rate"
+        ),
+        (
+            F.col("kept_matched").cast("double")
+            / F.col("kept_ngrams").cast("double")
+        ).alias("residual_rate"),
+        F.sum("n_docs").over(w).cast("long").alias("cum_docs"),
+        F.sum("n_flagged").over(w).cast("long").alias("cum_flagged"),
+    )
+    cum = cum.select(
+        "*",
+        F.lag("cum_flagged").over(o).alias("prev_flagged"),
+        F.lag("cum_docs").over(o).alias("prev_docs"),
+    )
+    return cum.select(
+        "round_id",
+        "n_docs",
+        "n_flagged",
+        "flag_rate",
+        "residual_rate",
+        "cum_docs",
+        "cum_flagged",
+        (F.col("cum_flagged").cast("double") / F.col("cum_docs").cast("double")).alias(
+            "cum_flag_rate"
+        ),
+        F.when(
+            F.col("prev_docs").isNotNull(),
+            F.col("cum_flagged") * F.col("prev_docs")
+            <= F.col("prev_flagged") * F.col("cum_docs"),
+        ).alias("decay_ok"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Tokenizer-change impact diff — the bpe_pair_counts consumer
+# ---------------------------------------------------------------------------
+
+_SWAP_FIT = 64  # context-window length (tokens) for the packing-impact gate
+
+
+@query(
+    "tokenizer_swap_impact",
+    oracle=f"""
+    WITH t AS MATERIALIZED (
+        SELECT doc_id, source,
+               regexp_split_to_array(lower(text), '\\s+') AS l
+        FROM documents
+    ),
+    p AS (
+        SELECT unnest(l[1:len(l) - 1]) AS a, unnest(l[2:len(l)]) AS b
+        FROM t WHERE len(l) >= 2
+    ),
+    topp AS (
+        SELECT a, b FROM (
+            SELECT a, b, count(*) AS cnt FROM p WHERE a <> b GROUP BY a, b
+        ) ORDER BY cnt DESC, a, b LIMIT 1
+    ),
+    per AS (
+        SELECT t.source, len(l) AS nb,
+               CASE WHEN len(l) >= 2 THEN len(list_filter(
+                        generate_series(1, len(l) - 1),
+                        i -> l[i] = topp.a AND l[i + 1] = topp.b))
+                    ELSE 0 END AS occ
+        FROM t CROSS JOIN topp
+    )
+    SELECT source,
+           count(*) AS n_docs,
+           CAST(sum(nb) AS BIGINT) AS tokens_before,
+           CAST(sum(nb - occ) AS BIGINT) AS tokens_after,
+           CAST(sum(occ) AS BIGINT) AS tokens_saved,
+           CAST(sum(CASE WHEN occ > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS docs_affected,
+           CAST(sum(CASE WHEN nb <= {_SWAP_FIT} THEN 1 ELSE 0 END) AS BIGINT)
+               AS fit_before,
+           CAST(sum(CASE WHEN nb - occ <= {_SWAP_FIT} THEN 1 ELSE 0 END)
+                AS BIGINT) AS fit_after,
+           CAST(sum(occ) AS DOUBLE) / CAST(sum(nb) AS DOUBLE) AS savings_rate
+    FROM per GROUP BY source
+    """,
+)
+def tokenizer_swap_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-change impact diff — what swapping in the next merge rule
+    (the argmax pair :func:`bpe_pair_counts` selects, restricted to a<>b so
+    occurrences can never overlap) does to the corpus BEFORE anyone retrains:
+    per source, total token counts under tokenizer A (whitespace split) vs
+    B (A + the merge applied), documents affected, and the context-fit
+    shift (docs fitting a {_SWAP_FIT}-token window before vs after — the
+    packing-boundary impact on sequence-packing yield).
+
+    The merge is applied ANALYTICALLY: with a<>b, adjacent occurrences are
+    provably disjoint (an overlap at i, i+1 would force a=b), so
+    tokens_after = tokens_before - occurrences, no sequential rewrite
+    needed — the whole diff is one corpus scan plus the pair-count rollup.
+
+    Scale shape: the top-pair argmax is a TakeOrdered over the aggregated
+    pair table (vocab-bounded, not corpus-bounded); the 1-row merge rule
+    broadcasts back onto the same materialized token arrays; per-doc
+    occurrence counting is array-side (sequence + element_at, zero
+    explodes); the final rollup is a low-cardinality source group-by."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", tokens(F.lower(F.col("text"))).alias("l")
+    )
+    d = persist_barrier(d, f"swap_tokens:{sf_dir}")
+    pairs = F.expr(
+        "transform(sequence(1, size(l) - 1),"
+        " i -> struct(element_at(l, i) AS a, element_at(l, i + 1) AS b))"
+    )
+    topp = (
+        d.filter(F.size("l") >= 2)
+        .select(F.explode(pairs).alias("p"))
+        .select("p.a", "p.b")
+        .filter(F.col("a") != F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), "a", "b")
+        .limit(1)
+        .select(F.col("a").alias("pa"), F.col("b").alias("pb"))
+    )
+    occ = F.when(
+        F.size("l") >= 2,
+        F.size(
+            F.filter(
+                F.sequence(F.lit(1), F.size("l") - 1),
+                lambda i: (F.element_at("l", i) == F.col("pa"))
+                & (F.element_at("l", i + 1) == F.col("pb")),
+            )
+        ),
+    ).otherwise(0)
+    per = d.crossJoin(F.broadcast(topp)).select(
+        "source", F.size("l").alias("nb"), occ.alias("occ")
+    )
+    return per.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("nb").cast("long").alias("tokens_before"),
+        F.sum(F.col("nb") - F.col("occ")).cast("long").alias("tokens_after"),
+        F.sum("occ").cast("long").alias("tokens_saved"),
+        F.sum((F.col("occ") > 0).cast("int")).cast("long").alias("docs_affected"),
+        F.sum((F.col("nb") <= _SWAP_FIT).cast("int")).cast("long").alias("fit_before"),
+        F.sum((F.col("nb") - F.col("occ") <= _SWAP_FIT).cast("int"))
+        .cast("long")
+        .alias("fit_after"),
+        (F.sum("occ").cast("double") / F.sum("nb").cast("double")).alias(
+            "savings_rate"
+        ),
+    )

@@ -17,7 +17,7 @@ engine's beyond-reference ANN surface (queries/similarity.py).
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from datapipeline_ops_spark.core.registry import query
 from datapipeline_ops_spark.functions.vectors import as_double
@@ -154,3 +154,198 @@ def class_weight_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("balanced_weight"),
     )
+
+
+# ---------------------------------------------------------------------------
+# int8_serving_parity — quantized-path retrieval parity gate
+# ---------------------------------------------------------------------------
+
+_PARITY_RECALL_PCT = 60  # per-query gate: int8 recall@k >= 0.60, integer test
+
+
+def _int8_topk_sql() -> str:
+    """DuckDB CTE chain: symmetric-int8 codes -> integer-dot cosine top-k.
+
+    The quantized cosine uses ONLY quantized state: the per-vector scales
+    cancel out of dot/(|a||b|), so the score is an exact-integer dot over an
+    exact-integer sum-of-squares — sqrt and one division are the only float
+    ops, identical in both engines.
+    """
+    from datapipeline_ops_spark.queries.similarity import N_QUERIES, TOP_K
+
+    return f"""
+    v AS (
+        SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS vec
+        FROM embeddings
+    ),
+    s AS (
+        SELECT vec_id, vec,
+               list_max(list_transform(vec, x -> abs(x))) / 127.0 AS scale
+        FROM v
+    ),
+    q AS (
+        SELECT vec_id,
+               list_transform(vec, x -> CAST(round(x / scale) AS BIGINT)) AS qv
+        FROM s WHERE scale > 0
+    ),
+    qq AS (
+        SELECT vec_id,
+               CAST(list_sum(list_transform(qv, x -> x * x)) AS BIGINT) AS ssq,
+               qv
+        FROM q
+    ),
+    iscored AS (
+        SELECT a.vec_id AS query_id, b.vec_id AS vec_id,
+               CAST(list_sum(list_transform(generate_series(1, len(a.qv)),
+                        i -> a.qv[i] * b.qv[i])) AS DOUBLE)
+                   / (sqrt(CAST(a.ssq AS DOUBLE)) * sqrt(CAST(b.ssq AS DOUBLE)))
+                   AS icos
+        FROM qq a JOIN qq b ON b.vec_id <> a.vec_id
+        WHERE a.vec_id < {N_QUERIES}
+    ),
+    itop AS (
+        SELECT query_id, vec_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY icos DESC, vec_id) AS irank
+        FROM iscored
+        QUALIFY irank <= {TOP_K}
+    )"""
+
+
+@query("int8_serving_parity", oracle=None)  # composed below
+def int8_serving_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantized-serving parity gate: would swapping the float retrieval
+    path for the 4x-cheaper symmetric-int8 path change what users see?
+    The int8 index (codes + per-vector scale, exactly what
+    ``embedding_int8_quant`` emits) serves cosine top-k where the scales
+    CANCEL — score = int_dot / (sqrt(int_ssq_a) * sqrt(int_ssq_b)) is
+    integer arithmetic up to one sqrt/divide — and every query's int8
+    top-k is scored against the exact float path
+    (:func:`...similarity.cosine_topk_bruteforce`) on recall@k, gated in
+    integer space (n_hits*100 >= {_PARITY_RECALL_PCT}*k) and rolled into
+    the all-pass verdict a rollout blocks on.
+
+    Scale shape: quantization is a map-only pass (zero shuffles); the
+    query batch is constant-size and broadcast, so the corpus is scanned
+    once for the int8 scores; both top-k tables are (queries x k) rows and
+    the gate rollup is constant-size. Composes the same way at 100 TB with
+    the brute-force truth run on a sampled query set."""
+    from datapipeline_ops_spark.core.registry import QUERIES
+    from datapipeline_ops_spark.queries.similarity import N_QUERIES, TOP_K
+
+    v = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double(F.col("embedding")).alias("vec")
+    )
+    s = v.select(
+        "vec_id",
+        "vec",
+        (F.array_max(F.transform("vec", lambda x: F.abs(x))) / F.lit(_QBITS_MAX)).alias(
+            "s_raw"
+        ),
+    ).filter(F.col("s_raw") > 0)
+    qq = s.select(
+        "vec_id",
+        F.transform("vec", lambda x: F.round(x / F.col("s_raw"), 0).cast("long")).alias(
+            "qv"
+        ),
+    ).select(
+        "vec_id",
+        "qv",
+        F.aggregate(
+            F.transform("qv", lambda x: x * x),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("ssq"),
+    )
+    qbatch = qq.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("qv").alias("qqv"),
+        F.col("ssq").alias("qssq"),
+    )
+    idot = F.aggregate(
+        F.zip_with("qqv", "qv", lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    iscored = (
+        qq.join(F.broadcast(qbatch), F.col("vec_id") != F.col("query_id"))
+        .withColumn(
+            "icos",
+            idot.cast("double")
+            / (F.sqrt(F.col("qssq").cast("double")) * F.sqrt(F.col("ssq").cast("double"))),
+        )
+    )
+    iw = Window.partitionBy("query_id").orderBy(F.desc("icos"), F.asc("vec_id"))
+    itop = (
+        iscored.withColumn("irank", F.row_number().over(iw))
+        .filter(F.col("irank") <= TOP_K)
+        .select("query_id", "vec_id")
+    )
+    truth = QUERIES["cosine_topk_bruteforce"].fn(spark, sf_dir).select(
+        "query_id", "vec_id", F.lit(1).alias("hit")
+    )
+    g = (
+        itop.join(truth, ["query_id", "vec_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.sum(F.coalesce("hit", F.lit(0))).cast("long").alias("n_hits"),
+            F.count(F.lit(1)).cast("long").alias("k"),
+        )
+    )
+    scored = g.select(
+        "query_id",
+        "n_hits",
+        "k",
+        (F.col("n_hits").cast("double") / F.col("k").cast("double")).alias("recall"),
+        (F.col("n_hits") * 100 >= F.lit(_PARITY_RECALL_PCT) * F.col("k")).alias(
+            "passed"
+        ),
+    )
+    w = Window.partitionBy()
+    return scored.select(
+        "query_id",
+        "n_hits",
+        "k",
+        "recall",
+        "passed",
+        F.sum(F.col("passed").cast("long")).over(w).alias("n_pass"),
+        F.count(F.lit(1)).over(w).alias("n_queries"),
+        F.min(F.col("passed").cast("int")).over(w).cast("boolean").alias("parity_ok"),
+    )
+
+
+def _int8_serving_parity_oracle() -> str:
+    from datapipeline_ops_spark.core.registry import QUERIES
+
+    gt_sql = QUERIES["cosine_topk_bruteforce"].oracle
+    return f"""
+    WITH {_int8_topk_sql()},
+    gt AS MATERIALIZED (SELECT query_id, vec_id FROM ({gt_sql})),
+    g AS (
+        SELECT itop.query_id,
+               CAST(sum(CASE WHEN gt.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_hits,
+               count(*) AS k
+        FROM itop LEFT JOIN gt
+          ON gt.query_id = itop.query_id AND gt.vec_id = itop.vec_id
+        GROUP BY itop.query_id
+    ),
+    scored AS (
+        SELECT query_id, n_hits, k,
+               CAST(n_hits AS DOUBLE) / CAST(k AS DOUBLE) AS recall,
+               n_hits * 100 >= {_PARITY_RECALL_PCT} * k AS passed
+        FROM g
+    )
+    SELECT query_id, n_hits, k, recall, passed,
+           CAST(sum(CASE WHEN passed THEN 1 ELSE 0 END) OVER () AS BIGINT)
+               AS n_pass,
+           count(*) OVER () AS n_queries,
+           CAST(min(CASE WHEN passed THEN 1 ELSE 0 END) OVER () AS BOOLEAN)
+               AS parity_ok
+    FROM scored
+    """
+
+
+from datapipeline_ops_spark.core.registry import QUERIES as _Q
+
+_Q["int8_serving_parity"].oracle = _int8_serving_parity_oracle()

@@ -1760,6 +1760,50 @@ def _(qs, spark):
     assert "BroadcastExchange" in plan
 
 
+@check("contamination_decay_audit: broadcast bench set, constant-size round rollup")
+def _(qs, spark):
+    plan = plan_of(qs["contamination_decay_audit"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    cols = read_schema_cols(plan, "documents")
+    assert cols <= {"doc_id", "text"}, cols
+    # benchmark shingle set broadcasts; the cumulative/lag windows run on the
+    # _DECAY_ROUNDS-row rollup (round_id spine), never on per-doc rows
+    assert "BroadcastExchange" in plan
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert specs and all("round_id" in sp.split(",")[0] or sp.strip().startswith("round_id") or "round_id" in sp for sp in specs), specs[:2]
+
+
+@check("int8_serving_parity: map-only quantization, constant query broadcast")
+def _(qs, spark):
+    plan = plan_of(qs["int8_serving_parity"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    cols = read_schema_cols(plan, "embeddings")
+    assert cols <= {"vec_id", "embedding"}, cols
+    # the int8 scoring leg joins the corpus against the broadcast constant
+    # query batch (theta join -> BroadcastNestedLoopJoin is expected and
+    # bounded: N_QUERIES rows); no corpus-side cartesian exists
+    assert "BroadcastExchange" in plan
+    # top-k windows partition by query_id; the only other window is the
+    # gate rollup's GLOBAL spec (empty partition list prints as
+    # 'specifiedwindowframe'), which runs on the N_QUERIES-row table
+    specs = re.findall(r"windowspecdefinition\((\w+)", plan)
+    assert specs and all(s in ("query_id", "specifiedwindowframe") for s in specs), specs[:3]
+
+
+@check("tokenizer_swap_impact: vocab-bounded argmax, array-side occurrence count")
+def _(qs, spark):
+    plan = plan_of(qs["tokenizer_swap_impact"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    cols = read_schema_cols(plan, "documents")
+    assert cols <= {"doc_id", "text", "source"}, cols
+    # the 1-row merge rule broadcasts back onto the cached token arrays
+    # (persist barrier); the corpus-side stages are TakeOrdered over the
+    # aggregated pair table + a low-cardinality source rollup — no window
+    assert "InMemoryTableScan" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "windowspecdefinition" not in plan
+
+
 def main() -> int:
     import __spark_entry__ as entry_mod
     from datapipeline_ops_spark.session import get_spark
