@@ -637,6 +637,9 @@ def test_fuzz_documents_wave4(spark, tmp_path_factory, docs):
             # round-10 capability wave
             "tokenizer_roundtrip_audit",
             "dedup_manifest_reconcile",
+            # round-11 capability wave
+            "contamination_decay_audit",
+            "tokenizer_swap_impact",
         ],
         ["documents"],
     )
@@ -724,6 +727,8 @@ def test_fuzz_embeddings_wave4(spark, tmp_path_factory, embs):
             "udf_pair_similarity_band",
             "ann_ivf_topk",
             "ann_rerank_l2",
+            # round-11 capability wave
+            "int8_serving_parity",
         ],
         ["embeddings"],
     )
