@@ -67,6 +67,20 @@ _PRIORITY = [
     "customer_order_histogram", "priority_with_big_lineitem",
     # --- 50-slot window ends here ---
 ]
+# ROUND-12 ORDERING PLAN (apply after the round-11 gate runs): head the
+# window with any round-11 reds (expected none), then:
+# (1) first records for any round-12 additions as they land;
+# (2) the 21 remaining r04-latest stragglers, registration order:
+#     returnflag_share deterministic_sample value_percentiles_by_type
+#     price_stats_by_flag orders_by_weekday overlapping_order_windows
+#     brand_size_rank promo_revenue_share idle_big_balance_customers
+#     returned_revenue_by_nation copurchase_part_pairs fk_integrity_report
+#     retry_cut_status set_ops_segments stratified_sample_per_source
+#     events_type_pivot approx_distinct_users quantile_sketch_audit
+#     range_join_value_bands oov_rate_report sentence_split_udtf;
+# (3) fill the remaining slots from the then-oldest cohort (r05-latest,
+#     50 queries), registration order. The window stays pure
+#     first-records-for-new + oldest-cohort rotation on a ≤8-round cadence.
 
 
 def _ordered_names() -> list[str]:
