@@ -52,8 +52,8 @@ _PRIORITY = [
     "percent_rank_features",
     # (c) round-11 additions, registration order — first records in the
     #     same round they were written
-    "contamination_decay_audit", "tokenizer_swap_impact",
-    "int8_serving_parity",
+    "dedup_tau_sensitivity", "contamination_decay_audit",
+    "tokenizer_swap_impact", "int8_serving_parity",
     # (d) r04-latest rotations, registration order (trimmed to keep the
     #     window at 50; the rest roll to round 12)
     "partition_skew_report", "dedup_exact_keepers", "minhash_lsh_pairs",
@@ -64,13 +64,14 @@ _PRIORITY = [
     "null_guard_filter", "group_count", "running_best_max_by",
     "topk_per_group", "anti_join_idempotency", "broadcast_dim_join",
     "distinct_agg_suppliers", "having_big_customers", "above_avg_parts",
-    "customer_order_histogram", "priority_with_big_lineitem",
+    "customer_order_histogram",
     # --- 50-slot window ends here ---
 ]
 # ROUND-12 ORDERING PLAN (apply after the round-11 gate runs): head the
 # window with any round-11 reds (expected none), then:
 # (1) first records for any round-12 additions as they land;
-# (2) the 21 remaining r04-latest stragglers, registration order:
+# (2) the 22 remaining r04-latest stragglers, registration order:
+#     priority_with_big_lineitem
 #     returnflag_share deterministic_sample value_percentiles_by_type
 #     price_stats_by_flag orders_by_weekday overlapping_order_windows
 #     brand_size_rank promo_revenue_share idle_big_balance_customers

@@ -1205,3 +1205,104 @@ def shuffled_dup_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out.localCheckpoint(eager=True)
     finally:
         k.unpersist()
+
+
+# ---------------------------------------------------------------------------
+# dedup_tau_sensitivity — the dup-rate-vs-threshold curve an operator reads
+# before pinning the near-dup tau
+# ---------------------------------------------------------------------------
+
+# The sweep starts at the LSH banding's design point (tau >= 0.5, where the
+# (bands, rows) choice keeps candidate recall high) — below that the curve
+# would understate dup rates because candidates themselves go missing.
+_TAU_PCTS = (50, 55, 60, 65, 70, 75, 80, 85, 90)
+
+
+@query(
+    "dedup_tau_sensitivity",
+    oracle="WITH "
+    + _bands_cte()
+    + f""",
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
+                                  AND a.doc_id < b.doc_id
+    ),
+    pj AS (
+        SELECT doc_a, doc_b,
+               len(list_intersect(sa.hs, sb.hs)) * 1.0 /
+               (len(sa.hs) + len(sb.hs) - len(list_intersect(sa.hs, sb.hs)))
+                   AS jac
+        FROM cand JOIN hsv sa ON cand.doc_a = sa.doc_id
+                  JOIN hsv sb ON cand.doc_b = sb.doc_id
+    ),
+    spine AS (SELECT unnest([{", ".join(str(t) for t in _TAU_PCTS)}]) AS tau_pct),
+    qual AS (
+        SELECT s.tau_pct, doc_a, doc_b
+        FROM pj CROSS JOIN spine s
+        WHERE jac >= CAST(s.tau_pct AS DOUBLE) / 100.0
+    ),
+    pc AS (SELECT tau_pct, count(*) AS n_pairs FROM qual GROUP BY tau_pct),
+    dc AS (
+        SELECT tau_pct, CAST(count(DISTINCT d) AS BIGINT) AS n_flagged_docs
+        FROM (SELECT tau_pct, doc_a AS d FROM qual
+              UNION ALL SELECT tau_pct, doc_b FROM qual)
+        GROUP BY tau_pct
+    ),
+    tot AS (SELECT count(*) AS n_corpus FROM documents)
+    SELECT s.tau_pct,
+           coalesce(pc.n_pairs, 0) AS n_pairs,
+           coalesce(dc.n_flagged_docs, 0) AS n_flagged_docs,
+           CAST(coalesce(dc.n_flagged_docs, 0) AS DOUBLE)
+               / CAST(t.n_corpus AS DOUBLE) AS flagged_share
+    FROM spine s LEFT JOIN pc ON s.tau_pct = pc.tau_pct
+                 LEFT JOIN dc ON s.tau_pct = dc.tau_pct
+                 CROSS JOIN tot t
+    """,
+)
+def dedup_tau_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup threshold sensitivity: how many pairs and how many flagged
+    docs each candidate tau would yield, swept over {_TAU_PCTS} from ONE
+    LSH candidate + exact-Jaccard pass — the curve an operator reads before
+    pinning the dedup threshold (too low: real content removed; too high:
+    templated spam survives). Counts are monotone non-increasing in tau by
+    construction; the tau=50 row equals what the production path
+    (:func:`_lsh_verified_pairs` at its default) removes.
+
+    Scale shape: the expensive work (banding, capped bucket pair
+    generation, hash-array Jaccard) happens ONCE at the loosest tau; the
+    9-row integer tau spine broadcasts onto the verified pair table
+    (LSH-capped, orders of magnitude smaller than the corpus) and each
+    threshold is a filter + low-cardinality rollup. tau compares as
+    tau_pct/100.0 against the bit-identical Jaccard double, so the
+    qualifying sets match across engines exactly."""
+    d = with_shingle_hashes(load_table(spark, sf_dir, "documents"), "doc_id")
+    pj = _lsh_verified_pairs(d, tau=0.5)
+    spine = spark.createDataFrame([(t,) for t in _TAU_PCTS], "tau_pct int")
+    qual = pj.crossJoin(F.broadcast(spine)).filter(
+        F.col("jaccard") >= F.col("tau_pct").cast("double") / 100.0
+    )
+    pc = qual.groupBy("tau_pct").agg(F.count(F.lit(1)).alias("n_pairs"))
+    dc = (
+        qual.select("tau_pct", F.col("doc_a").alias("d"))
+        .unionAll(qual.select("tau_pct", F.col("doc_b").alias("d")))
+        .groupBy("tau_pct")
+        .agg(F.countDistinct("d").alias("n_flagged_docs"))
+    )
+    tot = load_table(spark, sf_dir, "documents").agg(
+        F.count(F.lit(1)).alias("n_corpus")
+    )
+    return (
+        spine.join(pc, "tau_pct", "left")
+        .join(dc, "tau_pct", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "tau_pct",
+            F.coalesce("n_pairs", F.lit(0)).alias("n_pairs"),
+            F.coalesce("n_flagged_docs", F.lit(0)).alias("n_flagged_docs"),
+            (
+                F.coalesce("n_flagged_docs", F.lit(0)).cast("double")
+                / F.col("n_corpus").cast("double")
+            ).alias("flagged_share"),
+        )
+    )

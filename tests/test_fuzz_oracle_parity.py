@@ -640,6 +640,7 @@ def test_fuzz_documents_wave4(spark, tmp_path_factory, docs):
             # round-11 capability wave
             "contamination_decay_audit",
             "tokenizer_swap_impact",
+            "dedup_tau_sensitivity",
         ],
         ["documents"],
     )

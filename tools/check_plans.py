@@ -1804,6 +1804,20 @@ def _(qs, spark):
     assert "windowspecdefinition" not in plan
 
 
+@check("dedup_tau_sensitivity: one LSH pass, 9-row tau spine broadcast")
+def _(qs, spark):
+    plan = plan_of(qs["dedup_tau_sensitivity"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    cols = read_schema_cols(plan, "documents")
+    assert cols <= {"doc_id", "text"}, cols
+    # the expensive banding/verify work rides the shared shingle barrier;
+    # thresholds fan out via a broadcast of the constant tau spine, and the
+    # rollups key on the 9-value tau_pct
+    assert "InMemoryTableScan" in plan
+    assert "BroadcastExchange" in plan
+    assert "windowspecdefinition" not in plan
+
+
 def main() -> int:
     import __spark_entry__ as entry_mod
     from datapipeline_ops_spark.session import get_spark
