@@ -2204,3 +2204,152 @@ def tokenizer_swap_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
             "savings_rate"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# epoch_repeat_plan — water-filling token allocation under quality-tiered
+# repeat caps (the data-constrained-scaling allocator)
+# ---------------------------------------------------------------------------
+
+# Total budget as a multiple of the corpus (train for ~2 "corpus epochs");
+# per-source repeat caps are quality-tiered: trusted sources may repeat 4x,
+# mid-tier 2x, low-quality scrapes only 1x (the Wikipedia-4x / CC-1x rule).
+EPOCH_BUDGET_X = 2.0
+_ERP_TIER_CAPS = (1.0, 2.0, 4.0)  # tier = numeric source suffix mod 3
+
+
+@query(
+    "epoch_repeat_plan",
+    oracle=f"""
+    WITH t AS (
+        SELECT source, CAST(sum(len({sql_tokens("text")})) AS BIGINT) AS n_tokens
+        FROM documents GROUP BY source
+    ),
+    base AS (
+        SELECT source, n_tokens,
+               CASE (TRY_CAST(NULLIF(regexp_extract(source, '([0-9]+)', 1), '')
+                              AS INT) % 3)
+                   WHEN 0 THEN {_ERP_TIER_CAPS[0]} WHEN 1 THEN {_ERP_TIER_CAPS[1]}
+                   ELSE {_ERP_TIER_CAPS[2]} END AS cap_epochs,
+               sqrt(CAST(n_tokens AS DOUBLE)) AS w
+        FROM t
+    ),
+    tot AS (SELECT sum(n_tokens) AS tot_tokens, sum(w) AS tot_w FROM base),
+    o AS (
+        SELECT b.*, t.tot_w, {EPOCH_BUDGET_X} * t.tot_tokens AS budget,
+               b.cap_epochs * b.n_tokens AS cap_tokens,
+               b.cap_epochs * b.n_tokens / b.w AS fill_rank
+        FROM base b CROSS JOIN tot t
+    ),
+    m AS (
+        SELECT *,
+               coalesce(sum(cap_tokens) OVER (ORDER BY fill_rank, source
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS cum_cap_excl,
+               coalesce(sum(w) OVER (ORDER BY fill_rank, source
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS cum_w_excl
+        FROM o
+    ),
+    f AS (
+        SELECT *,
+               cap_tokens * (tot_w - cum_w_excl)
+                   <= w * (budget - cum_cap_excl) AS capped
+        FROM m
+    ),
+    r2 AS (
+        SELECT sum(CASE WHEN capped THEN cap_tokens ELSE 0 END) AS b_capped,
+               sum(CASE WHEN capped THEN 0 ELSE w END) AS w_rem
+        FROM f
+    ),
+    a AS (
+        SELECT f.source, f.n_tokens, f.cap_epochs, f.capped, f.budget,
+               CASE WHEN f.capped THEN f.cap_tokens
+                    ELSE f.w * (f.budget - r2.b_capped) / r2.w_rem END
+                   AS alloc_tokens
+        FROM f CROSS JOIN r2
+    )
+    SELECT source, n_tokens, cap_epochs, capped, alloc_tokens,
+           alloc_tokens / CAST(n_tokens AS DOUBLE) AS epochs,
+           alloc_tokens / budget AS alloc_share
+    FROM a
+    """,
+)
+def epoch_repeat_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-constrained training allocator: spend a {EPOCH_BUDGET_X}x-corpus
+    token budget across sources proportional to sqrt(n_tokens) temperature
+    weights, under quality-tiered repeat caps ({_ERP_TIER_CAPS} epochs by
+    source tier), WITH water-filling — budget a capped source cannot absorb
+    redistributes to the uncapped ones (re-proportionally), instead of
+    evaporating the way `mixture_temperature_weights`' plain `least()` cap
+    does. This is the "repeat good data up to k epochs" allocation of
+    data-constrained scaling, solved exactly: sort sources by fill rank
+    cap_tokens/weight; the capped set is a prefix; one cumulative-sum pass
+    finds it and one residual split allocates the rest.
+
+    Scale shape: one partial-aggregated groupBy over source keys reduces
+    100 TB to a per-source frame (dozens of rows); the water-filling
+    windows and residual split run on that frame — the unpartitioned
+    window is over the SOURCE table, never the corpus. Every comparison
+    is IEEE-double arithmetic accumulated in the same (fill_rank, source)
+    order on both engines, so the capped set matches exactly."""
+    d = load_table(spark, sf_dir, "documents")
+    t = d.groupBy("source").agg(
+        F.sum(F.size(tokens(F.col("text")))).cast("long").alias("n_tokens")
+    )
+    # try_cast mirrors the oracle's TRY_CAST(NULLIF(...)): a source with no
+    # numeric suffix lands in the trusted tier (NULL matches no WHEN arm)
+    tier = F.regexp_extract(F.col("source"), r"([0-9]+)", 1).try_cast("int") % 3
+    base = t.select(
+        "source",
+        "n_tokens",
+        F.when(tier == 0, F.lit(_ERP_TIER_CAPS[0]))
+        .when(tier == 1, F.lit(_ERP_TIER_CAPS[1]))
+        .otherwise(F.lit(_ERP_TIER_CAPS[2]))
+        .alias("cap_epochs"),
+        F.sqrt(F.col("n_tokens").cast("double")).alias("w"),
+    )
+    tot = base.agg(
+        F.sum("n_tokens").alias("tot_tokens"), F.sum("w").alias("tot_w")
+    )
+    o = base.crossJoin(F.broadcast(tot)).select(
+        "*",
+        (F.lit(EPOCH_BUDGET_X) * F.col("tot_tokens")).alias("budget"),
+        (F.col("cap_epochs") * F.col("n_tokens")).alias("cap_tokens"),
+        (F.col("cap_epochs") * F.col("n_tokens") / F.col("w")).alias("fill_rank"),
+    )
+    prior = (
+        Window.orderBy("fill_rank", "source")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    m = o.select(
+        "*",
+        F.coalesce(F.sum("cap_tokens").over(prior), F.lit(0.0)).alias("cum_cap_excl"),
+        F.coalesce(F.sum("w").over(prior), F.lit(0.0)).alias("cum_w_excl"),
+    )
+    f = m.withColumn(
+        "capped",
+        F.col("cap_tokens") * (F.col("tot_w") - F.col("cum_w_excl"))
+        <= F.col("w") * (F.col("budget") - F.col("cum_cap_excl")),
+    )
+    r2 = f.agg(
+        F.sum(F.when(F.col("capped"), F.col("cap_tokens")).otherwise(0.0)).alias(
+            "b_capped"
+        ),
+        F.sum(F.when(F.col("capped"), 0.0).otherwise(F.col("w"))).alias("w_rem"),
+    )
+    alloc = F.when(F.col("capped"), F.col("cap_tokens")).otherwise(
+        F.col("w") * (F.col("budget") - F.col("b_capped")) / F.col("w_rem")
+    )
+    return (
+        f.crossJoin(F.broadcast(r2))
+        .select(
+            "source",
+            "n_tokens",
+            "cap_epochs",
+            "capped",
+            alloc.alias("alloc_tokens"),
+            (alloc / F.col("n_tokens").cast("double")).alias("epochs"),
+            (alloc / F.col("budget")).alias("alloc_share"),
+        )
+    )

@@ -793,3 +793,126 @@ def good_turing_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("r_star"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# quality_filter_sweep — the kept-mass-vs-threshold curve an operator reads
+# before pinning the quality gate
+# ---------------------------------------------------------------------------
+
+# Thresholds on the LOGIT in integer tenths (monotone in the sigmoid score,
+# so this IS the score sweep) — comparing on the logit keeps the gate
+# decision inside the same exact double arithmetic both engines already
+# agree on for `quality_classifier_score.passes`; a score-space compare
+# would put engine-specific exp() ulps on the decision boundary.
+_QFS_TAUS = (-20, -15, -10, -5, 0, 5, 10, 15, 20)
+
+
+@query(
+    "quality_filter_sweep",
+    oracle=f"""
+    WITH feats AS (
+        SELECT doc_id,
+               len(t) AS n_tok,
+               {_QC_B} + {_QC_W_NTOK} * len(t)
+                   + {_QC_W_MEANLEN} * (CAST(list_sum(list_transform(t, x -> length(x))) AS DOUBLE)
+                                        / CAST(len(t) AS DOUBLE))
+                   + {_QC_W_STOP} * (CAST(len(list_filter(t, x -> x IN ('the', 'a'))) AS DOUBLE)
+                                     / CAST(len(t) AS DOUBLE))
+                   + {_QC_W_TTR} * (CAST(len(list_distinct(t)) AS DOUBLE)
+                                    / CAST(len(t) AS DOUBLE))
+                   AS logit
+        FROM (SELECT doc_id, regexp_split_to_array(text, '\\s+') AS t
+              FROM documents)
+        WHERE len(t) >= 1
+    ),
+    spine AS (SELECT unnest([{", ".join(str(t) for t in _QFS_TAUS)}]) AS tau_logit_tenths),
+    kept AS (
+        SELECT s.tau_logit_tenths,
+               count(*) AS n_kept,
+               sum(n_tok) AS kept_tokens
+        FROM feats CROSS JOIN spine s
+        WHERE logit >= CAST(s.tau_logit_tenths AS DOUBLE) / 10.0
+        GROUP BY s.tau_logit_tenths
+    ),
+    tot AS (SELECT count(*) AS n_docs, sum(n_tok) AS n_tokens FROM feats)
+    SELECT s.tau_logit_tenths,
+           CAST(coalesce(k.n_kept, 0) AS BIGINT) AS n_kept,
+           CAST(coalesce(k.n_kept, 0) AS DOUBLE) / CAST(t.n_docs AS DOUBLE)
+               AS kept_share,
+           CAST(coalesce(k.kept_tokens, 0) AS BIGINT) AS kept_tokens,
+           CAST(coalesce(k.kept_tokens, 0) AS DOUBLE) / CAST(t.n_tokens AS DOUBLE)
+               AS token_share
+    FROM spine s LEFT JOIN kept k ON s.tau_logit_tenths = k.tau_logit_tenths
+                 CROSS JOIN tot t
+    """,
+)
+def quality_filter_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-gate threshold sensitivity: docs kept and tokens kept at each
+    candidate gate threshold, swept over logit tenths {_QFS_TAUS} from ONE
+    feature/scoring pass — the curve an operator reads before pinning the
+    corpus quality gate (too strict: training-token starvation; too loose:
+    boilerplate floods the mix). The companion of
+    :func:`dedup_tau_sensitivity` for the quality stage; together they set
+    the two knobs of the curation funnel. Both kept columns are monotone
+    non-increasing in the threshold by construction (the cross-column
+    invariant audit checks the chain).
+
+    Scale shape: the feature pass is the same zero-shuffle whole-stage
+    projection as `quality_classifier_score`; the 9-row integer tau spine
+    broadcasts onto it and each threshold is a filter + one-row rollup.
+    The gate decision compares the exact shared-arithmetic logit against
+    tau/10.0, never a sigmoid output, so the kept sets match across
+    engines bit-for-bit."""
+    d = load_table(spark, sf_dir, "documents")
+    t = tokens(F.col("text"))
+    feats = d.select(
+        "doc_id",
+        F.size(t).alias("n_tok"),
+        (
+            F.lit(_QC_B)
+            + F.lit(_QC_W_NTOK) * F.size(t)
+            + F.lit(_QC_W_MEANLEN)
+            * (
+                F.aggregate(t, F.lit(0), lambda a, x: a + F.length(x)).cast("double")
+                / F.size(t).cast("double")
+            )
+            + F.lit(_QC_W_STOP)
+            * (
+                F.size(F.filter(t, lambda x: (x == "the") | (x == "a"))).cast("double")
+                / F.size(t).cast("double")
+            )
+            + F.lit(_QC_W_TTR)
+            * (F.size(F.array_distinct(t)).cast("double") / F.size(t).cast("double"))
+        ).alias("logit"),
+    ).filter(F.col("n_tok") >= 1)
+    spine = spark.createDataFrame([(x,) for x in _QFS_TAUS], "tau_logit_tenths int")
+    kept = (
+        feats.crossJoin(F.broadcast(spine))
+        .filter(F.col("logit") >= F.col("tau_logit_tenths").cast("double") / 10.0)
+        .groupBy("tau_logit_tenths")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum("n_tok").alias("kept_tokens"),
+        )
+    )
+    tot = feats.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("n_tok").alias("n_tokens")
+    )
+    return (
+        spine.join(kept, "tau_logit_tenths", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "tau_logit_tenths",
+            F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+            (
+                F.coalesce("n_kept", F.lit(0)).cast("double")
+                / F.col("n_docs").cast("double")
+            ).alias("kept_share"),
+            F.coalesce("kept_tokens", F.lit(0)).cast("long").alias("kept_tokens"),
+            (
+                F.coalesce("kept_tokens", F.lit(0)).cast("double")
+                / F.col("n_tokens").cast("double")
+            ).alias("token_share"),
+        )
+    )

@@ -178,3 +178,45 @@ def test_k_anonymity_audit_counts(spark, sf_dir):
     # tiny sf: most (lang, source, len-bucket) combos are sparse — the audit
     # must actually flag something here, or the flag logic is dead
     assert any(r.violates_k for r in rows)
+
+
+def test_epoch_repeat_plan_waterfill_properties(spark, sf_dir):
+    from datapipeline_ops_spark.queries.curation_extra import (
+        EPOCH_BUDGET_X,
+        epoch_repeat_plan,
+    )
+
+    rows = epoch_repeat_plan(spark, sf_dir).collect()
+    assert rows
+    budget = EPOCH_BUDGET_X * sum(r.n_tokens for r in rows)
+    # budget conserved exactly while any source is uncapped (water-filling
+    # redistributes what plain least() would evaporate)
+    if any(not r.capped for r in rows):
+        assert abs(sum(r.alloc_tokens for r in rows) - budget) < 1e-6 * budget
+    for r in rows:
+        # caps are powers of two, so capped epochs == cap exactly in IEEE
+        assert r.epochs <= r.cap_epochs
+        assert r.capped == (r.epochs == r.cap_epochs)
+        assert 0.0 <= r.alloc_share <= 1.0
+    # an uncapped source must sit at a shared water level: alloc/weight equal
+    unc = [r for r in rows if not r.capped]
+    if len(unc) >= 2:
+        levels = [r.alloc_tokens / (r.n_tokens ** 0.5) for r in unc]
+        assert max(levels) - min(levels) < 1e-6 * max(levels)
+
+
+def test_quality_filter_sweep_monotone(spark, sf_dir):
+    from datapipeline_ops_spark.queries.lm_quality import quality_filter_sweep
+
+    rows = sorted(
+        quality_filter_sweep(spark, sf_dir).collect(),
+        key=lambda r: r.tau_logit_tenths,
+    )
+    assert rows
+    # kept mass is monotone non-increasing in the threshold
+    for a, b in zip(rows, rows[1:]):
+        assert a.n_kept >= b.n_kept
+        assert a.kept_tokens >= b.kept_tokens
+    # the sweep brackets the production gate (tau=0 == `passes`)
+    taus = [r.tau_logit_tenths for r in rows]
+    assert min(taus) < 0 < max(taus) or 0 in taus

@@ -641,6 +641,7 @@ def test_fuzz_documents_wave4(spark, tmp_path_factory, docs):
             "contamination_decay_audit",
             "tokenizer_swap_impact",
             "dedup_tau_sensitivity",
+            "epoch_repeat_plan",
         ],
         ["documents"],
     )
@@ -916,6 +917,7 @@ def test_fuzz_documents_wave5_web(spark, tmp_path_factory, docs):
             "html_text_extract",
             "pii_redact",
             "quality_classifier_score",
+            "quality_filter_sweep",
             "blocklist_filter_report",
             "robots_rules_apply",
             "warc_record_extract",

@@ -164,6 +164,11 @@ QUERY_CROSS = {
         ("disc<=base", _chain("sum_disc_price", "sum_base_price")),
         ("disc<=charge", _chain("sum_disc_price", "sum_charge")),
     ],
+    # Water-filling allocator: no source may exceed its repeat cap. Exact
+    # compare is safe: caps are powers of two, so (cap*n)/n == cap in IEEE.
+    "epoch_repeat_plan": [
+        ("epochs<=cap", _chain("epochs", "cap_epochs")),
+    ],
 }
 
 # (query, column): why the name-implied domain does not apply.
@@ -174,6 +179,7 @@ EXCLUDE = {
     ("discount_quantity_elasticity", "slope_qty_per_pct"): "signed regression slope per percentage point",
     ("returned_revenue_by_nation", "returned_share"): "published as percent (0-100), matching oracle",
     ("promo_revenue_share", "promo_share"): "TPC-H Q14 promo_revenue is a percent (0-100), matching oracle",
+    ("quality_filter_sweep", "tau_logit_tenths"): "gate threshold knob in logit tenths (-20..20), not a Kendall tau",
 }
 
 

@@ -1818,6 +1818,33 @@ def _(qs, spark):
     assert "windowspecdefinition" not in plan
 
 
+@check("quality_filter_sweep: zero-UDF feature pass, 9-row tau spine broadcast")
+def _(qs, spark):
+    plan = plan_of(qs["quality_filter_sweep"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    cols = read_schema_cols(plan, "documents")
+    assert cols <= {"doc_id", "text"}, cols
+    # the feature pass is pure whole-stage projection (no Python rows); each
+    # threshold is a broadcast-spine filter + low-cardinality rollup
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "BroadcastExchange" in plan
+    assert "windowspecdefinition" not in plan
+
+
+@check("epoch_repeat_plan: corpus reduced to source frame before windows")
+def _(qs, spark):
+    plan = plan_of(qs["epoch_repeat_plan"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    cols = read_schema_cols(plan, "documents")
+    assert cols <= {"source", "text"}, cols
+    # the corpus collapses through a partial-aggregated source groupBy; the
+    # water-filling windows run on the per-source frame only, and the two
+    # residual 1-row totals ride along as broadcasts
+    assert "partial_sum" in plan, "no map-side combine before the source rollup"
+    assert "BroadcastExchange" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
 def main() -> int:
     import __spark_entry__ as entry_mod
     from datapipeline_ops_spark.session import get_spark
