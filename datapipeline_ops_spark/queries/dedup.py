@@ -1306,3 +1306,103 @@ def dedup_tau_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("flagged_share"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# neardup_cluster_purity — are near-dup clusters real duplicates or
+# cross-language/cross-source template merges?
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "neardup_cluster_purity",
+    oracle="WITH RECURSIVE "
+    + _VERIFIED_PAIRS_CTE
+    + """,
+    clusters AS (SELECT doc_id, min(label) AS cluster_id FROM reach GROUP BY doc_id),
+    mem AS (
+        SELECT c.cluster_id, d.lang, d.source
+        FROM clusters c JOIN documents d ON c.doc_id = d.doc_id
+    ),
+    bylang AS (
+        SELECT cluster_id, lang, count(*) AS cnt
+        FROM mem GROUP BY cluster_id, lang
+    ),
+    langs AS (
+        SELECT cluster_id,
+               CAST(sum(cnt) AS BIGINT) AS n_members,
+               CAST(count(*) AS BIGINT) AS n_langs,
+               max(cnt) AS max_lang_cnt
+        FROM bylang GROUP BY cluster_id
+    ),
+    srcs AS (
+        SELECT cluster_id, CAST(count(DISTINCT source) AS BIGINT) AS n_sources
+        FROM mem GROUP BY cluster_id
+    )
+    SELECT l.cluster_id, l.n_members, l.n_langs, s.n_sources,
+           CAST(l.max_lang_cnt AS DOUBLE) / CAST(l.n_members AS DOUBLE)
+               AS top_lang_share,
+           avg(CASE WHEN l.n_langs = 1 THEN 1.0 ELSE 0.0 END) OVER ()
+               AS lang_pure_rate,
+           avg(CASE WHEN s.n_sources = 1 THEN 1.0 ELSE 0.0 END) OVER ()
+               AS source_pure_rate
+    FROM langs l JOIN srcs s ON l.cluster_id = s.cluster_id
+    """,
+)
+def neardup_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-quality audit for the near-dup graph: per cluster, member
+    count, distinct languages, distinct sources, and the majority-language
+    share, plus corpus-wide purity rates. A healthy near-dup cluster is
+    copies of ONE document — same language, usually same source; a cluster
+    spanning languages means the LSH is merging boilerplate/templates
+    (navigation chrome, license headers) rather than content, and removing
+    "duplicates" from it deletes distinct documents. This is the audit an
+    operator reads alongside `neardup_cluster_sizes` before trusting a
+    dedup manifest.
+
+    Scale shape: cluster labels come from the shared LSH + connected-
+    components machinery (banded candidates, capped buckets); the purity
+    rollups are two grouped aggregations on the CLUSTERED subset (orders of
+    magnitude smaller than the corpus) after one doc_id equi-join that
+    reads only (doc_id, lang, source) off the scan. The corpus-wide rates
+    ride an unpartitioned window over the per-cluster frame — cluster
+    cardinality, never corpus cardinality."""
+    from datapipeline_ops_spark.operators.dedup import connected_components, persist_barrier
+
+    pairs = minhash_lsh_pairs(spark, sf_dir)
+    cc = connected_components(pairs, "doc_a", "doc_b").select(
+        F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
+    )
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "source")
+    # mem feeds BOTH rollups (by-lang and by-source); the barrier keeps the
+    # documents scan + cluster join to one execution
+    mem = persist_barrier(
+        cc.join(d, "doc_id").select("cluster_id", "lang", "source"),
+        f"cluster_mem:{sf_dir}",
+    )
+    bylang = mem.groupBy("cluster_id", "lang").agg(F.count(F.lit(1)).alias("cnt"))
+    langs = bylang.groupBy("cluster_id").agg(
+        F.sum("cnt").cast("long").alias("n_members"),
+        F.count(F.lit(1)).cast("long").alias("n_langs"),
+        F.max("cnt").alias("max_lang_cnt"),
+    )
+    srcs = mem.groupBy("cluster_id").agg(
+        F.countDistinct("source").cast("long").alias("n_sources")
+    )
+    per = langs.join(srcs, "cluster_id")
+    w_all = Window.partitionBy()
+    return per.select(
+        "cluster_id",
+        "n_members",
+        "n_langs",
+        "n_sources",
+        (
+            F.col("max_lang_cnt").cast("double") / F.col("n_members").cast("double")
+        ).alias("top_lang_share"),
+        F.avg(F.when(F.col("n_langs") == 1, 1.0).otherwise(0.0))
+        .over(w_all)
+        .alias("lang_pure_rate"),
+        F.avg(F.when(F.col("n_sources") == 1, 1.0).otherwise(0.0))
+        .over(w_all)
+        .alias("source_pure_rate"),
+    )

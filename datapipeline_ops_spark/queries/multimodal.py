@@ -831,3 +831,174 @@ def media_curation_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("keep"), 1).otherwise(0)).cast("long").alias("n_keep"),
         F.sum("metric").cast("long").alias("metric_sum"),
     )
+
+
+# ---------------------------------------------------------------------------
+# media_phash_neardup — perceptual-hash near-dup over REAL decoded images
+# ---------------------------------------------------------------------------
+
+# Image corpus layout: doc_id % _PH_KEYS picks the base image (so duplicate
+# groups exist by construction); every doc_id % _PH_PERT == 0 doc carries a
+# one-pixel perturbation at a doc-specific position (so NEAR-duplicates with
+# small Hamming distance exist too, not just exact copies).
+_PH_KEYS = 37
+_PH_PERT = 3
+_PH_BANDS = 4
+_PH_HAM_T = 3  # pairs with Hamming <= 3 are near-dups; with 4 disjoint
+               # bands the pigeonhole principle guarantees band-join recall
+
+
+def _ph_oracle() -> str:
+    band_exprs = ",\n               ".join(
+        f"""CAST(list_sum(list_transform(
+                   generate_series(0, least(bandw, n - {k} * bandw) - 1),
+                   j -> CAST(bits[{k} * bandw + j + 1] AS BIGINT) << j))
+               AS BIGINT) AS b{k}"""
+        for k in range(_PH_BANDS)
+    )
+    ham = " + ".join(f"bit_count(xor(a.b{k}, b.b{k}))" for k in range(_PH_BANDS))
+    return f"""
+    WITH base AS MATERIALIZED (
+        SELECT doc_id,
+               CAST(4 + (doc_id % {_PH_KEYS}) % 8 AS INT) AS w,
+               CAST(3 + ((doc_id % {_PH_KEYS}) // 8) % 6 AS INT) AS h,
+               substr(repeat(md5(CAST(doc_id % {_PH_KEYS} AS VARCHAR)), {_PNG_REP}),
+                      1, CAST((4 + (doc_id % {_PH_KEYS}) % 8)
+                              * (3 + ((doc_id % {_PH_KEYS}) // 8) % 6) * 3 AS INT)) AS p
+        FROM documents
+    ),
+    pixd AS MATERIALIZED (
+        SELECT doc_id, w, h, w * h AS n,
+               CASE WHEN doc_id % {_PH_PERT} = 0 THEN
+                   substr(p, 1, CAST((doc_id % (w * h)) * 3 AS INT)) || 'zzz'
+                       || substr(p, CAST((doc_id % (w * h)) * 3 + 4 AS INT))
+               ELSE p END AS pix
+        FROM base
+    ),
+    g AS MATERIALIZED (
+        SELECT doc_id, w, h, n,
+               list_transform(generate_series(0, n - 1),
+                   i -> (ascii(substr(pix, i * 3 + 1, 1))
+                         + ascii(substr(pix, i * 3 + 2, 1))
+                         + ascii(substr(pix, i * 3 + 3, 1))) // 3) AS gray
+        FROM pixd
+    ),
+    bt AS MATERIALIZED (
+        SELECT doc_id, w, h, n, (n + 3) // 4 AS bandw,
+               list_transform(gray,
+                   x -> CASE WHEN x >= list_sum(gray) // n THEN 1 ELSE 0 END) AS bits
+        FROM g
+    ),
+    hv AS MATERIALIZED (
+        SELECT doc_id, w, h,
+               {band_exprs}
+        FROM bt
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST({ham} AS INT) AS hamming
+    FROM hv a JOIN hv b ON a.w = b.w AND a.h = b.h AND a.doc_id < b.doc_id
+    WHERE {ham} <= {_PH_HAM_T}
+    """
+
+
+@query("media_phash_neardup", oracle=_ph_oracle())
+def media_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-dup detection over REAL decoded pixels: per document,
+    build its genuine PNG (base image keyed by doc_id % {_PH_KEYS}; every
+    {_PH_PERT}rd doc gets a one-pixel perturbation, so the corpus contains
+    exact copies AND near-misses), decode it through the real codec, and
+    compute an average-hash perceptual fingerprint (per-pixel gray >= image
+    mean, integer arithmetic). Near-dup pairs are found the scale-correct
+    way: the bit fingerprint splits into {_PH_BANDS} disjoint bands, docs
+    equi-join on (dims, band_idx, band_value) — by pigeonhole any pair
+    within Hamming {_PH_HAM_T} shares at least one exact band — and
+    candidates verify on full Hamming distance via bit_count(xor). The
+    oracle recomputes every hash arithmetically WITHOUT decoding, so one
+    corrupted byte anywhere in encode -> decode -> gray -> threshold ->
+    band-pack flips a band value and goes gate-red. This is MinHash-LSH's
+    multimodal sibling: dedup for image corpora where byte-level hashes
+    miss re-encoded/retouched copies.
+
+    Scale shape: hashing is one mapInPandas pass (image bytes never leave
+    their partition — only the 4 band BIGINTs shuffle); the candidate
+    stage is an equi-join on band buckets, never all-pairs; the verify is
+    integer xor/popcount on the joined rows."""
+    import hashlib as _hl
+    from collections.abc import Iterator as _It
+
+    import pandas as _pd
+
+    from datapipeline_ops_spark.functions.png import decode_png_rgb, encode_png_rgb
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def run(batches: "_It[_pd.DataFrame]") -> "_It[_pd.DataFrame]":
+        for pdf in batches:
+            out = {"doc_id": [], "w": [], "h": []}
+            for k in range(_PH_BANDS):
+                out[f"b{k}"] = []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                bk = doc_id % _PH_KEYS
+                w = 4 + bk % 8
+                h = 3 + (bk // 8) % 6
+                pix = (_hl.md5(str(bk).encode()).hexdigest() * _PNG_REP)[: w * h * 3]
+                if doc_id % _PH_PERT == 0:
+                    p = doc_id % (w * h)
+                    pix = pix[: p * 3] + "zzz" + pix[p * 3 + 3 :]
+                dw, dh, dpix = decode_png_rgb(encode_png_rgb(w, h, pix.encode()))
+                n = dw * dh
+                gray = [
+                    (dpix[3 * i] + dpix[3 * i + 1] + dpix[3 * i + 2]) // 3
+                    for i in range(n)
+                ]
+                mean = sum(gray) // n
+                bits = [1 if x >= mean else 0 for x in gray]
+                bandw = (n + 3) // 4
+                out["doc_id"].append(doc_id)
+                out["w"].append(dw)
+                out["h"].append(dh)
+                for k in range(_PH_BANDS):
+                    seg = bits[k * bandw : min(n, (k + 1) * bandw)]
+                    out[f"b{k}"].append(sum(b << j for j, b in enumerate(seg)))
+            yield _pd.DataFrame(out)
+
+    schema = "doc_id long, w int, h int, " + ", ".join(
+        f"b{k} long" for k in range(_PH_BANDS)
+    )
+    hv = d.mapInPandas(run, schema=schema)
+
+    bands = hv.select(
+        "*",
+        F.posexplode(F.array(*[f"b{k}" for k in range(_PH_BANDS)])).alias(
+            "band_idx", "band_val"
+        ),
+    )
+    la = bands.alias("la")
+    rb = bands.alias("rb")
+    cand = (
+        la.join(
+            rb,
+            (F.col("la.w") == F.col("rb.w"))
+            & (F.col("la.h") == F.col("rb.h"))
+            & (F.col("la.band_idx") == F.col("rb.band_idx"))
+            & (F.col("la.band_val") == F.col("rb.band_val"))
+            & (F.col("la.doc_id") < F.col("rb.doc_id")),
+        )
+        .select(
+            F.col("la.doc_id").alias("doc_a"),
+            F.col("rb.doc_id").alias("doc_b"),
+            *[F.col(f"la.b{k}").alias(f"ab{k}") for k in range(_PH_BANDS)],
+            *[F.col(f"rb.b{k}").alias(f"bb{k}") for k in range(_PH_BANDS)],
+        )
+        .distinct()
+    )
+    ham = None
+    for k in range(_PH_BANDS):
+        term = F.bit_count(F.col(f"ab{k}").bitwiseXOR(F.col(f"bb{k}")))
+        ham = term if ham is None else ham + term
+    return (
+        cand.withColumn("hamming", ham.cast("int"))
+        .filter(F.col("hamming") <= _PH_HAM_T)
+        .select("doc_a", "doc_b", "hamming")
+    )

@@ -1226,3 +1226,203 @@ def _serving_eval_gate_oracle() -> str:
 
 
 QUERIES["serving_eval_gate_e2e"].oracle = _serving_eval_gate_oracle()
+
+
+# ---------------------------------------------------------------------------
+# ann_probe_recall_curve — the recall-vs-cost tuning curve for the IVF index
+# ---------------------------------------------------------------------------
+
+# nprobe sweep: how many of the 10 coarse cells each query searches. One
+# assignment pass + one candidate scoring pass at the loosest setting serve
+# every point on the curve.
+_PROBE_SPINE = (1, 2, 4, 8)
+
+
+@query("ann_probe_recall_curve", oracle=None)  # composed below
+def ann_probe_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF nprobe tuning curve: recall@k against exact ground truth AND the
+    candidate-scan cost, per probe count {_PROBE_SPINE} — the curve an
+    operator reads before pinning the serving index's nprobe (the knob that
+    trades recall for latency). `ann_recall_eval` grades ONE configured
+    index; this sweeps the configuration space from a single pass: vectors
+    are assigned to cells once, candidates are scored once at the loosest
+    nprobe, and every tighter setting is a filter on the probe rank.
+
+    Scale shape: the assignment is the same broadcast-centroid argmax as
+    `ann_ivf_topk`; the candidate stage is (constant query batch) x (probed
+    cells), never corpus x corpus; the sweep fans the scored candidates
+    across a 4-row broadcast spine and ranks per (nprobe, query) — at
+    production scale the curve costs one index probe pass, not four."""
+    from datapipeline_ops_spark.functions.vectors import dot
+    from datapipeline_ops_spark.queries.similarity import (
+        IVF_CENTROIDS,
+        N_QUERIES,
+        TOP_K,
+        _vectors,
+    )
+
+    v = _vectors(spark, sf_dir)
+    cent = v.filter(
+        (F.col("vec_id") >= IVF_CENTROIDS[0]) & (F.col("vec_id") < IVF_CENTROIDS[1])
+    ).select(
+        F.col("vec_id").alias("cid"),
+        F.col("vec").alias("cvec"),
+        F.col("nrm").alias("cnrm"),
+    )
+    w_assign = Window.partitionBy("vec_id").orderBy(F.desc("ccos"), F.asc("cid"))
+    assign = (
+        v.join(F.broadcast(cent))
+        .withColumn(
+            "ccos", dot(F.col("vec"), F.col("cvec")) / (F.col("nrm") * F.col("cnrm"))
+        )
+        .withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "cid", "vec", "nrm")
+    )
+    q = v.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("vec").alias("qvec"),
+        F.col("nrm").alias("qnrm"),
+    )
+    w_probe = Window.partitionBy("query_id").orderBy(F.desc("pcos"), F.asc("pcid"))
+    qp = (
+        q.join(F.broadcast(cent.select(F.col("cid").alias("pcid"), "cvec", "cnrm")))
+        .withColumn(
+            "pcos", dot(F.col("qvec"), F.col("cvec")) / (F.col("qnrm") * F.col("cnrm"))
+        )
+        .withColumn("crank", F.row_number().over(w_probe))
+        .filter(F.col("crank") <= max(_PROBE_SPINE))
+        .select("query_id", "pcid", "crank", "qvec", "qnrm")
+    )
+    scored = (
+        assign.join(
+            F.broadcast(qp),
+            (F.col("cid") == F.col("pcid")) & (F.col("vec_id") != F.col("query_id")),
+        )
+        .withColumn(
+            "cos", dot(F.col("qvec"), F.col("vec")) / (F.col("qnrm") * F.col("nrm"))
+        )
+        .select("query_id", "vec_id", "crank", "cos")
+    )
+    spine = spark.createDataFrame([(p,) for p in _PROBE_SPINE], "nprobe int")
+    fan = scored.crossJoin(F.broadcast(spine)).filter(
+        F.col("crank") <= F.col("nprobe")
+    )
+    w_rank = Window.partitionBy("nprobe", "query_id").orderBy(
+        F.desc("cos"), F.asc("vec_id")
+    )
+    ret = (
+        fan.withColumn("rn", F.row_number().over(w_rank))
+        .filter(F.col("rn") <= TOP_K)
+        .select("nprobe", "query_id", F.col("vec_id").alias("ret_vec_id"))
+    )
+    gt = (
+        QUERIES["cosine_topk_bruteforce"]
+        .fn(spark, sf_dir)
+        .select("query_id", F.col("vec_id").alias("gt_vec_id"))
+    )
+    # the ground-truth fan-out gets its own renamed spine columns: reusing
+    # `spine` verbatim would put the SAME attribute ids on both sides of the
+    # hits join (nprobe == nprobe resolves trivially true)
+    gfan = gt.crossJoin(
+        F.broadcast(spine.select(F.col("nprobe").alias("g_nprobe"))),
+    ).select(F.col("query_id").alias("g_query_id"), "gt_vec_id", "g_nprobe")
+    hits = (
+        gfan.join(
+            ret,
+            (F.col("g_nprobe") == F.col("nprobe"))
+            & (F.col("g_query_id") == F.col("query_id"))
+            & (F.col("gt_vec_id") == F.col("ret_vec_id")),
+            "left",
+        )
+        .select(
+            "g_nprobe",
+            "g_query_id",
+            F.col("ret_vec_id").isNotNull().cast("int").alias("hit"),
+        )
+        .groupBy("g_nprobe", "g_query_id")
+        .agg(
+            (F.sum("hit").cast("double") / F.lit(float(TOP_K))).alias("recall")
+        )
+    )
+    per = hits.groupBy("g_nprobe").agg(
+        F.avg("recall").alias("mean_recall"), F.min("recall").alias("min_recall")
+    ).withColumnRenamed("g_nprobe", "nprobe")
+    cost = fan.groupBy("nprobe").agg(
+        (F.count(F.lit(1)).cast("double") / F.lit(float(N_QUERIES))).alias(
+            "mean_candidates"
+        )
+    )
+    return per.join(cost, "nprobe").select(
+        "nprobe", "mean_recall", "min_recall", "mean_candidates"
+    )
+
+
+def _probe_curve_oracle() -> str:
+    from datapipeline_ops_spark.queries.similarity import (
+        _V_CTE,
+        IVF_CENTROIDS,
+        N_QUERIES,
+        TOP_K,
+    )
+
+    gt_sql = QUERIES["cosine_topk_bruteforce"].oracle
+    spine = ", ".join(str(p) for p in _PROBE_SPINE)
+    return f"""
+    WITH {_V_CTE},
+    cent AS (SELECT vec_id AS cid, vec FROM v
+             WHERE vec_id >= {IVF_CENTROIDS[0]} AND vec_id < {IVF_CENTROIDS[1]}),
+    assign AS (
+        SELECT vec_id, cid, vec FROM (
+            SELECT a.vec_id, b.cid, a.vec AS vec,
+                   row_number() OVER (PARTITION BY a.vec_id
+                                      ORDER BY {sql_cosine("a.vec", "b.vec")} DESC, b.cid) AS rn
+            FROM v a JOIN cent b ON true
+        ) WHERE rn = 1
+    ),
+    q AS (SELECT vec_id AS query_id, vec AS qvec FROM v WHERE vec_id < {N_QUERIES}),
+    qp AS (
+        SELECT query_id, cid, crank FROM (
+            SELECT q.query_id, b.cid,
+                   row_number() OVER (PARTITION BY q.query_id
+                                      ORDER BY {sql_cosine("q.qvec", "b.vec")} DESC, b.cid) AS crank
+            FROM q JOIN cent b ON true
+        ) WHERE crank <= {max(_PROBE_SPINE)}
+    ),
+    scored AS (
+        SELECT qp.query_id, a.vec_id, qp.crank,
+               {sql_cosine("q.qvec", "a.vec")} AS cos
+        FROM qp JOIN assign a ON a.cid = qp.cid
+                JOIN q ON q.query_id = qp.query_id
+        WHERE a.vec_id <> qp.query_id
+    ),
+    spine AS (SELECT unnest([{spine}]) AS nprobe),
+    fan AS (SELECT s.nprobe, c.* FROM scored c CROSS JOIN spine s
+            WHERE c.crank <= s.nprobe),
+    ret AS (
+        SELECT nprobe, query_id, vec_id FROM (
+            SELECT *, row_number() OVER (PARTITION BY nprobe, query_id
+                                         ORDER BY cos DESC, vec_id) AS rn
+            FROM fan
+        ) WHERE rn <= {TOP_K}
+    ),
+    gt AS MATERIALIZED (SELECT query_id, vec_id FROM ({gt_sql})),
+    hits AS (
+        SELECT s.nprobe, g.query_id,
+               CAST(sum(CASE WHEN r.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+                    AS DOUBLE) / {TOP_K} AS recall
+        FROM gt g CROSS JOIN spine s
+             LEFT JOIN ret r ON r.nprobe = s.nprobe
+                            AND r.query_id = g.query_id AND r.vec_id = g.vec_id
+        GROUP BY s.nprobe, g.query_id
+    ),
+    cost AS (SELECT nprobe, count(*) * 1.0 / {N_QUERIES} AS mean_candidates
+             FROM fan GROUP BY nprobe)
+    SELECT h.nprobe, avg(h.recall) AS mean_recall, min(h.recall) AS min_recall,
+           c.mean_candidates
+    FROM hits h JOIN cost c ON h.nprobe = c.nprobe
+    GROUP BY h.nprobe, c.mean_candidates
+    """
+
+
+QUERIES["ann_probe_recall_curve"].oracle = _probe_curve_oracle()

@@ -399,3 +399,24 @@ def test_lsh_tuning_report_monotone_tradeoff(spark, sf_dir):
     for r in rows:
         assert r.n_verified <= r.n_candidates
         assert 0.0 <= r.precision <= 1.0 and 0.0 <= r.recall <= 1.0
+
+
+def test_neardup_cluster_purity_shape(spark, sf_dir):
+    from datapipeline_ops_spark.queries.dedup import neardup_cluster_purity
+
+    rows = neardup_cluster_purity(spark, sf_dir).collect()
+    assert rows
+    lang_pure = sum(1 for r in rows if r.n_langs == 1) / len(rows)
+    src_pure = sum(1 for r in rows if r.n_sources == 1) / len(rows)
+    for r in rows:
+        # clusters come from the pair graph, so every cluster has >= 2 members
+        assert r.n_members >= 2
+        assert 1 <= r.n_langs <= r.n_members
+        assert 1 <= r.n_sources <= r.n_members
+        assert 0.0 < r.top_lang_share <= 1.0
+        # a pure cluster's majority share is exactly 1
+        if r.n_langs == 1:
+            assert r.top_lang_share == 1.0
+        # the window-published corpus rates must equal the recomputed ones
+        assert abs(r.lang_pure_rate - lang_pure) < 1e-9
+        assert abs(r.source_pure_rate - src_pure) < 1e-9

@@ -731,6 +731,7 @@ def test_fuzz_embeddings_wave4(spark, tmp_path_factory, embs):
             "ann_rerank_l2",
             # round-11 capability wave
             "int8_serving_parity",
+            "ann_probe_recall_curve",
         ],
         ["embeddings"],
     )
@@ -890,6 +891,7 @@ def test_fuzz_documents_wave5_dedup(spark, tmp_path_factory, docs):
             "simhash_near_pairs",
             "neardup_clusters",
             "neardup_cluster_sizes",
+            "neardup_cluster_purity",
             "winnowing_fingerprints",
             "winnow_match_pairs",
             "incremental_dedup",
@@ -992,6 +994,7 @@ def test_fuzz_documents_wave5_media(spark, tmp_path_factory, docs):
             "media_resize_stub",
             "media_png_resize",
             "media_png_frame_extract",
+            "media_phash_neardup",
             "media_curation_e2e",
             "audio_silence_segments",
             "video_scene_cut_detect",

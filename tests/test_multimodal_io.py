@@ -284,3 +284,28 @@ def test_warc_stream_framing():
         parse_warc_stream(stream[:-6])
     with _pytest.raises(ValueError):
         parse_warc_stream(b"NOTWARC\r\n\r\n")
+
+
+def test_media_phash_neardup_semantics(spark, sf_dir):
+    from datapipeline_ops_spark.queries.multimodal import (
+        _PH_HAM_T,
+        _PH_KEYS,
+        _PH_PERT,
+        media_phash_neardup,
+    )
+
+    rows = media_phash_neardup(spark, sf_dir).collect()
+    assert rows
+    seen = set()
+    for r in rows:
+        assert r.doc_a < r.doc_b
+        assert 0 <= r.hamming <= _PH_HAM_T
+        assert (r.doc_a, r.doc_b) not in seen  # band join deduped
+        seen.add((r.doc_a, r.doc_b))
+    # two unperturbed docs sharing a base image are EXACT dups: hamming 0
+    ham = {(r.doc_a, r.doc_b): r.hamming for r in rows}
+    a, b = 1, 1 + _PH_KEYS  # same base key, neither divisible by _PH_PERT
+    assert a % _PH_PERT != 0 and b % _PH_PERT != 0
+    assert ham.get((a, b)) == 0
+    # perturbed docs produce nonzero-distance near-misses somewhere
+    assert any(h > 0 for h in ham.values())

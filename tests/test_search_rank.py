@@ -96,3 +96,18 @@ def test_ann_recall_bounds(spark, sf_dir):
         assert abs(r.mean_recall - mean) < 1e-12
     # IVF with 1 probe on clustered synthetic data: recall must beat random
     assert mean > 0.2
+
+
+def test_ann_probe_recall_curve_monotone(spark, sf_dir):
+    from datapipeline_ops_spark.queries.search_rank import ann_probe_recall_curve
+
+    rows = sorted(ann_probe_recall_curve(spark, sf_dir).collect(), key=lambda r: r.nprobe)
+    assert rows
+    for r in rows:
+        assert 0.0 <= r.min_recall <= r.mean_recall <= 1.0
+        assert r.mean_candidates >= 0.0
+    # probing more cells can only add candidates: recall and cost are both
+    # monotone non-decreasing in nprobe
+    for a, b in zip(rows, rows[1:]):
+        assert a.mean_recall <= b.mean_recall + 1e-12
+        assert a.mean_candidates <= b.mean_candidates + 1e-12

@@ -1845,6 +1845,42 @@ def _(qs, spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
+@check("ann_probe_recall_curve: one scoring pass, broadcast spine sweep")
+def _(qs, spark):
+    plan = plan_of(qs["ann_probe_recall_curve"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    cols = read_schema_cols(plan, "embeddings")
+    assert cols <= {"vec_id", "embedding", "label"}, cols
+    # centroids, query-probe table and the 4-row nprobe spine all broadcast;
+    # the dot products are JVM array expressions, never Python rows
+    assert "BroadcastExchange" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+@check("neardup_cluster_purity: pruned doc join onto the clustered subset")
+def _(qs, spark):
+    plan = plan_of(qs["neardup_cluster_purity"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    cols = read_schema_cols(plan, "documents")
+    assert cols <= {"doc_id", "text", "lang", "source"}, cols
+    # the cluster labels arrive as the CC operator's checkpointed frame; the
+    # joined member table persists so both rollups share one documents scan
+    assert "Scan ExistingRDD" in plan
+    assert "InMemoryTableScan" in plan
+
+
+@check("media_phash_neardup: banded equi-join, bytes never shuffle")
+def _(qs, spark):
+    plan = plan_of(qs["media_phash_neardup"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    cols = read_schema_cols(plan, "documents")
+    assert cols <= {"doc_id"}, cols
+    # hashing happens inside one Arrow-batched pass (only band BIGINTs come
+    # out); candidates form through an equi-join on band buckets
+    assert "MapInPandas" in plan
+    assert re.search(r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)", plan)
+
+
 def main() -> int:
     import __spark_entry__ as entry_mod
     from datapipeline_ops_spark.session import get_spark
