@@ -15,7 +15,7 @@ matrices are pure integers with a final rounded ratio.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 
 from datapipeline_ops_spark.core.registry import query
 from datapipeline_ops_spark.functions.hashing import hash64, sql_hash64
@@ -674,4 +674,168 @@ def kfold_assignment_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(None).cast("double"))
         .alias("imbalance_ratio"),
         ((F.count(F.lit(1)) == KFOLD_K) & (F.min("n") > 0)).alias("usable"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# epoch_shuffle_audit — is the per-epoch data order reproducible AND
+# decorrelated across epochs?
+# ---------------------------------------------------------------------------
+
+# Epoch count and range-bucket fan-out for the distributed successor pass.
+# The order key is the md5-derived hex of (epoch, doc_id): deterministic,
+# reproducible from the seed alone, and range-bucketable by its first nibble
+# (prefix buckets preserve the global lexicographic order, so within-bucket
+# successors + one boundary pair per bucket reconstruct the exact global
+# successor relation without ever sorting the corpus in one task).
+_ESA_EPOCHS = 4
+
+
+def _esa_sql() -> str:
+    return f"""
+    WITH spine AS (SELECT unnest(generate_series(0, {_ESA_EPOCHS - 1})) AS epoch),
+    keyed AS (
+        SELECT s.epoch, d.doc_id,
+               substr(md5(CAST(s.epoch AS VARCHAR) || 'e:'
+                          || CAST(d.doc_id AS VARCHAR)), 1, 15)
+                   || '-' || lpad(CAST(d.doc_id AS VARCHAR), 12, '0') AS skey,
+               CAST(('0x' || substr(md5(CAST(s.epoch AS VARCHAR) || 'e:'
+                          || CAST(d.doc_id AS VARCHAR)), 1, 1)) AS BIGINT)
+                   AS bucket
+        FROM documents d CROSS JOIN spine s
+    ),
+    within AS (
+        SELECT epoch, doc_id,
+               lead(doc_id) OVER (PARTITION BY epoch, bucket ORDER BY skey)
+                   AS succ
+        FROM keyed
+    ),
+    ext AS (
+        SELECT epoch, bucket,
+               min_by(doc_id, skey) AS first_doc,
+               max_by(doc_id, skey) AS last_doc
+        FROM keyed GROUP BY epoch, bucket
+    ),
+    boundary AS (
+        SELECT epoch, last_doc AS doc_id,
+               lead(first_doc) OVER (PARTITION BY epoch ORDER BY bucket)
+                   AS succ
+        FROM ext
+    ),
+    pairs AS (
+        SELECT epoch, doc_id, succ FROM within WHERE succ IS NOT NULL
+        UNION ALL
+        SELECT epoch, doc_id, succ FROM boundary WHERE succ IS NOT NULL
+    ),
+    pc AS (SELECT epoch, count(*) AS n_pairs FROM pairs GROUP BY epoch),
+    rep AS (
+        SELECT a.epoch, count(*) AS n_repeats
+        FROM pairs a JOIN pairs b
+          ON b.epoch = a.epoch + 1 AND b.doc_id = a.doc_id AND b.succ = a.succ
+        GROUP BY a.epoch
+    )
+    SELECT pc.epoch AS epoch_from,
+           CAST(pc.epoch + 1 AS INT) AS epoch_to,
+           CAST(pc.n_pairs AS BIGINT) AS n_pairs,
+           CAST(coalesce(rep.n_repeats, 0) AS BIGINT) AS n_repeats,
+           CASE WHEN pc.n_pairs > 0 THEN
+               CAST(coalesce(rep.n_repeats, 0) AS DOUBLE)
+                   / CAST(pc.n_pairs AS DOUBLE)
+           END AS repeat_rate
+    FROM pc LEFT JOIN rep ON pc.epoch = rep.epoch
+    WHERE pc.epoch < {_ESA_EPOCHS - 1}
+    """
+
+
+@query("epoch_shuffle_audit", oracle=_esa_sql())
+def epoch_shuffle_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data order audit: derive each epoch's document order from a
+    seeded hash (reproducible from the seed alone — the property a resumable
+    trainer needs), extract the global successor relation per epoch, and
+    measure how many adjacencies REPEAT in the next epoch. A healthy
+    per-epoch shuffle repeats ~0 adjacencies (repeat_rate ~ 1/n); a high
+    rate means consecutive epochs present documents in correlated order,
+    which turns "4 epochs" into "1 epoch seen 4 times" for curriculum
+    effects. n_pairs per epoch is exactly n_docs - 1, so coverage rides
+    along for free.
+
+    Scale shape: NO global sort and NO single-task window — the hex order
+    key range-buckets by its first nibble (prefix buckets preserve global
+    lexicographic order), successors compute inside (epoch, bucket) window
+    partitions, and the 16-per-epoch bucket boundaries stitch through a
+    bucket-extremes rollup (min_by/max_by on the unique order key) plus a
+    16-row lead. The repeat join is an exact equi-join on
+    (epoch+1, doc, succ)."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    spine = spark.createDataFrame([(e,) for e in range(_ESA_EPOCHS)], "epoch int")
+    hx = F.substring(
+        F.md5(
+            F.concat(
+                F.col("epoch").cast("string"),
+                F.lit("e:"),
+                F.col("doc_id").cast("string"),
+            )
+        ),
+        1,
+        15,
+    )
+    keyed = d.crossJoin(F.broadcast(spine)).select(
+        "epoch",
+        "doc_id",
+        F.concat(hx, F.lit("-"), F.lpad(F.col("doc_id").cast("string"), 12, "0")).alias(
+            "skey"
+        ),
+        F.conv(F.substring(hx, 1, 1), 16, 10).cast("int").alias("bucket"),
+    )
+    w_succ = Window.partitionBy("epoch", "bucket").orderBy("skey")
+    within = keyed.select(
+        "epoch", "doc_id", F.lead("doc_id").over(w_succ).alias("succ")
+    ).filter(F.col("succ").isNotNull())
+    ext = keyed.groupBy("epoch", "bucket").agg(
+        F.min_by("doc_id", "skey").alias("first_doc"),
+        F.max_by("doc_id", "skey").alias("last_doc"),
+    )
+    w_bkt = Window.partitionBy("epoch").orderBy("bucket")
+    boundary = ext.select(
+        "epoch",
+        F.col("last_doc").alias("doc_id"),
+        F.lead("first_doc").over(w_bkt).alias("succ"),
+    ).filter(F.col("succ").isNotNull())
+    pairs = within.unionAll(boundary)
+    pc = pairs.groupBy("epoch").agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+    pa = pairs.select(
+        F.col("epoch").alias("epoch_a"),
+        (F.col("epoch") + 1).alias("nxt"),
+        "doc_id",
+        "succ",
+    )
+    pb = pairs.select(
+        F.col("epoch").alias("epoch_b"),
+        F.col("doc_id").alias("doc_b"),
+        F.col("succ").alias("succ_b"),
+    )
+    rep = (
+        pa.join(
+            pb,
+            (F.col("nxt") == F.col("epoch_b"))
+            & (F.col("doc_id") == F.col("doc_b"))
+            & (F.col("succ") == F.col("succ_b")),
+        )
+        .groupBy("epoch_a")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_repeats"))
+    )
+    return (
+        pc.filter(F.col("epoch") < _ESA_EPOCHS - 1)
+        .join(rep, pc["epoch"] == rep["epoch_a"], "left")
+        .select(
+            pc["epoch"].alias("epoch_from"),
+            (pc["epoch"] + 1).cast("int").alias("epoch_to"),
+            "n_pairs",
+            F.coalesce("n_repeats", F.lit(0)).cast("long").alias("n_repeats"),
+            F.when(
+                F.col("n_pairs") > 0,
+                F.coalesce("n_repeats", F.lit(0)).cast("double")
+                / F.col("n_pairs").cast("double"),
+            ).alias("repeat_rate"),
+        )
     )

@@ -2353,3 +2353,137 @@ def epoch_repeat_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             (alloc / F.col("budget")).alias("alloc_share"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# scaling_law_subsets — nested data-ablation subsets for scaling-law runs
+# ---------------------------------------------------------------------------
+
+# Subset levels in percent. Membership is a single hash threshold
+# (hash(doc_id) spread over 1e6 buckets, compared in pure integers), so the
+# levels are NESTED by construction: the 10% run's data is a strict subset
+# of the 25% run's — the property scaling-law ablations require (otherwise
+# the curve confounds data quantity with data identity).
+_SLS_PCTS = (10, 25, 50, 100)
+_SLS_SEED = 7
+_SLS_MOD = 1_000_000
+
+
+@query(
+    "scaling_law_subsets",
+    oracle=f"""
+    WITH d AS (
+        SELECT doc_id, source,
+               len({sql_tokens("text")}) AS n_tok,
+               {sql_hash64("doc_id", seed=_SLS_SEED)} % {_SLS_MOD} AS hm
+        FROM documents
+    ),
+    spine AS (SELECT unnest([{", ".join(str(p) for p in _SLS_PCTS)}]) AS pct),
+    sub AS (
+        SELECT s.pct, d.source, d.n_tok
+        FROM d CROSS JOIN spine s
+        WHERE d.hm * 100 < s.pct * {_SLS_MOD}
+    ),
+    bysrc AS (
+        SELECT pct, source, count(*) AS n, sum(n_tok) AS tok
+        FROM sub GROUP BY pct, source
+    ),
+    tot AS (
+        SELECT pct, sum(n) AS n_docs, sum(tok) AS n_tokens
+        FROM bysrc GROUP BY pct
+    ),
+    fl AS (
+        SELECT source, n AS n_full FROM bysrc WHERE pct = 100
+    ),
+    fltot AS (SELECT sum(n_full) AS nf FROM fl),
+    dev AS (
+        SELECT s.pct, f.source,
+               abs(coalesce(b.n, 0) * 1.0 / t.n_docs
+                   - f.n_full * 1.0 / ft.nf) AS adev
+        FROM fl f CROSS JOIN spine s
+             CROSS JOIN fltot ft
+             JOIN tot t ON t.pct = s.pct
+             LEFT JOIN bysrc b ON b.pct = s.pct AND b.source = f.source
+    )
+    SELECT t.pct,
+           CAST(t.n_docs AS BIGINT) AS n_docs,
+           CAST(t.n_tokens AS BIGINT) AS n_tokens,
+           x.max_share_dev,
+           x.tv_dist
+    FROM tot t JOIN (
+        SELECT pct, max(adev) AS max_share_dev, 0.5 * sum(adev) AS tv_dist
+        FROM dev GROUP BY pct
+    ) x ON x.pct = t.pct
+    """,
+)
+def scaling_law_subsets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-ablation subset plan for scaling-law runs: deterministic nested
+    corpus subsets at {_SLS_PCTS} percent (one hash threshold per doc — the
+    10% set is a strict subset of 25%, 25% of 50%, so ablation curves vary
+    data QUANTITY, never data identity), plus a representativeness audit
+    per level: the max per-source share deviation and total-variation
+    distance against the full corpus's source mix. A subset that drifts
+    from the full mixture (high tv_dist) measures "less data of a different
+    blend", which corrupts the scaling fit; hash thresholds keep the drift
+    at sampling noise.
+
+    Scale shape: membership is a per-row integer compare (no shuffle); the
+    audit rolls the corpus to (pct, source) cells in one partial-aggregated
+    group-by, and every later join runs on the source-cardinality frame.
+    All shares divide exact integers; the hash spreads over {_SLS_MOD}
+    buckets and compares in pure integer arithmetic, so the subsets match
+    across engines row for row."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.size(tokens(F.col("text"))).alias("n_tok"),
+        (hash64(F.col("doc_id"), seed=_SLS_SEED) % _SLS_MOD).alias("hm"),
+    )
+    spine = spark.createDataFrame([(p,) for p in _SLS_PCTS], "pct int")
+    sub = d.crossJoin(F.broadcast(spine)).filter(
+        F.col("hm") * 100 < F.col("pct").cast("long") * _SLS_MOD
+    )
+    bysrc = persist_barrier(
+        sub.groupBy("pct", "source").agg(
+            F.count(F.lit(1)).alias("n"), F.sum("n_tok").alias("tok")
+        ),
+        f"sls_bysrc:{sf_dir}",
+    )
+    tot = bysrc.groupBy("pct").agg(
+        F.sum("n").alias("n_docs"), F.sum("tok").alias("n_tokens")
+    )
+    full = bysrc.filter(F.col("pct") == 100).select(
+        "source", F.col("n").alias("n_full")
+    )
+    fulltot = full.agg(F.sum("n_full").alias("nf"))
+    dev = (
+        full.crossJoin(F.broadcast(spine.select(F.col("pct").alias("s_pct"))))
+        .crossJoin(F.broadcast(fulltot))
+        .join(tot, F.col("s_pct") == tot["pct"])
+        .join(
+            bysrc.select(
+                F.col("pct").alias("b_pct"), F.col("source").alias("b_source"), "n"
+            ),
+            (F.col("s_pct") == F.col("b_pct"))
+            & (F.col("source") == F.col("b_source")),
+            "left",
+        )
+        .select(
+            F.col("s_pct"),
+            F.abs(
+                F.coalesce("n", F.lit(0)).cast("double") / F.col("n_docs").cast("double")
+                - F.col("n_full").cast("double") / F.col("nf").cast("double")
+            ).alias("adev"),
+        )
+    )
+    x = dev.groupBy("s_pct").agg(
+        F.max("adev").alias("max_share_dev"),
+        (F.lit(0.5) * F.sum("adev")).alias("tv_dist"),
+    )
+    return tot.join(x, tot["pct"] == x["s_pct"]).select(
+        "pct",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        "max_share_dev",
+        "tv_dist",
+    )

@@ -1002,3 +1002,175 @@ def media_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("hamming") <= _PH_HAM_T)
         .select("doc_a", "doc_b", "hamming")
     )
+
+
+# ---------------------------------------------------------------------------
+# audio_fingerprint_neardup — energy-fingerprint near-dup over REAL decoded
+# audio (the WAV sibling of media_phash_neardup)
+# ---------------------------------------------------------------------------
+
+# Audio corpus layout: doc_id % _AF_KEYS picks the base signal; every
+# _AF_PERT-th doc carries a one-sample amplitude bump at a doc-specific
+# position. Signals frame into _AF_FRAMES windows; the fingerprint bit is
+# frame-mean-energy >= signal-mean-energy (all integer arithmetic).
+_AF_KEYS = 29
+_AF_PERT = 3
+_AF_FRAMES = 32
+_AF_BANDS = 4
+_AF_HAM_T = 3
+_AF_REP = 24  # md5 hex repeats to cover 2*n sample bytes (n <= 384)
+_AF_BUMP = 5000  # perturbation amplitude (samples stay < 32767)
+
+
+def _af_oracle() -> str:
+    bits_per = _AF_FRAMES // _AF_BANDS
+    band_exprs = ",\n               ".join(
+        f"""CAST(list_sum(list_transform(
+                   generate_series(0, {bits_per - 1}),
+                   j -> CAST(bits[{k} * {bits_per} + j + 1] AS BIGINT) << j))
+               AS BIGINT) AS b{k}"""
+        for k in range(_AF_BANDS)
+    )
+    ham = " + ".join(f"bit_count(xor(a.b{k}, b.b{k}))" for k in range(_AF_BANDS))
+    return f"""
+    WITH base AS MATERIALIZED (
+        SELECT doc_id,
+               CAST(160 + ((doc_id % {_AF_KEYS}) % 8) * 32 AS INT) AS n,
+               repeat(md5(CAST(doc_id % {_AF_KEYS} AS VARCHAR)), {_AF_REP}) AS hx
+        FROM documents
+    ),
+    sig AS MATERIALIZED (
+        SELECT doc_id, n,
+               list_transform(generate_series(0, n - 1),
+                   i -> (ascii(substr(hx, 2 * i + 1, 1))
+                         + 256 * ascii(substr(hx, 2 * i + 2, 1)))
+                        + CASE WHEN doc_id % {_AF_PERT} = 0
+                                    AND i = doc_id % n
+                               THEN {_AF_BUMP} ELSE 0 END) AS s
+        FROM base
+    ),
+    fe AS MATERIALIZED (
+        SELECT doc_id, n, n // {_AF_FRAMES} AS flen,
+               list_transform(generate_series(0, {_AF_FRAMES - 1}),
+                   f -> list_sum(s[f * (n // {_AF_FRAMES}) + 1 :
+                                   (f + 1) * (n // {_AF_FRAMES})])
+                        // (n // {_AF_FRAMES})) AS e,
+               list_sum(s) // n AS mean_e
+        FROM sig
+    ),
+    bt AS MATERIALIZED (
+        SELECT doc_id, n,
+               list_transform(e, x -> CASE WHEN x >= mean_e THEN 1 ELSE 0 END)
+                   AS bits
+        FROM fe
+    ),
+    hv AS MATERIALIZED (
+        SELECT doc_id, n,
+               {band_exprs}
+        FROM bt
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST({ham} AS INT) AS hamming
+    FROM hv a JOIN hv b ON a.n = b.n AND a.doc_id < b.doc_id
+    WHERE {ham} <= {_AF_HAM_T}
+    """
+
+
+@query("audio_fingerprint_neardup", oracle=_af_oracle())
+def audio_fingerprint_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio near-dup detection over REAL decoded PCM: per document, build
+    its deterministic mono WAV (base signal keyed by doc_id % {_AF_KEYS};
+    every {_AF_PERT}rd doc gets a one-sample amplitude bump), round-trip it
+    through the genuine RIFF encoder/parser, frame the decoded samples into
+    {_AF_FRAMES} windows, and fingerprint each frame as mean-energy >=
+    signal-mean (integer arithmetic throughout — the shape of chromaprint-
+    style audio fingerprints with the DSP swapped for an exact stand-in).
+    Near-dup pairs form the scale-correct way: {_AF_BANDS} disjoint bands
+    equi-join on (signal length, band_idx, band_value) — pigeonhole
+    guarantees recall at Hamming <= {_AF_HAM_T} — then candidates verify on
+    full xor/popcount distance. The oracle recomputes every fingerprint
+    arithmetically WITHOUT the container, so one wrong byte in encode ->
+    chunk walk -> PCM decode -> framing flips a band and goes gate-red.
+
+    Scale shape: fingerprinting is one mapInPandas pass (audio bytes never
+    leave their partition; only band BIGINTs shuffle); candidates come
+    from the band equi-join, never all-pairs."""
+    import hashlib as _hl
+    from collections.abc import Iterator as _It
+
+    import pandas as _pd
+
+    from datapipeline_ops_spark.functions.wav import (
+        decode_wav_pcm16,
+        encode_wav_pcm16,
+    )
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    bits_per = _AF_FRAMES // _AF_BANDS
+
+    def run(batches: "_It[_pd.DataFrame]") -> "_It[_pd.DataFrame]":
+        for pdf in batches:
+            out = {"doc_id": [], "n": []}
+            for k in range(_AF_BANDS):
+                out[f"b{k}"] = []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                bk = doc_id % _AF_KEYS
+                n = 160 + (bk % 8) * 32
+                hx = (_hl.md5(str(bk).encode()).hexdigest() * _AF_REP).encode()
+                samples = [hx[2 * i] + 256 * hx[2 * i + 1] for i in range(n)]
+                if doc_id % _AF_PERT == 0:
+                    samples[doc_id % n] += _AF_BUMP
+                rate = 8000
+                rw, dec = decode_wav_pcm16(encode_wav_pcm16(rate, samples))
+                assert rw == rate
+                flen = n // _AF_FRAMES
+                mean_e = sum(dec) // n
+                bits = [
+                    1 if sum(dec[f * flen : (f + 1) * flen]) // flen >= mean_e else 0
+                    for f in range(_AF_FRAMES)
+                ]
+                out["doc_id"].append(doc_id)
+                out["n"].append(n)
+                for k in range(_AF_BANDS):
+                    seg = bits[k * bits_per : (k + 1) * bits_per]
+                    out[f"b{k}"].append(sum(b << j for j, b in enumerate(seg)))
+            yield _pd.DataFrame(out)
+
+    schema = "doc_id long, n int, " + ", ".join(
+        f"b{k} long" for k in range(_AF_BANDS)
+    )
+    hv = d.mapInPandas(run, schema=schema)
+    bands = hv.select(
+        "*",
+        F.posexplode(F.array(*[f"b{k}" for k in range(_AF_BANDS)])).alias(
+            "band_idx", "band_val"
+        ),
+    )
+    la = bands.alias("la")
+    rb = bands.alias("rb")
+    cand = (
+        la.join(
+            rb,
+            (F.col("la.n") == F.col("rb.n"))
+            & (F.col("la.band_idx") == F.col("rb.band_idx"))
+            & (F.col("la.band_val") == F.col("rb.band_val"))
+            & (F.col("la.doc_id") < F.col("rb.doc_id")),
+        )
+        .select(
+            F.col("la.doc_id").alias("doc_a"),
+            F.col("rb.doc_id").alias("doc_b"),
+            *[F.col(f"la.b{k}").alias(f"ab{k}") for k in range(_AF_BANDS)],
+            *[F.col(f"rb.b{k}").alias(f"bb{k}") for k in range(_AF_BANDS)],
+        )
+        .distinct()
+    )
+    ham = None
+    for k in range(_AF_BANDS):
+        term = F.bit_count(F.col(f"ab{k}").bitwiseXOR(F.col(f"bb{k}")))
+        ham = term if ham is None else ham + term
+    return (
+        cand.withColumn("hamming", ham.cast("int"))
+        .filter(F.col("hamming") <= _AF_HAM_T)
+        .select("doc_a", "doc_b", "hamming")
+    )

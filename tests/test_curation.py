@@ -220,3 +220,44 @@ def test_quality_filter_sweep_monotone(spark, sf_dir):
     # the sweep brackets the production gate (tau=0 == `passes`)
     taus = [r.tau_logit_tenths for r in rows]
     assert min(taus) < 0 < max(taus) or 0 in taus
+
+
+def test_scaling_law_subsets_nested(spark, sf_dir):
+    from datapipeline_ops_spark.queries.curation_extra import (
+        _SLS_PCTS,
+        scaling_law_subsets,
+    )
+
+    rows = sorted(scaling_law_subsets(spark, sf_dir).collect(), key=lambda r: r.pct)
+    assert [r.pct for r in rows] == sorted(_SLS_PCTS)
+    # nested by construction: doc and token mass grow with the level
+    for a, b in zip(rows, rows[1:]):
+        assert a.n_docs <= b.n_docs
+        assert a.n_tokens <= b.n_tokens
+    full = rows[-1]
+    assert full.pct == 100
+    # the 100% level IS the corpus: zero drift from itself
+    assert full.max_share_dev == 0.0 and full.tv_dist == 0.0
+    for r in rows:
+        assert 0.0 <= r.max_share_dev <= r.tv_dist * 2 + 1e-12
+        assert 0.0 <= r.tv_dist <= 1.0
+
+
+def test_epoch_shuffle_audit_coverage_and_decorrelation(spark, sf_dir):
+    from datapipeline_ops_spark.queries.corpus_lm_extra import (
+        _ESA_EPOCHS,
+        epoch_shuffle_audit,
+    )
+    from datapipeline_ops_spark.tables import load_table
+
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    rows = sorted(epoch_shuffle_audit(spark, sf_dir).collect(), key=lambda r: r.epoch_from)
+    assert [r.epoch_from for r in rows] == list(range(_ESA_EPOCHS - 1))
+    for r in rows:
+        assert r.epoch_to == r.epoch_from + 1
+        # the successor relation covers every document exactly once
+        assert r.n_pairs == n_docs - 1
+        assert 0 <= r.n_repeats <= r.n_pairs
+        # independent permutations repeat ~1/n adjacencies; allow slack but
+        # catch a correlated (broken) shuffle outright
+        assert r.repeat_rate < 0.05

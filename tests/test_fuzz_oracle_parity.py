@@ -642,6 +642,8 @@ def test_fuzz_documents_wave4(spark, tmp_path_factory, docs):
             "tokenizer_swap_impact",
             "dedup_tau_sensitivity",
             "epoch_repeat_plan",
+            "epoch_shuffle_audit",
+            "scaling_law_subsets",
         ],
         ["documents"],
     )
@@ -995,6 +997,7 @@ def test_fuzz_documents_wave5_media(spark, tmp_path_factory, docs):
             "media_png_resize",
             "media_png_frame_extract",
             "media_phash_neardup",
+            "audio_fingerprint_neardup",
             "media_curation_e2e",
             "audio_silence_segments",
             "video_scene_cut_detect",

@@ -309,3 +309,26 @@ def test_media_phash_neardup_semantics(spark, sf_dir):
     assert ham.get((a, b)) == 0
     # perturbed docs produce nonzero-distance near-misses somewhere
     assert any(h > 0 for h in ham.values())
+
+
+def test_audio_fingerprint_neardup_semantics(spark, sf_dir):
+    from datapipeline_ops_spark.queries.multimodal import (
+        _AF_HAM_T,
+        _AF_KEYS,
+        _AF_PERT,
+        audio_fingerprint_neardup,
+    )
+
+    rows = audio_fingerprint_neardup(spark, sf_dir).collect()
+    assert rows
+    ham = {}
+    for r in rows:
+        assert r.doc_a < r.doc_b
+        assert 0 <= r.hamming <= _AF_HAM_T
+        assert (r.doc_a, r.doc_b) not in ham
+        ham[(r.doc_a, r.doc_b)] = r.hamming
+    # unperturbed docs sharing a base signal are exact dups: hamming 0
+    a, b = 1, 1 + _AF_KEYS * 3  # same base key; 1 % 3 != 0 and 88 % 3 != 0
+    assert a % _AF_PERT != 0 and b % _AF_PERT != 0 and a % _AF_KEYS == b % _AF_KEYS
+    assert ham.get((a, b)) == 0
+    assert any(h > 0 for h in ham.values())

@@ -1881,6 +1881,42 @@ def _(qs, spark):
     assert re.search(r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)", plan)
 
 
+@check("epoch_shuffle_audit: bucketed windows, no single-task global sort")
+def _(qs, spark):
+    plan = plan_of(qs["epoch_shuffle_audit"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    cols = read_schema_cols(plan, "documents")
+    assert cols <= {"doc_id"}, cols
+    # successors compute inside (epoch, bucket) window partitions; the
+    # 4-row epoch spine broadcasts; the repeat check is a pure equi-join
+    assert "BroadcastExchange" in plan
+    assert "windowspecdefinition" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+@check("audio_fingerprint_neardup: banded equi-join, audio bytes never shuffle")
+def _(qs, spark):
+    plan = plan_of(qs["audio_fingerprint_neardup"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    cols = read_schema_cols(plan, "documents")
+    assert cols <= {"doc_id"}, cols
+    assert "MapInPandas" in plan
+    assert re.search(r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)", plan)
+
+
+@check("scaling_law_subsets: integer-threshold membership, source-frame joins")
+def _(qs, spark):
+    plan = plan_of(qs["scaling_law_subsets"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    cols = read_schema_cols(plan, "documents")
+    assert cols <= {"doc_id", "source", "text"}, cols
+    # one partial-aggregated rollup to (pct, source) cells; the audit joins
+    # run on that persisted frame, and membership is a scan-side filter
+    assert "partial_sum" in plan or "partial_count" in plan
+    assert "InMemoryTableScan" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
 def main() -> int:
     import __spark_entry__ as entry_mod
     from datapipeline_ops_spark.session import get_spark
