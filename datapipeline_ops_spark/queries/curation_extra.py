@@ -2487,3 +2487,130 @@ def scaling_law_subsets(spark: SparkSession, sf_dir: str) -> DataFrame:
         "max_share_dev",
         "tv_dist",
     )
+
+
+# ---------------------------------------------------------------------------
+# packing_fill_sweep — packing efficiency vs context length from one
+# offset-chunking pass
+# ---------------------------------------------------------------------------
+
+# Candidate context windows (tokens). The packer is `sequence_packing`'s
+# offset-chunker: concatenate per source in doc_id order, cut every ctx
+# tokens. One running-sum pass serves every candidate window.
+_PFS_CTXS = (512, 1024, 2048, 4096)
+
+
+@query(
+    "packing_fill_sweep",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, source, len({sql_tokens("text")}) AS n_tok
+        FROM documents
+    ),
+    o AS MATERIALIZED (
+        SELECT source, n_tok,
+               sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) - n_tok AS start_off
+        FROM t WHERE n_tok >= 1
+    ),
+    st AS (SELECT source, sum(n_tok) AS src_tokens FROM o GROUP BY source),
+    spine AS (SELECT unnest([{", ".join(str(c) for c in _PFS_CTXS)}]) AS ctx_tokens),
+    chunks AS (
+        SELECT s.ctx_tokens,
+               sum((st.src_tokens + s.ctx_tokens - 1) // s.ctx_tokens)
+                   AS n_chunks
+        FROM st CROSS JOIN spine s GROUP BY s.ctx_tokens
+    ),
+    splits AS (
+        SELECT s.ctx_tokens,
+               sum(CASE WHEN o.start_off // s.ctx_tokens
+                             <> (o.start_off + o.n_tok - 1) // s.ctx_tokens
+                        THEN 1 ELSE 0 END) AS n_split,
+               count(*) AS n_docs,
+               sum(o.n_tok) AS n_tokens
+        FROM o CROSS JOIN spine s GROUP BY s.ctx_tokens
+    )
+    SELECT c.ctx_tokens,
+           CAST(c.n_chunks AS BIGINT) AS n_chunks,
+           CAST(sp.n_tokens AS DOUBLE)
+               / (CAST(c.n_chunks AS DOUBLE) * c.ctx_tokens) AS fill_rate,
+           CAST(sp.n_split AS DOUBLE) / CAST(sp.n_docs AS DOUBLE)
+               AS split_share
+    FROM chunks c JOIN splits sp ON c.ctx_tokens = sp.ctx_tokens
+    """,
+)
+def packing_fill_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window sizing curve: for each candidate window {_PFS_CTXS},
+    the chunk count the offset-packer would emit, the fill rate (token mass
+    over chunk capacity — waste is the final partial chunk per source), and
+    the share of documents split across a chunk boundary (the
+    cross-document-attention contamination proxy). Longer windows waste
+    less capacity but split more documents; this is the curve an operator
+    reads before pinning the training context length, from ONE running-sum
+    pass — the window-knob companion of `sequence_packing` the way
+    `quality_filter_sweep` companions the quality gate.
+
+    Scale shape: the running sum partitions by source (production key is
+    (source, shard)); chunk counts derive from per-source token totals
+    (source-cardinality frame), and the split check is per-row integer
+    arithmetic fanned over a 4-row broadcast spine — no extra shuffle
+    beyond the packer's own."""
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select("doc_id", "source", F.size(tokens(F.col("text"))).alias("n_tok"))
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    o = persist_barrier(
+        t.filter(F.col("n_tok") >= 1).select(
+            "source",
+            "n_tok",
+            (F.sum("n_tok").over(w) - F.col("n_tok")).alias("start_off"),
+        ),
+        f"pfs_offsets:{sf_dir}",
+    )
+    st = o.groupBy("source").agg(F.sum("n_tok").alias("src_tokens"))
+    spine = spark.createDataFrame([(c,) for c in _PFS_CTXS], "ctx_tokens int")
+    chunks = (
+        st.crossJoin(F.broadcast(spine))
+        .groupBy("ctx_tokens")
+        .agg(
+            F.sum(
+                F.floor(
+                    (F.col("src_tokens") + F.col("ctx_tokens") - 1)
+                    / F.col("ctx_tokens")
+                )
+            ).alias("n_chunks")
+        )
+    )
+    splits = (
+        o.crossJoin(F.broadcast(spine))
+        .groupBy("ctx_tokens")
+        .agg(
+            F.sum(
+                F.when(
+                    F.floor(F.col("start_off") / F.col("ctx_tokens"))
+                    != F.floor(
+                        (F.col("start_off") + F.col("n_tok") - 1)
+                        / F.col("ctx_tokens")
+                    ),
+                    1,
+                ).otherwise(0)
+            ).alias("n_split"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("n_tokens"),
+        )
+    )
+    return chunks.join(splits, "ctx_tokens").select(
+        "ctx_tokens",
+        F.col("n_chunks").cast("long").alias("n_chunks"),
+        (
+            F.col("n_tokens").cast("double")
+            / (F.col("n_chunks").cast("double") * F.col("ctx_tokens"))
+        ).alias("fill_rate"),
+        (F.col("n_split").cast("double") / F.col("n_docs").cast("double")).alias(
+            "split_share"
+        ),
+    )

@@ -18,7 +18,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
 from datapipeline_ops_spark.core.registry import QUERIES, query
-from datapipeline_ops_spark.functions.hashing import sql_hash64
+from datapipeline_ops_spark.functions.hashing import hash64, sql_hash64
 from datapipeline_ops_spark.operators.dedup import (
     LSH_BANDS,
     LSH_MAX_BUCKET,
@@ -1405,4 +1405,99 @@ def neardup_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.avg(F.when(F.col("n_sources") == 1, 1.0).otherwise(0.0))
         .over(w_all)
         .alias("source_pure_rate"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# inbatch_negative_collisions — how often does in-batch negative sampling
+# pair a document with its own near-duplicate?
+# ---------------------------------------------------------------------------
+
+# Candidate batch counts for the contrastive-training batching sweep (a
+# batch count of NB at corpus size n means batches of ~n/NB documents).
+_IBN_BATCHES = (8, 32, 128)
+_IBN_SEED = 11
+
+
+@query(
+    "inbatch_negative_collisions",
+    oracle="WITH "
+    + _bands_cte()
+    + f""",
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
+                                  AND a.doc_id < b.doc_id
+    ),
+    pj AS (
+        SELECT doc_a, doc_b
+        FROM cand JOIN hsv sa ON cand.doc_a = sa.doc_id
+                  JOIN hsv sb ON cand.doc_b = sb.doc_id
+        WHERE len(list_intersect(sa.hs, sb.hs)) * 1.0 /
+              (len(sa.hs) + len(sb.hs) - len(list_intersect(sa.hs, sb.hs))) >= 0.5
+    ),
+    spine AS (SELECT unnest([{", ".join(str(b) for b in _IBN_BATCHES)}]) AS n_batches),
+    coll AS (
+        SELECT s.n_batches, count(*) AS n_collisions
+        FROM pj CROSS JOIN spine s
+        WHERE {sql_hash64("pj.doc_a", seed=_IBN_SEED)} % s.n_batches
+            = {sql_hash64("pj.doc_b", seed=_IBN_SEED)} % s.n_batches
+        GROUP BY s.n_batches
+    ),
+    tot AS (SELECT count(*) AS n_pairs FROM pj)
+    SELECT s.n_batches,
+           CAST(t.n_pairs AS BIGINT) AS n_pairs,
+           CAST(coalesce(c.n_collisions, 0) AS BIGINT) AS n_collisions,
+           CASE WHEN t.n_pairs > 0 THEN
+               CAST(coalesce(c.n_collisions, 0) AS DOUBLE)
+                   / CAST(t.n_pairs AS DOUBLE)
+           END AS collision_rate
+    FROM spine s CROSS JOIN tot t
+         LEFT JOIN coll c ON c.n_batches = s.n_batches
+    """,
+)
+def inbatch_negative_collisions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive-training batch audit: when training with in-batch
+    negatives, a near-duplicate pair that lands in the SAME batch becomes a
+    FALSE negative — the model is pushed to separate two copies of the same
+    content, which corrupts the embedding space. Per candidate batch count
+    {_IBN_BATCHES}, this counts verified near-dup pairs (the shared
+    MinHash-LSH machinery, Jaccard >= 0.5) whose members hash into the same
+    batch, and the collision rate among all near-dup pairs (~1/n_batches
+    for an independent hash — a higher rate means the batching key
+    correlates with content). The fix the audit motivates is exactly
+    `corpus_curation_e2e`'s: dedup BEFORE batching; this query measures the
+    damage of skipping it.
+
+    Scale shape: the expensive near-dup work rides the shared banded-LSH
+    pass (bucketed candidates, never all-pairs); the batching sweep is a
+    3-row broadcast spine over the verified pair table, and batch
+    membership is pure hash arithmetic — no shuffle beyond the pair
+    machinery itself."""
+    d = with_shingle_hashes(load_table(spark, sf_dir, "documents"), "doc_id")
+    pj = _lsh_verified_pairs(d, tau=0.5).select("doc_a", "doc_b")
+    spine = spark.createDataFrame([(b,) for b in _IBN_BATCHES], "n_batches int")
+    coll = (
+        pj.crossJoin(F.broadcast(spine))
+        .filter(
+            hash64(F.col("doc_a"), seed=_IBN_SEED) % F.col("n_batches")
+            == hash64(F.col("doc_b"), seed=_IBN_SEED) % F.col("n_batches")
+        )
+        .groupBy("n_batches")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_collisions"))
+    )
+    tot = pj.agg(F.count(F.lit(1)).alias("n_pairs"))
+    return (
+        spine.crossJoin(F.broadcast(tot))
+        .join(coll, "n_batches", "left")
+        .select(
+            "n_batches",
+            F.col("n_pairs").cast("long").alias("n_pairs"),
+            F.coalesce("n_collisions", F.lit(0)).cast("long").alias("n_collisions"),
+            F.when(
+                F.col("n_pairs") > 0,
+                F.coalesce("n_collisions", F.lit(0)).cast("double")
+                / F.col("n_pairs").cast("double"),
+            ).alias("collision_rate"),
+        )
     )

@@ -869,3 +869,89 @@ def embedding_norm_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("n_vectors"))
         .select("norm2_band", "n_vectors", "n_degenerate")
     )
+
+
+# ---------------------------------------------------------------------------
+# ivf_cell_balance — is the coarse quantizer's load balanced, or do hot
+# cells serialize the serving tail?
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "ivf_cell_balance",
+    oracle=f"""
+    WITH {_V_CTE},
+    cent AS (SELECT vec_id AS cid, vec FROM v
+             WHERE vec_id >= {IVF_CENTROIDS[0]} AND vec_id < {IVF_CENTROIDS[1]}),
+    assign AS (
+        SELECT vec_id, cid FROM (
+            SELECT a.vec_id, b.cid,
+                   row_number() OVER (PARTITION BY a.vec_id
+                                      ORDER BY {sql_cosine("a.vec", "b.vec")} DESC, b.cid) AS rn
+            FROM v a JOIN cent b ON true
+        ) WHERE rn = 1
+    ),
+    sz AS (
+        SELECT c.cid, CAST(count(a.vec_id) AS BIGINT) AS n_vectors
+        FROM cent c LEFT JOIN assign a ON a.cid = c.cid
+        GROUP BY c.cid
+    ),
+    tot AS (SELECT sum(n_vectors) AS n_total, count(*) AS n_cells FROM sz)
+    SELECT sz.cid, sz.n_vectors,
+           CAST(sz.n_vectors AS DOUBLE) / t.n_total AS cell_share,
+           CAST(sz.n_vectors AS DOUBLE) * t.n_cells / t.n_total AS load_factor,
+           max(CAST(sz.n_vectors AS DOUBLE) * t.n_cells / t.n_total) OVER ()
+               AS hot_factor
+    FROM sz CROSS JOIN tot t
+    """,
+)
+def ivf_cell_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Load-balance audit for the IVF coarse quantizer: per cell, the
+    assigned vector count, its share, and its load factor (1.0 = perfectly
+    balanced), plus the corpus-wide hot factor (the max load). A skewed
+    quantizer makes probe latency bimodal — queries routed to a hot cell
+    scan many times the average — and at write time a hot cell becomes the
+    straggler partition of the partitionBy(cid) layout `ann_ivf_topk`
+    ships. This is the index-side companion of `ann_probe_recall_curve`:
+    that query tunes how MANY cells to probe, this one shows whether the
+    cells are worth probing uniformly. Empty cells surface as n_vectors=0
+    rows (wasted centroids), not absent rows.
+
+    Scale shape: the assignment is the shared broadcast-centroid argmax;
+    the audit itself is one partial-aggregated count per cid joined back
+    to the 10-row centroid table, with the totals riding a broadcast
+    1-row frame and the hot factor a centroid-cardinality window."""
+    v = _vectors(spark, sf_dir)
+    cent = v.filter(
+        (F.col("vec_id") >= IVF_CENTROIDS[0]) & (F.col("vec_id") < IVF_CENTROIDS[1])
+    ).select(F.col("vec_id").alias("cid"), F.col("vec").alias("cvec"), F.col("nrm").alias("cnrm"))
+    w_assign = Window.partitionBy("vec_id").orderBy(F.desc("ccos"), F.asc("acid"))
+    assign = (
+        v.join(F.broadcast(cent.select(F.col("cid").alias("acid"), "cvec", "cnrm")))
+        .withColumn(
+            "ccos", dot(F.col("vec"), F.col("cvec")) / (F.col("nrm") * F.col("cnrm"))
+        )
+        .withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", F.col("acid").alias("cid"))
+    )
+    sz = (
+        cent.select("cid")
+        .join(assign, "cid", "left")
+        .groupBy("cid")
+        .agg(F.count("vec_id").cast("long").alias("n_vectors"))
+    )
+    tot = sz.agg(
+        F.sum("n_vectors").alias("n_total"), F.count(F.lit(1)).alias("n_cells")
+    )
+    load = F.col("n_vectors").cast("double") * F.col("n_cells") / F.col("n_total")
+    return (
+        sz.crossJoin(F.broadcast(tot))
+        .select(
+            "cid",
+            "n_vectors",
+            (F.col("n_vectors").cast("double") / F.col("n_total")).alias("cell_share"),
+            load.alias("load_factor"),
+            F.max(load).over(Window.partitionBy()).alias("hot_factor"),
+        )
+    )

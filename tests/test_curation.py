@@ -261,3 +261,21 @@ def test_epoch_shuffle_audit_coverage_and_decorrelation(spark, sf_dir):
         # independent permutations repeat ~1/n adjacencies; allow slack but
         # catch a correlated (broken) shuffle outright
         assert r.repeat_rate < 0.05
+
+
+def test_packing_fill_sweep_tradeoff(spark, sf_dir):
+    from datapipeline_ops_spark.queries.curation_extra import (
+        _PFS_CTXS,
+        packing_fill_sweep,
+    )
+
+    rows = sorted(packing_fill_sweep(spark, sf_dir).collect(), key=lambda r: r.ctx_tokens)
+    assert [r.ctx_tokens for r in rows] == sorted(_PFS_CTXS)
+    for r in rows:
+        assert r.n_chunks >= 1
+        assert 0.0 < r.fill_rate <= 1.0
+        assert 0.0 <= r.split_share <= 1.0
+    # longer windows can only reduce chunk count and boundary splits
+    for a, b in zip(rows, rows[1:]):
+        assert a.n_chunks >= b.n_chunks
+        assert a.split_share >= b.split_share - 1e-12

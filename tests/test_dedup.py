@@ -420,3 +420,25 @@ def test_neardup_cluster_purity_shape(spark, sf_dir):
         # the window-published corpus rates must equal the recomputed ones
         assert abs(r.lang_pure_rate - lang_pure) < 1e-9
         assert abs(r.source_pure_rate - src_pure) < 1e-9
+
+
+def test_inbatch_negative_collisions_rate(spark, sf_dir):
+    from datapipeline_ops_spark.queries.dedup import (
+        _IBN_BATCHES,
+        inbatch_negative_collisions,
+    )
+
+    rows = sorted(
+        inbatch_negative_collisions(spark, sf_dir).collect(),
+        key=lambda r: r.n_batches,
+    )
+    assert [r.n_batches for r in rows] == sorted(_IBN_BATCHES)
+    n_pairs = rows[0].n_pairs
+    for r in rows:
+        assert r.n_pairs == n_pairs  # pair table shared across the sweep
+        assert 0 <= r.n_collisions <= r.n_pairs
+        if r.n_pairs > 0:
+            assert 0.0 <= r.collision_rate <= 1.0
+    # more batches -> fewer same-batch collisions (weak monotone)
+    for a, b in zip(rows, rows[1:]):
+        assert a.n_collisions >= b.n_collisions

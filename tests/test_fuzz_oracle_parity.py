@@ -644,6 +644,7 @@ def test_fuzz_documents_wave4(spark, tmp_path_factory, docs):
             "epoch_repeat_plan",
             "epoch_shuffle_audit",
             "scaling_law_subsets",
+            "packing_fill_sweep",
         ],
         ["documents"],
     )
@@ -734,6 +735,7 @@ def test_fuzz_embeddings_wave4(spark, tmp_path_factory, embs):
             # round-11 capability wave
             "int8_serving_parity",
             "ann_probe_recall_curve",
+            "ivf_cell_balance",
         ],
         ["embeddings"],
     )
@@ -901,6 +903,7 @@ def test_fuzz_documents_wave5_dedup(spark, tmp_path_factory, docs):
             "url_canonical_dedup",
             "cc_consistency_audit",
             "neardup_split_leakage",
+            "inbatch_negative_collisions",
             "spell_correct_symdel",
             "sentence_split_udtf",
         ],

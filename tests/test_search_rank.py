@@ -111,3 +111,20 @@ def test_ann_probe_recall_curve_monotone(spark, sf_dir):
     for a, b in zip(rows, rows[1:]):
         assert a.mean_recall <= b.mean_recall + 1e-12
         assert a.mean_candidates <= b.mean_candidates + 1e-12
+
+
+def test_ivf_cell_balance_accounting(spark, sf_dir):
+    from datapipeline_ops_spark.queries.similarity import (
+        IVF_CENTROIDS,
+        ivf_cell_balance,
+    )
+
+    rows = ivf_cell_balance(spark, sf_dir).collect()
+    n_cells = IVF_CENTROIDS[1] - IVF_CENTROIDS[0]
+    assert len(rows) == n_cells  # empty cells surface as rows, never vanish
+    assert abs(sum(r.cell_share for r in rows) - 1.0) < 1e-9
+    hot = max(r.load_factor for r in rows)
+    for r in rows:
+        assert r.n_vectors >= 0
+        assert abs(r.load_factor - r.cell_share * n_cells) < 1e-9
+        assert abs(r.hot_factor - hot) < 1e-12

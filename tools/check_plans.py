@@ -1917,6 +1917,41 @@ def _(qs, spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
+@check("ivf_cell_balance: broadcast-centroid argmax, 10-row audit frame")
+def _(qs, spark):
+    plan = plan_of(qs["ivf_cell_balance"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    cols = read_schema_cols(plan, "embeddings")
+    assert cols <= {"vec_id", "embedding", "label"}, cols
+    assert "BroadcastExchange" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+@check("inbatch_negative_collisions: rides the capped LSH path, spine sweep")
+def _(qs, spark):
+    plan = plan_of(qs["inbatch_negative_collisions"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    cols = read_schema_cols(plan, "documents")
+    assert cols <= {"doc_id", "text"}, cols
+    # near-dup pairs come from the shared banded machinery (persisted
+    # shingle barrier); batch membership is hash arithmetic on a spine
+    assert "InMemoryTableScan" in plan
+    assert "BroadcastExchange" in plan
+
+
+@check("packing_fill_sweep: one source-partitioned cumsum, spine fan-out")
+def _(qs, spark):
+    plan = plan_of(qs["packing_fill_sweep"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    cols = read_schema_cols(plan, "documents")
+    assert cols <= {"doc_id", "source", "text"}, cols
+    # the running sum partitions by source and persists; both sweep legs
+    # read the barrier, and chunk math runs on the source totals frame
+    assert "InMemoryTableScan" in plan
+    assert "windowspecdefinition" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
 def main() -> int:
     import __spark_entry__ as entry_mod
     from datapipeline_ops_spark.session import get_spark
