@@ -69,13 +69,16 @@ _PRIORITY = [
 ]
 # ROUND-12 ORDERING PLAN (apply after the round-11 gate runs): head the
 # window with any round-11 reds (expected none), then:
-# (0) first records for the 11 round-11 post-window additions, registration
+# (0) first records for the 14 round-11 post-window additions, registration
 #     order: quality_filter_sweep epoch_repeat_plan ann_probe_recall_curve
 #     neardup_cluster_purity media_phash_neardup epoch_shuffle_audit
 #     audio_fingerprint_neardup scaling_law_subsets ivf_cell_balance
-#     inbatch_negative_collisions packing_fill_sweep (all eleven
-#     oracle-green in the round-11 full-registry gate — 382/382 pass — but
-#     registered after the 50-slot window was staged);
+#     inbatch_negative_collisions packing_fill_sweep
+#     minhash_vs_simhash_agreement dedup_removal_impact
+#     neardup_chain_overmerge (all fourteen oracle-green in the round-11
+#     pre-record gates — the mid-session full-registry run passed 379/379
+#     and later additions passed individually — but registered after the
+#     50-slot window was staged);
 # (1) first records for any round-12 additions as they land;
 # (2) the 22 remaining r04-latest stragglers, registration order:
 #     priority_with_big_lineitem

@@ -1501,3 +1501,278 @@ def inbatch_negative_collisions(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("collision_rate"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# minhash_vs_simhash_agreement — do the two fingerprint families flag the
+# same near-duplicates?
+# ---------------------------------------------------------------------------
+
+
+@query("minhash_vs_simhash_agreement", oracle=None)  # composed below
+def minhash_vs_simhash_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-estimator QA for the two near-dup fingerprint families: full
+    outer join of the MinHash-LSH verified pairs (Jaccard >= 0.5) against
+    the SimHash radius-3 pairs, rolled up by which family found each pair
+    (`both`, `minhash_only`, `simhash_only`) with pair counts and the
+    exact-Jaccard range where it is known. An operator choosing a family
+    (set-similarity MinHash vs cosine-sketch SimHash) reads this before
+    trusting one alone: a large `simhash_only` bucket means weighted/
+    repeated-token duplicates MinHash's set semantics miss; a large
+    `minhash_only` bucket means SimHash's radius is too tight for the
+    corpus. Both legs are the registered production paths, so the audit
+    measures the shipped estimators, not idealized ones.
+
+    Scale shape: both pair tables are LSH/pigeonhole-capped (orders of
+    magnitude smaller than the corpus); the audit is one full outer
+    equi-join on (doc_a, doc_b) plus a 3-group rollup."""
+    m = QUERIES["minhash_lsh_pairs"].fn(spark, sf_dir)
+    s = QUERIES["simhash_near_pairs"].fn(spark, sf_dir).select(
+        F.col("doc_a").alias("s_a"), F.col("doc_b").alias("s_b")
+    )
+    j = m.join(
+        s,
+        (F.col("doc_a") == F.col("s_a")) & (F.col("doc_b") == F.col("s_b")),
+        "full_outer",
+    )
+    found = (
+        F.when(F.col("doc_a").isNotNull() & F.col("s_a").isNotNull(), "both")
+        .when(F.col("doc_a").isNotNull(), "minhash_only")
+        .otherwise("simhash_only")
+    )
+    return (
+        j.select(found.alias("found_by"), "jaccard")
+        .groupBy("found_by")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.min("jaccard").alias("min_jaccard"),
+            F.max("jaccard").alias("max_jaccard"),
+        )
+    )
+
+
+def _mvsa_oracle() -> str:
+    m_sql = QUERIES["minhash_lsh_pairs"].oracle
+    s_sql = QUERIES["simhash_near_pairs"].oracle
+    return f"""
+    WITH m AS MATERIALIZED ({m_sql}),
+    s AS MATERIALIZED (SELECT doc_a AS s_a, doc_b AS s_b FROM ({s_sql})),
+    j AS (
+        SELECT m.doc_a, m.jaccard, s.s_a,
+               CASE WHEN m.doc_a IS NOT NULL AND s.s_a IS NOT NULL THEN 'both'
+                    WHEN m.doc_a IS NOT NULL THEN 'minhash_only'
+                    ELSE 'simhash_only' END AS found_by
+        FROM m FULL OUTER JOIN s ON m.doc_a = s.s_a AND m.doc_b = s.s_b
+    )
+    SELECT found_by,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           min(jaccard) AS min_jaccard,
+           max(jaccard) AS max_jaccard
+    FROM j GROUP BY found_by
+    """
+
+
+QUERIES["minhash_vs_simhash_agreement"].oracle = _mvsa_oracle()
+
+
+# ---------------------------------------------------------------------------
+# dedup_removal_impact — which languages pay for the curation funnel?
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dedup_removal_impact",
+    oracle="WITH RECURSIVE q AS ("
+    "    SELECT doc_id, text, lang FROM documents"
+    "    WHERE len(regexp_split_to_array(text, '\\s+')) >= 10"
+    "), keep1 AS ("
+    "    SELECT doc_id, text, lang, rn FROM ("
+    "        SELECT *, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn FROM q"
+    "    )"
+    "), e AS (SELECT doc_id, text, lang FROM keep1 WHERE rn = 1), "
+    + _verified_pairs_cte("e")
+    + """,
+    clusters AS (SELECT doc_id, min(label) AS cluster_id FROM reach GROUP BY doc_id),
+    tagged AS (
+        SELECT d.lang,
+               CASE
+                   WHEN len(regexp_split_to_array(d.text, '\\s+')) < 10
+                       THEN 'quality'
+                   WHEN k.rn > 1 THEN 'exact_dup'
+                   WHEN c.cluster_id IS NOT NULL AND c.cluster_id <> d.doc_id
+                       THEN 'near_dup'
+                   ELSE 'kept'
+               END AS fate
+        FROM documents d
+        LEFT JOIN keep1 k ON d.doc_id = k.doc_id
+        LEFT JOIN clusters c ON d.doc_id = c.doc_id
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN fate = 'quality' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_quality_removed,
+           CAST(sum(CASE WHEN fate = 'exact_dup' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_exact_removed,
+           CAST(sum(CASE WHEN fate = 'near_dup' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_neardup_removed,
+           CAST(sum(CASE WHEN fate = 'kept' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_kept,
+           CAST(sum(CASE WHEN fate = 'kept' THEN 1 ELSE 0 END) AS DOUBLE)
+               / count(*) AS kept_share
+    FROM tagged GROUP BY lang
+    """,
+)
+def dedup_removal_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation-funnel fairness audit: per language, how many documents each
+    stage of `corpus_curation_e2e` removes (quality gate, exact dedup,
+    near-dup dedup) and the kept share. Dedup is known to remove data
+    NON-uniformly — boilerplate-heavy or template-translated languages lose
+    disproportionately, which silently shifts the training mixture after
+    curation. This query attributes every document to exactly one fate
+    (the four columns sum to n_docs per row), so a mixture designer can
+    correct weights POST-funnel instead of assuming the pre-funnel blend
+    survived.
+
+    Scale shape: replays the funnel's own stages (pushable quality
+    predicate, one md5-window shuffle, the shared capped LSH + CC pass)
+    and adds two doc_id equi-joins plus a language-cardinality rollup —
+    attribution costs two pruned scans on top of the funnel it audits."""
+    from datapipeline_ops_spark.functions.text import tokens as _tokens
+    from datapipeline_ops_spark.operators.dedup import (
+        connected_components,
+        persist_barrier,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    q = docs.filter(F.size(_tokens(F.col("text"))) >= 10)
+    w = Window.partitionBy(F.md5(F.col("text").cast("binary"))).orderBy("doc_id")
+    keep1 = persist_barrier(
+        q.withColumn("rn", F.row_number().over(w)).select("doc_id", "text", "rn"),
+        f"dri_keep1:{sf_dir}",
+    )
+    e = keep1.filter(F.col("rn") == 1).select("doc_id", "text")
+    d_sh = with_shingle_hashes(e, "doc_id")
+    pairs = _lsh_verified_pairs(d_sh)
+    clusters = connected_components(pairs, "doc_a", "doc_b").select(
+        F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
+    )
+    base = docs.select("doc_id", "lang", F.size(_tokens(F.col("text"))).alias("n_tok"))
+    tagged = (
+        base.join(keep1.select("doc_id", "rn"), "doc_id", "left")
+        .join(clusters, "doc_id", "left")
+        .select(
+            "lang",
+            F.when(F.col("n_tok") < 10, "quality")
+            .when(F.col("rn") > 1, "exact_dup")
+            .when(
+                F.col("cluster_id").isNotNull()
+                & (F.col("cluster_id") != F.col("doc_id")),
+                "near_dup",
+            )
+            .otherwise("kept")
+            .alias("fate"),
+        )
+    )
+    return tagged.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.when(F.col("fate") == "quality", 1).otherwise(0))
+        .cast("long")
+        .alias("n_quality_removed"),
+        F.sum(F.when(F.col("fate") == "exact_dup", 1).otherwise(0))
+        .cast("long")
+        .alias("n_exact_removed"),
+        F.sum(F.when(F.col("fate") == "near_dup", 1).otherwise(0))
+        .cast("long")
+        .alias("n_neardup_removed"),
+        F.sum(F.when(F.col("fate") == "kept", 1).otherwise(0))
+        .cast("long")
+        .alias("n_kept"),
+        (
+            F.sum(F.when(F.col("fate") == "kept", 1).otherwise(0)).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("kept_share"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# neardup_chain_overmerge — are clusters cliques of real duplicates, or
+# transitive chains gluing dissimilar documents?
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "neardup_chain_overmerge",
+    oracle="WITH RECURSIVE "
+    + _VERIFIED_PAIRS_CTE
+    + """,
+    clusters AS (SELECT doc_id, min(label) AS cluster_id FROM reach GROUP BY doc_id),
+    csize AS (
+        SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_members
+        FROM clusters GROUP BY cluster_id
+    ),
+    cedges AS (
+        SELECT c.cluster_id,
+               len(list_intersect(sa.hs, sb.hs)) * 1.0 /
+               (len(sa.hs) + len(sb.hs) - len(list_intersect(sa.hs, sb.hs)))
+                   AS jaccard
+        FROM pairs p JOIN clusters c ON p.doc_a = c.doc_id
+                     JOIN hsv sa ON p.doc_a = sa.doc_id
+                     JOIN hsv sb ON p.doc_b = sb.doc_id
+    ),
+    estat AS (
+        SELECT cluster_id,
+               CAST(count(*) AS BIGINT) AS n_edges,
+               min(jaccard) AS min_edge_jaccard
+        FROM cedges GROUP BY cluster_id
+    )
+    SELECT s.cluster_id, s.n_members, e.n_edges,
+           CAST(e.n_edges AS DOUBLE)
+               / (s.n_members * (s.n_members - 1) / 2) AS edge_density,
+           e.min_edge_jaccard,
+           s.n_members * (s.n_members - 1) / 2 > e.n_edges AS chained
+    FROM csize s JOIN estat e ON s.cluster_id = e.cluster_id
+    """,
+)
+def neardup_chain_overmerge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive-overmerge guard for connected-component dedup: per
+    near-dup cluster, the member count, verified-edge count, edge density
+    (edges over member pairs), the weakest direct edge, and a `chained`
+    flag (density < 1 means some member pair was merged with NO direct
+    similarity evidence — A~B and B~C glued A to C). Connected components
+    are the standard last step of corpus dedup, and chaining is their
+    standard failure: one templated page bridges two unrelated document
+    groups and the keeper step deletes real content. A healthy dedup run
+    shows mostly density-1.0 cliques; chained clusters with low
+    min_edge_jaccard are where an operator tightens tau or switches to
+    star-clustering. Complements `neardup_cluster_purity` (metadata
+    homogeneity) with similarity-structure evidence.
+
+    Scale shape: both inputs are the shared capped machinery (verified
+    pair table, CC labels); the audit is two grouped rollups and a
+    cluster-cardinality join — every edge belongs to exactly one cluster,
+    so the edge rollup is a single equi-join on doc_a."""
+    from datapipeline_ops_spark.operators.dedup import connected_components
+
+    pairs = minhash_lsh_pairs(spark, sf_dir)
+    cc = connected_components(pairs, "doc_a", "doc_b").select(
+        F.col("node").alias("doc_id"), F.col("label").alias("cluster_id")
+    )
+    csize = cc.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_members")
+    )
+    edges = pairs.join(
+        cc.select(F.col("doc_id").alias("doc_a"), "cluster_id"), "doc_a"
+    )
+    estat = edges.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_edges"),
+        F.min("jaccard").alias("min_edge_jaccard"),
+    )
+    possible = (F.col("n_members") * (F.col("n_members") - 1) / 2)
+    return csize.join(estat, "cluster_id").select(
+        "cluster_id",
+        "n_members",
+        "n_edges",
+        (F.col("n_edges").cast("double") / possible).alias("edge_density"),
+        "min_edge_jaccard",
+        (possible > F.col("n_edges")).alias("chained"),
+    )

@@ -442,3 +442,62 @@ def test_inbatch_negative_collisions_rate(spark, sf_dir):
     # more batches -> fewer same-batch collisions (weak monotone)
     for a, b in zip(rows, rows[1:]):
         assert a.n_collisions >= b.n_collisions
+
+
+def test_minhash_vs_simhash_agreement_accounting(spark, sf_dir):
+    from datapipeline_ops_spark.queries.dedup import (
+        minhash_lsh_pairs,
+        minhash_vs_simhash_agreement,
+        simhash_near_pairs,
+    )
+
+    rows = {r.found_by: r for r in minhash_vs_simhash_agreement(spark, sf_dir).collect()}
+    n_m = minhash_lsh_pairs(spark, sf_dir).count()
+    n_s = simhash_near_pairs(spark, sf_dir).count()
+    both = rows["both"].n_pairs if "both" in rows else 0
+    m_only = rows["minhash_only"].n_pairs if "minhash_only" in rows else 0
+    s_only = rows["simhash_only"].n_pairs if "simhash_only" in rows else 0
+    # the three buckets exactly partition the union of the two pair sets
+    assert both + m_only == n_m
+    assert both + s_only == n_s
+    # jaccard stats exist exactly where the minhash leg contributes
+    for fb, r in rows.items():
+        if fb == "simhash_only":
+            assert r.min_jaccard is None
+        else:
+            assert 0.5 <= r.min_jaccard <= r.max_jaccard <= 1.0
+
+
+def test_dedup_removal_impact_parts_sum(spark, sf_dir):
+    from datapipeline_ops_spark.queries.dedup import (
+        corpus_curation_e2e,
+        dedup_removal_impact,
+    )
+
+    rows = dedup_removal_impact(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        # every document has exactly one fate
+        assert (
+            r.n_quality_removed + r.n_exact_removed + r.n_neardup_removed + r.n_kept
+            == r.n_docs
+        )
+        assert 0.0 <= r.kept_share <= 1.0
+    # the attribution's kept total equals the funnel's actual output
+    kept_total = sum(r.n_kept for r in rows)
+    assert kept_total == corpus_curation_e2e(spark, sf_dir).count()
+
+
+def test_neardup_chain_overmerge_structure(spark, sf_dir):
+    from datapipeline_ops_spark.queries.dedup import neardup_chain_overmerge
+
+    rows = neardup_chain_overmerge(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.n_members >= 2
+        possible = r.n_members * (r.n_members - 1) // 2
+        # a connected component has between n-1 (tree/chain) and C(n,2) edges
+        assert r.n_members - 1 <= r.n_edges <= possible
+        assert 0.0 < r.edge_density <= 1.0
+        assert r.chained == (r.n_edges < possible)
+        assert 0.5 <= r.min_edge_jaccard <= 1.0  # every edge passed the tau gate

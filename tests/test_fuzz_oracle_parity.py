@@ -904,6 +904,9 @@ def test_fuzz_documents_wave5_dedup(spark, tmp_path_factory, docs):
             "cc_consistency_audit",
             "neardup_split_leakage",
             "inbatch_negative_collisions",
+            "minhash_vs_simhash_agreement",
+            "dedup_removal_impact",
+            "neardup_chain_overmerge",
             "spell_correct_symdel",
             "sentence_split_udtf",
         ],

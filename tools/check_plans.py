@@ -1952,6 +1952,42 @@ def _(qs, spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
+@check("minhash_vs_simhash_agreement: two capped pair legs, 3-group rollup")
+def _(qs, spark):
+    plan = plan_of(qs["minhash_vs_simhash_agreement"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    cols = read_schema_cols(plan, "documents")
+    assert cols <= {"doc_id", "text"}, cols
+    # both legs ride their registered capped paths (persisted shingles /
+    # pigeonhole segments); the audit join is a full outer equi-join on the
+    # small pair tables
+    assert "InMemoryTableScan" in plan
+    assert "FullOuter" in plan
+
+
+@check("dedup_removal_impact: funnel replay + lang-cardinality rollup")
+def _(qs, spark):
+    plan = plan_of(qs["dedup_removal_impact"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    cols = read_schema_cols(plan, "documents")
+    assert cols <= {"doc_id", "text", "lang"}, cols
+    # attribution joins are doc_id equi-joins; the exact-dup stage persists
+    # so the md5 window shuffles once
+    assert "InMemoryTableScan" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+@check("neardup_chain_overmerge: shared pair/CC machinery, cluster rollups")
+def _(qs, spark):
+    plan = plan_of(qs["neardup_chain_overmerge"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    cols = read_schema_cols(plan, "documents")
+    assert cols <= {"doc_id", "text"}, cols
+    # CC labels arrive as the checkpointed frame; edges attribute through
+    # one doc_a equi-join; both rollups are cluster-cardinality
+    assert "Scan ExistingRDD" in plan
+
+
 def main() -> int:
     import __spark_entry__ as entry_mod
     from datapipeline_ops_spark.session import get_spark
