@@ -2227,10 +2227,10 @@ _ERP_TIER_CAPS = (1.0, 2.0, 4.0)  # tier = numeric source suffix mod 3
     ),
     base AS (
         SELECT source, n_tokens,
-               CASE (TRY_CAST(NULLIF(regexp_extract(source, '([0-9]+)', 1), '')
+               CAST(CASE (TRY_CAST(NULLIF(regexp_extract(source, '([0-9]+)', 1), '')
                               AS INT) % 3)
                    WHEN 0 THEN {_ERP_TIER_CAPS[0]} WHEN 1 THEN {_ERP_TIER_CAPS[1]}
-                   ELSE {_ERP_TIER_CAPS[2]} END AS cap_epochs,
+                   ELSE {_ERP_TIER_CAPS[2]} END AS DOUBLE) AS cap_epochs,
                sqrt(CAST(n_tokens AS DOUBLE)) AS w
         FROM t
     ),

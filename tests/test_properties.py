@@ -300,3 +300,28 @@ def test_png_defilter_recovers_any_filter_sequence(w, h, seed_bytes, ftypes):
         + _chunk(b"IEND", b"")
     )
     assert decode_png_rgb(crafted) == (w, h, pix)
+
+
+def test_monotone_audit_flags_bent_curves():
+    """The cross-row monotone layer of tools/check_invariants.py must flag a
+    curve bending the wrong way and accept a healthy one."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from tools.check_invariants import MONOTONE, _monotone_violations
+
+    rows = [
+        {"nprobe": 1, "mean_recall": 0.5, "mean_candidates": 10.0},
+        {"nprobe": 2, "mean_recall": 0.4, "mean_candidates": 20.0},
+    ]
+    bad = _monotone_violations("ann_probe_recall_curve", rows)
+    assert bad and bad[0][1] == "mean_recall"
+    rows[1]["mean_recall"] = 0.6
+    assert not _monotone_violations("ann_probe_recall_curve", rows)
+    # NULL points void a chain instead of crashing it
+    rows[0]["mean_recall"] = None
+    assert not _monotone_violations("ann_probe_recall_curve", rows)
+    # every MONOTONE entry names its knob distinctly from its columns
+    for q, (knob, cols) in MONOTONE.items():
+        assert all(c != knob for c, _ in cols), q

@@ -22,6 +22,13 @@ families ordered by quantile (``p50_v <= p90_v``), confidence bounds
 ``sum_disc_price <= sum_base_price <= sum_charge``) that no column name
 alone implies.
 
+The third layer is CROSS-ROW monotone spines (``MONOTONE``): the sweep
+queries publish curves over a knob (dedup tau, quality threshold, IVF
+nprobe, context window, batch count, subset level) whose physics force
+monotone columns — tightening a threshold cannot keep MORE data, probing
+more cells cannot LOWER recall. A shared-bug curve can pass every per-row
+check and still bend the wrong way; this layer fails it.
+
 This tool is part of the pre-record gate: run it together with
 ``tools/check_plans.py`` and ``tools/check_correctness.py`` before staging
 driver records — a clean parity gate does NOT imply a clean invariant run.
@@ -169,6 +176,26 @@ QUERY_CROSS = {
     "epoch_repeat_plan": [
         ("epochs<=cap", _chain("epochs", "cap_epochs")),
     ],
+    # Funnel attribution: every document has exactly one fate, so the four
+    # fate counts must sum to the language's document count.
+    "dedup_removal_impact": [
+        (
+            "fates_sum_to_docs",
+            lambda d: None
+            if any(
+                not _comparable(d.get(c))
+                for c in (
+                    "n_quality_removed",
+                    "n_exact_removed",
+                    "n_neardup_removed",
+                    "n_kept",
+                    "n_docs",
+                )
+            )
+            else d["n_quality_removed"] + d["n_exact_removed"]
+            + d["n_neardup_removed"] + d["n_kept"] == d["n_docs"],
+        ),
+    ],
 }
 
 # (query, column): why the name-implied domain does not apply.
@@ -181,6 +208,47 @@ EXCLUDE = {
     ("promo_revenue_share", "promo_share"): "TPC-H Q14 promo_revenue is a percent (0-100), matching oracle",
     ("quality_filter_sweep", "tau_logit_tenths"): "gate threshold knob in logit tenths (-20..20), not a Kendall tau",
 }
+
+# --- cross-ROW monotone spines -----------------------------------------
+
+# The sweep queries publish a curve over a knob column; the physics of each
+# sweep makes certain columns monotone in the knob (tightening a threshold
+# cannot keep MORE data). A bug both engines share (the avg_disc class)
+# stays green in the parity gate AND in the per-row audits above — but it
+# cannot fake a monotone curve. Entries: query -> (knob, [(col, dir)]),
+# dir "+" = non-decreasing in the knob, "-" = non-increasing.
+MONOTONE = {
+    "dedup_tau_sensitivity": ("tau_pct", [("n_pairs", "-"), ("n_flagged_docs", "-"), ("flagged_share", "-")]),
+    "quality_filter_sweep": ("tau_logit_tenths", [("n_kept", "-"), ("kept_tokens", "-"), ("kept_share", "-"), ("token_share", "-")]),
+    "ann_probe_recall_curve": ("nprobe", [("mean_recall", "+"), ("mean_candidates", "+")]),
+    "packing_fill_sweep": ("ctx_tokens", [("n_chunks", "-"), ("split_share", "-")]),
+    "inbatch_negative_collisions": ("n_batches", [("n_collisions", "-")]),
+    "scaling_law_subsets": ("pct", [("n_docs", "+"), ("n_tokens", "+")]),
+    "vocab_coverage_curve": ("k", [("covered_tokens", "+"), ("coverage", "+")]),
+}
+
+
+def _monotone_violations(name: str, rows: list) -> list[tuple[str, str, str, object]]:
+    spec = MONOTONE.get(name)
+    if not spec:
+        return []
+    knob, cols = spec
+    try:
+        ordered = sorted(rows, key=lambda r: r[knob])
+    except (KeyError, TypeError):
+        return [(name, knob, "monotone_knob_missing", knob)]
+    out = []
+    for col, direction in cols:
+        vals = [r.get(col) for r in ordered]
+        if any(not _comparable(v) for v in vals):
+            continue  # NULL points (e.g. empty-corpus rates) void the chain
+        ok = all(
+            (a <= b + 1e-12) if direction == "+" else (a >= b - 1e-12)
+            for a, b in zip(vals, vals[1:])
+        )
+        if not ok:
+            out.append((name, col, f"monotone_{direction}", vals))
+    return out
 
 
 def main() -> int:
@@ -242,6 +310,9 @@ def main() -> int:
                     bad = True
             if bad:
                 break  # one failing row per query is enough signal
+        if name in MONOTONE:
+            n_cols_checked += len(MONOTONE[name][1])
+            violations.extend(_monotone_violations(name, [r.asDict() for r in rows]))
 
     for q, c, rn, v in violations:
         print(f"INV BAD   {q}.{c} [{rn}] = {v}")
