@@ -75,7 +75,8 @@ _PRIORITY = [
 #     audio_fingerprint_neardup scaling_law_subsets ivf_cell_balance
 #     inbatch_negative_collisions packing_fill_sweep
 #     minhash_vs_simhash_agreement dedup_removal_impact
-#     neardup_chain_overmerge (all fourteen oracle-green in the round-11
+#     neardup_chain_overmerge stream_topk_frequent_items (all fifteen
+#     oracle-green in the round-11
 #     pre-record gates — the mid-session full-registry run passed 379/379
 #     and later additions passed individually — but registered after the
 #     50-slot window was staged);

@@ -534,3 +534,57 @@ def stream_hll_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = run_stream_to_table(regs, output_mode="complete")
     return out.select("bucket", "reg")
+
+
+@query(
+    "stream_topk_frequent_items",
+    oracle="""
+    SELECT event_type, CAST(count(*) AS BIGINT) AS cnt,
+           CAST(row_number() OVER (ORDER BY count(*) DESC, event_type) AS INT)
+               AS rnk
+    FROM events GROUP BY event_type
+    QUALIFY rnk <= 5
+    """,
+)
+def stream_topk_frequent_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming frequent-items via a Misra-Gries sketch IN THE STATE STORE
+    (``applyInPandasWithState``): each hash shard holds a bounded counter
+    table that evolves micro-batch by micro-batch — the streaming sibling of
+    the batch `heavy_hitters_verified` (mapInPandas MG + exact recount).
+    After the drain, the final per-shard summaries (identified by the
+    monotone n_seen high-water mark) yield the candidate set; a batch
+    recount makes the counts exact and ranks the top 5. The slot budget
+    ({MG_CAPACITY} per shard) exceeds the event_type domain, so candidates
+    are lossless by construction and the verified output is independent of
+    how the source files split into micro-batches — which is what lets an
+    exact batch oracle gate a sketch-bearing stream.
+
+    Scale shape: state per shard is bounded by the slot budget regardless
+    of stream length or item cardinality (the whole point of MG — a plain
+    streaming groupBy(item) keeps state per DISTINCT item); the recount is
+    a semi-joined aggregation on the candidate survivors only."""
+    from pyspark.sql import Window as W
+
+    from datapipeline_ops_spark.streaming.stateful import mg_frequent_items
+    from datapipeline_ops_spark.tables import load_table
+
+    s = events_stream(spark, sf_dir)
+    updates = run_stream_to_table(mg_frequent_items(s), output_mode="update")
+    cands = (
+        updates.withColumn("mx", F.max("n_seen").over(W.partitionBy("shard")))
+        .filter(F.col("n_seen") == F.col("mx"))
+        .select(F.col("item").alias("event_type"))
+        .distinct()
+    )
+    exact = (
+        load_table(spark, sf_dir, "events")
+        .join(cands, "event_type", "left_semi")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    w_rank = W.orderBy(F.desc("cnt"), F.asc("event_type"))
+    return (
+        exact.withColumn("rnk", F.row_number().over(w_rank).cast("int"))
+        .filter(F.col("rnk") <= 5)
+        .select("event_type", "cnt", "rnk")
+    )

@@ -17,8 +17,10 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
+    ArrayType,
     DoubleType,
     LongType,
+    StringType,
     StructField,
     StructType,
 )
@@ -68,4 +70,88 @@ def running_totals_per_user(events: DataFrame) -> DataFrame:
             outputMode="update",
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
+    )
+
+
+# --- Misra-Gries frequent-items state (sketch-in-state-store) -----------
+
+MG_CAPACITY = 16  # slots per shard; above the event_type domain, so the
+                  # candidate set is lossless by construction and the final
+                  # verified output is independent of micro-batch splits
+
+MG_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("shard", LongType()),
+        StructField("item", StringType()),
+        StructField("mg_count", LongType()),
+        StructField("n_seen", LongType()),
+    ]
+)
+
+MG_STATE_SCHEMA = StructType(
+    [
+        StructField("ids", ArrayType(StringType())),
+        StructField("counts", ArrayType(LongType())),
+        StructField("n_seen", LongType()),
+    ]
+)
+
+
+def _update_mg(
+    key: tuple[Any, ...], batches: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Fold each micro-batch into a bounded Misra-Gries counter table held
+    in the state store; emit the current summary (plus the monotone n_seen
+    high-water mark that identifies the FINAL emission) once per batch."""
+    if state.exists:
+        ids, counts, n_seen = state.get
+        d = dict(zip(ids, counts))
+    else:
+        d, n_seen = {}, 0
+    for pdf in batches:
+        n_seen += len(pdf)
+        for item in pdf["item"]:
+            item = str(item)
+            if item in d:
+                d[item] += 1
+            elif len(d) < MG_CAPACITY:
+                d[item] = 1
+            else:
+                # decrement-all step: every counter drops by one, zeroed
+                # slots free up for future items
+                dead = []
+                for k in d:
+                    d[k] -= 1
+                    if d[k] == 0:
+                        dead.append(k)
+                for k in dead:
+                    del d[k]
+    state.update((list(d.keys()), [int(v) for v in d.values()], int(n_seen)))
+    items = sorted(d.items())
+    yield pd.DataFrame(
+        {
+            "shard": [int(key[0])] * len(items),
+            "item": [k for k, _ in items],
+            "mg_count": [int(v) for _, v in items],
+            "n_seen": [int(n_seen)] * len(items),
+        }
+    )
+
+
+def mg_frequent_items(events: DataFrame, n_shards: int = 4) -> DataFrame:
+    """Sharded Misra-Gries frequent-items over a streaming column: each
+    shard's bounded counter table lives in the state store and evolves
+    batch-by-batch; update mode emits the summary after every batch."""
+    import pyspark.sql.functions as F
+
+    keyed = events.select(
+        F.pmod(F.xxhash64("event_type"), n_shards).alias("shard"),
+        F.col("event_type").alias("item"),
+    )
+    return keyed.groupBy("shard").applyInPandasWithState(
+        _update_mg,
+        outputStructType=MG_OUTPUT_SCHEMA,
+        stateStructType=MG_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
     )

@@ -1228,6 +1228,7 @@ def test_fuzz_streaming_wave5(spark, tmp_path_factory, events):
             "stream_psi_drift",
             "stream_dedup_within_watermark",
             "stream_hll_registers",
+            "stream_topk_frequent_items",
         ],
         ["events", "customer"],
     )

@@ -204,3 +204,26 @@ def test_stream_psi_drift_windows_and_bounds(spark, sf_dir):
     for r in rows:
         if per_day[r.window_start // 86_400] >= 200:
             assert not r.drift, (r.window_start, r.psi)
+
+
+def test_stream_topk_frequent_items_exact(spark, sf_dir):
+    """The MG-in-state-store candidates must contain every event type (slot
+    budget exceeds the domain), so the verified top-5 equals the exact batch
+    ranking regardless of micro-batch splits."""
+    import pyspark.sql.functions as F
+
+    from datapipeline_ops_spark.queries.streaming_queries import (
+        stream_topk_frequent_items,
+    )
+    from datapipeline_ops_spark.tables import load_table
+
+    rows = sorted(stream_topk_frequent_items(spark, sf_dir).collect(), key=lambda r: r.rnk)
+    exact = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    )
+    want = sorted(exact, key=lambda r: (-r.cnt, r.event_type))[:5]
+    assert [(r.event_type, r.cnt) for r in rows] == [(r.event_type, r.cnt) for r in want]
+    assert [r.rnk for r in rows] == list(range(1, len(rows) + 1))
