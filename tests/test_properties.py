@@ -325,3 +325,69 @@ def test_monotone_audit_flags_bent_curves():
     # every MONOTONE entry names its knob distinctly from its columns
     for q, (knob, cols) in MONOTONE.items():
         assert all(c != knob for c, _ in cols), q
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=10_000),  # n_tokens
+            st.sampled_from([1.0, 2.0, 4.0]),            # cap_epochs
+        ),
+        min_size=1,
+        max_size=12,
+    ),
+    st.floats(min_value=0.1, max_value=10.0),
+)
+def test_waterfill_sorted_prefix_matches_iterative(sources, budget_x):
+    """epoch_repeat_plan's closed form (sort by cap/weight; the capped set
+    is a prefix found by one cumulative pass) must agree with the obvious
+    iterative water-filling algorithm on arbitrary inputs — this guards the
+    formula itself, which both engines share."""
+    import math
+
+    names = [f"s{i}" for i in range(len(sources))]
+    w = {n: math.sqrt(t) for n, (t, _) in zip(names, sources)}
+    cap = {n: c * t for n, (t, c) in zip(names, sources)}
+    budget = budget_x * sum(t for t, _ in sources)
+
+    # independent reference: iterate proportional fill + clamp until stable
+    alloc_ref, active, b = {}, set(names), budget
+    for n in names:
+        alloc_ref[n] = 0.0
+    while active:
+        tot_w = sum(w[n] for n in active)
+        over = [n for n in active if w[n] * b / tot_w >= cap[n] - 1e-9]
+        if not over:
+            for n in active:
+                alloc_ref[n] = w[n] * b / tot_w
+            break
+        for n in over:
+            alloc_ref[n] = cap[n]
+            b -= cap[n]
+            active.remove(n)
+
+    # the query's closed form, replicated EXACTLY as the SQL computes it:
+    # positional cumulative sums over every prior row in fill-rank order
+    # (capped or not), then one residual split
+    order = sorted(names, key=lambda n: (cap[n] / w[n], n))
+    tot_w = sum(w.values())
+    cum_cap = cum_w = 0.0
+    capped = set()
+    for n in order:
+        if cap[n] * (tot_w - cum_w) <= w[n] * (budget - cum_cap):
+            capped.add(n)
+        cum_cap += cap[n]
+        cum_w += w[n]
+    b_capped = sum(cap[n] for n in capped)
+    w_rem = sum(w[n] for n in names if n not in capped)
+    alloc = {
+        n: cap[n] if n in capped else w[n] * (budget - b_capped) / w_rem
+        for n in names
+    }
+
+    for n in names:
+        assert alloc[n] <= cap[n] + 1e-6 * max(cap[n], 1.0)
+        assert math.isclose(alloc[n], alloc_ref[n], rel_tol=1e-6, abs_tol=1e-6), (
+            n, alloc[n], alloc_ref[n], sources, budget_x
+        )
