@@ -1776,3 +1776,216 @@ def neardup_chain_overmerge(spark: SparkSession, sf_dir: str) -> DataFrame:
         "min_edge_jaccard",
         (possible > F.col("n_edges")).alias("chained"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Cross-document substring dedup (Lee et al. 2022 ExactSubstr, removal form):
+# k-token hash-gram windows at stride 1; a window whose gram occurs in >= 2
+# distinct documents is REMOVED everywhere except its first occurrence
+# (min (doc_id, position)); removed windows merge into covered-token spans.
+# Unlike exact_substring_spans (profile only), this pair of queries REPORTS
+# THE REMOVAL: per-doc token savings and the per-source rollup.
+# ---------------------------------------------------------------------------
+
+CROSSDOC_K = 8  # token-window width (Lee et al. use 50 BPE tokens at scale)
+
+
+def _crossdoc_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document removal stats for k-token-window cross-doc dedup.
+
+    Shape: one exchange on doc_id materializes the token array (so the
+    per-position slice is O(k), not O(len) re-splits — the lesson of
+    functions/text.py:shingles_from); gram occurrences shuffle ONCE on the
+    64-bit gram hash for both the duplicate flag (min!=max doc over the
+    partition) and the keep-first rank (row_number over (doc_id, s));
+    marked windows then merge into covered spans with a per-doc lead()
+    window — interval union of equal-length windows is
+    sum(min(k, next_start - start)) — and a left join carries docs with
+    nothing removed. Only (doc_id, s, hash) triples ever shuffle; text
+    stays partition-local. Grams join on hash64, not the string: at 100 TB
+    the shuffle key is 8 bytes, and a (same-engine) collision merely merges
+    two gram families identically in Spark and the oracle."""
+    n = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    d = load_table(spark, sf_dir, "documents")
+    spread = d.select(
+        "doc_id", "source", tokens(F.col("text")).alias("_toks")
+    ).repartition(n, F.col("doc_id"))
+    base = spread.select(
+        "doc_id", "source", F.size("_toks").cast("long").alias("n_tokens"), "_toks"
+    )
+    grams = (
+        base.filter(F.col("n_tokens") >= CROSSDOC_K)
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.lit(1), F.col("n_tokens") - (CROSSDOC_K - 1))
+            ).alias("s"),
+            "_toks",
+        )
+        .select(
+            "doc_id",
+            "s",
+            hash64(
+                F.concat_ws(" ", F.slice(F.col("_toks"), F.col("s"), CROSSDOC_K))
+            ).alias("gh"),
+        )
+    )
+    pg = Window.partitionBy("gh")
+    marked = (
+        grams.select(
+            "doc_id",
+            "s",
+            F.min("doc_id").over(pg).alias("_mind"),
+            F.max("doc_id").over(pg).alias("_maxd"),
+            F.row_number()
+            .over(Window.partitionBy("gh").orderBy("doc_id", "s"))
+            .alias("_rn"),
+        )
+        .filter((F.col("_mind") != F.col("_maxd")) & (F.col("_rn") > 1))
+        .select("doc_id", "s")
+    )
+    wd = Window.partitionBy("doc_id").orderBy("s")
+    cov = F.coalesce(
+        F.least(F.lit(CROSSDOC_K), F.lead("s", 1).over(wd) - F.col("s")),
+        F.lit(CROSSDOC_K),
+    )
+    removed = (
+        marked.withColumn("_cov", cov)
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_marked_windows"),
+            F.sum("_cov").cast("long").alias("n_removed_tokens"),
+        )
+    )
+    nrm = F.coalesce(F.col("n_removed_tokens"), F.lit(0)).cast("long")
+    return base.select("doc_id", "source", "n_tokens").join(
+        removed, "doc_id", "left"
+    ).select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        F.coalesce(F.col("n_marked_windows"), F.lit(0))
+        .cast("long")
+        .alias("n_marked_windows"),
+        nrm.alias("n_removed_tokens"),
+        (F.col("n_tokens") - nrm).alias("n_kept_tokens"),
+        F.round(nrm * 1.0 / F.col("n_tokens"), 6).alias("removed_frac"),
+    )
+
+
+_CROSSDOC_CTE = f"""
+    t AS MATERIALIZED (
+        SELECT doc_id, source, regexp_split_to_array(text, '\\s+') AS arr
+        FROM documents
+    ),
+    cdbase AS (SELECT doc_id, source, len(arr) AS n_tokens, arr FROM t),
+    cdg AS MATERIALIZED (
+        SELECT doc_id, s.s AS s,
+               {sql_hash64(f"array_to_string(list_slice(arr, s.s, s.s + {CROSSDOC_K - 1}), ' ')")} AS gh
+        FROM cdbase,
+             LATERAL (SELECT unnest(generate_series(1, CAST(n_tokens AS INT) - {CROSSDOC_K - 1})) AS s) AS s
+        WHERE n_tokens >= {CROSSDOC_K}
+    ),
+    cdm AS (
+        SELECT doc_id, s,
+               min(doc_id) OVER (PARTITION BY gh) AS mind,
+               max(doc_id) OVER (PARTITION BY gh) AS maxd,
+               row_number() OVER (PARTITION BY gh ORDER BY doc_id, s) AS rn
+        FROM cdg
+    ),
+    cdmk AS (SELECT doc_id, s FROM cdm WHERE mind <> maxd AND rn > 1),
+    cdcov AS (
+        SELECT doc_id,
+               coalesce(least({CROSSDOC_K},
+                              lead(s) OVER (PARTITION BY doc_id ORDER BY s) - s),
+                        {CROSSDOC_K}) AS c
+        FROM cdmk
+    ),
+    cdr AS (
+        SELECT doc_id, count(*) AS n_marked_windows,
+               CAST(sum(c) AS BIGINT) AS n_removed_tokens
+        FROM cdcov GROUP BY doc_id
+    ),
+    cdstats AS (
+        SELECT b.doc_id, b.source, CAST(b.n_tokens AS BIGINT) AS n_tokens,
+               coalesce(r.n_marked_windows, 0) AS n_marked_windows,
+               coalesce(r.n_removed_tokens, 0) AS n_removed_tokens,
+               CAST(b.n_tokens AS BIGINT) - coalesce(r.n_removed_tokens, 0)
+                   AS n_kept_tokens,
+               round(coalesce(r.n_removed_tokens, 0) * 1e0 / b.n_tokens, 6)
+                   AS removed_frac
+        FROM cdbase b LEFT JOIN cdr r USING (doc_id)
+    )
+"""
+
+
+@query(
+    "crossdoc_substring_dedup",
+    oracle=f"""
+    WITH {_CROSSDOC_CTE}
+    SELECT doc_id, source, n_tokens, n_marked_windows, n_removed_tokens,
+           n_kept_tokens, removed_frac
+    FROM cdstats
+    """,
+)
+def crossdoc_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document substring dedup, removal form (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better"): every
+    {CROSSDOC_K}-token window is hashed at stride 1; a window whose gram
+    occurs in >= 2 distinct documents is removed everywhere except its
+    global first occurrence (lowest (doc_id, position)), and once a gram
+    family is cross-doc, within-doc repeats drop too. Overlapping removed
+    windows merge into spans (interval union), so the per-doc token savings
+    are exact, not window-count * k. One row per document — including
+    untouched ones — with token totals, marked windows, removed/kept token
+    counts and the removed fraction: the operator a pretraining pipeline
+    runs right before tokenization to strip boilerplate that MinHash
+    (whole-doc granularity) cannot see.
+
+    The reference has no corpus-dedup surface (Ray video pipeline); this
+    extends the beyond-reference dedup family of `queries/dedup.py` next to
+    `exact_substring_spans`, which only PROFILES duplication — this one
+    commits to a removal plan and quantifies it."""
+    return _crossdoc_doc_stats(spark, sf_dir)
+
+
+@query(
+    "dedup_savings_by_source",
+    oracle=f"""
+    WITH {_CROSSDOC_CTE}
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN n_removed_tokens > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_docs_affected,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(sum(n_removed_tokens) AS BIGINT) AS removed_tokens,
+           CAST(sum(n_kept_tokens) AS BIGINT) AS kept_tokens,
+           round(sum(n_removed_tokens) * 1e0 / sum(n_tokens), 6) AS savings_frac
+    FROM cdstats
+    GROUP BY source
+    """,
+)
+def dedup_savings_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source savings report for cross-document substring dedup: how
+    many documents each source contributes, how many were touched, and the
+    exact token savings the removal plan of `crossdoc_substring_dedup`
+    realizes — the number a data-mixture owner reads to see which crawl
+    slice is paying the boilerplate tax. Sums of exact integers, so the
+    fraction is reproducible to the last ulp on both engines.
+
+    Scale shape: everything up to the per-doc stats is shared machinery
+    (one gram-hash shuffle, one per-doc merge window); this adds a single
+    map-side-combined rollup on the low-cardinality source key."""
+    stats = _crossdoc_doc_stats(spark, sf_dir)
+    return stats.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.when(F.col("n_removed_tokens") > 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_docs_affected"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        F.sum("n_removed_tokens").cast("long").alias("removed_tokens"),
+        F.sum("n_kept_tokens").cast("long").alias("kept_tokens"),
+        F.round(
+            F.sum("n_removed_tokens") * 1.0 / F.sum("n_tokens"), 6
+        ).alias("savings_frac"),
+    )

@@ -1174,3 +1174,217 @@ def audio_fingerprint_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("hamming") <= _AF_HAM_T)
         .select("doc_a", "doc_b", "hamming")
     )
+
+
+# ---------------------------------------------------------------------------
+# caption_image_agreement — cross-column (image bytes vs text caption) gate
+# ---------------------------------------------------------------------------
+
+# Caption corpus layout: every doc carries the phash image corpus' picture
+# (base keyed by doc_id % _PH_KEYS, every _PH_PERT'th doc perturbed) plus a
+# text caption describing it; every _CIA_WRONG'th doc's caption claims the
+# NEXT pattern key — a mislabeled image-text pair by construction.
+_CIA_WRONG = 7
+
+
+def _cia_band_exprs(prefix: str, bits: str, bandw: str, n: str) -> str:
+    return ",\n               ".join(
+        f"""CAST(list_sum(list_transform(
+                   generate_series(0, least({bandw}, {n} - {k} * {bandw}) - 1),
+                   j -> CAST({bits}[{k} * {bandw} + j + 1] AS BIGINT) << j))
+               AS BIGINT) AS {prefix}{k}"""
+        for k in range(_PH_BANDS)
+    )
+
+
+def _cia_oracle() -> str:
+    ham = " + ".join(f"bit_count(xor(b{k}, cb{k}))" for k in range(_PH_BANDS))
+    return f"""
+    WITH tk AS (
+        SELECT doc_id, source,
+               CAST(doc_id % {_PH_KEYS} AS INT) AS bk,
+               CASE WHEN doc_id % {_CIA_WRONG} = 0
+                    THEN CAST((doc_id % {_PH_KEYS} + 1) % {_PH_KEYS} AS INT)
+                    ELSE CAST(doc_id % {_PH_KEYS} AS INT) END AS ck
+        FROM documents
+    ),
+    dims AS (
+        SELECT doc_id, source, bk, ck,
+               CAST(4 + bk % 8 AS INT) AS w, CAST(3 + (bk // 8) % 6 AS INT) AS h,
+               CAST(4 + ck % 8 AS INT) AS cw, CAST(3 + (ck // 8) % 6 AS INT) AS ch
+        FROM tk
+    ),
+    tp AS MATERIALIZED (
+        SELECT doc_id, source, bk, ck, w, h, cw, ch,
+               w * h AS n, cw * ch AS cn,
+               CASE WHEN doc_id % {_PH_PERT} = 0 THEN
+                   substr(p, 1, CAST((doc_id % (w * h)) * 3 AS INT)) || 'zzz'
+                       || substr(p, CAST((doc_id % (w * h)) * 3 + 4 AS INT))
+               ELSE p END AS pix,
+               substr(repeat(md5(CAST(ck AS VARCHAR)), {_PNG_REP}),
+                      1, CAST(cw * ch * 3 AS INT)) AS cpix
+        FROM (SELECT dims.*,
+                     substr(repeat(md5(CAST(bk AS VARCHAR)), {_PNG_REP}),
+                            1, CAST(w * h * 3 AS INT)) AS p
+              FROM dims)
+    ),
+    g AS MATERIALIZED (
+        SELECT doc_id, source, bk, ck, w, h, cw, ch, n, cn,
+               list_transform(generate_series(0, n - 1),
+                   i -> (ascii(substr(pix, i * 3 + 1, 1))
+                         + ascii(substr(pix, i * 3 + 2, 1))
+                         + ascii(substr(pix, i * 3 + 3, 1))) // 3) AS gray,
+               list_transform(generate_series(0, cn - 1),
+                   i -> (ascii(substr(cpix, i * 3 + 1, 1))
+                         + ascii(substr(cpix, i * 3 + 2, 1))
+                         + ascii(substr(cpix, i * 3 + 3, 1))) // 3) AS cgray
+        FROM tp
+    ),
+    bt AS MATERIALIZED (
+        SELECT doc_id, source, bk, ck, w, h, cw, ch, n, cn,
+               (n + 3) // 4 AS bandw, (cn + 3) // 4 AS cbandw,
+               list_transform(gray,
+                   x -> CASE WHEN x >= list_sum(gray) // n THEN 1 ELSE 0 END) AS bits,
+               list_transform(cgray,
+                   x -> CASE WHEN x >= list_sum(cgray) // cn THEN 1 ELSE 0 END) AS cbits
+        FROM g
+    ),
+    hv AS (
+        SELECT doc_id, source, bk AS true_key, ck AS claimed_key, w, h, cw, ch,
+               {_cia_band_exprs("b", "bits", "bandw", "n")},
+               {_cia_band_exprs("cb", "cbits", "cbandw", "cn")}
+        FROM bt
+    )
+    SELECT doc_id, source, true_key, claimed_key,
+           CASE WHEN w <> cw OR h <> ch THEN 'dims' ELSE 'hash' END AS reason,
+           CASE WHEN w <> cw OR h <> ch THEN -1
+                ELSE CAST({ham} AS INT) END AS hamming
+    FROM hv
+    WHERE w <> cw OR h <> ch OR ({ham}) > {_PH_HAM_T}
+    """
+
+
+@query("caption_image_agreement", oracle=_cia_oracle())
+def caption_image_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image-text agreement gate, the curation step every multimodal corpus
+    needs before training: per document, decode the REAL PNG through the
+    codec and average-hash it (pixel side), stub-encode the text caption —
+    parse the claimed pattern key and canvas out of the caption string and
+    derive its expected fingerprint arithmetically (text side) — then flag
+    pairs whose two embeddings disagree: canvas dims mismatch (`reason =
+    'dims'`, a mislabeled caption) or Hamming distance above {_PH_HAM_T}
+    (`reason = 'hash'`, the image diverged from its claimed pattern). Every
+    {_CIA_WRONG}th doc's caption claims the neighbouring pattern key by
+    construction, so true mismatches exist; perturbed images (every
+    {_PH_PERT}rd doc) stress the hash tolerance. The oracle recomputes BOTH
+    sides arithmetically without the codec, so any corruption in
+    encode -> decode -> gray -> threshold -> band-pack, or in the caption
+    parse, flips a flagged row and goes gate-red.
+
+    Composes `media_phash_neardup`'s real decode with the text stubs
+    (functions/hashing.py hash_unit pattern): same image corpus, same
+    fingerprint, new cross-column check. Scale shape: one mapInPandas pass
+    (image bytes and captions never leave their partition — only per-doc
+    band integers and keys come out), then a per-row comparison; there is
+    no join or shuffle at all, so the gate streams at scan speed over a
+    100 TB image-text corpus."""
+    import hashlib as _hl
+    import re as _re
+    from collections.abc import Iterator as _It
+
+    import pandas as _pd
+
+    from datapipeline_ops_spark.functions.png import decode_png_rgb, encode_png_rgb
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+
+    def _bands(bits: list, n: int) -> list:
+        bandw = (n + 3) // 4
+        return [
+            sum(b << j for j, b in enumerate(bits[k * bandw : min(n, (k + 1) * bandw)]))
+            for k in range(_PH_BANDS)
+        ]
+
+    def _avg_hash(pix: str, n: int) -> list:
+        gray = [
+            (ord(pix[3 * i]) + ord(pix[3 * i + 1]) + ord(pix[3 * i + 2])) // 3
+            for i in range(n)
+        ]
+        mean = sum(gray) // n
+        return [1 if x >= mean else 0 for x in gray]
+
+    def run(batches: "_It[_pd.DataFrame]") -> "_It[_pd.DataFrame]":
+        cap_re = _re.compile(r"pattern (\d+) canvas (\d+)x(\d+)")
+        for pdf in batches:
+            out = {"doc_id": [], "source": [], "true_key": [], "claimed_key": [],
+                   "w": [], "h": [], "cw": [], "ch": []}
+            for k in range(_PH_BANDS):
+                out[f"b{k}"] = []
+                out[f"cb{k}"] = []
+            for doc_id, src in zip(pdf["doc_id"], pdf["source"]):
+                doc_id = int(doc_id)
+                bk = doc_id % _PH_KEYS
+                w = 4 + bk % 8
+                h = 3 + (bk // 8) % 6
+                pix = (_hl.md5(str(bk).encode()).hexdigest() * _PNG_REP)[: w * h * 3]
+                if doc_id % _PH_PERT == 0:
+                    p = doc_id % (w * h)
+                    pix = pix[: p * 3] + "zzz" + pix[p * 3 + 3 :]
+                dw, dh, dpix = decode_png_rgb(encode_png_rgb(w, h, pix.encode()))
+                n = dw * dh
+                gray = [
+                    (dpix[3 * i] + dpix[3 * i + 1] + dpix[3 * i + 2]) // 3
+                    for i in range(n)
+                ]
+                mean = sum(gray) // n
+                bits = [1 if x >= mean else 0 for x in gray]
+                # the caption the corpus carries (every _CIA_WRONG'th is a
+                # mislabel), then the text-encoder stub: parse it back and
+                # derive the expected fingerprint from the CLAIM alone
+                ck = (bk + 1) % _PH_KEYS if doc_id % _CIA_WRONG == 0 else bk
+                kw, kh = 4 + ck % 8, 3 + (ck // 8) % 6
+                caption = f"pattern {ck} canvas {kw}x{kh}"
+                m = cap_re.fullmatch(caption)
+                pk, pw, ph = int(m.group(1)), int(m.group(2)), int(m.group(3))
+                cn = pw * ph
+                cpix = (_hl.md5(str(pk).encode()).hexdigest() * _PNG_REP)[: cn * 3]
+                cbits = _avg_hash(cpix, cn)
+                out["doc_id"].append(doc_id)
+                out["source"].append(str(src))
+                out["true_key"].append(bk)
+                out["claimed_key"].append(pk)
+                out["w"].append(dw)
+                out["h"].append(dh)
+                out["cw"].append(pw)
+                out["ch"].append(ph)
+                for k, v in enumerate(_bands(bits, n)):
+                    out[f"b{k}"].append(v)
+                for k, v in enumerate(_bands(cbits, cn)):
+                    out[f"cb{k}"].append(v)
+            yield _pd.DataFrame(out)
+
+    schema = (
+        "doc_id long, source string, true_key int, claimed_key int, "
+        "w int, h int, cw int, ch int, "
+        + ", ".join(f"b{k} long" for k in range(_PH_BANDS))
+        + ", "
+        + ", ".join(f"cb{k} long" for k in range(_PH_BANDS))
+    )
+    hv = d.mapInPandas(run, schema=schema)
+    ham = None
+    for k in range(_PH_BANDS):
+        term = F.bit_count(F.col(f"b{k}").bitwiseXOR(F.col(f"cb{k}")))
+        ham = term if ham is None else ham + term
+    dim_ok = (F.col("w") == F.col("cw")) & (F.col("h") == F.col("ch"))
+    return (
+        hv.withColumn("_ham", ham.cast("int"))
+        .filter(~dim_ok | (F.col("_ham") > _PH_HAM_T))
+        .select(
+            "doc_id",
+            "source",
+            "true_key",
+            "claimed_key",
+            F.when(~dim_ok, "dims").otherwise("hash").alias("reason"),
+            F.when(~dim_ok, F.lit(-1)).otherwise(F.col("_ham")).alias("hamming"),
+        )
+    )

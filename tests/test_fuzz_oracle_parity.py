@@ -1232,3 +1232,65 @@ def test_fuzz_streaming_wave5(spark, tmp_path_factory, events):
         ],
         ["events", "customer"],
     )
+
+
+_W6_CD_TOKENS = [
+    "alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta", "theta",
+    "iota", "kappa",
+]
+
+_W6_CD_DOC = st.tuples(
+    st.lists(st.sampled_from(_W6_CD_TOKENS), min_size=0, max_size=12),
+    st.booleans(),        # embed the shared boilerplate span?
+    st.integers(0, 12),   # insertion offset into the doc's own tokens
+    st.sampled_from(["web", "src3", "src12", "code"]),
+)
+
+
+@settings(**_SETTINGS)
+@given(
+    boiler=st.lists(st.sampled_from(_W6_CD_TOKENS), min_size=8, max_size=11),
+    docs=st.lists(_W6_CD_DOC, min_size=3, max_size=12),
+)
+def test_fuzz_documents_wave6_crossdoc(spark, tmp_path_factory, boiler, docs):
+    """Wave 6: cross-document substring removal + the caption/image gate.
+    A per-example boilerplate span (>= CROSSDOC_K tokens) is spliced into a
+    random subset of docs at random offsets, so the marked-window path, the
+    keep-first rule, and the overlapping-span interval union all move with
+    the fuzz — including empty docs, docs shorter than the window, and the
+    all-unique corpus where nothing is removed. The caption gate rides the
+    same doc_ids (its corpus is keyed off doc_id alone), fuzzing the
+    mislabel/perturbation residues."""
+    import pyarrow as pa
+
+    tmp_path = tmp_path_factory.mktemp("fuzz_doc6")
+    rows = []
+    for i, (own, embed, off, source) in enumerate(docs):
+        words = list(own)
+        if embed:
+            pos = min(off, len(words))
+            words = words[:pos] + list(boiler) + words[pos:]
+        text = " ".join(words)
+        rows.append((i + 1, text, "en", source, len(text)))
+    _copy_rows(
+        tmp_path,
+        "documents",
+        [
+            ("doc_id", pa.int64()),
+            ("text", pa.string()),
+            ("lang", pa.string()),
+            ("source", pa.string()),
+            ("n_chars", pa.int64()),
+        ],
+        rows,
+    )
+    _run_pair(
+        spark,
+        tmp_path,
+        [
+            "crossdoc_substring_dedup",
+            "dedup_savings_by_source",
+            "caption_image_agreement",
+        ],
+        ["documents"],
+    )

@@ -1,0 +1,126 @@
+"""Round-12 property tests: cross-document substring removal semantics
+against a pure-Python reference model, and the caption/image agreement
+gate's construction invariants."""
+
+import re
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from datapipeline_ops_spark.queries.dedup import (
+    CROSSDOC_K,
+    crossdoc_substring_dedup,
+    dedup_savings_by_source,
+)
+from datapipeline_ops_spark.queries.multimodal import (
+    _CIA_WRONG,
+    _PH_KEYS,
+    _PH_PERT,
+    caption_image_agreement,
+)
+from datapipeline_ops_spark.tables import load_table
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _model_crossdoc(docs):
+    """Pure-Python reference: k-token windows at stride 1, keep the global
+    first occurrence of each cross-doc gram, remove the rest, merge spans.
+    Returns {doc_id: (n_tokens, n_marked, n_removed)}."""
+    toks = {d: re.split(r"\s+", t) for d, t in docs}
+    occ = {}
+    for d, t in sorted(docs):
+        tt = toks[d]
+        for s in range(len(tt) - CROSSDOC_K + 1):
+            occ.setdefault(" ".join(tt[s : s + CROSSDOC_K]), []).append((d, s + 1))
+    marked = {d: [] for d, _ in docs}
+    for gram, hits in occ.items():
+        if len({d for d, _ in hits}) < 2:
+            continue
+        for d, s in sorted(hits)[1:]:
+            marked[d].append(s)
+    out = {}
+    for d, _ in docs:
+        starts = sorted(marked[d])
+        removed = 0
+        for i, s in enumerate(starts):
+            nxt = starts[i + 1] if i + 1 < len(starts) else None
+            removed += min(CROSSDOC_K, nxt - s) if nxt is not None else CROSSDOC_K
+        out[d] = (len(toks[d]), len(starts), removed)
+    return out
+
+
+def _write_docs(tmp_path, docs):
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([d for d, _ in docs], pa.int64()),
+            "text": pa.array([t for _, t in docs], pa.string()),
+            "lang": pa.array(["en"] * len(docs), pa.string()),
+            "source": pa.array([f"s{d % 2}" for d, _ in docs], pa.string()),
+            "n_chars": pa.array([len(t) for _, t in docs], pa.int64()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+
+
+def test_crossdoc_matches_python_model(spark, tmp_path):
+    boiler = "q w e r t y u i"  # exactly CROSSDOC_K tokens
+    docs = [
+        (1, f"a b c {boiler} d e"),            # first occurrence -> kept
+        (2, f"z {boiler} z2 {boiler} tail"),   # two later occurrences, one doc
+        (3, "a b c d e f g"),                  # shorter than the window
+        (4, ""),                               # empty text
+        (5, f"{boiler} {boiler}"),             # overlapping repeats
+        (6, "m n o p q r s t u v w x"),        # unique content, untouched
+    ]
+    _write_docs(tmp_path, docs)
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["n_marked_windows"], r["n_removed_tokens"])
+        for r in crossdoc_substring_dedup(spark, str(tmp_path)).collect()
+    }
+    assert got == _model_crossdoc(docs)
+    # doc 1 wins the keep-first race (lowest doc_id); docs 2 and 5 bleed
+    assert got[1][2] == 0 and got[2][2] > 0 and got[5][2] > 0
+    assert got[3] == (7, 0, 0) and got[6][2] == 0
+    assert got[4] == (1, 0, 0)  # '' splits to [''] on both engines
+
+
+def test_crossdoc_savings_rollup_consistent(spark, tmp_path):
+    docs = [
+        (i, "common tokens one two three four five six tail%d" % (i % 3))
+        for i in range(1, 9)
+    ]
+    _write_docs(tmp_path, docs)
+    per_doc = crossdoc_substring_dedup(spark, str(tmp_path)).collect()
+    rolled = {}
+    for r in per_doc:
+        a = rolled.setdefault(r["source"], [0, 0, 0])
+        a[0] += 1
+        a[1] += r["n_tokens"]
+        a[2] += r["n_removed_tokens"]
+    got = {
+        r["source"]: [r["n_docs"], r["total_tokens"], r["removed_tokens"]]
+        for r in dedup_savings_by_source(spark, str(tmp_path)).collect()
+    }
+    assert got == rolled
+
+
+def test_caption_agreement_flags_exactly_the_constructed_mislabels(spark):
+    doc_ids = {
+        r["doc_id"] for r in load_table(spark, SF_DIR, "documents").select("doc_id").collect()
+    }
+    rows = caption_image_agreement(spark, SF_DIR).collect()
+    dims = {r["doc_id"] for r in rows if r["reason"] == "dims"}
+    hashy = {r["doc_id"] for r in rows if r["reason"] == "hash"}
+    # every mislabeled caption claims the neighbouring key, whose canvas
+    # width ALWAYS differs (consecutive keys differ mod 8) -> 'dims' flags
+    # are exactly the constructed wrong-caption docs
+    assert dims == {d for d in doc_ids if d % _CIA_WRONG == 0}
+    # a correct caption can only disagree through the pixel perturbation
+    assert hashy <= {d for d in doc_ids if d % _PH_PERT == 0 and d % _CIA_WRONG != 0}
+    for r in rows:
+        if r["reason"] == "dims":
+            assert r["hamming"] == -1
+            assert r["claimed_key"] == (r["true_key"] + 1) % _PH_KEYS
+        else:
+            assert r["hamming"] > 3 and r["claimed_key"] == r["true_key"]

@@ -176,6 +176,43 @@ QUERY_CROSS = {
     "epoch_repeat_plan": [
         ("epochs<=cap", _chain("epochs", "cap_epochs")),
     ],
+    # Interval-union bound: removed tokens cannot exceed the doc's tokens,
+    # nor the marked-window count times the window width; a doc is touched
+    # iff it has a marked window.
+    "crossdoc_substring_dedup": [
+        ("removed<=tokens", _chain("n_removed_tokens", "n_tokens")),
+        (
+            "removed<=marked*k",
+            lambda d: None
+            if not _comparable(d.get("n_removed_tokens"))
+            else d["n_removed_tokens"] <= d["n_marked_windows"] * 8,
+        ),
+        (
+            "marked_iff_removed",
+            lambda d: None
+            if not _comparable(d.get("n_removed_tokens"))
+            else (d["n_marked_windows"] == 0) == (d["n_removed_tokens"] == 0),
+        ),
+    ],
+    "dedup_savings_by_source": [
+        ("affected<=docs", _chain("n_docs_affected", "n_docs")),
+        (
+            "removed+kept=total",
+            lambda d: None
+            if not _comparable(d.get("total_tokens"))
+            else d["removed_tokens"] + d["kept_tokens"] == d["total_tokens"],
+        ),
+    ],
+    # A dims mismatch publishes hamming -1 and implies the caption claimed
+    # the wrong pattern key; a hash mismatch is only flagged above radius.
+    "caption_image_agreement": [
+        (
+            "reason_shape",
+            lambda d: (d["reason"] == "dims") == (d["hamming"] == -1)
+            and (d["reason"] != "dims" or d["true_key"] != d["claimed_key"])
+            and (d["reason"] != "hash" or d["hamming"] > 3),
+        ),
+    ],
     # Funnel attribution: every document has exactly one fate, so the four
     # fate counts must sum to the language's document count.
     "dedup_removal_impact": [
@@ -221,11 +258,122 @@ MONOTONE = {
     "dedup_tau_sensitivity": ("tau_pct", [("n_pairs", "-"), ("n_flagged_docs", "-"), ("flagged_share", "-")]),
     "quality_filter_sweep": ("tau_logit_tenths", [("n_kept", "-"), ("kept_tokens", "-"), ("kept_share", "-"), ("token_share", "-")]),
     "ann_probe_recall_curve": ("nprobe", [("mean_recall", "+"), ("mean_candidates", "+")]),
+    # PRECONDITION (packing_fill_sweep, inbatch_negative_collisions): these
+    # two entries are only monotone because their spines form DIVISIBILITY
+    # chains (512|1024|2048|4096; 8|32|128) — chunk-boundary sets and
+    # hash-bucket collision sets are nested only when each knob divides the
+    # next. A spine edit that breaks the chain (e.g. adding 48 batches or a
+    # 1536 window) makes the physics non-monotone and would turn this check
+    # into a spurious gate red: drop the entry or restore divisibility.
+    # _assert_divisibility_spines() pins this at import.
     "packing_fill_sweep": ("ctx_tokens", [("n_chunks", "-"), ("split_share", "-")]),
     "inbatch_negative_collisions": ("n_batches", [("n_collisions", "-")]),
     "scaling_law_subsets": ("pct", [("n_docs", "+"), ("n_tokens", "+")]),
     "vocab_coverage_curve": ("k", [("covered_tokens", "+"), ("coverage", "+")]),
 }
+
+
+def _assert_divisibility_spines() -> None:
+    """Startup pin for the MONOTONE divisibility precondition above."""
+    from datapipeline_ops_spark.queries.curation_extra import _PFS_CTXS
+    from datapipeline_ops_spark.queries.dedup import _IBN_BATCHES
+
+    for label, spine in (("_PFS_CTXS", _PFS_CTXS), ("_IBN_BATCHES", _IBN_BATCHES)):
+        for a, b in zip(spine, spine[1:]):
+            assert b % a == 0, (
+                f"{label} spine {spine} broke its divisibility chain at "
+                f"{a}->{b}; the MONOTONE entry for it is no longer sound — "
+                "drop the entry or restore divisibility"
+            )
+
+
+# --- cross-QUERY identities --------------------------------------------
+
+# The fourth layer: provably-related OUTPUTS of different queries. A shared
+# bug can keep one query self-consistent (every per-row and monotone check
+# green) and still disagree with the sibling query that computes the same
+# quantity another way; these identities fail it. Entries:
+# (label, [required queries], fn(rows_by_name) -> None (ok) or str (error)).
+# Each identity is exact-integer arithmetic only (no float gates).
+
+
+def _cq_tau50_equals_lsh(rows):
+    tau50 = [r for r in rows["dedup_tau_sensitivity"] if r["tau_pct"] == 50]
+    if len(tau50) != 1:
+        return f"expected one tau_pct=50 row, saw {len(tau50)}"
+    n = len(rows["minhash_lsh_pairs"])
+    if tau50[0]["n_pairs"] != n:
+        return f"tau=50 n_pairs {tau50[0]['n_pairs']} != lsh pair count {n}"
+    return None
+
+
+def _cq_agreement_totals(rows):
+    by = {r["found_by"]: r["n_pairs"] for r in rows["minhash_vs_simhash_agreement"]}
+    mh = by.get("both", 0) + by.get("minhash_only", 0)
+    sh = by.get("both", 0) + by.get("simhash_only", 0)
+    n_mh = len(rows["minhash_lsh_pairs"])
+    n_sh = len(rows["simhash_near_pairs"])
+    if mh != n_mh:
+        return f"minhash family total {mh} != minhash_lsh_pairs count {n_mh}"
+    if sh != n_sh:
+        return f"simhash family total {sh} != simhash_near_pairs count {n_sh}"
+    return None
+
+
+def _cq_fates_vs_corpus_docs(rows):
+    fates = sum(r["n_docs"] for r in rows["dedup_removal_impact"])
+    card = sum(r["n_docs"] for r in rows["corpus_report_card"])
+    if fates != card:
+        return f"removal-impact docs {fates} != report-card docs {card}"
+    return None
+
+
+def _cq_savings_rollup(rows):
+    agg: dict[str, list[int]] = {}
+    for r in rows["crossdoc_substring_dedup"]:
+        a = agg.setdefault(r["source"], [0, 0, 0, 0, 0])
+        a[0] += 1
+        a[1] += 1 if r["n_removed_tokens"] > 0 else 0
+        a[2] += r["n_tokens"]
+        a[3] += r["n_removed_tokens"]
+        a[4] += r["n_kept_tokens"]
+    per_src = {
+        r["source"]: [
+            r["n_docs"], r["n_docs_affected"], r["total_tokens"],
+            r["removed_tokens"], r["kept_tokens"],
+        ]
+        for r in rows["dedup_savings_by_source"]
+    }
+    if set(agg) != set(per_src):
+        return f"source sets differ: {sorted(set(agg) ^ set(per_src))}"
+    for s, a in agg.items():
+        if a != per_src[s]:
+            return f"source {s}: per-doc rollup {a} != published {per_src[s]}"
+    return None
+
+
+CROSS_QUERY = [
+    (
+        "tau50_equals_lsh_pairs",
+        ["dedup_tau_sensitivity", "minhash_lsh_pairs"],
+        _cq_tau50_equals_lsh,
+    ),
+    (
+        "agreement_family_totals",
+        ["minhash_vs_simhash_agreement", "minhash_lsh_pairs", "simhash_near_pairs"],
+        _cq_agreement_totals,
+    ),
+    (
+        "fates_vs_corpus_docs",
+        ["dedup_removal_impact", "corpus_report_card"],
+        _cq_fates_vs_corpus_docs,
+    ),
+    (
+        "crossdoc_savings_rollup",
+        ["crossdoc_substring_dedup", "dedup_savings_by_source"],
+        _cq_savings_rollup,
+    ),
+]
 
 
 def _monotone_violations(name: str, rows: list) -> list[tuple[str, str, str, object]]:
@@ -258,10 +406,13 @@ def main() -> int:
     spark = get_spark("check-invariants", cpus=8, shuffle_partitions=8)
     spark.sparkContext.setLogLevel("ERROR")
 
+    _assert_divisibility_spines()
     only = set(sys.argv[1:])
     n_cols_checked = 0
     violations: list[tuple[str, str, str, object]] = []
     errors: list[tuple[str, str]] = []
+    cq_needed = {q for _, reqs, _ in CROSS_QUERY for q in reqs}
+    cq_rows: dict[str, list[dict]] = {}
     for name, spec in QUERIES.items():
         if only and name not in only:
             continue
@@ -271,6 +422,8 @@ def main() -> int:
         except Exception as exc:  # noqa: BLE001 — a crashing query is itself a finding
             errors.append((name, str(exc).splitlines()[0][:200]))
             continue
+        if name in cq_needed:
+            cq_rows[name] = [r.asDict() for r in rows]
         hits = {}
         for c in df.columns:
             if (name, c) in EXCLUDE:
@@ -313,6 +466,14 @@ def main() -> int:
         if name in MONOTONE:
             n_cols_checked += len(MONOTONE[name][1])
             violations.extend(_monotone_violations(name, [r.asDict() for r in rows]))
+
+    for label, reqs, chk in CROSS_QUERY:
+        if any(q not in cq_rows for q in reqs):
+            continue  # partial run (explicit query args) — identity not due
+        n_cols_checked += 1
+        err = chk(cq_rows)
+        if err is not None:
+            violations.append(("<cross-query>", label, "cross_query", err))
 
     for q, c, rn, v in violations:
         print(f"INV BAD   {q}.{c} [{rn}] = {v}")

@@ -1988,6 +1988,44 @@ def _(qs, spark):
     assert "Scan ExistingRDD" in plan
 
 
+@check("crossdoc_substring_dedup: gram-hash equi-shuffle, text-only scan, no cartesian")
+def _(qs, spark):
+    plan = plan_of(qs["crossdoc_substring_dedup"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    cols = read_schema_cols(plan, "documents")
+    assert cols <= {"doc_id", "source", "text"}, cols
+    # dup flag + keep-first rank both ride the single gram-hash exchange;
+    # span merge is a per-doc window; the carry-back is an outer equi-join
+    assert "windowspecdefinition" in plan
+    assert re.search(r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)", plan)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    n_exchange = len(re.findall(r"^\(\d+\) Exchange", plan, re.M))
+    assert n_exchange <= 4, f"expected <=4 exchanges (spread, gh, doc merge, join): {n_exchange}"
+
+
+@check("dedup_savings_by_source: rollup partial-aggs over the shared per-doc stats")
+def _(qs, spark):
+    plan = plan_of(qs["dedup_savings_by_source"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    cols = read_schema_cols(plan, "documents")
+    assert cols <= {"doc_id", "source", "text"}, cols
+    assert "partial_" in plan, "source rollup must map-side combine"
+
+
+@check("caption_image_agreement: one Arrow pass, zero joins/shuffles on rows")
+def _(qs, spark):
+    plan = plan_of(qs["caption_image_agreement"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    cols = read_schema_cols(plan, "documents")
+    assert cols <= {"doc_id", "source"}, cols
+    # the gate is per-row: hash both sides inside mapInPandas, then filter —
+    # no Exchange at all, so it streams at scan speed
+    assert "MapInPandas" in plan
+    assert re.search(r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)", plan) is None
+    n_exchange = len(re.findall(r"^\(\d+\) Exchange", plan, re.M))
+    assert n_exchange == 0, f"expected 0 exchanges, saw {n_exchange}"
+
+
 def main() -> int:
     import __spark_entry__ as entry_mod
     from datapipeline_ops_spark.session import get_spark
