@@ -2290,9 +2290,14 @@ def epoch_repeat_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: one partial-aggregated groupBy over source keys reduces
     100 TB to a per-source frame (dozens of rows); the water-filling
     windows and residual split run on that frame — the unpartitioned
-    window is over the SOURCE table, never the corpus. Every comparison
-    is IEEE-double arithmetic accumulated in the same (fill_rank, source)
-    order on both engines, so the capped set matches exactly."""
+    window is over the SOURCE table, never the corpus. The per-source
+    cumulative sums run in the same (fill_rank, source) order on both
+    engines; the whole-frame totals (tot_w, b_capped, w_rem) are plain
+    double aggregates whose accumulation ORDER is engine/partition
+    dependent, so a capped-set comparison that lands exactly on a
+    boundary could in principle flip between engines — the gate's 6-sig-
+    fig float compare absorbs the last-bit noise, and the sqrt weights
+    make exact boundary ties measure-zero on real corpora."""
     d = load_table(spark, sf_dir, "documents")
     t = d.groupBy("source").agg(
         F.sum(F.size(tokens(F.col("text")))).cast("long").alias("n_tokens")

@@ -552,12 +552,17 @@ def stream_topk_frequent_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     table that evolves micro-batch by micro-batch — the streaming sibling of
     the batch `heavy_hitters_verified` (mapInPandas MG + exact recount).
     After the drain, the final per-shard summaries (identified by the
-    monotone n_seen high-water mark) yield the candidate set; a batch
-    recount makes the counts exact and ranks the top 5. The slot budget
-    ({MG_CAPACITY} per shard) exceeds the event_type domain, so candidates
-    are lossless by construction and the verified output is independent of
-    how the source files split into micro-batches — which is what lets an
-    exact batch oracle gate a sketch-bearing stream.
+    monotone n_seen high-water mark; a NULL-item sentinel keeps the final
+    emission non-empty even when the table drains to zero slots) yield the
+    candidate set; a batch recount makes the counts exact and ranks the
+    top 5. Saturation is CHECKED, not assumed: the sketch carries an
+    n_evictions counter, and any final snapshot showing a decrement-all
+    event raises — an evicted table may have dropped a true heavy hitter
+    the recount would never see, so a silent answer would be wrong. On the
+    gated corpus the slot budget ({MG_CAPACITY} per shard) exceeds the
+    event_type domain, so the check passes and the verified output is
+    independent of how the source files split into micro-batches — which
+    is what lets an exact batch oracle gate a sketch-bearing stream.
 
     Scale shape: state per shard is bounded by the slot budget regardless
     of stream length or item cardinality (the whole point of MG — a plain
@@ -565,14 +570,27 @@ def stream_topk_frequent_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     a semi-joined aggregation on the candidate survivors only."""
     from pyspark.sql import Window as W
 
-    from datapipeline_ops_spark.streaming.stateful import mg_frequent_items
+    from datapipeline_ops_spark.streaming.stateful import (
+        MG_CAPACITY,
+        mg_frequent_items,
+    )
     from datapipeline_ops_spark.tables import load_table
 
     s = events_stream(spark, sf_dir)
     updates = run_stream_to_table(mg_frequent_items(s), output_mode="update")
+    final = updates.withColumn(
+        "mx", F.max("n_seen").over(W.partitionBy("shard"))
+    ).filter(F.col("n_seen") == F.col("mx"))
+    saturated = final.filter(F.col("n_evictions") > 0).limit(1).count()
+    if saturated:
+        raise ValueError(
+            "stream_topk_frequent_items: Misra-Gries state saturated "
+            f"(decrement-all fired; capacity {MG_CAPACITY}/shard) — the "
+            "candidate set may have lost a true top-k item; raise "
+            "MG_CAPACITY or shard count instead of trusting this answer"
+        )
     cands = (
-        updates.withColumn("mx", F.max("n_seen").over(W.partitionBy("shard")))
-        .filter(F.col("n_seen") == F.col("mx"))
+        final.filter(F.col("item").isNotNull())
         .select(F.col("item").alias("event_type"))
         .distinct()
     )

@@ -85,6 +85,7 @@ MG_OUTPUT_SCHEMA = StructType(
         StructField("item", StringType()),
         StructField("mg_count", LongType()),
         StructField("n_seen", LongType()),
+        StructField("n_evictions", LongType()),
     ]
 )
 
@@ -93,6 +94,7 @@ MG_STATE_SCHEMA = StructType(
         StructField("ids", ArrayType(StringType())),
         StructField("counts", ArrayType(LongType())),
         StructField("n_seen", LongType()),
+        StructField("n_evictions", LongType()),
     ]
 )
 
@@ -102,14 +104,37 @@ def _update_mg(
 ) -> Iterator[pd.DataFrame]:
     """Fold each micro-batch into a bounded Misra-Gries counter table held
     in the state store; emit the current summary (plus the monotone n_seen
-    high-water mark that identifies the FINAL emission) once per batch."""
+    high-water mark that identifies the FINAL emission) once per batch.
+
+    The fold is vectorized on the common path: ``value_counts()`` collapses
+    the batch to per-item totals, and when the batch's NEW distinct items
+    fit in the free slots no decrement step can fire, so merging the totals
+    is bit-identical to the row-at-a-time scan. Only a batch that would
+    overflow the slot budget falls back to the sequential loop (MG's
+    decrement-all is order-dependent, so that path must stay per-row).
+
+    Saturation is a carried signal, not an assumption: ``n_evictions``
+    counts decrement-all events for the shard's lifetime. Any nonzero value
+    means the candidate set may have lost a true heavy hitter — consumers
+    (stream_topk_frequent_items) must check it instead of trusting the
+    sketch. A batch that leaves the table EMPTY still emits one sentinel
+    row (NULL item) so the final high-water emission is never zero-row
+    (a stale earlier snapshot would otherwise win the n_seen argmax)."""
     if state.exists:
-        ids, counts, n_seen = state.get
+        ids, counts, n_seen, n_evictions = state.get
         d = dict(zip(ids, counts))
     else:
-        d, n_seen = {}, 0
+        d, n_seen, n_evictions = {}, 0, 0
     for pdf in batches:
         n_seen += len(pdf)
+        vc = pdf["item"].astype(str).value_counts()
+        new = [k for k in vc.index if k not in d]
+        if len(new) <= MG_CAPACITY - len(d):
+            # no eviction can fire: increments never consume slots and the
+            # new items all fit, so the merged result equals the scan
+            for k, c in vc.items():
+                d[k] = d.get(k, 0) + int(c)
+            continue
         for item in pdf["item"]:
             item = str(item)
             if item in d:
@@ -119,6 +144,7 @@ def _update_mg(
             else:
                 # decrement-all step: every counter drops by one, zeroed
                 # slots free up for future items
+                n_evictions += 1
                 dead = []
                 for k in d:
                     d[k] -= 1
@@ -126,14 +152,18 @@ def _update_mg(
                         dead.append(k)
                 for k in dead:
                     del d[k]
-    state.update((list(d.keys()), [int(v) for v in d.values()], int(n_seen)))
-    items = sorted(d.items())
+    state.update(
+        (list(d.keys()), [int(v) for v in d.values()], int(n_seen), int(n_evictions))
+    )
+    items = sorted(d.items()) or [(None, 0)]  # sentinel keeps the final
+    # emission non-empty so the n_seen high-water mark stays honest
     yield pd.DataFrame(
         {
             "shard": [int(key[0])] * len(items),
             "item": [k for k, _ in items],
             "mg_count": [int(v) for _, v in items],
             "n_seen": [int(n_seen)] * len(items),
+            "n_evictions": [int(n_evictions)] * len(items),
         }
     )
 

@@ -227,3 +227,96 @@ def test_stream_topk_frequent_items_exact(spark, sf_dir):
     want = sorted(exact, key=lambda r: (-r.cnt, r.event_type))[:5]
     assert [(r.event_type, r.cnt) for r in rows] == [(r.event_type, r.cnt) for r in want]
     assert [r.rnk for r in rows] == list(range(1, len(rows) + 1))
+
+
+class _FakeState:
+    """Minimal GroupState stub for driving _update_mg directly."""
+
+    def __init__(self, value=None):
+        self._v = value
+
+    @property
+    def exists(self):
+        return self._v is not None
+
+    @property
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = v
+
+
+def _mg_sequential(items, capacity):
+    """The original row-at-a-time MG scan, as the reference model."""
+    d, n_ev = {}, 0
+    for item in items:
+        if item in d:
+            d[item] += 1
+        elif len(d) < capacity:
+            d[item] = 1
+        else:
+            n_ev += 1
+            dead = [k for k in d if d[k] == 1]
+            for k in d:
+                d[k] -= 1
+            for k in dead:
+                del d[k]
+    return d, n_ev
+
+
+def _drive_mg(batches, state=None):
+    import pandas as pd
+
+    from datapipeline_ops_spark.streaming.stateful import _update_mg
+
+    st = state or _FakeState()
+    outs = []
+    for b in batches:
+        outs.append(
+            list(_update_mg((0,), iter([pd.DataFrame({"item": b})]), st))[0]
+        )
+    return st, outs
+
+
+def test_mg_vectorized_fold_matches_sequential_scan():
+    from datapipeline_ops_spark.streaming.stateful import MG_CAPACITY
+
+    # under-capacity batches (fast path) must be bit-identical to the scan,
+    # including across batch splits
+    items = (["a"] * 5 + ["b"] * 3 + ["c", "d"]) * 4
+    for split in (1, 3, 7):
+        batches = [items[i : i + split] for i in range(0, len(items), split)]
+        st, outs = _drive_mg(batches)
+        ids, counts, n_seen, n_ev = st.get
+        ref, ref_ev = _mg_sequential(items, MG_CAPACITY)
+        assert dict(zip(ids, counts)) == ref
+        assert n_seen == len(items) and n_ev == ref_ev == 0
+
+
+def test_mg_eviction_fallback_counts_and_matches_scan():
+    from datapipeline_ops_spark.streaming.stateful import MG_CAPACITY
+
+    # more distinct items than slots in one batch -> the sequential
+    # fallback runs, evictions are counted, and the table stays bounded
+    items = [f"t{i}" for i in range(MG_CAPACITY + 9)] + ["t0"] * 4
+    st, outs = _drive_mg([items])
+    ids, counts, n_seen, n_ev = st.get
+    ref, ref_ev = _mg_sequential(items, MG_CAPACITY)
+    assert dict(zip(ids, counts)) == ref
+    assert n_ev == ref_ev > 0
+    assert len(ids) <= MG_CAPACITY
+    assert outs[0]["n_evictions"].iloc[0] == n_ev
+
+
+def test_mg_empty_table_emits_sentinel_row():
+    from datapipeline_ops_spark.streaming.stateful import MG_CAPACITY
+
+    # a full table hit by a fresh item decrements all; engineer counts so
+    # the table drains to empty, and the emission must still carry n_seen
+    st = _FakeState(([f"s{i}" for i in range(MG_CAPACITY)], [1] * MG_CAPACITY, 7, 0))
+    _, outs = _drive_mg([["fresh"]], state=st)
+    out = outs[0]
+    assert len(out) == 1 and out["item"].iloc[0] is None
+    assert out["n_seen"].iloc[0] == 8 and out["n_evictions"].iloc[0] == 1
+    assert st.get[0] == [] and st.get[1] == []
