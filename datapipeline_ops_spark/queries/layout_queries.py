@@ -353,3 +353,199 @@ def hilbert_vs_zorder_locality(spark: SparkSession, sf_dir: str) -> DataFrame:
             "avg_area"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# webdataset_shard_plan — training-shard assignment + interleave quality
+# ---------------------------------------------------------------------------
+
+WDS_SHARDS = 8
+WDS_ORDER_SEED = 7
+
+
+def _wds_oracle() -> str:
+    from datapipeline_ops_spark.functions.hashing import sql_hash64
+
+    sh = f"{sql_hash64('doc_id')} % {WDS_SHARDS}"
+    ok = sql_hash64("doc_id", seed=WDS_ORDER_SEED)
+    return f"""
+    WITH d AS (
+        SELECT doc_id, source, n_chars,
+               {sh} AS shard_id, {ok} AS ok
+        FROM documents
+    ),
+    r AS (
+        SELECT shard_id, source, ok, doc_id,
+               CASE WHEN lag(source) OVER w IS NULL
+                         OR lag(source) OVER w <> source
+                    THEN 1 ELSE 0 END AS nr
+        FROM d
+        WINDOW w AS (PARTITION BY shard_id ORDER BY ok, doc_id)
+    ),
+    r2 AS (
+        SELECT shard_id,
+               sum(nr) OVER (PARTITION BY shard_id ORDER BY ok, doc_id
+                             ROWS UNBOUNDED PRECEDING) AS run_id
+        FROM r
+    ),
+    runs AS (SELECT shard_id, run_id, count(*) AS rl FROM r2 GROUP BY 1, 2),
+    mx AS (SELECT shard_id, CAST(max(rl) AS BIGINT) AS max_source_run
+           FROM runs GROUP BY shard_id),
+    tot AS (
+        SELECT shard_id, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_chars) AS BIGINT) AS total_chars,
+               CAST(count(DISTINCT source) AS BIGINT) AS n_sources
+        FROM d GROUP BY shard_id
+    ),
+    sc AS (SELECT shard_id, source, count(*) AS c FROM d GROUP BY 1, 2),
+    ent AS (
+        SELECT sc.shard_id,
+               round(-sum((c * 1e0 / t.n_docs) * ln(c * 1e0 / t.n_docs)), 6)
+                   + 0e0 AS source_entropy
+        FROM sc JOIN tot t USING (shard_id) GROUP BY sc.shard_id
+    )
+    SELECT t.shard_id, t.n_docs, t.total_chars, t.n_sources,
+           e.source_entropy, m.max_source_run
+    FROM tot t JOIN ent e USING (shard_id) JOIN mx m USING (shard_id)
+    """
+
+
+@query("webdataset_shard_plan", oracle=_wds_oracle())
+def webdataset_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-shard layout plan (the WebDataset/TFRecord packing step):
+    every document is hash-assigned to one of {WDS_SHARDS} shards and given
+    a deterministic within-shard shuffle position (seeded second hash) —
+    exactly how a 100 TB corpus becomes tar/record shards a dataloader
+    streams sequentially. Per shard the plan reports size (docs, chars),
+    source diversity (distinct sources, Shannon entropy of the source mix)
+    and the WORST same-source run length in read order — the number that
+    decides whether a sequential reader sees interleaved data or a
+    correlated block (long runs starve the trainer's effective shuffle
+    buffer and bias gradient batches).
+
+    Scale shape: assignment and order keys are per-row hash projections;
+    one exchange on shard_id feeds BOTH the run-length window (lag + running
+    sum over the same (shard, order) sort) and the per-shard rollups; the
+    source-mix entropy reduces per (shard, source) with map-side combine.
+    Shards scale with corpus size, never with executor count, so the plan
+    is identical on 1 or 1000 executors."""
+    from datapipeline_ops_spark.functions.hashing import hash64
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.pmod(hash64(F.col("doc_id")), F.lit(WDS_SHARDS)).alias("shard_id"),
+        hash64(F.col("doc_id"), seed=WDS_ORDER_SEED).alias("ok"),
+    )
+    w = Window.partitionBy("shard_id").orderBy("ok", "doc_id")
+    prev = F.lag("source").over(w)
+    r = d.select(
+        "shard_id",
+        "source",
+        "n_chars",
+        F.when(prev.isNull() | (prev != F.col("source")), 1).otherwise(0).alias("nr"),
+        "ok",
+        "doc_id",
+    ).select(
+        "shard_id",
+        "source",
+        "n_chars",
+        F.sum("nr").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("run_id"),
+    )
+    mx = (
+        r.groupBy("shard_id", "run_id")
+        .agg(F.count(F.lit(1)).alias("rl"))
+        .groupBy("shard_id")
+        .agg(F.max("rl").cast("long").alias("max_source_run"))
+    )
+    tot = r.groupBy("shard_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        F.count_distinct("source").alias("n_sources"),
+    )
+    sc = r.groupBy("shard_id", "source").agg(F.count(F.lit(1)).alias("c"))
+    p = F.col("c") * 1.0 / F.col("n_docs")
+    ent = (
+        sc.join(tot.select("shard_id", "n_docs"), "shard_id")
+        .groupBy("shard_id")
+        # + 0.0 normalizes IEEE -0.0 (single-source shard: -sum of zeros)
+        # to +0.0 on both engines
+        .agg((F.round(-F.sum(p * F.log(p)), 6) + F.lit(0.0)).alias("source_entropy"))
+    )
+    return tot.join(ent, "shard_id").join(mx, "shard_id").select(
+        "shard_id", "n_docs", "total_chars", "n_sources",
+        "source_entropy", "max_source_run",
+    )
+
+
+# ---------------------------------------------------------------------------
+# padding_waste_report — length-bucketed batching waste (GPU-utilization
+# counterpart of sequence_packing: pad-to-bucket instead of pack-to-window)
+# ---------------------------------------------------------------------------
+
+PW_BUCKETS = [2 ** i for i in range(0, 17)]  # 1 .. 65536 token ceilings
+
+
+def _pw_bucket_sql(n: str) -> str:
+    cases = " ".join(f"WHEN {n} <= {b} THEN {b}" for b in PW_BUCKETS)
+    return f"CASE {cases} ELSE NULL END"
+
+
+def _pw_oracle() -> str:
+    return f"""
+    WITH d AS (
+        SELECT len(regexp_split_to_array(text, '\\s+')) AS n_tokens
+        FROM documents
+    ),
+    b AS (SELECT n_tokens, {_pw_bucket_sql("n_tokens")} AS bucket FROM d)
+    SELECT CAST(bucket AS BIGINT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS real_tokens,
+           CAST(count(*) * bucket AS BIGINT) AS padded_tokens,
+           CAST(count(*) * bucket - sum(n_tokens) AS BIGINT) AS waste_tokens,
+           round((count(*) * bucket - sum(n_tokens)) * 1e0
+                 / (count(*) * bucket), 6) AS waste_share
+    FROM b GROUP BY bucket
+    """
+
+
+@query("padding_waste_report", oracle=_pw_oracle())
+def padding_waste_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucketed batching waste: every document pads up to the
+    smallest power-of-two token ceiling (the dynamic-batching scheme most
+    trainers/servers use), and per bucket the report totals real vs padded
+    tokens and the waste share — the direct GPU-utilization number that
+    tells an operator whether to add bucket boundaries or switch to packed
+    sequences (`sequence_packing` is the pack-to-window alternative; this
+    query prices the pad-to-bucket status quo).
+
+    Scale shape: the bucket ceiling is a constant CASE chain over 17
+    power-of-two literals — pure whole-stage-codegen projection, no join,
+    no spine — followed by one map-side-combined rollup on a <=17-key
+    group. Token counts beyond 2^16 fall into a NULL bucket row rather
+    than silently clamping (both engines agree on the grouping)."""
+    from datapipeline_ops_spark.functions.text import tokens
+
+    n = F.size(tokens(F.col("text"))).cast("long")
+    expr = F.lit(None).cast("long")
+    for b in reversed(PW_BUCKETS):
+        expr = F.when(F.col("n_tokens") <= b, F.lit(b).cast("long")).otherwise(expr)
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .select(n.alias("n_tokens"))
+        .select("n_tokens", expr.alias("bucket"))
+    )
+    return d.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("real_tokens"),
+        (F.count(F.lit(1)) * F.max("bucket")).cast("long").alias("padded_tokens"),
+        (F.count(F.lit(1)) * F.max("bucket") - F.sum("n_tokens"))
+        .cast("long")
+        .alias("waste_tokens"),
+        F.round(
+            (F.count(F.lit(1)) * F.max("bucket") - F.sum("n_tokens")) * 1.0
+            / (F.count(F.lit(1)) * F.max("bucket")),
+            6,
+        ).alias("waste_share"),
+    )

@@ -1291,6 +1291,8 @@ def test_fuzz_documents_wave6_crossdoc(spark, tmp_path_factory, boiler, docs):
             "crossdoc_substring_dedup",
             "dedup_savings_by_source",
             "caption_image_agreement",
+            "webdataset_shard_plan",
+            "padding_waste_report",
         ],
         ["documents"],
     )

@@ -124,3 +124,84 @@ def test_caption_agreement_flags_exactly_the_constructed_mislabels(spark):
             assert r["claimed_key"] == (r["true_key"] + 1) % _PH_KEYS
         else:
             assert r["hamming"] > 3 and r["claimed_key"] == r["true_key"]
+
+
+def _h64(v, seed=None):
+    import hashlib
+
+    s = f"{seed}:{v}" if seed is not None else str(v)
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+def test_webdataset_shard_plan_matches_python_model(spark, tmp_path):
+    import math
+
+    from datapipeline_ops_spark.queries.layout_queries import (
+        WDS_ORDER_SEED,
+        WDS_SHARDS,
+        webdataset_shard_plan,
+    )
+
+    docs = [(i, ("tok%d " % (i % 7)) * (1 + i % 5)) for i in range(1, 41)]
+    _write_docs(tmp_path, docs)
+    # model: same md5-derived hashes, runs/entropy per shard
+    shards = {}
+    for d, t in docs:
+        sid = _h64(d) % WDS_SHARDS
+        shards.setdefault(sid, []).append((_h64(d, WDS_ORDER_SEED), d, f"s{d % 2}", len(t)))
+    expect = {}
+    for sid, rows in shards.items():
+        rows.sort()
+        srcs = [s for _, _, s, _ in rows]
+        runs, cur = [], 1
+        for a, b in zip(srcs, srcs[1:]):
+            if a == b:
+                cur += 1
+            else:
+                runs.append(cur)
+                cur = 1
+        runs.append(cur)
+        n = len(rows)
+        from collections import Counter
+
+        ent = -sum((c / n) * math.log(c / n) for c in Counter(srcs).values())
+        expect[sid] = (
+            n,
+            sum(nc for _, _, _, nc in rows),
+            len(set(srcs)),
+            round(ent, 6),
+            max(runs),
+        )
+    got = {
+        r["shard_id"]: (
+            r["n_docs"], r["total_chars"], r["n_sources"],
+            r["source_entropy"], r["max_source_run"],
+        )
+        for r in webdataset_shard_plan(spark, str(tmp_path)).collect()
+    }
+    assert got == expect
+
+
+def test_padding_waste_matches_python_model(spark, tmp_path):
+    from datapipeline_ops_spark.queries.layout_queries import padding_waste_report
+
+    docs = [(i, "t " * i) for i in range(1, 20)] + [(100, ""), (101, "x")]
+    _write_docs(tmp_path, docs)
+    # mirror the engines' \s+ split exactly (trailing empty token included)
+    toks = {d: len(re.split(r"\s+", t)) for d, t in docs}
+    exp = {}
+    for d, t in docs:
+        n = toks[d]
+        b = next(p for p in [2 ** i for i in range(17)] if n <= p)
+        e = exp.setdefault(b, [0, 0])
+        e[0] += 1
+        e[1] += n
+    got = {
+        r["bucket"]: (r["n_docs"], r["real_tokens"], r["padded_tokens"], r["waste_tokens"])
+        for r in padding_waste_report(spark, str(tmp_path)).collect()
+    }
+    assert got == {
+        b: (c, rt, c * b, c * b - rt) for b, (c, rt) in exp.items()
+    }
+    for r in padding_waste_report(spark, str(tmp_path)).collect():
+        assert 0.0 <= r["waste_share"] < 1.0

@@ -213,6 +213,28 @@ QUERY_CROSS = {
             and (d["reason"] != "hash" or d["hamming"] > 3),
         ),
     ],
+    # Shard layout: a same-source run cannot exceed the shard's docs; the
+    # source mix cannot have more members than docs; entropy >= 0 (no name
+    # rule covers "entropy", so pin it).
+    "webdataset_shard_plan": [
+        ("run<=docs", _chain("max_source_run", "n_docs")),
+        ("sources<=docs", _chain("n_sources", "n_docs")),
+        (
+            "entropy>=0",
+            lambda d: None
+            if not _comparable(d.get("source_entropy"))
+            else d["source_entropy"] >= 0.0,
+        ),
+    ],
+    "padding_waste_report": [
+        ("real<=padded", _chain("real_tokens", "padded_tokens")),
+        (
+            "waste=padded-real",
+            lambda d: None
+            if not _comparable(d.get("padded_tokens"))
+            else d["waste_tokens"] == d["padded_tokens"] - d["real_tokens"],
+        ),
+    ],
     # Funnel attribution: every document has exactly one fate, so the four
     # fate counts must sum to the language's document count.
     "dedup_removal_impact": [
@@ -352,7 +374,24 @@ def _cq_savings_rollup(rows):
     return None
 
 
+def _cq_token_doc_totals(rows):
+    corpus_tokens = sum(r["n_tokens"] for r in rows["crossdoc_substring_dedup"])
+    corpus_docs = len(rows["crossdoc_substring_dedup"])
+    pw_tokens = sum(r["real_tokens"] for r in rows["padding_waste_report"])
+    wds_docs = sum(r["n_docs"] for r in rows["webdataset_shard_plan"])
+    if pw_tokens != corpus_tokens:
+        return f"padding real_tokens {pw_tokens} != corpus tokens {corpus_tokens}"
+    if wds_docs != corpus_docs:
+        return f"shard-plan docs {wds_docs} != corpus docs {corpus_docs}"
+    return None
+
+
 CROSS_QUERY = [
+    (
+        "token_and_doc_totals",
+        ["crossdoc_substring_dedup", "padding_waste_report", "webdataset_shard_plan"],
+        _cq_token_doc_totals,
+    ),
     (
         "tau50_equals_lsh_pairs",
         ["dedup_tau_sensitivity", "minhash_lsh_pairs"],

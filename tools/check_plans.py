@@ -2026,6 +2026,29 @@ def _(qs, spark):
     assert n_exchange == 0, f"expected 0 exchanges, saw {n_exchange}"
 
 
+@check("webdataset_shard_plan: one shard exchange feeds window + rollups, no text read")
+def _(qs, spark):
+    plan = plan_of(qs["webdataset_shard_plan"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    cols = read_schema_cols(plan, "documents")
+    assert cols <= {"doc_id", "source", "n_chars"}, cols
+    assert "windowspecdefinition" in plan
+    assert "partial_" in plan, "per-shard rollups must map-side combine"
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+@check("padding_waste_report: pure CASE-chain projection + tiny rollup, text-only scan")
+def _(qs, spark):
+    plan = plan_of(qs["padding_waste_report"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    cols = read_schema_cols(plan, "documents")
+    assert cols <= {"text"}, cols
+    assert re.search(r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)", plan) is None
+    assert "partial_" in plan
+    n_exchange = len(re.findall(r"^\(\d+\) Exchange", plan, re.M))
+    assert n_exchange <= 1, f"expected <=1 exchange (bucket agg), saw {n_exchange}"
+
+
 def main() -> int:
     import __spark_entry__ as entry_mod
     from datapipeline_ops_spark.session import get_spark
