@@ -1989,3 +1989,72 @@ def dedup_savings_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_removed_tokens") * 1.0 / F.sum("n_tokens"), 6
         ).alias("savings_frac"),
     )
+
+
+# ---------------------------------------------------------------------------
+# crosslingual_neardup_rate — which language pairs share near-duplicate
+# content (mirror sites, templated translations, machine-translated spam)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "crosslingual_neardup_rate",
+    oracle="WITH "
+    + _pairs_cte()
+    + """,
+    lp AS (
+        SELECT least(da.lang, db.lang) AS lang_lo,
+               greatest(da.lang, db.lang) AS lang_hi
+        FROM pairs
+        JOIN documents da ON pairs.doc_a = da.doc_id
+        JOIN documents db ON pairs.doc_b = db.doc_id
+    ),
+    g AS (SELECT lang_lo, lang_hi, CAST(count(*) AS BIGINT) AS n_pairs
+          FROM lp GROUP BY 1, 2)
+    SELECT lang_lo, lang_hi, n_pairs,
+           round(n_pairs * 1e0 / sum(n_pairs) OVER (), 6) AS pair_share,
+           lang_lo <> lang_hi AS is_cross
+    FROM g
+    """,
+)
+def crosslingual_neardup_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-pair breakdown of the verified near-dup pairs: mirror
+    sites, templated translations and MT-generated spam show up as
+    CROSS-language near-duplicates (the CCNet/mC4 curation finding), and
+    this query tells an operator which language pairs bleed into each
+    other before a per-language dedup run would silently keep both copies.
+    One row per unordered (lang_lo, lang_hi) with the pair count, its
+    share of all near-dup pairs, and the cross-language flag.
+
+    Scale shape: rides the shared capped LSH pair machinery (one band
+    equi-join, exact-Jaccard verify on candidates only); the language
+    attribution is two equi-joins against the (doc_id, lang) projection —
+    column-pruned, never the text — and the rollup key space is
+    langs^2/2, so the share window runs over a dozen-row aggregate."""
+    pairs = minhash_lsh_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    da = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("doc_a"), F.col("lang").alias("lang_a")
+    )
+    db = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("doc_b"), F.col("lang").alias("lang_b")
+    )
+    g = (
+        pairs.join(da, "doc_a")
+        .join(db, "doc_b")
+        .select(
+            F.least("lang_a", "lang_b").alias("lang_lo"),
+            F.greatest("lang_a", "lang_b").alias("lang_hi"),
+        )
+        .groupBy("lang_lo", "lang_hi")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+    )
+    w = Window.partitionBy()  # dozen-row aggregate frame; no sort, no skew
+    return g.select(
+        "lang_lo",
+        "lang_hi",
+        "n_pairs",
+        F.round(F.col("n_pairs") * 1.0 / F.sum("n_pairs").over(w), 6).alias(
+            "pair_share"
+        ),
+        (F.col("lang_lo") != F.col("lang_hi")).alias("is_cross"),
+    )

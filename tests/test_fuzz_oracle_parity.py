@@ -907,6 +907,7 @@ def test_fuzz_documents_wave5_dedup(spark, tmp_path_factory, docs):
             "minhash_vs_simhash_agreement",
             "dedup_removal_impact",
             "neardup_chain_overmerge",
+            "crosslingual_neardup_rate",
             "spell_correct_symdel",
             "sentence_split_udtf",
         ],

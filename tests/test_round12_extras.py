@@ -205,3 +205,29 @@ def test_padding_waste_matches_python_model(spark, tmp_path):
     }
     for r in padding_waste_report(spark, str(tmp_path)).collect():
         assert 0.0 <= r["waste_share"] < 1.0
+
+
+def test_crosslingual_rate_consistent_with_pairs_and_langs(spark):
+    from datapipeline_ops_spark.queries.dedup import (
+        crosslingual_neardup_rate,
+        minhash_lsh_pairs,
+    )
+
+    langs = {
+        r["doc_id"]: r["lang"]
+        for r in load_table(spark, SF_DIR, "documents").select("doc_id", "lang").collect()
+    }
+    from collections import Counter
+
+    exp = Counter(
+        tuple(sorted((langs[r["doc_a"]], langs[r["doc_b"]])))
+        for r in minhash_lsh_pairs(spark, SF_DIR).collect()
+    )
+    rows = crosslingual_neardup_rate(spark, SF_DIR).collect()
+    got = {(r["lang_lo"], r["lang_hi"]): r["n_pairs"] for r in rows}
+    assert got == dict(exp)
+    total = sum(exp.values())
+    for r in rows:
+        assert r["is_cross"] == (r["lang_lo"] != r["lang_hi"])
+        assert abs(r["pair_share"] - r["n_pairs"] / total) < 1e-6
+    assert abs(sum(r["pair_share"] for r in rows) - 1.0) < 1e-5

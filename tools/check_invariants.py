@@ -374,6 +374,14 @@ def _cq_savings_rollup(rows):
     return None
 
 
+def _cq_lang_rollup_total(rows):
+    lang_total = sum(r["n_pairs"] for r in rows["crosslingual_neardup_rate"])
+    n = len(rows["minhash_lsh_pairs"])
+    if lang_total != n:
+        return f"lang-pair rollup total {lang_total} != lsh pair count {n}"
+    return None
+
+
 def _cq_token_doc_totals(rows):
     corpus_tokens = sum(r["n_tokens"] for r in rows["crossdoc_substring_dedup"])
     corpus_docs = len(rows["crossdoc_substring_dedup"])
@@ -391,6 +399,11 @@ CROSS_QUERY = [
         "token_and_doc_totals",
         ["crossdoc_substring_dedup", "padding_waste_report", "webdataset_shard_plan"],
         _cq_token_doc_totals,
+    ),
+    (
+        "lang_rollup_total",
+        ["crosslingual_neardup_rate", "minhash_lsh_pairs"],
+        _cq_lang_rollup_total,
     ),
     (
         "tau50_equals_lsh_pairs",

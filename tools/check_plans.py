@@ -2037,6 +2037,17 @@ def _(qs, spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
+@check("crosslingual_neardup_rate: lang joins pruned to (doc_id,lang), no cartesian")
+def _(qs, spark):
+    plan = plan_of(qs["crosslingual_neardup_rate"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    cols = read_schema_cols(plan, "documents")
+    # the pair machinery reads (doc_id, text); the lang attribution must
+    # add ONLY lang — anything else is an unpruned scan
+    assert cols <= {"doc_id", "text", "lang"}, cols
+    assert "partial_" in plan, "lang-pair rollup must map-side combine"
+
+
 @check("padding_waste_report: pure CASE-chain projection + tiny rollup, text-only scan")
 def _(qs, spark):
     plan = plan_of(qs["padding_waste_report"](spark, SF_DIR))
