@@ -955,3 +955,137 @@ def ivf_cell_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max(load).over(Window.partitionBy()).alias("hot_factor"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# in_context_packing_plan — semantic packing of related documents into
+# shared context windows (in-context pretraining)
+# ---------------------------------------------------------------------------
+
+CTX_DOCS = 4  # documents packed per context window
+
+
+@query(
+    "in_context_packing_plan",
+    oracle=f"""
+    WITH {_V_CTE},
+    c AS (SELECT vec_id - {IVF_CENTROIDS[0]} AS cluster_id, vec FROM v
+          WHERE vec_id >= {IVF_CENTROIDS[0]} AND vec_id < {IVF_CENTROIDS[1]}),
+    assign AS (
+        SELECT a.vec_id, c.cluster_id,
+               {sql_cosine("a.vec", "c.vec")} AS ccos,
+               row_number() OVER (PARTITION BY a.vec_id
+                                  ORDER BY {sql_cosine("a.vec", "c.vec")} DESC,
+                                           c.cluster_id) AS rn
+        FROM v a, c
+    ),
+    m AS (
+        SELECT v.vec_id, a.cluster_id, a.ccos, v.vec
+        FROM v JOIN (SELECT vec_id, cluster_id, ccos FROM assign WHERE rn = 1) a
+          USING (vec_id)
+    ),
+    ctx AS (
+        SELECT vec_id, cluster_id, vec,
+               CAST((row_number() OVER (PARTITION BY cluster_id
+                                        ORDER BY ccos DESC, vec_id) - 1)
+                    // {CTX_DOCS} AS BIGINT) AS ctx_seq
+        FROM m
+    ),
+    sizes AS (SELECT cluster_id, ctx_seq, CAST(count(*) AS BIGINT) AS n_docs
+              FROM ctx GROUP BY 1, 2),
+    pairs AS (
+        SELECT a.cluster_id, a.ctx_seq, {_COS_AB} AS pcos
+        FROM ctx a JOIN ctx b
+          ON a.cluster_id = b.cluster_id AND a.ctx_seq = b.ctx_seq
+             AND a.vec_id < b.vec_id
+    ),
+    ps AS (SELECT cluster_id, ctx_seq,
+                  round(avg(pcos), 6) + 0.0 AS mean_pair_cos,
+                  round(min(pcos), 6) + 0.0 AS min_pair_cos
+           FROM pairs GROUP BY 1, 2)
+    SELECT s.cluster_id, s.ctx_seq, s.n_docs, ps.mean_pair_cos, ps.min_pair_cos
+    FROM sizes s LEFT JOIN ps USING (cluster_id, ctx_seq)
+    """,
+)
+def in_context_packing_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-context pretraining packing plan (Shi et al. 2023, "In-Context
+    Pretraining: Language Modeling Beyond Document Boundaries"): instead of
+    concatenating RANDOM documents into a context window, pack RELATED
+    ones — assign every embedding to its nearest coarse centroid (cosine
+    argmax, deterministic tie-break), order each cluster most-central
+    first, and cut consecutive runs of {CTX_DOCS} into context windows.
+    Per context the plan reports its size and the mean/min pairwise member
+    cosine — the packing-quality curve an operator compares against the
+    random-packing baseline before paying the pretraining run. Tail
+    contexts with one member publish NULL pair stats rather than faking a
+    self-similarity of 1.
+
+    Reuses the IVF coarse centroids (deterministic, oracle-reproducible);
+    production feeds kmeans_refine_step's trained centroids. Scale shape:
+    the K-centroid batch broadcasts and assignment is a per-row argmax (no
+    vector shuffle); the within-cluster order window and the context
+    rollup share one cluster_id exchange; member-pair scoring is an
+    equi-join on (cluster, ctx_seq) with at most C(={CTX_DOCS},2) pairs
+    per context — candidate volume is bounded by corpus size times a
+    constant, never quadratic."""
+    from datapipeline_ops_spark.operators.dedup import persist_barrier
+
+    v = _vectors(spark, sf_dir)
+    c = v.filter(
+        (F.col("vec_id") >= IVF_CENTROIDS[0]) & (F.col("vec_id") < IVF_CENTROIDS[1])
+    ).select(
+        (F.col("vec_id") - IVF_CENTROIDS[0]).alias("cluster_id"),
+        F.col("vec").alias("cvec"),
+        F.col("nrm").alias("cnrm"),
+    )
+    scored = v.crossJoin(F.broadcast(c)).withColumn(
+        "ccos", dot(F.col("vec"), F.col("cvec")) / (F.col("nrm") * F.col("cnrm"))
+    )
+    wa = Window.partitionBy("vec_id").orderBy(F.desc("ccos"), F.asc("cluster_id"))
+    m = (
+        scored.withColumn("rn", F.row_number().over(wa))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "cluster_id", "ccos", "vec", "nrm")
+    )
+    wr = Window.partitionBy("cluster_id").orderBy(F.desc("ccos"), F.asc("vec_id"))
+    ctx = persist_barrier(
+        m.select(
+            "vec_id",
+            "cluster_id",
+            "vec",
+            "nrm",
+            ((F.row_number().over(wr) - 1) / CTX_DOCS)
+            .cast("bigint")
+            .alias("ctx_seq"),
+        ),
+        "icp_ctx",
+    )
+    sizes = ctx.groupBy("cluster_id", "ctx_seq").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+    a = ctx.select(
+        "cluster_id", "ctx_seq",
+        F.col("vec_id").alias("a_id"), F.col("vec").alias("a_vec"),
+        F.col("nrm").alias("a_nrm"),
+    )
+    b = ctx.select(
+        "cluster_id", "ctx_seq",
+        F.col("vec_id").alias("b_id"), F.col("vec").alias("b_vec"),
+        F.col("nrm").alias("b_nrm"),
+    )
+    ps = (
+        a.join(b, ["cluster_id", "ctx_seq"])
+        .filter(F.col("a_id") < F.col("b_id"))
+        .withColumn(
+            "pcos",
+            dot(F.col("a_vec"), F.col("b_vec")) / (F.col("a_nrm") * F.col("b_nrm")),
+        )
+        .groupBy("cluster_id", "ctx_seq")
+        .agg(
+            (F.round(F.avg("pcos"), 6) + F.lit(0.0)).alias("mean_pair_cos"),
+            (F.round(F.min("pcos"), 6) + F.lit(0.0)).alias("min_pair_cos"),
+        )
+    )
+    return sizes.join(ps, ["cluster_id", "ctx_seq"], "left").select(
+        "cluster_id", "ctx_seq", "n_docs", "mean_pair_cos", "min_pair_cos"
+    )

@@ -1038,6 +1038,7 @@ def test_fuzz_embeddings_wave5(spark, tmp_path_factory, embs):
             "colbert_maxsim_topk",
             "colbert_maxsim_ivf_topk",
             "ann_ivf_pq_topk",
+            "in_context_packing_plan",
         ],
         ["embeddings"],
     )

@@ -231,3 +231,32 @@ def test_crosslingual_rate_consistent_with_pairs_and_langs(spark):
         assert r["is_cross"] == (r["lang_lo"] != r["lang_hi"])
         assert abs(r["pair_share"] - r["n_pairs"] / total) < 1e-6
     assert abs(sum(r["pair_share"] for r in rows) - 1.0) < 1e-5
+
+
+def test_in_context_packing_partitions_each_cluster(spark):
+    from datapipeline_ops_spark.queries.similarity import (
+        CTX_DOCS,
+        in_context_packing_plan,
+        _vectors,
+    )
+
+    n_vecs = _vectors(spark, SF_DIR).count()
+    rows = in_context_packing_plan(spark, SF_DIR).collect()
+    # every vector lands in exactly one context
+    assert sum(r["n_docs"] for r in rows) == n_vecs
+    by_cluster = {}
+    for r in rows:
+        by_cluster.setdefault(r["cluster_id"], []).append(r)
+    for cid, ctxs in by_cluster.items():
+        ctxs.sort(key=lambda r: r["ctx_seq"])
+        # ctx_seq is dense 0..m-1; every window but the tail is full
+        assert [r["ctx_seq"] for r in ctxs] == list(range(len(ctxs)))
+        for r in ctxs[:-1]:
+            assert r["n_docs"] == CTX_DOCS
+        assert 1 <= ctxs[-1]["n_docs"] <= CTX_DOCS
+    for r in rows:
+        if r["n_docs"] == 1:
+            assert r["mean_pair_cos"] is None and r["min_pair_cos"] is None
+        else:
+            assert r["min_pair_cos"] <= r["mean_pair_cos"]
+            assert -1.0 <= r["min_pair_cos"] <= 1.0

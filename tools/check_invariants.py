@@ -235,6 +235,17 @@ QUERY_CROSS = {
             else d["waste_tokens"] == d["padded_tokens"] - d["real_tokens"],
         ),
     ],
+    # Context packing: windows hold at most CTX_DOCS members; the weakest
+    # member pair cannot beat the mean.
+    "in_context_packing_plan": [
+        (
+            "ctx<=capacity",
+            lambda d: None
+            if not _comparable(d.get("n_docs"))
+            else d["n_docs"] <= 4,
+        ),
+        ("min<=mean", _chain("min_pair_cos", "mean_pair_cos")),
+    ],
     # Funnel attribution: every document has exactly one fate, so the four
     # fate counts must sum to the language's document count.
     "dedup_removal_impact": [

@@ -2048,6 +2048,17 @@ def _(qs, spark):
     assert "partial_" in plan, "lang-pair rollup must map-side combine"
 
 
+@check("in_context_packing_plan: broadcast-centroid argmax, bounded pair equi-join")
+def _(qs, spark):
+    plan = plan_of(qs["in_context_packing_plan"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastExchange" in plan, "centroid batch must broadcast"
+    # members persist once and feed sizes + the pair join; candidates form
+    # through an equi-join on (cluster, ctx_seq), never all-pairs
+    assert "InMemoryTableScan" in plan
+    assert re.search(r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)", plan)
+
+
 @check("padding_waste_report: pure CASE-chain projection + tiny rollup, text-only scan")
 def _(qs, spark):
     plan = plan_of(qs["padding_waste_report"](spark, SF_DIR))
