@@ -1795,12 +1795,16 @@ def _crossdoc_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Shape: one exchange on doc_id materializes the token array (so the
     per-position slice is O(k), not O(len) re-splits — the lesson of
-    functions/text.py:shingles_from); gram occurrences shuffle ONCE on the
-    64-bit gram hash for both the duplicate flag (min!=max doc over the
-    partition) and the keep-first rank (row_number over (doc_id, s));
-    marked windows then merge into covered spans with a per-doc lead()
-    window — interval union of equal-length windows is
-    sum(min(k, next_start - start)) — and a left join carries docs with
+    functions/text.py:shingles_from); per-gram facts (cross-doc flag via
+    min!=max doc, the keep-first occurrence via a lexicographic
+    min-struct) reduce through a PARTIAL-AGGREGATED groupBy on the 64-bit
+    gram hash — deliberately NOT a window over the gh partition, because a
+    boilerplate gram with millions of occurrences would funnel them into
+    ONE reducer's sort; map-side combine collapses the hot key to one row
+    per partition, and the join back onto the occurrences is an equi-join
+    AQE can split on skew. Marked windows then merge into covered spans
+    with a per-doc lead() window — interval union of equal-length windows
+    is sum(min(k, next_start - start)) — and a left join carries docs with
     nothing removed. Only (doc_id, s, hash) triples ever shuffle; text
     stays partition-local. Grams join on hash64, not the string: at 100 TB
     the shuffle key is 8 bytes, and a (same-engine) collision merely merges
@@ -1830,18 +1834,22 @@ def _crossdoc_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("gh"),
         )
     )
-    pg = Window.partitionBy("gh")
+    pg = grams.groupBy("gh").agg(
+        F.min("doc_id").alias("_mind"),
+        F.max("doc_id").alias("_maxd"),
+        F.min(F.struct(F.col("doc_id").alias("d"), F.col("s").alias("p"))).alias(
+            "_fst"
+        ),
+    )
     marked = (
-        grams.select(
-            "doc_id",
-            "s",
-            F.min("doc_id").over(pg).alias("_mind"),
-            F.max("doc_id").over(pg).alias("_maxd"),
-            F.row_number()
-            .over(Window.partitionBy("gh").orderBy("doc_id", "s"))
-            .alias("_rn"),
+        grams.join(pg, "gh")
+        .filter(
+            (F.col("_mind") != F.col("_maxd"))
+            & ~(
+                (F.col("doc_id") == F.col("_fst.d"))
+                & (F.col("s") == F.col("_fst.p"))
+            )
         )
-        .filter((F.col("_mind") != F.col("_maxd")) & (F.col("_rn") > 1))
         .select("doc_id", "s")
     )
     wd = Window.partitionBy("doc_id").orderBy("s")
@@ -1886,14 +1894,17 @@ _CROSSDOC_CTE = f"""
              LATERAL (SELECT unnest(generate_series(1, CAST(n_tokens AS INT) - {CROSSDOC_K - 1})) AS s) AS s
         WHERE n_tokens >= {CROSSDOC_K}
     ),
-    cdm AS (
-        SELECT doc_id, s,
-               min(doc_id) OVER (PARTITION BY gh) AS mind,
-               max(doc_id) OVER (PARTITION BY gh) AS maxd,
-               row_number() OVER (PARTITION BY gh ORDER BY doc_id, s) AS rn
-        FROM cdg
+    cdpg AS (
+        SELECT gh, min(doc_id) AS mind, max(doc_id) AS maxd,
+               min(struct_pack(d := doc_id, p := s)) AS fst
+        FROM cdg GROUP BY gh
     ),
-    cdmk AS (SELECT doc_id, s FROM cdm WHERE mind <> maxd AND rn > 1),
+    cdmk AS (
+        SELECT g.doc_id, g.s
+        FROM cdg g JOIN cdpg p USING (gh)
+        WHERE p.mind <> p.maxd
+          AND NOT (g.doc_id = p.fst.d AND g.s = p.fst.p)
+    ),
     cdcov AS (
         SELECT doc_id,
                coalesce(least({CROSSDOC_K},
