@@ -19,7 +19,9 @@ import pyspark.sql.functions as F
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-SF_DIR = "/root/testdata/sf0.01"
+# Overridable so the audit can re-run at sf0.1, where broadcast-threshold
+# and AQE decisions can flip relative to the default gate scale.
+SF_DIR = os.environ.get("SPARK_GRAFT_PLAN_SF_DIR", "/root/testdata/sf0.01")
 
 
 def plan_of(df) -> str:
