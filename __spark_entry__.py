@@ -52,7 +52,8 @@ _PRIORITY = [
     "crossdoc_substring_dedup", "caption_image_agreement",
     "dedup_savings_by_source", "webdataset_shard_plan",
     "padding_waste_report", "crosslingual_neardup_rate",
-    "in_context_packing_plan",
+    "in_context_packing_plan", "stream_cms_frequency",
+    "rejection_sampling_yield",
     # (c) r04-latest stragglers, registration order — r04 fully rotated
     "priority_with_big_lineitem", "returnflag_share", "deterministic_sample",
     "value_percentiles_by_type", "price_stats_by_flag", "orders_by_weekday",
@@ -65,16 +66,16 @@ _PRIORITY = [
     # (d) r05-latest rotations, registration order (trimmed to keep the
     #     window at 50; the rest roll to round 13)
     "wow_type_delta", "new_vs_returning_daily", "time_to_convert_quantiles",
-    "cumulative_users_daily", "minhash_estimate_audit", "ngram_novelty_rate",
+    "cumulative_users_daily",
     # --- 50-slot window ends here ---
 ]
 # ROUND-13 ORDERING PLAN (apply after the round-12 gate runs): head the
 # window with any round-12 reds (expected none), then:
 # (1) first records for any round-13 additions as they land;
-# (2) the 44 remaining r05-latest stragglers, registration order
-#     (lsh_tuning_report, mixture_temperature_weights,
-#     curriculum_length_buckets, k_anonymity_audit,
-#     winnowing_fingerprints .. vocab_coverage_curve);
+# (2) the 46 remaining r05-latest stragglers, registration order
+#     (minhash_estimate_audit, ngram_novelty_rate, lsh_tuning_report,
+#     mixture_temperature_weights, curriculum_length_buckets,
+#     k_anonymity_audit, winnowing_fingerprints .. vocab_coverage_curve);
 # (3) fill the remaining slots from the then-oldest cohort (r06-latest),
 #     registration order. The window stays pure first-records-for-new +
 #     oldest-cohort rotation on a ≤8-round cadence.

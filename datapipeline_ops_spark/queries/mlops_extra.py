@@ -1384,3 +1384,90 @@ def preference_pair_margins(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(spark_avg_units("_mc", "n_pairs", 100, 4)).alias("avg_margin"),
         (F.col("_mx").cast("double") / 100.0).alias("max_margin"),
     )
+
+
+# ---------------------------------------------------------------------------
+# rejection_sampling_yield — best-of-n yield curve for RLHF / distillation
+# sampling budgets
+# ---------------------------------------------------------------------------
+
+RSY_NS = (1, 2, 4, 8)
+RSY_SEED = 41
+RSY_TAU = 0.9
+
+
+def _rsy_oracle() -> str:
+    from datapipeline_ops_spark.functions.hashing import sql_hash64
+
+    spine = ", ".join(str(n) for n in RSY_NS)
+    # rewards stay in exact integer ppm until ONE final division, so the
+    # mean cannot drift across engines' summation orders (a fuzz-found
+    # boundary: avg of k/1e6 doubles flipped the 6th decimal)
+    return f"""
+    WITH r AS (
+        SELECT user_id, {sql_hash64("event_id", seed=RSY_SEED)} % 1000000 AS reward_ppm,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS rn
+        FROM events
+    ),
+    spine AS (SELECT unnest([{spine}]) AS n_candidates),
+    best AS (
+        SELECT s.n_candidates, r.user_id, max(r.reward_ppm) AS best
+        FROM r JOIN spine s ON r.rn <= s.n_candidates
+        GROUP BY 1, 2
+    )
+    SELECT n_candidates, CAST(count(*) AS BIGINT) AS n_prompts,
+           round(sum(best) * 1e0 / (count(*) * 1000000), 6) AS mean_best_reward,
+           round(sum(CASE WHEN best >= {int(RSY_TAU * 1000000)} THEN 1 ELSE 0 END)
+                 * 1e0 / count(*), 6) AS pass_rate
+    FROM best GROUP BY n_candidates
+    """
+
+
+@query("rejection_sampling_yield", oracle=_rsy_oracle())
+def rejection_sampling_yield(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Best-of-n yield curve for rejection sampling: each user's event
+    stream stands in for a prompt's candidate generations (arrival order =
+    decode order; the md5 stub reward sits in the seam a real reward model
+    fills), and for every sampling budget n in {RSY_NS} the curve reports
+    the mean best-of-first-n reward and the share of prompts clearing the
+    acceptance bar ({RSY_TAU}) — the numbers that price how many samples
+    per prompt an RLHF / distillation run should pay for. Prefixes nest,
+    so both curves are monotone non-decreasing in n (pinned in the
+    invariant audit's MONOTONE layer) — a shared-bug curve cannot fake
+    that physics.
+
+    Scale shape: one per-user rank window, then the {len(RSY_NS)}-row
+    budget spine broadcasts against the ranked rows (the audited
+    broadcast-extent pattern, never a data-sized product); best-of and the
+    final rollup are partial-aggregated groupBys on (n, user) then n."""
+    from datapipeline_ops_spark.tables import load_table
+
+    # exact integer ppm rewards; ONE final division per published float
+    # (see the oracle comment on the fuzz-found summation-order boundary)
+    r = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.pmod(hash64(F.col("event_id"), seed=RSY_SEED), F.lit(1000000)).alias(
+            "reward_ppm"
+        ),
+        F.row_number()
+        .over(Window.partitionBy("user_id").orderBy("ts", "event_id"))
+        .alias("rn"),
+    )
+    spine = spark.createDataFrame([(n,) for n in RSY_NS], "n_candidates int")
+    best = (
+        r.join(F.broadcast(spine), F.col("rn") <= F.col("n_candidates"))
+        .groupBy("n_candidates", "user_id")
+        .agg(F.max("reward_ppm").alias("best"))
+    )
+    n = F.count(F.lit(1))
+    return best.groupBy("n_candidates").agg(
+        n.cast("long").alias("n_prompts"),
+        F.round(F.sum("best") * 1.0 / (n * 1000000), 6).alias("mean_best_reward"),
+        F.round(
+            F.sum(F.when(F.col("best") >= int(RSY_TAU * 1000000), 1).otherwise(0))
+            * 1.0
+            / n,
+            6,
+        ).alias("pass_rate"),
+    )

@@ -606,3 +606,119 @@ def stream_topk_frequent_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= 5)
         .select("event_type", "cnt", "rnk")
     )
+
+
+# ---------------------------------------------------------------------------
+# stream_cms_frequency — Count-Min sketch maintained as a streaming aggregate
+# (the additive-monoid sibling of stream_hll_registers' max monoid)
+# ---------------------------------------------------------------------------
+
+CMS_DEPTH = 4
+CMS_WIDTH = 64
+CMS_SEED = 31  # per-depth seeds CMS_SEED .. CMS_SEED + CMS_DEPTH - 1
+
+
+def _cms_oracle() -> str:
+    def h(expr: str, d: int) -> str:
+        return f"{sql_hash64(expr, seed=CMS_SEED + d)} % {CMS_WIDTH}"
+
+    est_cols = ",\n               ".join(
+        f"""sum(CASE WHEN {h("b.event_type", d)} = {h("a.event_type", d)}
+                     THEN b.cnt ELSE 0 END) AS e{d}"""
+        for d in range(CMS_DEPTH)
+    )
+    least = "least(" + ", ".join(f"e{d}" for d in range(CMS_DEPTH)) + ")"
+    return f"""
+    WITH c AS (SELECT event_type, CAST(count(*) AS BIGINT) AS cnt
+               FROM events GROUP BY event_type),
+    est AS (
+        SELECT a.event_type,
+               {est_cols}
+        FROM c a, c b GROUP BY a.event_type
+    )
+    SELECT est.event_type,
+           CAST({least} AS BIGINT) AS cms_est,
+           c.cnt AS true_count,
+           CAST({least} AS BIGINT) - c.cnt AS overcount
+    FROM est JOIN c USING (event_type)
+    """
+
+
+@query("stream_cms_frequency", oracle=_cms_oracle())
+def stream_cms_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min frequency sketch maintained as a STREAMING aggregate: each
+    event explodes into {CMS_DEPTH} (depth, bucket) register hits and the
+    stream groupBy counts them — because addition is the CMS merge monoid,
+    the drained register table is bit-identical to the batch sketch no
+    matter how the source slices micro-batches (the sum-monoid sibling of
+    stream_hll_registers' max-monoid argument, proven on data by the exact
+    oracle). After the drain, every observed event_type point-queries the
+    registers (min over its {CMS_DEPTH} cells) and is compared against its
+    exact count: CMS never undercounts, so `overcount >= 0` is a pinned
+    invariant, and the oracle recomputes every estimate arithmetically —
+    one corrupted register anywhere flips a min and goes gate-red.
+
+    At 100 TB/day this is the frequency-monitoring counterpart of the HLL
+    registers: {CMS_DEPTH}x{CMS_WIDTH} counters in the state store instead
+    of per-key state, mergeable across streams/days by plain addition.
+
+    Scale shape: the streaming side is one explode + a bounded-key
+    aggregate (state = {CMS_DEPTH * CMS_WIDTH} rows forever); the post-
+    drain point-query joins the broadcast register table; the exact
+    recount is one partial-aggregated groupBy over the batch table."""
+    from datapipeline_ops_spark.functions.hashing import hash64
+    from datapipeline_ops_spark.tables import load_table
+
+    s = events_stream(spark, sf_dir)
+    hits = s.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).alias("d"),
+                        F.pmod(
+                            hash64(F.col("event_type"), seed=CMS_SEED + d),
+                            F.lit(CMS_WIDTH),
+                        ).alias("w"),
+                    )
+                    for d in range(CMS_DEPTH)
+                ]
+            )
+        ).alias("hit")
+    ).select("hit.d", "hit.w")
+    regs = hits.groupBy("d", "w").agg(F.count(F.lit(1)).alias("cnt"))
+    drained = run_stream_to_table(regs, output_mode="complete")
+
+    exact = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("true_count"))
+    )
+    probes = exact.select(
+        "event_type",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).alias("d"),
+                        F.pmod(
+                            hash64(F.col("event_type"), seed=CMS_SEED + d),
+                            F.lit(CMS_WIDTH),
+                        ).alias("w"),
+                    )
+                    for d in range(CMS_DEPTH)
+                ]
+            )
+        ).alias("p"),
+    ).select("event_type", "p.d", "p.w")
+    est = (
+        probes.join(F.broadcast(drained), ["d", "w"])
+        .groupBy("event_type")
+        .agg(F.min("cnt").cast("long").alias("cms_est"))
+    )
+    return exact.join(est, "event_type").select(
+        "event_type",
+        "cms_est",
+        "true_count",
+        (F.col("cms_est") - F.col("true_count")).cast("long").alias("overcount"),
+    )

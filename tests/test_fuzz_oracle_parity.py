@@ -1091,6 +1091,7 @@ def test_fuzz_events_wave5(spark, tmp_path_factory, events):
             "greedy_dedup_keep",
             "kmv_set_ops_audit",
             "preference_pair_margins",
+            "rejection_sampling_yield",
         ],
         ["events"],
     )
@@ -1231,6 +1232,7 @@ def test_fuzz_streaming_wave5(spark, tmp_path_factory, events):
             "stream_dedup_within_watermark",
             "stream_hll_registers",
             "stream_topk_frequent_items",
+            "stream_cms_frequency",
         ],
         ["events", "customer"],
     )

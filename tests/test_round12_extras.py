@@ -260,3 +260,69 @@ def test_in_context_packing_partitions_each_cluster(spark):
         else:
             assert r["min_pair_cos"] <= r["mean_pair_cos"]
             assert -1.0 <= r["min_pair_cos"] <= 1.0
+
+
+def test_stream_cms_matches_python_model(spark):
+    from collections import Counter
+
+    from datapipeline_ops_spark.queries.streaming_queries import (
+        CMS_DEPTH,
+        CMS_SEED,
+        CMS_WIDTH,
+        stream_cms_frequency,
+    )
+
+    counts = Counter(
+        r["event_type"]
+        for r in load_table(spark, SF_DIR, "events").select("event_type").collect()
+    )
+    # model: register(d, w) = sum of counts of types hashing there;
+    # estimate = min over depths of the probed register
+    regs = {}
+    for et, c in counts.items():
+        for d in range(CMS_DEPTH):
+            w = _h64(et, CMS_SEED + d) % CMS_WIDTH
+            regs[(d, w)] = regs.get((d, w), 0) + c
+    expect = {
+        et: min(regs[(d, _h64(et, CMS_SEED + d) % CMS_WIDTH)] for d in range(CMS_DEPTH))
+        for et in counts
+    }
+    rows = stream_cms_frequency(spark, SF_DIR).collect()
+    assert {r["event_type"]: r["cms_est"] for r in rows} == expect
+    for r in rows:
+        assert r["overcount"] >= 0
+        assert r["cms_est"] == r["true_count"] + r["overcount"]
+        assert r["true_count"] == counts[r["event_type"]]
+
+
+def test_rejection_sampling_yield_matches_python_model(spark):
+    from datapipeline_ops_spark.queries.mlops_extra import (
+        RSY_NS,
+        RSY_SEED,
+        RSY_TAU,
+        rejection_sampling_yield,
+    )
+
+    ev = (
+        load_table(spark, SF_DIR, "events")
+        .select("user_id", "event_id", "ts")
+        .collect()
+    )
+    per_user = {}
+    for r in ev:
+        per_user.setdefault(r["user_id"], []).append((r["ts"], r["event_id"]))
+    rewards = {
+        u: [((_h64(e, RSY_SEED)) % 1000000) / 1000000.0 for _, e in sorted(rows)]
+        for u, rows in per_user.items()
+    }
+    got = {r["n_candidates"]: r for r in rejection_sampling_yield(spark, SF_DIR).collect()}
+    assert set(got) == set(RSY_NS)
+    prev_mean, prev_pass = -1.0, -1.0
+    for n in sorted(RSY_NS):
+        bests = [max(rw[:n]) for rw in rewards.values()]
+        r = got[n]
+        assert r["n_prompts"] == len(bests)
+        assert abs(r["mean_best_reward"] - sum(bests) / len(bests)) < 2e-6
+        assert abs(r["pass_rate"] - sum(b >= RSY_TAU for b in bests) / len(bests)) < 2e-6
+        assert r["mean_best_reward"] >= prev_mean and r["pass_rate"] >= prev_pass
+        prev_mean, prev_pass = r["mean_best_reward"], r["pass_rate"]

@@ -246,6 +246,10 @@ QUERY_CROSS = {
         ),
         ("min<=mean", _chain("min_pair_cos", "mean_pair_cos")),
     ],
+    # Count-Min never undercounts.
+    "stream_cms_frequency": [
+        ("true<=est", _chain("true_count", "cms_est")),
+    ],
     # Funnel attribution: every document has exactly one fate, so the four
     # fate counts must sum to the language's document count.
     "dedup_removal_impact": [
@@ -303,6 +307,12 @@ MONOTONE = {
     "inbatch_negative_collisions": ("n_batches", [("n_collisions", "-")]),
     "scaling_law_subsets": ("pct", [("n_docs", "+"), ("n_tokens", "+")]),
     "vocab_coverage_curve": ("k", [("covered_tokens", "+"), ("coverage", "+")]),
+    # best-of-first-n: prefixes nest for ANY ascending spine (no
+    # divisibility precondition here, unlike the two entries above)
+    "rejection_sampling_yield": (
+        "n_candidates",
+        [("mean_best_reward", "+"), ("pass_rate", "+")],
+    ),
 }
 
 

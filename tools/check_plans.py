@@ -2061,7 +2061,26 @@ def _(qs, spark):
     assert re.search(r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)", plan)
 
 
-@check("padding_waste_report: pure CASE-chain projection + tiny rollup, text-only scan")
+@check("rejection_sampling_yield: rank window + broadcast budget spine, no cartesian")
+def _(qs, spark):
+    plan = plan_of(qs["rejection_sampling_yield"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    cols = read_schema_cols(plan, "events")
+    assert cols <= {"user_id", "event_id", "ts"}, cols
+    assert "windowspecdefinition" in plan
+    # the 4-row budget spine rides the audited broadcast-extent pattern
+    assert "BroadcastExchange" in plan
+    assert "partial_" in plan, "best-of rollups must map-side combine"
+
+
+@check("stream_cms_frequency: bounded-register stream agg + broadcast point-query")
+def _(qs, spark):
+    plan = plan_of(qs["stream_cms_frequency"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    # drained registers arrive as a checkpointed in-memory table and
+    # broadcast into the point-query join; the exact recount partial-aggs
+    assert "BroadcastExchange" in plan
+    assert "partial_" in plan
 def _(qs, spark):
     plan = plan_of(qs["padding_waste_report"](spark, SF_DIR))
     assert "CartesianProduct" not in plan
