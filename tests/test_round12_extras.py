@@ -14,6 +14,7 @@ from datapipeline_ops_spark.queries.dedup import (
 )
 from datapipeline_ops_spark.queries.multimodal import (
     _CIA_WRONG,
+    _PH_HAM_T,
     _PH_KEYS,
     _PH_PERT,
     caption_image_agreement,
@@ -123,7 +124,7 @@ def test_caption_agreement_flags_exactly_the_constructed_mislabels(spark):
             assert r["hamming"] == -1
             assert r["claimed_key"] == (r["true_key"] + 1) % _PH_KEYS
         else:
-            assert r["hamming"] > 3 and r["claimed_key"] == r["true_key"]
+            assert r["hamming"] > _PH_HAM_T and r["claimed_key"] == r["true_key"]
 
 
 def _h64(v, seed=None):

@@ -45,6 +45,8 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from datapipeline_ops_spark.queries.multimodal import _PH_HAM_T  # noqa: E402
+
 SF_DIR = os.environ.get("SPARK_GRAFT_INV_SF_DIR", "/root/testdata/sf0.001")
 
 # (rule, column-name regex, predicate) — first matching rule wins, so the
@@ -210,7 +212,7 @@ QUERY_CROSS = {
             "reason_shape",
             lambda d: (d["reason"] == "dims") == (d["hamming"] == -1)
             and (d["reason"] != "dims" or d["true_key"] != d["claimed_key"])
-            and (d["reason"] != "hash" or d["hamming"] > 3),
+            and (d["reason"] != "hash" or d["hamming"] > _PH_HAM_T),
         ),
     ],
     # Shard layout: a same-source run cannot exceed the shard's docs; the

@@ -2081,6 +2081,9 @@ def _(qs, spark):
     # broadcast into the point-query join; the exact recount partial-aggs
     assert "BroadcastExchange" in plan
     assert "partial_" in plan
+
+
+@check("padding_waste_report: zero-join CASE-chain projection, one bucket exchange")
 def _(qs, spark):
     plan = plan_of(qs["padding_waste_report"](spark, SF_DIR))
     assert "CartesianProduct" not in plan
