@@ -916,3 +916,233 @@ def quality_filter_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("token_share"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# train_quality_classifier — fit the quality gate IN the engine (unrolled
+# gradient descent as exact aggregates), don't just apply fixed weights
+# ---------------------------------------------------------------------------
+
+# Learning rate and unroll depth for the in-engine logistic regression.
+# Features are scaled into [0,1] (below), so with the intercept the row
+# feature norm is bounded by ||x||^2 <= 5 and the logistic Hessian's top
+# eigenvalue by L <= max||x||^2 / 4 = 1.25; any lr <= 1/L = 0.8 guarantees
+# monotone loss descent on the convex objective — 0.75 leaves margin for
+# the 6-dp weight rounding that keeps both engines in lockstep. 3 updates
+# (4 published stages) is where the verdict-spec'd unroll lands: enough to
+# show real learning, shallow enough that each stage stays one fact scan.
+_QCT_LR = 0.75
+_QCT_ITERS = 3
+
+
+def _qct_feats_sql() -> str:
+    """Shared-arithmetic feature/label CTE for the DuckDB oracle: the exact
+    per-row doubles the Spark side builds (same casts, same association
+    order), so every downstream gate compares identical bit patterns."""
+    mean_len = (
+        "CAST(list_sum(list_transform(t, x -> length(x))) AS DOUBLE)"
+        " / CAST(len(t) AS DOUBLE)"
+    )
+    stop = (
+        "CAST(len(list_filter(t, x -> x IN ('the', 'a'))) AS DOUBLE)"
+        " / CAST(len(t) AS DOUBLE)"
+    )
+    ttr = "CAST(len(list_distinct(t)) AS DOUBLE) / CAST(len(t) AS DOUBLE)"
+    mwl = "CAST(n_nonspace AS DOUBLE) / CAST(len(words) AS DOUBLE)"
+    alpha = (
+        "CAST(len(list_filter(words, w -> regexp_matches(w, '[a-zA-Z]')))"
+        " AS DOUBLE) / CAST(len(words) AS DOUBLE)"
+    )
+    return f"""feats AS MATERIALIZED (
+        SELECT CAST(least(len(t), 100) AS DOUBLE) / CAST(100 AS DOUBLE) AS x1,
+               least({mean_len}, CAST(10 AS DOUBLE)) / CAST(10 AS DOUBLE) AS x2,
+               {stop} AS x3,
+               {ttr} AS x4,
+               CASE WHEN len(words) >= 50 AND len(words) <= 100000
+                         AND {mwl} >= CAST(3 AS DOUBLE)
+                         AND {mwl} <= CAST(10 AS DOUBLE)
+                         AND {alpha} > 8e-1
+                    THEN 1e0 ELSE 0e0 END AS y,
+               ({_QC_B} + {_QC_W_NTOK} * len(t) + {_QC_W_MEANLEN} * ({mean_len})
+                   + {_QC_W_STOP} * ({stop}) + {_QC_W_TTR} * ({ttr})) >= 0e0
+                   AS fixed_pass
+        FROM (SELECT regexp_split_to_array(text, '\\s+') AS t,
+                     regexp_split_to_array(trim(text), '\\s+') AS words,
+                     length(regexp_replace(text, '\\s', '', 'g')) AS n_nonspace
+              FROM documents)
+    )"""
+
+
+def _qct_oracle() -> str:
+    """Unrolled MATERIALIZED-CTE gradient descent: stage i holds weights
+    s{{i}}, aggregates a{{i}} (loss, gradient, gate rates at those weights)
+    in ONE pass over feats, and derives s{{i+1}} by the rounded update —
+    the kmeans_refine_step / elo_rating_periods unrolled-stage precedent
+    applied to training."""
+    z = "(s.b + s.w1 * f.x1 + s.w2 * f.x2 + s.w3 * f.x3 + s.w4 * f.x4)"
+    p = f"(1e0 / (1e0 + exp(-{z})))"
+    parts = [
+        _qct_feats_sql(),
+        "s0 AS (SELECT 0e0 AS b, 0e0 AS w1, 0e0 AS w2, 0e0 AS w3, 0e0 AS w4)",
+    ]
+    rows = []
+    for i in range(_QCT_ITERS + 1):
+        parts.append(f"""a{i} AS (
+        SELECT avg(ln(1e0 + exp({z})) - f.y * {z}) AS loss_raw,
+               avg({p} - f.y) AS gb,
+               avg(({p} - f.y) * f.x1) AS g1,
+               avg(({p} - f.y) * f.x2) AS g2,
+               avg(({p} - f.y) * f.x3) AS g3,
+               avg(({p} - f.y) * f.x4) AS g4,
+               avg(CASE WHEN ({z} >= 0e0) = (f.y = 1e0) THEN 1e0 ELSE 0e0 END)
+                   AS acc_raw,
+               avg(CASE WHEN {z} >= 0e0 THEN 1e0 ELSE 0e0 END) AS pass_raw,
+               avg(CASE WHEN ({z} >= 0e0) = f.fixed_pass THEN 1e0 ELSE 0e0 END)
+                   AS agree_raw
+        FROM feats f, s{i} s)""")
+        rows.append(f"""(SELECT {i} AS iter, s.b AS b, s.w1 AS w_ntok,
+               s.w2 AS w_len, s.w3 AS w_stop, s.w4 AS w_ttr,
+               round(a.loss_raw, 6) + 0e0 AS log_loss,
+               round(a.acc_raw, 6) + 0e0 AS acc_rate,
+               round(a.pass_raw, 6) + 0e0 AS pass_rate,
+               round(a.agree_raw, 6) + 0e0 AS agree_fixed_rate
+        FROM s{i} s, a{i} a)""")
+        if i < _QCT_ITERS:
+            parts.append(f"""s{i + 1} AS (
+        SELECT round(s.b - {_QCT_LR} * a.gb, 6) + 0e0 AS b,
+               round(s.w1 - {_QCT_LR} * a.g1, 6) + 0e0 AS w1,
+               round(s.w2 - {_QCT_LR} * a.g2, 6) + 0e0 AS w2,
+               round(s.w3 - {_QCT_LR} * a.g3, 6) + 0e0 AS w3,
+               round(s.w4 - {_QCT_LR} * a.g4, 6) + 0e0 AS w4
+        FROM s{i} s, a{i} a)""")
+    return "WITH " + ",\n    ".join(parts) + "\n" + "\nUNION ALL\n".join(rows)
+
+
+@query("train_quality_classifier", oracle=_qct_oracle())
+def train_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train the quality gate inside the engine: logistic regression over
+    the fixed classifier's own features (capped-scaled token count, mean
+    token length, stopword ratio, type/token ratio, all in [0,1]) against
+    the Gopher-rule keep label, via {_QCT_ITERS} unrolled gradient-descent
+    iterations expressed as exact aggregates — one row per stage carrying
+    the stage weights, the log-loss AT those weights, and the gate-rate
+    metrics (accuracy vs the Gopher label, pass rate, agreement with the
+    fixed-weight `quality_classifier_score` gate). Weights round to 6 dp
+    (+0.0) after every update so both engines walk the identical weight
+    trajectory; all published gates compare the exact shared-arithmetic
+    logit, never a sigmoid output. lr={_QCT_LR} <= 1/L for this bounded
+    feature space, so `log_loss` is monotone non-increasing across stages
+    (the invariant audit pins it).
+
+    Scale: features build in one zero-shuffle projection and persist; each
+    iteration is ONE pass over that in-memory table (loss + full gradient +
+    rates in a single partial-aggregated agg), with the 1-row weight frame
+    broadcast onto it — the classic "broadcast scalar spine" shape, so the
+    unroll never shuffles the corpus and depth-k training costs exactly k+1
+    fact scans regardless of corpus size."""
+    from datapipeline_ops_spark.operators.dedup import persist_barrier
+
+    d = load_table(spark, sf_dir, "documents")
+    t = tokens(F.col("text"))
+    words = tokens(F.trim(F.col("text")))
+    n_nonspace = F.length(F.regexp_replace("text", r"\s", ""))
+    mean_len = F.aggregate(t, F.lit(0), lambda a, x: a + F.length(x)).cast(
+        "double"
+    ) / F.size(t).cast("double")
+    stop = F.size(F.filter(t, lambda x: (x == "the") | (x == "a"))).cast(
+        "double"
+    ) / F.size(t).cast("double")
+    ttr = F.size(F.array_distinct(t)).cast("double") / F.size(t).cast("double")
+    mwl = n_nonspace.cast("double") / F.size(words).cast("double")
+    alpha = F.size(F.expr(r"filter(split(trim(text), '\\s+'), w -> w rlike '[a-zA-Z]')")).cast(
+        "double"
+    ) / F.size(words).cast("double")
+    fixed_logit = (
+        F.lit(_QC_B)
+        + F.lit(_QC_W_NTOK) * F.size(t)
+        + F.lit(_QC_W_MEANLEN) * mean_len
+        + F.lit(_QC_W_STOP) * stop
+        + F.lit(_QC_W_TTR) * ttr
+    )
+    feats = persist_barrier(
+        d.select(
+            (F.least(F.size(t), F.lit(100)).cast("double") / F.lit(100).cast("double")).alias("x1"),
+            (F.least(mean_len, F.lit(10).cast("double")) / F.lit(10).cast("double")).alias("x2"),
+            stop.alias("x3"),
+            ttr.alias("x4"),
+            F.when(
+                (F.size(words) >= 50)
+                & (F.size(words) <= 100_000)
+                & (mwl >= F.lit(3).cast("double"))
+                & (mwl <= F.lit(10).cast("double"))
+                & (alpha > F.lit(0.8)),
+                F.lit(1.0),
+            ).otherwise(F.lit(0.0)).alias("y"),
+            (fixed_logit >= F.lit(0.0)).alias("fixed_pass"),
+        ),
+        "qct_feats",
+    )
+    w_frame = spark.range(1).select(
+        F.lit(0.0).alias("b"),
+        F.lit(0.0).alias("w1"),
+        F.lit(0.0).alias("w2"),
+        F.lit(0.0).alias("w3"),
+        F.lit(0.0).alias("w4"),
+    )
+    stage_rows = []
+    for i in range(_QCT_ITERS + 1):
+        j = feats.crossJoin(F.broadcast(w_frame))
+        z = (
+            F.col("b")
+            + F.col("w1") * F.col("x1")
+            + F.col("w2") * F.col("x2")
+            + F.col("w3") * F.col("x3")
+            + F.col("w4") * F.col("x4")
+        )
+        p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+        agg = j.agg(
+            F.first("b").alias("b"),
+            F.first("w1").alias("w1"),
+            F.first("w2").alias("w2"),
+            F.first("w3").alias("w3"),
+            F.first("w4").alias("w4"),
+            F.avg(F.log(F.lit(1.0) + F.exp(z)) - F.col("y") * z).alias("loss_raw"),
+            F.avg(p - F.col("y")).alias("gb"),
+            F.avg((p - F.col("y")) * F.col("x1")).alias("g1"),
+            F.avg((p - F.col("y")) * F.col("x2")).alias("g2"),
+            F.avg((p - F.col("y")) * F.col("x3")).alias("g3"),
+            F.avg((p - F.col("y")) * F.col("x4")).alias("g4"),
+            F.avg(
+                F.when((z >= 0.0) == (F.col("y") == F.lit(1.0)), F.lit(1.0)).otherwise(0.0)
+            ).alias("acc_raw"),
+            F.avg(F.when(z >= 0.0, F.lit(1.0)).otherwise(0.0)).alias("pass_raw"),
+            F.avg(
+                F.when((z >= 0.0) == F.col("fixed_pass"), F.lit(1.0)).otherwise(0.0)
+            ).alias("agree_raw"),
+        )
+        stage_rows.append(
+            agg.select(
+                F.lit(i).alias("iter"),
+                F.col("b"),
+                F.col("w1").alias("w_ntok"),
+                F.col("w2").alias("w_len"),
+                F.col("w3").alias("w_stop"),
+                F.col("w4").alias("w_ttr"),
+                (F.round("loss_raw", 6) + F.lit(0.0)).alias("log_loss"),
+                (F.round("acc_raw", 6) + F.lit(0.0)).alias("acc_rate"),
+                (F.round("pass_raw", 6) + F.lit(0.0)).alias("pass_rate"),
+                (F.round("agree_raw", 6) + F.lit(0.0)).alias("agree_fixed_rate"),
+            )
+        )
+        if i < _QCT_ITERS:
+            w_frame = agg.select(
+                (F.round(F.col("b") - F.lit(_QCT_LR) * F.col("gb"), 6) + F.lit(0.0)).alias("b"),
+                (F.round(F.col("w1") - F.lit(_QCT_LR) * F.col("g1"), 6) + F.lit(0.0)).alias("w1"),
+                (F.round(F.col("w2") - F.lit(_QCT_LR) * F.col("g2"), 6) + F.lit(0.0)).alias("w2"),
+                (F.round(F.col("w3") - F.lit(_QCT_LR) * F.col("g3"), 6) + F.lit(0.0)).alias("w3"),
+                (F.round(F.col("w4") - F.lit(_QCT_LR) * F.col("g4"), 6) + F.lit(0.0)).alias("w4"),
+            )
+    out = stage_rows[0]
+    for r in stage_rows[1:]:
+        out = out.unionByName(r)
+    return out
