@@ -924,14 +924,16 @@ def quality_filter_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 # Learning rate and unroll depth for the in-engine logistic regression.
-# Features are scaled into [0,1] (below), so with the intercept the row
-# feature norm is bounded by ||x||^2 <= 5 and the logistic Hessian's top
-# eigenvalue by L <= max||x||^2 / 4 = 1.25; any lr <= 1/L = 0.8 guarantees
-# monotone loss descent on the convex objective — 0.75 leaves margin for
-# the 6-dp weight rounding that keeps both engines in lockstep. 3 updates
+# Features are scaled into [0,1] then centered to [-0.5, 0.5] (below) —
+# centering lets the sign gate move off the all-pass corner immediately —
+# so with the intercept the row feature norm is bounded by
+# ||x||^2 <= 1 + 4*(1/4) = 2 and the logistic Hessian's top eigenvalue by
+# L <= max||x||^2 / 4 = 0.5; any lr <= 1/L = 2 guarantees monotone loss
+# descent on the convex objective — 1.5 leaves margin for the 6-dp weight
+# rounding that keeps both engines in lockstep. 3 updates
 # (4 published stages) is where the verdict-spec'd unroll lands: enough to
 # show real learning, shallow enough that each stage stays one fact scan.
-_QCT_LR = 0.75
+_QCT_LR = 1.5
 _QCT_ITERS = 3
 
 
@@ -954,10 +956,12 @@ def _qct_feats_sql() -> str:
         " AS DOUBLE) / CAST(len(words) AS DOUBLE)"
     )
     return f"""feats AS MATERIALIZED (
-        SELECT CAST(least(len(t), 100) AS DOUBLE) / CAST(100 AS DOUBLE) AS x1,
-               least({mean_len}, CAST(10 AS DOUBLE)) / CAST(10 AS DOUBLE) AS x2,
-               {stop} AS x3,
-               {ttr} AS x4,
+        SELECT CAST(least(len(t), 100) AS DOUBLE) / CAST(100 AS DOUBLE)
+                   - 5e-1 AS x1,
+               least({mean_len}, CAST(10 AS DOUBLE)) / CAST(10 AS DOUBLE)
+                   - 5e-1 AS x2,
+               ({stop}) - 5e-1 AS x3,
+               ({ttr}) - 5e-1 AS x4,
                CASE WHEN len(words) >= 50 AND len(words) <= 100000
                          AND {mwl} >= CAST(3 AS DOUBLE)
                          AND {mwl} <= CAST(10 AS DOUBLE)
@@ -1001,7 +1005,7 @@ def _qct_oracle() -> str:
                    AS agree_raw
         FROM feats f, s{i} s)""")
         rows.append(f"""(SELECT {i} AS iter, s.b AS b, s.w1 AS w_ntok,
-               s.w2 AS w_len, s.w3 AS w_stop, s.w4 AS w_ttr,
+               s.w2 AS w_wordlen, s.w3 AS w_stop, s.w4 AS w_ttr,
                round(a.loss_raw, 6) + 0e0 AS log_loss,
                round(a.acc_raw, 6) + 0e0 AS acc_rate,
                round(a.pass_raw, 6) + 0e0 AS pass_rate,
@@ -1022,7 +1026,8 @@ def _qct_oracle() -> str:
 def train_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train the quality gate inside the engine: logistic regression over
     the fixed classifier's own features (capped-scaled token count, mean
-    token length, stopword ratio, type/token ratio, all in [0,1]) against
+    token length, stopword ratio, type/token ratio, centered to
+    [-0.5, 0.5]) against
     the Gopher-rule keep label, via {_QCT_ITERS} unrolled gradient-descent
     iterations expressed as exact aggregates — one row per stage carrying
     the stage weights, the log-loss AT those weights, and the gate-rate
@@ -1066,10 +1071,17 @@ def train_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     feats = persist_barrier(
         d.select(
-            (F.least(F.size(t), F.lit(100)).cast("double") / F.lit(100).cast("double")).alias("x1"),
-            (F.least(mean_len, F.lit(10).cast("double")) / F.lit(10).cast("double")).alias("x2"),
-            stop.alias("x3"),
-            ttr.alias("x4"),
+            (
+                F.least(F.size(t), F.lit(100)).cast("double")
+                / F.lit(100).cast("double")
+                - F.lit(0.5)
+            ).alias("x1"),
+            (
+                F.least(mean_len, F.lit(10).cast("double")) / F.lit(10).cast("double")
+                - F.lit(0.5)
+            ).alias("x2"),
+            (stop - F.lit(0.5)).alias("x3"),
+            (ttr - F.lit(0.5)).alias("x4"),
             F.when(
                 (F.size(words) >= 50)
                 & (F.size(words) <= 100_000)
@@ -1092,6 +1104,10 @@ def train_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     stage_rows = []
     for i in range(_QCT_ITERS + 1):
         j = feats.crossJoin(F.broadcast(w_frame))
+        # each stage's 1-row aggregate persists so the NEXT stage's weight
+        # frame reads the cached scalar instead of re-expanding the whole
+        # prior lineage — without this the unrolled DAG re-scans the fact
+        # table O(2^k) times (observed 20 scans at k=3; 4 with the barrier)
         z = (
             F.col("b")
             + F.col("w1") * F.col("x1")
@@ -1120,12 +1136,13 @@ def train_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.when((z >= 0.0) == F.col("fixed_pass"), F.lit(1.0)).otherwise(0.0)
             ).alias("agree_raw"),
         )
+        agg = persist_barrier(agg, f"qct_agg{i}")
         stage_rows.append(
             agg.select(
                 F.lit(i).alias("iter"),
                 F.col("b"),
                 F.col("w1").alias("w_ntok"),
-                F.col("w2").alias("w_len"),
+                F.col("w2").alias("w_wordlen"),
                 F.col("w3").alias("w_stop"),
                 F.col("w4").alias("w_ttr"),
                 (F.round("loss_raw", 6) + F.lit(0.0)).alias("log_loss"),

@@ -1,0 +1,132 @@
+"""Round-13 property tests: the in-engine trained quality classifier
+against a pure-Python gradient-descent reference model."""
+
+import math
+import re
+
+from datapipeline_ops_spark.queries.lm_quality import (
+    _QC_B,
+    _QC_W_MEANLEN,
+    _QC_W_NTOK,
+    _QC_W_STOP,
+    _QC_W_TTR,
+    _QCT_ITERS,
+    _QCT_LR,
+    train_quality_classifier,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _round6(x: float) -> float:
+    """Spark/DuckDB ROUND half-up (away from zero), not Python banker's."""
+    s = -1.0 if x < 0 else 1.0
+    return s * math.floor(abs(x) * 1e6 + 0.5) / 1e6 + 0.0
+
+
+def _model_train(docs):
+    """Pure-Python reference: same features, same label, same rounded GD
+    trajectory as the query contract. Returns list of per-stage dicts."""
+    feats = []
+    for text in docs:
+        t = re.split(r"\s+", text)
+        words = re.split(r"\s+", text.strip())
+        n_nonspace = len(re.sub(r"\s", "", text))
+        n = len(t)
+        mean_len = sum(len(x) for x in t) / n
+        stop = sum(1 for x in t if x in ("the", "a")) / n
+        ttr = len(set(t)) / n
+        nw = len(words)
+        mwl = n_nonspace / nw
+        alpha = sum(1 for w in words if re.search("[a-zA-Z]", w)) / nw
+        y = 1.0 if (50 <= nw <= 100_000 and 3.0 <= mwl <= 10.0 and alpha > 0.8) else 0.0
+        fixed = (
+            _QC_B
+            + _QC_W_NTOK * n
+            + _QC_W_MEANLEN * mean_len
+            + _QC_W_STOP * stop
+            + _QC_W_TTR * ttr
+        ) >= 0.0
+        feats.append(
+            (
+                min(n, 100) / 100 - 0.5,
+                min(mean_len, 10.0) / 10.0 - 0.5,
+                stop - 0.5,
+                ttr - 0.5,
+                y,
+                fixed,
+            )
+        )
+    w = [0.0] * 5  # b, w1..w4
+    stages = []
+    m = len(feats)
+    for it in range(_QCT_ITERS + 1):
+        loss = acc = pss = agr = 0.0
+        g = [0.0] * 5
+        for x1, x2, x3, x4, y, fixed in feats:
+            z = w[0] + w[1] * x1 + w[2] * x2 + w[3] * x3 + w[4] * x4
+            p = 1.0 / (1.0 + math.exp(-z))
+            loss += math.log(1.0 + math.exp(z)) - y * z
+            g[0] += p - y
+            g[1] += (p - y) * x1
+            g[2] += (p - y) * x2
+            g[3] += (p - y) * x3
+            g[4] += (p - y) * x4
+            gate = z >= 0.0
+            acc += 1.0 if gate == (y == 1.0) else 0.0
+            pss += 1.0 if gate else 0.0
+            agr += 1.0 if gate == fixed else 0.0
+        stages.append(
+            {
+                "iter": it,
+                "w": list(w),
+                "log_loss": _round6(loss / m),
+                "acc_rate": _round6(acc / m),
+                "pass_rate": _round6(pss / m),
+                "agree_fixed_rate": _round6(agr / m),
+            }
+        )
+        w = [_round6(w[j] - _QCT_LR * g[j] / m) for j in range(5)]
+    return stages
+
+
+def test_trained_classifier_matches_python_reference(spark):
+    docs = [
+        r["text"]
+        for r in spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .select("text")
+        .collect()
+    ]
+    ref = _model_train(docs)
+    rows = {
+        r["iter"]: r.asDict()
+        for r in train_quality_classifier(spark, SF_DIR).collect()
+    }
+    assert sorted(rows) == list(range(_QCT_ITERS + 1))
+    for st in ref:
+        got = rows[st["iter"]]
+        w = [got["b"], got["w_ntok"], got["w_wordlen"], got["w_stop"], got["w_ttr"]]
+        # weights round to 6 dp on both sides; 2e-6 absorbs a boundary ulp
+        for a, b in zip(w, st["w"]):
+            assert abs(a - b) <= 2e-6, (st["iter"], w, st["w"])
+        for k in ("log_loss", "acc_rate", "pass_rate", "agree_fixed_rate"):
+            assert abs(got[k] - st[k]) <= 2e-6, (st["iter"], k, got[k], st[k])
+
+
+def test_trained_classifier_contract(spark):
+    rows = sorted(
+        (r.asDict() for r in train_quality_classifier(spark, SF_DIR).collect()),
+        key=lambda d: d["iter"],
+    )
+    # stage 0 is the zero model: loss exactly ln 2, all weights zero
+    z0 = rows[0]
+    assert z0["b"] == z0["w_ntok"] == z0["w_wordlen"] == z0["w_stop"] == z0["w_ttr"] == 0.0
+    assert abs(z0["log_loss"] - _round6(math.log(2.0))) <= 1e-9
+    # lr <= 1/L: loss is monotone non-increasing across stages
+    losses = [r["log_loss"] for r in rows]
+    assert all(a >= b for a, b in zip(losses, losses[1:])), losses
+    # training actually moves: the final stage strictly beats the zero model
+    assert losses[-1] < losses[0]
+    for r in rows:
+        for k in ("acc_rate", "pass_rate", "agree_fixed_rate"):
+            assert 0.0 <= r[k] <= 1.0

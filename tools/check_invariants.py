@@ -315,6 +315,11 @@ MONOTONE = {
         "n_candidates",
         [("mean_best_reward", "+"), ("pass_rate", "+")],
     ),
+    # gradient descent with lr <= 1/L on the convex logistic objective:
+    # loss at each published stage cannot increase (lr=1.5 vs 1/L=2 bound;
+    # the 6-dp weight rounding perturbs loss by <<1e-5 per stage, far under
+    # the observed per-stage decreases of ~1e-2)
+    "train_quality_classifier": ("iter", [("log_loss", "-")]),
 }
 
 

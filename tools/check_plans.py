@@ -2095,6 +2095,20 @@ def _(qs, spark):
     assert n_exchange <= 1, f"expected <=1 exchange (bucket agg), saw {n_exchange}"
 
 
+@check("train_quality_classifier: persisted feats + scalar weight spine, no relational join")
+def _(qs, spark):
+    plan = plan_of(qs["train_quality_classifier"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    # corpus never shuffles: the only joins are 1-row weight frames
+    # broadcast onto the persisted feature table (scalar-spine BNLJ)
+    assert re.search(r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)", plan) is None
+    assert "InMemoryTableScan" in plan, "feature table must persist across stages"
+    assert "BroadcastNestedLoopJoin" in plan
+    cols = read_schema_cols(plan, "documents")
+    assert cols <= {"text"}, cols
+    assert "partial_" in plan, "per-stage loss/gradient agg must map-side combine"
+
+
 def main() -> int:
     import __spark_entry__ as entry_mod
     from datapipeline_ops_spark.session import get_spark
