@@ -1163,3 +1163,176 @@ def train_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     for r in stage_rows[1:]:
         out = out.unionByName(r)
     return out
+
+
+# ---------------------------------------------------------------------------
+# bpe_train_loop — close the BPE training loop: N merges end-to-end
+# ---------------------------------------------------------------------------
+
+# Number of unrolled merge stages. Each stage is vocab-bounded (pair counts
+# and the rewrite run over the aggregated (token, n) vocabulary, never the
+# corpus), so depth is a fixed-cost knob, not a scale risk.
+_BPE_LOOP_MERGES = 8
+# In-band separator for the fold accumulator; stripped from the text up
+# front in BOTH engines so it can never occur inside a symbol.
+_BPE_US = "\x1f"
+
+
+def _bpe_loop_oracle() -> str:
+    """Unrolled MATERIALIZED-CTE BPE training: v{i} is the vocabulary's
+    symbol sequences after merge i, m{i} the argmax merge rule, r{i} the
+    published per-merge stats row. The merge applies via list_reduce with
+    a chr(31)-separated string accumulator — greedy left-to-right
+    non-overlapping, exactly the scan semantics of reference BPE."""
+    fold = (
+        "list_reduce(s, (acc, x) -> CASE WHEN (acc = m.pa OR"
+        " suffix(acc, chr(31) || m.pa)) AND x = m.pb"
+        " THEN acc || x ELSE acc || chr(31) || x END)"
+    )
+    parts = [
+        """v0 AS MATERIALIZED (
+        SELECT token, n,
+               list_transform(generate_series(1, length(token)),
+                              i -> substr(token, i, 1)) AS s
+        FROM (SELECT w AS token, count(*) AS n
+              FROM (SELECT unnest(regexp_split_to_array(
+                               replace(text, chr(31), ''), '\\s+')) AS w
+                    FROM documents)
+              GROUP BY 1)
+        WHERE length(token) >= 1
+    )"""
+    ]
+    rows = []
+    for i in range(1, _BPE_LOOP_MERGES + 1):
+        parts.append(f"""p{i} AS (
+        SELECT a, b, CAST(sum(n) AS BIGINT) AS freq
+        FROM (SELECT n, unnest(s[1:len(s) - 1]) AS a, unnest(s[2:len(s)]) AS b
+              FROM v{i - 1} WHERE len(s) >= 2)
+        GROUP BY a, b
+    )""")
+        parts.append(
+            f"m{i} AS (SELECT a AS pa, b AS pb, freq FROM p{i}"
+            " ORDER BY freq DESC, a, b LIMIT 1)"
+        )
+        parts.append(f"""v{i} AS MATERIALIZED (
+        SELECT token, n, nb, s, len(s) AS na FROM (
+            SELECT v.token, v.n, len(v.s) AS nb,
+                   CASE WHEN m.pa IS NULL THEN v.s
+                        ELSE string_split({fold}, chr(31)) END AS s_new
+            FROM v{i - 1} v LEFT JOIN m{i} m ON TRUE
+        ) AS sub(token, n, nb, s)
+    )""")
+        rows.append(f"""(SELECT {i} AS merge_idx, m.pa AS pair_a, m.pb AS pair_b,
+           m.pa || m.pb AS merged, m.freq AS pair_freq,
+           CAST(sum(v.n * (v.nb - v.na)) AS BIGINT) AS n_applied,
+           CAST(sum(v.n * v.na) AS BIGINT) AS corpus_symbols_after,
+           CAST(sum(CASE WHEN v.na < v.nb THEN 1 ELSE 0 END) AS BIGINT)
+               AS vocab_words_changed
+    FROM v{i} v, m{i} m
+    GROUP BY 1, 2, 3, 4, 5)""")
+    return "WITH " + ",\n    ".join(parts) + "\n" + "\nUNION ALL\n".join(rows)
+
+
+@query("bpe_train_loop", oracle=_bpe_loop_oracle())
+def bpe_train_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full BPE tokenizer-training loop (Sennrich et al.), not just one
+    step: {_BPE_LOOP_MERGES} merges end-to-end over the corpus word
+    vocabulary. Each stage counts adjacent symbol pairs weighted by word
+    frequency, picks the argmax rule (freq DESC, then (a, b) — at stage 1
+    this is exactly `bpe_merge_step`'s rank-1 pair, pinned by a
+    cross-query identity), applies it greedily left-to-right via an array
+    fold (string accumulator on a chr(31) separator that is stripped from
+    the text up front, so boundary collisions cannot occur), and publishes
+    the per-merge corpus stats: weighted occurrences actually merged,
+    corpus symbol total after the merge (monotone non-increasing —
+    invariant-pinned), and vocab words rewritten. A corpus whose pair
+    table drains early simply emits fewer rows.
+
+    Scale: ONE corpus-wide shuffle builds the (token, n) vocabulary; every
+    stage after that is vocab-bounded — pair counts partial-aggregate over
+    the persisted symbol table, the 1-row merge rule broadcasts back (left
+    BNLJ so an empty rule is a no-op), and each stage's rewritten vocab
+    persists so depth-k training re-reads cached symbols, never the
+    corpus. The fold is O(word length) per vocab entry."""
+    from datapipeline_ops_spark.operators.dedup import persist_barrier
+
+    d = load_table(spark, sf_dir, "documents")
+    vocab = (
+        d.select(
+            F.explode(tokens(F.translate(F.col("text"), _BPE_US, ""))).alias("token")
+        )
+        .filter(F.length("token") >= 1)
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "token",
+            "n",
+            F.transform(
+                F.sequence(F.lit(1), F.length("token")),
+                lambda i: F.col("token").substr(i, F.lit(1)),
+            ).alias("s"),
+        )
+    )
+    v = vocab.localCheckpoint(eager=True)
+    pair_structs = F.expr(
+        "transform(sequence(1, size(s) - 1),"
+        " i -> struct(element_at(s, i) AS a, element_at(s, i + 1) AS b))"
+    )
+    out_rows = []
+    for i in range(1, _BPE_LOOP_MERGES + 1):
+        m = (
+            v.filter(F.size("s") >= 2)
+            .select("n", F.explode(pair_structs).alias("p"))
+            .select("n", "p.a", "p.b")
+            .groupBy("a", "b")
+            .agg(F.sum("n").cast("long").alias("freq"))
+            .orderBy(F.desc("freq"), "a", "b")
+            .limit(1)
+            .select(F.col("a").alias("pa"), F.col("b").alias("pb"), "freq")
+        )
+        m = m.localCheckpoint(eager=True)
+        folded = F.aggregate(
+            F.slice("s", 2, F.size("s") - 1),
+            F.element_at(F.col("s"), 1),
+            lambda acc, x: F.when(
+                (
+                    (acc == F.col("pa"))
+                    | acc.endswith(F.concat(F.lit(_BPE_US), F.col("pa")))
+                )
+                & (x == F.col("pb")),
+                F.concat(acc, x),
+            ).otherwise(F.concat(acc, F.lit(_BPE_US), x)),
+        )
+        j = v.join(F.broadcast(m), F.lit(True), "left")
+        v_new = j.select(
+            "token",
+            "n",
+            F.size("s").alias("nb"),
+            F.when(F.col("pa").isNull(), F.col("s"))
+            .otherwise(F.split(folded, _BPE_US))
+            .alias("s"),
+        ).withColumn("na", F.size("s"))
+        v = v_new.localCheckpoint(eager=True)
+        stats = v.agg(
+            F.sum(F.col("n") * (F.col("nb") - F.col("na"))).cast("long").alias("n_applied"),
+            F.sum(F.col("n") * F.col("na")).cast("long").alias("corpus_symbols_after"),
+            F.sum((F.col("na") < F.col("nb")).cast("int")).cast("long").alias(
+                "vocab_words_changed"
+            ),
+        )
+        out_rows.append(
+            m.crossJoin(stats).select(
+                F.lit(i).alias("merge_idx"),
+                F.col("pa").alias("pair_a"),
+                F.col("pb").alias("pair_b"),
+                F.concat("pa", "pb").alias("merged"),
+                F.col("freq").alias("pair_freq"),
+                "n_applied",
+                "corpus_symbols_after",
+                "vocab_words_changed",
+            )
+        )
+    out = out_rows[0]
+    for r in out_rows[1:]:
+        out = out.unionByName(r)
+    return out

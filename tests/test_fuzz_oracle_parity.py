@@ -960,6 +960,7 @@ def test_fuzz_documents_wave5_select(spark, tmp_path_factory, docs):
             "sequence_packing",
             "sequence_packing_plan",
             "bpe_merge_step",
+            "bpe_train_loop",
             "source_vocab_jaccard_matrix",
             "pareto_frontier_docs",
             "domain_mixing_sample",

@@ -130,3 +130,85 @@ def test_trained_classifier_contract(spark):
     for r in rows:
         for k in ("acc_rate", "pass_rate", "agree_fixed_rate"):
             assert 0.0 <= r[k] <= 1.0
+
+
+# ---------------------------------------------------------------------------
+# bpe_train_loop vs a pure-Python BPE reference
+# ---------------------------------------------------------------------------
+
+from collections import Counter
+
+from datapipeline_ops_spark.queries.lm_quality import (  # noqa: E402
+    _BPE_LOOP_MERGES,
+    bpe_train_loop,
+)
+
+
+def _model_bpe(texts, n_merges):
+    """Reference BPE trainer: word-frequency vocab, overlapping weighted
+    pair counts for the argmax (freq DESC, then (a, b)), greedy
+    left-to-right non-overlapping scan application."""
+    vocab = Counter()
+    for t in texts:
+        for w in re.split(r"\s+", t.replace("\x1f", "")):
+            if w:
+                vocab[w] += 1
+    syms = {w: [c for c in w] for w in vocab}
+    out = []
+    for idx in range(1, n_merges + 1):
+        counts = Counter()
+        for w, n in vocab.items():
+            s = syms[w]
+            for i in range(len(s) - 1):
+                counts[(s[i], s[i + 1])] += n
+        if not counts:
+            break
+        (a, b), freq = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        applied = changed = total_after = 0
+        for w, n in vocab.items():
+            s = syms[w]
+            new = []
+            i = 0
+            hit = 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                    new.append(a + b)
+                    i += 2
+                    hit += 1
+                else:
+                    new.append(s[i])
+                    i += 1
+            syms[w] = new
+            applied += n * hit
+            changed += 1 if hit else 0
+            total_after += n * len(new)
+        out.append(
+            {
+                "merge_idx": idx,
+                "pair_a": a,
+                "pair_b": b,
+                "merged": a + b,
+                "pair_freq": freq,
+                "n_applied": applied,
+                "corpus_symbols_after": total_after,
+                "vocab_words_changed": changed,
+            }
+        )
+    return out
+
+
+def test_bpe_train_loop_matches_python_reference(spark):
+    texts = [
+        r["text"]
+        for r in spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .select("text")
+        .collect()
+    ]
+    ref = _model_bpe(texts, _BPE_LOOP_MERGES)
+    got = sorted(
+        (r.asDict() for r in bpe_train_loop(spark, SF_DIR).collect()),
+        key=lambda d: d["merge_idx"],
+    )
+    assert len(got) == len(ref)
+    for g, r in zip(got, ref):
+        assert g == r, (g, r)

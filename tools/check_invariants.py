@@ -166,6 +166,13 @@ def _chain(*cols):
 
 
 QUERY_CROSS = {
+    # Greedy non-overlapping application can never merge more occurrences
+    # than the overlapping pair count that selected the rule; an emitted
+    # merge row always applied at least once (its freq was >= 1).
+    "bpe_train_loop": [
+        ("applied<=freq", _chain("n_applied", "pair_freq")),
+        ("applied>=1", lambda d: d["n_applied"] >= 1),
+    ],
     # TPC-H Q1: discount in [0,1] => disc_price <= base; tax >= 0 =>
     # disc_price <= charge (the avg_disc 100x bug would have flunked the
     # unit_01 rule; this chain would catch a sibling bug in the sums).
@@ -320,6 +327,9 @@ MONOTONE = {
     # the 6-dp weight rounding perturbs loss by <<1e-5 per stage, far under
     # the observed per-stage decreases of ~1e-2)
     "train_quality_classifier": ("iter", [("log_loss", "-")]),
+    # every merge strictly removes occurrences, so the weighted corpus
+    # symbol total cannot increase across merge stages
+    "bpe_train_loop": ("merge_idx", [("corpus_symbols_after", "-")]),
 }
 
 
@@ -422,7 +432,28 @@ def _cq_token_doc_totals(rows):
     return None
 
 
+def _cq_bpe_first_merge(rows):
+    """bpe_train_loop's first merge IS bpe_merge_step's rank-1 pair: stage 1
+    counts the identical weighted adjacent character pairs, so the argmax
+    (freq DESC, pair ASC — tuple order == concat order on 1-char symbols)
+    and its frequency must match exactly."""
+    first = [r for r in rows["bpe_train_loop"] if r["merge_idx"] == 1]
+    top = [r for r in rows["bpe_merge_step"] if r["rank"] == 1]
+    if not first or not top:
+        return None if not top else "bpe_train_loop emitted no merge_idx=1 row"
+    if first[0]["merged"] != top[0]["pair"]:
+        return f"first merge {first[0]['merged']!r} != rank-1 pair {top[0]['pair']!r}"
+    if first[0]["pair_freq"] != top[0]["freq"]:
+        return f"first merge freq {first[0]['pair_freq']} != rank-1 freq {top[0]['freq']}"
+    return None
+
+
 CROSS_QUERY = [
+    (
+        "bpe_loop_first_merge",
+        ["bpe_train_loop", "bpe_merge_step"],
+        _cq_bpe_first_merge,
+    ),
     (
         "token_and_doc_totals",
         ["crossdoc_substring_dedup", "padding_waste_report", "webdataset_shard_plan"],

@@ -2109,6 +2109,20 @@ def _(qs, spark):
     assert "partial_" in plan, "per-stage loss/gradient agg must map-side combine"
 
 
+@check("bpe_train_loop: checkpoint-flat stages, vocab-bounded stats, no relational join")
+def _(qs, spark):
+    plan = plan_of(qs["bpe_train_loop"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    # every stage rewrites behind a localCheckpoint (2^k lineage otherwise):
+    # the published plan must be flat scans of checkpointed RDDs plus the
+    # bounded per-stage stats aggregates, never a re-derivation of the loop
+    assert "ExistingRDD" in plan, plan[:400]
+    assert re.search(r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)", plan) is None, (
+        "final plan re-derives stage joins instead of reading checkpoints"
+    )
+    assert "partial_" in plan, "per-merge stats must map-side combine"
+
+
 def main() -> int:
     import __spark_entry__ as entry_mod
     from datapipeline_ops_spark.session import get_spark
