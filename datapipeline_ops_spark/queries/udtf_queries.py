@@ -93,3 +93,70 @@ def sentence_split_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM udtf_docs_in d, LATERAL split_sentences(d.text) s
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# token_chunk_udtf — second, structurally different UDTF: bounded sliding
+# window over the token sequence (chunk planner), vs the unbounded
+# regex-split expansion above
+# ---------------------------------------------------------------------------
+
+from datapipeline_ops_spark.core.registry import QUERIES as _REG
+from datapipeline_ops_spark.queries.lm_quality import (  # noqa: E402
+    _CHUNK_STRIDE,
+    CHUNK_N,
+)
+
+
+@udtf(
+    returnType="chunk_idx int, start_tok bigint, chunk_len bigint, chunk_md5 string",
+    useArrow=True,
+)
+class TokenChunks:
+    """Sliding token-window TVF: {CHUNK_N}-token chunks at the rag_chunk_plan
+    stride, each content-addressed by the md5 of its space-joined tokens.
+    MUST emit exactly rag_chunk_plan's rows — the cross-query identity in
+    tools/check_invariants.py pins the two row sets equal, so the Python
+    windowing and the relational windowing gate each other."""
+
+    def eval(self, text: str):  # noqa: D102 - contract is the class doc
+        import hashlib
+        import re
+
+        t = re.split(r"\s+", text or "")
+        m = len(t)
+        n_chunks = 1 if m <= CHUNK_N else 1 + -(-(m - CHUNK_N) // _CHUNK_STRIDE)
+        for j in range(n_chunks):
+            start = j * _CHUNK_STRIDE
+            end = min(start + CHUNK_N, m)
+            piece = " ".join(t[start:end])
+            yield (
+                j,
+                start,
+                end - start,
+                hashlib.md5(piece.encode("utf-8")).hexdigest(),
+            )
+
+
+@query("token_chunk_udtf", oracle=_REG["rag_chunk_plan"].oracle)
+def token_chunk_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG chunk planning via a lateral-joined Arrow UDTF — the same
+    contract as :func:`rag_chunk_plan` (same oracle SQL verbatim, and a
+    cross-query identity pins the two row sets equal), expressed through
+    the Python-table-function seam instead of relational explode+slice.
+    Where `sentence_split_udtf` exercises unbounded regex expansion with
+    per-piece state, this one exercises BOUNDED windowed expansion with
+    arithmetic chunk planning — the two structural shapes of a
+    record-to-many operator.
+
+    Plan shape: single documents scan -> Arrow-batched UDTF generate node;
+    no shuffle, no driver materialization; linear in corpus size."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    spark.udtf.register("token_chunks", TokenChunks)
+    d.createOrReplaceTempView("udtf_chunk_docs_in")
+    return spark.sql(
+        """
+        SELECT d.doc_id, c.chunk_idx, c.start_tok, c.chunk_len, c.chunk_md5
+        FROM udtf_chunk_docs_in d, LATERAL token_chunks(d.text) c
+        """
+    )

@@ -956,6 +956,7 @@ def test_fuzz_documents_wave5_select(spark, tmp_path_factory, docs):
         tmp_path,
         [
             "rag_chunk_plan",
+            "token_chunk_udtf",
             "context_window_fit_report",
             "sequence_packing",
             "sequence_packing_plan",

@@ -212,3 +212,20 @@ def test_bpe_train_loop_matches_python_reference(spark):
     assert len(got) == len(ref)
     for g, r in zip(got, ref):
         assert g == r, (g, r)
+
+
+# ---------------------------------------------------------------------------
+# token_chunk_udtf: identity with rag_chunk_plan (pytest form of the
+# cross-query invariant, so the suite alone catches a drift)
+# ---------------------------------------------------------------------------
+
+from datapipeline_ops_spark.queries.lm_quality import rag_chunk_plan  # noqa: E402
+from datapipeline_ops_spark.queries.udtf_queries import token_chunk_udtf  # noqa: E402
+
+
+def test_token_chunk_udtf_equals_rag_chunk_plan(spark):
+    key = lambda r: (r["doc_id"], r["chunk_idx"], r["start_tok"], r["chunk_len"], r["chunk_md5"])  # noqa: E731
+    a = sorted(key(r) for r in token_chunk_udtf(spark, SF_DIR).collect())
+    b = sorted(key(r) for r in rag_chunk_plan(spark, SF_DIR).collect())
+    assert len(a) > 0
+    assert a == b

@@ -432,6 +432,20 @@ def _cq_token_doc_totals(rows):
     return None
 
 
+def _cq_chunk_udtf_identity(rows):
+    """token_chunk_udtf (Python windowed UDTF) and rag_chunk_plan
+    (relational explode+slice) implement the same chunk contract; their
+    full row sets must be identical."""
+    key = lambda r: (r["doc_id"], r["chunk_idx"], r["start_tok"], r["chunk_len"], r["chunk_md5"])  # noqa: E731
+    a = sorted(key(r) for r in rows["token_chunk_udtf"])
+    b = sorted(key(r) for r in rows["rag_chunk_plan"])
+    if a != b:
+        extra = set(a) - set(b)
+        missing = set(b) - set(a)
+        return f"row sets differ: +{len(extra)} udtf-only, -{len(missing)} plan-only"
+    return None
+
+
 def _cq_bpe_first_merge(rows):
     """bpe_train_loop's first merge IS bpe_merge_step's rank-1 pair: stage 1
     counts the identical weighted adjacent character pairs, so the argmax
@@ -453,6 +467,11 @@ CROSS_QUERY = [
         "bpe_loop_first_merge",
         ["bpe_train_loop", "bpe_merge_step"],
         _cq_bpe_first_merge,
+    ),
+    (
+        "chunk_udtf_equals_rag_plan",
+        ["token_chunk_udtf", "rag_chunk_plan"],
+        _cq_chunk_udtf_identity,
     ),
     (
         "token_and_doc_totals",

@@ -2123,6 +2123,16 @@ def _(qs, spark):
     assert "partial_" in plan, "per-merge stats must map-side combine"
 
 
+@check("token_chunk_udtf: Arrow UDTF windowed expansion, zero shuffles, 2-col scan")
+def _(qs, spark):
+    plan = plan_of(qs["token_chunk_udtf"](spark, SF_DIR))
+    assert "ArrowEvalPythonUDTF" in plan, "UDTF should evaluate via Arrow"
+    assert "BatchEvalPythonUDTF" not in plan, "non-Arrow UDTF in the plan"
+    assert "Exchange" not in plan, "per-row expansion must not shuffle"
+    cols = read_schema_cols(plan, "documents")
+    assert cols <= {"doc_id", "text"}, cols
+
+
 def main() -> int:
     import __spark_entry__ as entry_mod
     from datapipeline_ops_spark.session import get_spark
