@@ -1178,12 +1178,14 @@ _BPE_LOOP_MERGES = 8
 _BPE_US = "\x1f"
 
 
-def _bpe_loop_oracle() -> str:
+def _bpe_loop_ctes() -> tuple[list[str], list[str]]:
     """Unrolled MATERIALIZED-CTE BPE training: v{i} is the vocabulary's
-    symbol sequences after merge i, m{i} the argmax merge rule, r{i} the
-    published per-merge stats row. The merge applies via list_reduce with
-    a chr(31)-separated string accumulator — greedy left-to-right
-    non-overlapping, exactly the scan semantics of reference BPE."""
+    symbol sequences after merge i, m{i} the argmax merge rule; the second
+    list holds the per-merge stats SELECTs. The merge applies via
+    list_reduce with a chr(31)-separated string accumulator — greedy
+    left-to-right non-overlapping, exactly the scan semantics of reference
+    BPE. Shared by bpe_train_loop (stats rows) and bpe_vocab_apply (the
+    final v{k} vocabulary)."""
     fold = (
         "list_reduce(s, (acc, x) -> CASE WHEN (acc = m.pa OR"
         " suffix(acc, chr(31) || m.pa)) AND x = m.pb"
@@ -1230,6 +1232,11 @@ def _bpe_loop_oracle() -> str:
                AS vocab_words_changed
     FROM v{i} v, m{i} m
     GROUP BY 1, 2, 3, 4, 5)""")
+    return parts, rows
+
+
+def _bpe_loop_oracle() -> str:
+    parts, rows = _bpe_loop_ctes()
     return "WITH " + ",\n    ".join(parts) + "\n" + "\nUNION ALL\n".join(rows)
 
 
@@ -1252,10 +1259,23 @@ def bpe_train_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
     stage after that is vocab-bounded — pair counts partial-aggregate over
     the persisted symbol table, the 1-row merge rule broadcasts back (left
     BNLJ so an empty rule is a no-op), and each stage's rewritten vocab
-    persists so depth-k training re-reads cached symbols, never the
-    corpus. The fold is O(word length) per vocab entry."""
-    from datapipeline_ops_spark.operators.dedup import persist_barrier
+    localCheckpoints (the CC-loop precedent, operators/dedup.py:311) so
+    depth-k training re-reads cached symbols, never the corpus — AND the
+    logical plan stays flat: without the lineage cut, stage i references
+    stage i-1 twice (through the rule and through the rewrite) and the
+    plan tree grows 2^k (the un-checkpointed form OOMed stringifying a
+    2 GiB plan at k=8). The fold is O(word length) per vocab entry."""
+    _, out_rows = _bpe_run_loop(spark, sf_dir)
+    out = out_rows[0]
+    for r in out_rows[1:]:
+        out = out.unionByName(r)
+    return out
 
+
+def _bpe_run_loop(spark: SparkSession, sf_dir: str):
+    """Run the {_BPE_LOOP_MERGES}-merge loop; return (final vocab frame
+    with columns token/n/nb/s/na, per-merge stats frames). Shared by
+    bpe_train_loop and bpe_vocab_apply."""
     d = load_table(spark, sf_dir, "documents")
     vocab = (
         d.select(
@@ -1332,7 +1352,88 @@ def bpe_train_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "vocab_words_changed",
             )
         )
-    out = out_rows[0]
-    for r in out_rows[1:]:
-        out = out.unionByName(r)
-    return out
+    return v, out_rows
+
+
+# ---------------------------------------------------------------------------
+# bpe_vocab_apply — tokenize the corpus WITH the trained vocab (the
+# train -> apply closure; the fixed-vs-trained pairing the quality
+# classifier already has)
+# ---------------------------------------------------------------------------
+
+
+def _bpe_apply_oracle() -> str:
+    parts, _ = _bpe_loop_ctes()
+    k = _BPE_LOOP_MERGES
+    parts.append("""dw AS MATERIALIZED (
+        SELECT source, w AS token, count(*) AS n
+        FROM (SELECT source, unnest(regexp_split_to_array(
+                          replace(text, chr(31), ''), '\\s+')) AS w
+              FROM documents)
+        WHERE length(w) >= 1
+        GROUP BY 1, 2
+    )""")
+    return (
+        "WITH " + ",\n    ".join(parts) + f"""
+    SELECT dw.source,
+           CAST(sum(dw.n) AS BIGINT) AS n_ws_tokens,
+           CAST(sum(dw.n * length(dw.token)) AS BIGINT) AS n_chars,
+           CAST(sum(dw.n * v.na) AS BIGINT) AS n_bpe_symbols,
+           round(CAST(sum(dw.n * v.na) AS DOUBLE)
+                 / CAST(sum(dw.n) AS DOUBLE), 6) + 0e0 AS fertility,
+           round(CAST(sum(dw.n * length(dw.token)) AS DOUBLE)
+                 / CAST(sum(dw.n * v.na) AS DOUBLE), 6) + 0e0 AS chars_per_symbol
+    FROM dw JOIN v{k} v USING (token)
+    GROUP BY dw.source"""
+    )
+
+
+@query("bpe_vocab_apply", oracle=_bpe_apply_oracle())
+def bpe_vocab_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenize the corpus with the vocabulary `bpe_train_loop` just
+    trained — the apply half of the train->apply closure (the same
+    pairing `train_quality_classifier` has with the fixed-weight gate):
+    per source, whitespace-token count, character volume, BPE-symbol
+    count under the {_BPE_LOOP_MERGES}-merge vocab, tokenizer fertility
+    (symbols per whitespace token) and compression (chars per symbol).
+    The corpus-wide sum of `n_bpe_symbols` EQUALS the final merge's
+    `corpus_symbols_after` in bpe_train_loop (cross-query identity), so
+    the trained artifact and its application gate each other.
+
+    Scale: tokenization is a (source, token) vocabulary aggregate joined
+    to the trained symbol table on the token key — one equi-join between
+    two vocab-bounded tables; document text is never re-scanned per
+    merge, and the loop itself reuses the checkpoint-flat stages."""
+    v, _ = _bpe_run_loop(spark, sf_dir)
+    d = load_table(spark, sf_dir, "documents")
+    dw = (
+        d.select(
+            "source",
+            F.explode(tokens(F.translate(F.col("text"), _BPE_US, ""))).alias("token"),
+        )
+        .filter(F.length("token") >= 1)
+        .groupBy("source", "token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    j = dw.join(v.select("token", "na"), "token")
+    return j.groupBy("source").agg(
+        F.sum("n").cast("long").alias("n_ws_tokens"),
+        F.sum(F.col("n") * F.length("token")).cast("long").alias("n_chars"),
+        F.sum(F.col("n") * F.col("na")).cast("long").alias("n_bpe_symbols"),
+        (
+            F.round(
+                F.sum(F.col("n") * F.col("na")).cast("double")
+                / F.sum("n").cast("double"),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("fertility"),
+        (
+            F.round(
+                F.sum(F.col("n") * F.length("token")).cast("double")
+                / F.sum(F.col("n") * F.col("na")).cast("double"),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("chars_per_symbol"),
+    )

@@ -962,6 +962,7 @@ def test_fuzz_documents_wave5_select(spark, tmp_path_factory, docs):
             "sequence_packing_plan",
             "bpe_merge_step",
             "bpe_train_loop",
+            "bpe_vocab_apply",
             "source_vocab_jaccard_matrix",
             "pareto_frontier_docs",
             "domain_mixing_sample",

@@ -229,3 +229,24 @@ def test_token_chunk_udtf_equals_rag_chunk_plan(spark):
     b = sorted(key(r) for r in rag_chunk_plan(spark, SF_DIR).collect())
     assert len(a) > 0
     assert a == b
+
+
+# ---------------------------------------------------------------------------
+# bpe_vocab_apply: train->apply closure vs the same pure-Python reference
+# ---------------------------------------------------------------------------
+
+from datapipeline_ops_spark.queries.lm_quality import bpe_vocab_apply  # noqa: E402
+
+
+def test_bpe_vocab_apply_matches_train_final(spark):
+    rows = bpe_vocab_apply(spark, SF_DIR).collect()
+    loop = sorted(
+        (r.asDict() for r in bpe_train_loop(spark, SF_DIR).collect()),
+        key=lambda d: d["merge_idx"],
+    )
+    assert rows and loop
+    assert sum(r["n_bpe_symbols"] for r in rows) == loop[-1]["corpus_symbols_after"]
+    for r in rows:
+        assert r["n_ws_tokens"] <= r["n_bpe_symbols"] <= r["n_chars"]
+        assert r["fertility"] >= 1.0
+        assert r["chars_per_symbol"] >= 1.0

@@ -173,6 +173,12 @@ QUERY_CROSS = {
         ("applied<=freq", _chain("n_applied", "pair_freq")),
         ("applied>=1", lambda d: d["n_applied"] >= 1),
     ],
+    # every BPE symbol covers >= 1 char and every whitespace token yields
+    # >= 1 symbol, so the three volumes chain
+    "bpe_vocab_apply": [
+        ("ws<=symbols", _chain("n_ws_tokens", "n_bpe_symbols")),
+        ("symbols<=chars", _chain("n_bpe_symbols", "n_chars")),
+    ],
     # TPC-H Q1: discount in [0,1] => disc_price <= base; tax >= 0 =>
     # disc_price <= charge (the avg_disc 100x bug would have flunked the
     # unit_01 rule; this chain would catch a sibling bug in the sums).
@@ -432,6 +438,23 @@ def _cq_token_doc_totals(rows):
     return None
 
 
+def _cq_bpe_apply_total(rows):
+    """Corpus-wide BPE symbol total from the APPLY side equals the final
+    merge's corpus_symbols_after from the TRAIN side — the trained artifact
+    and its application gate each other."""
+    loop = rows["bpe_train_loop"]
+    if not loop:
+        return None  # pair table drained before merge 1; nothing to pin
+    final = max(loop, key=lambda r: r["merge_idx"])
+    total = sum(r["n_bpe_symbols"] for r in rows["bpe_vocab_apply"])
+    if total != final["corpus_symbols_after"]:
+        return (
+            f"apply total {total} != train corpus_symbols_after "
+            f"{final['corpus_symbols_after']} (merge {final['merge_idx']})"
+        )
+    return None
+
+
 def _cq_chunk_udtf_identity(rows):
     """token_chunk_udtf (Python windowed UDTF) and rag_chunk_plan
     (relational explode+slice) implement the same chunk contract; their
@@ -472,6 +495,11 @@ CROSS_QUERY = [
         "chunk_udtf_equals_rag_plan",
         ["token_chunk_udtf", "rag_chunk_plan"],
         _cq_chunk_udtf_identity,
+    ),
+    (
+        "bpe_apply_total_equals_train_final",
+        ["bpe_vocab_apply", "bpe_train_loop"],
+        _cq_bpe_apply_total,
     ),
     (
         "token_and_doc_totals",

@@ -2123,6 +2123,21 @@ def _(qs, spark):
     assert "partial_" in plan, "per-merge stats must map-side combine"
 
 
+@check("bpe_vocab_apply: vocab-bounded token equi-join over checkpoint-flat stages")
+def _(qs, spark):
+    plan = plan_of(qs["bpe_vocab_apply"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    # the trained vocab arrives as a checkpointed RDD; tokenization is one
+    # equi-join between two vocab-bounded tables + a source rollup
+    assert "ExistingRDD" in plan, plan[:400]
+    assert re.search(r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)", plan), (
+        "apply must be an equi-join on the token key"
+    )
+    assert "partial_" in plan, "source rollup must map-side combine"
+    cols = read_schema_cols(plan, "documents")
+    assert cols <= {"source", "text"}, cols
+
+
 @check("token_chunk_udtf: Arrow UDTF windowed expansion, zero shuffles, 2-col scan")
 def _(qs, spark):
     plan = plan_of(qs["token_chunk_udtf"](spark, SF_DIR))
