@@ -956,7 +956,8 @@ def _qct_feats_sql() -> str:
         " AS DOUBLE) / CAST(len(words) AS DOUBLE)"
     )
     return f"""feats AS MATERIALIZED (
-        SELECT CAST(least(len(t), 100) AS DOUBLE) / CAST(100 AS DOUBLE)
+        SELECT source,
+               CAST(least(len(t), 100) AS DOUBLE) / CAST(100 AS DOUBLE)
                    - 5e-1 AS x1,
                least({mean_len}, CAST(10 AS DOUBLE)) / CAST(10 AS DOUBLE)
                    - 5e-1 AS x2,
@@ -970,20 +971,27 @@ def _qct_feats_sql() -> str:
                ({_QC_B} + {_QC_W_NTOK} * len(t) + {_QC_W_MEANLEN} * ({mean_len})
                    + {_QC_W_STOP} * ({stop}) + {_QC_W_TTR} * ({ttr})) >= 0e0
                    AS fixed_pass
-        FROM (SELECT regexp_split_to_array(text, '\\s+') AS t,
+        FROM (SELECT source,
+                     regexp_split_to_array(text, '\\s+') AS t,
                      regexp_split_to_array(trim(text), '\\s+') AS words,
                      length(regexp_replace(text, '\\s', '', 'g')) AS n_nonspace
               FROM documents)
     )"""
 
 
-def _qct_oracle() -> str:
+# shared-arithmetic logit/sigmoid fragments at the current stage weights —
+# used by both the training oracle and the apply (trained_gate_impact) oracle
+_QCT_Z = "(s.b + s.w1 * f.x1 + s.w2 * f.x2 + s.w3 * f.x3 + s.w4 * f.x4)"
+
+
+def _qct_stage_ctes() -> tuple[list[str], list[str]]:
     """Unrolled MATERIALIZED-CTE gradient descent: stage i holds weights
     s{{i}}, aggregates a{{i}} (loss, gradient, gate rates at those weights)
     in ONE pass over feats, and derives s{{i+1}} by the rounded update —
     the kmeans_refine_step / elo_rating_periods unrolled-stage precedent
-    applied to training."""
-    z = "(s.b + s.w1 * f.x1 + s.w2 * f.x2 + s.w3 * f.x3 + s.w4 * f.x4)"
+    applied to training. Returns (CTE parts, per-stage row SELECTs);
+    shared by train_quality_classifier and trained_gate_impact."""
+    z = _QCT_Z
     p = f"(1e0 / (1e0 + exp(-{z})))"
     parts = [
         _qct_feats_sql(),
@@ -1019,6 +1027,11 @@ def _qct_oracle() -> str:
                round(s.w3 - {_QCT_LR} * a.g3, 6) + 0e0 AS w3,
                round(s.w4 - {_QCT_LR} * a.g4, 6) + 0e0 AS w4
         FROM s{i} s, a{i} a)""")
+    return parts, rows
+
+
+def _qct_oracle() -> str:
+    parts, rows = _qct_stage_ctes()
     return "WITH " + ",\n    ".join(parts) + "\n" + "\nUNION ALL\n".join(rows)
 
 
@@ -1045,6 +1058,17 @@ def train_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast onto it — the classic "broadcast scalar spine" shape, so the
     unroll never shuffles the corpus and depth-k training costs exactly k+1
     fact scans regardless of corpus size."""
+    _, stage_rows, _ = _qct_run(spark, sf_dir)
+    out = stage_rows[0]
+    for r in stage_rows[1:]:
+        out = out.unionByName(r)
+    return out
+
+
+def _qct_run(spark: SparkSession, sf_dir: str):
+    """Build the feature table and run the {_QCT_ITERS}-update GD unroll;
+    return (persisted feats, per-stage summary frames, final weight frame).
+    Shared by train_quality_classifier and trained_gate_impact."""
     from datapipeline_ops_spark.operators.dedup import persist_barrier
 
     d = load_table(spark, sf_dir, "documents")
@@ -1071,6 +1095,7 @@ def train_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     feats = persist_barrier(
         d.select(
+            "source",
             (
                 F.least(F.size(t), F.lit(100)).cast("double")
                 / F.lit(100).cast("double")
@@ -1159,10 +1184,78 @@ def train_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
                 (F.round(F.col("w3") - F.lit(_QCT_LR) * F.col("g3"), 6) + F.lit(0.0)).alias("w3"),
                 (F.round(F.col("w4") - F.lit(_QCT_LR) * F.col("g4"), 6) + F.lit(0.0)).alias("w4"),
             )
-    out = stage_rows[0]
-    for r in stage_rows[1:]:
-        out = out.unionByName(r)
-    return out
+    return feats, stage_rows, w_frame
+
+
+def _qct_apply_oracle() -> str:
+    parts, _ = _qct_stage_ctes()
+    z = _QCT_Z
+    gate = f"CASE WHEN {z} >= 0e0 THEN 1 ELSE 0 END"
+    t_ok = f"CASE WHEN ({z} >= 0e0) = (f.y = 1e0) THEN 1 ELSE 0 END"
+    f_ok = "CASE WHEN f.fixed_pass = (f.y = 1e0) THEN 1 ELSE 0 END"
+    return (
+        "WITH " + ",\n    ".join(parts) + f"""
+    SELECT f.source,
+           count(*) AS n_docs,
+           CAST(sum({gate}) AS BIGINT) AS n_pass_trained,
+           CAST(sum(CASE WHEN f.fixed_pass THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_pass_fixed,
+           CAST(sum(CASE WHEN f.y = 1e0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_keep_label,
+           CAST(sum({t_ok}) AS BIGINT) AS n_trained_correct,
+           CAST(sum({f_ok}) AS BIGINT) AS n_fixed_correct,
+           round(CAST(sum({t_ok}) AS DOUBLE) / count(*), 6) + 0e0
+               AS trained_acc_rate,
+           round(CAST(sum({f_ok}) AS DOUBLE) / count(*), 6) + 0e0
+               AS fixed_acc_rate
+    FROM feats f, s{_QCT_ITERS} s
+    GROUP BY f.source"""
+    )
+
+
+@query("trained_gate_impact", oracle=_qct_apply_oracle())
+def trained_gate_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the classifier `train_quality_classifier` just fit — the apply
+    half of the quality train->apply closure: per source, how the TRAINED
+    gate (logit at the final-stage weights) and the FIXED-weight gate each
+    score against the Gopher keep label (pass counts, correct counts,
+    accuracy rates). This is the per-source confusion report an operator
+    reads before swapping the corpus gate. The corpus-wide pass and
+    accuracy rates at the final weights EQUAL the final training stage's
+    `pass_rate` / `acc_rate` (cross-query identity), so the training
+    trajectory and the deployed gate cannot drift apart.
+
+    Scale: reuses the persisted feature table and the same k-pass GD
+    unroll; the apply itself is ONE more pass with the final 1-row weight
+    frame broadcast on (scalar-spine BNLJ), rolled up by source with
+    map-side combine — corpus rows never shuffle."""
+    feats, _, w_frame = _qct_run(spark, sf_dir)
+    j = feats.crossJoin(F.broadcast(w_frame))
+    z = (
+        F.col("b")
+        + F.col("w1") * F.col("x1")
+        + F.col("w2") * F.col("x2")
+        + F.col("w3") * F.col("x3")
+        + F.col("w4") * F.col("x4")
+    )
+    gate = z >= 0.0
+    label = F.col("y") == F.lit(1.0)
+    t_ok = (gate == label).cast("int")
+    f_ok = (F.col("fixed_pass") == label).cast("int")
+    return j.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(gate.cast("int")).cast("long").alias("n_pass_trained"),
+        F.sum(F.col("fixed_pass").cast("int")).cast("long").alias("n_pass_fixed"),
+        F.sum(label.cast("int")).cast("long").alias("n_keep_label"),
+        F.sum(t_ok).cast("long").alias("n_trained_correct"),
+        F.sum(f_ok).cast("long").alias("n_fixed_correct"),
+        (
+            F.round(F.sum(t_ok).cast("double") / F.count(F.lit(1)), 6) + F.lit(0.0)
+        ).alias("trained_acc_rate"),
+        (
+            F.round(F.sum(f_ok).cast("double") / F.count(F.lit(1)), 6) + F.lit(0.0)
+        ).alias("fixed_acc_rate"),
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -930,6 +930,7 @@ def test_fuzz_documents_wave5_web(spark, tmp_path_factory, docs):
             "quality_classifier_score",
             "quality_filter_sweep",
             "train_quality_classifier",
+            "trained_gate_impact",
             "blocklist_filter_report",
             "robots_rules_apply",
             "warc_record_extract",

@@ -250,3 +250,26 @@ def test_bpe_vocab_apply_matches_train_final(spark):
         assert r["n_ws_tokens"] <= r["n_bpe_symbols"] <= r["n_chars"]
         assert r["fertility"] >= 1.0
         assert r["chars_per_symbol"] >= 1.0
+
+
+# ---------------------------------------------------------------------------
+# trained_gate_impact: apply == final training stage (pytest form)
+# ---------------------------------------------------------------------------
+
+from datapipeline_ops_spark.queries.lm_quality import trained_gate_impact  # noqa: E402
+
+
+def test_trained_gate_impact_equals_final_stage(spark):
+    rows = [r.asDict() for r in trained_gate_impact(spark, SF_DIR).collect()]
+    stages = sorted(
+        (r.asDict() for r in train_quality_classifier(spark, SF_DIR).collect()),
+        key=lambda d: d["iter"],
+    )
+    n = sum(r["n_docs"] for r in rows)
+    assert n > 0
+    assert _round6(sum(r["n_pass_trained"] for r in rows) / n) == stages[-1]["pass_rate"]
+    assert _round6(sum(r["n_trained_correct"] for r in rows) / n) == stages[-1]["acc_rate"]
+    for r in rows:
+        for k in ("n_pass_trained", "n_pass_fixed", "n_keep_label",
+                  "n_trained_correct", "n_fixed_correct"):
+            assert 0 <= r[k] <= r["n_docs"]

@@ -179,6 +179,14 @@ QUERY_CROSS = {
         ("ws<=symbols", _chain("n_ws_tokens", "n_bpe_symbols")),
         ("symbols<=chars", _chain("n_bpe_symbols", "n_chars")),
     ],
+    # gate/label/correct counts are all subsets of the source's docs
+    "trained_gate_impact": [
+        ("pass_t<=docs", _chain("n_pass_trained", "n_docs")),
+        ("pass_f<=docs", _chain("n_pass_fixed", "n_docs")),
+        ("label<=docs", _chain("n_keep_label", "n_docs")),
+        ("ok_t<=docs", _chain("n_trained_correct", "n_docs")),
+        ("ok_f<=docs", _chain("n_fixed_correct", "n_docs")),
+    ],
     # TPC-H Q1: discount in [0,1] => disc_price <= base; tax >= 0 =>
     # disc_price <= charge (the avg_disc 100x bug would have flunked the
     # unit_01 rule; this chain would catch a sibling bug in the sums).
@@ -438,6 +446,30 @@ def _cq_token_doc_totals(rows):
     return None
 
 
+def _round6(x: float) -> float:
+    """Spark/DuckDB ROUND half-up at 6 dp (away from zero), -0.0-normalized."""
+    s = -1.0 if x < 0 else 1.0
+    return s * math.floor(abs(x) * 1e6 + 0.5) / 1e6 + 0.0
+
+
+def _cq_trained_gate_identity(rows):
+    """Corpus-wide pass/accuracy at the deployed (final) weights equal the
+    final training stage's published rates — the trained artifact and its
+    application cannot drift apart."""
+    stages = rows["train_quality_classifier"]
+    final = max(stages, key=lambda r: r["iter"])
+    n = sum(r["n_docs"] for r in rows["trained_gate_impact"])
+    if n == 0:
+        return "trained_gate_impact saw zero docs"
+    pass_rate = _round6(sum(r["n_pass_trained"] for r in rows["trained_gate_impact"]) / n)
+    acc_rate = _round6(sum(r["n_trained_correct"] for r in rows["trained_gate_impact"]) / n)
+    if pass_rate != final["pass_rate"]:
+        return f"apply pass rate {pass_rate} != final stage pass_rate {final['pass_rate']}"
+    if acc_rate != final["acc_rate"]:
+        return f"apply acc rate {acc_rate} != final stage acc_rate {final['acc_rate']}"
+    return None
+
+
 def _cq_bpe_apply_total(rows):
     """Corpus-wide BPE symbol total from the APPLY side equals the final
     merge's corpus_symbols_after from the TRAIN side — the trained artifact
@@ -500,6 +532,11 @@ CROSS_QUERY = [
         "bpe_apply_total_equals_train_final",
         ["bpe_vocab_apply", "bpe_train_loop"],
         _cq_bpe_apply_total,
+    ),
+    (
+        "trained_gate_equals_final_stage",
+        ["trained_gate_impact", "train_quality_classifier"],
+        _cq_trained_gate_identity,
     ),
     (
         "token_and_doc_totals",

@@ -2105,7 +2105,8 @@ def _(qs, spark):
     assert "InMemoryTableScan" in plan, "feature table must persist across stages"
     assert "BroadcastNestedLoopJoin" in plan
     cols = read_schema_cols(plan, "documents")
-    assert cols <= {"text"}, cols
+    # source rides along for the shared trained_gate_impact rollup
+    assert cols <= {"source", "text"}, cols
     assert "partial_" in plan, "per-stage loss/gradient agg must map-side combine"
 
 
@@ -2121,6 +2122,18 @@ def _(qs, spark):
         "final plan re-derives stage joins instead of reading checkpoints"
     )
     assert "partial_" in plan, "per-merge stats must map-side combine"
+
+
+@check("trained_gate_impact: scalar weight spine + one source rollup, no relational join")
+def _(qs, spark):
+    plan = plan_of(qs["trained_gate_impact"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert re.search(r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)", plan) is None
+    assert "InMemoryTableScan" in plan, "feature table must persist across passes"
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "partial_" in plan, "source rollup must map-side combine"
+    cols = read_schema_cols(plan, "documents")
+    assert cols <= {"source", "text"}, cols
 
 
 @check("bpe_vocab_apply: vocab-bounded token equi-join over checkpoint-flat stages")
