@@ -26,59 +26,47 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver gate records a capped prefix of queries() in registration order
-# (r01..r11 each recorded exactly 50), so ordering controls which queries get
-# a driver record. Round-12 ordering applies the staged plan (round-11 gate
-# came back 50/50 green, so no reds to head the window):
-# (a) first driver records for the 15 round-11 post-window additions,
-#     registration order (all fifteen oracle-green in the round-11 pre-record
-#     gates and judge-verified PASS);
-# (b) round-12 additions, registration order — first records in the same
-#     round they were written;
-# (c) the 22 remaining r04-latest stragglers, registration order — after
-#     these the r04 cohort is fully rotated;
-# (d) fill from the then-oldest cohort (r05-latest, 50 queries),
-#     registration order; the rest roll to round 13. All queries remain
-#     registered — ordering only picks the driver sample.
+# (r01..r12 each recorded exactly 50), so ordering controls which queries get
+# a driver record. Round-13 ordering applies the staged plan from the
+# round-12 comment (round-12 gate came back 50/50 green, so no reds to head
+# the window):
+# (a) first driver records for the 5 round-13 additions, registration order;
+# (b) 45 of the 46 remaining r05-latest stragglers, registration order --
+#     vocab_coverage_curve rolls to round 14 to keep the window at 50.
+# All queries remain registered -- ordering only picks the driver sample.
 _PRIORITY = [
-    # (a) round-11 post-window additions, first driver records
-    "quality_filter_sweep", "epoch_repeat_plan", "ann_probe_recall_curve",
-    "neardup_cluster_purity", "media_phash_neardup", "epoch_shuffle_audit",
-    "audio_fingerprint_neardup", "scaling_law_subsets", "ivf_cell_balance",
-    "inbatch_negative_collisions", "packing_fill_sweep",
-    "minhash_vs_simhash_agreement", "dedup_removal_impact",
-    "neardup_chain_overmerge", "stream_topk_frequent_items",
-    # (b) round-12 additions, registration order — first records in the
-    #     same round they were written (inserted here as they land)
-    "crossdoc_substring_dedup", "caption_image_agreement",
-    "dedup_savings_by_source", "webdataset_shard_plan",
-    "padding_waste_report", "crosslingual_neardup_rate",
-    "in_context_packing_plan", "stream_cms_frequency",
-    "rejection_sampling_yield",
-    # (c) r04-latest stragglers, registration order — r04 fully rotated
-    "priority_with_big_lineitem", "returnflag_share", "deterministic_sample",
-    "value_percentiles_by_type", "price_stats_by_flag", "orders_by_weekday",
-    "overlapping_order_windows", "brand_size_rank", "promo_revenue_share",
-    "idle_big_balance_customers", "returned_revenue_by_nation",
-    "copurchase_part_pairs", "fk_integrity_report", "retry_cut_status",
-    "set_ops_segments", "stratified_sample_per_source", "events_type_pivot",
-    "approx_distinct_users", "quantile_sketch_audit", "range_join_value_bands",
-    "oov_rate_report", "sentence_split_udtf",
-    # (d) r05-latest rotations, registration order (trimmed to keep the
-    #     window at 50; the rest roll to round 13)
-    "wow_type_delta", "new_vs_returning_daily", "time_to_convert_quantiles",
-    "cumulative_users_daily",
+    # (a) round-13 additions -- first records in the round they were written
+    "train_quality_classifier", "trained_gate_impact",
+    "bpe_train_loop", "bpe_vocab_apply", "token_chunk_udtf",
+    # (b) r05-latest stragglers, registration order (45 of 46)
+    "minhash_estimate_audit", "ngram_novelty_rate", "lsh_tuning_report",
+    "mixture_temperature_weights", "curriculum_length_buckets",
+    "k_anonymity_audit", "winnowing_fingerprints", "winnow_match_pairs",
+    "containment_pairs", "token_budget_select", "embedding_pca_covariance",
+    "class_scatter_direction", "jl_random_projection",
+    "embedding_centroid_drift", "embedding_anisotropy", "mmr_diverse_topk",
+    "ks_drift_binned", "psi_stability_report", "chi2_type_by_dow",
+    "gopher_quality_flags", "dead_letter_split", "auc_binned_report",
+    "info_gain_type_by_dow", "bfs_reach_3hop", "media_png_roundtrip",
+    "media_png_resize", "media_wav_probe", "column_correlation_matrix",
+    "gini_by_source", "group_avg", "revenue_by_region_year",
+    "ntile_price_quartiles", "user_event_type_map", "decimal_exact_totals",
+    "salted_skew_join", "heavy_hitters_verified", "bloom_dedup_admission",
+    "count_min_freq_audit", "bm25_topk", "inverted_index_postings",
+    "ann_recall_eval", "stream_psi_drift", "twap_per_user",
+    "entropy_by_source", "js_divergence_sources",
     # --- 50-slot window ends here ---
 ]
-# ROUND-13 ORDERING PLAN (apply after the round-12 gate runs): head the
-# window with any round-12 reds (expected none), then:
-# (1) first records for any round-13 additions as they land;
-# (2) the 46 remaining r05-latest stragglers, registration order
-#     (minhash_estimate_audit, ngram_novelty_rate, lsh_tuning_report,
-#     mixture_temperature_weights, curriculum_length_buckets,
-#     k_anonymity_audit, winnowing_fingerprints .. vocab_coverage_curve);
-# (3) fill the remaining slots from the then-oldest cohort (r06-latest),
-#     registration order. The window stays pure first-records-for-new +
-#     oldest-cohort rotation on a ≤8-round cadence.
+# ROUND-14 ORDERING PLAN (apply after the round-13 gate runs): head the
+# window with any round-13 reds (expected none), then:
+# (1) first records for any round-14 additions as they land;
+# (2) vocab_coverage_curve (the last r05-latest straggler -- the r05 cohort
+#     is fully rotated after it);
+# (3) fill the remaining slots from the then-oldest cohort (r06-latest,
+#     50 queries: label_centroids, monthly_revenue_trend, fuzzy_name_pairs,
+#     monthly_spine_gap_fill, dedup_exact, minhash_signatures, ...),
+#     registration order; the rest roll to round 15. The window stays pure
+#     first-records-for-new + oldest-cohort rotation on a <=8-round cadence.
 
 
 def _ordered_names() -> list[str]:
