@@ -98,12 +98,12 @@ HEADLINE = [
 RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
 SCALED_COPIES = int(os.environ.get("SPARK_GRAFT_BENCH_SCALE_COPIES", "10"))
 
-# Calibration reference wall (seconds): the median wall of _calibration()'s
-# constant-work synthetic suite measured IN-CONTEXT (inside a full
-# `python bench.py` run at sf0.1) on the round-13 quiet reference box
-# (zero orphan JVMs; two independent full runs both read 2.36). The
-# standalone-session wall differs (2.0-3.6 depending on JVM/JIT state), so
-# the reference is pinned from the bench-run context the driver records.
+# Calibration reference wall (seconds): the wall of _calibration()'s
+# constant-work synthetic suite measured IN-CONTEXT — at its actual
+# position in a full `python bench.py` run at sf0.1 (AFTER the timed
+# section, on a hot JVM) on the round-13 quiet reference box with zero
+# orphan JVMs. Standalone-session or cold-JVM walls differ (2.0-3.6), so
+# the reference is pinned from exactly the context the driver records.
 # drift = measured_cal_wall / CAL_REF_WALL; >1 means the box is slower than
 # the reference state, and vs_prev ratios should be read through
 # drift_norm_* fields. The workload is frozen here in bench.py and touches
@@ -111,7 +111,7 @@ SCALED_COPIES = int(os.environ.get("SPARK_GRAFT_BENCH_SCALE_COPIES", "10"))
 # three consecutive rounds (r10 revenue_by_nation, r11 simhash, r12
 # "worst3") burned hand-run A/B checkouts proving recorded regressions were
 # environment; this field makes that archaeology unnecessary.
-CAL_REF_WALL = 2.36
+CAL_REF_WALL = 2.04
 
 
 def _calibration(spark) -> dict:
@@ -336,12 +336,6 @@ def main() -> int:
             file=sys.stderr,
         )
 
-    # box-state calibration BEFORE the timed section: constant-work synthetic
-    # suite; drift>1 means this box is slower than the pinned reference state
-    try:
-        calibration = _calibration(spark)
-    except Exception as exc:  # noqa: BLE001
-        calibration = {"error": f"{type(exc).__name__}: {exc}"[:200]}
 
     # JIT warm-up: run each headline query once UNTIMED before measuring.
     # The first execution of a heavy expression tree pays whole-stage-codegen
@@ -377,6 +371,17 @@ def main() -> int:
             failed[name] = f"{type(exc).__name__}: {exc}"[:300]
             continue
         timings[name] = round(statistics.median(runs), 3)
+
+    # box-state calibration AFTER the timed section: running the synthetic
+    # suite first measurably perturbed the timed queries (+13% on the shared
+    # set in a controlled A/B — heap growth/JIT state from 4 x 24M-row suite
+    # executions), so it samples the box here, where it can no longer touch
+    # the numbers it normalizes. Drift > 1 = box slower than the pinned
+    # reference state.
+    try:
+        calibration = _calibration(spark)
+    except Exception as exc:  # noqa: BLE001
+        calibration = {"error": f"{type(exc).__name__}: {exc}"[:200]}
 
     total = round(sum(timings.values()), 3)
     sf = os.path.basename(SF_DIR.rstrip("/")).replace("sf", "")
