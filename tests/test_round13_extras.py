@@ -273,3 +273,46 @@ def test_trained_gate_impact_equals_final_stage(spark):
         for k in ("n_pass_trained", "n_pass_fixed", "n_keep_label",
                   "n_trained_correct", "n_fixed_correct"):
             assert 0 <= r[k] <= r["n_docs"]
+
+
+# ---------------------------------------------------------------------------
+# bpe_train_loop on ADVERSARIAL random corpora vs the pure-Python reference:
+# a tiny alphabet forces overlapping pairs ([a,a,a]) and deep merge chains —
+# the inputs where fold-vs-greedy-scan equivalence could break. This is the
+# shared-bug net: Spark-vs-DuckDB fuzz cannot see a bug both engines share,
+# but the independent Python model can.
+# ---------------------------------------------------------------------------
+
+import pyarrow as pa  # noqa: E402
+import pyarrow.parquet as pq  # noqa: E402
+from hypothesis import HealthCheck, given, settings, strategies as st  # noqa: E402
+
+_BPE_WORD = st.text(alphabet="ab", min_size=1, max_size=6)
+_BPE_DOC = st.lists(_BPE_WORD, min_size=1, max_size=8).map(" ".join)
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(docs=st.lists(_BPE_DOC, min_size=2, max_size=8))
+def test_bpe_train_loop_adversarial_alphabet(spark, tmp_path_factory, docs):
+    tmp = tmp_path_factory.mktemp("bpe_adv")
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(docs)), pa.int64()),
+                "text": pa.array(docs, pa.string()),
+                "lang": pa.array(["en"] * len(docs), pa.string()),
+                "source": pa.array([f"s{i % 2}" for i in range(len(docs))], pa.string()),
+            }
+        ),
+        tmp / "documents.parquet",
+    )
+    ref = _model_bpe(docs, _BPE_LOOP_MERGES)
+    got = sorted(
+        (r.asDict() for r in bpe_train_loop(spark, str(tmp)).collect()),
+        key=lambda d: d["merge_idx"],
+    )
+    assert got == ref, (got, ref)
