@@ -103,6 +103,18 @@ def persist_barrier(df: DataFrame, site: str) -> DataFrame:
     return out
 
 
+_CLEAR_HOOKS: list = []
+
+
+def register_clear_hook(fn) -> None:
+    """Register a callable invoked by :func:`clear_barriers` — for module
+    caches that hold materialized frames outside ``_BARRIERS`` (e.g. the
+    memoized BPE vocabulary, which is localCheckpoint-backed and therefore
+    can't dedupe via ``sameSemantics``)."""
+    if fn not in _CLEAR_HOOKS:
+        _CLEAR_HOOKS.append(fn)
+
+
 def clear_barriers() -> None:
     """Unpersist every live barrier frame (bench uses this between repeat
     runs so each measurement is cold; safer than ``catalog.clearCache()``,
@@ -114,6 +126,11 @@ def clear_barriers() -> None:
         except Exception:
             pass
     _BARRIERS.clear()
+    for fn in _CLEAR_HOOKS:
+        try:
+            fn()
+        except Exception:
+            pass
 
 
 def with_shingle_hashes(df: DataFrame, key_col: str, text_col: str = "text") -> DataFrame:

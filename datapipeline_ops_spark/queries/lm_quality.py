@@ -1365,10 +1365,32 @@ def bpe_train_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+# Session-scoped memo for the trained BPE loop: unlike the quality pair
+# (whose feats/aggs dedupe across queries via persist_barrier's
+# sameSemantics check), every _bpe_run_loop call builds fresh
+# localCheckpoint frames, so without a memo running bpe_train_loop then
+# bpe_vocab_apply pays the 8-merge loop twice. Keyed by (applicationId,
+# sf_dir) so a restarted session never sees stale checkpoint handles;
+# cleared by clear_barriers() so bench repeats stay cold.
+_BPE_LOOP_MEMO: dict = {}
+
+
+def _bpe_memo_clear() -> None:
+    _BPE_LOOP_MEMO.clear()
+
+
 def _bpe_run_loop(spark: SparkSession, sf_dir: str):
     """Run the {_BPE_LOOP_MERGES}-merge loop; return (final vocab frame
     with columns token/n/nb/s/na, per-merge stats frames). Shared by
-    bpe_train_loop and bpe_vocab_apply."""
+    bpe_train_loop and bpe_vocab_apply (memoized per session+dir — the
+    apply query reuses the trained vocabulary instead of retraining)."""
+    from datapipeline_ops_spark.operators.dedup import register_clear_hook
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    hit = _BPE_LOOP_MEMO.get(key)
+    if hit is not None:
+        return hit
+    register_clear_hook(_bpe_memo_clear)
     d = load_table(spark, sf_dir, "documents")
     vocab = (
         d.select(
@@ -1445,6 +1467,7 @@ def _bpe_run_loop(spark: SparkSession, sf_dir: str):
                 "vocab_words_changed",
             )
         )
+    _BPE_LOOP_MEMO[key] = (v, out_rows)
     return v, out_rows
 
 

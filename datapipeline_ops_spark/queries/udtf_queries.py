@@ -123,7 +123,11 @@ class TokenChunks:
         import hashlib
         import re
 
-        t = re.split(r"\s+", text or "")
+        # ASCII \s only: Spark's split() (Java \s) and the shared DuckDB
+        # oracle (RE2 \s) never split on Unicode whitespace (NBSP,  ,
+        # ...), so the Python seam must not either — otherwise this UDTF
+        # diverges from rag_chunk_plan (identity-pinned) on real web text.
+        t = re.split(r"\s+", text or "", flags=re.ASCII)
         m = len(t)
         n_chunks = 1 if m <= CHUNK_N else 1 + -(-(m - CHUNK_N) // _CHUNK_STRIDE)
         for j in range(n_chunks):

@@ -29,9 +29,12 @@ def _model_train(docs):
     trajectory as the query contract. Returns list of per-stage dicts."""
     feats = []
     for text in docs:
-        t = re.split(r"\s+", text)
-        words = re.split(r"\s+", text.strip())
-        n_nonspace = len(re.sub(r"\s", "", text))
+        # ASCII \s + space-only strip: mirror Spark split()/trim() (Java
+        # ASCII \s; trim strips ' ' only) so the reference cannot diverge
+        # from the query contract on Unicode-whitespace or tab-edged text.
+        t = re.split(r"\s+", text, flags=re.ASCII)
+        words = re.split(r"\s+", text.strip(" "), flags=re.ASCII)
+        n_nonspace = len(re.sub(r"\s", "", text, flags=re.ASCII))
         n = len(t)
         mean_len = sum(len(x) for x in t) / n
         stop = sum(1 for x in t if x in ("the", "a")) / n
@@ -150,7 +153,7 @@ def _model_bpe(texts, n_merges):
     left-to-right non-overlapping scan application."""
     vocab = Counter()
     for t in texts:
-        for w in re.split(r"\s+", t.replace("\x1f", "")):
+        for w in re.split(r"\s+", t.replace("\x1f", ""), flags=re.ASCII):
             if w:
                 vocab[w] += 1
     syms = {w: [c for c in w] for w in vocab}

@@ -452,6 +452,19 @@ def _round6(x: float) -> float:
     return s * math.floor(abs(x) * 1e6 + 0.5) / 1e6 + 0.0
 
 
+def _round6_rate(num: int, den: int) -> float:
+    """Spark's round(avg(ind), 6) for a 0/1 indicator: the avg is the exact
+    double num/den (integer sums in double are exact), and round() HALF_UPs
+    the exact binary value of that double via BigDecimal — emulated with
+    Decimal(float), NOT floor(x*1e6+0.5) on a float product, which can
+    differ by 1e-6 when x*1e6 float-rounds onto an exact .5 boundary."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return float(
+        Decimal(num / den).quantize(Decimal("1e-6"), rounding=ROUND_HALF_UP)
+    ) + 0.0
+
+
 def _cq_trained_gate_identity(rows):
     """Corpus-wide pass/accuracy at the deployed (final) weights equal the
     final training stage's published rates — the trained artifact and its
@@ -461,8 +474,8 @@ def _cq_trained_gate_identity(rows):
     n = sum(r["n_docs"] for r in rows["trained_gate_impact"])
     if n == 0:
         return "trained_gate_impact saw zero docs"
-    pass_rate = _round6(sum(r["n_pass_trained"] for r in rows["trained_gate_impact"]) / n)
-    acc_rate = _round6(sum(r["n_trained_correct"] for r in rows["trained_gate_impact"]) / n)
+    pass_rate = _round6_rate(sum(r["n_pass_trained"] for r in rows["trained_gate_impact"]), n)
+    acc_rate = _round6_rate(sum(r["n_trained_correct"] for r in rows["trained_gate_impact"]), n)
     if pass_rate != final["pass_rate"]:
         return f"apply pass rate {pass_rate} != final stage pass_rate {final['pass_rate']}"
     if acc_rate != final["acc_rate"]:
