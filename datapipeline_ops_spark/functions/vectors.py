@@ -42,6 +42,17 @@ def norm(a: Column) -> Column:
     return F.sqrt(dot(a, a))
 
 
+def sqdist(a: Column, b: Column) -> Column:
+    """Squared L2 distance, left-to-right double fold in element order —
+    bit-identical to :func:`sql_sqdist` (same IEEE ops, same order), so
+    cross-engine argmin tie-breaks agree without a tolerance."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
 def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
@@ -59,6 +70,14 @@ def sql_dot(a: str, b: str) -> str:
 
 def sql_norm(a: str) -> str:
     return f"sqrt({sql_dot(a, a)})"
+
+
+def sql_sqdist(a: str, b: str) -> str:
+    # same element order, same double accumulation as F.aggregate in sqdist
+    return (
+        f"list_sum(list_transform(generate_series(1, len({a})),"
+        f" i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i])))"
+    )
 
 
 def sql_cosine(a: str, b: str) -> str:

@@ -16,6 +16,7 @@ from datapipeline_ops_spark.queries import (  # noqa: F401
     graph_queries,
     inference_queries,
     io_queries,
+    kmeans_loop,  # after similarity: reuses its seed constants + CTE mirror
     layout_queries,
     lm_quality,
     mlops_extra,

@@ -1050,6 +1050,24 @@ def test_fuzz_embeddings_wave5(spark, tmp_path_factory, embs):
 
 
 @settings(**_SETTINGS)
+@given(embs=st.lists(_EMB_ROW, min_size=12, max_size=40))
+def test_fuzz_embeddings_kmeans_loop(spark, tmp_path_factory, embs):
+    """Round-14 wave 6a: the full Lloyd training closure. Micro-corpora
+    exercise the paths testdata never does — K < 10 seed batches (corpora
+    under 20 vectors), drained clusters taking the carry-over centroid,
+    duplicate vectors forcing the cluster-id argmin tie-break, and
+    convergence plateaus where n_moved hits 0 mid-loop."""
+    tmp_path = tmp_path_factory.mktemp("fuzz_km")
+    _write_embeddings(tmp_path, embs)
+    _run_pair(
+        spark,
+        tmp_path,
+        ["kmeans_train_loop", "kmeans_assign_apply"],
+        ["embeddings"],
+    )
+
+
+@settings(**_SETTINGS)
 @given(events=st.lists(_EVENT_ROW, min_size=6, max_size=60))
 def test_fuzz_events_wave5(spark, tmp_path_factory, events):
     """Wave 5f: the sketch-audit families (KMV/CMS/HLL/AMS/q-digest),

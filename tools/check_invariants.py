@@ -344,6 +344,11 @@ MONOTONE = {
     # every merge strictly removes occurrences, so the weighted corpus
     # symbol total cannot increase across merge stages
     "bpe_train_loop": ("merge_idx", [("corpus_symbols_after", "-")]),
+    # Lloyd: re-assignment cannot raise cost at fixed centroids, and the
+    # member mean minimizes cost at fixed assignment; 6-dp centroid
+    # rounding perturbs inertia by <= N*dim*(5e-7)^2 (~1e-11 here), far
+    # inside the monotone tolerance
+    "kmeans_train_loop": ("iter", [("inertia", "-")]),
 }
 
 
@@ -530,7 +535,34 @@ def _cq_bpe_first_merge(rows):
     return None
 
 
+def _cq_kmeans_apply_identity(rows):
+    """The apply-side per-cluster report must reassemble the final training
+    stage: surviving-cluster count == n_active (exact), and the cluster
+    inertias sum back to the stage inertia (each of the <= K+1 published
+    values rounds independently at 6 dp, so the tolerance is (K+1)*5e-7)."""
+    stages = rows["kmeans_train_loop"]
+    if not stages:
+        return "kmeans_train_loop published no stages"
+    final = max(stages, key=lambda r: r["iter"])
+    apply_rows = rows["kmeans_assign_apply"]
+    if len(apply_rows) != final["n_active"]:
+        return f"apply rows {len(apply_rows)} != final n_active {final['n_active']}"
+    total = sum(r["cluster_inertia"] for r in apply_rows)
+    tol = (len(apply_rows) + 1) * 5e-7 + 1e-9
+    if abs(total - final["inertia"]) > tol:
+        return (
+            f"apply inertia sum {total} != final stage inertia "
+            f"{final['inertia']} (tol {tol})"
+        )
+    return None
+
+
 CROSS_QUERY = [
+    (
+        "kmeans_apply_equals_final_stage",
+        ["kmeans_assign_apply", "kmeans_train_loop"],
+        _cq_kmeans_apply_identity,
+    ),
     (
         "bpe_loop_first_merge",
         ["bpe_train_loop", "bpe_merge_step"],

@@ -2161,6 +2161,31 @@ def _(qs, spark):
     assert cols <= {"doc_id", "text"}, cols
 
 
+@check("kmeans_train_loop: join-free literal-centroid passes over one persisted corpus")
+def _(qs, spark):
+    plan = plan_of(qs["kmeans_train_loop"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    # centroids ship as in-plan literals (driver-held K x dim artifact, the
+    # MLlib topology): the whole unrolled loop must contain NO join of any
+    # kind — every stage is a narrow argmin pass over the persisted corpus
+    assert re.search(r"\w*Join\w*", plan) is None, re.findall(r"\w*Join\w*", plan)
+    assert "InMemoryTableScan" in plan, "corpus projection must persist across stages"
+    assert "partial_" in plan, "per-stage inertia/moved agg must map-side combine"
+    cols = read_schema_cols(plan, "embeddings")
+    assert cols <= {"vec_id", "embedding"}, cols
+
+
+@check("kmeans_assign_apply: one join-free argmin pass + map-side cluster rollup")
+def _(qs, spark):
+    plan = plan_of(qs["kmeans_assign_apply"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert re.search(r"\w*Join\w*", plan) is None, re.findall(r"\w*Join\w*", plan)
+    assert "InMemoryTableScan" in plan, "corpus projection must persist (shared with train)"
+    assert "partial_" in plan, "cluster rollup must map-side combine"
+    cols = read_schema_cols(plan, "embeddings")
+    assert cols <= {"vec_id", "embedding"}, cols
+
+
 def main() -> int:
     import __spark_entry__ as entry_mod
     from datapipeline_ops_spark.session import get_spark
