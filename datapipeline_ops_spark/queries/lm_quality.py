@@ -1553,3 +1553,123 @@ def bpe_vocab_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.lit(0.0)
         ).alias("chars_per_symbol"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Artifact-handoff applies: persist the trained model to parquet, apply
+# FROM THE FILE — the operationally-realistic form of the train->apply
+# closures (production never retrains inside the apply job; it reads the
+# registered artifact). Cross-query identities pin each artifact apply
+# row-equal to its in-lineage twin, so the serialization seam cannot
+# drift. This is the engine's first model-registry-shaped sink.
+# ---------------------------------------------------------------------------
+
+from datapipeline_ops_spark.core.registry import QUERIES as _REG  # noqa: E402
+
+
+def _artifact_path(sf_dir: str, name: str) -> str:
+    """Repo-local model-registry scratch (the io_queries sink convention:
+    mode=overwrite under .tmp/ keeps reruns idempotent)."""
+    import os
+
+    tag = sf_dir.strip("/").replace("/", "_")
+    root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    return os.path.join(root, ".tmp", "artifacts", tag, name)
+
+
+@query("trained_gate_artifact_apply", oracle=_qct_apply_oracle())
+def trained_gate_artifact_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`trained_gate_impact`, operationalized: train, WRITE the final
+    weight row to parquet (the model registry), read the artifact back,
+    and score the corpus from the file — never from the training lineage.
+    Same oracle SQL as the in-lineage apply, and a cross-query identity
+    pins the two result sets row-equal, so a drift anywhere in the
+    write/read seam (type narrowing, row duplication, stale file) breaks
+    the gate. Doubles round-trip parquet bit-exactly, so equality is
+    exact, not approximate.
+
+    Scale: the artifact is ONE row of 5 doubles — the apply job's input
+    is a file read plus one broadcast, and the training cluster is not in
+    the serving path at all (the in-lineage form keeps it there; this
+    form is what actually ships)."""
+    feats, _, w_frame = _qct_run(spark, sf_dir)
+    path = _artifact_path(sf_dir, "quality_gate_weights")
+    w_frame.write.mode("overwrite").parquet(path)
+    w = spark.read.parquet(path)
+    j = feats.crossJoin(F.broadcast(w))
+    z = (
+        F.col("b")
+        + F.col("w1") * F.col("x1")
+        + F.col("w2") * F.col("x2")
+        + F.col("w3") * F.col("x3")
+        + F.col("w4") * F.col("x4")
+    )
+    gate = z >= 0.0
+    label = F.col("y") == F.lit(1.0)
+    t_ok = (gate == label).cast("int")
+    f_ok = (F.col("fixed_pass") == label).cast("int")
+    return j.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(gate.cast("int")).cast("long").alias("n_pass_trained"),
+        F.sum(F.col("fixed_pass").cast("int")).cast("long").alias("n_pass_fixed"),
+        F.sum(label.cast("int")).cast("long").alias("n_keep_label"),
+        F.sum(t_ok).cast("long").alias("n_trained_correct"),
+        F.sum(f_ok).cast("long").alias("n_fixed_correct"),
+        (
+            F.round(F.sum(t_ok).cast("double") / F.count(F.lit(1)), 6) + F.lit(0.0)
+        ).alias("trained_acc_rate"),
+        (
+            F.round(F.sum(f_ok).cast("double") / F.count(F.lit(1)), 6) + F.lit(0.0)
+        ).alias("fixed_acc_rate"),
+    )
+
+
+@query("bpe_artifact_apply", oracle=_bpe_apply_oracle())
+def bpe_artifact_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`bpe_vocab_apply`, operationalized: train the {_BPE_LOOP_MERGES}-
+    merge vocabulary, WRITE the (token, symbol-count) table to parquet,
+    and tokenize the corpus by joining against the artifact FILE — the
+    registered-tokenizer topology (a serving job loads vocab.parquet; it
+    never re-runs the merge loop). Same oracle as the in-lineage apply; a
+    cross-query identity pins the two row-equal across the
+    serialization seam.
+
+    Scale: the artifact is the vocab-bounded (token, na) table — the
+    apply is one equi-join between the corpus token aggregate and a
+    parquet scan, with the training lineage entirely out of the plan."""
+    v, _ = _bpe_run_loop(spark, sf_dir)
+    path = _artifact_path(sf_dir, "bpe_vocab")
+    v.select("token", "na").write.mode("overwrite").parquet(path)
+    vocab = spark.read.parquet(path)
+    d = load_table(spark, sf_dir, "documents")
+    dw = (
+        d.select(
+            "source",
+            F.explode(tokens(F.translate(F.col("text"), _BPE_US, ""))).alias("token"),
+        )
+        .filter(F.length("token") >= 1)
+        .groupBy("source", "token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    j = dw.join(vocab, "token")
+    return j.groupBy("source").agg(
+        F.sum("n").cast("long").alias("n_ws_tokens"),
+        F.sum(F.col("n") * F.length("token")).cast("long").alias("n_chars"),
+        F.sum(F.col("n") * F.col("na")).cast("long").alias("n_bpe_symbols"),
+        (
+            F.round(
+                F.sum(F.col("n") * F.col("na")).cast("double")
+                / F.sum("n").cast("double"),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("fertility"),
+        (
+            F.round(
+                F.sum(F.col("n") * F.length("token")).cast("double")
+                / F.sum(F.col("n") * F.col("na")).cast("double"),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("chars_per_symbol"),
+    )

@@ -931,6 +931,7 @@ def test_fuzz_documents_wave5_web(spark, tmp_path_factory, docs):
             "quality_filter_sweep",
             "train_quality_classifier",
             "trained_gate_impact",
+            "trained_gate_artifact_apply",
             "blocklist_filter_report",
             "robots_rules_apply",
             "warc_record_extract",
@@ -964,6 +965,7 @@ def test_fuzz_documents_wave5_select(spark, tmp_path_factory, docs):
             "bpe_merge_step",
             "bpe_train_loop",
             "bpe_vocab_apply",
+            "bpe_artifact_apply",
             "source_vocab_jaccard_matrix",
             "pareto_frontier_docs",
             "domain_mixing_sample",

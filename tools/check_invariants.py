@@ -519,6 +519,27 @@ def _cq_chunk_udtf_identity(rows):
     return None
 
 
+def _make_artifact_twin_check(artifact_q: str, lineage_q: str):
+    """Row-set equality between an artifact-handoff apply (reads the model
+    from parquet) and its in-lineage twin: doubles round-trip parquet
+    bit-exactly, so ANY difference means the write/read seam drifted
+    (type narrowing, duplicated rows, a stale artifact file)."""
+
+    def chk(rows):
+        a = sorted(tuple(sorted(r.items())) for r in rows[artifact_q])
+        b = sorted(tuple(sorted(r.items())) for r in rows[lineage_q])
+        if a != b:
+            extra = len(set(a) - set(b))
+            missing = len(set(b) - set(a))
+            return (
+                f"row sets differ across artifact seam: +{extra} "
+                f"artifact-only, -{missing} lineage-only"
+            )
+        return None
+
+    return chk
+
+
 def _cq_bpe_first_merge(rows):
     """bpe_train_loop's first merge IS bpe_merge_step's rank-1 pair: stage 1
     counts the identical weighted adjacent character pairs, so the argmax
@@ -567,6 +588,16 @@ CROSS_QUERY = [
         "bpe_loop_first_merge",
         ["bpe_train_loop", "bpe_merge_step"],
         _cq_bpe_first_merge,
+    ),
+    (
+        "gate_artifact_equals_lineage_apply",
+        ["trained_gate_artifact_apply", "trained_gate_impact"],
+        _make_artifact_twin_check("trained_gate_artifact_apply", "trained_gate_impact"),
+    ),
+    (
+        "bpe_artifact_equals_lineage_apply",
+        ["bpe_artifact_apply", "bpe_vocab_apply"],
+        _make_artifact_twin_check("bpe_artifact_apply", "bpe_vocab_apply"),
     ),
     (
         "chunk_udtf_equals_rag_plan",

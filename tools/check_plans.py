@@ -2186,6 +2186,36 @@ def _(qs, spark):
     assert cols <= {"vec_id", "embedding"}, cols
 
 
+@check("trained_gate_artifact_apply: weights arrive via parquet artifact scan")
+def _(qs, spark):
+    plan = plan_of(qs["trained_gate_artifact_apply"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    # the model must come FROM THE FILE: a parquet scan of the registry
+    # path, broadcast onto the persisted feature table — never the
+    # training lineage re-derived inside the apply plan
+    assert "quality_gate_weights" in plan, "apply must scan the weights artifact"
+    assert "BroadcastNestedLoopJoin" in plan, "1-row weight frame must broadcast"
+    assert re.search(r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)", plan) is None
+    assert "InMemoryTableScan" in plan, "feature table must persist"
+    assert "partial_" in plan, "source rollup must map-side combine"
+
+
+@check("bpe_artifact_apply: vocab equi-join against the parquet artifact, loop out of plan")
+def _(qs, spark):
+    plan = plan_of(qs["bpe_artifact_apply"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "bpe_vocab" in plan, "apply must scan the vocab artifact"
+    assert re.search(r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)", plan), (
+        "apply must be an equi-join on the token key"
+    )
+    # the serving plan must NOT contain the training loop: no checkpointed
+    # stage RDDs — the trained state enters only through the file
+    assert "ExistingRDD" not in plan, "training lineage leaked into the serving plan"
+    assert "partial_" in plan, "source rollup must map-side combine"
+    cols = read_schema_cols(plan, "documents")
+    assert cols <= {"source", "text"}, cols
+
+
 def main() -> int:
     import __spark_entry__ as entry_mod
     from datapipeline_ops_spark.session import get_spark
