@@ -26,47 +26,53 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver gate records a capped prefix of queries() in registration order
-# (r01..r12 each recorded exactly 50), so ordering controls which queries get
-# a driver record. Round-13 ordering applies the staged plan from the
-# round-12 comment (round-12 gate came back 50/50 green, so no reds to head
+# (r01..r13 each recorded exactly 50), so ordering controls which queries get
+# a driver record. Round-14 ordering applies the staged plan from the
+# round-13 comment (round-13 gate came back 50/50 green, so no reds to head
 # the window):
-# (a) first driver records for the 5 round-13 additions, registration order;
-# (b) 45 of the 46 remaining r05-latest stragglers, registration order --
-#     vocab_coverage_curve rolls to round 14 to keep the window at 50.
+# (a) first driver records for the 5 round-14 additions, registration order;
+# (b) vocab_coverage_curve -- the last r05-latest straggler; the r05 cohort
+#     is fully rotated after it;
+# (c) the first 44 of the r06-latest cohort (50 queries), registration
+#     order; the last 6 (crawl_schedule_plan, warc_record_extract,
+#     crawl_to_corpus_e2e, robots_rules_apply, seasonal_decompose_daily,
+#     changepoint_cusum_daily) roll to round 15 to keep the window at 50.
 # All queries remain registered -- ordering only picks the driver sample.
 _PRIORITY = [
-    # (a) round-13 additions -- first records in the round they were written
-    "train_quality_classifier", "trained_gate_impact",
-    "bpe_train_loop", "bpe_vocab_apply", "token_chunk_udtf",
-    # (b) r05-latest stragglers, registration order (45 of 46)
-    "minhash_estimate_audit", "ngram_novelty_rate", "lsh_tuning_report",
-    "mixture_temperature_weights", "curriculum_length_buckets",
-    "k_anonymity_audit", "winnowing_fingerprints", "winnow_match_pairs",
-    "containment_pairs", "token_budget_select", "embedding_pca_covariance",
-    "class_scatter_direction", "jl_random_projection",
-    "embedding_centroid_drift", "embedding_anisotropy", "mmr_diverse_topk",
-    "ks_drift_binned", "psi_stability_report", "chi2_type_by_dow",
-    "gopher_quality_flags", "dead_letter_split", "auc_binned_report",
-    "info_gain_type_by_dow", "bfs_reach_3hop", "media_png_roundtrip",
-    "media_png_resize", "media_wav_probe", "column_correlation_matrix",
-    "gini_by_source", "group_avg", "revenue_by_region_year",
-    "ntile_price_quartiles", "user_event_type_map", "decimal_exact_totals",
-    "salted_skew_join", "heavy_hitters_verified", "bloom_dedup_admission",
-    "count_min_freq_audit", "bm25_topk", "inverted_index_postings",
-    "ann_recall_eval", "stream_psi_drift", "twap_per_user",
-    "entropy_by_source", "js_divergence_sources",
+    # (a) round-14 additions -- first records in the round they were written
+    "kmeans_train_loop", "kmeans_assign_apply",
+    "trained_gate_artifact_apply", "bpe_artifact_apply",
+    "kmeans_artifact_apply",
+    # (b) the final r05 straggler
+    "vocab_coverage_curve",
+    # (c) r06-latest cohort, registration order (45 of 50)
+    "label_centroids", "monthly_revenue_trend", "fuzzy_name_pairs",
+    "monthly_spine_gap_fill", "dedup_exact", "minhash_signatures",
+    "ngram_jaccard_pairs", "simhash_fingerprints", "simhash_near_pairs",
+    "pareto_frontier_docs", "pq_code_assign", "ann_ivf_pq_topk",
+    "eval_rmse_report", "eval_angular_error", "eval_dataset_means",
+    "udf_quality_gate", "udf_detect_count_filter", "udf_pair_similarity_band",
+    "csv_roundtrip", "jsonl_roundtrip", "jsonl_records",
+    "media_manifest", "media_decode_stub", "media_resize_stub",
+    "media_frame_sample", "media_type_sniff", "media_png_frame_extract",
+    "segment_plan", "segment_summary", "frame_sample_ref",
+    "frame_sample_scan", "array_index_join", "iou_boxes",
+    "clipped_area_filter", "gauntlet_exactly_one", "pipeline_cut_e2e",
+    "pipeline_caption_e2e", "pipeline_frame_mining_e2e",
+    "pipeline_bg_filter_e2e", "kmv_set_ops_audit", "bootstrap_mean_ci",
+    "ann_ivfpq_recall_eval", "html_text_extract", "url_canonical_dedup",
     # --- 50-slot window ends here ---
 ]
-# ROUND-14 ORDERING PLAN (apply after the round-13 gate runs): head the
-# window with any round-13 reds (expected none), then:
-# (1) first records for any round-14 additions as they land;
-# (2) vocab_coverage_curve (the last r05-latest straggler -- the r05 cohort
-#     is fully rotated after it);
-# (3) fill the remaining slots from the then-oldest cohort (r06-latest,
-#     50 queries: label_centroids, monthly_revenue_trend, fuzzy_name_pairs,
-#     monthly_spine_gap_fill, dedup_exact, minhash_signatures, ...),
-#     registration order; the rest roll to round 15. The window stays pure
-#     first-records-for-new + oldest-cohort rotation on a <=8-round cadence.
+# ROUND-15 ORDERING PLAN (apply after the round-14 gate runs): head the
+# window with any round-14 reds (expected none), then:
+# (1) first records for any round-15 additions as they land;
+# (2) the 6 rolled r06 queries (crawl_schedule_plan, warc_record_extract,
+#     crawl_to_corpus_e2e, robots_rules_apply, seasonal_decompose_daily,
+#     changepoint_cusum_daily) -- the r06 cohort is fully rotated after them;
+# (3) fill the remaining slots from the then-oldest cohort (r07-latest, 50
+#     queries), registration order; the rest roll to round 16. The window
+#     stays pure first-records-for-new + oldest-cohort rotation on a
+#     <=8-round cadence.
 
 
 def _ordered_names() -> list[str]:

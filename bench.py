@@ -90,6 +90,46 @@ HEADLINE = [
     # wall-clock curves live in SCALING.md instead.
 ]
 
+# Extensions section (round 14+): post-r05 flagship queries measured with
+# the SAME protocol (untimed warm-up, median-of-RUNS, barriers cleared per
+# run) but reported in a SEPARATE series — the headline-54 set has been
+# frozen since ~r05 so its round-over-round series stays comparable, and
+# these get their own history instead of none. Note the trainers and their
+# applies each pay the full (memo-cleared) loop per timed run — the
+# in-session memoized apply cost is ~1 s; SCALING.md records both forms.
+EXTENSIONS = [
+    "crossdoc_substring_dedup",     # r12: ExactSubstr gram-hash dedup
+    "train_quality_classifier",     # r13: in-engine GD training unroll
+    "trained_gate_impact",          # r13: trained-gate confusion apply
+    "bpe_train_loop",               # r13: 8-merge BPE trainer
+    "bpe_vocab_apply",              # r13: trained-vocab tokenize
+    "token_chunk_udtf",             # r13: Arrow UDTF chunk planner
+    "sentence_split_udtf",          # r12: Arrow UDTF sentence expansion
+    "kmeans_train_loop",            # r14: Lloyd training closure
+    "kmeans_assign_apply",          # r14: trained-centroid assignment
+    "trained_gate_artifact_apply",  # r14: parquet-artifact weight serving
+    "bpe_artifact_apply",           # r14: parquet-artifact vocab serving
+    "kmeans_artifact_apply",        # r14: parquet-artifact centroid serving
+]
+
+# stdout short keys for the ext block (full names + totals + ext_vs_prev
+# live in BENCH_FULL.json; the driver's stdout window is 2000 chars and the
+# headline-54 map already uses ~1700 of it)
+EXT_SHORT = {
+    "crossdoc_substring_dedup": "crossdoc",
+    "train_quality_classifier": "qct_train",
+    "trained_gate_impact": "qct_apply",
+    "bpe_train_loop": "bpe_train",
+    "bpe_vocab_apply": "bpe_apply",
+    "token_chunk_udtf": "chunk_udtf",
+    "sentence_split_udtf": "sent_udtf",
+    "kmeans_train_loop": "km_train",
+    "kmeans_assign_apply": "km_apply",
+    "trained_gate_artifact_apply": "gate_art",
+    "bpe_artifact_apply": "bpe_art",
+    "kmeans_artifact_apply": "km_art",
+}
+
 
 # Median of RUNS repetitions per query: single runs at sub-minute scale are
 # noisy (JIT, page cache, GC); the median of 3 is stable enough to catch
@@ -346,31 +386,38 @@ def main() -> int:
     # harness (round-2's bench died in warm-up and measured NOTHING). Failures
     # are reported as entries in `failed`; the headline total covers survivors.
     failed: dict[str, str] = {}
-    for name in HEADLINE:
-        spec = QUERIES.get(name)
-        if spec is not None:
-            try:
-                clear_barriers()
-                spec.fn(spark, SF_DIR).count()
-            except Exception as exc:  # noqa: BLE001 — isolate, report, continue
-                failed[name] = f"{type(exc).__name__}: {exc}"[:300]
 
-    timings: dict[str, float] = {}
-    for name in HEADLINE:
-        spec = QUERIES.get(name)
-        if spec is None or name in failed:
-            continue
-        runs = []
-        try:
-            for _ in range(RUNS):
-                clear_barriers()
-                t0 = time.time()
-                spec.fn(spark, SF_DIR).count()
-                runs.append(time.time() - t0)
-        except Exception as exc:  # noqa: BLE001
-            failed[name] = f"{type(exc).__name__}: {exc}"[:300]
-            continue
-        timings[name] = round(statistics.median(runs), 3)
+    def _measure(names: list[str]) -> dict[str, float]:
+        for name in names:
+            spec = QUERIES.get(name)
+            if spec is not None:
+                try:
+                    clear_barriers()
+                    spec.fn(spark, SF_DIR).count()
+                except Exception as exc:  # noqa: BLE001 — isolate, report, continue
+                    failed[name] = f"{type(exc).__name__}: {exc}"[:300]
+        out: dict[str, float] = {}
+        for name in names:
+            spec = QUERIES.get(name)
+            if spec is None or name in failed:
+                continue
+            runs = []
+            try:
+                for _ in range(RUNS):
+                    clear_barriers()
+                    t0 = time.time()
+                    spec.fn(spark, SF_DIR).count()
+                    runs.append(time.time() - t0)
+            except Exception as exc:  # noqa: BLE001
+                failed[name] = f"{type(exc).__name__}: {exc}"[:300]
+                continue
+            out[name] = round(statistics.median(runs), 3)
+        return out
+
+    timings = _measure(HEADLINE)
+    # extensions AFTER the headline set so the frozen series cannot be
+    # perturbed by anything the new section warms or allocates
+    ext_timings = _measure(EXTENSIONS)
 
     # box-state calibration AFTER the timed section: running the synthetic
     # suite first measurably perturbed the timed queries (+13% on the shared
@@ -406,6 +453,10 @@ def main() -> int:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        # second series (same protocol, own history): post-r05 flagships.
+        # NOT in `value` — the headline total stays comparable across rounds.
+        "extensions": ext_timings,
+        "extensions_total": round(sum(ext_timings.values()), 3),
         "sf": sf_val,
         "runs_per_query": RUNS,
         "aggregation": "median",
@@ -421,6 +472,19 @@ def main() -> int:
     prev = _load_prev_bench()
     if prev:
         payload["vs_prev"] = _vs_prev(timings, prev, calibration)
+        # extensions series compares only once a prior round recorded one
+        # (r15+); same drift normalization as the headline comparison
+        prev_ext = prev.get("extensions")
+        if isinstance(prev_ext, dict) and prev_ext:
+            payload["ext_vs_prev"] = _vs_prev(
+                ext_timings,
+                {
+                    "queries": prev_ext,
+                    "_round": prev.get("_round"),
+                    "calibration": prev.get("calibration"),
+                },
+                calibration,
+            )
     # Full payload (incl. per-query vs_prev ratios) goes to a file; stdout
     # carries a compact line WITHOUT ratio_per_query. The driver records only
     # the LAST 2000 chars of stdout — r04's single fat line blew that window
@@ -445,6 +509,15 @@ def main() -> int:
     if "queries" in compact:
         compact["queries"] = {
             k: round(v, 2) for k, v in compact["queries"].items()
+        }
+    # extensions series: compact 2-decimal map under "ext"; the totals and
+    # ext_vs_prev ratios live in BENCH_FULL.json only
+    ext_blk = compact.pop("extensions", None)
+    compact.pop("extensions_total", None)
+    compact.pop("ext_vs_prev", None)
+    if isinstance(ext_blk, dict) and ext_blk:
+        compact["ext"] = {
+            EXT_SHORT.get(k, k): round(v, 2) for k, v in ext_blk.items()
         }
     # the three 10x stress lines collapse to wall seconds on stdout
     # (pairs/copies detail lives in BENCH_FULL.json) — frees ~130 chars of
@@ -488,7 +561,7 @@ def main() -> int:
     # keep trimming optional blocks until the line fits the tail window
     # (driver records the LAST 2000 stdout chars; 1980 leaves newline slack);
     # "queries" is contract-required and goes last-resort only
-    for drop in ("scaled10x", "vs_prev", "failed", "queries"):
+    for drop in ("scaled10x", "ext", "vs_prev", "failed", "queries"):
         if len(line) <= 1980:
             break
         compact.pop(drop, None)

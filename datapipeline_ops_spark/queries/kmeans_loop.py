@@ -277,6 +277,16 @@ def kmeans_train_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+def _km_apply_rollup(scored: DataFrame) -> DataFrame:
+    """(cluster_id, dist) rows -> the per-cluster compactness report shared
+    by the in-lineage and artifact applies."""
+    return scored.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_members"),
+        (F.round(F.sum("dist"), 6) + F.lit(0.0)).alias("cluster_inertia"),
+        (F.round(F.avg("dist"), 6) + F.lit(0.0)).alias("mean_dist"),
+    )
+
+
 @query("kmeans_assign_apply", oracle=_km_apply_oracle())
 def kmeans_assign_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Assign the corpus with the centroids `kmeans_train_loop` just
@@ -295,12 +305,46 @@ def kmeans_assign_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents, _ = _km_run(spark, sf_dir)
     v = _km_v(spark, sf_dir)
     b = _km_best(F.col("vec"), _km_lit_spine(cents[-1]))
-    return (
+    return _km_apply_rollup(
         v.select(b["cid"].alias("cluster_id"), b["dist"].alias("dist"))
-        .groupBy("cluster_id")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_members"),
-            (F.round(F.sum("dist"), 6) + F.lit(0.0)).alias("cluster_inertia"),
-            (F.round(F.avg("dist"), 6) + F.lit(0.0)).alias("mean_dist"),
+    )
+
+
+@query("kmeans_artifact_apply", oracle=_km_apply_oracle())
+def kmeans_artifact_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`kmeans_assign_apply`, operationalized: write the trained centroid
+    matrix to parquet (the model registry) and assign the corpus FROM THE
+    FILE — completing the artifact seam across all three in-engine
+    trainers (GD weights, BPE vocab, and now the quantizer centroids).
+    Unlike the in-lineage apply's plan-literal batch, here the K-row
+    centroid table enters the plan as a parquet scan collapsed to a 1-row
+    array<struct> spine and broadcast onto the corpus — the serving job
+    never sees the training loop. Same oracle as the in-lineage apply; a
+    cross-query identity pins the two row-equal across the serialization
+    seam (doubles round-trip parquet bit-exactly).
+
+    Scale: the artifact is K x dim doubles; the apply is one broadcast
+    nested-loop of a 1-row spine onto the corpus scan — zero shuffles
+    before the K-row rollup, training cluster out of the serving path."""
+    from datapipeline_ops_spark.queries.lm_quality import _artifact_path
+
+    cents, _ = _km_run(spark, sf_dir)
+    rows = [(int(cid), list(vec)) for cid, vec in sorted(cents[-1].items())]
+    cent_df = spark.createDataFrame(rows, "cluster_id long, cvec array<double>")
+    path = _artifact_path(sf_dir, "kmeans_centroids")
+    cent_df.write.mode("overwrite").parquet(path)
+    back = spark.read.parquet(path)
+    spine = back.agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(F.col("cluster_id").alias("cid"), F.col("cvec").alias("cvec"))
+            )
+        ).alias("cents")
+    )
+    v = _km_v(spark, sf_dir)
+    b = _km_best(F.col("vec"), F.col("cents"))
+    return _km_apply_rollup(
+        v.crossJoin(F.broadcast(spine)).select(
+            b["cid"].alias("cluster_id"), b["dist"].alias("dist")
         )
     )

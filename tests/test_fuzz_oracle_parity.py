@@ -1064,7 +1064,7 @@ def test_fuzz_embeddings_kmeans_loop(spark, tmp_path_factory, embs):
     _run_pair(
         spark,
         tmp_path,
-        ["kmeans_train_loop", "kmeans_assign_apply"],
+        ["kmeans_train_loop", "kmeans_assign_apply", "kmeans_artifact_apply"],
         ["embeddings"],
     )
 

@@ -600,6 +600,11 @@ CROSS_QUERY = [
         _make_artifact_twin_check("bpe_artifact_apply", "bpe_vocab_apply"),
     ),
     (
+        "kmeans_artifact_equals_lineage_apply",
+        ["kmeans_artifact_apply", "kmeans_assign_apply"],
+        _make_artifact_twin_check("kmeans_artifact_apply", "kmeans_assign_apply"),
+    ),
+    (
         "chunk_udtf_equals_rag_plan",
         ["token_chunk_udtf", "rag_chunk_plan"],
         _cq_chunk_udtf_identity,

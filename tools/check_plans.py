@@ -2216,6 +2216,22 @@ def _(qs, spark):
     assert cols <= {"source", "text"}, cols
 
 
+@check("kmeans_artifact_apply: centroids arrive via parquet artifact scan, broadcast spine")
+def _(qs, spark):
+    plan = plan_of(qs["kmeans_artifact_apply"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    # the trained centroid matrix must come FROM THE FILE: a parquet scan
+    # of the registry path collapsed to a 1-row spine and broadcast — the
+    # only join in the serving plan is that scalar-spine BNLJ
+    assert "kmeans_centroids" in plan, "apply must scan the centroid artifact"
+    assert "BroadcastNestedLoopJoin" in plan, "1-row centroid spine must broadcast"
+    assert re.search(r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)", plan) is None
+    assert "InMemoryTableScan" in plan, "corpus projection must persist"
+    assert "partial_" in plan, "cluster rollup must map-side combine"
+    cols = read_schema_cols(plan, "embeddings")
+    assert cols <= {"vec_id", "embedding"}, cols
+
+
 def main() -> int:
     import __spark_entry__ as entry_mod
     from datapipeline_ops_spark.session import get_spark

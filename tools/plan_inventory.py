@@ -16,10 +16,31 @@ Output: one JSON line per query to stdout (pipe to a file), plus a summary
 line. ``PLAN_INVENTORY.md`` at the repo root is the generated human table —
 regenerate with ``python tools/plan_inventory.py --md > PLAN_INVENTORY.md``.
 
-This is measurement, not policy: `check_plans.py` asserts the load-bearing
-properties per query; this inventory is the corpus-wide census the scale
-story cites (e.g. "no BroadcastNestedLoopJoin outside the documented
-1-row/broadcast extents").
+``--diff`` turns the census into a REGRESSION GATE against the committed
+``PLAN_INVENTORY.md``: the named checks in check_plans.py cover ~half the
+registry, so a silent plan regression elsewhere (a broadcast decaying into
+a shuffle join, a new cartesian, a Python-eval node sneaking into a
+relational query) would previously surface only as a bench wall. The diff
+fails (exit 1) when:
+
+- ANY query's cartesian count goes nonzero (including new queries);
+- ANY query's python_eval count grows versus the committed census;
+- a query with a NAMED check in check_plans.py (check title prefixed
+  "<query>:") changes its exchange/broadcast/join/cartesian/python
+  counts versus the committed census — those counts are load-bearing for
+  the named assertion, so drift means "re-audit the query and update the
+  check AND regenerate the census", never "ignore".
+
+New queries (no committed baseline) and retired queries are reported as
+info — the remediation is regenerating PLAN_INVENTORY.md, which is the
+act of auditing them. ``--diff name1 name2 ...`` restricts the census to
+the named queries (fast targeted re-audit after touching one file; the
+retired-query scan is suppressed for subsets).
+
+Otherwise this is measurement, not policy: `check_plans.py` asserts the
+load-bearing properties per query; this inventory is the corpus-wide
+census the scale story cites (e.g. "no BroadcastNestedLoopJoin outside
+the documented 1-row/broadcast extents").
 """
 
 from __future__ import annotations
@@ -74,20 +95,105 @@ def analyze(plan: str) -> dict:
     }
 
 
+_MD_ROW = re.compile(
+    r"^\| (?P<q>[\w.]+?)(?:\\\*)? \| (?P<exch>\d+) \| (?P<bcast>\d+) \| "
+    r"(?P<smj>\d+)/(?P<shj>\d+)/(?P<bhj>\d+) \| (?P<bnlj>\d+)/(?P<cart>\d+) \| "
+    r"(?P<py>\d+) \| (?P<scans>\d+)\((?P<pushed>\d+)\) \| (?P<topk>\d+) \|$"
+)
+
+
+def load_committed(path: str) -> dict[str, dict]:
+    out = {}
+    with open(path) as fh:
+        for line in fh:
+            m = _MD_ROW.match(line.strip())
+            if m:
+                out[m.group("q")] = {k: int(v) for k, v in m.groupdict().items() if k != "q"}
+    return out
+
+
+def named_checked_queries() -> set[str]:
+    """Queries whose check_plans.py check title follows the '<query>: ...'
+    convention — their plan-shape counts are load-bearing for a named
+    assertion, so the diff gate holds them to exact count stability."""
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import check_plans
+
+    return {name.split(":", 1)[0].strip() for name, _ in check_plans.CHECKS if ":" in name}
+
+
+def diff_against_committed(rows: list[dict], path: str, subset: bool = False) -> int:
+    committed = load_committed(path)
+    named = named_checked_queries()
+    ok = [r for r in rows if "error" not in r]
+    violations: list[str] = []
+    infos: list[str] = []
+    keys = ("exchanges", "broadcasts", "smj", "shj", "bhj", "bnlj", "cartesian", "python_eval")
+    md_key = {
+        "exchanges": "exch", "broadcasts": "bcast", "smj": "smj", "shj": "shj",
+        "bhj": "bhj", "bnlj": "bnlj", "cartesian": "cart", "python_eval": "py",
+    }
+    for r in ok:
+        q = r["query"]
+        base = committed.get(q)
+        if r["cartesian"]:
+            violations.append(f"{q}: cartesian count {r['cartesian']} (must be 0)")
+        if base is None:
+            infos.append(f"{q}: new query, no committed baseline — regenerate PLAN_INVENTORY.md")
+            continue
+        if r["python_eval"] > base["py"]:
+            violations.append(
+                f"{q}: python_eval grew {base['py']} -> {r['python_eval']}"
+            )
+        if q in named:
+            drift = [
+                f"{k} {base[md_key[k]]} -> {r[k]}"
+                for k in keys
+                if r[k] != base[md_key[k]]
+            ]
+            if drift:
+                violations.append(
+                    f"{q}: named-checked plan shape drifted ({', '.join(drift)}) — "
+                    "re-audit, update the named check, regenerate the census"
+                )
+    if not subset:
+        current = {r["query"] for r in ok}
+        for q in sorted(set(committed) - current):
+            infos.append(
+                f"{q}: in committed census but not analyzed now (retired/renamed/errored?)"
+            )
+    for line in infos:
+        print(f"CENSUS INFO  {line}")
+    for line in violations:
+        print(f"CENSUS DRIFT {line}")
+    errs = [r for r in rows if "error" in r]
+    for r in errs:
+        print(f"CENSUS ERR   {r['query']}: {r['error']}")
+    print(
+        f"census diff vs {os.path.basename(path)}: {len(ok)} analyzed, "
+        f"{len(violations)} violations, {len(infos)} info, {len(errs)} errors"
+    )
+    return 1 if violations or errs else 0
+
+
 def main() -> int:
     md = "--md" in sys.argv
+    do_diff = "--diff" in sys.argv
     import contextlib
     import io
 
     import __spark_entry__ as entry_mod
     from datapipeline_ops_spark.session import get_spark
 
+    only = {a for a in sys.argv[1:] if not a.startswith("--")}
     spark = get_spark("plan-inventory", cpus=4, shuffle_partitions=4)
     spark.sparkContext.setLogLevel("ERROR")
     qs = entry_mod.queries()
     rows = []
     for name, fn in qs.items():
         if name.startswith(SKIP_PREFIXES):
+            continue
+        if only and name not in only:
             continue
         try:
             df = fn(spark, SF_DIR)
@@ -117,6 +223,12 @@ def main() -> int:
             3,
         ),
     }
+    if do_diff:
+        path = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "PLAN_INVENTORY.md",
+        )
+        return diff_against_committed(rows, path, subset=bool(only))
     if md:
         print("# PLAN INVENTORY — generated by tools/plan_inventory.py")
         print()
