@@ -1673,3 +1673,180 @@ def bpe_artifact_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.lit(0.0)
         ).alias("chars_per_symbol"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Model-evaluation reports over the trained gate: calibration (reliability
+# diagram) and per-feature ablation — the engine evaluates the models it
+# trains, not just applies them.
+# ---------------------------------------------------------------------------
+
+# Calibration bins: fixed logit-space width. Binning happens on the exact
+# shared-arithmetic logit z (bit-identical across engines), so bin edges
+# cannot flake the way probability-space deciles would (sigmoid is
+# irrational; floor(p*10) could land either side of a boundary per engine).
+_QCT_CAL_BIN_W = 0.25
+_QCT_CAL_LO, _QCT_CAL_HI = -8, 7  # clamp range: bins cover z in [-2, 2)
+
+
+def _qct_calibration_oracle() -> str:
+    parts, _ = _qct_stage_ctes()
+    z = _QCT_Z
+    zbin = (
+        f"greatest({_QCT_CAL_LO}, least({_QCT_CAL_HI},"
+        f" CAST(floor({z} / {_QCT_CAL_BIN_W}) AS INT)))"
+    )
+    p = f"(1e0 / (1e0 + exp(-{z})))"
+    return (
+        "WITH " + ",\n    ".join(parts) + f"""
+    SELECT {zbin} AS zbin,
+           count(*) AS n_docs,
+           round(avg({p}), 6) + 0e0 AS mean_p,
+           round(avg(f.y), 6) + 0e0 AS keep_rate,
+           round(abs(avg({p}) - avg(f.y)), 6) + 0e0 AS calib_gap
+    FROM feats f, s{_QCT_ITERS} s
+    GROUP BY 1"""
+    )
+
+
+@query("trained_gate_calibration", oracle=_qct_calibration_oracle())
+def trained_gate_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram for the classifier `train_quality_classifier`
+    fit: documents bin by the final-stage logit (fixed {_QCT_CAL_BIN_W}-
+    wide bins, clamped), and each bin publishes the mean predicted
+    probability against the empirical Gopher keep rate plus their gap —
+    the standard is-the-model-calibrated report an operator reads before
+    trusting the gate's scores as probabilities (bins where mean_p and
+    keep_rate diverge are where thresholding misleads).
+
+    Bins cut on the exact shared-arithmetic logit (bit-identical in both
+    engines), never on sigmoid outputs, so bin membership is
+    deterministic cross-engine; the published averages round at 6 dp. A
+    cross-query identity pins the bin populations back to the corpus
+    total (`trained_gate_impact` n_docs sum).
+
+    Scale: one more scalar-spine pass over the persisted feature table
+    with the 1-row weight frame broadcast; the rollup map-side combines
+    to <= {_QCT_CAL_HI - _QCT_CAL_LO + 1} bins."""
+    feats, _, w_frame = _qct_run(spark, sf_dir)
+    j = feats.crossJoin(F.broadcast(w_frame))
+    z = (
+        F.col("b")
+        + F.col("w1") * F.col("x1")
+        + F.col("w2") * F.col("x2")
+        + F.col("w3") * F.col("x3")
+        + F.col("w4") * F.col("x4")
+    )
+    p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+    zbin = F.greatest(
+        F.lit(_QCT_CAL_LO),
+        F.least(
+            F.lit(_QCT_CAL_HI), F.floor(z / F.lit(_QCT_CAL_BIN_W)).cast("int")
+        ),
+    )
+    return (
+        j.select(zbin.alias("zbin"), p.alias("p"), F.col("y"))
+        .groupBy("zbin")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            (F.round(F.avg("p"), 6) + F.lit(0.0)).alias("mean_p"),
+            (F.round(F.avg("y"), 6) + F.lit(0.0)).alias("keep_rate"),
+            (
+                F.round(F.abs(F.avg("p") - F.avg("y")), 6) + F.lit(0.0)
+            ).alias("calib_gap"),
+        )
+    )
+
+
+def _qct_ablation_oracle() -> str:
+    parts, _ = _qct_stage_ctes()
+    # per-feature ablated logits: identical term order in both engines
+    # (b + the remaining w_i*x_i in index order) for bit-identical gates
+    zs = {
+        "full": "(s.b + s.w1 * f.x1 + s.w2 * f.x2 + s.w3 * f.x3 + s.w4 * f.x4)",
+        "ntok": "(s.b + s.w2 * f.x2 + s.w3 * f.x3 + s.w4 * f.x4)",
+        "wordlen": "(s.b + s.w1 * f.x1 + s.w3 * f.x3 + s.w4 * f.x4)",
+        "stop": "(s.b + s.w1 * f.x1 + s.w2 * f.x2 + s.w4 * f.x4)",
+        "ttr": "(s.b + s.w1 * f.x1 + s.w2 * f.x2 + s.w3 * f.x3)",
+    }
+    accs = ",\n           ".join(
+        f"avg(CASE WHEN ({z} >= 0e0) = (f.y = 1e0) THEN 1e0 ELSE 0e0 END)"
+        f" AS acc_{k}"
+        for k, z in zs.items()
+    )
+    parts.append(
+        f"abl AS (SELECT {accs}, CAST(count(*) AS BIGINT) AS n_docs\n"
+        f"        FROM feats f, s{_QCT_ITERS} s)"
+    )
+    rows = "\nUNION ALL\n".join(
+        f"""(SELECT '{k}' AS ablated_feature,
+           round(acc_{k}, 6) + 0e0 AS acc_rate,
+           round(acc_full - acc_{k}, 6) + 0e0 AS acc_drop,
+           n_docs
+    FROM abl)"""
+        for k in zs
+        if k != "full"
+    )
+    return "WITH " + ",\n    ".join(parts) + "\n" + rows
+
+
+@query("trained_gate_feature_ablation", oracle=_qct_ablation_oracle())
+def trained_gate_feature_ablation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-feature ablation of the trained gate: re-score the corpus with
+    each feature's weight removed from the final-stage logit and publish
+    the resulting accuracy against the Gopher label plus the drop versus
+    the full model — the importance report that says WHICH feature the
+    gate actually leans on (a feature whose removal costs nothing is dead
+    weight; one that costs several points is the gate).
+
+    Every ablated logit is built with the identical term order in both
+    engines (bit-identical doubles), and gates compare the exact logit —
+    the sigmoid never appears. All five accuracies (full + 4 ablations)
+    compute in ONE scalar-spine pass over the persisted feature table;
+    the 4 output rows unstack from that single 1-row aggregate.
+
+    Scale: one corpus pass regardless of feature count; the unstack is a
+    4-row driver-side shape, never a shuffle."""
+    from datapipeline_ops_spark.operators.dedup import persist_barrier
+
+    feats, _, w_frame = _qct_run(spark, sf_dir)
+    j = feats.crossJoin(F.broadcast(w_frame))
+    terms = {
+        "ntok": F.col("w1") * F.col("x1"),
+        "wordlen": F.col("w2") * F.col("x2"),
+        "stop": F.col("w3") * F.col("x3"),
+        "ttr": F.col("w4") * F.col("x4"),
+    }
+
+    def z_without(skip: str | None):
+        z = F.col("b")
+        for k, t in terms.items():
+            if k != skip:
+                z = z + t
+        return z
+
+    label = F.col("y") == F.lit(1.0)
+
+    def acc(skip: str | None):
+        return F.avg(
+            F.when((z_without(skip) >= 0.0) == label, F.lit(1.0)).otherwise(0.0)
+        )
+
+    agg = j.agg(
+        acc(None).alias("acc_full"),
+        *[acc(k).alias(f"acc_{k}") for k in terms],
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+    )
+    agg = persist_barrier(agg, "qct_ablation")
+    out = None
+    for k in terms:
+        row = agg.select(
+            F.lit(k).alias("ablated_feature"),
+            (F.round(F.col(f"acc_{k}"), 6) + F.lit(0.0)).alias("acc_rate"),
+            (
+                F.round(F.col("acc_full") - F.col(f"acc_{k}"), 6) + F.lit(0.0)
+            ).alias("acc_drop"),
+            F.col("n_docs"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out

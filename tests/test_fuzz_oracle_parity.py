@@ -932,6 +932,8 @@ def test_fuzz_documents_wave5_web(spark, tmp_path_factory, docs):
             "train_quality_classifier",
             "trained_gate_impact",
             "trained_gate_artifact_apply",
+            "trained_gate_calibration",
+            "trained_gate_feature_ablation",
             "blocklist_filter_report",
             "robots_rules_apply",
             "warc_record_extract",

@@ -540,6 +540,23 @@ def _make_artifact_twin_check(artifact_q: str, lineage_q: str):
     return chk
 
 
+def _cq_gate_eval_totals(rows):
+    """The model-evaluation reports must cover the whole corpus: the
+    calibration bins partition it (n_docs sums to the apply report's
+    total) and every ablation row re-scored all of it."""
+    n = sum(r["n_docs"] for r in rows["trained_gate_impact"])
+    cal = sum(r["n_docs"] for r in rows["trained_gate_calibration"])
+    if cal != n:
+        return f"calibration bin total {cal} != corpus total {n}"
+    for r in rows["trained_gate_feature_ablation"]:
+        if r["n_docs"] != n:
+            return (
+                f"ablation row {r['ablated_feature']} n_docs {r['n_docs']}"
+                f" != corpus total {n}"
+            )
+    return None
+
+
 def _cq_bpe_first_merge(rows):
     """bpe_train_loop's first merge IS bpe_merge_step's rank-1 pair: stage 1
     counts the identical weighted adjacent character pairs, so the argmax
@@ -603,6 +620,15 @@ CROSS_QUERY = [
         "kmeans_artifact_equals_lineage_apply",
         ["kmeans_artifact_apply", "kmeans_assign_apply"],
         _make_artifact_twin_check("kmeans_artifact_apply", "kmeans_assign_apply"),
+    ),
+    (
+        "gate_eval_reports_cover_corpus",
+        [
+            "trained_gate_calibration",
+            "trained_gate_feature_ablation",
+            "trained_gate_impact",
+        ],
+        _cq_gate_eval_totals,
     ),
     (
         "chunk_udtf_equals_rag_plan",

@@ -2232,6 +2232,27 @@ def _(qs, spark):
     assert cols <= {"vec_id", "embedding"}, cols
 
 
+@check("trained_gate_calibration: one scalar-spine pass, bounded bin rollup")
+def _(qs, spark):
+    plan = plan_of(qs["trained_gate_calibration"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert re.search(r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)", plan) is None
+    assert "BroadcastNestedLoopJoin" in plan, "1-row weight frame must broadcast"
+    assert "InMemoryTableScan" in plan, "feature table must persist"
+    assert "partial_" in plan, "bin rollup must map-side combine"
+
+
+@check("trained_gate_feature_ablation: all ablations in ONE pass, 4-row unstack")
+def _(qs, spark):
+    plan = plan_of(qs["trained_gate_feature_ablation"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert re.search(r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)", plan) is None
+    # the published plan reads the persisted 1-row aggregate (all five
+    # accuracies computed together), never five separate corpus passes
+    assert "InMemoryTableScan" in plan, "ablation aggregate must persist"
+    assert plan.count("Union") >= 1
+
+
 def main() -> int:
     import __spark_entry__ as entry_mod
     from datapipeline_ops_spark.session import get_spark
