@@ -88,6 +88,14 @@ def _km_lit_spine(cents_py: dict[int, list[float]]):
     # costs ~650 py4j round-trips per spine (~1 s each on local[32]), which
     # dominated the loop; repr(float) round-trips exactly and SQL
     # string->DOUBLE casts are correctly rounded, so values are identical.
+    if not cents_py:
+        # seedless corpus (no vec_id in the seed range): a TYPED empty
+        # batch, so the argmin lambda still analyzes and every assignment
+        # is NULL — mirroring the oracle's empty cent0 (NULL stats rows,
+        # zero apply rows after the NULL filter)
+        return F.expr(
+            "CAST(array() AS array<struct<cid:bigint,cvec:array<double>>>)"
+        )
     parts = []
     for cid, vec in sorted(cents_py.items()):
         arr = ", ".join(f"CAST('{float(x)!r}' AS DOUBLE)" for x in vec)
@@ -183,6 +191,8 @@ def _km_run(spark: SparkSession, sf_dir: str):
             nxt = {cid: list(vec) for cid, vec in cents[i].items()}
             by_cid: dict[int, dict[int, float]] = {}
             for r in means:
+                if r["cid"] is None:
+                    continue  # seedless corpus: every assignment is NULL
                 by_cid.setdefault(int(r["cid"]), {})[int(r["dim"])] = r["c"]
             for cid, dims in by_cid.items():
                 # drained clusters keep their previous centroid (mirrors the
@@ -279,8 +289,10 @@ def kmeans_train_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _km_apply_rollup(scored: DataFrame) -> DataFrame:
     """(cluster_id, dist) rows -> the per-cluster compactness report shared
-    by the in-lineage and artifact applies."""
-    return scored.groupBy("cluster_id").agg(
+    by the in-lineage and artifact applies. NULL cluster_ids (seedless
+    corpus: argmin over an empty batch) drop, matching the oracle's
+    inner-join-through-argmin shape (zero rows, not a NULL group)."""
+    return scored.filter(F.col("cluster_id").isNotNull()).groupBy("cluster_id").agg(
         F.count(F.lit(1)).cast("long").alias("n_members"),
         (F.round(F.sum("dist"), 6) + F.lit(0.0)).alias("cluster_inertia"),
         (F.round(F.avg("dist"), 6) + F.lit(0.0)).alias("mean_dist"),

@@ -1850,3 +1850,210 @@ def trained_gate_feature_ablation(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         out = row if out is None else out.unionByName(row)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Mini-batch SGD trainer: the production training regime (per-batch weight
+# updates) next to the full-batch GD unroll — same features, same label,
+# deterministic doc_id-keyed batches so both engines walk one trajectory.
+# ---------------------------------------------------------------------------
+
+_SGD_BATCHES = 4    # batch key: doc_id % _SGD_BATCHES (deterministic split)
+_SGD_EPOCHS = 2     # steps = epochs * batches = 8 weight updates
+_SGD_LR = 1.0       # smaller than the GD lr: per-batch gradients are noisier
+
+
+def _sgd_feats_sql() -> str:
+    """The _qct_feats_sql feature contract + the deterministic batch key.
+    (Separate CTE rather than widening the shared one: the GD loop's plan
+    checks pin its ReadSchema, and the batch key is SGD-only.)"""
+    return _qct_feats_sql().replace(
+        "SELECT source,",
+        "SELECT doc_id % {b} AS batch,".format(b=_SGD_BATCHES),
+        1,
+    ).replace(
+        "FROM (SELECT source,",
+        "FROM (SELECT doc_id,",
+        1,
+    ).replace("feats AS MATERIALIZED", "sfeats AS MATERIALIZED", 1)
+
+
+def _sgd_oracle() -> str:
+    z = "(s.b + s.w1 * f.x1 + s.w2 * f.x2 + s.w3 * f.x3 + s.w4 * f.x4)"
+    p = f"(1e0 / (1e0 + exp(-{z})))"
+    parts = [
+        _sgd_feats_sql(),
+        "g0 AS (SELECT 0e0 AS b, 0e0 AS w1, 0e0 AS w2, 0e0 AS w3, 0e0 AS w4)",
+    ]
+    rows = []
+    step = 0
+    for epoch in range(_SGD_EPOCHS):
+        for batch in range(_SGD_BATCHES):
+            parts.append(f"""ag{step} AS (
+        SELECT avg(ln(1e0 + exp({z})) - f.y * {z}) AS loss_raw,
+               avg({p} - f.y) AS gb,
+               avg(({p} - f.y) * f.x1) AS g1,
+               avg(({p} - f.y) * f.x2) AS g2,
+               avg(({p} - f.y) * f.x3) AS g3,
+               avg(({p} - f.y) * f.x4) AS g4,
+               CAST(count(*) AS BIGINT) AS n_rows
+        FROM sfeats f, g{step} s WHERE f.batch = {batch})""")
+            rows.append(f"""(SELECT {step} AS step, {epoch} AS epoch,
+           {batch} AS batch_idx, a.n_rows AS n_rows,
+           round(a.loss_raw, 6) + 0e0 AS batch_loss,
+           s.b AS b, s.w1 AS w_ntok, s.w2 AS w_wordlen,
+           s.w3 AS w_stop, s.w4 AS w_ttr
+    FROM g{step} s, ag{step} a)""")
+            # empty batch (no doc_id in this residue class — possible on
+            # tiny corpora): gradients are NULL, so the step is a no-op
+            # and the weights carry over unchanged in BOTH engines
+            parts.append(f"""g{step + 1} AS (
+        SELECT CASE WHEN a.n_rows > 0
+                    THEN round(s.b - {_SGD_LR} * a.gb, 6) + 0e0 ELSE s.b END AS b,
+               CASE WHEN a.n_rows > 0
+                    THEN round(s.w1 - {_SGD_LR} * a.g1, 6) + 0e0 ELSE s.w1 END AS w1,
+               CASE WHEN a.n_rows > 0
+                    THEN round(s.w2 - {_SGD_LR} * a.g2, 6) + 0e0 ELSE s.w2 END AS w2,
+               CASE WHEN a.n_rows > 0
+                    THEN round(s.w3 - {_SGD_LR} * a.g3, 6) + 0e0 ELSE s.w3 END AS w3,
+               CASE WHEN a.n_rows > 0
+                    THEN round(s.w4 - {_SGD_LR} * a.g4, 6) + 0e0 ELSE s.w4 END AS w4
+        FROM g{step} s, ag{step} a)""")
+            step += 1
+    return "WITH " + ",\n    ".join(parts) + "\n" + "\nUNION ALL\n".join(rows)
+
+
+@query("minibatch_sgd_train", oracle=_sgd_oracle())
+def minibatch_sgd_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mini-batch SGD over the quality-gate objective — the training
+    regime production actually uses (update per batch, not per corpus)
+    beside the full-batch `train_quality_classifier` unroll: documents
+    split into {_SGD_BATCHES} deterministic batches (doc_id %
+    {_SGD_BATCHES}), and each of the {_SGD_EPOCHS}x{_SGD_BATCHES} steps
+    publishes the batch's pre-update loss, the batch size, and the
+    weights ENTERING the step. Weights round to 6 dp (+0.0) after every
+    update, so both engines walk the identical (noisier-than-GD)
+    trajectory; batch membership is integer-exact.
+
+    Scale: same scalar-spine shape as the GD loop — the feature table
+    (now carrying the batch key) persists once; each step is one
+    partial-aggregated pass over ITS BATCH's rows (a quarter of the
+    corpus per pass here; 1/B generally) with the 1-row weight frame
+    broadcast, and each step's 1-row aggregate persists so depth-k costs
+    k batch scans, never O(2^k). Batch selection is a filter over the
+    persisted table — at cluster scale, partition the feature table BY
+    the batch key at build time and each step reads exactly one
+    partition (the classic epoch-shuffle layout)."""
+    from datapipeline_ops_spark.operators.dedup import persist_barrier
+
+    d = load_table(spark, sf_dir, "documents")
+    t = tokens(F.col("text"))
+    words = tokens(F.trim(F.col("text")))
+    n_nonspace = F.length(F.regexp_replace("text", r"\s", ""))
+    mean_len = F.aggregate(t, F.lit(0), lambda a, x: a + F.length(x)).cast(
+        "double"
+    ) / F.size(t).cast("double")
+    stop = F.size(F.filter(t, lambda x: (x == "the") | (x == "a"))).cast(
+        "double"
+    ) / F.size(t).cast("double")
+    ttr = F.size(F.array_distinct(t)).cast("double") / F.size(t).cast("double")
+    mwl = n_nonspace.cast("double") / F.size(words).cast("double")
+    alpha = F.size(
+        F.expr(r"filter(split(trim(text), '\\s+'), w -> w rlike '[a-zA-Z]')")
+    ).cast("double") / F.size(words).cast("double")
+    feats = persist_barrier(
+        d.select(
+            (F.col("doc_id") % _SGD_BATCHES).alias("batch"),
+            (
+                F.least(F.size(t), F.lit(100)).cast("double")
+                / F.lit(100).cast("double")
+                - F.lit(0.5)
+            ).alias("x1"),
+            (
+                F.least(mean_len, F.lit(10).cast("double")) / F.lit(10).cast("double")
+                - F.lit(0.5)
+            ).alias("x2"),
+            (stop - F.lit(0.5)).alias("x3"),
+            (ttr - F.lit(0.5)).alias("x4"),
+            F.when(
+                (F.size(words) >= 50)
+                & (F.size(words) <= 100_000)
+                & (mwl >= F.lit(3).cast("double"))
+                & (mwl <= F.lit(10).cast("double"))
+                & (alpha > F.lit(0.8)),
+                F.lit(1.0),
+            ).otherwise(F.lit(0.0)).alias("y"),
+        ),
+        "sgd_feats",
+    )
+    w_frame = spark.range(1).select(
+        F.lit(0.0).alias("b"),
+        F.lit(0.0).alias("w1"),
+        F.lit(0.0).alias("w2"),
+        F.lit(0.0).alias("w3"),
+        F.lit(0.0).alias("w4"),
+    )
+    out_rows = []
+    step = 0
+    for epoch in range(_SGD_EPOCHS):
+        for batch in range(_SGD_BATCHES):
+            j = feats.filter(F.col("batch") == batch).crossJoin(
+                F.broadcast(w_frame)
+            )
+            z = (
+                F.col("b")
+                + F.col("w1") * F.col("x1")
+                + F.col("w2") * F.col("x2")
+                + F.col("w3") * F.col("x3")
+                + F.col("w4") * F.col("x4")
+            )
+            p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+            # the aggregate deliberately does NOT carry the weights (a
+            # first() over an EMPTY batch would null them — caught by the
+            # fuzz harness on a micro-corpus with a vacant doc_id residue
+            # class); the 1-row weight frame joins back on below instead
+            agg = j.agg(
+                F.avg(F.log(F.lit(1.0) + F.exp(z)) - F.col("y") * z).alias("loss_raw"),
+                F.avg(p - F.col("y")).alias("gb"),
+                F.avg((p - F.col("y")) * F.col("x1")).alias("g1"),
+                F.avg((p - F.col("y")) * F.col("x2")).alias("g2"),
+                F.avg((p - F.col("y")) * F.col("x3")).alias("g3"),
+                F.avg((p - F.col("y")) * F.col("x4")).alias("g4"),
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+            )
+            agg = persist_barrier(agg, f"sgd_step{step}")
+            out_rows.append(
+                w_frame.crossJoin(agg).select(
+                    F.lit(step).alias("step"),
+                    F.lit(epoch).alias("epoch"),
+                    F.lit(batch).alias("batch_idx"),
+                    F.col("n_rows"),
+                    (F.round("loss_raw", 6) + F.lit(0.0)).alias("batch_loss"),
+                    F.col("b"),
+                    F.col("w1").alias("w_ntok"),
+                    F.col("w2").alias("w_wordlen"),
+                    F.col("w3").alias("w_stop"),
+                    F.col("w4").alias("w_ttr"),
+                )
+            )
+
+            def upd(wc: str, gc: str):
+                # empty batch -> NULL gradient -> no-op step (weights
+                # carry over), mirroring the oracle's CASE guard
+                return F.when(
+                    F.col("n_rows") > 0,
+                    F.round(F.col(wc) - F.lit(_SGD_LR) * F.col(gc), 6) + F.lit(0.0),
+                ).otherwise(F.col(wc))
+
+            w_frame = w_frame.crossJoin(agg).select(
+                upd("b", "gb").alias("b"),
+                upd("w1", "g1").alias("w1"),
+                upd("w2", "g2").alias("w2"),
+                upd("w3", "g3").alias("w3"),
+                upd("w4", "g4").alias("w4"),
+            )
+            step += 1
+    out = out_rows[0]
+    for r in out_rows[1:]:
+        out = out.unionByName(r)
+    return out

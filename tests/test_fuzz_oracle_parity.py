@@ -934,6 +934,7 @@ def test_fuzz_documents_wave5_web(spark, tmp_path_factory, docs):
             "trained_gate_artifact_apply",
             "trained_gate_calibration",
             "trained_gate_feature_ablation",
+            "minibatch_sgd_train",
             "blocklist_filter_report",
             "robots_rules_apply",
             "warc_record_extract",

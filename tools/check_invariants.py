@@ -540,6 +540,20 @@ def _make_artifact_twin_check(artifact_q: str, lineage_q: str):
     return chk
 
 
+def _cq_sgd_epoch_partition(rows):
+    """Every SGD epoch's batches partition the corpus: per-epoch n_rows
+    sums must equal the apply report's corpus total (doc_id % B covers
+    every document exactly once per epoch)."""
+    n = sum(r["n_docs"] for r in rows["trained_gate_impact"])
+    by_epoch: dict = {}
+    for r in rows["minibatch_sgd_train"]:
+        by_epoch[r["epoch"]] = by_epoch.get(r["epoch"], 0) + r["n_rows"]
+    for e, tot in sorted(by_epoch.items()):
+        if tot != n:
+            return f"epoch {e} batch rows {tot} != corpus total {n}"
+    return None
+
+
 def _cq_gate_eval_totals(rows):
     """The model-evaluation reports must cover the whole corpus: the
     calibration bins partition it (n_docs sums to the apply report's
@@ -620,6 +634,11 @@ CROSS_QUERY = [
         "kmeans_artifact_equals_lineage_apply",
         ["kmeans_artifact_apply", "kmeans_assign_apply"],
         _make_artifact_twin_check("kmeans_artifact_apply", "kmeans_assign_apply"),
+    ),
+    (
+        "sgd_epochs_partition_corpus",
+        ["minibatch_sgd_train", "trained_gate_impact"],
+        _cq_sgd_epoch_partition,
     ),
     (
         "gate_eval_reports_cover_corpus",

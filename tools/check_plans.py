@@ -2253,6 +2253,21 @@ def _(qs, spark):
     assert plan.count("Union") >= 1
 
 
+@check("minibatch_sgd_train: batch-filtered scalar-spine passes over one persisted table")
+def _(qs, spark):
+    plan = plan_of(qs["minibatch_sgd_train"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    # same shape law as the GD loop: only 1-row weight-frame BNLJ
+    # broadcasts, never a relational join; the feature table persists once
+    # and each step filters its batch from the cached scan
+    assert re.search(r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)", plan) is None
+    assert "InMemoryTableScan" in plan, "feature table must persist across steps"
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "partial_" in plan, "per-step loss/gradient agg must map-side combine"
+    cols = read_schema_cols(plan, "documents")
+    assert cols <= {"doc_id", "text"}, cols
+
+
 def main() -> int:
     import __spark_entry__ as entry_mod
     from datapipeline_ops_spark.session import get_spark
