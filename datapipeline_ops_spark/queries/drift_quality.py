@@ -559,8 +559,10 @@ def auc_binned_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT sum((CAST(nd AS DOUBLE) / t.nt) * hk) AS h
         FROM perdow CROSS JOIN tot t GROUP BY t.nt
     )
-    SELECT a.h AS h_type, b.h AS h_type_given_dow, a.h - b.h AS info_gain,
-           CASE WHEN a.h > 0 THEN (a.h - b.h) / a.h ELSE NULL END
+    SELECT round(a.h, 6) + 0e0 AS h_type,
+           round(b.h, 6) + 0e0 AS h_type_given_dow,
+           round(a.h - b.h, 6) + 0e0 AS info_gain,
+           CASE WHEN a.h > 0 THEN round((a.h - b.h) / a.h, 6) + 0e0 ELSE NULL END
                AS info_gain_ratio
     FROM h_type a CROSS JOIN h_cond b
     """,
@@ -612,14 +614,21 @@ def info_gain_type_by_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         h_type.crossJoin(F.broadcast(h_cond.withColumnRenamed("h", "hc")))
         .select(
-            F.col("h").alias("h_type"),
-            F.col("hc").alias("h_type_given_dow"),
-            (F.col("h") - F.col("hc")).alias("info_gain"),
+            # 6-dp round (+0.0) on BOTH engines: a degenerate corpus where
+            # every event lands on one day makes H(type|dow) mathematically
+            # == H(type), and the two engines' different summation orders
+            # published gains of +eps vs -eps (2.2e-16, OPPOSITE signs) —
+            # under the driver's 6-significant-figure hash those differ.
+            # Caught by the oracle-parity fuzzer, round 14 (catch #21).
+            (F.round(F.col("h"), 6) + F.lit(0.0)).alias("h_type"),
+            (F.round(F.col("hc"), 6) + F.lit(0.0)).alias("h_type_given_dow"),
+            (F.round(F.col("h") - F.col("hc"), 6) + F.lit(0.0)).alias("info_gain"),
             # a single event type gives H(type) = 0 — ANSI Spark raises on
             # the ratio where DuckDB would; NULL-guard both engines
             # (caught by the oracle-parity fuzzer, round 9)
             F.when(
-                F.col("h") > 0, (F.col("h") - F.col("hc")) / F.col("h")
+                F.col("h") > 0,
+                F.round((F.col("h") - F.col("hc")) / F.col("h"), 6) + F.lit(0.0),
             ).alias("info_gain_ratio"),
         )
     )
