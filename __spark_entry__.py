@@ -30,11 +30,14 @@ def entry(spark: SparkSession) -> DataFrame:
 # a driver record. Round-14 ordering applies the staged plan from the
 # round-13 comment (round-13 gate came back 50/50 green, so no reds to head
 # the window):
-# (a) first driver records for the 8 round-14 additions, registration order;
+# (a) first driver records for the 14 round-14 additions, registration
+#     order (8 from the opening wave + 6 from the classic-ML wave 2);
 # (b) vocab_coverage_curve -- the last r05-latest straggler; the r05 cohort
 #     is fully rotated after it;
-# (c) the first 41 of the r06-latest cohort (50 queries), registration
-#     order; the last 9 (ann_ivfpq_recall_eval, html_text_extract,
+# (c) the first 35 of the r06-latest cohort (50 queries), registration
+#     order; the last 15 (pipeline_cut_e2e, pipeline_caption_e2e,
+#     pipeline_frame_mining_e2e, pipeline_bg_filter_e2e, kmv_set_ops_audit,
+#     bootstrap_mean_ci, ann_ivfpq_recall_eval, html_text_extract,
 #     url_canonical_dedup, crawl_schedule_plan, warc_record_extract,
 #     crawl_to_corpus_e2e, robots_rules_apply, seasonal_decompose_daily,
 #     changepoint_cusum_daily) roll to round 15 to keep the window at 50.
@@ -46,6 +49,10 @@ _PRIORITY = [
     "kmeans_artifact_apply",
     "trained_gate_calibration", "trained_gate_feature_ablation",
     "minibatch_sgd_train",
+    # (a, wave 2) classical-ML closures
+    "naive_bayes_train", "naive_bayes_confusion",
+    "decision_stump_train", "decision_stump_apply",
+    "ols_normal_equations", "isotonic_calibration_pav",
     # (b) the final r05 straggler
     "vocab_coverage_curve",
     # (c) r06-latest cohort, registration order (45 of 50)
@@ -60,15 +67,15 @@ _PRIORITY = [
     "media_frame_sample", "media_type_sniff", "media_png_frame_extract",
     "segment_plan", "segment_summary", "frame_sample_ref",
     "frame_sample_scan", "array_index_join", "iou_boxes",
-    "clipped_area_filter", "gauntlet_exactly_one", "pipeline_cut_e2e",
-    "pipeline_caption_e2e", "pipeline_frame_mining_e2e",
-    "pipeline_bg_filter_e2e", "kmv_set_ops_audit", "bootstrap_mean_ci",
+    "clipped_area_filter", "gauntlet_exactly_one",
     # --- 50-slot window ends here ---
 ]
 # ROUND-15 ORDERING PLAN (apply after the round-14 gate runs): head the
 # window with any round-14 reds (expected none), then:
 # (1) first records for any round-15 additions as they land;
-# (2) the 9 rolled r06 queries (ann_ivfpq_recall_eval, html_text_extract,
+# (2) the 15 rolled r06 queries (pipeline_cut_e2e, pipeline_caption_e2e,
+#     pipeline_frame_mining_e2e, pipeline_bg_filter_e2e, kmv_set_ops_audit,
+#     bootstrap_mean_ci, ann_ivfpq_recall_eval, html_text_extract,
 #     url_canonical_dedup, crawl_schedule_plan, warc_record_extract,
 #     crawl_to_corpus_e2e, robots_rules_apply, seasonal_decompose_daily,
 #     changepoint_cusum_daily) -- the r06 cohort is fully rotated after them;

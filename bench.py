@@ -475,13 +475,20 @@ def main() -> int:
         # extensions series compares only once a prior round recorded one
         # (r15+); same drift normalization as the headline comparison
         prev_ext = prev.get("extensions")
+        if not isinstance(prev_ext, dict) or not prev_ext:
+            # driver-recorded rounds carry the compact "ext" map keyed by
+            # EXT_SHORT names — map back to full names before comparing
+            short_rev = {v: k for k, v in EXT_SHORT.items()}
+            raw = prev.get("ext")
+            if isinstance(raw, dict):
+                prev_ext = {short_rev.get(k, k): v for k, v in raw.items()}
         if isinstance(prev_ext, dict) and prev_ext:
             payload["ext_vs_prev"] = _vs_prev(
                 ext_timings,
                 {
                     "queries": prev_ext,
                     "_round": prev.get("_round"),
-                    "calibration": prev.get("calibration"),
+                    "calibration": prev.get("calibration") or prev.get("cal"),
                 },
                 calibration,
             )
@@ -633,7 +640,10 @@ def _vs_prev(timings: dict[str, float], prev: dict, cal: dict | None = None) -> 
     # ratio is the code's round-over-round speed change. Per-query
     # normalized ratios are ratio_per_query[n] / rel_drift.
     drift_now = (cal or {}).get("drift")
-    drift_prev = (prev.get("calibration") or {}).get("drift")
+    # driver-recorded rounds carry the COMPACT stdout key "cal"; only the
+    # local BENCH_FULL.json uses "calibration" — read both, or the
+    # normalization never activates against BENCH_r{N}.json (r14 catch)
+    drift_prev = (prev.get("calibration") or prev.get("cal") or {}).get("drift")
     if drift_now and drift_prev and prev_s > 0:
         rel = drift_now / drift_prev
         out["drift_now"] = drift_now

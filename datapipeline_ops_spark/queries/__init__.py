@@ -4,6 +4,7 @@
 from datapipeline_ops_spark.queries import (  # noqa: F401
     analytics_extra,
     behavior_extra,
+    classic_ml,  # imports lm_quality: reuses the trained-gate feature table
     corpus_lm_extra,
     curation_extra,
     decomposition,

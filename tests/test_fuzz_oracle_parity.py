@@ -1328,3 +1328,30 @@ def test_fuzz_documents_wave6_crossdoc(spark, tmp_path_factory, boiler, docs):
         ],
         ["documents"],
     )
+
+
+@settings(**_SETTINGS)
+@given(docs=st.lists(_W5_DOC_ROW, min_size=3, max_size=16))
+def test_fuzz_documents_wave7_classic_ml(spark, tmp_path_factory, docs):
+    """Wave 7 (round 14): the classical-ML closures. The micro-corpora
+    exercise the degenerate regimes the sf tables never hit: single-source
+    corpora (NB prior ln(1)=0, one-row confusion), vocabularies smaller
+    than the top-V cap (V = actual size in the smoothing denominator),
+    all-docs-identical feature tables (no valid stump split -> empty
+    sweep and empty apply in BOTH engines), constant features (singular
+    OLS system -> NULL-coefficient guard), and single-bin PAV fits."""
+    tmp_path = tmp_path_factory.mktemp("fuzz_doc7")
+    _write_w5_docs(tmp_path, docs)
+    _run_pair(
+        spark,
+        tmp_path,
+        [
+            "naive_bayes_train",
+            "naive_bayes_confusion",
+            "decision_stump_train",
+            "decision_stump_apply",
+            "ols_normal_equations",
+            "isotonic_calibration_pav",
+        ],
+        ["documents"],
+    )

@@ -349,6 +349,9 @@ MONOTONE = {
     # rounding perturbs inertia by <= N*dim*(5e-7)^2 (~1e-11 here), far
     # inside the monotone tolerance
     "kmeans_train_loop": ("iter", [("inertia", "-")]),
+    # isotonic regression is monotone by construction: the PAV fit cannot
+    # decrease across logit bins (that is the constraint it solves under)
+    "isotonic_calibration_pav": ("zbin", [("iso_rate", "+")]),
 }
 
 
@@ -609,7 +612,94 @@ def _cq_kmeans_apply_identity(rows):
     return None
 
 
+def _cq_nb_confusion_census(rows):
+    """naive_bayes_confusion: diagonal cells are all-correct, off-diagonal
+    all-wrong, and the per-actual-source row sums equal the per-source doc
+    counts trained_gate_impact publishes from its own corpus pass."""
+    per_src: dict = {}
+    for r in rows["naive_bayes_confusion"]:
+        want = r["n_docs"] if r["source"] == r["pred_source"] else 0
+        if r["n_correct"] != want:
+            return (
+                f"cell ({r['source']} -> {r['pred_source']}): "
+                f"n_correct {r['n_correct']} != {want}"
+            )
+        per_src[r["source"]] = per_src.get(r["source"], 0) + r["n_docs"]
+    gate = {r["source"]: r["n_docs"] for r in rows["trained_gate_impact"]}
+    if per_src != gate:
+        diff = {s for s in set(per_src) | set(gate) if per_src.get(s) != gate.get(s)}
+        return f"per-source doc totals disagree with trained_gate_impact: {sorted(diff)[:5]}"
+    return None
+
+
+def _cq_stump_apply_equals_best(rows):
+    """decision_stump_apply's corpus totals are determined by the winning
+    sweep row: n_docs = nl + nr and n_correct = max(kl, nl-kl) +
+    max(kr, nr-kr) — the train sweep and the deployed stump cannot drift."""
+    best = [r for r in rows["decision_stump_train"] if r["is_best"]]
+    if not best and not rows["decision_stump_apply"]:
+        return None  # no valid split -> both sides empty, by contract
+    if len(best) != 1:
+        return f"expected exactly one is_best sweep row, got {len(best)}"
+    b = best[0]
+    want_n = b["n_left"] + b["n_right"]
+    want_ok = max(b["n_keep_left"], b["n_left"] - b["n_keep_left"]) + max(
+        b["n_keep_right"], b["n_right"] - b["n_keep_right"]
+    )
+    n = sum(r["n_docs"] for r in rows["decision_stump_apply"])
+    ok = sum(r["n_correct"] for r in rows["decision_stump_apply"])
+    if n != want_n:
+        return f"apply n_docs {n} != best-row corpus {want_n}"
+    if ok != want_ok:
+        return f"apply n_correct {ok} != best-row majority total {want_ok}"
+    return None
+
+
+def _cq_pav_bins_match_calibration(rows):
+    """isotonic_calibration_pav rebins the identical logit: its per-bin
+    populations must equal trained_gate_calibration's bin census exactly."""
+    pav = {r["zbin"]: r["n_docs"] for r in rows["isotonic_calibration_pav"]}
+    cal = {r["zbin"]: r["n_docs"] for r in rows["trained_gate_calibration"]}
+    if pav != cal:
+        diff = {z for z in set(pav) | set(cal) if pav.get(z) != cal.get(z)}
+        return f"bin populations disagree with trained_gate_calibration: {sorted(diff)[:5]}"
+    for r in rows["isotonic_calibration_pav"]:
+        if r["n_keep"] > r["n_docs"]:
+            return f"bin {r['zbin']}: n_keep {r['n_keep']} > n_docs {r['n_docs']}"
+    return None
+
+
+def _cq_ols_covers_corpus(rows):
+    """ols_normal_equations fits on the same feature table the gate scores:
+    its published n must equal the corpus doc total."""
+    n = sum(r["n_docs"] for r in rows["trained_gate_impact"])
+    [ols] = rows["ols_normal_equations"]
+    if ols["n"] != n:
+        return f"OLS n {ols['n']} != corpus docs {n}"
+    return None
+
+
 CROSS_QUERY = [
+    (
+        "nb_confusion_covers_corpus",
+        ["naive_bayes_confusion", "trained_gate_impact"],
+        _cq_nb_confusion_census,
+    ),
+    (
+        "stump_apply_equals_best_split",
+        ["decision_stump_apply", "decision_stump_train"],
+        _cq_stump_apply_equals_best,
+    ),
+    (
+        "pav_bins_match_calibration",
+        ["isotonic_calibration_pav", "trained_gate_calibration"],
+        _cq_pav_bins_match_calibration,
+    ),
+    (
+        "ols_covers_corpus",
+        ["ols_normal_equations", "trained_gate_impact"],
+        _cq_ols_covers_corpus,
+    ),
     (
         "kmeans_apply_equals_final_stage",
         ["kmeans_assign_apply", "kmeans_train_loop"],

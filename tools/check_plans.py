@@ -2268,6 +2268,79 @@ def _(qs, spark):
     assert cols <= {"doc_id", "text"}, cols
 
 
+@check("naive_bayes_train: vocab-capped broadcast assembly, corpus never doc-shuffles")
+def _(qs, spark):
+    plan = plan_of(qs["naive_bayes_train"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    # the class-token count joins against the top-V vocab and the bounded
+    # priors/totals frames must all broadcast — the only shuffles are the
+    # token-key histogram and the (source, tok) count, both map-side combined
+    assert "BroadcastHashJoin" in plan, "vocab/model assembly joins must broadcast"
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    assert "partial_" in plan, "token histogram must map-side combine"
+    cols = read_schema_cols(plan, "documents")
+    assert cols <= {"source", "text"}, cols
+
+
+@check("naive_bayes_confusion: broadcast model grid + union'd prior spine, integer argmax")
+def _(qs, spark):
+    plan = plan_of(qs["naive_bayes_confusion"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan, "token contributions must broadcast-join the model"
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    assert "BroadcastNestedLoopJoin" in plan, "prior spine must broadcast onto docs"
+    assert "Union" in plan, "prior rows ride the same aggregate as contributions"
+    assert "partial_" in plan, "score sum must map-side combine"
+    cols = read_schema_cols(plan, "documents")
+    assert cols <= {"doc_id", "source", "text"}, cols
+
+
+@check("decision_stump_train: one bounded histogram shuffle, sweep on the bounded frame")
+def _(qs, spark):
+    plan = plan_of(qs["decision_stump_train"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    assert "BroadcastNestedLoopJoin" in plan, "1-row argmin frame must broadcast"
+    assert "Generate" in plan, "feature unpivot is a map-side explode"
+    assert "partial_" in plan, "histogram must map-side combine"
+    assert "InMemoryTableScan" in plan, "feature table / Gini frame must persist"
+
+
+@check("decision_stump_apply: scalar-spine pass with the best split broadcast")
+def _(qs, spark):
+    plan = plan_of(qs["decision_stump_apply"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert re.search(r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)", plan) is None
+    assert "BroadcastNestedLoopJoin" in plan, "1-row best-split frame must broadcast"
+    assert "InMemoryTableScan" in plan, "feature table must persist (shared with train)"
+    assert "partial_" in plan, "per-source rollup must map-side combine"
+
+
+@check("ols_normal_equations: join-free single-pass moment aggregate")
+def _(qs, spark):
+    plan = plan_of(qs["ols_normal_equations"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    # the whole fit is ONE aggregation over the persisted feature table;
+    # the Cramer solve is scalar arithmetic on the 1-row result — no join
+    # of any kind belongs in this plan
+    assert re.search(r"\w*Join\w*", plan) is None, re.findall(r"\w*Join\w*", plan)
+    assert "InMemoryTableScan" in plan, "feature table must persist"
+    assert "partial_" in plan, "moment aggregate must map-side combine"
+
+
+@check("isotonic_calibration_pav: one binning pass, minimax on the bounded bin frame")
+def _(qs, spark):
+    plan = plan_of(qs["isotonic_calibration_pav"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    # corpus side: scalar-spine BNLJ (weights broadcast) + one map-side
+    # combined bin rollup; the O(B^3) pair/extrema joins run on the
+    # persisted <=16-row bin frame (range joins -> bounded BNLJ)
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "InMemoryTableScan" in plan, "bin frame must persist"
+    assert "partial_" in plan, "bin rollup must map-side combine"
+
+
 def main() -> int:
     import __spark_entry__ as entry_mod
     from datapipeline_ops_spark.session import get_spark
