@@ -30,12 +30,13 @@ def entry(spark: SparkSession) -> DataFrame:
 # a driver record. Round-14 ordering applies the staged plan from the
 # round-13 comment (round-13 gate came back 50/50 green, so no reds to head
 # the window):
-# (a) first driver records for the 14 round-14 additions, registration
-#     order (8 from the opening wave + 6 from the classic-ML wave 2);
+# (a) first driver records for the 16 round-14 additions, registration
+#     order (8 from the opening wave + 8 from the classic-ML wave 2);
 # (b) vocab_coverage_curve -- the last r05-latest straggler; the r05 cohort
 #     is fully rotated after it;
-# (c) the first 35 of the r06-latest cohort (50 queries), registration
-#     order; the last 15 (pipeline_cut_e2e, pipeline_caption_e2e,
+# (c) the first 33 of the r06-latest cohort (50 queries), registration
+#     order; the last 17 (clipped_area_filter, gauntlet_exactly_one,
+#     pipeline_cut_e2e, pipeline_caption_e2e,
 #     pipeline_frame_mining_e2e, pipeline_bg_filter_e2e, kmv_set_ops_audit,
 #     bootstrap_mean_ci, ann_ivfpq_recall_eval, html_text_extract,
 #     url_canonical_dedup, crawl_schedule_plan, warc_record_extract,
@@ -53,6 +54,7 @@ _PRIORITY = [
     "naive_bayes_train", "naive_bayes_confusion",
     "decision_stump_train", "decision_stump_apply",
     "ols_normal_equations", "isotonic_calibration_pav",
+    "gbdt_stump_boost", "gbdt_gate_apply",
     # (b) the final r05 straggler
     "vocab_coverage_curve",
     # (c) r06-latest cohort, registration order (45 of 50)
@@ -67,13 +69,13 @@ _PRIORITY = [
     "media_frame_sample", "media_type_sniff", "media_png_frame_extract",
     "segment_plan", "segment_summary", "frame_sample_ref",
     "frame_sample_scan", "array_index_join", "iou_boxes",
-    "clipped_area_filter", "gauntlet_exactly_one",
     # --- 50-slot window ends here ---
 ]
 # ROUND-15 ORDERING PLAN (apply after the round-14 gate runs): head the
 # window with any round-14 reds (expected none), then:
 # (1) first records for any round-15 additions as they land;
-# (2) the 15 rolled r06 queries (pipeline_cut_e2e, pipeline_caption_e2e,
+# (2) the 17 rolled r06 queries (clipped_area_filter, gauntlet_exactly_one,
+#     pipeline_cut_e2e, pipeline_caption_e2e,
 #     pipeline_frame_mining_e2e, pipeline_bg_filter_e2e, kmv_set_ops_audit,
 #     bootstrap_mean_ci, ann_ivfpq_recall_eval, html_text_extract,
 #     url_canonical_dedup, crawl_schedule_plan, warc_record_extract,

@@ -872,3 +872,403 @@ def isotonic_calibration_pav(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("raw_rate"),
         (F.round("g", 6) + F.lit(0.0)).alias("iso_rate"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Gradient-boosted stumps (L2Boost): the stump primitive iterated on
+# residuals — the depth-1 GBDT trainer, closed in-engine
+# ---------------------------------------------------------------------------
+
+# Boosting rounds and shrinkage. The whole trajectory runs in INTEGER
+# micro-units: labels are y_micro in {0, 1_000_000}, the model F is a
+# BIGINT micro score, leaf values round to integer micro-units — so
+# residual sums, split gains, and the >= 0.5 gate (F >= 500_000) are exact
+# in both engines; no float aggregate ever feeds a decision.
+_GB_ROUNDS = 3
+_GB_LR = 0.5
+_GB_GATE = 500_000  # F >= 0.5 in micro-units
+
+
+def _gb_bucket_sql(x: str) -> str:
+    return (
+        f"CAST(least({_STUMP_BKTS - 1}, greatest(0,"
+        f" CAST(floor(({x} + 5e-1) / {_STUMP_W}) AS INT))) AS INT)"
+    )
+
+
+def _gb_f_sql(m: int) -> str:
+    """F_m in micro-units as a SQL expression over feats row f and the
+    1-row split frames s1..sm (joined in scope). COALESCE makes a NULL
+    split (no valid candidate — degenerate corpus) a no-op round."""
+    expr = "f0.f"
+    for i in range(1, m + 1):
+        x = (
+            f"(CASE s{i}.feat WHEN 'ntok' THEN f.x1 WHEN 'wordlen' THEN f.x2"
+            f" WHEN 'stop' THEN f.x3 ELSE f.x4 END)"
+        )
+        expr = (
+            f"({expr} + COALESCE(CASE WHEN {_gb_bucket_sql(x)} <= s{i}.bkt"
+            f" THEN s{i}.vl ELSE s{i}.vr END, 0))"
+        )
+    return expr
+
+
+def _gb_ctes() -> tuple[list[str], list[str]]:
+    """Unrolled L2Boost CTE chain; returns (CTE parts, per-stage SELECTs).
+    Stage m's metrics (mse, gate counts at F_m) come from hist_{m+1}'s
+    'ntok' slice — every doc appears exactly once per feature, so one
+    bounded histogram pass per round serves both the next split search and
+    the previous stage's published metrics."""
+    unions = "\n            UNION ALL ".join(
+        f"SELECT '{name}' AS feat, f.{col} AS x, f.y_micro AS ym,"
+        f" {{F}} AS fm FROM feats2 f{{joins}}"
+        for name, col in _STUMP_FEATS
+    )
+    parts = [
+        _qct_feats_sql(),
+        """feats2 AS MATERIALIZED (
+        SELECT *, CAST(CASE WHEN y = 1e0 THEN 1000000 ELSE 0 END AS BIGINT)
+            AS y_micro
+        FROM feats)""",
+        """f0 AS (SELECT CAST(round(1e6 * sum(CASE WHEN y = 1e0 THEN 1 ELSE 0 END)
+            / count(*), 0) AS BIGINT) AS f FROM feats2)""",
+    ]
+    stage_rows = []
+    for m in range(1, _GB_ROUNDS + 2):
+        joins = ", f0" + "".join(f", s{i}" for i in range(1, m))
+        f_expr = _gb_f_sql(m - 1)
+        lng = unions.format(F=f_expr, joins=joins)
+        parts.append(f"""hist{m} AS MATERIALIZED (
+        SELECT feat, {_gb_bucket_sql('x')} AS bkt,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(ym - fm) AS BIGINT) AS sr,
+               CAST(sum(CASE WHEN fm >= {_GB_GATE} THEN 1 ELSE 0 END) AS BIGINT)
+                   AS npass,
+               CAST(sum(CASE WHEN (fm >= {_GB_GATE}) = (ym = 1000000)
+                             THEN 1 ELSE 0 END) AS BIGINT) AS nok,
+               sum((CAST(ym - fm AS DOUBLE) / 1e6)
+                   * (CAST(ym - fm AS DOUBLE) / 1e6)) AS sse
+        FROM ({lng})
+        GROUP BY 1, 2)""")
+        # stage m-1 metrics from the 'ntok' slice (each doc exactly once)
+        split_cols = (
+            f"""s{m - 1}.feat AS feature, s{m - 1}.bkt + 1 AS thr_bucket,
+           s{m - 1}.vl AS v_left_micro, s{m - 1}.vr AS v_right_micro"""
+            if m - 1 >= 1
+            else """CAST(NULL AS VARCHAR) AS feature, CAST(NULL AS INT) AS thr_bucket,
+           CAST(NULL AS BIGINT) AS v_left_micro, CAST(NULL AS BIGINT) AS v_right_micro"""
+        )
+        stage_joins = f", s{m - 1}" if m - 1 >= 1 else ""
+        stage_rows.append(f"""(SELECT {m - 1} AS stage, {split_cols},
+           round(CAST(h.sse_t AS DOUBLE) / h.n_t, 6) + 0e0 AS mse,
+           h.npass_t AS n_pass, h.nok_t AS n_correct
+    FROM (SELECT CAST(sum(n) AS BIGINT) AS n_t, sum(sse) AS sse_t,
+                 CAST(sum(npass) AS BIGINT) AS npass_t,
+                 CAST(sum(nok) AS BIGINT) AS nok_t
+          FROM hist{m} WHERE feat = 'ntok') h{stage_joins})""")
+        if m <= _GB_ROUNDS:
+            # split search on the bounded histogram: maximize
+            # SL^2/nL + SR^2/nR (exact-integer sums; gain doubles derive
+            # from them through one fixed expression shape)
+            parts.append(f"""cum{m} AS (
+        SELECT feat, bkt,
+               CAST(sum(n) OVER (PARTITION BY feat ORDER BY bkt) AS BIGINT) AS nl,
+               CAST(sum(sr) OVER (PARTITION BY feat ORDER BY bkt) AS BIGINT) AS sl,
+               CAST(sum(n) OVER (PARTITION BY feat) AS BIGINT) AS tn,
+               CAST(sum(sr) OVER (PARTITION BY feat) AS BIGINT) AS ts
+        FROM hist{m})""")
+            gain = (
+                "(CAST(sl AS DOUBLE) * CAST(sl AS DOUBLE) / CAST(nl AS DOUBLE)"
+                " + CAST(ts - sl AS DOUBLE) * CAST(ts - sl AS DOUBLE)"
+                " / CAST(tn - nl AS DOUBLE))"
+            )
+            parts.append(f"""s{m} AS (
+        SELECT mm.ms.feat AS feat, mm.ms.bkt AS bkt,
+               mm.ms.vl AS vl, mm.ms.vr AS vr
+        FROM (SELECT min(struct_pack(ng := -{gain}, feat := feat,
+                   bkt := bkt,
+                   vl := CAST(round({_GB_LR} * CAST(sl AS DOUBLE)
+                              / CAST(nl AS DOUBLE), 0) AS BIGINT),
+                   vr := CAST(round({_GB_LR} * CAST(ts - sl AS DOUBLE)
+                              / CAST(tn - nl AS DOUBLE), 0) AS BIGINT))) AS ms
+              FROM (SELECT * FROM cum{m} WHERE nl < tn)) mm)""")
+    return parts, stage_rows
+
+
+def _gb_oracle() -> str:
+    parts, rows = _gb_ctes()
+    return "WITH " + ",\n    ".join(parts) + "\n" + "\nUNION ALL\n".join(rows)
+
+
+def _gb_bkt_col(x):
+    return F.least(
+        F.lit(_STUMP_BKTS - 1),
+        F.greatest(
+            F.lit(0), F.floor((x + F.lit(0.5)) / F.lit(_STUMP_W)).cast("int")
+        ),
+    ).cast("int")
+
+
+def _gb_run(spark: SparkSession, sf_dir: str):
+    """Run the unrolled L2Boost loop; returns (feats2, f0, splits, stage
+    frames) where splits is the list of persisted 1-row split frames
+    (columns sfeat{i}/sbkt{i}/svl{i}/svr{i}) and stage frames are the
+    published per-stage rows. Shared by gbdt_stump_boost and
+    gbdt_gate_apply so the apply serves the exact trained ensemble."""
+    feats, _, _ = _qct_run(spark, sf_dir)
+    feats2 = feats.withColumn(
+        "y_micro",
+        F.when(F.col("y") == 1.0, F.lit(1_000_000)).otherwise(0).cast("long"),
+    )
+    f0 = persist_barrier(
+        feats2.agg(
+            F.round(
+                F.lit(1e6)
+                * F.sum(F.when(F.col("y") == 1.0, 1).otherwise(0))
+                / F.count(F.lit(1)),
+                0,
+            )
+            .cast("long")
+            .alias("f0f")
+        ),
+        "gb_f0",
+    )
+
+    def f_expr(m: int):
+        """F_m in micro-units over a frame carrying f0f and sfeat{i}.."""
+        expr = F.col("f0f")
+        for i in range(1, m + 1):
+            x = (
+                F.when(F.col(f"sfeat{i}") == "ntok", F.col("x1"))
+                .when(F.col(f"sfeat{i}") == "wordlen", F.col("x2"))
+                .when(F.col(f"sfeat{i}") == "stop", F.col("x3"))
+                .otherwise(F.col("x4"))
+            )
+            expr = expr + F.coalesce(
+                F.when(_gb_bkt_col(x) <= F.col(f"sbkt{i}"), F.col(f"svl{i}"))
+                .otherwise(F.col(f"svr{i}")),
+                F.lit(0),
+            )
+        return expr
+
+    splits: list[DataFrame] = []
+    stage_rows: list[DataFrame] = []
+    for m in range(1, _GB_ROUNDS + 2):
+        j = feats2.crossJoin(F.broadcast(f0))
+        for s in splits:
+            j = j.crossJoin(F.broadcast(s))
+        fm = f_expr(m - 1)
+        lng = j.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(F.lit(name).alias("feat"), F.col(col).alias("x"))
+                        for name, col in _STUMP_FEATS
+                    ]
+                )
+            ).alias("fx"),
+            F.col("y_micro").alias("ym"),
+            fm.alias("fm"),
+        ).select(F.col("fx.feat").alias("feat"), F.col("fx.x").alias("x"), "ym", "fm")
+        r = F.col("ym") - F.col("fm")
+        hist = persist_barrier(
+            lng.groupBy("feat", _gb_bkt_col(F.col("x")).alias("bkt")).agg(
+                F.count(F.lit(1)).cast("long").alias("n"),
+                F.sum(r).cast("long").alias("sr"),
+                F.sum(F.when(F.col("fm") >= _GB_GATE, 1).otherwise(0))
+                .cast("long")
+                .alias("npass"),
+                F.sum(
+                    F.when(
+                        (F.col("fm") >= _GB_GATE) == (F.col("ym") == 1_000_000),
+                        1,
+                    ).otherwise(0)
+                )
+                .cast("long")
+                .alias("nok"),
+                F.sum(
+                    (r.cast("double") / F.lit(1e6)) * (r.cast("double") / F.lit(1e6))
+                ).alias("sse"),
+            ),
+            f"gb_hist{m}",
+        )
+        tot = hist.filter(F.col("feat") == "ntok").agg(
+            F.sum("n").cast("long").alias("n_t"),
+            F.sum("sse").alias("sse_t"),
+            F.sum("npass").cast("long").alias("npass_t"),
+            F.sum("nok").cast("long").alias("nok_t"),
+        )
+        i = m - 1
+        if i >= 1:
+            tot = tot.crossJoin(F.broadcast(splits[i - 1]))
+            split_cols = [
+                F.col(f"sfeat{i}").alias("feature"),
+                (F.col(f"sbkt{i}") + 1).alias("thr_bucket"),
+                F.col(f"svl{i}").alias("v_left_micro"),
+                F.col(f"svr{i}").alias("v_right_micro"),
+            ]
+        else:
+            split_cols = [
+                F.lit(None).cast("string").alias("feature"),
+                F.lit(None).cast("int").alias("thr_bucket"),
+                F.lit(None).cast("long").alias("v_left_micro"),
+                F.lit(None).cast("long").alias("v_right_micro"),
+            ]
+        stage_rows.append(
+            tot.select(
+                F.lit(i).alias("stage"),
+                *split_cols,
+                (
+                    F.round(F.col("sse_t") / F.col("n_t").cast("double"), 6)
+                    + F.lit(0.0)
+                ).alias("mse"),
+                F.col("npass_t").alias("n_pass"),
+                F.col("nok_t").alias("n_correct"),
+            )
+        )
+        if m <= _GB_ROUNDS:
+            wo = Window.partitionBy("feat").orderBy("bkt")
+            wf = Window.partitionBy("feat")
+            cum = hist.select(
+                "feat",
+                "bkt",
+                F.sum("n").over(wo).cast("long").alias("nl"),
+                F.sum("sr").over(wo).cast("long").alias("sl"),
+                F.sum("n").over(wf).cast("long").alias("tn"),
+                F.sum("sr").over(wf).cast("long").alias("ts"),
+            ).filter(F.col("nl") < F.col("tn"))
+            gain = F.col("sl").cast("double") * F.col("sl").cast("double") / F.col(
+                "nl"
+            ).cast("double") + (F.col("ts") - F.col("sl")).cast("double") * (
+                F.col("ts") - F.col("sl")
+            ).cast("double") / (F.col("tn") - F.col("nl")).cast("double")
+            vl = (
+                F.round(
+                    F.lit(_GB_LR) * F.col("sl").cast("double") / F.col("nl").cast("double"),
+                    0,
+                )
+            ).cast("long")
+            vr = (
+                F.round(
+                    F.lit(_GB_LR)
+                    * (F.col("ts") - F.col("sl")).cast("double")
+                    / (F.col("tn") - F.col("nl")).cast("double"),
+                    0,
+                )
+            ).cast("long")
+            s = persist_barrier(
+                cum.agg(
+                    F.min(
+                        F.struct(
+                            (-gain).alias("ng"),
+                            F.col("feat").alias("feat"),
+                            F.col("bkt").alias("bkt"),
+                            vl.alias("vl"),
+                            vr.alias("vr"),
+                        )
+                    ).alias("ms")
+                ).select(
+                    F.col("ms").getField("feat").alias(f"sfeat{m}"),
+                    F.col("ms").getField("bkt").alias(f"sbkt{m}"),
+                    F.col("ms").getField("vl").alias(f"svl{m}"),
+                    F.col("ms").getField("vr").alias(f"svr{m}"),
+                ),
+                f"gb_s{m}",
+            )
+            splits.append(s)
+    return feats2, f0, splits, stage_rows
+
+
+@query("gbdt_stump_boost", oracle=_gb_oracle())
+def gbdt_stump_boost(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train a gradient-boosted ensemble of decision stumps (L2Boost,
+    {_GB_ROUNDS} rounds, shrinkage {_GB_LR}) on the trained-gate feature
+    table against the Gopher keep label — the `decision_stump_train`
+    histogram primitive iterated on residuals, which is depth-1 GBDT, the
+    workhorse quality-classifier family at corpus scale. One row per stage
+    carries the chosen split, its leaf values, and the train MSE and
+    >=0.5-gate census AT that stage's model.
+
+    The entire trajectory is INTEGER micro-unit arithmetic: labels are
+    y*1e6, the model F is a BIGINT score, leaf values round to integer
+    micro-units, residual sums are exact BIGINTs — so split gains
+    (SL^2/nL + SR^2/nR doubles derived from integer sums through one fixed
+    expression) and the gate census are bit-identical cross-engine; ties
+    break (gain DESC, feature ASC, bucket ASC). A corpus with no valid
+    candidate publishes a NULL no-op round (COALESCE keeps F unchanged).
+    `mse` is monotone non-increasing across stages (lr < 2 on the squared
+    loss; invariant-pinned).
+
+    Scale: per round exactly ONE partial-aggregated histogram shuffle
+    bounded by |features| x {_STUMP_BKTS} cells — the corpus never
+    shuffles; stage metrics ride the next round's histogram ('ntok' slice
+    covers every doc exactly once), so k rounds cost k+1 fact passes over
+    the persisted feature table with all model state in broadcast 1-row
+    frames. This is exactly the distributed-GBDT shape (histogram
+    aggregation + driver-held split state) production learners use."""
+    _, _, _, stage_rows = _gb_run(spark, sf_dir)
+    out = stage_rows[0]
+    for r in stage_rows[1:]:
+        out = out.unionByName(r)
+    return out
+
+
+def _gb_apply_oracle() -> str:
+    parts, _ = _gb_ctes()
+    joins = ", f0" + "".join(f", s{i}" for i in range(1, _GB_ROUNDS + 1))
+    fk = _gb_f_sql(_GB_ROUNDS)
+    return (
+        "WITH " + ",\n    ".join(parts) + f"""
+    SELECT f.source,
+           count(*) AS n_docs,
+           CAST(sum(CASE WHEN {fk} >= {_GB_GATE} THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_pass,
+           CAST(sum(CASE WHEN ({fk} >= {_GB_GATE}) = (f.y_micro = 1000000)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+           round(CAST(sum(CASE WHEN ({fk} >= {_GB_GATE}) = (f.y_micro = 1000000)
+                              THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) + 0e0
+               AS acc_rate
+    FROM feats2 f{joins}
+    GROUP BY f.source"""
+    )
+
+
+@query("gbdt_gate_apply", oracle=_gb_apply_oracle())
+def gbdt_gate_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the boosted ensemble `gbdt_stump_boost` just trained as a
+    corpus quality gate (keep when the final micro-score F >= 0.5): the
+    per-source pass/accuracy report, computed at the exact integer model
+    the final training stage published. Cross-query identity pins the
+    corpus-wide n_pass / n_correct to stage {_GB_ROUNDS}'s own census —
+    the training trajectory and the deployed ensemble cannot drift.
+
+    Scale: one more pass over the persisted feature table with the
+    {_GB_ROUNDS} 1-row split frames and the base score broadcast on
+    (scalar spine); the rollup map-side combines per source."""
+    feats2, f0, splits, _ = _gb_run(spark, sf_dir)
+    j = feats2.crossJoin(F.broadcast(f0))
+    for s in splits:
+        j = j.crossJoin(F.broadcast(s))
+    expr = F.col("f0f")
+    for i in range(1, _GB_ROUNDS + 1):
+        x = (
+            F.when(F.col(f"sfeat{i}") == "ntok", F.col("x1"))
+            .when(F.col(f"sfeat{i}") == "wordlen", F.col("x2"))
+            .when(F.col(f"sfeat{i}") == "stop", F.col("x3"))
+            .otherwise(F.col("x4"))
+        )
+        expr = expr + F.coalesce(
+            F.when(_gb_bkt_col(x) <= F.col(f"sbkt{i}"), F.col(f"svl{i}"))
+            .otherwise(F.col(f"svr{i}")),
+            F.lit(0),
+        )
+    gate = expr >= F.lit(_GB_GATE)
+    ok = (gate == (F.col("y_micro") == 1_000_000)).cast("int")
+    return j.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(gate.cast("int")).cast("long").alias("n_pass"),
+        F.sum(ok).cast("long").alias("n_correct"),
+        (
+            F.round(F.sum(ok).cast("double") / F.count(F.lit(1)), 6) + F.lit(0.0)
+        ).alias("acc_rate"),
+    )

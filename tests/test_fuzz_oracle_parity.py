@@ -1352,6 +1352,8 @@ def test_fuzz_documents_wave7_classic_ml(spark, tmp_path_factory, docs):
             "decision_stump_apply",
             "ols_normal_equations",
             "isotonic_calibration_pav",
+            "gbdt_stump_boost",
+            "gbdt_gate_apply",
         ],
         ["documents"],
     )

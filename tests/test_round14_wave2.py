@@ -291,3 +291,97 @@ def test_sequential_pav_reference_self_check():
     assert _sequential_pav([(1, 1), (1, 0)]) == [0.5, 0.5]
     assert _sequential_pav([(2, 0), (2, 2)]) == [0.0, 1.0]
     assert _sequential_pav([(1, 1), (1, 0), (2, 2)]) == [0.5, 0.5, 1.0]
+
+
+# ---------------------------------------------------------------------------
+# GBDT stumps vs a pure-Python L2Boost reference
+# ---------------------------------------------------------------------------
+
+
+def test_gbdt_vs_pure_python(spark):
+    from datapipeline_ops_spark.queries.classic_ml import (
+        _GB_GATE,
+        _GB_LR,
+        _GB_ROUNDS,
+        gbdt_gate_apply,
+        gbdt_stump_boost,
+    )
+
+    rows = _feat_rows(spark)
+    cols = dict(_STUMP_FEATS)
+    n = len(rows)
+    ym = [1_000_000 if r["y"] == 1.0 else 0 for r in rows]
+
+    def bkt(x: float) -> int:
+        return min(_STUMP_BKTS - 1, max(0, math.floor((x + 0.5) / _STUMP_W)))
+
+    f0 = int(_round_half_away(1e6 * sum(1 for v in ym if v == 1_000_000) / n, 0))
+    fm = [f0] * n
+    stages = []
+
+    def metrics(stage, split):
+        mse = _round_half_away(
+            sum(((y - f) / 1e6) ** 2 for y, f in zip(ym, fm)) / n
+        )
+        npass = sum(1 for f in fm if f >= _GB_GATE)
+        nok = sum(
+            1 for y, f in zip(ym, fm) if (f >= _GB_GATE) == (y == 1_000_000)
+        )
+        stages.append((stage, split, mse, npass, nok))
+
+    metrics(0, None)
+    for m in range(1, _GB_ROUNDS + 1):
+        # exhaustive candidate search by brute force (no histogram/cumsum)
+        best = None
+        for name, col in _STUMP_FEATS:
+            for b in sorted({bkt(r[col]) for r in rows}):
+                left = [i for i, r in enumerate(rows) if bkt(r[col]) <= b]
+                right = [i for i, r in enumerate(rows) if bkt(r[col]) > b]
+                if not left or not right:
+                    continue
+                sl = sum(ym[i] - fm[i] for i in left)
+                sr_ = sum(ym[i] - fm[i] for i in right)
+                gain = sl * sl / len(left) + sr_ * sr_ / len(right)
+                key = (-gain, name, b)
+                if best is None or key < best[0]:
+                    vl = int(_round_half_away(_GB_LR * sl / len(left), 0))
+                    vr = int(_round_half_away(_GB_LR * sr_ / len(right), 0))
+                    best = (key, name, b, vl, vr)
+        _, name, b, vl, vr = best
+        col = cols[name]
+        fm = [
+            f + (vl if bkt(r[col]) <= b else vr) for f, r in zip(fm, rows)
+        ]
+        metrics(m, (name, b + 1, vl, vr))
+
+    got = sorted(gbdt_stump_boost(spark, SF_DIR).collect(), key=lambda r: r["stage"])
+    assert len(got) == len(stages)
+    for g, (stage, split, mse, npass, nok) in zip(got, stages):
+        assert g["stage"] == stage
+        if split is None:
+            assert g["feature"] is None and g["thr_bucket"] is None
+        else:
+            assert (
+                g["feature"],
+                g["thr_bucket"],
+                g["v_left_micro"],
+                g["v_right_micro"],
+            ) == split, (g, split)
+        assert abs(g["mse"] - mse) < 1e-9, (g["stage"], g["mse"], mse)
+        assert (g["n_pass"], g["n_correct"]) == (npass, nok)
+    # mse trajectory is monotone non-increasing
+    vals = [s[2] for s in stages]
+    assert all(a >= b - 1e-12 for a, b in zip(vals, vals[1:]))
+
+    # apply equals the reference's final-model census per source
+    per_src: dict[str, list[int]] = {}
+    for r, f, y in zip(rows, fm, ym):
+        cell = per_src.setdefault(r["source"], [0, 0, 0])
+        cell[0] += 1
+        cell[1] += 1 if f >= _GB_GATE else 0
+        cell[2] += 1 if (f >= _GB_GATE) == (y == 1_000_000) else 0
+    got_apply = {
+        r["source"]: [r["n_docs"], r["n_pass"], r["n_correct"]]
+        for r in gbdt_gate_apply(spark, SF_DIR).collect()
+    }
+    assert got_apply == per_src

@@ -352,6 +352,10 @@ MONOTONE = {
     # isotonic regression is monotone by construction: the PAV fit cannot
     # decrease across logit bins (that is the constraint it solves under)
     "isotonic_calibration_pav": ("zbin", [("iso_rate", "+")]),
+    # L2Boost with shrinkage < 2 on squared loss: each round's SSE drops by
+    # (2*lr - lr^2) * gain >= 0; integer micro-unit leaf rounding perturbs
+    # F by <= 0.5e-6, orders below the published decreases
+    "gbdt_stump_boost": ("stage", [("mse", "-")]),
 }
 
 
@@ -669,6 +673,21 @@ def _cq_pav_bins_match_calibration(rows):
     return None
 
 
+def _cq_gbdt_apply_equals_final_stage(rows):
+    """gbdt_gate_apply serves the exact integer model the final boosting
+    stage published: corpus-wide n_pass / n_correct must match stage K's
+    own census (both are exact-integer gate counts at identical F)."""
+    stages = rows["gbdt_stump_boost"]
+    final = max(stages, key=lambda r: r["stage"])
+    n_pass = sum(r["n_pass"] for r in rows["gbdt_gate_apply"])
+    n_ok = sum(r["n_correct"] for r in rows["gbdt_gate_apply"])
+    if n_pass != final["n_pass"]:
+        return f"apply n_pass {n_pass} != final stage {final['n_pass']}"
+    if n_ok != final["n_correct"]:
+        return f"apply n_correct {n_ok} != final stage {final['n_correct']}"
+    return None
+
+
 def _cq_ols_covers_corpus(rows):
     """ols_normal_equations fits on the same feature table the gate scores:
     its published n must equal the corpus doc total."""
@@ -699,6 +718,11 @@ CROSS_QUERY = [
         "ols_covers_corpus",
         ["ols_normal_equations", "trained_gate_impact"],
         _cq_ols_covers_corpus,
+    ),
+    (
+        "gbdt_apply_equals_final_stage",
+        ["gbdt_gate_apply", "gbdt_stump_boost"],
+        _cq_gbdt_apply_equals_final_stage,
     ),
     (
         "kmeans_apply_equals_final_stage",

@@ -2328,6 +2328,28 @@ def _(qs, spark):
     assert "partial_" in plan, "moment aggregate must map-side combine"
 
 
+@check("gbdt_stump_boost: one bounded histogram shuffle per round, broadcast split state")
+def _(qs, spark):
+    plan = plan_of(qs["gbdt_stump_boost"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    # model state (base score + per-round 1-row split frames) is broadcast;
+    # no relational join touches the corpus
+    assert re.search(r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)", plan) is None
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "InMemoryTableScan" in plan, "feature table / histograms must persist"
+    assert "partial_" in plan, "histogram must map-side combine"
+
+
+@check("gbdt_gate_apply: scalar-spine ensemble pass, map-side source rollup")
+def _(qs, spark):
+    plan = plan_of(qs["gbdt_gate_apply"](spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert re.search(r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)", plan) is None
+    assert "BroadcastNestedLoopJoin" in plan, "split frames must broadcast"
+    assert "InMemoryTableScan" in plan, "feature table must persist (shared with train)"
+    assert "partial_" in plan, "per-source rollup must map-side combine"
+
+
 @check("isotonic_calibration_pav: one binning pass, minimax on the bounded bin frame")
 def _(qs, spark):
     plan = plan_of(qs["isotonic_calibration_pav"](spark, SF_DIR))
