@@ -98,15 +98,22 @@ def embedding_pca_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     start from, and the diagnostic that finds dead (zero-variance) or
     redundant (|corr| ~ 1) dimensions before they waste index space.
 
-    Scale shape: each row flat-maps to its d(d+1)/2 upper-triangle products
-    and hash aggregation PARTIALLY combines them inside the partition, so
-    the one exchange moves at most d(d+1)/2 = {EMB_DIM * (EMB_DIM + 1) // 2}
-    rows per upstream partition — independent of corpus size (the classic
-    map-side-combined Gram matrix). Means and variances are {EMB_DIM}- and
-    2080-row frames joined back broadcast. No vector ever shuffles; no
-    driver-side math. Covariance/correlation are true float aggregations
-    (partition accumulation order differs across engines) so they ship raw
-    per the repo convention."""
+    Scale shape: each row flat-maps to its d raw values plus its d(d+1)/2
+    upper-triangle products in ONE flat array, and hash aggregation
+    PARTIALLY combines them inside the partition, so the single exchange
+    moves at most d(d+3)/2 = {EMB_DIM * (EMB_DIM + 3) // 2} rows per
+    upstream partition — independent of corpus size (the classic
+    map-side-combined Gram matrix, fused with the means/count pass). The
+    aggregated moments frame (d(d+3)/2 rows) persists behind a site-keyed
+    barrier; means, variances and liveness derive from it via broadcast
+    joins, so the corpus is scanned exactly ONCE however many times the
+    tiny frames are reused downstream (the un-persisted form re-expanded
+    the corpus subtree 44x — round-14 plan census). No vector ever
+    shuffles; no driver-side math. Covariance/correlation are true float
+    aggregations (partition accumulation order differs across engines) so
+    they ship raw per the repo convention."""
+    from datapipeline_ops_spark.operators.dedup import persist_barrier
+
     e = load_table(spark, sf_dir, "embeddings")
     v = e.select(as_double(F.col("embedding")).alias("vec"))
     # a small parquet file scans as one partition and the d^2/2 product
@@ -116,27 +123,16 @@ def embedding_pca_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     if v.rdd.getNumPartitions() < n:
         v = v.repartition(n)
-    nd = F.col("nd")
 
-    # per-dimension mean (d rows)
-    ex = v.select(F.posexplode("vec").alias("i0", "x")).select(
-        (F.col("i0") + 1).alias("i"), "x"
-    )
-    stats = v.agg(F.count(F.lit(1)).cast("double").alias("nd"))
-    mu = (
-        ex.crossJoin(F.broadcast(stats))
-        .groupBy("i")
-        .agg(
-            (F.sum("x") / F.any_value(nd)).alias("m"),
-            (F.min("x") < F.max("x")).alias("live"),
-        )
-    )
-
-    # upper-triangle cross products: FLAT double array (positionally
-    # ordered i=1..d, j=i..d), posexplode, partial-aggregated sum per
-    # linear index — ~1.6x cheaper than exploding (i, j, p) structs; the
-    # (i, j) labels come back from a broadcast index map built once from
-    # a 1-row frame with the identical nesting order
+    # ONE corpus pass: each row emits its d raw values FOLLOWED BY its
+    # d(d+1)/2 upper-triangle products as one flat double array
+    # (positionally ordered i=1..d, then i=1..d x j=i..d), and a single
+    # partial-aggregated groupBy(k) reduces every partition to
+    # d(d+3)/2 rows before the one exchange. sum/min/max/count per linear
+    # index simultaneously yield the per-dimension means (k < d), the
+    # liveness flags (min < max), the cross-product sums (k >= d), and the
+    # corpus count — the three separate corpus passes (means pass, count
+    # pass, Gram pass) this query used to run collapsed into this one.
     idx = F.sequence(F.lit(1), F.lit(EMB_DIM))
     vec = F.col("vec")
     tri = F.flatten(
@@ -148,6 +144,25 @@ def embedding_pca_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+    moments = persist_barrier(
+        v.select(F.posexplode(F.concat(vec, tri)).alias("k", "p"))
+        .groupBy("k")
+        .agg(
+            F.sum("p").alias("s"),
+            (F.min("p") < F.max("p")).alias("live"),
+            F.count(F.lit(1)).cast("double").alias("nd"),
+        ),
+        "pca_cov_moments",
+    )
+    mu = moments.filter(F.col("k") < EMB_DIM).select(
+        (F.col("k") + 1).alias("i"),
+        (F.col("s") / F.col("nd")).alias("m"),
+        "live",
+    )
+
+    # (i, j) labels for the product block come back from a broadcast index
+    # map built once from a 1-row frame with the identical nesting order,
+    # offset past the d raw-value slots
     pairs = F.flatten(
         F.transform(
             F.sequence(F.lit(1), F.lit(EMB_DIM)),
@@ -159,25 +174,24 @@ def embedding_pca_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     kmap = (
         spark.range(1)
-        .select(F.posexplode(pairs).alias("k", "t"))
-        .select("k", "t.i", "t.j")
+        .select(F.posexplode(pairs).alias("k0", "t"))
+        .select((F.col("k0") + EMB_DIM).alias("k"), "t.i", "t.j")
     )
     sp = (
-        v.select(F.posexplode(tri).alias("k", "p"))
-        .groupBy("k")
-        .agg(F.sum("p").alias("sp"))
+        moments.filter(F.col("k") >= EMB_DIM)
         .join(F.broadcast(kmap), "k")
-        .select("i", "j", "sp")
+        .select("i", "j", "s", "nd")
     )
 
     cov = (
-        sp.crossJoin(F.broadcast(stats))
-        .join(F.broadcast(mu.select(F.col("i"), F.col("m").alias("mi"))), "i")
+        sp.join(F.broadcast(mu.select(F.col("i"), F.col("m").alias("mi"))), "i")
         .join(
             F.broadcast(mu.select(F.col("i").alias("j"), F.col("m").alias("mj"))),
             "j",
         )
-        .select("i", "j", (F.col("sp") / nd - F.col("mi") * F.col("mj")).alias("cov"))
+        .select(
+            "i", "j", (F.col("s") / F.col("nd") - F.col("mi") * F.col("mj")).alias("cov")
+        )
     )
     var = (
         cov.filter(F.col("i") == F.col("j"))

@@ -1348,9 +1348,15 @@ def bpe_train_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
     invariant-pinned), and vocab words rewritten. A corpus whose pair
     table drains early simply emits fewer rows.
 
-    Scale: ONE corpus-wide shuffle builds the (token, n) vocabulary; every
-    stage after that is vocab-bounded — pair counts partial-aggregate over
-    the persisted symbol table, the 1-row merge rule broadcasts back (left
+    Scale: ONE corpus-wide shuffle builds the (token, n) vocabulary;
+    every stage after that is vocab-bounded, and the engine picks the
+    cheaper of two identical-result strategies (the CC small-graph
+    precedent): at or under {_BPE_DRIVER_VOCAB_CAP} vocab entries the
+    merge loop runs driver-local on the collected table — per-merge Spark
+    jobs were pure fixed cost there (~9 s at EVERY scale factor before
+    the r14 optimization; ~1 job's worth after). Above the cap the
+    distributed loop runs: pair counts partial-aggregate over the
+    persisted symbol table, the 1-row merge rule broadcasts back (left
     BNLJ so an empty rule is a no-op), and each stage's rewritten vocab
     localCheckpoints (the CC-loop precedent, operators/dedup.py:311) so
     depth-k training re-reads cached symbols, never the corpus — AND the
@@ -1377,6 +1383,82 @@ _BPE_LOOP_MEMO: dict = {}
 
 def _bpe_memo_clear() -> None:
     _BPE_LOOP_MEMO.clear()
+
+
+# Adaptive strategy threshold (the CC_SMALL_GRAPH_EDGES precedent,
+# operators/dedup.py): at or below this many vocabulary entries the 8-merge
+# loop runs driver-local on the collected (token, n, s) table instead of as
+# 2 eager Spark jobs per merge. The corpus pass that BUILDS the vocabulary
+# is unchanged (one distributed shuffle); what moves to the driver is the
+# vocab-bounded merge arithmetic, where per-job fixed cost (planning,
+# codegen, checkpoint writes) dominated the wall by >100x: the measured
+# loop wall was ~9 s at EVERY scale factor — pure per-stage overhead on a
+# tiny frame. Above the cap the checkpoint-flat distributed loop runs
+# unchanged; both paths produce identical rows (integer/string arithmetic
+# only — pinned by tests/test_round14_opt.py).
+_BPE_DRIVER_VOCAB_CAP = 500_000
+
+_BPE_STATS_SCHEMA = (
+    "merge_idx int, pair_a string, pair_b string, merged string, "
+    "pair_freq bigint, n_applied bigint, corpus_symbols_after bigint, "
+    "vocab_words_changed bigint"
+)
+_BPE_VOCAB_SCHEMA = "token string, n bigint, nb int, s array<string>, na int"
+
+
+def _bpe_driver_loop(spark: SparkSession, rows):
+    """Driver-local replay of the distributed merge loop over the collected
+    vocabulary — same argmax tie-break (freq DESC, a, b: Python str
+    comparison orders code points exactly like Spark's binary UTF-8
+    compare), same greedy left-to-right fold (merge the last symbol with
+    the next element iff last == pa and next == pb), same integer stats.
+    Returns (vocab frame, per-merge 0/1-row stats frames) with the
+    identical schemas the distributed path publishes."""
+    # [token, n, symbols, nb, na] — nb/na track the LAST merge's rewrite,
+    # matching the distributed v{i} columns (a no-op merge sets nb = na)
+    words = [[r.token, int(r.n), list(r.s), len(r.s), len(r.s)] for r in rows]
+    out_rows = []
+    for i in range(1, _BPE_LOOP_MERGES + 1):
+        freq: dict = {}
+        for _t, n, s, _nb, _na in words:
+            if len(s) >= 2:
+                for a, b in zip(s, s[1:]):
+                    freq[(a, b)] = freq.get((a, b), 0) + n
+        if not freq:
+            # pair table drained: the distributed m{i} is empty, its
+            # crossJoin with stats emits zero rows, and the left join
+            # keeps every word's symbols (nb = na = len(s))
+            for w in words:
+                w[3] = w[4] = len(w[2])
+            out_rows.append(spark.createDataFrame([], _BPE_STATS_SCHEMA))
+            continue
+        (pa, pb), f = min(freq.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+        n_applied = 0
+        symbols_after = 0
+        changed = 0
+        for w in words:
+            s = w[2]
+            ns = [s[0]]
+            for x in s[1:]:
+                if ns[-1] == pa and x == pb:
+                    ns[-1] = ns[-1] + x
+                else:
+                    ns.append(x)
+            nb, na = len(s), len(ns)
+            w[2], w[3], w[4] = ns, nb, na
+            n_applied += w[1] * (nb - na)
+            symbols_after += w[1] * na
+            changed += int(na < nb)
+        out_rows.append(
+            spark.createDataFrame(
+                [(i, pa, pb, pa + pb, int(f), n_applied, symbols_after, changed)],
+                _BPE_STATS_SCHEMA,
+            )
+        )
+    v = spark.createDataFrame(
+        [(t, n, nb, s, na) for t, n, s, nb, na in words], _BPE_VOCAB_SCHEMA
+    )
+    return v, out_rows
 
 
 def _bpe_run_loop(spark: SparkSession, sf_dir: str):
@@ -1409,6 +1491,15 @@ def _bpe_run_loop(spark: SparkSession, sf_dir: str):
         )
     )
     v = vocab.localCheckpoint(eager=True)
+    # adaptive strategy: a vocab at or under the cap collects (one job over
+    # the already-checkpointed frame) and the merge loop runs driver-local;
+    # above the cap the distributed checkpoint-flat loop below runs on the
+    # same checkpointed frame, so the probe never re-derives the corpus pass
+    head = v.limit(_BPE_DRIVER_VOCAB_CAP + 1).collect()
+    if len(head) <= _BPE_DRIVER_VOCAB_CAP:
+        result = _bpe_driver_loop(spark, head)
+        _BPE_LOOP_MEMO[key] = result
+        return result
     pair_structs = F.expr(
         "transform(sequence(1, size(s) - 1),"
         " i -> struct(element_at(s, i) AS a, element_at(s, i + 1) AS b))"
