@@ -1054,23 +1054,54 @@ def train_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: features build in one zero-shuffle projection and persist; each
     iteration is ONE pass over that in-memory table (loss + full gradient +
-    rates in a single partial-aggregated agg), with the 1-row weight frame
-    broadcast onto it — the classic "broadcast scalar spine" shape, so the
-    unroll never shuffles the corpus and depth-k training costs exactly k+1
-    fact scans regardless of corpus size."""
+    rates + the ROUNDED-IN-SPARK weight update in a single
+    partial-aggregated agg), with the stage weights embedded as plan
+    literals — 5 doubles held driver-side between stages, the kmeans-loop
+    precedent (the former broadcast-frame chain paid a per-stage persist,
+    broadcast build and Catalyst re-analysis that dominated the wall at
+    every scale factor). The unroll never shuffles the corpus and depth-k
+    training costs exactly k+1 fact scans regardless of corpus size;
+    collected doubles re-embed losslessly, so the trajectory is unchanged."""
     _, stage_rows, _ = _qct_run(spark, sf_dir)
-    out = stage_rows[0]
-    for r in stage_rows[1:]:
-        out = out.unionByName(r)
-    return out
+    return stage_rows
+
+
+# Session-scoped memo for the trained GD trajectory (the _km_run
+# precedent): stage weights are driver-held floats embedded as literals,
+# so each stage is exactly ONE partial-aggregated job over the persisted
+# feature table — the frame-chained form paid per-stage persists,
+# broadcast builds and Catalyst re-analysis that dominated the wall at
+# every scale factor. Keyed by (applicationId, sf_dir); cleared by
+# clear_barriers() so bench repeats stay cold.
+_QCT_MEMO: dict = {}
+
+
+def _qct_memo_clear() -> None:
+    _QCT_MEMO.clear()
+
+
+def _dlit(x):
+    """Double literal that preserves NULL (empty-corpus gradients stay
+    NULL through the trajectory, mirroring the oracle's CASE-less
+    propagation)."""
+    return F.lit(float(x)) if x is not None else F.lit(None).cast("double")
 
 
 def _qct_run(spark: SparkSession, sf_dir: str):
     """Build the feature table and run the {_QCT_ITERS}-update GD unroll;
     return (persisted feats, per-stage summary frames, final weight frame).
-    Shared by train_quality_classifier and trained_gate_impact."""
-    from datapipeline_ops_spark.operators.dedup import persist_barrier
+    Shared by train_quality_classifier and trained_gate_impact. Weights
+    live driver-side between stages (5 doubles — a bounded model artifact,
+    the kmeans-loop precedent) and every update ROUNDS IN SPARK before
+    collection, so the trajectory is the exact one the broadcast-frame
+    form walked; collected doubles re-embed as literals losslessly."""
+    from datapipeline_ops_spark.operators.dedup import persist_barrier, register_clear_hook
 
+    key = (spark.sparkContext.applicationId, sf_dir)
+    hit = _QCT_MEMO.get(key)
+    if hit is not None:
+        return hit
+    register_clear_hook(_qct_memo_clear)
     d = load_table(spark, sf_dir, "documents")
     t = tokens(F.col("text"))
     words = tokens(F.trim(F.col("text")))
@@ -1119,72 +1150,71 @@ def _qct_run(spark: SparkSession, sf_dir: str):
         ),
         "qct_feats",
     )
-    w_frame = spark.range(1).select(
-        F.lit(0.0).alias("b"),
-        F.lit(0.0).alias("w1"),
-        F.lit(0.0).alias("w2"),
-        F.lit(0.0).alias("w3"),
-        F.lit(0.0).alias("w4"),
-    )
-    stage_rows = []
+    ws: tuple = (0.0, 0.0, 0.0, 0.0, 0.0)  # (b, w1..w4), driver-held
+    stage_vals = []
     for i in range(_QCT_ITERS + 1):
-        j = feats.crossJoin(F.broadcast(w_frame))
-        # each stage's 1-row aggregate persists so the NEXT stage's weight
-        # frame reads the cached scalar instead of re-expanding the whole
-        # prior lineage — without this the unrolled DAG re-scans the fact
-        # table O(2^k) times (observed 20 scans at k=3; 4 with the barrier)
+        b, w1, w2, w3, w4 = (_dlit(x) for x in ws)
+        # ONE partial-aggregated job per stage over the persisted feature
+        # table; the stage weights enter as plan literals, every published
+        # value AND every weight update rounds IN SPARK before collection
         z = (
-            F.col("b")
-            + F.col("w1") * F.col("x1")
-            + F.col("w2") * F.col("x2")
-            + F.col("w3") * F.col("x3")
-            + F.col("w4") * F.col("x4")
+            b
+            + w1 * F.col("x1")
+            + w2 * F.col("x2")
+            + w3 * F.col("x3")
+            + w4 * F.col("x4")
         )
         p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
-        agg = j.agg(
-            F.first("b").alias("b"),
-            F.first("w1").alias("w1"),
-            F.first("w2").alias("w2"),
-            F.first("w3").alias("w3"),
-            F.first("w4").alias("w4"),
-            F.avg(F.log(F.lit(1.0) + F.exp(z)) - F.col("y") * z).alias("loss_raw"),
-            F.avg(p - F.col("y")).alias("gb"),
-            F.avg((p - F.col("y")) * F.col("x1")).alias("g1"),
-            F.avg((p - F.col("y")) * F.col("x2")).alias("g2"),
-            F.avg((p - F.col("y")) * F.col("x3")).alias("g3"),
-            F.avg((p - F.col("y")) * F.col("x4")).alias("g4"),
-            F.avg(
+        sel = [
+            (F.round(F.avg(F.log(F.lit(1.0) + F.exp(z)) - F.col("y") * z), 6)
+             + F.lit(0.0)).alias("log_loss"),
+            (F.round(F.avg(
                 F.when((z >= 0.0) == (F.col("y") == F.lit(1.0)), F.lit(1.0)).otherwise(0.0)
-            ).alias("acc_raw"),
-            F.avg(F.when(z >= 0.0, F.lit(1.0)).otherwise(0.0)).alias("pass_raw"),
-            F.avg(
+            ), 6) + F.lit(0.0)).alias("acc_rate"),
+            (F.round(F.avg(F.when(z >= 0.0, F.lit(1.0)).otherwise(0.0)), 6)
+             + F.lit(0.0)).alias("pass_rate"),
+            (F.round(F.avg(
                 F.when((z >= 0.0) == F.col("fixed_pass"), F.lit(1.0)).otherwise(0.0)
-            ).alias("agree_raw"),
-        )
-        agg = persist_barrier(agg, f"qct_agg{i}")
-        stage_rows.append(
-            agg.select(
-                F.lit(i).alias("iter"),
-                F.col("b"),
-                F.col("w1").alias("w_ntok"),
-                F.col("w2").alias("w_wordlen"),
-                F.col("w3").alias("w_stop"),
-                F.col("w4").alias("w_ttr"),
-                (F.round("loss_raw", 6) + F.lit(0.0)).alias("log_loss"),
-                (F.round("acc_raw", 6) + F.lit(0.0)).alias("acc_rate"),
-                (F.round("pass_raw", 6) + F.lit(0.0)).alias("pass_rate"),
-                (F.round("agree_raw", 6) + F.lit(0.0)).alias("agree_fixed_rate"),
-            )
+            ), 6) + F.lit(0.0)).alias("agree_fixed_rate"),
+        ]
+        if i < _QCT_ITERS:
+            grad = p - F.col("y")
+            sel += [
+                (F.round(b - F.lit(_QCT_LR) * F.avg(grad), 6) + F.lit(0.0)).alias("b2"),
+                (F.round(w1 - F.lit(_QCT_LR) * F.avg(grad * F.col("x1")), 6)
+                 + F.lit(0.0)).alias("w12"),
+                (F.round(w2 - F.lit(_QCT_LR) * F.avg(grad * F.col("x2")), 6)
+                 + F.lit(0.0)).alias("w22"),
+                (F.round(w3 - F.lit(_QCT_LR) * F.avg(grad * F.col("x3")), 6)
+                 + F.lit(0.0)).alias("w32"),
+                (F.round(w4 - F.lit(_QCT_LR) * F.avg(grad * F.col("x4")), 6)
+                 + F.lit(0.0)).alias("w42"),
+            ]
+        r = feats.agg(*sel).first()
+        stage_vals.append(
+            (i, *ws, r["log_loss"], r["acc_rate"], r["pass_rate"], r["agree_fixed_rate"])
         )
         if i < _QCT_ITERS:
-            w_frame = agg.select(
-                (F.round(F.col("b") - F.lit(_QCT_LR) * F.col("gb"), 6) + F.lit(0.0)).alias("b"),
-                (F.round(F.col("w1") - F.lit(_QCT_LR) * F.col("g1"), 6) + F.lit(0.0)).alias("w1"),
-                (F.round(F.col("w2") - F.lit(_QCT_LR) * F.col("g2"), 6) + F.lit(0.0)).alias("w2"),
-                (F.round(F.col("w3") - F.lit(_QCT_LR) * F.col("g3"), 6) + F.lit(0.0)).alias("w3"),
-                (F.round(F.col("w4") - F.lit(_QCT_LR) * F.col("g4"), 6) + F.lit(0.0)).alias("w4"),
-            )
-    return feats, stage_rows, w_frame
+            ws = (r["b2"], r["w12"], r["w22"], r["w32"], r["w42"])
+    # ONE local frame for all stages, coalesced to one partition —
+    # createDataFrame parallelizes into defaultParallelism slices, and a
+    # per-stage-frame union scheduled 16 empty tasks per published row
+    stage_rows = spark.createDataFrame(
+        stage_vals,
+        "iter int, b double, w_ntok double, w_wordlen double, "
+        "w_stop double, w_ttr double, log_loss double, acc_rate double, "
+        "pass_rate double, agree_fixed_rate double",
+    ).coalesce(1)
+    w_frame = spark.range(1).select(
+        _dlit(ws[0]).alias("b"),
+        _dlit(ws[1]).alias("w1"),
+        _dlit(ws[2]).alias("w2"),
+        _dlit(ws[3]).alias("w3"),
+        _dlit(ws[4]).alias("w4"),
+    )
+    result = (feats, stage_rows, w_frame)
+    _QCT_MEMO[key] = result
+    return result
 
 
 def _qct_apply_oracle() -> str:
@@ -1417,7 +1447,7 @@ def _bpe_driver_loop(spark: SparkSession, rows):
     # [token, n, symbols, nb, na] — nb/na track the LAST merge's rewrite,
     # matching the distributed v{i} columns (a no-op merge sets nb = na)
     words = [[r.token, int(r.n), list(r.s), len(r.s), len(r.s)] for r in rows]
-    out_rows = []
+    out_vals = []
     for i in range(1, _BPE_LOOP_MERGES + 1):
         freq: dict = {}
         for _t, n, s, _nb, _na in words:
@@ -1430,7 +1460,6 @@ def _bpe_driver_loop(spark: SparkSession, rows):
             # keeps every word's symbols (nb = na = len(s))
             for w in words:
                 w[3] = w[4] = len(w[2])
-            out_rows.append(spark.createDataFrame([], _BPE_STATS_SCHEMA))
             continue
         (pa, pb), f = min(freq.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
         n_applied = 0
@@ -1449,15 +1478,16 @@ def _bpe_driver_loop(spark: SparkSession, rows):
             n_applied += w[1] * (nb - na)
             symbols_after += w[1] * na
             changed += int(na < nb)
-        out_rows.append(
-            spark.createDataFrame(
-                [(i, pa, pb, pa + pb, int(f), n_applied, symbols_after, changed)],
-                _BPE_STATS_SCHEMA,
-            )
+        out_vals.append(
+            (i, pa, pb, pa + pb, int(f), n_applied, symbols_after, changed)
         )
+    # ONE local frame for all merges (drained merges contribute zero rows,
+    # exactly like the distributed empty-m{i} crossJoin), coalesced so the
+    # published plan schedules one task, not defaultParallelism per merge
+    out_rows = [spark.createDataFrame(out_vals, _BPE_STATS_SCHEMA).coalesce(1)]
     v = spark.createDataFrame(
         [(t, n, nb, s, na) for t, n, s, nb, na in words], _BPE_VOCAB_SCHEMA
-    )
+    ).coalesce(1)
     return v, out_rows
 
 
@@ -2026,12 +2056,13 @@ def minibatch_sgd_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     update, so both engines walk the identical (noisier-than-GD)
     trajectory; batch membership is integer-exact.
 
-    Scale: same scalar-spine shape as the GD loop — the feature table
+    Scale: same driver-literal shape as the GD loop — the feature table
     (now carrying the batch key) persists once; each step is one
     partial-aggregated pass over ITS BATCH's rows (a quarter of the
-    corpus per pass here; 1/B generally) with the 1-row weight frame
-    broadcast, and each step's 1-row aggregate persists so depth-k costs
-    k batch scans, never O(2^k). Batch selection is a filter over the
+    corpus per pass here; 1/B generally) with the step weights embedded
+    as plan literals and the update rounded IN SPARK before collection,
+    so depth-k costs k batch scans, never O(2^k), and the published plan
+    is the flat local trajectory. Batch selection is a filter over the
     persisted table — at cluster scale, partition the feature table BY
     the batch key at build time and each step reads exactly one
     partition (the classic epoch-shuffle layout)."""
@@ -2077,74 +2108,55 @@ def minibatch_sgd_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "sgd_feats",
     )
-    w_frame = spark.range(1).select(
-        F.lit(0.0).alias("b"),
-        F.lit(0.0).alias("w1"),
-        F.lit(0.0).alias("w2"),
-        F.lit(0.0).alias("w3"),
-        F.lit(0.0).alias("w4"),
-    )
-    out_rows = []
+    ws: tuple = (0.0, 0.0, 0.0, 0.0, 0.0)  # (b, w1..w4), driver-held
+    out_vals = []
     step = 0
     for epoch in range(_SGD_EPOCHS):
         for batch in range(_SGD_BATCHES):
-            j = feats.filter(F.col("batch") == batch).crossJoin(
-                F.broadcast(w_frame)
-            )
+            b, w1, w2, w3, w4 = (_dlit(x) for x in ws)
             z = (
-                F.col("b")
-                + F.col("w1") * F.col("x1")
-                + F.col("w2") * F.col("x2")
-                + F.col("w3") * F.col("x3")
-                + F.col("w4") * F.col("x4")
+                b
+                + w1 * F.col("x1")
+                + w2 * F.col("x2")
+                + w3 * F.col("x3")
+                + w4 * F.col("x4")
             )
             p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
-            # the aggregate deliberately does NOT carry the weights (a
-            # first() over an EMPTY batch would null them — caught by the
-            # fuzz harness on a micro-corpus with a vacant doc_id residue
-            # class); the 1-row weight frame joins back on below instead
-            agg = j.agg(
-                F.avg(F.log(F.lit(1.0) + F.exp(z)) - F.col("y") * z).alias("loss_raw"),
-                F.avg(p - F.col("y")).alias("gb"),
-                F.avg((p - F.col("y")) * F.col("x1")).alias("g1"),
-                F.avg((p - F.col("y")) * F.col("x2")).alias("g2"),
-                F.avg((p - F.col("y")) * F.col("x3")).alias("g3"),
-                F.avg((p - F.col("y")) * F.col("x4")).alias("g4"),
-                F.count(F.lit(1)).cast("long").alias("n_rows"),
-            )
-            agg = persist_barrier(agg, f"sgd_step{step}")
-            out_rows.append(
-                w_frame.crossJoin(agg).select(
-                    F.lit(step).alias("step"),
-                    F.lit(epoch).alias("epoch"),
-                    F.lit(batch).alias("batch_idx"),
-                    F.col("n_rows"),
-                    (F.round("loss_raw", 6) + F.lit(0.0)).alias("batch_loss"),
-                    F.col("b"),
-                    F.col("w1").alias("w_ntok"),
-                    F.col("w2").alias("w_wordlen"),
-                    F.col("w3").alias("w_stop"),
-                    F.col("w4").alias("w_ttr"),
+            grad = p - F.col("y")
+            # ONE partial-aggregated job per step over THIS BATCH's slice
+            # of the persisted feature table; the step weights enter as
+            # plan literals and every published value / weight update
+            # rounds IN SPARK before collection (the _qct_run shape)
+            r = (
+                feats.filter(F.col("batch") == batch)
+                .agg(
+                    (F.round(
+                        F.avg(F.log(F.lit(1.0) + F.exp(z)) - F.col("y") * z), 6
+                    ) + F.lit(0.0)).alias("batch_loss"),
+                    (F.round(b - F.lit(_SGD_LR) * F.avg(grad), 6)
+                     + F.lit(0.0)).alias("b2"),
+                    (F.round(w1 - F.lit(_SGD_LR) * F.avg(grad * F.col("x1")), 6)
+                     + F.lit(0.0)).alias("w12"),
+                    (F.round(w2 - F.lit(_SGD_LR) * F.avg(grad * F.col("x2")), 6)
+                     + F.lit(0.0)).alias("w22"),
+                    (F.round(w3 - F.lit(_SGD_LR) * F.avg(grad * F.col("x3")), 6)
+                     + F.lit(0.0)).alias("w32"),
+                    (F.round(w4 - F.lit(_SGD_LR) * F.avg(grad * F.col("x4")), 6)
+                     + F.lit(0.0)).alias("w42"),
+                    F.count(F.lit(1)).cast("long").alias("n_rows"),
                 )
+                .first()
             )
-
-            def upd(wc: str, gc: str):
-                # empty batch -> NULL gradient -> no-op step (weights
-                # carry over), mirroring the oracle's CASE guard
-                return F.when(
-                    F.col("n_rows") > 0,
-                    F.round(F.col(wc) - F.lit(_SGD_LR) * F.col(gc), 6) + F.lit(0.0),
-                ).otherwise(F.col(wc))
-
-            w_frame = w_frame.crossJoin(agg).select(
-                upd("b", "gb").alias("b"),
-                upd("w1", "g1").alias("w1"),
-                upd("w2", "g2").alias("w2"),
-                upd("w3", "g3").alias("w3"),
-                upd("w4", "g4").alias("w4"),
+            out_vals.append(
+                (step, epoch, batch, r["n_rows"], r["batch_loss"], *ws)
             )
+            if r["n_rows"] > 0:
+                # empty batch -> no-op step (weights carry over EXACTLY,
+                # never re-rounded), mirroring the oracle's CASE guard
+                ws = (r["b2"], r["w12"], r["w22"], r["w32"], r["w42"])
             step += 1
-    out = out_rows[0]
-    for r in out_rows[1:]:
-        out = out.unionByName(r)
-    return out
+    return spark.createDataFrame(
+        out_vals,
+        "step int, epoch int, batch_idx int, n_rows bigint, batch_loss double, "
+        "b double, w_ntok double, w_wordlen double, w_stop double, w_ttr double",
+    ).coalesce(1)

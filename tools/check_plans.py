@@ -2095,19 +2095,18 @@ def _(qs, spark):
     assert n_exchange <= 1, f"expected <=1 exchange (bucket agg), saw {n_exchange}"
 
 
-@check("train_quality_classifier: persisted feats + scalar weight spine, no relational join")
+@check("train_quality_classifier: driver-literal trajectory, flat local plan")
 def _(qs, spark):
     plan = plan_of(qs["train_quality_classifier"](spark, SF_DIR))
     assert "CartesianProduct" not in plan
-    # corpus never shuffles: the only joins are 1-row weight frames
-    # broadcast onto the persisted feature table (scalar-spine BNLJ)
+    # r14 optimization: stage weights live driver-side between stages (the
+    # kmeans-loop precedent) — each stage already ran as ONE
+    # partial-aggregated job over the persisted feature table, rounded in
+    # Spark, and the published plan is the flat local trajectory. No
+    # relational join and no shuffle may appear in it.
     assert re.search(r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)", plan) is None
-    assert "InMemoryTableScan" in plan, "feature table must persist across stages"
-    assert "BroadcastNestedLoopJoin" in plan
-    cols = read_schema_cols(plan, "documents")
-    # source rides along for the shared trained_gate_impact rollup
-    assert cols <= {"source", "text"}, cols
-    assert "partial_" in plan, "per-stage loss/gradient agg must map-side combine"
+    assert "ExistingRDD" in plan, plan[:400]
+    assert "Exchange" not in plan, "published trajectory must be a local frame"
 
 
 @check("bpe_train_loop: checkpoint-flat stages, vocab-bounded stats, no relational join")
@@ -2259,19 +2258,18 @@ def _(qs, spark):
     assert plan.count("Union") >= 1
 
 
-@check("minibatch_sgd_train: batch-filtered scalar-spine passes over one persisted table")
+@check("minibatch_sgd_train: driver-literal trajectory, flat local plan")
 def _(qs, spark):
     plan = plan_of(qs["minibatch_sgd_train"](spark, SF_DIR))
     assert "CartesianProduct" not in plan
-    # same shape law as the GD loop: only 1-row weight-frame BNLJ
-    # broadcasts, never a relational join; the feature table persists once
-    # and each step filters its batch from the cached scan
+    # same shape law as the GD loop after the r14 optimization: each step
+    # already ran as ONE batch-filtered partial-aggregated job over the
+    # persisted feature table with the step weights as plan literals; the
+    # published plan is the flat local trajectory — no relational join, no
+    # shuffle.
     assert re.search(r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)", plan) is None
-    assert "InMemoryTableScan" in plan, "feature table must persist across steps"
-    assert "BroadcastNestedLoopJoin" in plan
-    assert "partial_" in plan, "per-step loss/gradient agg must map-side combine"
-    cols = read_schema_cols(plan, "documents")
-    assert cols <= {"doc_id", "text"}, cols
+    assert "ExistingRDD" in plan, plan[:400]
+    assert "Exchange" not in plan, "published trajectory must be a local frame"
 
 
 @check("naive_bayes_train: vocab-capped broadcast assembly, corpus never doc-shuffles")
