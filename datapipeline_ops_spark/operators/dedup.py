@@ -262,7 +262,9 @@ def _cc_driver_union_find(spark, rows) -> DataFrame:
             else:
                 parent[ra] = rb
     out = [(n, find(n)) for n in parent]
-    return spark.createDataFrame(out, "node bigint, label bigint")
+    from datapipeline_ops_spark.tables import local_frame
+
+    return local_frame(spark, out, "node bigint, label bigint")
 
 
 def connected_components(

@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from datapipeline_ops_spark.core.registry import query
 from datapipeline_ops_spark.functions.hashing import hash64, sql_hash64
 from datapipeline_ops_spark.functions.text import tokens
-from datapipeline_ops_spark.tables import load_table
+from datapipeline_ops_spark.tables import load_table, local_frame
 
 KN_D = 0.75  # the standard Kneser-Ney absolute discount
 
@@ -767,7 +767,7 @@ def epoch_shuffle_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     16-row lead. The repeat join is an exact equi-join on
     (epoch+1, doc, succ)."""
     d = load_table(spark, sf_dir, "documents").select("doc_id")
-    spine = spark.createDataFrame([(e,) for e in range(_ESA_EPOCHS)], "epoch int")
+    spine = local_frame(spark, [(e,) for e in range(_ESA_EPOCHS)], "epoch int")
     hx = F.substring(
         F.md5(
             F.concat(

@@ -39,7 +39,7 @@ from datapipeline_ops_spark.functions.text import (
 )
 from datapipeline_ops_spark.operators.dedup import persist_barrier, with_shingle_hashes
 from datapipeline_ops_spark.queries.dedup import NGRAM_MAX_DF, _hs_cte, _pairs_cte
-from datapipeline_ops_spark.tables import load_table
+from datapipeline_ops_spark.tables import load_table, local_frame
 
 # ---------------------------------------------------------------------------
 # Benchmark decontamination
@@ -2444,7 +2444,7 @@ def scaling_law_subsets(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(tokens(F.col("text"))).alias("n_tok"),
         (hash64(F.col("doc_id"), seed=_SLS_SEED) % _SLS_MOD).alias("hm"),
     )
-    spine = spark.createDataFrame([(p,) for p in _SLS_PCTS], "pct int")
+    spine = local_frame(spark, [(p,) for p in _SLS_PCTS], "pct int")
     sub = d.crossJoin(F.broadcast(spine)).filter(
         F.col("hm") * 100 < F.col("pct").cast("long") * _SLS_MOD
     )
@@ -2577,7 +2577,7 @@ def packing_fill_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"pfs_offsets:{sf_dir}",
     )
     st = o.groupBy("source").agg(F.sum("n_tok").alias("src_tokens"))
-    spine = spark.createDataFrame([(c,) for c in _PFS_CTXS], "ctx_tokens int")
+    spine = local_frame(spark, [(c,) for c in _PFS_CTXS], "ctx_tokens int")
     chunks = (
         st.crossJoin(F.broadcast(spine))
         .groupBy("ctx_tokens")

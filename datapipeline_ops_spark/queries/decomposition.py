@@ -39,7 +39,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 
 from datapipeline_ops_spark.core.registry import query
 from datapipeline_ops_spark.functions.vectors import as_double, dot, sql_as_double, sql_dot
-from datapipeline_ops_spark.tables import load_table
+from datapipeline_ops_spark.tables import load_table, local_frame
 
 EMB_DIM = 64  # embeddings.embedding is array<float>[64] (TESTDATA.md)
 JL_K = 8      # projection target dimensionality
@@ -360,7 +360,8 @@ def class_scatter_direction(spark: SparkSession, sf_dir: str) -> DataFrame:
             # the grand mean): no separating direction exists — emit ZERO
             # rows, matching the oracle's `nm > 0` filter (its divisions
             # propagate NULL, never crash). Oracle-parity fuzzer, round 10.
-            return spark.createDataFrame(
+            return local_frame(
+                spark,
                 [],
                 "rank int, dim int, loading double, lambda1 double, "
                 "scatter_share double",
@@ -376,8 +377,8 @@ def class_scatter_direction(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows = [
         (rank, i, x[i], nm, nm / trace) for rank, i in enumerate(top, start=1)
     ]
-    return spark.createDataFrame(
-        rows, "rank int, dim int, loading double, lambda1 double, scatter_share double"
+    return local_frame(
+        spark, rows, "rank int, dim int, loading double, lambda1 double, scatter_share double"
     )
 
 

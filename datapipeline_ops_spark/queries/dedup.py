@@ -35,7 +35,7 @@ from datapipeline_ops_spark.operators.dedup import (
     with_shingle_hashes,
 )
 from datapipeline_ops_spark.functions.text import tokens
-from datapipeline_ops_spark.tables import load_table
+from datapipeline_ops_spark.tables import load_table, local_frame
 
 # ---------------------------------------------------------------------------
 # Shared oracle CTEs
@@ -1278,7 +1278,7 @@ def dedup_tau_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
     qualifying sets match across engines exactly."""
     d = with_shingle_hashes(load_table(spark, sf_dir, "documents"), "doc_id")
     pj = _lsh_verified_pairs(d, tau=0.5)
-    spine = spark.createDataFrame([(t,) for t in _TAU_PCTS], "tau_pct int")
+    spine = local_frame(spark, [(t,) for t in _TAU_PCTS], "tau_pct int")
     qual = pj.crossJoin(F.broadcast(spine)).filter(
         F.col("jaccard") >= F.col("tau_pct").cast("double") / 100.0
     )
@@ -1476,7 +1476,7 @@ def inbatch_negative_collisions(spark: SparkSession, sf_dir: str) -> DataFrame:
     machinery itself."""
     d = with_shingle_hashes(load_table(spark, sf_dir, "documents"), "doc_id")
     pj = _lsh_verified_pairs(d, tau=0.5).select("doc_a", "doc_b")
-    spine = spark.createDataFrame([(b,) for b in _IBN_BATCHES], "n_batches int")
+    spine = local_frame(spark, [(b,) for b in _IBN_BATCHES], "n_batches int")
     coll = (
         pj.crossJoin(F.broadcast(spine))
         .filter(

@@ -45,7 +45,7 @@ from pyspark.sql.types import (
 )
 
 from datapipeline_ops_spark.core.registry import query
-from datapipeline_ops_spark.tables import load_table
+from datapipeline_ops_spark.tables import load_table, local_frame
 
 ELO_K = 32.0
 ELO_START_MPTS = 1_500_000  # 1500.000 points in millipoints
@@ -248,4 +248,4 @@ def elo_rating_periods(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         for i, x in enumerate(ranked)
     ]
-    return spark.createDataFrame(rows, _SCHEMA)
+    return local_frame(spark, rows, _SCHEMA)

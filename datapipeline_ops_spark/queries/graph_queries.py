@@ -33,7 +33,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.storagelevel import StorageLevel
 
 from datapipeline_ops_spark.core.registry import query
-from datapipeline_ops_spark.tables import load_table
+from datapipeline_ops_spark.operators.dedup import CC_SMALL_GRAPH_EDGES
+from datapipeline_ops_spark.tables import load_table, local_frame
 
 PAGERANK_ITERS = 5
 PAGERANK_DAMPING = 0.85
@@ -190,6 +191,40 @@ def copurchase_edges(li: DataFrame) -> DataFrame:
     )
 
 
+def _triangle_local(spark: SparkSession, rows) -> DataFrame:
+    """Driver-local wedge/triangle census over the collected oriented edge
+    list — identical integers to the distributed node-iterator form, and
+    the clustering coefficient uses the same exact integer half-up-6dp
+    formula. Empty graph mirrors the distributed NULL semantics (sum over
+    an empty degree table is NULL)."""
+    n_edges = len(rows)
+    adj: dict[int, set] = {}
+    deg: dict[int, int] = {}
+    for r in rows:
+        a, b = r.pa, r.pb
+        adj.setdefault(a, set()).add(b)
+        deg[a] = deg.get(a, 0) + 1
+        deg[b] = deg.get(b, 0) + 1
+    n_nodes = len(deg)
+    n_wedges = sum(d * (d - 1) // 2 for d in deg.values()) if deg else None
+    n_tri = 0
+    for a, higher in adj.items():
+        for b in higher:
+            nb = adj.get(b)
+            if nb:
+                n_tri += len(higher & nb)
+    coeff = (
+        ((n_tri * 6_000_000 + n_wedges) // (n_wedges * 2)) / 1e6
+        if n_wedges else None
+    )
+    return local_frame(
+        spark,
+        [(n_edges, n_nodes, n_wedges, n_tri, coeff)],
+        "n_edges bigint, n_nodes bigint, n_wedges bigint, n_triangles bigint, "
+        "clustering_coeff double",
+    )
+
+
 @query(
     "triangle_copurchase_stats",
     oracle=f"""
@@ -230,6 +265,7 @@ def copurchase_edges(li: DataFrame) -> DataFrame:
            ELSE NULL END AS clustering_coeff
     """,
 )
+
 def triangle_copurchase_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Triangle census of the co-purchase graph: parts bought together in
     >= 2 distinct orders form edges; the query counts edges, wedges
@@ -244,10 +280,22 @@ def triangle_copurchase_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     triangle enumeration is two shuffle equi-joins on oriented edges
     (a<b<c canonical form counts each triangle exactly once). Wedge counts
     are a degree aggregation — no join. This is the standard distributed
-    triangle algorithm (node-iterator on oriented edges)."""
+    triangle algorithm (node-iterator on oriented edges). Below
+    CC_SMALL_GRAPH_EDGES the census instead runs driver-local on the
+    collected edge list (identical integers; r14 optimization — the
+    distributed stage count dominated the wall on a bounded graph)."""
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     edges = copurchase_edges(li).persist()
     try:
+        # adaptive strategy (the CC_SMALL_GRAPH_EDGES precedent): at or
+        # under the cap the support-filtered edge list collects and the
+        # wedge/triangle census runs driver-local — the distributed form
+        # pays 3 aggregation jobs plus a two-join cubic stage whose fixed
+        # cost dominates on a bounded graph. Above the cap the distributed
+        # node-iterator census below runs unchanged on the persisted edges.
+        head = edges.limit(CC_SMALL_GRAPH_EDGES + 1).collect()
+        if len(head) <= CC_SMALL_GRAPH_EDGES:
+            return _triangle_local(spark, head)
         deg = (
             edges.select(F.col("pa").alias("node"))
             .unionAll(edges.select(F.col("pb").alias("node")))
@@ -296,6 +344,30 @@ def triangle_copurchase_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 BFS_MAX_HOPS = 3
 
 
+def _bfs_local(spark: SparkSession, rows) -> DataFrame:
+    """Driver-local bounded BFS over the collected symmetric edge list —
+    identical (node, min-hops) rows to the distributed frontier loop,
+    including the empty-graph seed row (min over an empty edge list is
+    NULL, hops 0, matching the oracle's recursive seed)."""
+    if not rows:
+        return local_frame(spark, [(None, 0)], "node bigint, hops int")
+    adj: dict[int, list] = {}
+    for r in rows:
+        adj.setdefault(r.src, []).append(r.dst)
+    seed = min(adj)
+    visited = {seed: 0}
+    frontier = [seed]
+    for h in range(1, BFS_MAX_HOPS + 1):
+        nxt = []
+        for s in frontier:
+            for d in adj.get(s, ()):
+                if d not in visited:
+                    visited[d] = h
+                    nxt.append(d)
+        frontier = nxt
+    return local_frame(spark, sorted(visited.items()), "node bigint, hops int")
+
+
 @query(
     "bfs_reach_3hop",
     oracle=f"""
@@ -333,7 +405,10 @@ def bfs_reach_3hop(spark: SparkSession, sf_dir: str) -> DataFrame:
     the recursive-CTE formulation with UNION-dedup on (node, hops) and an
     outer min(hops) — hop-h frontiers match BFS's first-visit semantics
     exactly.  At 100 TB the same loop runs with edges pre-partitioned by src
-    so every hop joins co-located."""
+    so every hop joins co-located; below CC_SMALL_GRAPH_EDGES the walk runs
+    driver-local on the collected symmetric edges instead (identical rows;
+    r14 optimization — 2 eager checkpoint jobs per hop dominated the wall
+    on a bounded frontier)."""
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     per_order = li.groupBy("l_orderkey").agg(F.collect_list("l_partkey").alias("ps"))
     pairs = (
@@ -363,6 +438,15 @@ def bfs_reach_3hop(spark: SparkSession, sf_dir: str) -> DataFrame:
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     try:
+        # adaptive strategy (the CC_SMALL_GRAPH_EDGES precedent): at or
+        # under the cap the symmetric edge list collects and the bounded
+        # BFS runs driver-local — the distributed loop pays 2 eager
+        # checkpoint jobs per hop whose fixed cost dominates on a bounded
+        # frontier. Above the cap the per-hop frontier joins below run
+        # unchanged on the persisted edges.
+        head = edges.limit(CC_SMALL_GRAPH_EDGES + 1).collect()
+        if len(head) <= CC_SMALL_GRAPH_EDGES:
+            return _bfs_local(spark, head)
         seed = edges.agg(F.min("src").alias("node")).withColumn("hops", F.lit(0))
         visited = seed.localCheckpoint(eager=True)
         frontier = visited
@@ -501,7 +585,8 @@ def kcore_2_peeling(spark: SparkSession, sf_dir: str) -> DataFrame:
             cur = nxt
             stats_rows.append((r, *_stats(nxt)))
         converged = stats_rows[-1][1] == stats_rows[-2][1]
-        out = spark.createDataFrame(
+        out = local_frame(
+            spark,
             [(r, e, n, converged) for r, e, n in stats_rows],
             "round int, n_edges long, n_nodes long, converged boolean",
         )

@@ -64,7 +64,7 @@ from datapipeline_ops_spark.core.registry import query
 from datapipeline_ops_spark.functions.vectors import as_double, sqdist, sql_sqdist
 from datapipeline_ops_spark.operators.dedup import persist_barrier
 from datapipeline_ops_spark.queries.similarity import _V_CTE, EMB_DIM, IVF_CENTROIDS
-from datapipeline_ops_spark.tables import load_table
+from datapipeline_ops_spark.tables import load_table, local_frame
 
 # Unrolled Lloyd update steps; stages 0.._KM_ITERS publish (k+1 rows).
 _KM_ITERS = 5
@@ -342,7 +342,7 @@ def kmeans_artifact_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     cents, _ = _km_run(spark, sf_dir)
     rows = [(int(cid), list(vec)) for cid, vec in sorted(cents[-1].items())]
-    cent_df = spark.createDataFrame(rows, "cluster_id long, cvec array<double>")
+    cent_df = local_frame(spark, rows, "cluster_id long, cvec array<double>")
     path = _artifact_path(sf_dir, "kmeans_centroids")
     cent_df.write.mode("overwrite").parquet(path)
     back = spark.read.parquet(path)

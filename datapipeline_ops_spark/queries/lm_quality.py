@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from datapipeline_ops_spark.core.registry import query
 from datapipeline_ops_spark.functions.hashing import hash64, sql_hash64
 from datapipeline_ops_spark.functions.text import tokens
-from datapipeline_ops_spark.tables import load_table
+from datapipeline_ops_spark.tables import load_table, local_frame
 
 # ---------------------------------------------------------------------------
 # Bigram LM perplexity (CCNet-style quality filter)
@@ -886,7 +886,7 @@ def quality_filter_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             * (F.size(F.array_distinct(t)).cast("double") / F.size(t).cast("double"))
         ).alias("logit"),
     ).filter(F.col("n_tok") >= 1)
-    spine = spark.createDataFrame([(x,) for x in _QFS_TAUS], "tau_logit_tenths int")
+    spine = local_frame(spark, [(x,) for x in _QFS_TAUS], "tau_logit_tenths int")
     kept = (
         feats.crossJoin(F.broadcast(spine))
         .filter(F.col("logit") >= F.col("tau_logit_tenths").cast("double") / 10.0)
@@ -1196,15 +1196,16 @@ def _qct_run(spark: SparkSession, sf_dir: str):
         )
         if i < _QCT_ITERS:
             ws = (r["b2"], r["w12"], r["w22"], r["w32"], r["w42"])
-    # ONE local frame for all stages, coalesced to one partition —
-    # createDataFrame parallelizes into defaultParallelism slices, and a
-    # per-stage-frame union scheduled 16 empty tasks per published row
-    stage_rows = spark.createDataFrame(
+    # ONE single-slice local frame for all stages (local_frame — a
+    # per-stage-frame union scheduled defaultParallelism empty pickled
+    # slices per published row)
+    stage_rows = local_frame(
+        spark,
         stage_vals,
         "iter int, b double, w_ntok double, w_wordlen double, "
         "w_stop double, w_ttr double, log_loss double, acc_rate double, "
         "pass_rate double, agree_fixed_rate double",
-    ).coalesce(1)
+    )
     w_frame = spark.range(1).select(
         _dlit(ws[0]).alias("b"),
         _dlit(ws[1]).alias("w1"),
@@ -1481,13 +1482,13 @@ def _bpe_driver_loop(spark: SparkSession, rows):
         out_vals.append(
             (i, pa, pb, pa + pb, int(f), n_applied, symbols_after, changed)
         )
-    # ONE local frame for all merges (drained merges contribute zero rows,
-    # exactly like the distributed empty-m{i} crossJoin), coalesced so the
-    # published plan schedules one task, not defaultParallelism per merge
-    out_rows = [spark.createDataFrame(out_vals, _BPE_STATS_SCHEMA).coalesce(1)]
-    v = spark.createDataFrame(
-        [(t, n, nb, s, na) for t, n, s, nb, na in words], _BPE_VOCAB_SCHEMA
-    ).coalesce(1)
+    # ONE single-slice local frame for all merges (drained merges
+    # contribute zero rows, exactly like the distributed empty-m{i}
+    # crossJoin)
+    out_rows = [local_frame(spark, out_vals, _BPE_STATS_SCHEMA)]
+    v = local_frame(
+        spark, [(t, n, nb, s, na) for t, n, s, nb, na in words], _BPE_VOCAB_SCHEMA
+    )
     return v, out_rows
 
 
@@ -2155,8 +2156,9 @@ def minibatch_sgd_train(spark: SparkSession, sf_dir: str) -> DataFrame:
                 # never re-rounded), mirroring the oracle's CASE guard
                 ws = (r["b2"], r["w12"], r["w22"], r["w32"], r["w42"])
             step += 1
-    return spark.createDataFrame(
+    return local_frame(
+        spark,
         out_vals,
         "step int, epoch int, batch_idx int, n_rows bigint, batch_loss double, "
         "b double, w_ntok double, w_wordlen double, w_stop double, w_ttr double",
-    ).coalesce(1)
+    )

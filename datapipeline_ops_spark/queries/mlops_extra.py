@@ -55,7 +55,7 @@ from datapipeline_ops_spark.functions.vectors import (
     norm,
     sql_cosine,
 )
-from datapipeline_ops_spark.tables import load_table
+from datapipeline_ops_spark.tables import load_table, local_frame
 
 # ---------------------------------------------------------------------------
 # spell_correct_symdel
@@ -1454,7 +1454,7 @@ def rejection_sampling_yield(spark: SparkSession, sf_dir: str) -> DataFrame:
         .over(Window.partitionBy("user_id").orderBy("ts", "event_id"))
         .alias("rn"),
     )
-    spine = spark.createDataFrame([(n,) for n in RSY_NS], "n_candidates int")
+    spine = local_frame(spark, [(n,) for n in RSY_NS], "n_candidates int")
     best = (
         r.join(F.broadcast(spine), F.col("rn") <= F.col("n_candidates"))
         .groupBy("n_candidates", "user_id")

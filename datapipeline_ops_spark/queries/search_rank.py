@@ -31,7 +31,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from datapipeline_ops_spark.core.registry import QUERIES, query
 from datapipeline_ops_spark.functions.hashing import hash64, sql_hash64
 from datapipeline_ops_spark.functions.vectors import as_double, sql_cosine
-from datapipeline_ops_spark.tables import load_table
+from datapipeline_ops_spark.tables import load_table, local_frame
 
 BM25_K1 = 1.2
 BM25_B = 0.75
@@ -1304,7 +1304,7 @@ def ann_probe_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("query_id", "vec_id", "crank", "cos")
     )
-    spine = spark.createDataFrame([(p,) for p in _PROBE_SPINE], "nprobe int")
+    spine = local_frame(spark, [(p,) for p in _PROBE_SPINE], "nprobe int")
     fan = scored.crossJoin(F.broadcast(spine)).filter(
         F.col("crank") <= F.col("nprobe")
     )

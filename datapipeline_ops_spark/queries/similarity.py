@@ -41,7 +41,7 @@ from datapipeline_ops_spark.functions.vectors import (
     sql_dot,
     sql_norm,
 )
-from datapipeline_ops_spark.tables import load_table
+from datapipeline_ops_spark.tables import load_table, local_frame
 
 N_QUERIES = 10  # vec_id < 10 are the query vectors
 TOP_K = 5
@@ -152,7 +152,8 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "block", (F.col("vec_id") % NEAR_DUP_BLOCKS).cast("int")
     )
     # constant block-pair metadata (NB(NB+1)/2 rows), not a data-dependent join
-    bp = spark.createDataFrame(
+    bp = local_frame(
+        spark,
         [(ba, bb) for ba in range(NEAR_DUP_BLOCKS) for bb in range(ba, NEAR_DUP_BLOCKS)],
         "ba int, bb int",
     )

@@ -13,7 +13,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 
 from datapipeline_ops_spark.core.registry import query
 from datapipeline_ops_spark.operators.temporal import asof_join, range_join_buckets
-from datapipeline_ops_spark.tables import load_table
+from datapipeline_ops_spark.tables import load_table, local_frame
 
 # non-uniform value bands for the range join (widths 10..150)
 BANDS = [
@@ -84,7 +84,7 @@ def range_join_value_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     + equi-join + residual filter — work scales with rows + total band
     width, never rows × bands. Oracle is the plain theta join."""
     e = load_table(spark, sf_dir, "events")
-    bands = e.sparkSession.createDataFrame(BANDS, ["lo", "hi", "band"])
+    bands = local_frame(e.sparkSession, BANDS, "lo double, hi double, band string")
     joined = range_join_buckets(e, "value", bands, "lo", "hi", bucket_width=25.0)
     return joined.groupBy("band").agg(
         F.count(F.lit(1)).alias("n_events"),

@@ -52,6 +52,22 @@ def test_bpe_driver_loop_matches_distributed(spark, sf_dir, monkeypatch):
     assert len(stats_drv_rows) == lm_quality._BPE_LOOP_MERGES
 
 
+def test_graph_driver_paths_match_distributed(spark, sf_dir, monkeypatch):
+    """The cap-gated driver-local triangle census and bounded BFS must
+    produce exactly the distributed forms' rows."""
+    from datapipeline_ops_spark.queries import graph_queries as gq
+
+    tri_local = _rows_key(gq.triangle_copurchase_stats(spark, sf_dir))
+    bfs_local = _rows_key(gq.bfs_reach_3hop(spark, sf_dir))
+    monkeypatch.setattr(gq, "CC_SMALL_GRAPH_EDGES", 0)
+    tri_dist = _rows_key(gq.triangle_copurchase_stats(spark, sf_dir))
+    bfs_dist = _rows_key(gq.bfs_reach_3hop(spark, sf_dir))
+    assert tri_local == tri_dist
+    assert bfs_local == bfs_dist
+    assert len(tri_local) == 1
+    assert len(bfs_local) >= 1
+
+
 def test_pca_covariance_single_pass_matches_numpy(spark, sf_dir):
     """The fused single-pass moments form of embedding_pca_covariance must
     still reproduce the population covariance (the separate-passes form was
