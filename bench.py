@@ -192,10 +192,27 @@ def _calibration(spark) -> dict:
         suite()
         runs.append(time.time() - t0)
     wall = round(statistics.median(runs), 3)
+    # second axis (r14): per-job FIXED cost — median latency of a trivial
+    # 1-row job. The round-14 validation asked for by the r13 verdict
+    # (shared_ratio_drift_norm vs a controlled same-box run of the
+    # byte-identical r13 headline code: raw shared ratio 0.997) showed the
+    # synthetic-suite drift OVERCORRECTING by ~24% on a fast box — the
+    # suite is CPU-throughput bound while the bench's sub-second queries
+    # are dominated by per-job fixed cost (scheduling, py4j, codegen),
+    # which moves differently with box state. Per the verdict's rule
+    # ("fix the probe, not the code") this probe adds the fixed-cost axis
+    # to the calibration record; the suite itself stays frozen so `drift`
+    # remains comparable to earlier rounds.
+    lat = []
+    for _ in range(20):
+        t0 = time.time()
+        spark.range(1).count()
+        lat.append(time.time() - t0)
     return {
         "wall": wall,
         "ref_wall": CAL_REF_WALL,
         "drift": round(wall / CAL_REF_WALL, 3),
+        "job_ms": round(sorted(lat)[len(lat) // 2] * 1000, 1),
     }
 
 
@@ -544,6 +561,8 @@ def main() -> int:
     calblk = compact.pop("calibration", None)
     if isinstance(calblk, dict) and "drift" in calblk:
         compact["cal"] = {"wall": round(calblk["wall"], 2), "drift": calblk["drift"]}
+        if "job_ms" in calblk:
+            compact["cal"]["job_ms"] = calblk["job_ms"]
     if "vs_prev" in compact:
         vp = dict(compact["vs_prev"])
         ratios = vp.pop("ratio_per_query", {})

@@ -30,6 +30,7 @@ from datapipeline_ops_spark.operators.dedup import (
     jaccard,
     lsh_band_buckets,
     minhash_signature_from_hashes,
+    persist_barrier,
     simhash,
     simhash_segments,
     with_shingle_hashes,
@@ -873,6 +874,10 @@ def lsh_tuning_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("p.da", "p.db")
             .distinct()
         )
+        # cand feeds BOTH the verify join and the candidate count below;
+        # without a barrier the band-explode + bucket-group + pair-explode
+        # chain re-derives per consumer (2x per config — r14 census audit)
+        cand = persist_barrier(cand, f"lsh_tune_cand_{b}x{r}")
         ver = (
             cand.join(d.select(F.col("doc_id").alias("da"), F.col("hs").alias("hs_a")), "da")
             .join(d.select(F.col("doc_id").alias("db"), F.col("hs").alias("hs_b")), "db")

@@ -725,14 +725,26 @@ def kmv_set_ops_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     theta). At 100 TB the production build keeps per-partition bottom-k
     and merges (mergeable, fixed memory, no distinct shuffle); the full
     distinct here exists only to price the exact audit column."""
+    from datapipeline_ops_spark.operators.dedup import persist_barrier
+
     e = load_table(spark, sf_dir, "events")
-    h = e.select(
-        F.col("event_type").alias("t"), hash64(F.col("user_id")).alias("h")
-    ).distinct()
+    # h feeds the sketch build, the type list AND the exact-intersection
+    # audit; bk feeds four consumers (both union legs, both rho probes).
+    # Without barriers each consumer re-derived the events scan + distinct
+    # (+ the bottom-k window) — 44 exchanges / 36 scans in the r14 census.
+    h = persist_barrier(
+        e.select(
+            F.col("event_type").alias("t"), hash64(F.col("user_id")).alias("h")
+        ).distinct(),
+        "kmv_h",
+    )
     wk = Window.partitionBy("t").orderBy("h")
-    bk = h.withColumn("rn", F.row_number().over(wk)).filter(
-        F.col("rn") <= KMV_K
-    ).select("t", "h")
+    bk = persist_barrier(
+        h.withColumn("rn", F.row_number().over(wk)).filter(
+            F.col("rn") <= KMV_K
+        ).select("t", "h"),
+        "kmv_bk",
+    )
     types = h.select("t").distinct()
     pairs = (
         types.select(F.col("t").alias("type_a"))
@@ -749,9 +761,14 @@ def kmv_set_ops_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     wu = Window.partitionBy("type_a", "type_b").orderBy("h")
-    ubk = pu.withColumn("rn", F.row_number().over(wu)).filter(
-        F.col("rn") <= KMV_K
-    ).select("type_a", "type_b", "h")
+    # union sketch feeds its stats row AND both rho probes — bounded
+    # (K rows per type pair), barrier it
+    ubk = persist_barrier(
+        pu.withColumn("rn", F.row_number().over(wu)).filter(
+            F.col("rn") <= KMV_K
+        ).select("type_a", "type_b", "h"),
+        "kmv_ubk",
+    )
     ust = ubk.groupBy("type_a", "type_b").agg(
         F.count(F.lit(1)).cast("long").alias("n_u"), F.max("h").alias("hk")
     )
