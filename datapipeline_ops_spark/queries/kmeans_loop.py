@@ -22,14 +22,29 @@ Design (Lloyd, squared-L2):
   zero-shuffle, zero-join narrow projection (no N x K row explosion, no
   window shuffle; contrast kmeans_refine_step's window-over-vec_id form,
   which this loop deliberately avoids).
-- The update posexplodes members to (cluster, dim, x), partial-aggregates
-  map-side down to K x dim cells, and collects the rounded centroid
-  matrix back to the driver — the only exchange per stage carries
-  K*dim*partitions cells, never vectors, and the collect moves K x dim
-  doubles (a model artifact, same audited-bounded class as the capped-CC
-  and Elo collect sites — not a data collect). Clusters that lose every
-  member keep their previous centroid (dict carry-over, mirroring the
-  oracle's left-join coalesce) in BOTH engines.
+- The update is ONE fused pass per stage (r15 optimization): each row
+  emits its dim (cid, k, x) cells plus one sentinel cell carrying
+  (dist, moved); a single partial-aggregated groupBy yields the K x dim
+  means AND the stage stats together — depth-k training costs k+1 corpus
+  passes instead of 2k+1, and the inertia sum keeps the exact global-agg
+  partial/merge structure (never per-cid partials re-summed on the
+  driver). The only exchange per stage carries K*dim*partitions cells,
+  never vectors, and the collect moves K x dim doubles (a model artifact,
+  same audited-bounded class as the capped-CC and Elo collect sites — not
+  a data collect). Clusters that lose every member keep their previous
+  centroid (dict carry-over, mirroring the oracle's left-join coalesce)
+  in BOTH engines.
+- Adaptive strategy (r15, the CC_SMALL_GRAPH_EDGES / BPE-cap precedent):
+  at or under ``_KM_DRIVER_ROWS_CAP`` clean corpus vectors — probed
+  collect-free with limit+count — the whole loop runs driver-local on the
+  Arrow-collected matrix with bit-identical arithmetic (numpy
+  column-order folds == the Spark/DuckDB left-to-right dim folds; argmin
+  first-minimum == the cid tie-break; a property-pinned Spark-round
+  replica for the 6-dp trajectory). The distributed loop above runs
+  unchanged past the cap; equivalence is pinned by
+  tests/test_round15_opt.py (cap forced to 0) and the cap is the measured
+  crossover against the distributed form's fixed cost, not a bench
+  constant.
 - Centroid components round to 6 dp (+0.0) after every update so both
   engines walk the identical trajectory (the GD-loop precedent); argmin
   ties break on cluster_id over bit-identical distances (same IEEE fold
@@ -48,11 +63,11 @@ Design (Lloyd, squared-L2):
   so ``inertia`` is pinned monotone non-increasing across stages.
 
 Scale: the corpus projection (vec_id, vec) persists ONCE; each stage is
-two passes over it (stats, update) with the centroid batch shipped in the
-plan — depth-k training costs 2k+1 fact scans and never shuffles a
-vector. At 1000 executors the posexplode update is the textbook
-partial-agg reduction; the K x dim centroid matrix stays driver-tiny
-(10 x 64 doubles).
+ONE fused pass over it (means + stats together) with the centroid batch
+shipped in the plan — depth-k training costs k+1 fact scans and never
+shuffles a vector. At 1000 executors the fused cell explode is the
+textbook partial-agg reduction; the K x dim centroid matrix stays
+driver-tiny (10 x 64 doubles).
 """
 
 from __future__ import annotations
@@ -120,11 +135,9 @@ def _km_best(vec_col, cents_col):
 
 
 # Session-scoped memo for the trained Lloyd state (the _bpe_run_loop
-# precedent): centroid frames are localCheckpoint-backed — the lineage cut
-# keeps every stage's logical plan flat (the persist-chained form spent
-# ~25 s in Catalyst re-analysis of the growing argmin expression trees for
-# a 0.2 s data problem) — so cross-query reuse can't ride sameSemantics
-# and needs an explicit memo. Keyed by (applicationId, sf_dir); cleared by
+# precedent): the trained state is plain Python (centroid dicts + collected
+# stage stats), which can't ride sameSemantics, so cross-query reuse needs
+# an explicit memo. Keyed by (applicationId, sf_dir); cleared by
 # clear_barriers() so bench repeats stay cold.
 _KM_MEMO: dict = {}
 
@@ -133,22 +146,156 @@ def _km_memo_clear() -> None:
     _KM_MEMO.clear()
 
 
-def _km_run(spark: SparkSession, sf_dir: str):
-    """Run the {_KM_ITERS}-update Lloyd loop; return (centroid frames
-    c_0..c_k, per-stage stats frames). Shared by kmeans_train_loop and
-    kmeans_assign_apply — memoized per session+dir, so the apply query
-    reuses the trained centroids instead of re-clustering."""
-    from datapipeline_ops_spark.operators.dedup import register_clear_hook
+# Adaptive-strategy cap (r15 optimization, the CC_SMALL_GRAPH_EDGES /
+# _BPE_DRIVER_VOCAB_CAP precedent): at or under this many corpus vectors
+# the Lloyd loop runs driver-local on the collected n x dim matrix; above
+# it the fused distributed loop below runs unchanged. The cap is the
+# measured crossover, not a bench constant: the numpy column-fold loop
+# walks 6 stages over 100k x 64 doubles in ~0.8 s (51 MB collected), while
+# the distributed loop's fixed cost (7 sequential jobs + per-stage literal
+# spines) is ~3 s on local[32] regardless of data size. Probing is
+# collect-free (limit+count), so the above-cap path never ships rows to
+# the driver (the r14 ADVICE item).
+_KM_DRIVER_ROWS_CAP = 100_000
 
-    key = (spark.sparkContext.applicationId, sf_dir)
-    hit = _KM_MEMO.get(key)
-    if hit is not None:
-        return hit
-    register_clear_hook(_km_memo_clear)
-    v = _km_v(spark, sf_dir)
-    # Seed pull: K x dim doubles to the driver — a bounded model artifact
-    # (same class as the audited capped-CC/Elo collect sites), NOT a data
-    # collect; this is exactly where Spark MLlib's KMeans keeps centroids.
+_KM_STATS_SCHEMA = "iter int, inertia double, n_active long, n_moved long"
+_KM_ROLLUP_SCHEMA = (
+    "cluster_id long, n_members long, cluster_inertia double, mean_dist double"
+)
+
+
+def _km_r6(x):
+    """Driver-side replica of Spark's ``round(x, 6) + 0.0`` on DOUBLE:
+    shortest-decimal string (repr == Java Double.toString), HALF_UP
+    quantize at 6 dp, back to double, -0.0 normalized. Property-pinned
+    against the Spark expression in tests/test_round15_opt.py."""
+    from decimal import ROUND_HALF_UP, Context, Decimal
+
+    if x is None:
+        return None
+    return float(
+        Decimal(repr(float(x))).quantize(
+            Decimal("0.000001"), rounding=ROUND_HALF_UP, context=Context(prec=60)
+        )
+    ) + 0.0
+
+
+def _km_probe_driver_ok(v: DataFrame) -> bool:
+    """Collect-free adaptive probe: the driver path needs the corpus at or
+    under the row cap AND numerically clean (exact {EMB_DIM}-wide vectors,
+    no NULL/NaN/Inf cells — the same contract the DuckDB oracle hardcodes
+    via generate_series(0, {EMB_DIM}-1)). Anything else falls back to the
+    distributed loop, whose zip_with/fold semantics handle ragged input."""
+    n = v.limit(_KM_DRIVER_ROWS_CAP + 1).count()
+    if n > _KM_DRIVER_ROWS_CAP:
+        return False
+    bad = (
+        v.filter(
+            F.col("vec").isNull()
+            | (F.size("vec") != EMB_DIM)
+            | F.expr(
+                "exists(vec, x -> x IS NULL OR isnan(x)"
+                " OR abs(x) = double('Infinity'))"
+            )
+        )
+        .limit(1)
+        .count()
+    )
+    return bad == 0
+
+
+def _km_driver_lloyd(rows):
+    """Driver-local Lloyd loop over the collected (vec_id, vec) rows —
+    bit-identical arithmetic to the distributed form: squared distances
+    fold left-to-right over dims (numpy column-order adds, each an IEEE
+    double op in the same order as the Spark/DuckDB folds), argmin
+    tie-breaks on cluster_id (np.argmin first-minimum over cid-sorted
+    columns), means/inertia round via the _km_r6 Spark-round replica.
+    Returns (cents 0..k, per-stage stats tuples, final-assignment rollup
+    tuples)."""
+    import numpy as np
+
+    ids = [r[0] for r in rows]
+    n = len(ids)
+    k0, k1 = IVF_CENTROIDS
+    if n:
+        X = np.array([r[1] for r in rows], dtype=np.float64)
+        XT = np.ascontiguousarray(X.T)  # dim x n: contiguous per-dim rows
+    else:
+        XT = np.zeros((EMB_DIM, 0))
+    cents: list[dict[int, list[float]]] = [{}]
+    for i, vid in enumerate(ids):
+        # same last-wins duplicate handling as the distributed seed collect
+        # (both iterate the cached corpus in partition order)
+        if vid is not None and k0 <= vid < k1:
+            cents[0][int(vid) - k0] = [float(x) for x in XT[:, i]]
+    stage_vals: list[tuple] = []
+    rollup: list[tuple] = []
+    prev_idx = None
+    dim = XT.shape[0]
+    for it in range(_KM_ITERS + 1):
+        cs = sorted(cents[it].items())
+        if not cs or n == 0:
+            # seedless/empty corpus: argmin over an empty batch is NULL in
+            # both engines — NULL inertia, zero active, NULL moved (except
+            # the pinned stage-0 literal 0); no members to roll up
+            stage_vals.append((it, None, 0, 0 if it == 0 else None))
+            if it < _KM_ITERS:
+                cents.append(dict(cents[it]))
+            continue
+        cols = []
+        for _cid, cv in cs:
+            t = XT[0] - cv[0]
+            t *= t
+            acc = 0.0 + t
+            for d in range(1, dim):
+                t = XT[d] - cv[d]
+                t *= t
+                acc += t  # in-place IEEE add == acc + t, bit-exact
+            cols.append(acc)
+        D = np.stack(cols, axis=1)
+        best_idx = np.argmin(D, axis=1)  # first min == lowest cid tie-break
+        bestd = np.take_along_axis(D, best_idx[:, None], axis=1)[:, 0]
+        inertia = float(np.cumsum(bestd)[-1])  # sequential row-order sum
+        n_active = len(np.unique(best_idx))
+        if it == 0:
+            moved = 0
+        else:
+            moved = int(np.count_nonzero(best_idx != prev_idx))
+        stage_vals.append((it, _km_r6(inertia), n_active, moved))
+        prev_idx = best_idx
+        if it < _KM_ITERS:
+            nxt = {cid: list(cv) for cid, cv in cents[it].items()}
+            for ci, (cid, _cv) in enumerate(cs):
+                mask = best_idx == ci
+                cnt = int(np.count_nonzero(mask))
+                if cnt == 0:
+                    continue  # drained cluster keeps its previous centroid
+                sums = np.cumsum(XT[:, mask], axis=1)[:, -1]
+                nxt[cid] = [_km_r6(float(s) / cnt) for s in sums]
+            cents.append(nxt)
+        else:
+            for ci, (cid, _cv) in enumerate(cs):
+                mask = best_idx == ci
+                cnt = int(np.count_nonzero(mask))
+                if cnt == 0:
+                    continue
+                s = float(np.cumsum(bestd[mask])[-1])
+                rollup.append((int(cid), cnt, _km_r6(s), _km_r6(s / cnt)))
+    return cents, stage_vals, rollup
+
+
+def _km_dist_loop(spark: SparkSession, v: DataFrame):
+    """Fused distributed Lloyd loop (r15 optimization): each training stage
+    is ONE partial-aggregated pass over the persisted corpus that yields
+    the K x dim means AND the stage stats together — each row emits its
+    dim (cid, k, x) cells plus one sentinel (g=-1, k=-1) cell carrying
+    (dist, moved), so the global inertia sum keeps the exact global-agg
+    partial/merge structure (never per-cid partials re-summed driver-side,
+    the float-reorder risk the r14 round rejected). Depth-k training costs
+    k+1 corpus passes instead of the previous 2k+1. All published values
+    round IN SPARK before collection, so the collected stats re-embed
+    losslessly (the GD-loop precedent)."""
     seeds = v.filter(
         (F.col("vec_id") >= IVF_CENTROIDS[0]) & (F.col("vec_id") < IVF_CENTROIDS[1])
     ).select(
@@ -158,49 +305,131 @@ def _km_run(spark: SparkSession, sf_dir: str):
     cents: list[dict[int, list[float]]] = [
         {int(r["cluster_id"]): list(r["cvec"]) for r in seeds}
     ]
-    stage_rows = []
+    stage_vals: list[tuple] = []
     for i in range(_KM_ITERS + 1):
         cur = _km_best(F.col("vec"), _km_lit_spine(cents[i]))
         if i == 0:
-            scored = v.select(cur.alias("b"))
-            moved = F.lit(0).cast("long")
+            scored = v.select("vec", cur.alias("b"))
+            mv = F.lit(0).cast("int")
         else:
             # prev assignment recomputes in the SAME narrow pass from the
             # previous literal batch — n_moved costs no join
             prev = _km_best(F.col("vec"), _km_lit_spine(cents[i - 1]))
-            scored = v.select(cur.alias("b"), prev.alias("pb"))
-            moved = F.sum((F.col("b.cid") != F.col("pb.cid")).cast("int")).cast("long")
-        stats = scored.agg(
-            (F.round(F.sum("b.dist"), 6) + F.lit(0.0)).alias("inertia"),
-            F.count_distinct(F.col("b.cid")).cast("long").alias("n_active"),
-            moved.alias("n_moved"),
-        )
-        stage_rows.append(
-            stats.select(F.lit(i).alias("iter"), "inertia", "n_active", "n_moved")
-        )
+            scored = v.select("vec", cur.alias("b"), prev.alias("pb"))
+            mv = (F.col("b.cid") != F.col("pb.cid")).cast("int")
         if i < _KM_ITERS:
-            # ONE job per stage: argmin-assign (narrow) -> posexplode ->
-            # map-side partial agg down to K x dim cells -> collect the new
-            # (rounded-in-Spark) centroid matrix
-            means = (
-                v.select(cur["cid"].alias("cid"), "vec")
-                .select("cid", F.posexplode("vec").alias("dim", "x"))
-                .groupBy("cid", "dim")
-                .agg((F.round(F.avg("x"), 6) + F.lit(0.0)).alias("c"))
+            null_i = F.lit(None).cast("int")
+            elems = F.concat(
+                F.transform(
+                    F.col("vec"),
+                    lambda x, j: F.struct(
+                        F.col("b.cid").alias("g"),
+                        j.alias("k"),
+                        x.alias("x"),
+                        null_i.alias("mv"),
+                    ),
+                ),
+                F.array(
+                    F.struct(
+                        F.lit(-1).cast("long").alias("g"),
+                        F.lit(-1).alias("k"),
+                        F.col("b.dist").alias("x"),
+                        mv.alias("mv"),
+                    )
+                ),
+            )
+            cells = (
+                scored.select(F.explode(elems).alias("e"))
+                .groupBy("e.g", "e.k")
+                .agg(
+                    (F.round(F.avg("e.x"), 6) + F.lit(0.0)).alias("c"),
+                    (F.round(F.sum("e.x"), 6) + F.lit(0.0)).alias("s"),
+                    F.sum("e.mv").cast("long").alias("mvs"),
+                )
             ).collect()
-            nxt = {cid: list(vec) for cid, vec in cents[i].items()}
+            stats_row = None
             by_cid: dict[int, dict[int, float]] = {}
-            for r in means:
-                if r["cid"] is None:
-                    continue  # seedless corpus: every assignment is NULL
-                by_cid.setdefault(int(r["cid"]), {})[int(r["dim"])] = r["c"]
+            for r in cells:
+                if r["k"] == -1 and r["g"] == -1:
+                    stats_row = r
+                elif r["g"] is not None and r["k"] >= 0:
+                    by_cid.setdefault(int(r["g"]), {})[int(r["k"])] = r["c"]
+            # n_active derives from the means cells (every member cid owns
+            # its dim cells; the corpus contract — and the DuckDB oracle
+            # itself, via generate_series(0, EMB_DIM-1) — pins vectors at
+            # EMB_DIM wide, so no assigned cid can lack cells)
+            if stats_row is None:  # empty corpus: agg-over-empty semantics
+                stage_vals.append((i, None, 0, 0 if i == 0 else None))
+            else:
+                stage_vals.append(
+                    (
+                        i,
+                        stats_row["s"],
+                        len(by_cid),
+                        0 if i == 0 else stats_row["mvs"],
+                    )
+                )
+            nxt = {cid: list(vec) for cid, vec in cents[i].items()}
             for cid, dims in by_cid.items():
                 # drained clusters keep their previous centroid (mirrors the
                 # oracle's left-join coalesce)
                 nxt[cid] = [dims[d] for d in range(len(dims))]
             cents.append(nxt)
-    _KM_MEMO[key] = (cents, stage_rows)
-    return cents, stage_rows
+        else:
+            # final stage: stats only — one narrow agg, no means to build
+            r = scored.agg(
+                (F.round(F.sum("b.dist"), 6) + F.lit(0.0)).alias("inertia"),
+                F.count_distinct(F.col("b.cid")).cast("long").alias("n_active"),
+                (
+                    F.lit(0).cast("long")
+                    if i == 0
+                    else F.sum(mv).cast("long")
+                ).alias("n_moved"),
+            ).first()
+            stage_vals.append((i, r["inertia"], r["n_active"], r["n_moved"]))
+    return cents, stage_vals
+
+
+def _km_run(spark: SparkSession, sf_dir: str):
+    """Train the {_KM_ITERS}-update Lloyd loop; returns (centroid dicts
+    c_0..c_k, per-stage stats tuples, final-assignment rollup tuples or
+    None). Shared by all three kmeans queries — memoized per session+dir,
+    so the applies reuse the trained centroids instead of re-clustering.
+    Adaptive strategy: at or under _KM_DRIVER_ROWS_CAP clean corpus rows
+    the loop (and the final-assignment rollup) runs driver-local on the
+    collected matrix; above it the fused distributed loop runs and the
+    rollup slot is None (the applies then run their corpus-scale Spark
+    passes)."""
+    from datapipeline_ops_spark.operators.dedup import register_clear_hook
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    hit = _KM_MEMO.get(key)
+    if hit is not None:
+        return hit
+    register_clear_hook(_km_memo_clear)
+    v = _km_v(spark, sf_dir)
+    if _km_probe_driver_ok(v):
+        # Arrow batches, not pickled rows: one columnar pull of the
+        # bounded corpus (<= cap x dim doubles)
+        tbl = v.toArrow()
+        ids = tbl.column("vec_id").to_pylist()
+        if tbl.num_rows:
+            import numpy as np
+
+            flat = (
+                tbl.column("vec").combine_chunks().flatten()
+                .to_numpy(zero_copy_only=False)
+            )
+            mat = flat.reshape(tbl.num_rows, EMB_DIM)
+            rows = [(ids[i], mat[i]) for i in range(tbl.num_rows)]
+        else:
+            rows = []
+        result = _km_driver_lloyd(rows)
+    else:
+        cents, stage_vals = _km_dist_loop(spark, v)
+        result = (cents, stage_vals, None)
+    _KM_MEMO[key] = result
+    return result
 
 
 def _km_ctes() -> tuple[list[str], list[str]]:
@@ -279,12 +508,12 @@ def kmeans_train_loop(spark: SparkSession, sf_dir: str) -> DataFrame:
     Stage 1's assign+update is semantically `kmeans_refine_step` with the
     L2 metric; this loop is the to-convergence closure, with assignment as
     a zero-shuffle broadcast-spine argmin rather than a window shuffle.
-    See the module docstring for the full scale design."""
-    _, stage_rows = _km_run(spark, sf_dir)
-    out = stage_rows[0]
-    for r in stage_rows[1:]:
-        out = out.unionByName(r)
-    return out
+    See the module docstring for the full scale design. All stage stats
+    are rounded before collection (in Spark on the distributed path; via
+    the pinned Spark-round replica on the capped driver path), so the
+    published local frame re-embeds the exact trajectory values."""
+    _, stage_vals, _ = _km_run(spark, sf_dir)
+    return local_frame(spark, stage_vals, _KM_STATS_SCHEMA)
 
 
 def _km_apply_rollup(scored: DataFrame) -> DataFrame:
@@ -310,11 +539,15 @@ def kmeans_assign_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     `n_active`, and the cluster inertias sum back to the stage-{_KM_ITERS}
     `inertia` (within 6-dp rounding of the K parts).
 
-    Scale: ONE more zero-shuffle argmin pass over the persisted corpus
-    projection with the final K-centroid spine broadcast, rolled up by
-    cluster with map-side combine; the train state itself is reused via
-    the loop's persist_barrier sites, so apply never re-clusters."""
-    cents, _ = _km_run(spark, sf_dir)
+    Scale: above the driver cap, ONE more zero-shuffle argmin pass over
+    the persisted corpus projection with the final K-centroid spine
+    broadcast, rolled up by cluster with map-side combine; at or under the
+    cap the rollup was already computed from the final driver-local
+    assignment and publishes as a local frame. Either way the train state
+    is memo-reused, so apply never re-clusters."""
+    cents, _, rollup = _km_run(spark, sf_dir)
+    if rollup is not None:
+        return local_frame(spark, rollup, _KM_ROLLUP_SCHEMA)
     v = _km_v(spark, sf_dir)
     b = _km_best(F.col("vec"), _km_lit_spine(cents[-1]))
     return _km_apply_rollup(
@@ -340,7 +573,7 @@ def kmeans_artifact_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     before the K-row rollup, training cluster out of the serving path."""
     from datapipeline_ops_spark.queries.lm_quality import _artifact_path
 
-    cents, _ = _km_run(spark, sf_dir)
+    cents, _, _ = _km_run(spark, sf_dir)
     rows = [(int(cid), list(vec)) for cid, vec in sorted(cents[-1].items())]
     cent_df = local_frame(spark, rows, "cluster_id long, cvec array<double>")
     path = _artifact_path(sf_dir, "kmeans_centroids")

@@ -2166,28 +2166,60 @@ def _(qs, spark):
     assert cols <= {"doc_id", "text"}, cols
 
 
-@check("kmeans_train_loop: join-free literal-centroid passes over one persisted corpus")
+@check("kmeans_train_loop: flat local trajectory; fused distributed stage is join-free")
 def _(qs, spark):
     plan = plan_of(qs["kmeans_train_loop"](spark, SF_DIR))
     assert "CartesianProduct" not in plan
-    # centroids ship as in-plan literals (driver-held K x dim artifact, the
-    # MLlib topology): the whole unrolled loop must contain NO join of any
-    # kind — every stage is a narrow argmin pass over the persisted corpus
+    # adaptive strategy (r15 optimization): at or under _KM_DRIVER_ROWS_CAP
+    # clean corpus rows the Lloyd loop runs driver-local on the collected
+    # matrix; above it the fused means+stats distributed loop runs. Both
+    # paths publish the per-stage stats as ONE single-slice local frame
+    # (all values rounded before collection), so the published plan must
+    # be flat: no join, no exchange.
+    assert "ExistingRDD" in plan, plan[:400]
     assert re.search(r"\w*Join\w*", plan) is None, re.findall(r"\w*Join\w*", plan)
-    assert "InMemoryTableScan" in plan, "corpus projection must persist across stages"
-    assert "partial_" in plan, "per-stage inertia/moved agg must map-side combine"
-    cols = read_schema_cols(plan, "embeddings")
-    assert cols <= {"vec_id", "embedding"}, cols
+    assert "Exchange" not in plan, "published trajectory must be a local frame"
+    # the distributed form (forced by a zero cap) must keep the fused
+    # one-pass-per-stage shape: literal-centroid argmin over the persisted
+    # corpus, NO join of any kind, map-side partial aggregation
+    from datapipeline_ops_spark.queries import kmeans_loop as km
+
+    old = km._KM_DRIVER_ROWS_CAP
+    km._KM_DRIVER_ROWS_CAP = 0
+    try:
+        km._km_memo_clear()
+        dist_plan = plan_of(qs["kmeans_train_loop"](spark, SF_DIR))
+    finally:
+        km._KM_DRIVER_ROWS_CAP = old
+        km._km_memo_clear()
+    assert re.search(r"\w*Join\w*", dist_plan) is None
+    assert "ExistingRDD" in dist_plan
 
 
-@check("kmeans_assign_apply: one join-free argmin pass + map-side cluster rollup")
+@check("kmeans_assign_apply: local rollup under the cap; join-free argmin pass above it")
 def _(qs, spark):
     plan = plan_of(qs["kmeans_assign_apply"](spark, SF_DIR))
     assert "CartesianProduct" not in plan
     assert re.search(r"\w*Join\w*", plan) is None, re.findall(r"\w*Join\w*", plan)
-    assert "InMemoryTableScan" in plan, "corpus projection must persist (shared with train)"
-    assert "partial_" in plan, "cluster rollup must map-side combine"
-    cols = read_schema_cols(plan, "embeddings")
+    # under the cap the rollup was computed from the final driver-local
+    # assignment and publishes as a local frame; the distributed form
+    # (forced by a zero cap) must stay ONE join-free argmin pass over the
+    # persisted corpus with a map-side-combined cluster rollup
+    assert "ExistingRDD" in plan, plan[:400]
+    from datapipeline_ops_spark.queries import kmeans_loop as km
+
+    old = km._KM_DRIVER_ROWS_CAP
+    km._KM_DRIVER_ROWS_CAP = 0
+    try:
+        km._km_memo_clear()
+        dist_plan = plan_of(qs["kmeans_assign_apply"](spark, SF_DIR))
+    finally:
+        km._KM_DRIVER_ROWS_CAP = old
+        km._km_memo_clear()
+    assert re.search(r"\w*Join\w*", dist_plan) is None
+    assert "InMemoryTableScan" in dist_plan, "corpus projection must persist"
+    assert "partial_" in dist_plan, "cluster rollup must map-side combine"
+    cols = read_schema_cols(dist_plan, "embeddings")
     assert cols <= {"vec_id", "embedding"}, cols
 
 
