@@ -200,8 +200,7 @@ def _triangle_local(spark: SparkSession, rows) -> DataFrame:
     n_edges = len(rows)
     adj: dict[int, set] = {}
     deg: dict[int, int] = {}
-    for r in rows:
-        a, b = r.pa, r.pb
+    for a, b in rows:
         adj.setdefault(a, set()).add(b)
         deg[a] = deg.get(a, 0) + 1
         deg[b] = deg.get(b, 0) + 1
@@ -265,7 +264,6 @@ def _triangle_local(spark: SparkSession, rows) -> DataFrame:
            ELSE NULL END AS clustering_coeff
     """,
 )
-
 def triangle_copurchase_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Triangle census of the co-purchase graph: parts bought together in
     >= 2 distinct orders form edges; the query counts edges, wedges
@@ -293,9 +291,18 @@ def triangle_copurchase_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         # pays 3 aggregation jobs plus a two-join cubic stage whose fixed
         # cost dominates on a bounded graph. Above the cap the distributed
         # node-iterator census below runs unchanged on the persisted edges.
-        head = edges.limit(CC_SMALL_GRAPH_EDGES + 1).collect()
-        if len(head) <= CC_SMALL_GRAPH_EDGES:
-            return _triangle_local(spark, head)
+        # Probe + collect are ONE bounded Arrow job (r15, the r14 ADVICE
+        # item): CollectLimit takes incrementally (no GlobalLimit shuffle,
+        # no second probe job) and the Arrow batch caps driver memory at
+        # ~16 B/edge — never cap+1 Python Row objects (a count-first probe
+        # measured +0.3-0.5 s per query on the under-cap path).
+        head = edges.limit(CC_SMALL_GRAPH_EDGES + 1).toArrow()
+        if head.num_rows <= CC_SMALL_GRAPH_EDGES:
+            return _triangle_local(
+                spark,
+                list(zip(head.column("pa").to_pylist(),
+                         head.column("pb").to_pylist())),
+            )
         deg = (
             edges.select(F.col("pa").alias("node"))
             .unionAll(edges.select(F.col("pb").alias("node")))
@@ -352,8 +359,8 @@ def _bfs_local(spark: SparkSession, rows) -> DataFrame:
     if not rows:
         return local_frame(spark, [(None, 0)], "node bigint, hops int")
     adj: dict[int, list] = {}
-    for r in rows:
-        adj.setdefault(r.src, []).append(r.dst)
+    for s, d in rows:
+        adj.setdefault(s, []).append(d)
     seed = min(adj)
     visited = {seed: 0}
     frontier = [seed]
@@ -440,17 +447,34 @@ def bfs_reach_3hop(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         # adaptive strategy (the CC_SMALL_GRAPH_EDGES precedent): at or
         # under the cap the symmetric edge list collects and the bounded
-        # BFS runs driver-local — the distributed loop pays 2 eager
-        # checkpoint jobs per hop whose fixed cost dominates on a bounded
-        # frontier. Above the cap the per-hop frontier joins below run
-        # unchanged on the persisted edges.
-        head = edges.limit(CC_SMALL_GRAPH_EDGES + 1).collect()
-        if len(head) <= CC_SMALL_GRAPH_EDGES:
-            return _bfs_local(spark, head)
+        # BFS runs driver-local — the distributed loop's per-hop eager
+        # checkpoint jobs' fixed cost dominates on a bounded frontier.
+        # Above the cap the per-hop frontier joins below run unchanged on
+        # the persisted edges. Probe + collect are ONE bounded Arrow job
+        # (r15, the r14 ADVICE item): CollectLimit takes incrementally and
+        # the Arrow batch caps driver memory at ~16 B/edge — never cap+1
+        # Python Row objects.
+        head = edges.limit(CC_SMALL_GRAPH_EDGES + 1).toArrow()
+        if head.num_rows <= CC_SMALL_GRAPH_EDGES:
+            return _bfs_local(
+                spark,
+                list(zip(head.column("src").to_pylist(),
+                         head.column("dst").to_pylist())),
+            )
+        # ONE eager checkpoint per hop (r15 optimization — the second,
+        # visited-set checkpoint was redundant): the frontier checkpoints
+        # so the next hop's join reads a flat RDD, while the visited set is
+        # just the union of the already-checkpointed hop layers — a flat
+        # plan that needs no materialization job of its own. Halves the
+        # per-hop job count of the distributed walk; rows identical (the
+        # anti-join target is the same node set).
         seed = edges.agg(F.min("src").alias("node")).withColumn("hops", F.lit(0))
-        visited = seed.localCheckpoint(eager=True)
-        frontier = visited
+        frontier = seed.localCheckpoint(eager=True)
+        layers = [frontier]
         for h in range(1, BFS_MAX_HOPS + 1):
+            visited = layers[0]
+            for layer in layers[1:]:
+                visited = visited.unionAll(layer)
             frontier = (
                 edges.join(frontier.select(F.col("node").alias("src")), "src")
                 .select(F.col("dst").alias("node"))
@@ -459,8 +483,11 @@ def bfs_reach_3hop(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .withColumn("hops", F.lit(h))
                 .localCheckpoint(eager=True)
             )
-            visited = visited.unionAll(frontier).localCheckpoint(eager=True)
-        return visited.select("node", F.col("hops").cast("int").alias("hops"))
+            layers.append(frontier)
+        out = layers[0]
+        for layer in layers[1:]:
+            out = out.unionAll(layer)
+        return out.select("node", F.col("hops").cast("int").alias("hops"))
     finally:
         edges.unpersist()
 

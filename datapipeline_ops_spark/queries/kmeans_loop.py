@@ -35,8 +35,9 @@ Design (Lloyd, squared-L2):
   centroid (dict carry-over, mirroring the oracle's left-join coalesce)
   in BOTH engines.
 - Adaptive strategy (r15, the CC_SMALL_GRAPH_EDGES / BPE-cap precedent):
-  at or under ``_KM_DRIVER_ROWS_CAP`` clean corpus vectors — probed
-  collect-free with limit+count — the whole loop runs driver-local on the
+  at or under ``_KM_DRIVER_ROWS_CAP`` clean corpus vectors — probe and
+  collect are one bounded Arrow job — the whole loop runs driver-local
+  on the
   Arrow-collected matrix with bit-identical arithmetic (numpy
   column-order folds == the Spark/DuckDB left-to-right dim folds; argmin
   first-minimum == the cid tie-break; a property-pinned Spark-round
@@ -154,8 +155,8 @@ def _km_memo_clear() -> None:
 # walks 6 stages over 100k x 64 doubles in ~0.8 s (51 MB collected), while
 # the distributed loop's fixed cost (7 sequential jobs + per-stage literal
 # spines) is ~3 s on local[32] regardless of data size. Probing is
-# collect-free (limit+count), so the above-cap path never ships rows to
-# the driver (the r14 ADVICE item).
+# collect-free (a plain count on the persisted projection), so the
+# above-cap path never ships rows to the driver (the r14 ADVICE item).
 _KM_DRIVER_ROWS_CAP = 100_000
 
 _KM_STATS_SCHEMA = "iter int, inertia double, n_active long, n_moved long"
@@ -180,28 +181,26 @@ def _km_r6(x):
     ) + 0.0
 
 
-def _km_probe_driver_ok(v: DataFrame) -> bool:
-    """Collect-free adaptive probe: the driver path needs the corpus at or
-    under the row cap AND numerically clean (exact {EMB_DIM}-wide vectors,
-    no NULL/NaN/Inf cells — the same contract the DuckDB oracle hardcodes
-    via generate_series(0, {EMB_DIM}-1)). Anything else falls back to the
-    distributed loop, whose zip_with/fold semantics handle ragged input."""
-    n = v.limit(_KM_DRIVER_ROWS_CAP + 1).count()
-    if n > _KM_DRIVER_ROWS_CAP:
+def _km_arrow_clean(tbl) -> bool:
+    """Arrow-side adaptive probe: the driver path needs the corpus
+    numerically clean — exact {EMB_DIM}-wide vectors, no NULL/NaN/Inf
+    cells (the same contract the DuckDB oracle hardcodes via
+    generate_series(0, {EMB_DIM}-1)). Anything else falls back to the
+    distributed loop, whose zip_with/fold semantics handle ragged input.
+    All checks are vectorized over the collected batch (validity bitmaps,
+    offset diffs, isfinite) — no extra Spark job."""
+    import numpy as np
+
+    if tbl.num_rows == 0:
+        return True
+    vec = tbl.column("vec").combine_chunks()
+    if vec.null_count or vec.values.null_count:
         return False
-    bad = (
-        v.filter(
-            F.col("vec").isNull()
-            | (F.size("vec") != EMB_DIM)
-            | F.expr(
-                "exists(vec, x -> x IS NULL OR isnan(x)"
-                " OR abs(x) = double('Infinity'))"
-            )
-        )
-        .limit(1)
-        .count()
-    )
-    return bad == 0
+    offs = np.diff(vec.offsets.to_numpy())
+    if not (offs == EMB_DIM).all():
+        return False
+    vals = vec.values.to_numpy(zero_copy_only=False)
+    return bool(np.isfinite(vals).all())
 
 
 def _km_driver_lloyd(rows):
@@ -397,9 +396,9 @@ def _km_run(spark: SparkSession, sf_dir: str):
     so the applies reuse the trained centroids instead of re-clustering.
     Adaptive strategy: at or under _KM_DRIVER_ROWS_CAP clean corpus rows
     the loop (and the final-assignment rollup) runs driver-local on the
-    collected matrix; above it the fused distributed loop runs and the
-    rollup slot is None (the applies then run their corpus-scale Spark
-    passes)."""
+    Arrow-collected matrix; above it the fused distributed loop runs and
+    the rollup slot is None (the applies then run their corpus-scale
+    Spark passes)."""
     from datapipeline_ops_spark.operators.dedup import register_clear_hook
 
     key = (spark.sparkContext.applicationId, sf_dir)
@@ -408,14 +407,13 @@ def _km_run(spark: SparkSession, sf_dir: str):
         return hit
     register_clear_hook(_km_memo_clear)
     v = _km_v(spark, sf_dir)
-    if _km_probe_driver_ok(v):
-        # Arrow batches, not pickled rows: one columnar pull of the
-        # bounded corpus (<= cap x dim doubles)
-        tbl = v.toArrow()
+    # probe + collect are ONE bounded Arrow job (the r14 ADVICE item):
+    # CollectLimit takes incrementally, and the batch bounds driver memory
+    # at <= (cap+1) x dim doubles columnar — never Python Row objects
+    tbl = v.limit(_KM_DRIVER_ROWS_CAP + 1).toArrow()
+    if tbl.num_rows <= _KM_DRIVER_ROWS_CAP and _km_arrow_clean(tbl):
         ids = tbl.column("vec_id").to_pylist()
         if tbl.num_rows:
-            import numpy as np
-
             flat = (
                 tbl.column("vec").combine_chunks().flatten()
                 .to_numpy(zero_copy_only=False)

@@ -1447,7 +1447,7 @@ def _bpe_driver_loop(spark: SparkSession, rows):
     identical schemas the distributed path publishes."""
     # [token, n, symbols, nb, na] — nb/na track the LAST merge's rewrite,
     # matching the distributed v{i} columns (a no-op merge sets nb = na)
-    words = [[r.token, int(r.n), list(r.s), len(r.s), len(r.s)] for r in rows]
+    words = [[t, int(n), list(s), len(s), len(s)] for t, n, s in rows]
     out_vals = []
     for i in range(1, _BPE_LOOP_MERGES + 1):
         freq: dict = {}
@@ -1522,13 +1522,21 @@ def _bpe_run_loop(spark: SparkSession, sf_dir: str):
         )
     )
     v = vocab.localCheckpoint(eager=True)
-    # adaptive strategy: a vocab at or under the cap collects (one job over
-    # the already-checkpointed frame) and the merge loop runs driver-local;
-    # above the cap the distributed checkpoint-flat loop below runs on the
-    # same checkpointed frame, so the probe never re-derives the corpus pass
-    head = v.limit(_BPE_DRIVER_VOCAB_CAP + 1).collect()
-    if len(head) <= _BPE_DRIVER_VOCAB_CAP:
-        result = _bpe_driver_loop(spark, head)
+    # adaptive strategy: probe + collect are ONE bounded Arrow job over
+    # the already-checkpointed frame (r15, the r14 ADVICE item) —
+    # CollectLimit takes incrementally and the Arrow batch bounds driver
+    # memory by the cap's columnar bytes, never cap+1 Python Row objects.
+    # Under the cap the merge loop runs driver-local; above it the
+    # distributed checkpoint-flat loop below runs unchanged (the corpus
+    # pass is never re-derived either way).
+    head = v.limit(_BPE_DRIVER_VOCAB_CAP + 1).toArrow()
+    if head.num_rows <= _BPE_DRIVER_VOCAB_CAP:
+        result = _bpe_driver_loop(
+            spark,
+            list(zip(head.column("token").to_pylist(),
+                     head.column("n").to_pylist(),
+                     head.column("s").to_pylist())),
+        )
         _BPE_LOOP_MEMO[key] = result
         return result
     pair_structs = F.expr(
