@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 
 from datapipeline_ops_spark.core.registry import query
 from datapipeline_ops_spark.sources.io import read_csv, read_jsonl, write_csv, write_jsonl
-from datapipeline_ops_spark.tables import load_table
+from datapipeline_ops_spark.tables import load_table, local_frame
 
 _SCRATCH = os.path.join(
     os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))), ".tmp", "io"
@@ -359,8 +359,12 @@ def dpp_partitioned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     o.write.mode("overwrite").partitionBy("o_orderpriority").parquet(path)
     fact = spark.read.parquet(path)
     # DPP wants a SELECTIVE predicate on the dim side (an unfiltered literal
-    # relation doesn't qualify): full priority dim, filtered to the fast tier
-    dim = spark.createDataFrame(
+    # relation doesn't qualify): full priority dim, filtered to the fast
+    # tier. local_frame (r15): one explicit slice instead of
+    # defaultParallelism pickled slices — the last multi-slice local frame
+    # in a query path (r14 verdict item).
+    dim = local_frame(
+        spark,
         [
             ("1-URGENT", "fast"),
             ("2-HIGH", "fast"),
@@ -368,7 +372,7 @@ def dpp_partitioned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             ("4-NOT SPECIFIED", "slow"),
             ("5-LOW", "slow"),
         ],
-        ["priority", "tier"],
+        "priority string, tier string",
     ).filter(F.col("tier") == "fast")
     joined = fact.join(dim, fact.o_orderpriority == dim.priority)
     return joined.groupBy("o_orderpriority").agg(
