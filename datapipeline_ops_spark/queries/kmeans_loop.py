@@ -318,9 +318,16 @@ def _km_dist_loop(spark: SparkSession, v: DataFrame):
             mv = (F.col("b.cid") != F.col("pb.cid")).cast("int")
         if i < _KM_ITERS:
             null_i = F.lit(None).cast("int")
+            # coalesce guards a NULL vec: concat(NULL, ...) would drop the
+            # row's sentinel stats cell too — with the empty-array fallback
+            # such a row still contributes its (dist, moved) cell exactly
+            # like the unfused stats aggregation did
+            safe_vec = F.coalesce(
+                F.col("vec"), F.expr("CAST(array() AS array<double>)")
+            )
             elems = F.concat(
                 F.transform(
-                    F.col("vec"),
+                    safe_vec,
                     lambda x, j: F.struct(
                         F.col("b.cid").alias("g"),
                         j.alias("k"),
